@@ -1,0 +1,168 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.Exact
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2.1–2.3, §2.6) re-expressed as
+  * deterministic declared queries over the driver testdata.
+  *
+  * Determinism contract (SURVEY §7.7): every query ends in a total ORDER BY
+  * and rounds computed doubles; raw passthrough doubles stay unrounded
+  * (identical bits in both engines).
+  *
+  * Scale notes: all queries are declarative DataFrame plans — Catalyst does
+  * column pruning + parquet predicate pushdown; aggregations are two-phase
+  * (partial map-side); semi-joins use `left_semi` (never materialize the
+  * right columns); the aggregated/"dim" sides of joins are small relative to
+  * the fact table, so AQE/broadcast handles them without a full shuffle of
+  * the big side where possible.
+  */
+object Relational {
+
+  /** S1+P1+P2+O1 — scan, project, cast, alias, total order, limit.
+    * Reference: customer_segmentation_1.py:16 (cast), splitting_data.py:20.
+    * TakeOrderedAndProject: per-partition top-k, no global sort. */
+  def scanProjectCast(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").cast("string").as("part_str"),
+        col("l_extendedprice").as("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+
+  /** F1+F3 — null-drop + threshold predicate (splitting_data.py:16,20).
+    * Both predicates push down to the parquet scan. */
+  def filterNotNullThreshold(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .na.drop(Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      .filter(col("o_totalprice") >= lit(50000.0))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** A1 — count per group (splitting_data.py:19 rating_count analog). */
+  def groupByCount(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** A2+A3 — avg+count in one agg (popularity_model.py:28-31). Output is
+    * the bit-exact average via the integer-cents grid (Exact scaladoc). */
+  def groupByAvgCount(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(avg(col("l_extendedprice")).as("avg_raw"),
+           count(lit(1)).as("cnt"))
+      .select(
+        col("l_partkey"),
+        Exact.avgFromCents(
+          Exact.sumCentsFromAvg(col("avg_raw"), col("cnt")), col("cnt"))
+          .as("avg_price"),
+        col("cnt"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** J1/J2+D1+F3 — semi-join against an aggregated key list
+    * (splitting_data.py:19-21: "popular movies" filter). Rebuilt as
+    * `left_semi` — right columns are unused, so never shuffle them. */
+  def semiJoinPopular(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val popular = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(30))
+      .select(col("l_partkey"))
+    li.join(popular, Seq("l_partkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** J3 — left outer join against per-group scores (popularity_model.py:42).
+    * The aggregated side is |custkeys| rows — broadcastable at any SF where
+    * customers ≪ orders; Catalyst/AQE picks BroadcastHashJoin. */
+  def leftJoinScores(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val scores = o.groupBy(col("o_custkey"))
+      .agg(avg(col("o_totalprice")).as("avg_raw"), count(lit(1)).as("cnt"))
+      .select(col("o_custkey"),
+              graft.functions.Exact.avgFromCents(
+                graft.functions.Exact.sumCentsFromAvg(col("avg_raw"), col("cnt")),
+                col("cnt")).as("cust_avg"))
+    o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .join(scores, Seq("o_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("cust_avg"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** U1 — union of two disjoint filters (splitting_data.py:35). */
+  def unionSplits(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val lo = o.filter(col("o_totalprice") < lit(50000.0))
+    val hi = o.filter(col("o_totalprice") >= lit(200000.0))
+    lo.union(hi).orderBy(col("o_orderkey"))
+  }
+
+  /** D1 — distinct keys (splitting_data.py:27-28). */
+  def distinctKeys(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey")).distinct()
+      .orderBy(col("l_partkey"))
+  }
+
+  /** O1+O2 — global top-k by value desc with unique tiebreak
+    * (customer_segmentation_1.py:36-37). Fuses to TakeOrderedAndProject. */
+  def orderByLimitTopK(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** A6 — per-group sorted list as joined string
+    * (customer_segmentation_1.py:18). Raw collect_list order is
+    * nondeterministic post-shuffle — always sort inside the array. */
+  def collectListSorted(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(array_join(sort_array(collect_list(col("event_type"))), ",")
+             .as("types"))
+      .orderBy(col("user_id"))
+  }
+
+  /** J4+J5+F4+F5 — self-join user pairs sharing a key, theta-deduped
+    * (customer_segmentation_2.py:23-33). Distinct (user, type) first so the
+    * equi-join on the shared key stays |U|²·|types| bounded instead of
+    * |events|² — the same trick the rebuild applies to the reference's
+    * double self-join. */
+  def selfJoinPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ue = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val a = ue.as("a")
+    val b = ue.as("b")
+    a.join(b, col("a.event_type") === col("b.event_type") &&
+              col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= lit(2))
+      .orderBy(col("user_a"), col("user_b"))
+  }
+
+  /** A7 — global aggregate, single row (customer_segmentation_2.py:41). */
+  def globalAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .agg(avg(col("l_extendedprice")).as("avg_raw"),
+           count(lit(1)).as("cnt"))
+      .select(
+        graft.functions.Exact.avgFromCents(
+          graft.functions.Exact.sumCentsFromAvg(col("avg_raw"), col("cnt")),
+          col("cnt")).as("avg_price"),
+        col("cnt"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.Exact
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical operators (SURVEY.md §2.4 A2–A5, A7; §2.7 E1–E2).
+  * All are two-phase hash aggregations — partial map-side combine, final
+  * after a single shuffle on the group key.
+  *
+  * Determinism: money/value columns are 2dp, so avg/variance-derived
+  * outputs go through [[graft.functions.Exact]] (exact integer grid →
+  * bit-identical doubles) instead of lossy `round` — see Exact's scaladoc.
+  */
+object Stats {
+
+  /** A3+P4+E1+E2 — damped popularity score `(avg*cnt)/(cnt+β)`
+    * (popularity_model.py:35-38). β=1000 matches the reference's chosen
+    * damping. Pure column arithmetic — constant-folded, codegen'd. */
+  def dampedPopularity(spark: SparkSession, dir: String,
+                       beta: Double = 1000.0): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(avg(col("l_extendedprice")).as("avg_raw"),
+           count(lit(1)).as("cnt"))
+      .withColumn("sum_cents",
+        Exact.sumCentsFromAvg(col("avg_raw"), col("cnt")))
+      .select(
+        col("l_partkey"),
+        Exact.avgFromCents(col("sum_cents"), col("cnt")).as("avg_price"),
+        col("cnt"),
+        ((col("sum_cents").cast("double") / lit(100.0)) /
+         (col("cnt").cast("double") + lit(beta))).as("damped_score"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** A4+F3+F2 — variance per group with a positivity filter
+    * (customer_segmentation_2.py:58-59). Native `variance` (= var_samp,
+    * matching DuckDB) drives the plan; the output is rescaled onto its
+    * exact integer grid (sum of squared deviations in cents²). */
+  def varianceFilter(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .filter(col("value") > lit(0.0))
+      .groupBy(col("user_id"))
+      .agg(variance(col("value")).as("var_raw"),
+           count(lit(1)).as("cnt"))
+      .filter(col("var_raw").isNotNull)
+      .withColumn("sse_cents2", Exact.sseFromVariance(col("var_raw"), col("cnt")))
+      .select(
+        col("user_id"),
+        Exact.varFromSse(col("sse_cents2"), col("cnt")).as("var_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** A5+F2 — Pearson correlation per user pair over their common keys
+    * (customer_segmentation_2.py:36-38). Pre-aggregates to one value per
+    * (user, key) so the pair join is |U|²·|types|-bounded, then corr over
+    * the aligned value vectors. corr is null for n<2 or zero variance —
+    * filtered, as the reference does. corr is a generic real (not on a
+    * decimal grid), so round@4dp is stable; +1e-9 nudges exact ±1 /
+    * half-boundary cases off the rounding edge. */
+  def corrPerPair(spark: SparkSession, dir: String): DataFrame = {
+    val uv = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(avg(col("value")).as("v"))
+    val a = uv.as("a")
+    val b = uv.as("b")
+    a.join(b, col("a.event_type") === col("b.event_type") &&
+              col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+      .agg(corr(col("a.v"), col("b.v")).as("corr_raw"))
+      .filter(col("corr_raw").isNotNull)
+      .select(col("user_a"), col("user_b"),
+              round(col("corr_raw") + lit(1e-9), 4).as("corr_v"))
+      .orderBy(col("user_a"), col("user_b"))
+  }
+
+  /** A2+J1+F4 — rows above their group mean (popularity_model.py:52-56
+    * "ground truth" construction). The per-group mean side is small →
+    * broadcast join. The boundary comparison is done in exact integer
+    * cents (value > mean ⟺ value_cents·n > sum_cents) so rows sitting
+    * exactly on the mean never flap. */
+  def aboveMeanGroundTruth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val means = ev.groupBy(col("user_id"))
+      .agg(avg(col("value")).as("avg_raw"), count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+              Exact.sumCentsFromAvg(col("avg_raw"), col("cnt")).as("sum_cents"),
+              col("cnt"))
+    ev.select(col("event_id"), col("user_id"), col("value"))
+      .join(means, Seq("user_id"), "inner")
+      .filter(Exact.cents(col("value")) * col("cnt") > col("sum_cents"))
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+}

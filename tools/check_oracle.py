@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: run each oracle SQL
+in DuckDB over the sf parquet tables, load the Verify.scala parquet dump,
+sort columns by name, and compare values. Driver-side-only deps (duckdb,
+pandas, pyarrow) — this script is tooling, not engine code.
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = p.split("/")[-1].replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        want = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle sql error: {e}")
+        fail += 1
+        continue
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fail += 1
+        continue
+    got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+    want = want[sorted(want.columns)].reset_index(drop=True)
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    if list(want.columns) != list(got.columns):
+        print(f"FAIL {name}: columns want={list(want.columns)} got={list(got.columns)}")
+        fail += 1
+        continue
+    if len(want) != len(got):
+        print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
+        fail += 1
+        continue
+    bad = []
+    for c in want.columns:
+        w, g = want[c], got[c]
+        if w.dtype.kind == "f" or g.dtype.kind == "f":
+            neq = ~((w == g) | (w.isna() & g.isna()))
+        else:
+            try:
+                neq = w.astype(object).ne(g.astype(object)) & ~(w.isna() & g.isna())
+            except Exception:
+                neq = pd.Series([True] * len(w))
+        n = int(neq.sum())
+        if n:
+            i = neq.idxmax()
+            bad.append(f"{c}: {n} diffs, first@{i} want={w[i]!r} got={g[i]!r}")
+    if bad:
+        print(f"FAIL {name}: " + "; ".join(bad))
+        fail += 1
+    else:
+        print(f"OK   {name} ({len(want)} rows)")
+print(f"\n{len(oracle) - fail}/{len(oracle)} passed")
+sys.exit(1 if fail else 0)
