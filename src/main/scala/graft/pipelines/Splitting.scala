@@ -1,0 +1,56 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/validation/test splitting with cold-start mitigation — the
+  * semantics of the reference's splitting_data.py:
+  *
+  *  1. drop rows with nulls in (userId, movieId, rating)        [:16]
+  *  2. keep only movies with ≥ `minRatings` ratings             [:19-21]
+  *  3. 80/10/10 row-level randomSplit, fixed seed               [:24]
+  *  4. per split, 40% of its distinct movieIds (randomSplit,
+  *     same seed) fold back into train; the 60% remainder is
+  *     the final validation/test                                 [:27-39]
+  *
+  * Deviations from the reference (idiomatic, same semantics):
+  *  - the "join a distinct key list to filter" steps use `left_semi`
+  *    joins — the key lists' columns are never needed, so the right side
+  *    never shuffles its payload (SURVEY §2.3 J2);
+  *  - no `coalesce(1)` on write — an anti-pattern at scale
+  *    (splitting_data.py:48-50); callers choose their own layout.
+  *
+  * randomSplit is per-partition Bernoulli sampling: deterministic for a
+  * fixed seed AND fixed input partitioning (property-tested, never
+  * oracle-hashed — SURVEY §7.7.5).
+  */
+object Splitting {
+
+  final case class Splits(train: DataFrame, validation: DataFrame,
+                          test: DataFrame)
+
+  def split(ratings: DataFrame, seed: Long = 42L,
+            minRatings: Long = 5L): Splits = {
+    val cleaned = ratings.na.drop(Seq("userId", "movieId", "rating"))
+
+    val popular = cleaned.groupBy(col("movieId"))
+      .agg(count(col("rating")).as("rating_count"))
+      .filter(col("rating_count") >= lit(minRatings))
+      .select(col("movieId"))
+    val filtered = cleaned.join(popular, Seq("movieId"), "left_semi")
+
+    val Array(train0, val0, test0) =
+      filtered.randomSplit(Array(0.8, 0.1, 0.1), seed)
+
+    def foldBack(split: DataFrame): (DataFrame, DataFrame) = {
+      val ids = split.select(col("movieId")).distinct()
+      val Array(back, keep) = ids.randomSplit(Array(0.4, 0.6), seed)
+      (split.join(back, Seq("movieId"), "left_semi"),
+       split.join(keep, Seq("movieId"), "left_semi"))
+    }
+    val (valBack, valKeep)   = foldBack(val0)
+    val (testBack, testKeep) = foldBack(test0)
+
+    Splits(train0.union(valBack).union(testBack), valKeep, testKeep)
+  }
+}

@@ -1,0 +1,26 @@
+package graft.pipelines
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class AlsRecSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val ratings = Ratings.fromTestdata(spark, TestSpark.sf0001).cache()
+  lazy val splits = Splitting.split(ratings, seed = 42L)
+
+  test("ALS train_test yields metrics in [0,1]") {
+    val s = AlsRec.trainTest(splits.train, splits.test, rank = 8,
+      regParam = 0.1, maxIter = 5, k = 50)
+    for (m <- Seq(s.precision, s.recall, s.map, s.ndcg))
+      assert(m >= 0.0 && m <= 1.0, s"out of range: $s")
+  }
+
+  test("seeded ALS is reproducible") {
+    val a = AlsRec.trainTest(splits.train, splits.test, rank = 4,
+      regParam = 0.1, maxIter = 3, k = 20, seed = 7L)
+    val b = AlsRec.trainTest(splits.train, splits.test, rank = 4,
+      regParam = 0.1, maxIter = 3, k = 20, seed = 7L)
+    assert(math.abs(a.ndcg - b.ndcg) < 1e-9, s"$a vs $b")
+    assert(math.abs(a.map - b.map) < 1e-9)
+  }
+}

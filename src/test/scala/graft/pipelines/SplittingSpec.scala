@@ -1,0 +1,50 @@
+package graft.pipelines
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SplittingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val ratings = Ratings.fromTestdata(spark, TestSpark.sf0001).cache()
+  lazy val splits = Splitting.split(ratings, seed = 42L)
+
+  test("splits are disjoint and exhaustive over the filtered input") {
+    val filtered = {
+      val keep = ratings.groupBy(col("movieId"))
+        .agg(count(col("rating")).as("c")).filter(col("c") >= 5)
+        .select(col("movieId"))
+      ratings.join(keep, Seq("movieId"), "left_semi")
+    }
+    val total = filtered.count()
+    val t = splits.train.count(); val v = splits.validation.count()
+    val s = splits.test.count()
+    assert(t + v + s == total, s"$t+$v+$s != $total")
+    // pairwise disjoint on the (userId, movieId) key
+    assert(splits.train.join(splits.validation,
+      Seq("userId", "movieId"), "inner").count() == 0)
+    assert(splits.train.join(splits.test,
+      Seq("userId", "movieId"), "inner").count() == 0)
+    assert(splits.validation.join(splits.test,
+      Seq("userId", "movieId"), "inner").count() == 0)
+  }
+
+  test("every movie in the result has >= 5 ratings in the input") {
+    val counts = ratings.groupBy(col("movieId")).count()
+    val bad = splits.train.select("movieId").distinct()
+      .join(counts, Seq("movieId")).filter(col("count") < 5)
+    assert(bad.count() == 0)
+  }
+
+  test("train is the large split (fold-back makes it > 80%)") {
+    val t = splits.train.count().toDouble
+    val total = t + splits.validation.count() + splits.test.count()
+    assert(t / total > 0.8, s"train share ${t / total}")
+  }
+
+  test("same seed + same partitioning => identical split") {
+    val again = Splitting.split(ratings, seed = 42L)
+    assert(again.train.exceptAll(splits.train).count() == 0)
+    assert(splits.train.exceptAll(again.train).count() == 0)
+  }
+}
