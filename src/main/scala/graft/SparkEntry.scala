@@ -59,8 +59,7 @@ object SparkEntry {
          FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""",
     "q_groupby_avg_count" ->
       """WITH g AS (SELECT l_partkey,
-           CAST(round(avg(l_extendedprice) * 100 * count(*)) AS BIGINT)
-             AS sum_cents,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
            count(*) AS cnt FROM lineitem GROUP BY l_partkey)
          SELECT l_partkey,
            CAST(sum_cents AS DOUBLE) / (CAST(cnt AS DOUBLE) * 100.0)
@@ -69,8 +68,7 @@ object SparkEntry {
          FROM g ORDER BY l_partkey""",
     "q_damped_popularity" ->
       """WITH g AS (SELECT l_partkey,
-           CAST(round(avg(l_extendedprice) * 100 * count(*)) AS BIGINT)
-             AS sum_cents,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
            count(*) AS cnt FROM lineitem GROUP BY l_partkey)
          SELECT l_partkey,
            CAST(sum_cents AS DOUBLE) / (CAST(cnt AS DOUBLE) * 100.0)
@@ -87,8 +85,7 @@ object SparkEntry {
          ORDER BY l_orderkey, l_linenumber""",
     "q_left_join_scores" ->
       """WITH s AS (SELECT o_custkey,
-           CAST(round(avg(o_totalprice) * 100 * count(*)) AS BIGINT)
-             AS sum_cents,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,
            count(*) AS cnt FROM orders GROUP BY o_custkey)
          SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
            CAST(s.sum_cents AS DOUBLE) / (CAST(s.cnt AS DOUBLE) * 100.0)
@@ -151,7 +148,7 @@ object SparkEntry {
          FROM events GROUP BY user_id ORDER BY user_id""",
     "q_above_mean_ground_truth" ->
       """WITH m AS (SELECT user_id,
-           CAST(round(avg(value) * 100 * count(*)) AS BIGINT) AS sum_cents,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
            count(*) AS cnt FROM events GROUP BY user_id)
          SELECT e.event_id, e.user_id, e.value
          FROM events e JOIN m USING (user_id)
@@ -159,8 +156,7 @@ object SparkEntry {
          ORDER BY e.event_id""",
     "q_global_avg" ->
       """WITH g AS (SELECT
-           CAST(round(avg(l_extendedprice) * 100 * count(*)) AS BIGINT)
-             AS sum_cents,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
            count(*) AS cnt FROM lineitem)
          SELECT CAST(sum_cents AS DOUBLE) / (CAST(cnt AS DOUBLE) * 100.0)
            AS avg_price, cnt FROM g""",

@@ -25,11 +25,12 @@ object Exact {
     * ~1e-9 of an integer, so round-to-nearest is engine-independent. */
   def cents(c: Column): Column = round(c * lit(100)).cast("long")
 
-  /** Exact total in cents from an already-computed average: avg·100·cnt
-    * is within ~1e-2 of the true integer total, so rounding recovers it
-    * exactly — while the plan still exercises the native Average. */
-  def sumCentsFromAvg(avg: Column, cnt: Column): Column =
-    round(avg * lit(100) * cnt).cast("long")
+  /** Exact total in cents: per-row conversion to the integer grid, then
+    * an integer sum — exact at ANY group count (unlike recovering the
+    * total from a float average, whose relative 1e-16 noise on an
+    * avg·100·cnt product crosses 0.5 absolute once cnt reaches ~1e9 —
+    * i.e. exactly the 100-TB regime this engine targets). */
+  def sumCents(c: Column): Column = sum(cents(c))
 
   /** Bit-identical readable average in currency units: one exact int64→
     * double conversion per operand + one IEEE division. */

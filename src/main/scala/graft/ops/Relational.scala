@@ -57,13 +57,11 @@ object Relational {
   def groupByAvgCount(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
-      .agg(avg(col("l_extendedprice")).as("avg_raw"),
+      .agg(Exact.sumCents(col("l_extendedprice")).as("sum_cents"),
            count(lit(1)).as("cnt"))
       .select(
         col("l_partkey"),
-        Exact.avgFromCents(
-          Exact.sumCentsFromAvg(col("avg_raw"), col("cnt")), col("cnt"))
-          .as("avg_price"),
+        Exact.avgFromCents(col("sum_cents"), col("cnt")).as("avg_price"),
         col("cnt"))
       .orderBy(col("l_partkey"))
   }
@@ -88,11 +86,10 @@ object Relational {
   def leftJoinScores(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val scores = o.groupBy(col("o_custkey"))
-      .agg(avg(col("o_totalprice")).as("avg_raw"), count(lit(1)).as("cnt"))
+      .agg(Exact.sumCents(col("o_totalprice")).as("sum_cents"),
+           count(lit(1)).as("cnt"))
       .select(col("o_custkey"),
-              graft.functions.Exact.avgFromCents(
-                graft.functions.Exact.sumCentsFromAvg(col("avg_raw"), col("cnt")),
-                col("cnt")).as("cust_avg"))
+              Exact.avgFromCents(col("sum_cents"), col("cnt")).as("cust_avg"))
     o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .join(scores, Seq("o_custkey"), "left")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -157,12 +154,10 @@ object Relational {
   /** A7 — global aggregate, single row (customer_segmentation_2.py:41). */
   def globalAvg(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
-      .agg(avg(col("l_extendedprice")).as("avg_raw"),
+      .agg(Exact.sumCents(col("l_extendedprice")).as("sum_cents"),
            count(lit(1)).as("cnt"))
       .select(
-        graft.functions.Exact.avgFromCents(
-          graft.functions.Exact.sumCentsFromAvg(col("avg_raw"), col("cnt")),
-          col("cnt")).as("avg_price"),
+        Exact.avgFromCents(col("sum_cents"), col("cnt")).as("avg_price"),
         col("cnt"))
   }
 }

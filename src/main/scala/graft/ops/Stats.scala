@@ -22,10 +22,8 @@ object Stats {
                        beta: Double = 1000.0): DataFrame = {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
-      .agg(avg(col("l_extendedprice")).as("avg_raw"),
+      .agg(Exact.sumCents(col("l_extendedprice")).as("sum_cents"),
            count(lit(1)).as("cnt"))
-      .withColumn("sum_cents",
-        Exact.sumCentsFromAvg(col("avg_raw"), col("cnt")))
       .select(
         col("l_partkey"),
         Exact.avgFromCents(col("sum_cents"), col("cnt")).as("avg_price"),
@@ -84,10 +82,8 @@ object Stats {
   def aboveMeanGroundTruth(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val means = ev.groupBy(col("user_id"))
-      .agg(avg(col("value")).as("avg_raw"), count(lit(1)).as("cnt"))
-      .select(col("user_id"),
-              Exact.sumCentsFromAvg(col("avg_raw"), col("cnt")).as("sum_cents"),
-              col("cnt"))
+      .agg(Exact.sumCents(col("value")).as("sum_cents"),
+           count(lit(1)).as("cnt"))
     ev.select(col("event_id"), col("user_id"), col("value"))
       .join(means, Seq("user_id"), "inner")
       .filter(Exact.cents(col("value")) * col("cnt") > col("sum_cents"))

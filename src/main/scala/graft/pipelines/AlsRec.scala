@@ -51,7 +51,6 @@ object AlsRec {
     * pipeline. */
   def groundTruth(test: DataFrame): DataFrame =
     Popularity.groundTruth(test)
-      .withColumnRenamed("actual_items", "actual_items")
 
   def trainTest(train: DataFrame, test: DataFrame, rank: Int,
                 regParam: Double, maxIter: Int = 10, k: Int = 100,

@@ -107,10 +107,23 @@ object Segmentation {
       .agg(variance(col("rating")).as("rating_variance"))
       .filter(col("rating_variance") > lit(0.0))
       .select(col("userId"))
-    val w = Window.orderBy(col("rnd"), col("userId"))
-    val numbered = valid.withColumn("rnd", rand(seed))
-      .withColumn("rn", row_number().over(w) - 1)
+    // Distributed top-2N by rand(seed) — fuses to TakeOrderedAndProject
+    // (per-partition top-k, driver-side merge of 2N rows), so the full
+    // user set is never moved to one partition. Only the ≤2N survivors
+    // are window-numbered; the constant partition key bounds that window
+    // at 2N rows by construction (vs an unpartitioned global window,
+    // which WindowExec flags as moving ALL data to a single partition).
+    // The partition key must survive constant folding (a bare lit(0) is
+    // pruned from the spec, leaving an unpartitioned window), so it rides
+    // along as a derived non-foldable column.
+    val sampled = valid.withColumn("rnd", rand(seed))
+      .orderBy(col("rnd"), col("userId"))
       .limit(2 * numPairs)
+      .withColumn("bucket", (col("rnd") * lit(0)).cast("int"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("rnd"), col("userId"))
+    val numbered = sampled
+      .withColumn("rn", row_number().over(w) - 1)
     val evens = numbered.filter(col("rn") % 2 === 0)
       .select((col("rn") / 2).cast("long").as("pairId"),
               col("userId").as("userA"))
