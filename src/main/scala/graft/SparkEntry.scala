@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Relational, Stats, Windows}
+import graft.ops.{Corpus, Relational, Stats, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,13 @@ object SparkEntry {
     "q_collect_list_sorted"     -> Relational.collectListSorted _,
     "q_above_mean_ground_truth" -> Stats.aboveMeanGroundTruth _,
     "q_global_avg"              -> Relational.globalAvg _,
+    "q_dedup_exact"             -> Corpus.dedupExact _,
+    "q_ngram_jaccard"           -> Corpus.ngramJaccard _,
+    "q_cosine_topk"             -> Corpus.cosineTopK _,
+    "q_text_stats"              -> Corpus.textStats _,
+    "q_doc_fingerprint"         -> Corpus.docFingerprint _,
+    "q_json_extract"            -> Corpus.jsonExtract _,
+    "q_lang_facets"             -> Corpus.langFacets _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -160,5 +167,98 @@ object SparkEntry {
            count(*) AS cnt FROM lineitem)
          SELECT CAST(sum_cents AS DOUBLE) / (CAST(cnt AS DOUBLE) * 100.0)
            AS avg_price, cnt FROM g""",
+    "q_dedup_exact" ->
+      """WITH planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+         SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+                count(*) AS n_copies
+         FROM planted GROUP BY sha256(text) ORDER BY keep_id""",
+    "q_ngram_jaccard" ->
+      """WITH planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, 'zz1 zz2 zz3 ' || text
+           FROM documents WHERE doc_id % 10 = 0),
+         words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM planted),
+         sh AS (SELECT doc_id,
+                  array_to_string(list_slice(ws, i, i + 4), ' ') AS shingle
+                FROM words,
+                LATERAL (SELECT unnest(generate_series(1,
+                           greatest(len(ws) - 4, 1))) AS i)),
+         d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+         rare AS (SELECT shingle FROM d GROUP BY shingle
+                  HAVING count(*) <= 1000),
+         p AS (SELECT doc_id, shingle FROM d
+               WHERE shingle IN (SELECT shingle FROM rare)),
+         common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           count(*) AS n_common
+                    FROM p a JOIN p b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+         SELECT id_a, id_b, n_common,
+                round(CAST(n_common AS DOUBLE) /
+                      (sa.n + sb.n - n_common) + 0.000000001, 6) AS jaccard
+         FROM common
+         JOIN sizes sa ON id_a = sa.doc_id
+         JOIN sizes sb ON id_b = sb.doc_id
+         WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+         ORDER BY id_a, id_b""",
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings),
+         norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm
+                   FROM e GROUP BY vec_id),
+         dots AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                         sum(a.v * b.v) AS dp
+                  FROM e a JOIN e b ON a.i = b.i
+                  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+                  GROUP BY 1, 2),
+         cs AS (SELECT qid, nid, dp / (na.nrm * nb.nrm) AS c
+                FROM dots
+                JOIN norms na ON qid = na.vec_id
+                JOIN norms nb ON nid = nb.vec_id),
+         ranked AS (SELECT qid, nid, c,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY c DESC, nid) AS rn
+                    FROM cs)
+         SELECT qid AS query_id, nid AS neighbor_id,
+                round(c + 0.000000001, 6) AS cos, rn AS rank
+         FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
+    "q_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+                len(string_split(text, ' ')) AS n_tokens,
+                len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                round(list_aggregate(list_transform(string_split(text, ' '),
+                        w -> length(w)), 'sum') * 1.0
+                      / len(string_split(text, ' '))
+                      + 0.000000001, 6) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+    "q_doc_fingerprint" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                        FROM documents),
+         sh AS (SELECT doc_id,
+                  array_to_string(list_slice(ws, i, i + 2), ' ') AS shingle
+                FROM words,
+                LATERAL (SELECT unnest(generate_series(1,
+                           greatest(len(ws) - 2, 1))) AS i)),
+         d AS (SELECT DISTINCT doc_id, shingle FROM sh)
+         SELECT doc_id, min(md5(shingle)) AS fp, count(*) AS n_shingles
+         FROM d GROUP BY doc_id ORDER BY doc_id""",
+    "q_json_extract" ->
+      """WITH k AS (SELECT user_id,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+         SELECT user_id, sum(k) AS sum_k, count(*) AS cnt,
+                min(k) AS min_k, max(k) AS max_k
+         FROM k WHERE k IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
+    "q_lang_facets" ->
+      """SELECT lang, source, count(*) AS n_docs,
+                sum(n_chars) AS total_chars
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
   )
 }

@@ -1,0 +1,168 @@
+package graft.dedup
+
+import graft.functions.SimHash64.simhash64
+import graft.text.Text
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a 100-TB training-data pipeline.
+  *
+  * Four detector families, in increasing tolerance:
+  *  - exact: content-hash groupBy — one shuffle on a 256-bit key.
+  *  - MinHash+LSH: shingle sets → MinHash signatures → banded
+  *    candidate join (the machinery of the reference's movie-twin
+  *    pipeline, customer_segmentation_1.py:22-31, pointed at text).
+  *  - SimHash: 64-bit signature, band-bucketed Hamming join — the
+  *    cheapest per-byte detector (one long per doc).
+  *  - n-gram Jaccard: exact set overlap via a shingle equi-join — the
+  *    ground-truth detector the approximate ones are validated against.
+  *
+  * Scale design: nothing here collects to the driver. HashingTF (not
+  * CountVectorizer) vectorizes shingles for LSH — CountVectorizer.fit
+  * builds the vocabulary ON THE DRIVER, which at web scale is billions
+  * of distinct shingles; HashingTF is stateless feature hashing, one
+  * map-side pass. All candidate generation is equi-join shaped (band →
+  * bucket), so Spark shuffles each signature once instead of comparing
+  * |D|² pairs.
+  */
+object Dedup {
+
+  /** Exact-duplicate groups: one row per distinct content, carrying the
+    * canonical (minimum) id and the copy count. */
+  def exactGroups(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"),
+           count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: keep the full row with the minimum id per distinct
+    * content. min_by in a single hash aggregate — one shuffle, no join,
+    * no window sort. */
+  def dropExactDuplicates(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val cols = docs.columns
+    docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("row"))
+      .select(cols.map(c => col(s"row.$c")): _*)
+  }
+
+  /** Near-duplicate pairs by MinHash-estimated Jaccard over word
+    * k-shingles. Output: (id_a, id_b, jaccard_sim), id_a < id_b,
+    * jaccard_sim ≥ minJaccard.
+    *
+    * Plan shape: shingle (map) → HashingTF (map) → MinHash signatures
+    * (map) → approxSimilarityJoin = posexplode over hash tables +
+    * equi-join on (table, band hash) + exact key-distance filter. The
+    * only shuffles are the banded join's — candidate-bounded, never
+    * |D|². numFeatures 2²⁰ keeps shingle collisions ~|shingles|/2²⁰. */
+  def minhashNearDuplicates(docs: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id", k: Int = 5,
+                            minJaccard: Double = 0.7,
+                            numHashTables: Int = 5,
+                            numFeatures: Int = 1 << 20,
+                            seed: Long = 42L): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), Text.wordShingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(numFeatures).setBinary(true)
+    val vec = tf.transform(sh).cache()
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    val model = mh.fit(vec)
+    model.approxSimilarityJoin(vec, vec, 1.0 - minJaccard, "dist")
+      .filter(col("datasetA.id") < col("datasetB.id"))
+      .select(col("datasetA.id").as("id_a"),
+              col("datasetB.id").as("id_b"),
+              (lit(1.0) - col("dist")).as("jaccard_sim"))
+  }
+
+  /** Near-duplicate pairs by SimHash: 64-bit signatures compared at
+    * Hamming distance ≤ maxHamming. Candidates come from a band join —
+    * the signature is cut into `bands` equal bit-bands; by pigeonhole,
+    * any pair within Hamming distance (bands-1) shares ≥1 exact band, so
+    * the equi-join on (band index, band bits) finds every such pair
+    * while shuffling one long per doc per band. maxHamming must be
+    * < bands for completeness (the Manku et al. construction). */
+  def simhashNearDuplicates(docs: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id",
+                            maxHamming: Int = 3,
+                            bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"band join is only complete for hamming < bands ($maxHamming >= $bands)")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val signed = docs.select(
+      col(idCol).as("id"),
+      simhash64(Text.tokenize(col(textCol))).as("sig"))
+    val banded = signed.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "band_bits")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+              col("a.band_bits") === col("b.band_bits") &&
+              col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
+                .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= lit(maxHamming))
+  }
+
+  /** EXACT n-gram Jaccard pairs via a shingle equi-join:
+    * |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. Output:
+    * (id_a, id_b, n_common, jaccard), jaccard ≥ minJaccard.
+    *
+    * Scale: the join key is the shingle; a shingle shared by d docs
+    * contributes C(d,2) pairs, so ubiquitous shingles are skew bombs.
+    * maxShingleFreq drops shingles seen in more than that many docs —
+    * standard prefix-frequency pruning: a shingle in >F docs can only
+    * certify pairs that share OTHER rarer shingles too when Jaccard is
+    * high, and an F-frequent shingle alone implies similarity ≤ 1/F per
+    * pair… at minJaccard ≥ 0.5 dropping F ≥ 1000 shingles loses nothing
+    * in practice while capping the join fan-out. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", k: Int = 5,
+                        minJaccard: Double = 0.5,
+                        maxShingleFreq: Long = 1000L): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"),
+              Text.wordShingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("n_sh"),
+              explode(col("sh")).as("shingle"))
+    val rare = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(maxShingleFreq))
+      .select(col("shingle"))
+    val pruned = sh.join(rare, Seq("shingle"), "left_semi")
+    val a = pruned.as("a")
+    val b = pruned.as("b")
+    a.join(b, col("a.shingle") === col("b.shingle") &&
+              col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+               col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine ≥ minCosine — delegates
+    * to the similarity module's LSH-bucketed pair join (dedup and
+    * similarity search share the candidate-generation primitive). */
+  def embeddingNearDuplicates(emb: DataFrame, vecCol: String = "embedding",
+                              idCol: String = "vec_id",
+                              minCosine: Double = 0.95,
+                              bucketLength: Double = 0.25,
+                              numHashTables: Int = 4,
+                              seed: Long = 42L): DataFrame =
+    graft.similarity.Similarity.cosinePairsLsh(
+      emb, vecCol, idCol, minCosine, bucketLength, numHashTables, seed)
+}

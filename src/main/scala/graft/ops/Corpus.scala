@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-corpus operators as declared oracle queries over the
+  * `documents` / `embeddings` / `events` testdata (the extension surface
+  * of SURVEY §7.5; absent from the reference, which never touches text).
+  *
+  * Where a detector needs duplicates to detect, the query PLANTS them —
+  * the same deterministic clone/mutation is written into the DuckDB
+  * oracle SQL, so both engines see the identical corpus and the oracle
+  * genuinely checks dedup behavior rather than vacuously grouping
+  * distinct rows.
+  */
+object Corpus {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+
+  /** Exact dedup over a corpus with planted exact clones (every 10th doc
+    * re-appears under id+100000): content-hash groups with canonical id
+    * and copy count. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val clones = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    Dedup.exactGroups(d.union(clones))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Exact n-gram (5-shingle) Jaccard near-dup pairs over a corpus with
+    * planted near-clones (every 10th doc re-appears under id+100000 with
+    * three junk words prepended → Jaccard (S)/(S+3) ∈ (0.5, 1)). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val mutated = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              concat(lit("zz1 zz2 zz3 "), col("text")).as("text"))
+    Dedup.ngramJaccardPairs(d.union(mutated), k = 5, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+              round(col("jaccard") + lit(1e-9), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact cosine top-5 neighbors for the first 10 embedding vectors —
+    * brute-force baseline of the similarity-search surface. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.cosineTopK(queries, emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+              round(col("cos") + lit(1e-9), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-document token statistics (raw whitespace tokens, so the SQL
+    * oracle is a plain string_split — Text.tokenize's normalization is
+    * identity on this corpus). */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs(spark, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        round(aggregate(toks, lit(0), (a, t) => a + length(t))
+                .cast("double") / size(toks).cast("double") + lit(1e-9), 6)
+          .as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Portable document fingerprint: minimum md5 over word 3-shingles +
+    * distinct-shingle count (Text.fingerprint's grid, md5 so DuckDB
+    * reproduces it bit-for-bit). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val w = split(col("text"), " ")
+    val sh = when(size(w) < 3, array(concat_ws(" ", w)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", slice(w, i, lit(3))))))
+    d.select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"),
+              array_min(transform(col("sh"), s => md5(s))).as("fp"),
+              size(col("sh")).as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** JSON field extraction over events.props + per-user aggregate —
+    * the multimodal-metadata access path (SURVEY §7.5 from_json). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Corpus facets: docs + chars per (lang, source) — the partition-key
+    * profile a 100-TB layout decision starts from. */
+  def langFacets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.similarity
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, same contract:
+  *  - exact brute-force cosine top-k — the correctness baseline, and the
+  *    right plan when the query set is small (broadcast queries, one
+  *    pass over the corpus, per-partition top-k);
+  *  - LSH-bucketed ANN (random hyperplane projection on the unit
+  *    sphere) — the 100-TB path: candidates come from an equi-join on
+  *    (hash table, bucket), so the corpus is never crossed with itself.
+  *
+  * Cosine math stays in native array expressions (zip_with + aggregate,
+  * codegen'd, cast to double before multiplying — float dot products
+  * drift between engines). On the unit sphere cos = 1 − d²/2, so a
+  * cosine threshold t maps to a Euclidean radius √(2(1−t)).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision (deterministic left-to-right fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Unit-normalized copy of an array vector (double elements). */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(a, x => x.cast("double") / n)
+  }
+
+  /** Exact cosine top-k: for every query row, the k nearest corpus rows
+    * by cosine, ties broken by corpus id. Output:
+    * (query_id, neighbor_id, cos, rank).
+    *
+    * Plan: broadcast(queries) × corpus — ONE pass over the corpus with
+    * |Q| dot products per row, then a per-query top-k window. Right for
+    * |Q| ≪ |corpus| (the online-serving shape). For |Q| ≈ |corpus| use
+    * [[cosinePairsLsh]] or IVF-partitioned search instead. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 qId: String = "vec_id", qVec: String = "embedding",
+                 cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(k))
+      .select(col("query_id"), col("neighbor_id"),
+              col("cos_raw").as("cos"), col("rank"))
+  }
+
+  /** All pairs with cosine ≥ minCosine via random-hyperplane LSH:
+    * normalize → BucketedRandomProjectionLSH → banded candidate join →
+    * exact distance filter at radius √(2(1−t)). Output:
+    * (id_a, id_b, cos), id_a < id_b. Zero-norm vectors are dropped
+    * (cosine undefined). */
+  def cosinePairsLsh(emb: DataFrame, vecCol: String = "embedding",
+                     idCol: String = "vec_id", minCosine: Double = 0.9,
+                     bucketLength: Double = 0.25, numHashTables: Int = 4,
+                     seed: Long = 42L): DataFrame = {
+    val unit = emb
+      .select(col(idCol).as("id"), col(vecCol).as("raw"))
+      .filter(l2Norm(col("raw")) > lit(0.0))
+      .select(col("id"), array_to_vector(normalize(col("raw"))).as("v"))
+      .cache()
+    val brp = new BucketedRandomProjectionLSH()
+      .setInputCol("v").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(seed)
+    val model = brp.fit(unit)
+    val radius = math.sqrt(2.0 * (1.0 - minCosine))
+    model.approxSimilarityJoin(unit, unit, radius, "dist")
+      .filter(col("datasetA.id") < col("datasetB.id"))
+      .select(col("datasetA.id").as("id_a"),
+              col("datasetB.id").as("id_b"),
+              (lit(1.0) - col("dist") * col("dist") / 2.0).as("cos"))
+  }
+
+  /** ANN top-k: LSH candidate join at `radius`, then per-query top-k.
+    * Recall < 1 by construction; widen radius / add hash tables to
+    * raise it (property-tested ≥ 0.9 against [[cosineTopK]]). */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              minCosine: Double = 0.0, bucketLength: Double = 0.25,
+              numHashTables: Int = 8, seed: Long = 42L,
+              qId: String = "vec_id", qVec: String = "embedding",
+              cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    val q = queries
+      .select(col(qId).as("id"), col(qVec).as("raw"))
+      .filter(l2Norm(col("raw")) > lit(0.0))
+      .select(col("id"), array_to_vector(normalize(col("raw"))).as("v"))
+    val c = corpus
+      .select(col(cId).as("id"), col(cVec).as("raw"))
+      .filter(l2Norm(col("raw")) > lit(0.0))
+      .select(col("id"), array_to_vector(normalize(col("raw"))).as("v"))
+      .cache()
+    val brp = new BucketedRandomProjectionLSH()
+      .setInputCol("v").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(seed)
+    val model = brp.fit(c)
+    val radius = math.sqrt(2.0 * (1.0 - minCosine))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    model.approxSimilarityJoin(q, c, radius, "dist")
+      .filter(col("datasetA.id") =!= col("datasetB.id"))
+      .select(col("datasetA.id").as("query_id"),
+              col("datasetB.id").as("neighbor_id"),
+              (lit(1.0) - col("dist") * col("dist") / 2.0).as("cos_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(k))
+      .select(col("query_id"), col("neighbor_id"),
+              col("cos_raw").as("cos"), col("rank"))
+  }
+}

@@ -1,0 +1,151 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, shingling, token counting, language ID, quality
+  * scoring, fingerprinting. Everything is built-in Column expressions —
+  * codegen'd, no UDFs — so the whole surface rides inside whole-stage
+  * codegen on a 100-TB document scan.
+  *
+  * The reference repo has no text surface (its only strings are cast
+  * ids, customer_segmentation_1.py:16); this module is the extension
+  * plan of SURVEY §7.5 over the `documents` table.
+  */
+object Text {
+
+  /** Normalized word tokens: lowercase, non-letter/digit → space, split,
+    * drop empties. */
+  def tokenize(text: Column): Column =
+    filter(
+      split(lower(regexp_replace(text, "[^\\p{L}\\p{Nd}]+", " ")), " "),
+      t => t =!= "")
+
+  /** Whitespace token count — the cheap length proxy. */
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** BPE-ish subword count: GPT-2-style pretokenizer regex (contractions
+    * | letter runs | digit runs | punctuation runs), each match ≈ one
+    * subword-merge seed. A real BPE vocab refines these counts; the
+    * regex is the standard cheap estimator for token budgeting. */
+  private val BpeIsh =
+    "'(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{Nd}+| ?[^\\s\\p{L}\\p{Nd}]+|\\s+"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeIsh), lit(0)))
+
+  /** Distinct word k-shingles ("k-grams") of the token stream — the unit
+    * set for Jaccard/MinHash near-dup detection. Documents shorter than
+    * k tokens contribute their whole token stream as one shingle. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val w = tokenize(text)
+    when(size(w) === 0, array().cast("array<string>"))
+      .when(size(w) < k, array(concat_ws(" ", w)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(w) - k + 1),
+        i => concat_ws(" ", slice(w, i, lit(k))))))
+  }
+
+  // --- language ID -------------------------------------------------------
+
+  /** Tiny built-in stopword profiles. Scoring a 100-word document against
+    * 4×16 words is a few hundred comparisons — noise next to the scan. */
+  private val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it",
+                "for", "with", "was", "his", "are", "not", "this", "but"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+                "mit", "auf", "für", "von", "sich", "dem", "den", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en",
+                "un", "una", "por", "con", "para", "es", "su", "del"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un",
+                "une", "dans", "pour", "que", "qui", "sur", "pas", "au"))
+
+  /** Fraction of characters in the CJK unified ideograph block. */
+  def cjkRatio(text: Column): Column = {
+    val stripped = regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", "")
+    when(length(text) === 0, lit(0.0))
+      .otherwise((length(text) - length(stripped)).cast("double") /
+                 length(text).cast("double"))
+  }
+
+  /** Per-language stopword hit ratio of the token stream. */
+  def stopwordRatio(tokens: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    when(size(tokens) === 0, lit(0.0))
+      .otherwise(size(filter(tokens, t => array_contains(set, t)))
+                   .cast("double") / size(tokens).cast("double"))
+  }
+
+  /** Heuristic language ID: CJK character ratio decides "zh"; otherwise
+    * argmax of stopword-profile hit ratios (first-listed language wins
+    * ties — deterministic); "und" when nothing scores. */
+  def langId(text: Column): Column = {
+    val toks = tokenize(text)
+    val scores = Stopwords.map { case (lang, words) =>
+      lang -> stopwordRatio(toks, words)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val argmax = scores.reverse.foldLeft(lit("und")) {
+      case (acc, (lang, s)) => when(s >= best && s > 0.0, lang).otherwise(acc)
+    }
+    when(cjkRatio(text) > 0.2, "zh").otherwise(argmax)
+  }
+
+  // --- quality -----------------------------------------------------------
+
+  /** Per-document quality features as one struct column:
+    * n_chars, n_tokens, avg token length, punctuation ratio, distinct
+    * token ratio, any-language stopword ratio. One pass, all codegen. */
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokenize(text)
+    val nTok = size(toks)
+    val punct = length(text) -
+      length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val allStops = Stopwords.flatMap(_._2).distinct
+    struct(
+      length(text).as("n_chars"),
+      nTok.as("n_tokens"),
+      when(nTok === 0, lit(0.0))
+        .otherwise(aggregate(toks, lit(0), (acc, t) => acc + length(t))
+                     .cast("double") / nTok.cast("double"))
+        .as("avg_token_len"),
+      when(length(text) === 0, lit(0.0))
+        .otherwise(punct.cast("double") / length(text).cast("double"))
+        .as("punct_ratio"),
+      when(nTok === 0, lit(0.0))
+        .otherwise(size(array_distinct(toks)).cast("double") /
+                   nTok.cast("double"))
+        .as("distinct_ratio"),
+      stopwordRatio(toks, allStops).as("stopword_ratio"))
+  }
+
+  /** Scalar quality score in [0,1]: penalizes extreme length, high
+    * punctuation density, and low vocabulary diversity — the standard
+    * pretraining-filter shape (C4-style heuristics). Weights are plain
+    * lits; tune per corpus. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenOk = when(f.getField("n_tokens").between(5, 100000), lit(1.0))
+      .otherwise(lit(0.0))
+    val punctOk = lit(1.0) - least(f.getField("punct_ratio") * 4.0, lit(1.0))
+    val diversity = f.getField("distinct_ratio")
+    round(least(lenOk * (lit(0.4) * punctOk + lit(0.4) * diversity +
+                         lit(0.2)), lit(1.0)), 6)
+  }
+
+  // --- fingerprinting ----------------------------------------------------
+
+  /** Winnowing-style document fingerprint: the rolling window of word
+    * k-shingles, each hashed (md5 — available in every engine, so the
+    * fingerprint is portable), keeping the `s` smallest hex digests — a
+    * bottom-s sketch. Equal sketches ⇒ near-identical shingle sets;
+    * sketch overlap estimates Jaccard (the same estimator MinHash
+    * uses, in deterministic portable form). */
+  def fingerprintSketch(text: Column, k: Int = 3, s: Int = 8): Column =
+    slice(array_sort(transform(wordShingles(text, k), sh => md5(sh))),
+          1, s)
+
+  /** Single 32-hex-char fingerprint: the minimum shingle hash. */
+  def fingerprint(text: Column, k: Int = 3): Column =
+    array_min(transform(wordShingles(text, k), sh => md5(sh)))
+}

@@ -1,0 +1,144 @@
+package graft.dedup
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** sf0.001 documents + planted duplicates:
+    *  - exact clones of every 10th doc under id+10000
+    *  - near clones (3 junk words prepended) of every 10th-plus-1 doc
+    *    under id+20000. */
+  lazy val docs: DataFrame = Tables.documents(spark, TestSpark.sf0001)
+    .select(col("doc_id"), col("text"))
+    .cache()
+  lazy val planted: DataFrame = {
+    val exact = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val near = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 20000).as("doc_id"),
+              concat(lit("zz1 zz2 zz3 "), col("text")).as("text"))
+    docs.union(exact).union(near).cache()
+  }
+  lazy val nExact = docs.filter(col("doc_id") % 10 === 0).count()
+  lazy val nNear = docs.filter(col("doc_id") % 10 === 1).count()
+
+  test("exactGroups finds exactly the planted clone groups") {
+    val groups = Dedup.exactGroups(planted).cache()
+    assert(groups.filter(col("n_copies") === 2).count() == nExact)
+    assert(groups.filter(col("n_copies") > 2).count() == 0)
+    // canonical id is always the original, never the clone
+    assert(groups.filter(col("n_copies") === 2)
+      .filter(col("keep_id") >= 10000).count() == 0)
+    assert(groups.agg(sum(col("n_copies"))).head().getLong(0)
+      == planted.count())
+  }
+
+  test("dropExactDuplicates keeps one minimal-id row per content") {
+    val deduped = Dedup.dropExactDuplicates(planted).cache()
+    assert(deduped.count() == docs.count() + nNear)
+    assert(deduped.filter(col("doc_id") >= 10000 && col("doc_id") < 20000)
+      .count() == 0, "exact clones must be dropped")
+    assert(deduped.columns.toSeq == planted.columns.toSeq)
+  }
+
+  test("minhash near-dup recovers planted exact and near clones") {
+    val pairs = Dedup.minhashNearDuplicates(planted, minJaccard = 0.5)
+      .cache()
+    val found = pairs.select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantExact = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 10000)).toSet
+    val wantNear = docs.filter(col("doc_id") % 10 === 1)
+      .select(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 20000)).toSet
+    assert(wantExact.subsetOf(found),
+      s"missing exact-clone pairs: ${(wantExact -- found).take(5)}")
+    assert(wantNear.subsetOf(found),
+      s"missing near-clone pairs: ${(wantNear -- found).take(5)}")
+    // exact clones estimate Jaccard 1.0 (restrict to the planted pairs —
+    // the raw corpus carries its own organic near-dups at J≈0.99)
+    val exactSims = pairs
+      .filter(col("id_b") === col("id_a") + 10000)
+      .select(col("jaccard_sim")).collect().map(_.getDouble(0))
+    assert(exactSims.nonEmpty)
+    assert(exactSims.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("minhash jaccard agrees with the exact n-gram detector") {
+    val mh = Dedup.minhashNearDuplicates(planted, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard_sim"))
+    val ex = Dedup.ngramJaccardPairs(planted, k = 5, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val joined = mh.join(ex, Seq("id_a", "id_b"), "inner").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 0.05,
+        s"minhash vs exact jaccard diverged: $r")
+    }
+  }
+
+  test("ngram jaccard: planted dups found, organic corpus dups preserved") {
+    val pairs = Dedup.ngramJaccardPairs(planted, k = 5, minJaccard = 0.5)
+      .cache()
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
+    // the raw corpus has organic near-dups; the planted run must contain
+    // every raw pair plus every planted pair
+    val rawPairs = Dedup.ngramJaccardPairs(docs, k = 5, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = pairs.select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rawPairs.subsetOf(found))
+    assert(pairs.count() >= rawPairs.size + nExact + nNear)
+    pairs.collect().foreach { r =>
+      val j = r.getDouble(3)
+      assert(j >= 0.5 && j <= 1.0, s"jaccard out of range: $r")
+      if (r.getLong(1) == r.getLong(0) + 10000)
+        assert(j == 1.0, s"exact clone must be 1.0: $r")
+      if (r.getLong(1) == r.getLong(0) + 20000)
+        assert(j < 1.0, s"near clone must be < 1.0: $r")
+    }
+  }
+
+  test("simhash near-dup finds planted clones with small hamming") {
+    val pairs = Dedup.simhashNearDuplicates(planted, maxHamming = 3)
+      .cache()
+    val found = pairs.select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantExact = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 10000)).toSet
+    assert(wantExact.subsetOf(found),
+      s"missing exact-clone pairs: ${(wantExact -- found).take(5)}")
+    // exact clones have identical signatures (organic corpus near-dups
+    // may land at any small hamming, so restrict to the planted pairs)
+    assert(pairs.filter(col("id_b") === col("id_a") + 10000)
+      .filter(col("hamming") =!= 0).count() == 0)
+    assert(pairs.filter(col("hamming") > 3).count() == 0)
+  }
+
+  test("simhash64 expression: deterministic, order-insensitive-ish kernel") {
+    import graft.functions.SimHash64
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq("a", "b", "c")), (2L, Seq("a", "b", "c")),
+      (3L, Seq("x", "y", "z")))).toDF("id", "toks")
+    val sigs = df.select(col("id"),
+      SimHash64.simhash64(col("toks")).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L), "same tokens → same signature")
+    assert(sigs(1L) != sigs(3L), "different tokens → different signature")
+    // kernel matches a reference computation of FNV-1a majority vote
+    val h = Seq("a", "b", "c").map(s =>
+      SimHash64.fnv1a64(s.getBytes("UTF-8")))
+    val expected = (0 until 64).foldLeft(0L) { (acc, b) =>
+      val v = h.map(x => if (((x >>> b) & 1L) == 1L) 1 else -1).sum
+      if (v > 0) acc | (1L << b) else acc
+    }
+    assert(sigs(1L) == expected)
+  }
+}

@@ -15,6 +15,15 @@ class AlsRecSpec extends AnyFunSuite {
       assert(m >= 0.0 && m <= 1.0, s"out of range: $s")
   }
 
+  test("grid search returns the argmax-by-NDCG cell and one result per cell") {
+    val (best, all) = AlsRec.gridSearch(splits.train, splits.validation,
+      ranks = Seq(2, 4), regParams = Seq(0.05, 0.1), maxIter = 2, k = 20)
+    assert(all.size == 4)
+    assert(all.map(r => (r.rank, r.regParam)).distinct.size == 4)
+    assert(best.scores.ndcg == all.map(_.scores.ndcg).max)
+    all.foreach(r => assert(r.scores.ndcg >= 0.0 && r.scores.ndcg <= 1.0))
+  }
+
   test("seeded ALS is reproducible") {
     val a = AlsRec.trainTest(splits.train, splits.test, rank = 4,
       regParam = 0.1, maxIter = 3, k = 20, seed = 7L)

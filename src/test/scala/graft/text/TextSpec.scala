@@ -1,0 +1,82 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String) =
+    Seq(text).toDF("t").select(c).head()
+
+  test("tokenize: lowercases, strips punctuation, drops empties") {
+    val toks = one(Text.tokenize(col("t")), "Hello, World!  It's 42.")
+      .getSeq[String](0)
+    assert(toks == Seq("hello", "world", "it", "s", "42"))
+    assert(one(Text.tokenize(col("t")), "").getSeq[String](0).isEmpty)
+    assert(one(Text.tokenize(col("t")), " .,;! ").getSeq[String](0).isEmpty)
+  }
+
+  test("wordShingles: k-windows, short docs collapse to one shingle") {
+    val sh = one(Text.wordShingles(col("t"), 3), "a b c d")
+      .getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    assert(one(Text.wordShingles(col("t"), 5), "a b")
+      .getSeq[String](0) == Seq("a b"))
+    assert(one(Text.wordShingles(col("t"), 5), "").getSeq[String](0).isEmpty)
+    // duplicate windows dedup
+    val dup = one(Text.wordShingles(col("t"), 2), "x y x y x y")
+      .getSeq[String](0)
+    assert(dup.distinct == dup)
+  }
+
+  test("token counts: whitespace and BPE-ish regex") {
+    assert(one(Text.tokenCount(col("t")), "one two three").getInt(0) == 3)
+    val bpe = one(Text.bpeTokenCount(col("t")), "don't stop me now")
+      .getInt(0)
+    assert(bpe >= 4, s"bpe-ish count too small: $bpe")
+    assert(one(Text.bpeTokenCount(col("t")), "").getInt(0) == 0)
+  }
+
+  test("langId: stopword + CJK heuristics on hand fixtures") {
+    def lid(s: String) = one(Text.langId(col("t")), s).getString(0)
+    assert(lid("the cat is in the house and it is not far from the barn") == "en")
+    assert(lid("der hund ist nicht in dem haus und die katze ist auf dem dach") == "de")
+    assert(lid("el perro y la casa de los gatos es un lugar para el sol") == "es")
+    assert(lid("le chien est dans la maison et les chats sont sur le toit") == "fr")
+    assert(lid("今天天气很好我们去公园散步吧") == "zh")
+    assert(lid("qwerty zxcvb plmokn") == "und")
+    assert(lid("") == "und")
+  }
+
+  test("quality features and score: sane ranges, junk scores low") {
+    val f = one(Text.qualityFeatures(col("t")),
+      "a clean readable sentence with several distinct words")
+    val row = f.getStruct(0)
+    assert(row.getAs[Int]("n_tokens") == 8)
+    assert(row.getAs[Double]("distinct_ratio") == 1.0)
+    assert(row.getAs[Double]("punct_ratio") == 0.0)
+
+    def score(s: String) = one(Text.qualityScore(col("t")), s).getDouble(0)
+    val clean = score("the quick brown fox jumps over the lazy dog near the river bank")
+    val junk = score("!!! ??? *** !!! ??? *** !!! ???")
+    assert(clean >= 0.0 && clean <= 1.0)
+    assert(junk >= 0.0 && junk <= 1.0)
+    assert(clean > junk, s"clean=$clean junk=$junk")
+  }
+
+  test("fingerprint: equal for identical text, sketch bounded by s") {
+    val df = Seq("a b c d e f g h", "a b c d e f g h", "z y x w v u t s")
+      .toDF("t")
+      .select(Text.fingerprint(col("t")).as("fp"),
+              Text.fingerprintSketch(col("t"), 3, 4).as("sk"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == rows(1).getString(0))
+    assert(rows(0).getString(0) != rows(2).getString(0))
+    assert(rows.forall(_.getSeq[String](1).size <= 4))
+    assert(rows.forall(r => r.getSeq[String](1) ==
+      r.getSeq[String](1).sorted))
+  }
+}
