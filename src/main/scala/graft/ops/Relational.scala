@@ -136,16 +136,15 @@ object Relational {
   /** J4+J5+F4+F5 — self-join user pairs sharing a key, theta-deduped
     * (customer_segmentation_2.py:23-33). Distinct (user, type) first so the
     * equi-join on the shared key stays |U|²·|types| bounded instead of
-    * |events|² — the same trick the rebuild applies to the reference's
-    * double self-join. */
+    * |events|². The join itself goes through [[Pairs.saltedSelfPairs]]:
+    * event_type has ~5 distinct values, so a naive self-equi-join caps
+    * shuffle parallelism at 5 — salting multiplies it by 8 with
+    * identical output. */
   def selfJoinPairs(spark: SparkSession, dir: String): DataFrame = {
     val ue = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type")).distinct()
-    val a = ue.as("a")
-    val b = ue.as("b")
-    a.join(b, col("a.event_type") === col("b.event_type") &&
-              col("a.user_id") < col("b.user_id"))
-      .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+    Pairs.saltedSelfPairs(ue, "event_type", "user_id")
+      .groupBy(col("id_a").as("user_a"), col("id_b").as("user_b"))
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= lit(2))
       .orderBy(col("user_a"), col("user_b"))

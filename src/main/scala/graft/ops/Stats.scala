@@ -62,12 +62,9 @@ object Stats {
     val uv = Tables.events(spark, dir)
       .groupBy(col("user_id"), col("event_type"))
       .agg(avg(col("value")).as("v"))
-    val a = uv.as("a")
-    val b = uv.as("b")
-    a.join(b, col("a.event_type") === col("b.event_type") &&
-              col("a.user_id") < col("b.user_id"))
-      .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
-      .agg(corr(col("a.v"), col("b.v")).as("corr_raw"))
+    Pairs.saltedSelfPairs(uv, "event_type", "user_id", payload = Seq("v"))
+      .groupBy(col("id_a").as("user_a"), col("id_b").as("user_b"))
+      .agg(corr(col("v_a"), col("v_b")).as("corr_raw"))
       .filter(col("corr_raw").isNotNull)
       .select(col("user_a"), col("user_b"),
               round(col("corr_raw") + lit(1e-9), 4).as("corr_v"))

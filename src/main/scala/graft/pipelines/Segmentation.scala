@@ -88,6 +88,34 @@ object Segmentation {
       .filter(col("correlation").isNotNull)
   }
 
+  /** The 100-TB formulation of pair correlation: instead of enumerating
+    * all C(|U|,2) pairs (quadratic — the reference's
+    * customer_segmentation_2.py shape, kept verbatim in the declared
+    * oracle queries for correctness), candidates come from MinHash
+    * banding over each user's item set ([[graft.ops.Pairs]]), so only
+    * pairs with Jaccard-comparable item sets are correlated. Output ⊆
+    * pairCorrelations(allPairs, ratings) restricted to the candidates —
+    * exact corr values, approximate pair recall (tunable via
+    * numHashTables). */
+  def pairCorrelationsBucketed(ratings: DataFrame,
+                               minJaccard: Double = 0.5,
+                               numHashTables: Int = 5,
+                               seed: Long = 42L): DataFrame = {
+    val sets = ratings
+      .select(col("userId").cast("string").as("userId"),
+              col("movieId").cast("string").as("movieId"))
+      .groupBy(col("userId"))
+      .agg(collect_set(col("movieId")).as("items"))
+    val candidates = graft.ops.Pairs
+      .minhashCandidatePairs(sets, "userId", "items", minJaccard,
+                             numHashTables, seed = seed)
+      .select(col("id_a").as("userA"), col("id_b").as("userB"))
+    pairCorrelations(
+      candidates,
+      ratings.select(col("userId").cast("string").as("userId"),
+                     col("movieId"), col("rating")))
+  }
+
   /** Mean pairwise correlation (customer_segmentation_2.py:41-45). */
   def averagePairwiseCorrelation(pairs: DataFrame,
                                  ratings: DataFrame): Double = {
