@@ -45,6 +45,9 @@ object SparkEntry {
     "q_doc_fingerprint"         -> Corpus.docFingerprint _,
     "q_json_extract"            -> Corpus.jsonExtract _,
     "q_lang_facets"             -> Corpus.langFacets _,
+    "q_window_tumbling"         -> Corpus.windowTumbling _,
+    "q_session_window"          -> Corpus.sessionWindow _,
+    "q_multimodal_meta"         -> Corpus.multimodalMeta _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -260,5 +263,38 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n_docs,
                 sum(n_chars) AS total_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q_window_tumbling" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_start_s,
+                event_type, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_session_window" ->
+      """WITH t AS (SELECT user_id, epoch_ns(ts) // 1000 AS tu FROM events),
+         m AS (SELECT user_id, tu,
+                 CASE WHEN lag(tu) OVER w IS NULL
+                      OR tu - lag(tu) OVER w >= 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+               FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+         s AS (SELECT user_id, tu,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY tu
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m)
+         SELECT user_id, min(tu) // 1000000 AS session_start_s,
+                count(*) AS n_events
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start_s""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS asset_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS modality,
+                sha256(text) AS content_hash,
+                strlen(text) AS n_bytes,
+                CAST(n_chars % 1920 + 1 AS INT) AS width,
+                CAST(n_chars % 1080 + 1 AS INT) AS height,
+                CASE WHEN doc_id % 3 = 2 THEN (n_chars - 1) // 50 + 1
+                     ELSE 0 END AS n_frames_planned
+         FROM documents ORDER BY asset_id""",
   )
 }

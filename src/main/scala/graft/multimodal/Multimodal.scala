@@ -1,0 +1,124 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal asset columns: image/audio/video as opaque `binary`
+  * content plus a typed metadata struct, with the decode / feature /
+  * resize / frame-sample stages of a training-data pipeline.
+  *
+  * ==What is real vs STUBBED==
+  * The Spark-side plumbing is real and tested: asset schema, binary
+  * columns, content hashing/sizing, partitioning strategy, per-stage
+  * column contracts, determinism. The CODEC KERNELS ARE STUBS — this
+  * container ships no image/audio libraries, so `decodeImageStub`,
+  * `featureExtractStub`, `frameSampleStub` derive deterministic fake
+  * values from the content bytes. A production deployment swaps each
+  * stub for a real kernel with the SAME column signature (binary in,
+  * struct/array out), typically `mapPartitions` over a Dataset with a
+  * per-partition codec/model handle (the Scala analogue of a batched
+  * Pandas UDF) — the surrounding plan, schema, and partitioning do not
+  * change.
+  *
+  * ==Scale notes==
+  * Blobs ride the shuffle, so every stage here is map-shaped (no
+  * shuffle); [[repartitionForBlobs]] is the one explicit repartition,
+  * sized so a partition of blobs fits executor memory. Metadata-only
+  * queries never touch `content` — column pruning drops the blob column
+  * at the parquet scan.
+  */
+object Multimodal {
+
+  /** Deterministic fake asset table derived from `documents` (content =
+    * UTF-8 bytes of the text; modality round-robins image/audio/video).
+    * Gives the pipeline real binary columns without media files. */
+  def assetsFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("modality"),
+      col("text").cast("binary").as("content"),
+      struct(
+        lit("fake/v1").as("format"),
+        (col("n_chars") % 1920 + 1).cast("int").as("width"),
+        (col("n_chars") % 1080 + 1).cast("int").as("height"),
+        (col("n_chars") * 40).cast("long").as("duration_ms"))
+        .as("meta"))
+
+  /** Content-addressed identity: sha-256 of the raw bytes. */
+  def contentHash(content: Column): Column = sha2(content, 256)
+
+  /** Blob size in bytes (binary `length` is octet length). */
+  def contentSize(content: Column): Column = length(content)
+
+  /** STUB image decode: real kernel = codec library mapping bytes →
+    * (width, height, channels[, pixels]). Here: dimensions derived
+    * deterministically from a 64-bit hash of the bytes. Same output
+    * contract `struct<width:int, height:int, channels:int>`. */
+  def decodeImageStub(content: Column): Column =
+    struct(
+      (pmod(xxhash64(content), lit(1920)) + 1).cast("int").as("width"),
+      (pmod(xxhash64(content, lit(1)), lit(1080)) + 1).cast("int").as("height"),
+      lit(3).as("channels"))
+
+  /** STUB embedding extraction: real kernel = batched model inference.
+    * Here: `dim` floats in [-1, 1], each a scaled keyed hash of the
+    * bytes — deterministic, uniform-ish, join/ANN-compatible
+    * (`array<float>`, same as the embeddings table). */
+  def featureExtractStub(content: Column, dim: Int = 16): Column =
+    transform(
+      sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(content, i), lit(2000001)) - lit(1000000))
+             .cast("double") / 1000000.0)
+      .cast("array<float>")
+
+  /** STUB video frame sampling: real kernel = demuxer emitting every
+    * n-th frame as binary. Here: the frame INDEX PLAN (timestamps in
+    * ms at `fps`, stride `everyN`) — which is the genuinely Spark-side
+    * half of the real operator. */
+  def frameSampleStub(durationMs: Column, fps: Int = 25,
+                      everyN: Int = 50): Column = {
+    val nFrames = (durationMs * fps / 1000).cast("int")
+    filter(
+      transform(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+                f => (f * lit(1000L) / fps).cast("long")),
+      (_, idx) => idx % everyN === 0)
+  }
+
+  /** STUB resize: real kernel re-encodes pixels; the dimension math
+    * (fit inside maxDim, preserve aspect) is exact and shared. */
+  def resizeMeta(meta: Column, maxDim: Int): Column = {
+    val w = meta.getField("width").cast("double")
+    val h = meta.getField("height").cast("double")
+    val scale = least(lit(maxDim) / greatest(w, h), lit(1.0))
+    struct(
+      meta.getField("format").as("format"),
+      ceil(w * scale).cast("int").as("width"),
+      ceil(h * scale).cast("int").as("height"),
+      meta.getField("duration_ms").as("duration_ms"))
+  }
+
+  /** Blob-aware repartition: hash-distribute by asset id so each task
+    * holds ~targetPartitionBytes of blob payload (the analogue of
+    * maxPartitionBytes, which only governs scan splits). */
+  def repartitionForBlobs(assets: DataFrame, totalBytes: Long,
+                          targetPartitionBytes: Long = 128L << 20)
+      : DataFrame = {
+    val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
+    assets.repartition(parts, col("asset_id"))
+  }
+
+  /** The full stub pipeline: decode + features + frame plan + hash —
+    * one map-shaped pass, no shuffle. */
+  def enrich(assets: DataFrame, featureDim: Int = 16): DataFrame =
+    assets
+      .withColumn("content_hash", contentHash(col("content")))
+      .withColumn("n_bytes", contentSize(col("content")))
+      .withColumn("decoded", decodeImageStub(col("content")))
+      .withColumn("features", featureExtractStub(col("content"), featureDim))
+      .withColumn("frame_times_ms",
+        when(col("modality") === "video",
+             frameSampleStub(col("meta.duration_ms")))
+          .otherwise(array().cast("array<long>")))
+}

@@ -104,6 +104,34 @@ object Corpus {
       .orderBy(col("user_id"))
   }
 
+  /** Tumbling 1-hour event-time windows (graft.streaming batch form —
+    * identical aggregation runs under Structured Streaming with a
+    * watermark). */
+  def windowTumbling(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.tumblingCounts(Tables.events(spark, dir))
+      .orderBy(col("bucket_start_s"), col("event_type"))
+
+  /** Per-user 30-minute-gap session windows (events closer than the gap
+    * merge; oracled against a gaps-and-islands SQL formulation). */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.sessionCounts(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_start_s"))
+
+  /** Multimodal asset metadata: binary content column + typed meta from
+    * the fake asset table, hashed/sized/frame-planned (codec kernels
+    * stubbed — graft.multimodal scaladoc). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val assets = graft.multimodal.Multimodal.assetsFromDocuments(
+      Tables.documents(spark, dir))
+    graft.multimodal.Multimodal.enrich(assets)
+      .select(col("asset_id"), col("modality"), col("content_hash"),
+              col("n_bytes"),
+              col("meta.width").as("width"),
+              col("meta.height").as("height"),
+              size(col("frame_times_ms")).as("n_frames_planned"))
+      .orderBy(col("asset_id"))
+  }
+
   /** Corpus facets: docs + chars per (lang, source) — the partition-key
     * profile a 100-TB layout decision starts from. */
   def langFacets(spark: SparkSession, dir: String): DataFrame = {

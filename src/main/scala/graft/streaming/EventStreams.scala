@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Windowed event-time analytics over the `events` stream table —
+  * tumbling, sliding, and session windows, each usable in BOTH batch
+  * (the declared oracle queries) and Structured Streaming (the
+  * `*Stream` variants add a watermark; the aggregation expressions are
+  * shared, so batch results are the streaming results at watermark ∞).
+  *
+  * The reference is pure batch (SURVEY §1.4) — this is the §7.5
+  * extension surface.
+  *
+  * Timestamps: `events.ts` arrives as int64 epoch-NANOseconds
+  * (Tables.scala nanosAsLong). Conversion to TimestampType must use
+  * integral division — `ts/1000` in double loses precision above 2⁵³ ns
+  * (≈ 1970+104 days), silently shifting events between windows. */
+object EventStreams {
+
+  /** Exact epoch-nanos `ts` → TimestampType (microsecond precision).
+    * `div` is INTEGRAL division — `ts / 1000` would promote to double
+    * and round above 2⁵³ ns. */
+  private val EventTimeExpr = "timestamp_micros(ts div 1000)"
+
+  /** Tumbling-window counts + exact value sums per event_type.
+    * Epoch-aligned `width` windows; output keys on the window start
+    * (epoch seconds — engine-portable). */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour")
+      : DataFrame =
+    events
+      .withColumn("event_time", expr(EventTimeExpr))
+      .groupBy(window(col("event_time"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           graft.functions.Exact.sumCents(col("value")).as("sum_cents"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start_s"),
+              col("event_type"), col("n_events"),
+              (col("sum_cents").cast("double") / 100.0).as("sum_value"))
+
+  /** Sliding-window mean value per event_type (window `width`, stride
+    * `slide`): each event lands in width/slide windows — Spark expands
+    * via its internal window generator, no self-join needed. */
+  def slidingAvg(events: DataFrame, width: String = "1 hour",
+                 slide: String = "15 minutes"): DataFrame =
+    events
+      .withColumn("event_time", expr(EventTimeExpr))
+      .groupBy(window(col("event_time"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           graft.functions.Exact.sumCents(col("value")).as("sum_cents"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start_s"),
+              col("event_type"), col("n_events"),
+              graft.functions.Exact.avgFromCents(col("sum_cents"),
+                col("n_events")).as("avg_value"))
+
+  /** Session windows per user: events closer than `gap` merge. Session
+    * start reported in epoch seconds. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes")
+      : DataFrame =
+    events
+      .withColumn("event_time", expr(EventTimeExpr))
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              unix_timestamp(col("session_window.start"))
+                .as("session_start_s"),
+              col("n_events"))
+
+  // --- streaming variants -------------------------------------------------
+
+  /** Streaming tumbling counts: same aggregation with a watermark so
+    * state for closed windows is dropped (append-mode emittable). Input
+    * must already carry an `event_time` TimestampType column. */
+  def tumblingCountsStream(stream: DataFrame, width: String = "1 hour",
+                           watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket_start"),
+              col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming per-user session counts (flatMapGroupsWithState-free:
+    * session_window + watermark is the declarative form; Spark manages
+    * the merging state store). */
+  def sessionCountsStream(stream: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("event_time", watermark)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              col("session_window.start").as("session_start"),
+              col("n_events"))
+}

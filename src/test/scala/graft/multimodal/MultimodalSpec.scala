@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val assets = Multimodal.assetsFromDocuments(
+    Tables.documents(spark, TestSpark.sf0001)).cache()
+
+  test("asset schema: opaque binary content + typed metadata struct") {
+    val s = assets.schema
+    assert(s("content").dataType == BinaryType)
+    assert(s("modality").dataType == StringType)
+    val meta = s("meta").dataType.asInstanceOf[StructType]
+    assert(meta("format").dataType == StringType)
+    assert(meta("width").dataType == IntegerType)
+    assert(meta("duration_ms").dataType == LongType)
+    assert(assets.select(col("modality")).distinct().count() == 3)
+  }
+
+  test("enrich: deterministic stub kernels, correct column contracts") {
+    val e1 = Multimodal.enrich(assets).cache()
+    val e2 = Multimodal.enrich(assets)
+    assert(e1.exceptAll(e2).count() == 0, "stub kernels must be deterministic")
+    val s = e1.schema
+    assert(s("content_hash").dataType == StringType)
+    assert(s("features").dataType == ArrayType(FloatType, true) ||
+           s("features").dataType == ArrayType(FloatType, false))
+    val row = e1.filter(col("modality") === "video").head()
+    val feats = row.getAs[collection.Seq[Float]]("features")
+    assert(feats.size == 16)
+    assert(feats.forall(f => f >= -1.0f && f <= 1.0f))
+    val frames = row.getAs[collection.Seq[Long]]("frame_times_ms")
+    assert(frames.nonEmpty, "video assets must get a frame plan")
+    assert(frames.forall(_ % 2000 == 0), "every 50th frame at 25fps = 2s")
+    // non-video assets have no frame plan
+    assert(e1.filter(col("modality") =!= "video" &&
+      size(col("frame_times_ms")) > 0).count() == 0)
+  }
+
+  test("decode stub: same bytes → same dims; hash is content-addressed") {
+    val d = assets
+      .select(Multimodal.decodeImageStub(col("content")).as("d"),
+              Multimodal.contentHash(col("content")).as("h"),
+              col("content"))
+    val dup = d.union(d)
+    assert(dup.select(col("h"), col("d.width")).distinct().count()
+      == d.count())
+    val dims = d.select(col("d.width"), col("d.height")).collect()
+    assert(dims.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 1920))
+    assert(dims.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 1080))
+  }
+
+  test("resizeMeta: fits inside maxDim, preserves aspect-ish, idempotent on small") {
+    val resized = assets.select(col("meta"),
+      Multimodal.resizeMeta(col("meta"), 256).as("r"))
+    val rows = resized.collect()
+    rows.foreach { r =>
+      val w = r.getStruct(1).getAs[Int]("width")
+      val h = r.getStruct(1).getAs[Int]("height")
+      assert(w <= 256 && h <= 256, s"resize out of bounds: $w x $h")
+      assert(w >= 1 && h >= 1)
+    }
+  }
+
+  test("repartitionForBlobs sizes partitions by payload") {
+    val small = Multimodal.repartitionForBlobs(assets,
+      totalBytes = 10L << 20, targetPartitionBytes = 1L << 20)
+    assert(small.rdd.getNumPartitions == 10)
+    val one = Multimodal.repartitionForBlobs(assets,
+      totalBytes = 100, targetPartitionBytes = 1L << 20)
+    assert(one.rdd.getNumPartitions == 1)
+  }
+}

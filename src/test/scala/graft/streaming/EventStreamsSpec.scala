@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val events = Tables.events(spark, TestSpark.sf0001).cache()
+
+  test("batch tumbling windows: counts sum to input, epoch-aligned") {
+    val out = EventStreams.tumblingCounts(events).cache()
+    assert(out.agg(sum(col("n_events"))).head().getLong(0) == events.count())
+    assert(out.filter(col("bucket_start_s") % 3600 =!= 0).count() == 0)
+  }
+
+  test("sliding windows: each event appears in width/slide windows") {
+    val tumbling = EventStreams.tumblingCounts(events)
+    val sliding = EventStreams.slidingAvg(events,
+      width = "1 hour", slide = "15 minutes")
+    val nTumbling = tumbling.agg(sum(col("n_events"))).head().getLong(0)
+    val nSliding = sliding.agg(sum(col("n_events"))).head().getLong(0)
+    assert(nSliding == 4 * nTumbling,
+      s"1h/15m sliding must count each event 4x: $nSliding vs $nTumbling")
+  }
+
+  test("session windows: per-user event counts are preserved") {
+    val out = EventStreams.sessionCounts(events).cache()
+    val perUserSessions = out.groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n"))
+    val perUserEvents = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    assert(perUserSessions.join(perUserEvents, Seq("user_id"))
+      .filter(perUserSessions("n") =!= perUserEvents("n")).count() == 0)
+    // sessions of one user never overlap: starts are strictly increasing
+    // and (being first-event times) unique per user
+    val dup = out.groupBy(col("user_id"), col("session_start_s"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+    assert(dup.count() == 0)
+  }
+
+  test("streaming tumbling aggregation equals the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_time", "event_type", "value")
+    val agg = EventStreams.tumblingCountsStream(stream,
+      width = "1 hour", watermark = "1 hour")
+    val q = agg.writeStream.format("memory")
+      .queryName("tumbling_test").outputMode("complete").start()
+    try {
+      val rows = Seq(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), "click", 4.0),
+        (Timestamp.valueOf("2024-01-01 10:30:00"), "view", 8.0))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_test")
+        .select(col("bucket_start"), col("event_type"),
+                col("n_events"), col("sum_value")).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1),
+                   r.getLong(2), r.getDouble(3))).toSet
+      val expected = Set(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 3.0),
+        (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L, 4.0),
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1L, 8.0))
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
+  test("streaming session windows merge within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val stream = mem.toDF().toDF("event_time", "user_id", "value")
+    val agg = EventStreams.sessionCountsStream(stream, gap = "30 minutes")
+    val q = agg.writeStream.format("memory")
+      .queryName("session_test").outputMode("complete").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+        (Timestamp.valueOf("2024-01-01 10:10:00"), 1L, 1.0), // merges
+        (Timestamp.valueOf("2024-01-01 11:00:00"), 1L, 1.0), // new session
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 2L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_test")
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 2L),
+        (1L, Timestamp.valueOf("2024-01-01 11:00:00"), 1L),
+        (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L)))
+    } finally q.stop()
+  }
+}
