@@ -79,11 +79,7 @@ object Corpus {
     * reproduces it bit-for-bit). */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val w = split(col("text"), " ")
-    val sh = when(size(w) < 3, array(concat_ws(" ", w)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", slice(w, i, lit(3))))))
+    val sh = graft.functions.Shingles.shingles(split(col("text"), " "), 3)
     d.select(col("doc_id"), sh.as("sh"))
       .select(col("doc_id"),
               array_min(transform(col("sh"), s => md5(s))).as("fp"),

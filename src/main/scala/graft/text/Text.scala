@@ -36,15 +36,14 @@ object Text {
 
   /** Distinct word k-shingles ("k-grams") of the token stream — the unit
     * set for Jaccard/MinHash near-dup detection. Documents shorter than
-    * k tokens contribute their whole token stream as one shingle. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val w = tokenize(text)
-    when(size(w) === 0, array().cast("array<string>"))
-      .when(size(w) < k, array(concat_ws(" ", w)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(w) - k + 1),
-        i => concat_ws(" ", slice(w, i, lit(k))))))
-  }
+    * k tokens contribute their whole token stream as one shingle.
+    *
+    * Uses the native [[graft.functions.Shingles]] kernel: the composed
+    * higher-order-function form re-evaluates the tokenizer once per
+    * window (measured 12.6 s for 5.5K docs at sf0.1 vs one array pass
+    * here — see the expression's scaladoc). */
+  def wordShingles(text: Column, k: Int): Column =
+    graft.functions.Shingles.shingles(tokenize(text), k)
 
   // --- language ID -------------------------------------------------------
 
