@@ -48,7 +48,64 @@ object SparkEntry {
     "q_window_tumbling"         -> Corpus.windowTumbling _,
     "q_session_window"          -> Corpus.sessionWindow _,
     "q_multimodal_meta"         -> Corpus.multimodalMeta _,
+    // ML / seeded queries: no oracleSql entry (not SQL-expressible or
+    // seed-dependent) → driver records the weaker rows-only check; full
+    // semantics are covered by the ScalaTest golden/property suites.
+    "q_minhash_twins"           -> (minhashTwins _),
+    "q_als_recommend"           -> (alsRecommend _),
+    "q_ranking_metrics"         -> (rankingMetrics _),
   )
+
+  /** Seeded LSH twins over testdata ratings with planted clone users
+    * (raw synthetic ratings have no Jaccard≥0.5 pair — without planting
+    * the rows-only smoke would be vacuous). */
+  private def minhashTwins(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ratings = pipelines.Ratings.fromTestdata(s, d)
+    val clones = ratings.filter(col("userId") % 15 === 0)
+      .withColumn("userId", col("userId") + 1000000)
+    pipelines.Segmentation.movieTwins(ratings.union(clones), seed = 42L)
+  }
+
+  /** Seeded ALS top-10 per user on the split testdata ratings. */
+  private def alsRecommend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val splits = pipelines.Splitting.split(
+      pipelines.Ratings.fromTestdata(s, d))
+    val model = pipelines.AlsRec.fitModel(splits.train, rank = 8,
+      regParam = 0.1, maxIter = 5, seed = 42L)
+    pipelines.AlsRec.predictedItems(model, splits.test, k = 10)
+      .orderBy(col("userId"))
+  }
+
+  /** DataFrame-native ranking metrics over a deterministic fixture:
+    * per user, predicted = event types by mean value desc (top 3, so
+    * the k-cutoff is active against ~5 types/user), actual = types
+    * above the user's own mean. One row out. */
+  private def rankingMetrics(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val uv = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(avg(col("value")).as("v"))
+      .cache()
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("v").desc, col("event_type"))
+    val predicted = uv.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(transform(array_sort(collect_list(struct(col("rn"),
+             col("event_type").as("t")))), e => e.getField("t"))
+           .as("predicted"))
+    val mean = uv.groupBy(col("user_id")).agg(avg(col("v")).as("m"))
+    val actual = uv.join(mean, Seq("user_id"))
+      .filter(col("v") > col("m"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("event_type"))).as("actual"))
+    graft.ml.RankingMetricsDF.evaluate(
+      predicted.join(actual, Seq("user_id"), "inner"),
+      "predicted", "actual", k = 3)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
