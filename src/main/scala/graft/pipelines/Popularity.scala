@@ -32,19 +32,24 @@ object Popularity {
         col("avg_rating") * col("rating_count") /
           (col("rating_count") + lit(damping)))
 
-  /** Full-length per-user ranked recommendation lists over the test set
-    * (popularity_model.py:42-48). The list is every test movie for the
-    * user, ordered by predicted score desc — the reference's quirk of not
-    * cutting at k is preserved (metrics truncate at k downstream). */
-  def predictedItems(train: DataFrame, test: DataFrame,
-                     damping: Double): DataFrame = {
+  /** Per-user ranked recommendation lists over the test set
+    * (popularity_model.py:42-48). With `cutoff = None` the list is every
+    * test movie for the user, ordered by predicted score desc — the
+    * reference's quirk of not cutting at k. With `cutoff = Some(k)` the
+    * rank filter runs BEFORE collect_list: identical metrics@k (they
+    * truncate at k anyway) but the shuffled lists are k-bounded instead
+    * of |user's test movies| — the difference between O(k·|users|) and
+    * O(|test|) list state at 100× scale. */
+  def predictedItems(train: DataFrame, test: DataFrame, damping: Double,
+                     cutoff: Option[Int] = None): DataFrame = {
     val scores = movieScores(train, damping)
     val w = Window.partitionBy(col("userId"))
       .orderBy(col("predicted_rating").desc, col("movieId"))
-    test.join(scores, Seq("movieId"), "left")
+    val ranked = test.join(scores, Seq("movieId"), "left")
       .withColumn("predicted_rating", col("popularity_score"))
       .withColumn("rank", row_number().over(w))
-      .groupBy(col("userId"))
+    val cut = cutoff.fold(ranked)(k => ranked.filter(col("rank") <= lit(k)))
+    cut.groupBy(col("userId"))
       .agg(sortedListByRank(col("rank"), col("movieId"))
              .as("predicted_items"))
   }
@@ -74,7 +79,7 @@ object Popularity {
     * (popularity_model.py train_test). */
   def trainTest(train: DataFrame, test: DataFrame, damping: Double,
                 k: Int = 100): RankingMetricsDF.Scores = {
-    val joined = predictedItems(train, test, damping)
+    val joined = predictedItems(train, test, damping, cutoff = Some(k))
       .join(groundTruth(test), Seq("userId"), "inner")
     RankingMetricsDF.scores(joined, "predicted_items", "actual_items", k)
   }

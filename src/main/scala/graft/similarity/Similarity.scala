@@ -1,5 +1,6 @@
 package graft.similarity
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
@@ -89,6 +90,59 @@ object Similarity {
       .select(col("datasetA.id").as("id_a"),
               col("datasetB.id").as("id_b"),
               (lit(1.0) - col("dist") * col("dist") / 2.0).as("cos"))
+  }
+
+  /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer assigns
+    * every corpus vector to one of `nCells` cells; each query probes its
+    * `nProbe` nearest cells and ranks only those cells' vectors — the
+    * classic FAISS-style recall/cost dial, here as a pure equi-join
+    * plan: corpus is scanned once to assign cells (map + tiny broadcast
+    * of centroids), the candidate join is `query_cell = corpus_cell`,
+    * and per-query top-k runs with WindowGroupLimit. At 100 TB the
+    * corpus side would be WRITTEN partitioned by cell, turning every
+    * search into a partition-pruned scan of nProbe/nCells of the data.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              qId: String = "vec_id", qVec: String = "embedding",
+              cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    val c = corpus
+      .select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+      .filter(l2Norm(col("cv")) > lit(0.0))
+      .withColumn("v", array_to_vector(normalize(col("cv"))))
+      .cache()
+    val km = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("v").setPredictionCol("cell")
+    val model = km.fit(c)
+    val cells = model.transform(c).select(
+      col("neighbor_id"), col("cv"), col("cell"))
+    // centroids are nCells tiny vectors — ship them as a literal frame,
+    // rank each query's cells, keep nProbe (cross join is |Q| × nCells)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "center")
+    val q = queries
+      .select(col(qId).as("query_id"), col(qVec).as("qv"))
+      .filter(l2Norm(col("qv")) > lit(0.0))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("center_cos").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(centers))
+      .withColumn("center_cos", cosine(col("qv"), col("center")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= lit(nProbe))
+      .select(col("query_id"), col("qv"), col("cell"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    probed.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= lit(k))
+      .select(col("query_id"), col("neighbor_id"),
+              col("cos_raw").as("cos"), col("rank"))
   }
 
   /** ANN top-k: LSH candidate join at `radius`, then per-query top-k.

@@ -52,6 +52,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.filter(col("cos") < 0.99 - 1e-9).count() == 0)
   }
 
+  test("IVF top-k: recall rises with probes, high at nProbe = nCells") {
+    val queries = emb.filter(col("vec_id") < 30)
+    val k = 10
+    val exact = Similarity.cosineTopK(queries, emb, k = k)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val ivf = Similarity.ivfTopK(queries, emb, k = k,
+          nCells = 8, nProbe = nProbe)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & ivf).size.toDouble / exact.size
+    }
+    val rLow = recallAt(2)
+    val rFull = recallAt(8)
+    assert(rFull >= 0.99, s"probing every cell must be ~exact: $rFull")
+    assert(rLow <= rFull + 1e-9, s"recall must not drop with more probes")
+    assert(rLow >= 0.3, s"2/8 cells should still find some neighbors: $rLow")
+  }
+
   test("ANN top-k recall >= 0.9 against brute force") {
     val queries = emb.filter(col("vec_id") < 50)
     val k = 10
