@@ -154,6 +154,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
   }
 
+  /** Connected components of an undirected pair graph by iterative
+    * min-label propagation: every node repeatedly adopts the smallest
+    * component id among itself and its neighbors until fixpoint (≤ graph
+    * diameter iterations — near-dup clusters are shallow). Input: pairs
+    * (id_a, id_b); output: (id, component) for every node that appears
+    * in a pair (singletons are implicitly their own component).
+    *
+    * This is the driver-coordinated iterative shape Spark uses for ALS/
+    * Pregel: each sweep is one join + min-aggregate (two shuffles),
+    * `localCheckpoint` truncates the growing lineage so iteration N
+    * doesn't replan N-deep. Convergence is checked with a count — a
+    * scalar to the driver, never data. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("component"))
+      val next = labels.union(prop)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("l"), col("n.id") === col("l.id"))
+        .filter(col("n.component") =!= col("l.component"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup DEDUPLICATION (not just detection): cluster the exact
+    * n-gram Jaccard pair graph with [[connectedComponents]] and keep
+    * one canonical (minimum-id) document per cluster; docs in no
+    * cluster keep themselves. Output: the input rows + `component` +
+    * `kept`. Filter on `kept` for the deduplicated corpus. */
+  def markNearDuplicates(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", k: Int = 5,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, textCol, idCol, k, minJaccard)
+      .select(col("id_a"), col("id_b"))
+    val comp = connectedComponents(pairs)
+      .withColumnRenamed("id", "__cc_id")
+    docs
+      .join(comp, docs(idCol) === comp("__cc_id"), "left")
+      .withColumn("component", coalesce(col("component"), docs(idCol)))
+      .withColumn("kept", docs(idCol) === col("component"))
+      .drop("__cc_id")
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ minCosine — delegates
     * to the similarity module's LSH-bucketed pair join (dedup and
     * similarity search share the candidate-generation primitive). */

@@ -47,6 +47,20 @@ object Corpus {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Near-dup DEDUPLICATION over the planted corpus: connected
+    * components of the exact 5-gram Jaccard pair graph, one canonical
+    * keep per cluster (oracled via a recursive-CTE transitive closure).
+    */
+  def dedupNear(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val mutated = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              concat(lit("zz1 zz2 zz3 "), col("text")).as("text"))
+    Dedup.markNearDuplicates(d.union(mutated), k = 5, minJaccard = 0.5)
+      .select(col("doc_id"), col("component"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact cosine top-5 neighbors for the first 10 embedding vectors —
     * brute-force baseline of the similarity-search surface. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {

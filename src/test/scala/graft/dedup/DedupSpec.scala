@@ -122,6 +122,33 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.filter(col("hamming") > 3).count() == 0)
   }
 
+  test("connected components: chains collapse transitively to min id") {
+    import spark.implicits._
+    // 1-2, 2-3 (chain), 10-11, and 20 alone in a pair with 21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("markNearDuplicates: one keeper per cluster, planted clones dropped") {
+    val marked = Dedup.markNearDuplicates(planted, k = 5, minJaccard = 0.5)
+      .cache()
+    assert(marked.count() == planted.count())
+    // exactly one kept doc per component
+    val bad = marked.groupBy(col("component"))
+      .agg(sum(when(col("kept"), 1).otherwise(0)).as("keepers"))
+      .filter(col("keepers") =!= 1)
+    assert(bad.count() == 0)
+    // every planted clone (exact and near) is dropped, its original kept
+    val clones = marked.filter(col("doc_id") >= 10000)
+    assert(clones.filter(col("kept")).count() == 0)
+    assert(marked.filter(col("doc_id") < 10000 && !col("kept"))
+      .count() > 0, "organic corpus dups should also be dropped")
+  }
+
   test("simhash64 expression: deterministic, order-insensitive-ish kernel") {
     import graft.functions.SimHash64
     val df = spark.createDataFrame(Seq(
