@@ -42,11 +42,17 @@ object Splitting {
     val Array(train0, val0, test0) =
       filtered.randomSplit(Array(0.8, 0.1, 0.1), seed)
 
+    // The kept 60% is "everything not folded back" — expressed as an
+    // ANTI join against the fold-back keys: one broadcast of the key
+    // list serves both sides, instead of materializing the second
+    // randomSplit branch (the reference re-joins both branches,
+    // splitting_data.py:33-39; semi+anti over one branch is equivalent
+    // because the branches partition the key set — property-tested).
     def foldBack(split: DataFrame): (DataFrame, DataFrame) = {
       val ids = split.select(col("movieId")).distinct()
-      val Array(back, keep) = ids.randomSplit(Array(0.4, 0.6), seed)
+      val Array(back, _) = ids.randomSplit(Array(0.4, 0.6), seed)
       (split.join(back, Seq("movieId"), "left_semi"),
-       split.join(keep, Seq("movieId"), "left_semi"))
+       split.join(back, Seq("movieId"), "left_anti"))
     }
     val (valBack, valKeep)   = foldBack(val0)
     val (testBack, testKeep) = foldBack(test0)

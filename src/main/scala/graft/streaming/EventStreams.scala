@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Windowed event-time analytics over the `events` stream table —
   * tumbling, sliding, and session windows, each usable in BOTH batch
@@ -79,6 +80,50 @@ object EventStreams {
            sum(col("value")).as("sum_value"))
       .select(col("window.start").as("bucket_start"),
               col("event_type"), col("n_events"), col("sum_value"))
+
+  // --- custom state (KeyValueGroupedDataset.mapGroupsWithState) -----------
+
+  final case class UserEvent(user_id: Long,
+                             event_time: java.sql.Timestamp,
+                             value: Double)
+  final case class UserRunning(n_events: Long, total_value: Double,
+                               max_value: Double)
+  final case class UserStats(user_id: Long, n_events: Long,
+                             total_value: Double, max_value: Double)
+
+  /** Per-user running aggregate with EXPLICIT state — the
+    * `mapGroupsWithState` escape hatch for semantics the declarative
+    * window aggregates can't express (custom accumulators, decay,
+    * conditional resets). State is one small case class per user in the
+    * state store; each micro-batch folds its events into it and emits
+    * the updated stats row (OutputMode.Update). Works identically on a
+    * batch Dataset (each group seen once, state used within the call).
+    *
+    * At scale the state store shards by the grouping key across
+    * executors; nothing here is driver-side. */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserStats](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[UserEvent],
+         state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(0L, 0.0, Double.MinValue))
+          var n = prev.n_events
+          var total = prev.total_value
+          var mx = prev.max_value
+          batch.foreach { e =>
+            n += 1; total += e.value; if (e.value > mx) mx = e.value
+          }
+          val next = UserRunning(n, total, mx)
+          state.update(next)
+          UserStats(uid, n, total, mx)
+      }
+  }
+
+  /** The OutputMode the [[runningUserStats]] sink needs. */
+  val RunningStatsOutputMode: OutputMode = OutputMode.Update()
 
   /** Streaming per-user session counts (flatMapGroupsWithState-free:
     * session_window + watermark is the declarative form; Spark manages

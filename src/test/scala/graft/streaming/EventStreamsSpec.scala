@@ -72,6 +72,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: state accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.UserEvent]
+    val stats = EventStreams.runningUserStats(mem.toDS())
+    val q = stats.writeStream.format("memory")
+      .queryName("running_stats")
+      .outputMode(EventStreams.RunningStatsOutputMode).start()
+    try {
+      mem.addData(
+        EventStreams.UserEvent(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 2.0),
+        EventStreams.UserEvent(1L, Timestamp.valueOf("2024-01-01 10:01:00"), 3.0),
+        EventStreams.UserEvent(2L, Timestamp.valueOf("2024-01-01 10:00:00"), 7.0))
+      q.processAllAvailable()
+      // second micro-batch must fold into the SAME state
+      mem.addData(
+        EventStreams.UserEvent(1L, Timestamp.valueOf("2024-01-01 10:05:00"), 5.0))
+      q.processAllAvailable()
+      val latest = spark.table("running_stats")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n"), max(col("total_value")).as("t"),
+             max(col("max_value")).as("m"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+                                    r.getDouble(3)))).toMap
+      assert(latest(1L) == ((3L, 10.0, 5.0)))
+      assert(latest(2L) == ((1L, 7.0, 7.0)))
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
