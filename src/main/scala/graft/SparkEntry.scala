@@ -46,6 +46,8 @@ object SparkEntry {
     "q_doc_fingerprint"         -> Corpus.docFingerprint _,
     "q_json_extract"            -> Corpus.jsonExtract _,
     "q_lang_facets"             -> Corpus.langFacets _,
+    "q_text_quality"            -> Corpus.textQuality _,
+    "q_embedding_neardup"       -> Corpus.embeddingNearDup _,
     "q_window_tumbling"         -> Corpus.windowTumbling _,
     "q_session_window"          -> Corpus.sessionWindow _,
     "q_multimodal_meta"         -> Corpus.multimodalMeta _,
@@ -363,6 +365,25 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n_docs,
                 sum(n_chars) AS total_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                    FROM documents),
+         f AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text,
+                   '[[:punct:]]', '', 'g')) AS n_punct
+               FROM t)
+         SELECT doc_id,
+           round(least(
+             (CASE WHEN n_tokens BETWEEN 5 AND 100000
+                   THEN 1.0 ELSE 0.0 END) *
+             (0.4 * (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 4.0,
+                                 1.0)) +
+              0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens) + 0.2),
+             1.0), 6) AS quality
+         FROM f ORDER BY doc_id""",
     "q_window_tumbling" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_start_s,
                 event_type, count(*) AS n_events,

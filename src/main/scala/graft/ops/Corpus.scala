@@ -142,6 +142,29 @@ object Corpus {
       .orderBy(col("asset_id"))
   }
 
+  /** Per-document quality score (graft.text heuristics; the oracle
+    * replicates the exact formula over string_split — tokenize is
+    * identity-equivalent on this corpus, punctuation count is zero). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Embedding near-dup pairs over planted duplicate vectors (LSH
+    * candidates + exact cosine; seed-dependent candidate set → no SQL
+    * oracle, rows-only driver check; SimilaritySpec covers recall). */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val clones = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+              col("label"))
+    graft.dedup.Dedup.embeddingNearDuplicates(emb.union(clones),
+        minCosine = 0.99)
+      .select(col("id_a"), col("id_b"),
+              round(col("cos") + lit(1e-9), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Corpus facets: docs + chars per (lang, source) — the partition-key
     * profile a 100-TB layout decision starts from. */
   def langFacets(spark: SparkSession, dir: String): DataFrame = {
