@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized equivalence tests for the custom Catalyst kernels: the
+  * expression evaluated through a real plan (codegen path) must match
+  * an independent pure-Scala reference on arbitrary inputs, and the
+  * Exact fixed-point helpers must be exact at extreme counts. */
+class KernelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(4242)
+  private def randToken(): String =
+    Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(26)).toChar).mkString
+
+  test("Shingles expression matches a pure-Scala reference on random input") {
+    def reference(toks: Seq[String], k: Int): Seq[String] =
+      if (toks.isEmpty) Seq.empty
+      else if (toks.size < k) Seq(toks.mkString(" "))
+      else toks.sliding(k).map(_.mkString(" ")).toSeq.distinct
+
+    val cases = Seq.fill(200)(Seq.fill(rnd.nextInt(25))(randToken())) ++
+      Seq(Seq.empty[String], Seq("solo"), Seq("a", "a", "a", "a"))
+    for (k <- Seq(1, 2, 3, 5)) {
+      val got = cases.toDF("toks")
+        .select(Shingles.shingles(col("toks"), k).as("sh"))
+        .collect().map(_.getSeq[String](0).toSeq)
+      cases.zip(got).foreach { case (in, out) =>
+        assert(out == reference(in, k), s"k=$k input=$in")
+      }
+    }
+  }
+
+  test("SimHash64 expression matches a pure-Scala reference on random input") {
+    def reference(toks: Seq[String]): Long = {
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        val h = SimHash64.fnv1a64(t.getBytes("UTF-8"))
+        (0 until 64).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val cases = Seq.fill(200)(Seq.fill(rnd.nextInt(40))(randToken())) :+
+      Seq.empty[String]
+    val got = cases.toDF("toks")
+      .select(SimHash64.simhash64(col("toks")).as("sig"))
+      .collect().map(_.getLong(0))
+    cases.zip(got).foreach { case (in, out) =>
+      assert(out == reference(in), s"input=$in")
+    }
+  }
+
+  test("Exact sumCents/avgFromCents is exact at extreme counts") {
+    // 2dp values whose float sum drifts: many 0.01-grid values
+    val n = 200000
+    val df = spark.range(n)
+      .select(((col("id") % 10000).cast("double") / 100.0 + 0.07).as("x"))
+    val sumCents = df.agg(Exact.sumCents(col("x"))).head().getLong(0)
+    // reference: integer arithmetic on the driver
+    val want = (0L until n).map(i => (i % 10000) + 7L).sum
+    assert(sumCents == want, s"got $sumCents want $want")
+    val avg = df.agg(
+      Exact.avgFromCents(Exact.sumCents(col("x")), count(lit(1))))
+      .head().getDouble(0)
+    assert(avg == want.toDouble / (n.toDouble * 100.0))
+  }
+}
