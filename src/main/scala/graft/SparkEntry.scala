@@ -38,6 +38,8 @@ object SparkEntry {
     "q_collect_list_sorted"     -> Relational.collectListSorted _,
     "q_above_mean_ground_truth" -> Stats.aboveMeanGroundTruth _,
     "q_global_avg"              -> Relational.globalAvg _,
+    "q_percentiles"             -> Stats.percentilesByGroup _,
+    "q_rollup_facets"           -> Stats.rollupFacets _,
     "q_dedup_exact"             -> Corpus.dedupExact _,
     "q_dedup_near"              -> Corpus.dedupNear _,
     "q_ngram_jaccard"           -> Corpus.ngramJaccard _,
@@ -230,6 +232,21 @@ object SparkEntry {
            count(*) AS cnt FROM lineitem)
          SELECT CAST(sum_cents AS DOUBLE) / (CAST(cnt AS DOUBLE) * 100.0)
            AS avg_price, cnt FROM g""",
+    "q_percentiles" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+           round(quantile_cont(o_totalprice, 0.5) + 0.000000001, 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9) + 0.000000001, 4) AS p90
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_rollup_facets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority, o_orderstatus) AS gid,
+           count(*) AS cnt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total
+         FROM orders
+         GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+         ORDER BY gid, o_orderpriority NULLS FIRST,
+                  o_orderstatus NULLS FIRST""",
     "q_dedup_exact" ->
       """WITH planted AS (
            SELECT doc_id, text FROM documents

@@ -71,6 +71,38 @@ object Stats {
       .orderBy(col("user_a"), col("user_b"))
   }
 
+  /** Exact linear-interpolated percentiles per group (the analytics
+    * staple the reference never needed). `percentile` is exact — the
+    * scale path is `approx_percentile` (KLL-sketch-backed, mergeable,
+    * one pass), property-tested within rank-ε of this exact form; the
+    * exact form sorts within groups and stays oracle-comparable. */
+  def percentilesByGroup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+           percentile(col("o_totalprice"), lit(0.5)).as("p50_raw"),
+           percentile(col("o_totalprice"), lit(0.9)).as("p90_raw"))
+      .select(col("o_orderpriority"), col("cnt"),
+              round(col("p50_raw") + lit(1e-9), 4).as("p50"),
+              round(col("p90_raw") + lit(1e-9), 4).as("p90"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** ROLLUP aggregation: per-(priority, status) counts plus subtotal
+    * and grand-total rows with a grouping id — multi-level facet
+    * profiles in one pass instead of N groupBys. */
+  def rollupFacets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+           Exact.sumCents(col("o_totalprice")).as("sum_cents"))
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+              col("gid"), col("cnt"),
+              (col("sum_cents").cast("double") / 100.0).as("total"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+               col("o_orderstatus").asc_nulls_first)
+  }
+
   /** A2+J1+F4 — rows above their group mean (popularity_model.py:52-56
     * "ground truth" construction). The per-group mean side is small →
     * broadcast join. The boundary comparison is done in exact integer

@@ -46,6 +46,16 @@ object AlsRec {
              e => e.getField("x")).as("predicted_items"))
   }
 
+  /** The idiomatic ALS top-k: `recommendForAllUsers` scores against the
+    * FULL item catalog via blocked factor-matrix products (the reference
+    * instead window-ranks predictions over the test pairs only —
+    * als_recommendation.py:21-24; different semantics, both exposed).
+    * Output: (userId, recommendations: array<struct<movieId, rating>>).
+    */
+  def recommendAll(model: org.apache.spark.ml.recommendation.ALSModel,
+                   k: Int): DataFrame =
+    model.recommendForAllUsers(k)
+
   /** Ground truth: test movies rated above the user's mean
     * (als_recommendation.py:28-31) — same construction as the popularity
     * pipeline. */

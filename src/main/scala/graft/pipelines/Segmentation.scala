@@ -88,6 +88,29 @@ object Segmentation {
       .filter(col("correlation").isNotNull)
   }
 
+  /** The 100-TB twins formulation: same banding semantics as
+    * [[movieTwins]] but vectorized with stateless feature hashing
+    * (HashingTF) instead of CountVectorizer — CountVectorizer.fit
+    * collects the item vocabulary to the driver (86K movies is fine;
+    * billions of items is not). Hash collisions can only merge items
+    * (possibly inflating similarity by ~|items|/2²⁰ per user), so the
+    * reported Jaccard stays an upper estimate; the reference pipeline
+    * keeps exact CountVectorizer parity. */
+  def movieTwinsScalable(ratings: DataFrame, threshold: Double = 0.5,
+                         numHashTables: Int = 5, topK: Int = 100,
+                         minMovies: Int = 5, seed: Long = 42L,
+                         numFeatures: Int = 1 << 20): DataFrame = {
+    val sets = userMovieSets(ratings, minMovies)
+    val candidates = graft.ops.Pairs.minhashCandidatePairs(
+      sets, "userId", "movies", minJaccard = 1.0 - threshold,
+      numHashTables, numFeatures, seed)
+    candidates
+      .select(col("id_a").as("userA"), col("id_b").as("userB"),
+              col("jaccard_sim").as("similarity"))
+      .orderBy(col("similarity").desc, col("userA"), col("userB"))
+      .limit(topK)
+  }
+
   /** The 100-TB formulation of pair correlation: instead of enumerating
     * all C(|U|,2) pairs (quadratic — the reference's
     * customer_segmentation_2.py shape, kept verbatim in the declared

@@ -24,6 +24,21 @@ class AlsRecSpec extends AnyFunSuite {
     all.foreach(r => assert(r.scores.ndcg >= 0.0 && r.scores.ndcg <= 1.0))
   }
 
+  test("recommendForAllUsers: k structs per user, scores descending") {
+    import org.apache.spark.sql.functions._
+    val model = AlsRec.fitModel(splits.train, rank = 4, regParam = 0.1,
+      maxIter = 3)
+    val recs = AlsRec.recommendAll(model, k = 5).cache()
+    assert(recs.count() > 0)
+    assert(recs.filter(size(col("recommendations")) =!= 5).count() == 0)
+    val scoresOk = recs.select(col("userId"),
+        col("recommendations.rating").as("rs")).collect().forall { r =>
+      val rs = r.getSeq[Float](1)
+      rs == rs.sorted.reverse
+    }
+    assert(scoresOk, "recommendation scores must be descending")
+  }
+
   test("seeded ALS is reproducible") {
     val a = AlsRec.trainTest(splits.train, splits.test, rank = 4,
       regParam = 0.1, maxIter = 3, k = 20, seed = 7L)

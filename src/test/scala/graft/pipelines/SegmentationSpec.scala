@@ -73,6 +73,28 @@ class SegmentationSpec extends AnyFunSuite {
     }
   }
 
+  test("scalable twins (HashingTF) recover the planted exact clones too") {
+    val twins = Segmentation.movieTwinsScalable(ratings, threshold = 0.5,
+      topK = 100, seed = 42L).cache()
+    val found = twins.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val plantedExact = ratings
+      .filter(col("userId") > 1000000 && col("userId") < 2000000)
+      .select(col("userId")).distinct().collect().map(_.getLong(0))
+    plantedExact.foreach { cu =>
+      val orig = (cu - 1000000).toString
+      val pair = if (orig < cu.toString) (orig, cu.toString)
+                 else (cu.toString, orig)
+      assert(found.contains(pair), s"planted pair $pair not recovered")
+    }
+    // similarity still in (0.5, 1] and pairs deduped
+    twins.collect().foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val s = r.getDouble(2)
+      assert(s > 0.5 - 1e-12 && s <= 1.0 + 1e-12)
+    }
+  }
+
   test("twin validation: twins correlate at least as well as random pairs") {
     val twins = Segmentation.movieTwins(ratings, topK = 50, seed = 42L)
     val v = Segmentation.validateTwins(ratings, twins,
