@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SparkSessionExtensions hook exposing graft's native kernels to SQL:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * // or: spark.sql.extensions=graft.functions.GraftExtensions
+  * spark.sql("SELECT simhash64(tokens), shingles(tokens, 5) FROM t")
+  * }}}
+  *
+  * The Column API (`SimHash64.simhash64`, `Shingles.shingles`) needs no
+  * registration — this hook exists for pure-SQL callers (thriftserver,
+  * `spark.sql(...)` pipelines). Registration is session-local and uses
+  * only the public extensions API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private[functions] val functions
+      : Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("simhash64",
+     new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+     (args: Seq[Expression]) => {
+       require(args.length == 1, "simhash64(tokens) takes one argument")
+       SimHash64(args.head)
+     }),
+    ("shingles",
+     new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+     (args: Seq[Expression]) => {
+       require(args.length == 2, "shingles(tokens, k) takes two arguments")
+       val k = args(1) match {
+         case Literal(v: Int, IntegerType) => v
+         case other => throw new IllegalArgumentException(
+           s"shingles k must be an integer literal, got $other")
+       }
+       Shingles(args.head, k)
+     }))
+
+  /** Same registrations on an already-built session (extensions only
+    * apply at session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge
+        .registerFunction(spark, name, info, builder)
+    }
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("approx_percentile tracks the exact percentile (the scale path)") {
+    val o = Tables.orders(spark, TestSpark.sf0001)
+    val both = o.groupBy(col("o_orderpriority"))
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("exact"),
+           approx_percentile(col("o_totalprice"), lit(0.5), lit(10000))
+             .as("approx"),
+           count(lit(1)).as("n"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val exact = r.getDouble(1)
+      val approx = r.getDouble(2)
+      // accuracy 10000 with n in the hundreds → the sketch is exact up
+      // to interpolation (approx returns an actual data value; exact
+      // interpolates between two) — allow one inter-value gap
+      assert(math.abs(approx - exact) / math.max(exact, 1.0) < 0.05,
+        s"approx $approx vs exact $exact for ${r.getString(0)}")
+    }
+  }
+
+  test("rollup emits detail, subtotal, and grand-total levels") {
+    val r = Stats.rollupFacets(spark, TestSpark.sf0001).cache()
+    val gids = r.select(col("gid")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(gids == Set(0L, 1L, 3L))
+    val grand = r.filter(col("gid") === 3)
+    assert(grand.count() == 1)
+    val total = Tables.orders(spark, TestSpark.sf0001).count()
+    assert(grand.head().getAs[Long]("cnt") == total)
+    // subtotals sum to the grand total
+    val sub = r.filter(col("gid") === 1)
+      .agg(sum(col("cnt"))).head().getLong(0)
+    assert(sub == total)
+  }
+}

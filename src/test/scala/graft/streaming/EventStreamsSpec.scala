@@ -72,6 +72,31 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming: parquet dir stream matches batch windows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(TestSpark.sf0001, "events.parquet"),
+      tmp.resolve("events.parquet"))
+    val batch = events // also ensures nanosAsLong is set on the session
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(tmp.toString)
+    assert(stream.isStreaming)
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("file_tumbling")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_tumbling").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                   r.getDouble(3))).toSet
+      val direct = EventStreams.tumblingCounts(batch).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                   r.getDouble(3))).toSet
+      assert(streamed == direct,
+        "file-stream aggregation must equal the batch aggregation")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: state accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
