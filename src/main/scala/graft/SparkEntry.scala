@@ -119,7 +119,9 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
          CAST(l_partkey AS VARCHAR) AS part_str,
          l_extendedprice AS price
-         FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice
+         LIMIT 100""",
     "q_filter_notnull_threshold" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders
@@ -154,7 +156,7 @@ object SparkEntry {
          FROM lineitem
          WHERE l_partkey IN (SELECT l_partkey FROM lineitem
                              GROUP BY l_partkey HAVING count(*) >= 30)
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_partkey""",
     "q_left_join_scores" ->
       """WITH s AS (SELECT o_custkey,
            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,

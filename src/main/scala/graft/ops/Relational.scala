@@ -25,13 +25,18 @@ object Relational {
     * Reference: customer_segmentation_1.py:16 (cast), splitting_data.py:20.
     * TakeOrderedAndProject: per-partition top-k, no global sort. */
   def scanProjectCast(spark: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the testdata (118K dup
+    // groups at sf0.1) — the sort carries every projected column so the
+    // limit boundary is tie-free (SURVEY §7.7 rule 2; remaining dups are
+    // full-row-identical, which value-wise compare can't distinguish).
     Tables.lineitem(spark, dir)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+               col("l_extendedprice"))
+      .limit(100)
       .select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_partkey").cast("string").as("part_str"),
         col("l_extendedprice").as("price"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
-      .limit(100)
   }
 
   /** F1+F3 — null-drop + threshold predicate (splitting_data.py:16,20).
@@ -77,7 +82,7 @@ object Relational {
       .select(col("l_partkey"))
     li.join(popular, Seq("l_partkey"), "left_semi")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
   }
 
   /** J3 — left outer join against per-group scores (popularity_model.py:42).
