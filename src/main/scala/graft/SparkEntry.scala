@@ -49,6 +49,7 @@ object SparkEntry {
     "q_json_extract"            -> Corpus.jsonExtract _,
     "q_lang_facets"             -> Corpus.langFacets _,
     "q_text_quality"            -> Corpus.textQuality _,
+    "q_lang_id"                 -> Corpus.langId _,
     "q_embedding_neardup"       -> Corpus.embeddingNearDup _,
     "q_window_tumbling"         -> Corpus.windowTumbling _,
     "q_session_window"          -> Corpus.sessionWindow _,
@@ -384,6 +385,31 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n_docs,
                 sum(n_chars) AS total_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id, len(toks) AS n,
+           len(list_filter(toks, x -> x IN ('the','and','of','to','in',
+             'is','that','it','for','with','was','his','are','not',
+             'this','but'))) AS h_en,
+           len(list_filter(toks, x -> x IN ('der','die','das','und',
+             'ist','nicht','ein','eine','mit','auf','für','von','sich',
+             'dem','den','zu'))) AS h_de,
+           len(list_filter(toks, x -> x IN ('el','la','los','las','de',
+             'que','y','en','un','una','por','con','para','es','su',
+             'del'))) AS h_es,
+           len(list_filter(toks, x -> x IN ('le','la','les','de','des',
+             'et','est','un','une','dans','pour','que','qui','sur',
+             'pas','au'))) AS h_fr
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN n = 0 OR greatest(h_en, h_de, h_es, h_fr) = 0
+                  THEN 'und'
+                WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                WHEN h_de = greatest(h_de, h_es, h_fr) THEN 'de'
+                WHEN h_es = greatest(h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS detected
+         FROM s ORDER BY doc_id""",
     "q_text_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                     FROM documents),

@@ -142,6 +142,15 @@ object Corpus {
       .orderBy(col("asset_id"))
   }
 
+  /** Per-document heuristic language ID (graft.text stopword profiles;
+    * the oracle inlines the same lists — with a shared denominator the
+    * ratio argmax reduces to integer hit-count comparisons, so the SQL
+    * twin is float-free). */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), Text.langId(col("text")).as("detected"))
+      .orderBy(col("doc_id"))
+
   /** Per-document quality score (graft.text heuristics; the oracle
     * replicates the exact formula over string_split — tokenize is
     * identity-equivalent on this corpus, punctuation count is zero). */
