@@ -146,8 +146,11 @@ object Relational {
     * shuffle parallelism at 5 — salting multiplies it by 8 with
     * identical output. */
   def selfJoinPairs(spark: SparkSession, dir: String): DataFrame = {
+    // materialized once — both join sides consume it with non-reusable
+    // derived plans (see Stats.corrPerPair)
     val ue = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint()
     Pairs.saltedSelfPairs(ue, "event_type", "user_id")
       .groupBy(col("id_a").as("user_a"), col("id_b").as("user_b"))
       .agg(count(lit(1)).as("n_common"))

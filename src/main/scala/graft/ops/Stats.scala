@@ -59,9 +59,14 @@ object Stats {
     * decimal grid), so round@4dp is stable; +1e-9 nudges exact ±1 /
     * half-boundary cases off the rounding edge. */
   def corrPerPair(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: both sides of the pair self-join consume this
+    // aggregate, but their derived plans differ (salt vs explode), so
+    // exchange reuse can't dedupe them — materialize the |U|·|types|
+    // frame once instead of computing it per side.
     val uv = Tables.events(spark, dir)
       .groupBy(col("user_id"), col("event_type"))
       .agg(avg(col("value")).as("v"))
+      .localCheckpoint()
     Pairs.saltedSelfPairs(uv, "event_type", "user_id", payload = Seq("v"))
       .groupBy(col("id_a").as("user_a"), col("id_b").as("user_b"))
       .agg(corr(col("v_a"), col("v_b")).as("corr_raw"))
