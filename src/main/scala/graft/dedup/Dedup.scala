@@ -42,7 +42,7 @@ object Dedup {
     * no window sort. */
   def dropExactDuplicates(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
-    val cols = docs.columns
+    val cols = docs.columns.toIndexedSeq
     docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("row"))
       .select(cols.map(c => col(s"row.$c")): _*)

@@ -25,6 +25,17 @@ class CsvSpec extends AnyFunSuite {
     assert(in.exceptAll(back).count() == 0)
   }
 
+  test("twin-pairs CSV round-trip (the q1_pairs.csv flow)") {
+    val dir = Files.createTempDirectory("graft-csv").toString + "/pairs"
+    val pairs = Seq((1, 2, 0.75), (3, 9, 1.0))
+      .toDF("userA", "userB", "similarity")
+    Csv.write(pairs, dir)
+    val back = Csv.read(spark, dir, Csv.pairsSchema)
+    assert(back.schema == Csv.pairsSchema)
+    assert(back.exceptAll(pairs).count() == 0)
+    assert(pairs.exceptAll(back).count() == 0)
+  }
+
   test("write does not force a single output file") {
     val dir = Files.createTempDirectory("graft-csv").toString + "/parts"
     val df = spark.range(1000).repartition(4)
