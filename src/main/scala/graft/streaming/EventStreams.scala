@@ -81,6 +81,18 @@ object EventStreams {
       .select(col("window.start").as("bucket_start"),
               col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming EXACT dedup on ingest: drops rows whose `keyCols` were
+    * already seen, keeping state only within the watermark horizon —
+    * the streaming face of `graft.dedup.Dedup.dropExactDuplicates`
+    * (state for a key is evicted once the watermark passes it, so the
+    * store is bounded by the horizon's key cardinality, not the
+    * stream's). Input needs an `event_time` TimestampType column. */
+  def streamingDedup(stream: DataFrame, keyCols: Seq[String],
+                     watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // --- custom state (KeyValueGroupedDataset.mapGroupsWithState) -----------
 
   final case class UserEvent(user_id: Long,

@@ -127,6 +127,31 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeats across micro-batches within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("event_time", "content_hash", "value")
+    val q = EventStreams.streamingDedup(stream, Seq("content_hash"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "aaa", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:00:10"), "aaa", 2.0), // dup
+        (Timestamp.valueOf("2024-01-01 10:00:20"), "bbb", 3.0))
+      q.processAllAvailable()
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "aaa", 4.0), // dup, later batch
+        (Timestamp.valueOf("2024-01-01 10:05:10"), "ccc", 5.0))
+      q.processAllAvailable()
+      val hashes = spark.table("dedup_stream")
+        .select(col("content_hash")).collect().map(_.getString(0))
+      assert(hashes.sorted.toSeq == Seq("aaa", "bbb", "ccc"),
+        s"got ${hashes.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
