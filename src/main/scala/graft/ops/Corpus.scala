@@ -148,7 +148,13 @@ object Corpus {
     * twin is float-free). */
   def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), Text.langId(col("text")).as("detected"))
+      // tokens materialized once — the langId expression tree references
+      // them ~12x and HOFs re-evaluate per reference (Text.langId doc)
+      .select(col("doc_id"), col("text"),
+              Text.tokenize(col("text")).as("toks"))
+      .select(col("doc_id"),
+              Text.langIdFromTokens(col("toks"), col("text"))
+                .as("detected"))
       .orderBy(col("doc_id"))
 
   /** Per-document quality score (graft.text heuristics; the oracle
@@ -156,7 +162,11 @@ object Corpus {
     * identity-equivalent on this corpus, punctuation count is zero). */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+      .select(col("doc_id"), col("text"),
+              Text.tokenize(col("text")).as("toks"))
+      .select(col("doc_id"),
+              Text.qualityScoreFromTokens(col("toks"), col("text"))
+                .as("quality"))
       .orderBy(col("doc_id"))
 
   /** Embedding near-dup pairs over planted duplicate vectors (LSH

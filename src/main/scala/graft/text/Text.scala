@@ -77,9 +77,16 @@ object Text {
 
   /** Heuristic language ID: CJK character ratio decides "zh"; otherwise
     * argmax of stopword-profile hit ratios (first-listed language wins
-    * ties — deterministic); "und" when nothing scores. */
-  def langId(text: Column): Column = {
-    val toks = tokenize(text)
+    * ties — deterministic); "und" when nothing scores.
+    *
+    * The score/argmax tree references the token array ~12×, and HOF
+    * expressions are re-evaluated per reference — callers on a hot path
+    * must materialize tokens in their own projection first and use
+    * [[langIdFromTokens]]; this convenience form re-tokenizes inline. */
+  def langId(text: Column): Column = langIdFromTokens(tokenize(text), text)
+
+  /** [[langId]] over an already-materialized token column. */
+  def langIdFromTokens(toks: Column, text: Column): Column = {
     val scores = Stopwords.map { case (lang, words) =>
       lang -> stopwordRatio(toks, words)
     }
@@ -94,9 +101,14 @@ object Text {
 
   /** Per-document quality features as one struct column:
     * n_chars, n_tokens, avg token length, punctuation ratio, distinct
-    * token ratio, any-language stopword ratio. One pass, all codegen. */
-  def qualityFeatures(text: Column): Column = {
-    val toks = tokenize(text)
+    * token ratio, any-language stopword ratio. Hot paths should
+    * materialize tokens first and use [[qualityFeaturesFromTokens]]
+    * (see [[langId]] note on HOF re-evaluation). */
+  def qualityFeatures(text: Column): Column =
+    qualityFeaturesFromTokens(tokenize(text), text)
+
+  /** [[qualityFeatures]] over an already-materialized token column. */
+  def qualityFeaturesFromTokens(toks: Column, text: Column): Column = {
     val nTok = size(toks)
     val punct = length(text) -
       length(regexp_replace(text, "[\\p{Punct}]", ""))
@@ -122,8 +134,12 @@ object Text {
     * punctuation density, and low vocabulary diversity — the standard
     * pretraining-filter shape (C4-style heuristics). Weights are plain
     * lits; tune per corpus. */
-  def qualityScore(text: Column): Column = {
-    val f = qualityFeatures(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(tokenize(text), text)
+
+  /** [[qualityScore]] over an already-materialized token column. */
+  def qualityScoreFromTokens(toks: Column, text: Column): Column = {
+    val f = qualityFeaturesFromTokens(toks, text)
     val lenOk = when(f.getField("n_tokens").between(5, 100000), lit(1.0))
       .otherwise(lit(0.0))
     val punctOk = lit(1.0) - least(f.getField("punct_ratio") * 4.0, lit(1.0))
