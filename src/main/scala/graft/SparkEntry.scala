@@ -360,7 +360,10 @@ object SparkEntry {
                 round(list_aggregate(list_transform(string_split(text, ' '),
                         w -> length(w)), 'sum') * 1.0
                       / len(string_split(text, ' '))
-                      + 0.000000001, 6) AS avg_token_len
+                      + 0.000000001, 6) AS avg_token_len,
+                len(regexp_extract_all(text,
+                  '''(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{Nd}+| ?[^\s\p{L}\p{Nd}]+|\s+'))
+                  AS bpe_tokens
          FROM documents ORDER BY doc_id""",
     "q_doc_fingerprint" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -84,7 +84,8 @@ object Corpus {
         size(array_distinct(toks)).as("n_distinct"),
         round(aggregate(toks, lit(0), (a, t) => a + length(t))
                 .cast("double") / size(toks).cast("double") + lit(1e-9), 6)
-          .as("avg_token_len"))
+          .as("avg_token_len"),
+        Text.bpeTokenCount(col("text")).as("bpe_tokens"))
       .orderBy(col("doc_id"))
   }
 
