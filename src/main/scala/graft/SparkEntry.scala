@@ -50,6 +50,7 @@ object SparkEntry {
     "q_lang_facets"             -> Corpus.langFacets _,
     "q_text_quality"            -> Corpus.textQuality _,
     "q_lang_id"                 -> Corpus.langId _,
+    "q_vocab_topk"              -> ((s, d) => Corpus.vocabTopK(s, d)),
     "q_embedding_neardup"       -> Corpus.embeddingNearDup _,
     "q_window_tumbling"         -> Corpus.windowTumbling _,
     "q_session_window"          -> Corpus.sessionWindow _,
@@ -388,6 +389,13 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n_docs,
                 sum(n_chars) AS total_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q_vocab_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+         SELECT word, count(DISTINCT doc_id) AS df,
+                count(*) AS occurrences
+         FROM w GROUP BY word
+         ORDER BY df DESC, occurrences DESC, word LIMIT 25""",
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents),

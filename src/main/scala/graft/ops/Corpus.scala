@@ -185,6 +185,22 @@ object Corpus {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Vocabulary profile: top words by document frequency (plus total
+    * occurrences) — the explode → two-phase agg → top-k shape of every
+    * corpus vocabulary/stopword analysis. At 100 TB the exact form
+    * shuffles one row per distinct (doc, word); the sketch path is
+    * approx_count_distinct/frequent-items over the same explode. */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val words = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    words
+      .groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+           count(lit(1)).as("occurrences"))
+      .orderBy(col("df").desc, col("occurrences").desc, col("word"))
+      .limit(k)
+  }
+
   /** Corpus facets: docs + chars per (lang, source) — the partition-key
     * profile a 100-TB layout decision starts from. */
   def langFacets(spark: SparkSession, dir: String): DataFrame = {
