@@ -25,10 +25,13 @@ object Bench {
 
     def exec(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
+    // a query that throws still never crashes the bench, but its time is
+    // NEGATED so a failure can't masquerade as a fast success (ADVICE r2)
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try f catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { f; true } catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (ok) sec else -sec
     }
 
     // headline = the DuckDB-comparable declared queries (ML/seeded
@@ -76,8 +79,10 @@ object Bench {
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"pipelines":${obj(pipeResults)},"sf":"$sfDir"}""")
+    val failed = (results ++ pipeResults).collect { case (k, v) if v < 0 => k }
+    val total = results.map { case (_, v) => math.abs(v) }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"pipelines":${obj(pipeResults)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

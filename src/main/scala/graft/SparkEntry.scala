@@ -55,12 +55,13 @@ object SparkEntry {
     "q_window_tumbling"         -> Corpus.windowTumbling _,
     "q_session_window"          -> Corpus.sessionWindow _,
     "q_multimodal_meta"         -> Corpus.multimodalMeta _,
-    // ML / seeded queries: no oracleSql entry (not SQL-expressible or
-    // seed-dependent) → driver records the weaker rows-only check; full
-    // semantics are covered by the ScalaTest golden/property suites.
+    // Deterministic (seed-free) ranking metrics — full SQL oracle below.
+    "q_ranking_metrics"         -> (rankingMetrics _),
+    // ML / seeded queries: no oracleSql entry (seed-dependent hashes) →
+    // driver records the weaker rows-only check; full semantics are
+    // covered by the ScalaTest golden/property suites.
     "q_minhash_twins"           -> (minhashTwins _),
     "q_als_recommend"           -> (alsRecommend _),
-    "q_ranking_metrics"         -> (rankingMetrics _),
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -74,7 +75,10 @@ object SparkEntry {
     pipelines.Segmentation.movieTwins(ratings.union(clones), seed = 42L)
   }
 
-  /** Seeded ALS top-10 per user on the split testdata ratings. */
+  /** Seeded ALS top-10 per user on the split testdata ratings. The
+    * per-user list is EXPLODED to scalar (userId, slot, movieId) rows —
+    * the driver's pandas comparator can't sort/hash array cells
+    * (ADVICE r2), and the flat form carries identical information. */
   private def alsRecommend(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val splits = pipelines.Splitting.split(
@@ -82,36 +86,45 @@ object SparkEntry {
     val model = pipelines.AlsRec.fitModel(splits.train, rank = 8,
       regParam = 0.1, maxIter = 5, seed = 42L)
     pipelines.AlsRec.predictedItems(model, splits.test, k = 10)
-      .orderBy(col("userId"))
+      .select(col("userId"),
+              posexplode(col("predicted_items")).as(Seq("slot", "movieId")))
+      .orderBy(col("userId"), col("slot"))
   }
 
   /** DataFrame-native ranking metrics over a deterministic fixture:
-    * per user, predicted = event types by mean value desc (top 3, so
-    * the k-cutoff is active against ~5 types/user), actual = types
-    * above the user's own mean. One row out. */
+    * per user, predicted = top-3 event types by total value (exact
+    * integer cents, so rank order and ties are engine-portable),
+    * actual = types whose total is above the user's own mean total
+    * (integer cross-multiplied, no float boundary). One row out —
+    * the four means are rounded @6dp for the hash gate. */
   private def rankingMetrics(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val uv = Tables.events(s, d)
       .groupBy(col("user_id"), col("event_type"))
-      .agg(avg(col("value")).as("v"))
+      .agg(graft.functions.Exact.sumCents(col("value")).as("sc"))
       .cache()
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("v").desc, col("event_type"))
+      .orderBy(col("sc").desc, col("event_type"))
     val predicted = uv.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .groupBy(col("user_id"))
       .agg(transform(array_sort(collect_list(struct(col("rn"),
              col("event_type").as("t")))), e => e.getField("t"))
            .as("predicted"))
-    val mean = uv.groupBy(col("user_id")).agg(avg(col("v")).as("m"))
-    val actual = uv.join(mean, Seq("user_id"))
-      .filter(col("v") > col("m"))
+    val tot = uv.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("t"), sum(col("sc")).as("tot"))
+    val actual = uv.join(tot, Seq("user_id"))
+      .filter(col("sc") * col("t") > col("tot"))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(col("event_type"))).as("actual"))
     graft.ml.RankingMetricsDF.evaluate(
-      predicted.join(actual, Seq("user_id"), "inner"),
-      "predicted", "actual", k = 3)
+        predicted.join(actual, Seq("user_id"), "inner"),
+        "predicted", "actual", k = 3)
+      .select(round(col("precision_at_k") + lit(1e-9), 6).as("precision_at_k"),
+              round(col("recall_at_k") + lit(1e-9), 6).as("recall_at_k"),
+              round(col("map_at_k") + lit(1e-9), 6).as("map_at_k"),
+              round(col("ndcg_at_k") + lit(1e-9), 6).as("ndcg_at_k"))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -381,13 +394,13 @@ object SparkEntry {
       """WITH k AS (SELECT user_id,
                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                   FROM events)
-         SELECT user_id, sum(k) AS sum_k, count(*) AS cnt,
+         SELECT user_id, CAST(sum(k) AS BIGINT) AS sum_k, count(*) AS cnt,
                 min(k) AS min_k, max(k) AS max_k
          FROM k WHERE k IS NOT NULL
          GROUP BY user_id ORDER BY user_id""",
     "q_lang_facets" ->
       """SELECT lang, source, count(*) AS n_docs,
-                sum(n_chars) AS total_chars
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "q_vocab_topk" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
@@ -461,6 +474,54 @@ object SparkEntry {
                 count(*) AS n_events
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, session_start_s""",
+    // Mirrors RankingMetricsDF semantics (binary relevance, precision/k,
+    // MAP over min(|labels|,k), NDCG with 1/ln(i+2) discounts) on the
+    // same exact-integer fixture; inner join drops empty-label users on
+    // both sides, so nobody contributes a vacuous 0.
+    "q_ranking_metrics" ->
+      """WITH uv AS (SELECT user_id, event_type,
+              sum(CAST(round(value * 100) AS BIGINT)) AS sc
+            FROM events GROUP BY 1, 2),
+         tot AS (SELECT user_id, count(*) AS t, sum(sc) AS tot
+                 FROM uv GROUP BY 1),
+         act AS (SELECT uv.user_id, uv.event_type
+                 FROM uv JOIN tot USING (user_id)
+                 WHERE uv.sc * tot.t > tot.tot),
+         l AS (SELECT user_id, count(*) AS n_labels FROM act GROUP BY 1),
+         pred AS (SELECT user_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY sc DESC, event_type) AS rn
+                  FROM uv QUALIFY rn <= 3),
+         h AS (SELECT p.user_id, p.rn,
+                 CASE WHEN a.event_type IS NOT NULL THEN 1 ELSE 0 END AS hit
+               FROM pred p LEFT JOIN act a
+                 ON p.user_id = a.user_id AND p.event_type = a.event_type),
+         hh AS (SELECT user_id, rn, hit,
+                  sum(hit) OVER (PARTITION BY user_id ORDER BY rn
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+                FROM h),
+         pu AS (SELECT user_id,
+                  sum(hit) AS hits,
+                  coalesce(sum(CASE WHEN hit = 1
+                    THEN CAST(cum AS DOUBLE) / rn END), 0.0) AS ap_num,
+                  coalesce(sum(CASE WHEN hit = 1
+                    THEN 1.0 / ln(rn + 1) END), 0.0) AS dcg
+                FROM hh GROUP BY 1),
+         m AS (SELECT l.user_id, l.n_labels, pu.hits, pu.ap_num, pu.dcg,
+                 least(l.n_labels, 3) AS lk
+               FROM l JOIN pu USING (user_id))
+         SELECT
+           round(avg(CAST(hits AS DOUBLE) / 3.0) + 0.000000001, 6)
+             AS precision_at_k,
+           round(avg(CAST(hits AS DOUBLE) / n_labels) + 0.000000001, 6)
+             AS recall_at_k,
+           round(avg(ap_num / lk) + 0.000000001, 6) AS map_at_k,
+           round(avg(dcg / (CASE lk
+                      WHEN 1 THEN 1.0/ln(2)
+                      WHEN 2 THEN 1.0/ln(2) + 1.0/ln(3)
+                      ELSE 1.0/ln(2) + 1.0/ln(3) + 1.0/ln(4) END))
+                 + 0.000000001, 6) AS ndcg_at_k
+         FROM m""",
     "q_multimodal_meta" ->
       """SELECT doc_id AS asset_id,
                 CASE WHEN doc_id % 3 = 0 THEN 'image'

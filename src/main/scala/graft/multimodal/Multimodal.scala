@@ -80,10 +80,14 @@ object Multimodal {
   def frameSampleStub(durationMs: Column, fps: Int = 25,
                       everyN: Int = 50): Column = {
     val nFrames = (durationMs * fps / 1000).cast("int")
-    filter(
-      transform(sequence(lit(0), greatest(nFrames - 1, lit(0))),
-                f => (f * lit(1000L) / fps).cast("long")),
-      (_, idx) => idx % everyN === 0)
+    // zero-duration assets plan ZERO frames — without the guard,
+    // sequence(0, greatest(-1, 0)) = [0] would plan one (ADVICE r2)
+    when(nFrames > 0,
+      filter(
+        transform(sequence(lit(0), nFrames - 1),
+                  f => (f * lit(1000L) / fps).cast("long")),
+        (_, idx) => idx % everyN === 0))
+      .otherwise(array().cast("array<long>"))
   }
 
   /** STUB resize: real kernel re-encodes pixels; the dimension math

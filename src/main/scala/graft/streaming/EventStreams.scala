@@ -68,18 +68,21 @@ object EventStreams {
 
   // --- streaming variants -------------------------------------------------
 
-  /** Streaming tumbling counts: same aggregation with a watermark so
-    * state for closed windows is dropped (append-mode emittable). Input
-    * must already carry an `event_time` TimestampType column. */
+  /** Streaming tumbling counts: the SAME aggregation expressions as the
+    * batch [[tumblingCounts]] (exact integer-cents sums, same output
+    * shape) plus a watermark so state for closed windows is dropped
+    * (append-mode emittable). Input must already carry an `event_time`
+    * TimestampType column. */
   def tumblingCountsStream(stream: DataFrame, width: String = "1 hour",
                            watermark: String = "1 hour"): DataFrame =
     stream
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), width), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-           sum(col("value")).as("sum_value"))
-      .select(col("window.start").as("bucket_start"),
-              col("event_type"), col("n_events"), col("sum_value"))
+           graft.functions.Exact.sumCents(col("value")).as("sum_cents"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start_s"),
+              col("event_type"), col("n_events"),
+              (col("sum_cents").cast("double") / 100.0).as("sum_value"))
 
   /** Streaming EXACT dedup on ingest: drops rows whose `keyCols` were
     * already seen, keeping state only within the watermark horizon —

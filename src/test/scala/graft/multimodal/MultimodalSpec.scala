@@ -41,6 +41,21 @@ class MultimodalSpec extends AnyFunSuite {
       size(col("frame_times_ms")) > 0).count() == 0)
   }
 
+  test("frame plan: zero-duration assets plan zero frames") {
+    import spark.implicits._
+    val out = Seq(0L, 39L, 40L, 4000L).toDF("duration_ms")
+      .select(col("duration_ms"),
+              Multimodal.frameSampleStub(col("duration_ms")).as("frames"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[collection.Seq[Long]]("frames"))
+      .toMap
+    assert(out(0L).isEmpty, "duration 0 must plan no frames")
+    assert(out(39L).isEmpty, "sub-frame durations must plan no frames")
+    assert(out(40L) == Seq(0L), "one full frame → frame 0 sampled")
+    assert(out(4000L) == Seq(0L, 2000L),
+      "100 frames at stride 50 → frames 0 and 50 → 0ms and 2000ms")
+  }
+
   test("decode stub: same bytes → same dims; hash is content-addressed") {
     val d = assets
       .select(Multimodal.decodeImageStub(col("content")).as("d"),

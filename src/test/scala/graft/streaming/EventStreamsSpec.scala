@@ -60,14 +60,15 @@ class EventStreamsSpec extends AnyFunSuite {
       mem.addData(rows: _*)
       q.processAllAvailable()
       val streamed = spark.table("tumbling_test")
-        .select(col("bucket_start"), col("event_type"),
+        .select(col("bucket_start_s"), col("event_type"),
                 col("n_events"), col("sum_value")).collect()
-        .map(r => (r.getTimestamp(0), r.getString(1),
+        .map(r => (r.getLong(0), r.getString(1),
                    r.getLong(2), r.getDouble(3))).toSet
+      def ep(s: String): Long = Timestamp.valueOf(s).getTime / 1000
       val expected = Set(
-        (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 3.0),
-        (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L, 4.0),
-        (Timestamp.valueOf("2024-01-01 10:00:00"), "view", 1L, 8.0))
+        (ep("2024-01-01 10:00:00"), "click", 2L, 3.0),
+        (ep("2024-01-01 11:00:00"), "click", 1L, 4.0),
+        (ep("2024-01-01 10:00:00"), "view", 1L, 8.0))
       assert(streamed == expected)
     } finally q.stop()
   }
