@@ -55,6 +55,8 @@ object SparkEntry {
     "q_window_tumbling"         -> Corpus.windowTumbling _,
     "q_session_window"          -> Corpus.sessionWindow _,
     "q_multimodal_meta"         -> Corpus.multimodalMeta _,
+    "q_asof_join"               -> Corpus.asofJoin _,
+    "q_range_join"              -> Corpus.rangeJoinFollowers _,
     // Deterministic (seed-free) ranking metrics — full SQL oracle below.
     "q_ranking_metrics"         -> (rankingMetrics _),
     // ML / seeded queries: no oracleSql entry (seed-dependent hashes) →
@@ -474,6 +476,24 @@ object SparkEntry {
                 count(*) AS n_events
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, session_start_s""",
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                    FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS v
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT l.event_id, l.user_id, l.ts_us,
+                r.ts_us AS asof_ts_us, r.v AS asof_v
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND r.ts_us <= l.ts_us
+         ORDER BY l.event_id""",
+    "q_range_join" ->
+      """SELECT l.event_id, l.user_id,
+                count(r.event_id) AS n_next
+         FROM events l LEFT JOIN events r
+           ON l.user_id = r.user_id
+          AND epoch_us(r.ts) > epoch_us(l.ts)
+          AND epoch_us(r.ts) <= epoch_us(l.ts) + 300000000
+         GROUP BY 1, 2 ORDER BY 1""",
     // Mirrors RankingMetricsDF semantics (binary relevance, precision/k,
     // MAP over min(|labels|,k), NDCG with 1/ln(i+2) discounts) on the
     // same exact-integer fixture; inner join drops empty-label users on

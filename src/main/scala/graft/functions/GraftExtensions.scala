@@ -46,6 +46,18 @@ object GraftExtensions {
            s"shingles k must be an integer literal, got $other")
        }
        Shingles(args.head, k)
+     }),
+    ("dot_product",
+     new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+     (args: Seq[Expression]) => {
+       require(args.length == 2, "dot_product(a, b) takes two arguments")
+       DotProduct(args(0), args(1))
+     }),
+    ("pearson_maps",
+     new ExpressionInfo(classOf[PearsonMaps].getName, "pearson_maps"),
+     (args: Seq[Expression]) => {
+       require(args.length == 2, "pearson_maps(a, b) takes two arguments")
+       PearsonMaps(args(0), args(1))
      }))
 
   /** Same registrations on an already-built session (extensions only

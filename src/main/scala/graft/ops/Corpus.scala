@@ -185,6 +185,49 @@ object Corpus {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** As-of join: every click event matched to its user's latest
+    * at-or-before purchase (purchases pre-aggregated unique per
+    * (user, ts) — the [[AsOf.asOfJoin]] right-side contract).
+    * Left-outer semantics: clicks before any purchase carry nulls.
+    *
+    * Times are truncated to MICROS on both engines: DuckDB reads the
+    * parquet nano-timestamps at micro precision, and micros stay exact
+    * through the comparator's float64 (nanos don't — 2⁵³ < 1e18). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("value")).as("v"))
+    AsOf.asOfJoin(clicks, purchases, Seq("user_id"), "ts_us", "ts_us",
+        Seq("v"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+              col("asof_ts_us"), col("asof_v"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range self-join: per event, how many same-user events follow
+    * within 5 minutes — bucketized interval join ([[AsOf.rangeSelfJoin]]),
+    * folded to a count and re-attached left-outer so zero-follower
+    * events keep their 0. */
+  def rangeJoinFollowers(spark: SparkSession, dir: String): DataFrame = {
+    val horizonUs = 300L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+              expr("ts div 1000").as("ts_us"))
+    val counts = AsOf.rangeSelfJoin(ev, Seq("user_id"), "ts_us", horizonUs,
+        payload = Seq("event_id"))
+      .groupBy(col("event_id_l").as("event_id"))
+      .agg(count(lit(1)).as("n_next"))
+    ev.select(col("event_id"), col("user_id"))
+      .join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+              coalesce(col("n_next"), lit(0L)).as("n_next"))
+      .orderBy(col("event_id"))
+  }
+
   /** Vocabulary profile: top words by document frequency (plus total
     * occurrences) — the explode → two-phase agg → top-k shape of every
     * corpus vocabulary/stopword analysis. At 100 TB the exact form

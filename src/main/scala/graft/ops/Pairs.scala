@@ -51,6 +51,36 @@ object Pairs {
       .drop("salt")
   }
 
+  /** All entity pairs (id_a < id_b) over PRE-COMPACTED per-entity rows,
+    * via a broadcast nested-loop theta join — every non-id column
+    * survives with `_a`/`_b` suffixes.
+    *
+    * When entities compact to one small row each (a key set, a key→value
+    * map), this beats the key-equi-join + re-group form: the quadratic
+    * work is inherent to all-pairs semantics either way, but here it is
+    * pure partition-local COMPUTE — no skewed low-cardinality shuffle,
+    * no |pairs|·|keys| intermediate rows through a hash aggregate. The
+    * left side keeps its scan partitioning; the right side ships once as
+    * a broadcast (|entities| small rows). Use while ONE side fits in a
+    * broadcast (~10⁵–10⁶ compacted rows); beyond that, the honest
+    * scale answer is candidate generation ([[minhashCandidatePairs]]),
+    * not a bigger all-pairs engine.
+    *
+    * The probe side is round-robin respread over `slices` partitions
+    * first: compacted frames are tiny post-aggregation, so AQE coalesces
+    * them to ONE partition — without the respread the whole quadratic
+    * nested-loop stage (and everything fused after it) runs on a single
+    * core. */
+  def compactSelfPairs(perEntity: DataFrame, idCol: String,
+                       slices: Int = 0): DataFrame = {
+    val n = if (slices > 0) slices
+            else perEntity.sparkSession.sparkContext.defaultParallelism
+    def side(sfx: String): DataFrame =
+      perEntity.select(perEntity.columns.map(c => col(c).as(c + sfx)): _*)
+    side("_a").repartition(n).join(broadcast(side("_b")),
+      col(s"${idCol}_a") < col(s"${idCol}_b"))
+  }
+
   /** Candidate pairs (id_a < id_b) whose item-set Jaccard similarity can
     * reach `minJaccard`, via MinHash banding: HashingTF the set, draw
     * `numHashTables` MinHash signatures, equi-join on (band, signature).

@@ -139,21 +139,19 @@ object Relational {
   }
 
   /** J4+J5+F4+F5 — self-join user pairs sharing a key, theta-deduped
-    * (customer_segmentation_2.py:23-33). Distinct (user, type) first so the
-    * equi-join on the shared key stays |U|²·|types| bounded instead of
-    * |events|². The join itself goes through [[Pairs.saltedSelfPairs]]:
-    * event_type has ~5 distinct values, so a naive self-equi-join caps
-    * shuffle parallelism at 5 — salting multiplies it by 8 with
-    * identical output. */
+    * (customer_segmentation_2.py:23-33). Compact-first plan: fold each
+    * user to ONE row carrying its distinct-key set (a single high-
+    * cardinality shuffle), pair via [[Pairs.compactSelfPairs]] (broadcast
+    * nested-loop, no shuffle), and count overlaps with a codegen'd
+    * `array_intersect` — the key-equi-join form shuffles |pairs|·|keys|
+    * intermediate rows through a 5-value (skew-salted) key instead. */
   def selfJoinPairs(spark: SparkSession, dir: String): DataFrame = {
-    // materialized once — both join sides consume it with non-reusable
-    // derived plans (see Stats.corrPerPair)
-    val ue = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type")).distinct()
-      .localCheckpoint()
-    Pairs.saltedSelfPairs(ue, "event_type", "user_id")
-      .groupBy(col("id_a").as("user_a"), col("id_b").as("user_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val sets = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("id"))
+      .agg(collect_set(col("event_type")).as("ks"))
+    Pairs.compactSelfPairs(sets, "id")
+      .select(col("id_a").as("user_a"), col("id_b").as("user_b"),
+              size(array_intersect(col("ks_a"), col("ks_b"))).as("n_common"))
       .filter(col("n_common") >= lit(2))
       .orderBy(col("user_a"), col("user_b"))
   }

@@ -59,17 +59,23 @@ object Stats {
     * decimal grid), so round@4dp is stable; +1e-9 nudges exact ±1 /
     * half-boundary cases off the rounding edge. */
   def corrPerPair(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint: both sides of the pair self-join consume this
-    // aggregate, but their derived plans differ (salt vs explode), so
-    // exchange reuse can't dedupe them — materialize the |U|·|types|
-    // frame once instead of computing it per side.
+    // Compact-first plan: fold each user to ONE row carrying its
+    // key→value map (sorted entries → deterministic accumulation
+    // order), pair via a broadcast nested-loop join (no skewed 5-value
+    // shuffle, no |pairs|·|keys| re-group), and compute Pearson per
+    // pair with the native codegen'd [[graft.functions.PearsonMaps]]
+    // kernel — the HOF fold it replaced ran interpreted and was ~10×
+    // the rest of the query combined.
     val uv = Tables.events(spark, dir)
       .groupBy(col("user_id"), col("event_type"))
       .agg(avg(col("value")).as("v"))
-      .localCheckpoint()
-    Pairs.saltedSelfPairs(uv, "event_type", "user_id", payload = Seq("v"))
-      .groupBy(col("id_a").as("user_a"), col("id_b").as("user_b"))
-      .agg(corr(col("v_a"), col("v_b")).as("corr_raw"))
+    val um = uv.groupBy(col("user_id").as("id"))
+      .agg(map_from_entries(sort_array(collect_list(
+             struct(col("event_type"), col("v"))))).as("m"))
+    Pairs.compactSelfPairs(um, "id")
+      .select(col("id_a").as("user_a"), col("id_b").as("user_b"),
+              graft.functions.PearsonMaps.pearsonMaps(col("m_a"), col("m_b"))
+                .as("corr_raw"))
       .filter(col("corr_raw").isNotNull)
       .select(col("user_a"), col("user_b"),
               round(col("corr_raw") + lit(1e-9), 4).as("corr_v"))
@@ -106,6 +112,23 @@ object Stats {
               (col("sum_cents").cast("double") / 100.0).as("total"))
       .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
                col("o_orderstatus").asc_nulls_first)
+  }
+
+  /** Sketch-backed cardinality profile per event_type:
+    * `approx_count_distinct` (HyperLogLog++, mergeable, one pass, no
+    * per-distinct-row shuffle) — the 100-TB profiling path for "how
+    * many distinct users/sessions per facet". The exact
+    * `countDistinct` form shuffles one row per distinct (key, value)
+    * pair and is the baseline the sketch is property-tested against
+    * (StatsSpec: relative error ≪ rsd bound). Not oracle-declared:
+    * HLL registers differ across engines by construction. */
+  def cardinalityProfile(spark: SparkSession, dir: String,
+                         rsd: Double = 0.05): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .orderBy(col("event_type"))
   }
 
   /** A2+J1+F4 — rows above their group mean (popularity_model.py:52-56

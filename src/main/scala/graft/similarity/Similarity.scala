@@ -24,8 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision (deterministic left-to-right fold). */
+  /** Σ aᵢ·bᵢ in double precision (deterministic left-to-right fold) —
+    * the native codegen kernel [[graft.functions.VectorKernels.dot]].
+    * [[dotHof]] is the composed higher-order-function reference form it
+    * replaced (bit-identical; randomized-equivalence-tested) — HOF
+    * lambdas evaluate interpreted outside whole-stage codegen, which
+    * was the entire runtime of the brute-force scan. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorKernels.dot(a, b)
+
+  /** Reference HOF formulation of [[dot]] (kept for the kernel
+    * equivalence spec; do not use in hot paths). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
               lit(0.0), (acc, v) => acc + v)
 
@@ -52,13 +62,18 @@ object Similarity {
                  qId: String = "vec_id", qVec: String = "embedding",
                  cId: String = "vec_id", cVec: String = "embedding")
       : DataFrame = {
+    // norms computed ONCE per row (not per pair); cos is then one dot +
+    // one divide per pair — all inside codegen via the native kernel
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
     val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
     broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_raw", cosine(col("qv"), col("cv")))
+      .withColumn("cos_raw",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= lit(k))
       .select(col("query_id"), col("neighbor_id"),

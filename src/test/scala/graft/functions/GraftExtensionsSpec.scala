@@ -22,6 +22,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[String](1) == Seq("a b", "b c", "c d"))
   }
 
+  test("SQL callers can use dot_product and pearson_maps") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                pearson_maps(map('a', 1.0D, 'b', 2.0D, 'c', 3.0D),
+                             map('a', 2.0D, 'b', 4.0D, 'c', 6.0D)) AS r""")
+      .head()
+    assert(row.getDouble(0) == 11.0)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12,
+      "perfectly linear profiles must correlate at 1")
+  }
+
   test("shingles rejects a non-literal k") {
     GraftExtensions.register(spark)
     import spark.implicits._

@@ -56,6 +56,26 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("DotProduct expression matches the HOF form bit-for-bit") {
+    val cases = Seq.fill(200) {
+      val n = rnd.nextInt(40)
+      (Seq.fill(n)(rnd.nextFloat() * 2 - 1), Seq.fill(n)(rnd.nextFloat() * 2 - 1))
+    } :+ ((Seq.empty[Float], Seq.empty[Float]))
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+        graft.similarity.Similarity.dot(col("a"), col("b")).as("native"),
+        graft.similarity.Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+    // length mismatch and null element → null, like zip_with padding
+    val edge = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+      .select(graft.similarity.Similarity.dot(col("a"), col("b")).as("d"))
+    assert(edge.head().isNullAt(0), "length mismatch must be null")
+  }
+
   test("Exact sumCents/avgFromCents is exact at extreme counts") {
     // 2dp values whose float sum drifts: many 0.01-grid values
     val n = 200000

@@ -37,6 +37,53 @@ class PairsSpec extends AnyFunSuite {
     assert(rows((2L, 3L)) == ((20.0, 30.0)))
   }
 
+  test("compactSelfPairs matches the naive theta join") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq("a", "b")), (2L, Seq("b", "c")), (3L, Seq("c")),
+      (4L, Seq.empty[String]))).toDF("id", "ks")
+    val rows = Pairs.compactSelfPairs(df, "id")
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+                       (3L, 4L)))
+  }
+
+  test("compact corr/overlap queries match the join-aggregate forms") {
+    val dir = TestSpark.sf0001
+    val ue = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct().cache()
+    // n_common via the compact plan vs the naive join + count
+    val naiveCommon = ue.as("a")
+      .join(ue.as("b"), col("a.event_type") === col("b.event_type") &&
+                        col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= 2)
+    val compact = graft.ops.Relational.selfJoinPairs(spark, dir)
+    assert(compact.exceptAll(naiveCommon).count() == 0)
+    assert(naiveCommon.exceptAll(compact).count() == 0)
+    // corr via the compact fold vs Spark's corr aggregate on the same pairs
+    val uv = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(avg(col("value")).as("v")).cache()
+    val naiveCorr = uv.as("a")
+      .join(uv.as("b"), col("a.event_type") === col("b.event_type") &&
+                        col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+      .agg(corr(col("a.v"), col("b.v")).as("corr_raw"))
+      .filter(col("corr_raw").isNotNull)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val mine = Stats.corrPerPair(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(mine.keySet == naiveCorr.keySet)
+    // corr_v is round(x+1e-9, 4) of a value within ~1e-13 of the
+    // co-moment aggregate — so it can sit at most half a grid step away
+    mine.foreach { case (k, v) =>
+      assert(math.abs(v - naiveCorr(k)) <= 5.1e-5, s"pair $k: $v vs ${naiveCorr(k)}")
+    }
+  }
+
   test("minhash candidate pairs are far fewer than all pairs") {
     val ratings = Ratings.fromTestdata(spark, TestSpark.sf0001)
     val sets = ratings

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audits: the scaling claims in scaladocs/SCALING.md,
+  * checked against the ACTUAL plans (`explain formatted`), so a
+  * regression that silently changes a join strategy or un-pushes a
+  * filter fails CI — not just a slower bench three rounds later. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filters and projections reach the parquet scan") {
+    val p = plan(Relational.filterNotNullThreshold(spark, dir))
+    assert(p.contains("PushedFilters:") &&
+           p.contains("GreaterThanOrEqual(o_totalprice,50000.0)"), p)
+    // 3-column projection must not scan the rest of the table
+    val scanLine = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!scanLine.contains("o_orderdate") && !scanLine.contains("o_comment"),
+      s"projection not pruned at the scan: $scanLine")
+  }
+
+  test("pair queries pair via broadcast nested-loop, not a shuffle join") {
+    for (df <- Seq(Relational.selfJoinPairs(spark, dir),
+                   Stats.corrPerPair(spark, dir))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      assert(!p.contains("SortMergeJoin"), "unexpected shuffle join")
+    }
+  }
+
+  test("corr pairs use the native pearson kernel inside the plan") {
+    val p = plan(Stats.corrPerPair(spark, dir))
+    assert(p.contains("pearson_maps"), p.take(2000))
+  }
+
+  test("cosine top-k: native dot kernel, broadcast queries, rank pushdown") {
+    val p = plan(Corpus.cosineTopK(spark, dir))
+    assert(p.contains("dot_product"), "native kernel missing from plan")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query side must broadcast (one pass over the corpus)")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k filter should push a group limit into the window")
+  }
+
+  test("window rank top-k gets a WindowGroupLimit") {
+    val p = plan(graft.ops.Windows.rankTopKPerGroup(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("global top-k fuses to TakeOrderedAndProject") {
+    val p = plan(Relational.orderByLimitTopK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("as-of join plans ONE shuffle and a running window, no range join") {
+    val p = plan(Corpus.asofJoin(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"),
+      "as-of join must not degrade to a range/cross join")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(500))
+  }
+
+  test("range self-join is an equi-join on (key, bucket)") {
+    val p = plan(Corpus.rangeJoinFollowers(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"),
+      "bucketized range join must be a pure equi-join")
+  }
+}

@@ -27,6 +27,20 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL cardinality profile tracks exact distinct counts") {
+    val approx = Stats.cardinalityProfile(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.15,
+        s"$k: approx ${approx(k)} vs exact $e")
+    }
+  }
+
   test("rollup emits detail, subtotal, and grand-total levels") {
     val r = Stats.rollupFacets(spark, TestSpark.sf0001).cache()
     val gids = r.select(col("gid")).distinct().collect()
