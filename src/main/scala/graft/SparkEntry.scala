@@ -57,6 +57,8 @@ object SparkEntry {
     "q_multimodal_meta"         -> Corpus.multimodalMeta _,
     "q_asof_join"               -> Corpus.asofJoin _,
     "q_range_join"              -> Corpus.rangeJoinFollowers _,
+    "q_tfidf_topterms"          -> ((s, d) => Corpus.tfidfTopTerms(s, d)),
+    "q_content_filters"         -> Corpus.contentFilters _,
     // Deterministic (seed-free) ranking metrics — full SQL oracle below.
     "q_ranking_metrics"         -> (rankingMetrics _),
     // ML / seeded queries: no oracleSql entry (seed-dependent hashes) →
@@ -400,6 +402,45 @@ object SparkEntry {
                 min(k) AS min_k, max(k) AS max_k
          FROM k WHERE k IS NOT NULL
          GROUP BY user_id ORDER BY user_id""",
+    "q_tfidf_topterms" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         ranked AS (SELECT tf.doc_id, tf.word, tf.tf, df.df, n.n,
+                      row_number() OVER (PARTITION BY tf.doc_id
+                        ORDER BY tf.tf DESC, df.df ASC, tf.word) AS rank
+                    FROM tf JOIN df USING (word) CROSS JOIN n)
+         SELECT doc_id, rank, word, tf, df,
+                round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)
+                      + 0.000000001, 6) AS tfidf
+         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q_content_filters" ->
+      """WITH planted AS (SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+               THEN ' contact bob@example.com or visit https://example.org/a?b=1 now'
+               ELSE '' END AS text
+           FROM documents),
+         words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM planted),
+         sh AS (SELECT doc_id,
+                  array_to_string(list_slice(ws, i, i + 1), ' ') AS bg
+                FROM words,
+                LATERAL (SELECT unnest(generate_series(1,
+                           greatest(len(ws) - 1, 1))) AS i)),
+         d AS (SELECT doc_id, count(DISTINCT bg) AS n_distinct
+               FROM sh GROUP BY doc_id),
+         t AS (SELECT doc_id, len(ws) AS n_tokens FROM words)
+         SELECT p.doc_id,
+           len(regexp_extract_all(p.text, 'https?://[^\s]+')) AS n_urls,
+           len(regexp_extract_all(p.text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           round(CASE WHEN t.n_tokens <= 1 THEN 1.0
+                 ELSE CAST(d.n_distinct AS DOUBLE) / (t.n_tokens - 1) END
+                 + 0.000000001, 6) AS bigram_ratio
+         FROM planted p JOIN d USING (doc_id) JOIN t USING (doc_id)
+         ORDER BY p.doc_id""",
     "q_lang_facets" ->
       """SELECT lang, source, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -58,6 +58,12 @@ object GraftExtensions {
      (args: Seq[Expression]) => {
        require(args.length == 2, "pearson_maps(a, b) takes two arguments")
        PearsonMaps(args(0), args(1))
+     }),
+    ("lang_hits",
+     new ExpressionInfo(classOf[LangHits].getName, "lang_hits"),
+     (args: Seq[Expression]) => {
+       require(args.length == 1, "lang_hits(tokens) takes one argument")
+       LangHits(args.head)
      }))
 
   /** Same registrations on an already-built session (extensions only

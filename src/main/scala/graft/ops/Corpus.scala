@@ -244,6 +244,57 @@ object Corpus {
       .limit(k)
   }
 
+  /** TF-IDF term weighting: top-3 terms per document by raw term
+    * frequency (ties: document frequency asc — rarer wins — then word),
+    * scored with smoothed idf `ln((N+1)/(df+1)) + 1`. Selection order
+    * is a pure INTEGER tuple, so ranks are engine-portable; only the
+    * reported score is float (rounded @6dp). Two shuffles at any
+    * scale: (doc, word) fold, then word → df broadcast back. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs(spark, dir).select(countDistinct(col("doc_id")).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("word"))
+    // no broadcast hint on df: vocabulary is unbounded at corpus scale —
+    // AQE converts to broadcast at runtime when it does fit
+    tf.join(df, Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(k))
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"),
+              round(col("tf") *
+                      (log((col("n") + 1).cast("double") /
+                           (col("df") + 1).cast("double")) + lit(1.0))
+                    + lit(1e-9), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Content filters: URL/email mention counts + distinct-bigram
+    * repetition ratio per document — the C4/Gopher-style cleaning
+    * signals. URLs/emails are PLANTED on every 7th doc (identically in
+    * the oracle SQL) so the detectors are checked non-vacuously on the
+    * synthetic corpus. */
+  def contentFilters(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" contact bob@example.com or visit https://example.org/a?b=1 now"))
+          .otherwise(lit(""))).as("text"))
+    planted.select(
+        col("doc_id"),
+        Text.urlCount(col("text")).as("n_urls"),
+        Text.emailCount(col("text")).as("n_emails"),
+        round(Text.distinctBigramRatio(split(col("text"), " ")) + lit(1e-9), 6)
+          .as("bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus facets: docs + chars per (lang, source) — the partition-key
     * profile a 100-TB layout decision starts from. */
   def langFacets(spark: SparkSession, dir: String): DataFrame = {

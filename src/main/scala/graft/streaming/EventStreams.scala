@@ -96,6 +96,34 @@ object EventStreams {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream temporal join: each left event joined to same-key
+    * right events within `(right_time ∈ [left_time − horizon,
+    * left_time]]` — the streaming face of [[graft.ops.AsOf]]'s bounded
+    * lookback. BOTH sides carry watermarks and the join condition
+    * bounds event-time distance, so Spark derives state-cleanup
+    * thresholds for both buffers (unbounded state otherwise — a
+    * stream-stream join without a time bound never evicts). Inputs
+    * need `user_id` and an `event_time` TimestampType column. */
+  def temporalJoinStream(left: DataFrame, right: DataFrame,
+                         horizon: String = "5 minutes",
+                         watermark: String = "1 hour"): DataFrame = {
+    val l = left
+      .select(col("user_id"), col("event_time").as("l_time"),
+              col("value").as("l_value"))
+      .withWatermark("l_time", watermark)
+    val r = right
+      .select(col("user_id").as("r_user_id"),
+              col("event_time").as("r_time"),
+              col("value").as("r_value"))
+      .withWatermark("r_time", watermark)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_time") <= col("l_time") &&
+        col("r_time") >= col("l_time") - expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("l_time"), col("l_value"),
+              col("r_time"), col("r_value"))
+  }
+
   // --- custom state (KeyValueGroupedDataset.mapGroupsWithState) -----------
 
   final case class UserEvent(user_id: Long,

@@ -47,17 +47,11 @@ object Text {
 
   // --- language ID -------------------------------------------------------
 
-  /** Tiny built-in stopword profiles. Scoring a 100-word document against
-    * 4×16 words is a few hundred comparisons — noise next to the scan. */
-  private val Stopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it",
-                "for", "with", "was", "his", "are", "not", "this", "but"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
-                "mit", "auf", "für", "von", "sich", "dem", "den", "zu"),
-    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en",
-                "un", "una", "por", "con", "para", "es", "su", "del"),
-    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un",
-                "une", "dans", "pour", "que", "qui", "sur", "pas", "au"))
+  /** Tiny built-in stopword profiles — sourced from the native
+    * [[graft.functions.LangHits]] kernel (single source of truth; the
+    * SQL-oracle twins inline the same lists). */
+  private val Stopwords: Seq[(String, Seq[String])] =
+    graft.functions.LangHits.Profiles
 
   /** Fraction of characters in the CJK unified ideograph block. */
   def cjkRatio(text: Column): Column = {
@@ -76,24 +70,26 @@ object Text {
   }
 
   /** Heuristic language ID: CJK character ratio decides "zh"; otherwise
-    * argmax of stopword-profile hit ratios (first-listed language wins
-    * ties — deterministic); "und" when nothing scores.
-    *
-    * The score/argmax tree references the token array ~12×, and HOF
-    * expressions are re-evaluated per reference — callers on a hot path
-    * must materialize tokens in their own projection first and use
-    * [[langIdFromTokens]]; this convenience form re-tokenizes inline. */
+    * argmax of stopword-profile hit counts (shared denominator, so the
+    * hit-ratio argmax reduces to integer comparisons; first-listed
+    * language wins ties — deterministic); "und" when nothing scores. */
   def langId(text: Column): Column = langIdFromTokens(tokenize(text), text)
 
-  /** [[langId]] over an already-materialized token column. */
+  /** [[langId]] over an already-materialized token column. The hit
+    * counts come from the native [[graft.functions.LangHits]] kernel —
+    * ONE codegen'd pass over the tokens (the composed per-language HOF
+    * filters re-ran interpreted on every reference in the argmax tree:
+    * ~24 token scans per row, measured as the heaviest declared query
+    * before the swap). */
   def langIdFromTokens(toks: Column, text: Column): Column = {
-    val scores = Stopwords.map { case (lang, words) =>
-      lang -> stopwordRatio(toks, words)
+    val h = graft.functions.LangHits.langHits(toks)
+    val scores = Stopwords.map { case (lang, _) =>
+      lang -> h.getField(s"h_$lang")
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val argmax = scores.reverse.foldLeft(lit("und")) {
-      case (acc, (lang, s)) => when(s >= best && s > 0.0, lang).otherwise(acc)
-    }
+    val argmax = scores.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (lang, s)) => acc.when(s === best, lang)
+    }.otherwise(Stopwords.last._1)
     when(cjkRatio(text) > 0.2, "zh").otherwise(argmax)
   }
 
@@ -146,6 +142,30 @@ object Text {
     val diversity = f.getField("distinct_ratio")
     round(least(lenOk * (lit(0.4) * punctOk + lit(0.4) * diversity +
                          lit(0.2)), lit(1.0)), 6)
+  }
+
+  // --- content filters ---------------------------------------------------
+
+  /** URL mentions (http/https). Pattern is RE2-and-Java-compatible so
+    * the SQL-oracle twin matches byte-for-byte. */
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0)))
+
+  /** Email-address mentions (pragmatic pattern, shared with the oracle
+    * twin — content FILTERING, not validation). */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+
+  /** Distinct-bigram ratio: |distinct word 2-grams| / (n_tokens − 1) —
+    * the repetition signal of Gopher-style quality filters (a low
+    * ratio means the same phrases loop). O(tokens) via the native
+    * shingle kernel; 1.0 for degenerate sub-2-token docs. */
+  def distinctBigramRatio(toks: Column): Column = {
+    val total = size(toks) - 1
+    when(total <= lit(0), lit(1.0))
+      .otherwise(size(graft.functions.Shingles.shingles(toks, 2))
+        .cast("double") / total.cast("double"))
   }
 
   // --- fingerprinting ----------------------------------------------------

@@ -76,6 +76,26 @@ class KernelsSpec extends AnyFunSuite {
     assert(edge.head().isNullAt(0), "length mismatch must be null")
   }
 
+  test("LangHits expression matches a pure-Scala reference on random input") {
+    val vocab = LangHits.Profiles.flatMap(_._2) ++ Seq("xx", "yy", "zz")
+    val cases = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))) :+
+      Seq.empty[String]
+    def reference(toks: Seq[String]): Seq[Int] =
+      toks.size +: LangHits.Profiles.map { case (_, ws) =>
+        toks.count(ws.toSet)
+      }
+    val got = cases.toDF("toks")
+      .select(LangHits.langHits(col("toks")).as("h"))
+      .collect().map { r =>
+        val s = r.getStruct(0)
+        (0 until s.length).map(s.getInt)
+      }
+    cases.zip(got).foreach { case (in, out) =>
+      assert(out == reference(in), s"input=$in")
+    }
+  }
+
   test("Exact sumCents/avgFromCents is exact at extreme counts") {
     // 2dp values whose float sum drifts: many 0.01-grid values
     val n = 200000

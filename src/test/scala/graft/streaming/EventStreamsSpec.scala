@@ -73,6 +73,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream temporal join matches the batch bounded lookback") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mkRows = Seq(
+      // user 1: clicks at 10:00, 10:10; purchases at 9:57, 10:04, 10:20
+      (1L, "2024-01-01 10:00:00", 1.0, "c"),
+      (1L, "2024-01-01 10:10:00", 2.0, "c"),
+      (1L, "2024-01-01 09:57:00", 10.0, "p"),
+      (1L, "2024-01-01 10:04:00", 20.0, "p"),
+      (1L, "2024-01-01 10:20:00", 30.0, "p"),
+      // user 2: a click with no purchase in window
+      (2L, "2024-01-01 10:00:00", 3.0, "c"),
+      (2L, "2024-01-01 09:00:00", 40.0, "p"))
+    val cMem = MemoryStream[(Long, Timestamp, Double)]
+    val pMem = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventStreams.temporalJoinStream(
+      cMem.toDF().toDF("user_id", "event_time", "value"),
+      pMem.toDF().toDF("user_id", "event_time", "value"))
+    val q = joined.writeStream.format("memory")
+      .queryName("temporal_join_test").outputMode("append").start()
+    try {
+      cMem.addData(mkRows.filter(_._4 == "c")
+        .map(r => (r._1, Timestamp.valueOf(r._2), r._3)): _*)
+      pMem.addData(mkRows.filter(_._4 == "p")
+        .map(r => (r._1, Timestamp.valueOf(r._2), r._3)): _*)
+      q.processAllAvailable()
+      val got = spark.table("temporal_join_test")
+        .select(col("user_id"), col("l_value"), col("r_value")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      // click 10:00 looks back to [9:55, 10:00] → purchase 9:57 only;
+      // click 10:10 looks back to [10:05, 10:10] → none (10:04 too
+      // early, 10:20 in the future); user 2's purchase is an hour out
+      val want = Set((1L, 1.0, 10.0))
+      assert(got == want, s"got $got want $want")
+    } finally q.stop()
+  }
+
   test("file-source streaming: parquet dir stream matches batch windows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
