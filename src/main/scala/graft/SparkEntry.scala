@@ -52,7 +52,9 @@ object SparkEntry {
     "q_lang_id"                 -> Corpus.langId _,
     "q_vocab_topk"              -> ((s, d) => Corpus.vocabTopK(s, d)),
     "q_embedding_neardup"       -> Corpus.embeddingNearDup _,
+    "q_embedding_neardup_exact" -> Corpus.embeddingNearDupExact _,
     "q_window_tumbling"         -> Corpus.windowTumbling _,
+    "q_window_sliding"          -> Corpus.windowSliding _,
     "q_session_window"          -> Corpus.sessionWindow _,
     "q_multimodal_meta"         -> Corpus.multimodalMeta _,
     "q_asof_join"               -> Corpus.asofJoin _,
@@ -371,6 +373,29 @@ object SparkEntry {
          SELECT qid AS query_id, nid AS neighbor_id,
                 round(c + 0.000000001, 6) AS cos, rn AS rank
          FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""",
+    "q_embedding_neardup_exact" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id < 500),
+         planted AS (SELECT vec_id, embedding FROM base
+                     UNION ALL
+                     SELECT vec_id + 100000, embedding FROM base
+                     WHERE vec_id % 10 = 0),
+         e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM planted),
+         norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm
+                   FROM e GROUP BY vec_id),
+         dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         sum(a.v * b.v) AS dp
+                  FROM e a JOIN e b
+                    ON a.i = b.i AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2),
+         cs AS (SELECT id_a, id_b, dp / (na.nrm * nb.nrm) AS c
+                FROM dots
+                JOIN norms na ON id_a = na.vec_id
+                JOIN norms nb ON id_b = nb.vec_id)
+         SELECT id_a, id_b, round(c + 0.000000001, 6) AS cos
+         FROM cs WHERE c >= 0.99 ORDER BY id_a, id_b""",
     "q_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
                 len(string_split(text, ' ')) AS n_tokens,
@@ -502,6 +527,20 @@ object SparkEntry {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
                   / 100.0 AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_window_sliding" ->
+      """WITH t AS (SELECT event_type, epoch_us(ts) AS tu, value
+                    FROM events),
+         w AS (SELECT event_type, value,
+                 ((tu // 900000000) - i) * 900 AS bucket_start_s
+               FROM t,
+               LATERAL (SELECT unnest(generate_series(0, 3)) AS i)),
+         g AS (SELECT bucket_start_s, event_type, count(*) AS n_events,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+               FROM w GROUP BY 1, 2)
+         SELECT bucket_start_s, event_type, n_events,
+                CAST(sum_cents AS DOUBLE) /
+                  (CAST(n_events AS DOUBLE) * 100.0) AS avg_value
+         FROM g ORDER BY 1, 2""",
     "q_session_window" ->
       """WITH t AS (SELECT user_id, epoch_ns(ts) // 1000 AS tu FROM events),
          m AS (SELECT user_id, tu,

@@ -20,10 +20,13 @@ import org.apache.spark.sql.types.IntegerType
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((new FunctionIdentifier(name), info, builder))
     }
+    // optimizer tier: composed HOF dot products → native kernel
+    ext.injectOptimizerRule(_ => KernelSubstitution)
+  }
 }
 
 object GraftExtensions {
@@ -67,10 +70,15 @@ object GraftExtensions {
      }))
 
   /** Same registrations on an already-built session (extensions only
-    * apply at session construction). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    * apply at session construction). The optimizer rule rides on the
+    * public `experimental.extraOptimizations` hook. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, info, builder) =>
       org.apache.spark.sql.graft.ColumnBridge
         .registerFunction(spark, name, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(KernelSubstitution))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ KernelSubstitution
+  }
 }

@@ -122,6 +122,13 @@ object Corpus {
     graft.streaming.EventStreams.tumblingCounts(Tables.events(spark, dir))
       .orderBy(col("bucket_start_s"), col("event_type"))
 
+  /** Sliding 1-hour windows at 15-minute stride (graft.streaming batch
+    * form — each event lands in exactly 4 epoch-aligned windows; the
+    * oracle expands the same window set with generate_series). */
+  def windowSliding(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.slidingAvg(Tables.events(spark, dir))
+      .orderBy(col("bucket_start_s"), col("event_type"))
+
   /** Per-user 30-minute-gap session windows (events closer than the gap
     * merge; oracled against a gaps-and-islands SQL formulation). */
   def sessionWindow(spark: SparkSession, dir: String): DataFrame =
@@ -226,6 +233,32 @@ object Corpus {
       .select(col("event_id"), col("user_id"),
               coalesce(col("n_next"), lit(0L)).as("n_next"))
       .orderBy(col("event_id"))
+  }
+
+  /** EXACT embedding near-dup pairs over planted duplicate vectors:
+    * all-pairs cosine ≥ 0.99 via [[graft.ops.Pairs.compactSelfPairs]] +
+    * the native dot kernel — the hash-gated ground-truth twin of the
+    * LSH [[embeddingNearDup]] (whose seeded candidate set is rows-only).
+    * Capped to vec_id < 500 (+ clones) so the oracle's unnest-join
+    * pairwise form stays tractable at any SF. */
+  def embeddingNearDupExact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Similarity
+    val base = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding"))
+    val clones = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val compact = base.union(clones)
+      .select(col("vec_id").as("id"), col("embedding").as("e"),
+              Similarity.l2Norm(col("embedding")).as("nrm"))
+    Pairs.compactSelfPairs(compact, "id")
+      .select(col("id_a"), col("id_b"),
+              (Similarity.dot(col("e_a"), col("e_b")) /
+                (col("nrm_a") * col("nrm_b"))).as("cos_raw"))
+      .filter(col("cos_raw") >= lit(0.99))
+      .select(col("id_a"), col("id_b"),
+              round(col("cos_raw") + lit(1e-9), 6).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Vocabulary profile: top words by document frequency (plus total

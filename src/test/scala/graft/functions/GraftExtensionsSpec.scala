@@ -34,6 +34,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "perfectly linear profiles must correlate at 1")
   }
 
+  test("optimizer rule rewrites the HOF dot-product pattern to the kernel") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    // table-backed input — a literal Seq would collapse to a
+    // LocalRelation before any rewrite is observable
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf0001)
+    val df = emb.select(graft.similarity.Similarity
+      .dotHof(col("embedding"), col("embedding")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan
+    assert(optimized.expressions.exists(_.exists(_.isInstanceOf[DotProduct])),
+      s"HOF pattern not rewritten:\n$optimized")
+    // rewritten result == native kernel result, row for row
+    val direct = emb.select(graft.similarity.Similarity
+      .dot(col("embedding"), col("embedding")).as("d"))
+    assert(df.exceptAll(direct).count() == 0)
+    // a non-matching fold (different zero) must be left untouched
+    val other = emb.select(aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(1.0), (acc, v) => acc + v).as("d"))
+    assert(!other.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[DotProduct])))
+  }
+
   test("shingles rejects a non-literal k") {
     GraftExtensions.register(spark)
     import spark.implicits._
