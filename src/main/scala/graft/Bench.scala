@@ -22,6 +22,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
 
     def exec(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -72,7 +73,32 @@ object Bench {
         "pipeline_dedup_exact" -> (() =>
           exec(graft.dedup.Dedup.dropExactDuplicates(docsDf))),
         "pipeline_dedup_minhash" -> (() =>
-          exec(graft.dedup.Dedup.minhashNearDuplicates(docsDf))))
+          exec(graft.dedup.Dedup.minhashNearDuplicates(docsDf))),
+        "pipeline_dedup_simhash" -> (() =>
+          exec(graft.dedup.Dedup.simhashNearDuplicates(docsDf))),
+        "pipeline_dedup_embedding" -> (() =>
+          exec(graft.dedup.Dedup.embeddingNearDuplicates(
+            Tables.embeddings(spark, sfDir), minCosine = 0.99))),
+        "pipeline_twins_scalable" -> (() =>
+          exec(Segmentation.movieTwinsScalable(ratings))),
+        // streaming throughput: the events table replayed as a file
+        // stream through the watermarked tumbling aggregation — the
+        // measured time is ingest + stateful agg for the whole SF
+        "pipeline_streaming_tumbling" -> (() => {
+          val batch = Tables.events(spark, sfDir)
+          val dir = java.nio.file.Files.createTempDirectory("graft-bench-stream")
+          java.nio.file.Files.copy(
+            java.nio.file.Path.of(sfDir, "events.parquet"),
+            dir.resolve("events.parquet"))
+          val stream = spark.readStream.schema(batch.schema)
+            .parquet(dir.toString)
+            .withColumn("event_time",
+              org.apache.spark.sql.functions.expr(
+                "timestamp_micros(ts div 1000)"))
+          val q = graft.streaming.EventStreams.tumblingCountsStream(stream)
+            .writeStream.format("noop").outputMode("update").start()
+          try { q.processAllAvailable() } finally q.stop()
+        }))
     }
     val pipeResults = pipelines.map { case (name, f) => name -> timed(f()) }
 

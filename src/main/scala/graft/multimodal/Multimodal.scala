@@ -103,6 +103,47 @@ object Multimodal {
       meta.getField("duration_ms").as("duration_ms"))
   }
 
+  /** The BATCHED kernel form of feature extraction — the Scala analogue
+    * of a Pandas UDF over `mapInPandas`, which is how a real model
+    * kernel runs: a handle opened ONCE per partition (codec context,
+    * model session), inputs accumulated into fixed-size batches, one
+    * vectorized inference call per batch. The handle/inference here is
+    * [[FakeEmbedder]] (deterministic bytes→floats, this container ships
+    * no model runtime); the Spark-side plumbing — typed Dataset in,
+    * per-partition lifecycle, batch shape, schema out — is the real
+    * production contract and is what the spec pins: output is invariant
+    * to partitioning and batch size, and deterministic. */
+  def batchedFeatureExtract(assets: DataFrame, dim: Int = 16,
+                            batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val model = new FakeEmbedder(dim) // per-partition handle
+        it.grouped(batchSize).flatMap { batch =>
+          model.embedBatch(batch.map(_._2)).zip(batch).map {
+            case (vec, (id, _)) => (id, vec)
+          }
+        }
+      }
+      .toDF("asset_id", "features")
+  }
+
+  /** STUB model handle for [[batchedFeatureExtract]]: deterministic
+    * keyed-FNV floats in [-1, 1] (a real handle wraps a model session;
+    * the batch-in/batch-out signature is the contract). */
+  final class FakeEmbedder(dim: Int) extends Serializable {
+    def embedBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+      batch.map { bytes =>
+        Array.tabulate(dim) { i =>
+          val h = graft.functions.SimHash64.fnv1a64(bytes :+ i.toByte)
+          ((java.lang.Math.floorMod(h, 2000001L) - 1000000L).toDouble /
+            1000000.0).toFloat
+        }
+      }
+  }
+
   /** Blob-aware repartition: hash-distribute by asset id so each task
     * holds ~targetPartitionBytes of blob payload (the analogue of
     * maxPartitionBytes, which only governs scan splits). */

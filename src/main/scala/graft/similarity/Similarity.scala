@@ -3,7 +3,7 @@ package graft.similarity
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -149,6 +149,69 @@ object Similarity {
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= lit(nProbe))
       .select(col("query_id"), col("qv"), col("cell"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    probed.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= lit(k))
+      .select(col("query_id"), col("neighbor_id"),
+              col("cos_raw").as("cos"), col("rank"))
+  }
+
+  /** Materialized IVF index: the corpus written as parquet PARTITIONED
+    * BY cell (plus a tiny `centroids` table alongside) — the concrete
+    * form of the [[ivfTopK]] scale story. At 100 TB the index is built
+    * once; every search then reads only its probed cells' directories
+    * (partition pruning, proven in the spec via
+    * [[graft.sources.Layout.isPartitionPruned]]). Same seed ⇒ same
+    * quantizer ⇒ results identical to the in-memory [[ivfTopK]]. */
+  def writeIvfIndex(corpus: DataFrame, path: String, nCells: Int = 16,
+                    seed: Long = 42L, cId: String = "vec_id",
+                    cVec: String = "embedding"): Unit = {
+    val c = corpus
+      .select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+      .filter(l2Norm(col("cv")) > lit(0.0))
+      .withColumn("v", array_to_vector(normalize(col("cv"))))
+    val km = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("v").setPredictionCol("cell")
+    val model = km.fit(c)
+    model.transform(c)
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "center")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Search a [[writeIvfIndex]] index: rank cells per query against the
+    * (tiny) centroid table, collect the probed cell ids, and scan ONLY
+    * those partitions — `cell IN (...)` resolves against directory
+    * names before any file opens. The driver sees |Q|·nProbe cell ids,
+    * never data. */
+  def searchIvfIndex(spark: SparkSession, path: String, queries: DataFrame,
+                     k: Int, nProbe: Int = 4, qId: String = "vec_id",
+                     qVec: String = "embedding"): DataFrame = {
+    val centers = spark.read.parquet(s"$path/centroids")
+    val q = queries
+      .select(col(qId).as("query_id"), col(qVec).as("qv"))
+      .filter(l2Norm(col("qv")) > lit(0.0))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("center_cos").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(centers))
+      .withColumn("center_cos", cosine(col("qv"), col("center")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= lit(nProbe))
+      .select(col("query_id"), col("qv"), col("cell"))
+      .cache()
+    val probedCells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
     probed.join(cells, Seq("cell"))

@@ -81,6 +81,19 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("batched kernel: output invariant to partitioning and batch size") {
+    val base = Multimodal.batchedFeatureExtract(assets).cache()
+    assert(base.count() == assets.count())
+    // same rows regardless of how partitions/batches slice the input
+    val repart = Multimodal.batchedFeatureExtract(assets.repartition(7))
+    val smallBatch = Multimodal.batchedFeatureExtract(assets, batchSize = 3)
+    assert(base.exceptAll(repart).count() == 0)
+    assert(base.exceptAll(smallBatch).count() == 0)
+    val feats = base.head().getAs[collection.Seq[Float]]("features")
+    assert(feats.size == 16)
+    assert(feats.forall(f => f >= -1.0f && f <= 1.0f))
+  }
+
   test("repartitionForBlobs sizes partitions by payload") {
     val small = Multimodal.repartitionForBlobs(assets,
       totalBytes = 10L << 20, targetPartitionBytes = 1L << 20)

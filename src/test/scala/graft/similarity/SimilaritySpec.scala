@@ -72,6 +72,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rLow >= 0.3, s"2/8 cells should still find some neighbors: $rLow")
   }
 
+  test("materialized IVF index: pruned partitions, same results as in-memory") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfIndex(emb, tmp, nCells = 8)
+    val got = Similarity.searchIvfIndex(spark, tmp, queries,
+      k = 5, nProbe = 2).cache()
+    val mem = Similarity.ivfTopK(queries, emb, k = 5, nCells = 8,
+      nProbe = 2).cache()
+    assert(got.count() > 0)
+    assert(got.exceptAll(mem).count() == 0 && mem.exceptAll(got).count() == 0,
+      "same seed must give the same quantizer and identical results")
+    // the cell filter resolves against directory names — a pruned scan
+    val prunedRead = spark.read.parquet(s"$tmp/cells")
+      .filter(col("cell").isin(0, 1))
+    assert(graft.sources.Layout.isPartitionPruned(prunedRead),
+      "cell-partitioned layout must partition-prune the search scan")
+  }
+
   test("ANN top-k recall >= 0.9 against brute force") {
     val queries = emb.filter(col("vec_id") < 50)
     val k = 10
