@@ -59,4 +59,16 @@ object Splitting {
 
     Splits(train0.union(valBack).union(testBack), valKeep, testKeep)
   }
+
+  /** Stratified (per-stratum-rate) sample — the data-MIXTURE primitive
+    * of a training pipeline: "keep 100% of lang=de, 30% of lang=en".
+    * `DataFrameStatFunctions.sampleBy` under the hood: per-partition
+    * Bernoulli with a per-stratum threshold — no shuffle, no count
+    * pass, deterministic for a fixed seed AND input partitioning (the
+    * same caveat as randomSplit; property-tested, never oracle-hashed).
+    * Strata absent from `fractions` are dropped (rate 0). */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       fractions: Map[String, Double],
+                       seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
 }

@@ -42,6 +42,27 @@ class SplittingSpec extends AnyFunSuite {
     assert(t / total > 0.8, s"train share ${t / total}")
   }
 
+  test("stratified sample: per-stratum rates, subset, seed-stable") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001).cache()
+    val fractions = Map("en" -> 0.3, "de" -> 1.0)
+    val sampled = Splitting.stratifiedSample(docs, "lang", fractions).cache()
+    // subset of the input; strata without a rate are dropped
+    assert(sampled.exceptAll(docs).count() == 0)
+    assert(sampled.filter(!col("lang").isin("en", "de")).count() == 0)
+    // kept-rate per stratum tracks the requested fraction
+    val in = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = sampled.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("de") == in("de"), "rate 1.0 keeps the whole stratum")
+    val enRate = out("en").toDouble / in("en")
+    assert(enRate > 0.15 && enRate < 0.45, s"en rate $enRate far from 0.3")
+    // deterministic for fixed seed + partitioning
+    val again = Splitting.stratifiedSample(docs, "lang", fractions)
+    assert(sampled.exceptAll(again).count() == 0)
+    assert(again.exceptAll(sampled).count() == 0)
+  }
+
   test("same seed + same partitioning => identical split") {
     val again = Splitting.split(ratings, seed = 42L)
     assert(again.train.exceptAll(splits.train).count() == 0)
