@@ -168,6 +168,63 @@ object EventStreams {
   /** The OutputMode the [[runningUserStats]] sink needs. */
   val RunningStatsOutputMode: OutputMode = OutputMode.Update()
 
+  final case class OpenSession(start_ms: Long, end_ms: Long, n: Long)
+  final case class ClosedSession(user_id: Long, start_ms: Long,
+                                 end_ms: Long, n_events: Long)
+
+  /** Sessionization as an EXPLICIT state machine with EVENT-TIME
+    * TIMEOUT (`flatMapGroupsWithState`) — the escape hatch beyond
+    * [[sessionCountsStream]]'s declarative `session_window`: emit each
+    * user's session the moment it CLOSES (append-mode), either because
+    * a later event arrived more than `gap` after it, or because the
+    * WATERMARK passed its horizon with no successor (the timeout path —
+    * that's what the declarative form can't surface as a first-class
+    * "session closed" event stream).
+    *
+    * State per user = one open session (3 longs); the store shards by
+    * user across executors, timeouts fire as the watermark advances.
+    * Works in batch too (timeouts never fire; within-batch closures
+    * still emit). Input needs a watermark on `event_time` when
+    * streaming. */
+  def closedUserSessions(events: Dataset[UserEvent],
+                         gapMs: Long = 30L * 60L * 1000L)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[UserEvent],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.start_ms, s.end_ms, s.n))
+          } else {
+            val times = batch.map(_.event_time.getTime).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var open = state.getOption
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.end_ms <= gapMs =>
+                  open = Some(s.copy(end_ms = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.start_ms, s.end_ms, s.n)
+                  open = Some(OpenSession(t, t, 1L))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close via timeout once the watermark passes end + gap
+              state.setTimeoutTimestamp(s.end_ms + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming per-user session counts (flatMapGroupsWithState-free:
     * session_window + watermark is the declarative form; Spark manages
     * the merging state store). */

@@ -110,6 +110,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("closed-session state machine: gap closure and watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "event_time", "value")
+      .withWatermark("event_time", "10 minutes")
+      .as[EventStreams.UserEvent]
+    val q = EventStreams.closedUserSessions(events)
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    def ms(s: String): Long = Timestamp.valueOf(s).getTime
+    try {
+      // batch 1: user 1 two close events (one session), user 2 one event
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 1.0),
+        (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1 far-future event — closes their open session by
+      // GAP within processing, and pushes the watermark to 11:50, which
+      // TIMES OUT user 2's open session (horizon 10:30)
+      mem.addData((1L, Timestamp.valueOf("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // one empty batch so timeout-triggered output lands in the sink
+      mem.addData((3L, Timestamp.valueOf("2024-01-01 12:00:01"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("closed_sessions")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got.contains((1L, ms("2024-01-01 10:00:00"),
+        ms("2024-01-01 10:05:00"), 2L)), s"gap-closed session missing: $got")
+      assert(got.contains((2L, ms("2024-01-01 10:00:00"),
+        ms("2024-01-01 10:00:00"), 1L)), s"timed-out session missing: $got")
+    } finally q.stop()
+  }
+
   test("file-source streaming: parquet dir stream matches batch windows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
