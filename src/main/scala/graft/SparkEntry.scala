@@ -63,9 +63,11 @@ object SparkEntry {
     "q_content_filters"         -> Corpus.contentFilters _,
     // Deterministic (seed-free) ranking metrics — full SQL oracle below.
     "q_ranking_metrics"         -> (rankingMetrics _),
-    // ML / seeded queries: no oracleSql entry (seed-dependent hashes) →
+    // ML / seeded / non-SQL-expressible queries: no oracleSql entry →
     // driver records the weaker rows-only check; full semantics are
     // covered by the ScalaTest golden/property suites.
+    "q_dedup_minhash"           -> Corpus.dedupMinhash _,
+    "q_simhash_neardup"         -> Corpus.dedupSimhash _,
     "q_minhash_twins"           -> (minhashTwins _),
     "q_als_recommend"           -> (alsRecommend _),
   )

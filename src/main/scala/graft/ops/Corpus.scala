@@ -61,6 +61,35 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** MinHash+LSH near-dup pairs over the planted corpus — the banded
+    * (seeded) scale path of the dedup family; no SQL oracle (the
+    * candidate set depends on the LSH seed) → rows-only driver check;
+    * DedupSpec proves planted ⊆ found with exact-Jaccard recheck. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val mutated = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              concat(lit("zz1 zz2 zz3 "), col("text")).as("text"))
+    Dedup.minhashNearDuplicates(d.union(mutated), minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"),
+              round(col("jaccard_sim") + lit(1e-9), 6).as("jaccard_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-dup pairs over the planted corpus — one int64
+    * signature per doc, pigeonhole band join, Hamming ≤ 3. The
+    * signature kernel is deterministic (FNV) but not expressible in
+    * the oracle's SQL → rows-only driver check; DedupSpec recomputes
+    * signatures against a pure-Scala reference. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val mutated = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              concat(lit("zz1 zz2 zz3 "), col("text")).as("text"))
+    Dedup.simhashNearDuplicates(d.union(mutated))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Exact cosine top-5 neighbors for the first 10 embedding vectors —
     * brute-force baseline of the similarity-search surface. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
