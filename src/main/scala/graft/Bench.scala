@@ -81,6 +81,10 @@ object Bench {
             Tables.embeddings(spark, sfDir), minCosine = 0.99))),
         "pipeline_twins_scalable" -> (() =>
           exec(Segmentation.movieTwinsScalable(ratings))),
+        "pipeline_curation" -> (() =>
+          exec(Curation.curate(docsDf.select(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text"))))),
         // streaming throughput: the events table replayed as a file
         // stream through the watermarked tumbling aggregation — the
         // measured time is ingest + stateful agg for the whole SF

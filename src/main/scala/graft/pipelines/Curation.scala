@@ -1,0 +1,81 @@
+package graft.pipelines
+
+import graft.dedup.Dedup
+import graft.text.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composition a training-data
+  * pipeline actually runs over raw documents, built entirely from this
+  * library's operators (each stage independently oracle/spec-verified):
+  *
+  *   1. language ID + allow-list        (Text.langIdFromTokens — TX3)
+  *   2. quality scoring + threshold     (Text.qualityScoreFromTokens — TX4)
+  *   3. content filters                 (URL/email caps — TX9)
+  *   4. exact dedup                     (Dedup.dropExactDuplicates — DD1)
+  *   5. near-dup dedup, canonical keep  (Dedup.markNearDuplicates — DD6)
+  *   6. mixture resampling              (Splitting.stratifiedSample — SP1)
+  *
+  * Plan shape at 100 TB: stages 1–3 are one map-shaped pass (tokens
+  * materialized once, kernels codegen'd — no shuffle); stage 4 is one
+  * shuffle on the content hash; stage 5 is the banded/inverted-index
+  * pair machinery + min-label clustering; stage 6 is per-partition
+  * Bernoulli (no shuffle). Nothing quadratic, nothing driver-side.
+  */
+object Curation {
+
+  final case class Config(
+      langs: Set[String] = Set("en", "de", "es", "fr"),
+      minQuality: Double = 0.3,
+      maxUrls: Int = 10,
+      nearDupJaccard: Double = 0.5,
+      mixture: Map[String, Double] = Map.empty,
+      seed: Long = 42L)
+
+  /** Curate `docs` (needs `doc_id`, `text`). Output: surviving rows
+    * with `detected` (language) and `quality` appended. */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val scored = docs
+      .withColumn("toks", Text.tokenize(col("text")))
+      .withColumn("detected",
+        Text.langIdFromTokens(col("toks"), col("text")))
+      .withColumn("quality",
+        Text.qualityScoreFromTokens(col("toks"), col("text")))
+      .drop("toks")
+    val filtered = scored
+      .filter(col("detected").isin(cfg.langs.toSeq: _*))
+      .filter(col("quality") >= lit(cfg.minQuality))
+      .filter(Text.urlCount(col("text")) <= lit(cfg.maxUrls))
+    val exact = Dedup.dropExactDuplicates(filtered)
+    val near = Dedup
+      .markNearDuplicates(exact, minJaccard = cfg.nearDupJaccard)
+      .filter(col("kept"))
+      .drop("component", "kept")
+    if (cfg.mixture.nonEmpty)
+      Splitting.stratifiedSample(near, "detected", cfg.mixture, cfg.seed)
+    else near
+  }
+
+  /** Per-stage survivor counts — the curation funnel report (five
+    * actions over successively smaller frames; cache `docs` upstream
+    * when calling this alongside [[curate]]). */
+  def funnel(docs: DataFrame, cfg: Config = Config()): Seq[(String, Long)] = {
+    val scored = docs
+      .withColumn("toks", Text.tokenize(col("text")))
+      .withColumn("detected",
+        Text.langIdFromTokens(col("toks"), col("text")))
+      .withColumn("quality",
+        Text.qualityScoreFromTokens(col("toks"), col("text")))
+      .drop("toks")
+    val lang = scored.filter(col("detected").isin(cfg.langs.toSeq: _*))
+    val qual = lang.filter(col("quality") >= lit(cfg.minQuality))
+      .filter(Text.urlCount(col("text")) <= lit(cfg.maxUrls))
+    val exact = Dedup.dropExactDuplicates(qual)
+    val near = Dedup
+      .markNearDuplicates(exact, minJaccard = cfg.nearDupJaccard)
+      .filter(col("kept"))
+    Seq("input" -> docs.count(), "lang" -> lang.count(),
+        "quality" -> qual.count(), "exact_dedup" -> exact.count(),
+        "near_dedup" -> near.count())
+  }
+}

@@ -1,0 +1,64 @@
+package graft.pipelines
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // raw corpus + planted exact clones and near-clones that curation
+  // must remove (testdata also carries ORGANIC near-dups — assertions
+  // are planted ⊆ removed, never removed == planted)
+  lazy val docs = {
+    val d = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val exactClones = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val nearClones = d.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 200000).as("doc_id"),
+              concat(lit("zz1 zz2 zz3 "), col("text")).as("text"))
+    d.union(exactClones).union(nearClones).cache()
+  }
+
+  test("curation removes planted clones, keeps allowed langs, is deterministic") {
+    val out = Curation.curate(docs).cache()
+    // every planted exact clone loses to its lower-id original
+    assert(out.filter(col("doc_id") >= 100000 && col("doc_id") < 200000)
+      .count() == 0, "exact clones must be deduplicated")
+    // every planted near clone loses (same cluster, higher id) — unless
+    // its ORIGINAL was already dropped by a filter, in which case the
+    // clone survives alone; assert no pair survives together instead
+    val survivors = out.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val bothSurvived = survivors
+      .filter(id => id >= 200000 && survivors.contains(id - 200000))
+    assert(bothSurvived.isEmpty,
+      s"near-clone pairs surviving together: ${bothSurvived.take(5)}")
+    // surviving languages are from the allow-list; quality above floor
+    assert(out.filter(!col("detected").isin("en", "de", "es", "fr"))
+      .count() == 0)
+    assert(out.filter(col("quality") < 0.3).count() == 0)
+    // deterministic end to end
+    val again = Curation.curate(docs)
+    assert(out.exceptAll(again).count() == 0)
+    assert(again.exceptAll(out).count() == 0)
+  }
+
+  test("funnel counts are monotone decreasing") {
+    val f = Curation.funnel(docs)
+    assert(f.map(_._1) ==
+      Seq("input", "lang", "quality", "exact_dedup", "near_dedup"))
+    f.sliding(2).foreach { case Seq((sa, a), (sb, b)) =>
+      assert(b <= a, s"$sb ($b) > $sa ($a)")
+    }
+    assert(f.last._2 > 0, "curation must not empty the corpus")
+  }
+
+  test("mixture resampling keeps only requested strata") {
+    val out = Curation.curate(docs,
+      Curation.Config(mixture = Map("en" -> 0.5, "de" -> 1.0)))
+    assert(out.filter(!col("detected").isin("en", "de")).count() == 0)
+    assert(out.count() > 0)
+  }
+}
