@@ -71,4 +71,25 @@ object Splitting {
                        fractions: Map[String, Double],
                        seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Temperature-flattened mixture: keep-rate per stratum ∝ n^(α−1),
+    * normalized so the smallest stratum keeps `maxRate` — expected
+    * kept counts ∝ n^α, the standard multilingual-corpus flattening
+    * dial (α = 1 keeps the natural distribution untouched; α → 0
+    * equalizes expected per-stratum counts). One tiny count aggregate
+    * reaches the driver (|strata| rows — the mixture TABLE, not data);
+    * the sample itself is per-partition Bernoulli, no shuffle. */
+  def temperatureMixture(df: DataFrame, stratumCol: String,
+                         alpha: Double, maxRate: Double = 1.0,
+                         seed: Long = 42L): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    val counts = df.groupBy(col(stratumCol)).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1))
+    val raw = counts.map { case (k, n) =>
+      k -> math.pow(n.toDouble, alpha - 1.0) }
+    val top = raw.map(_._2).max
+    val fractions = raw.map { case (k, v) =>
+      k -> math.min(1.0, v / top * maxRate) }.toMap
+    stratifiedSample(df, stratumCol, fractions, seed)
+  }
 }

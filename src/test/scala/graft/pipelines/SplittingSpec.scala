@@ -63,6 +63,22 @@ class SplittingSpec extends AnyFunSuite {
     assert(again.exceptAll(sampled).count() == 0)
   }
 
+  test("temperature mixture: alpha=1 keeps all, alpha=0 equalizes strata") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001).cache()
+    val natural = Splitting.temperatureMixture(docs, "lang", alpha = 1.0)
+    assert(natural.count() == docs.count(), "alpha=1 must keep everything")
+    val flat = Splitting.temperatureMixture(docs, "lang", alpha = 0.0)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val smallest = docs.groupBy(col("lang")).count().collect()
+      .map(_.getLong(1)).min
+    // expected kept count per stratum ≈ the smallest stratum's size
+    flat.foreach { case (lang, n) =>
+      assert(math.abs(n - smallest).toDouble / smallest < 0.5,
+        s"$lang kept $n, expected ≈ $smallest")
+    }
+  }
+
   test("same seed + same partitioning => identical split") {
     val again = Splitting.split(ratings, seed = 42L)
     assert(again.train.exceptAll(splits.train).count() == 0)
