@@ -61,6 +61,7 @@ object SparkEntry {
     "q_range_join"              -> Corpus.rangeJoinFollowers _,
     "q_tfidf_topterms"          -> ((s, d) => Corpus.tfidfTopTerms(s, d)),
     "q_content_filters"         -> Corpus.contentFilters _,
+    "q_curation"                -> Corpus.curationRun _,
     // Deterministic (seed-free) ranking metrics — full SQL oracle below.
     "q_ranking_metrics"         -> (rankingMetrics _),
     // ML / seeded / non-SQL-expressible queries: no oracleSql entry →
@@ -468,6 +469,96 @@ object SparkEntry {
                  + 0.000000001, 6) AS bigram_ratio
          FROM planted p JOIN d USING (doc_id) JOIN t USING (doc_id)
          ORDER BY p.doc_id""",
+    // end-to-end curation: composes the q_lang_id, q_text_quality,
+    // q_dedup_exact, and q_dedup_near oracle fragments over the same
+    // corpus (no planting, no mixture) — one hash gate for the funnel
+    "q_curation" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+               FROM documents),
+         s AS (SELECT doc_id, len(toks) AS n,
+           len(list_filter(toks, x -> x IN ('the','and','of','to','in',
+             'is','that','it','for','with','was','his','are','not',
+             'this','but'))) AS h_en,
+           len(list_filter(toks, x -> x IN ('der','die','das','und',
+             'ist','nicht','ein','eine','mit','auf','für','von','sich',
+             'dem','den','zu'))) AS h_de,
+           len(list_filter(toks, x -> x IN ('el','la','los','las','de',
+             'que','y','en','un','una','por','con','para','es','su',
+             'del'))) AS h_es,
+           len(list_filter(toks, x -> x IN ('le','la','les','de','des',
+             'et','est','un','une','dans','pour','que','qui','sur',
+             'pas','au'))) AS h_fr
+           FROM t),
+         l AS (SELECT doc_id,
+           CASE WHEN n = 0 OR greatest(h_en, h_de, h_es, h_fr) = 0
+                  THEN 'und'
+                WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                WHEN h_de = greatest(h_de, h_es, h_fr) THEN 'de'
+                WHEN h_es = greatest(h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS detected
+           FROM s),
+         qf AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text,
+                   '[[:punct:]]', '', 'g')) AS n_punct
+               FROM t),
+         qs AS (SELECT doc_id,
+           round(least(
+             (CASE WHEN n_tokens BETWEEN 5 AND 100000
+                   THEN 1.0 ELSE 0.0 END) *
+             (0.4 * (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars * 4.0,
+                                 1.0)) +
+              0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens) + 0.2),
+             1.0), 6) AS quality
+           FROM qf),
+         f AS (SELECT t.doc_id, t.text, l.detected, qs.quality
+               FROM t JOIN l USING (doc_id) JOIN qs USING (doc_id)
+               WHERE l.detected IN ('en', 'de', 'es', 'fr')
+                 AND qs.quality >= 0.3
+                 AND len(regexp_extract_all(t.text,
+                       'https?://[^\s]+')) <= 10),
+         ex AS (SELECT f.doc_id, f.text, f.detected, f.quality FROM f
+                JOIN (SELECT sha256(text) AS h, min(doc_id) AS keep
+                      FROM f GROUP BY 1) g
+                  ON sha256(f.text) = g.h AND f.doc_id = g.keep),
+         words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM ex),
+         sh AS (SELECT doc_id,
+                  array_to_string(list_slice(ws, i, i + 4), ' ') AS shingle
+                FROM words,
+                LATERAL (SELECT unnest(generate_series(1,
+                           greatest(len(ws) - 4, 1))) AS i)),
+         dd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         sizes AS (SELECT doc_id, count(*) AS n FROM dd GROUP BY doc_id),
+         rare AS (SELECT shingle FROM dd GROUP BY shingle
+                  HAVING count(*) <= 1000),
+         p AS (SELECT doc_id, shingle FROM dd
+               WHERE shingle IN (SELECT shingle FROM rare)),
+         common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           count(*) AS n_common
+                    FROM p a JOIN p b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         pr AS (SELECT id_a, id_b FROM common
+                JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+                WHERE CAST(n_common AS DOUBLE)
+                      / (sa.n + sb.n - n_common) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                   UNION SELECT id_b, id_a FROM pr),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+           WHERE e.b <> r.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a)
+         SELECT ex.doc_id, ex.detected, ex.quality
+         FROM ex LEFT JOIN comp c ON ex.doc_id = c.id
+         WHERE coalesce(c.component, ex.doc_id) = ex.doc_id
+         ORDER BY ex.doc_id""",
     "q_lang_facets" ->
       """SELECT lang, source, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -357,6 +357,17 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** The END-TO-END curation pipeline as a declared query: langID
+    * allow-list → quality + URL filters → exact dedup → near-dup dedup
+    * (no mixture — every remaining stage is deterministic). The oracle
+    * SQL composes the already-verified per-stage twins (q_lang_id,
+    * q_text_quality, q_dedup_exact, q_dedup_near), so the HASH gate
+    * covers the whole funnel, not just its parts. */
+  def curationRun(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.Curation.curate(docs(spark, dir))
+      .select(col("doc_id"), col("detected"), col("quality"))
+      .orderBy(col("doc_id"))
+
   /** Corpus facets: docs + chars per (lang, source) — the partition-key
     * profile a 100-TB layout decision starts from. */
   def langFacets(spark: SparkSession, dir: String): DataFrame = {
