@@ -62,6 +62,8 @@ object SparkEntry {
     "q_tfidf_topterms"          -> ((s, d) => Corpus.tfidfTopTerms(s, d)),
     "q_content_filters"         -> Corpus.contentFilters _,
     "q_curation"                -> Corpus.curationRun _,
+    "q_decontamination"         -> Corpus.decontamination _,
+    "q_token_entropy"           -> Corpus.tokenEntropy _,
     // Deterministic (seed-free) ranking metrics — full SQL oracle below.
     "q_ranking_metrics"         -> (rankingMetrics _),
     // ML / seeded / non-SQL-expressible queries: no oracleSql entry →
@@ -469,6 +471,30 @@ object SparkEntry {
                  + 0.000000001, 6) AS bigram_ratio
          FROM planted p JOIN d USING (doc_id) JOIN t USING (doc_id)
          ORDER BY p.doc_id""",
+    "q_token_entropy" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+         g AS (SELECT doc_id, sum(c) AS n,
+                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+               FROM tf GROUP BY 1)
+         SELECT doc_id,
+                round(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)
+                      + 0.000000001, 6) AS entropy
+         FROM g ORDER BY doc_id""",
+    "q_decontamination" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                        FROM documents),
+         sh AS (SELECT doc_id,
+                  array_to_string(list_slice(ws, i, i + 4), ' ') AS shingle
+                FROM words,
+                LATERAL (SELECT unnest(generate_series(1,
+                           greatest(len(ws) - 4, 1))) AS i)),
+         d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         bs AS (SELECT DISTINCT shingle FROM d WHERE doc_id % 20 = 0)
+         SELECT doc_id, count(*) AS n_hits
+         FROM d WHERE shingle IN (SELECT shingle FROM bs)
+         GROUP BY doc_id ORDER BY doc_id""",
     // end-to-end curation: composes the q_lang_id, q_text_quality,
     // q_dedup_exact, and q_dedup_near oracle fragments over the same
     // corpus (no planting, no mixture) — one hash gate for the funnel

@@ -222,6 +222,38 @@ object Dedup {
       .drop("__cc_id")
   }
 
+  /** Benchmark DECONTAMINATION hits: for each corpus doc, how many of
+    * its distinct word k-shingles appear anywhere in the benchmark/eval
+    * set — the overlap stage a training pipeline runs so evaluation
+    * data never leaks into training data (GPT-3 App. C used 13-gram
+    * overlap; k is a dial). Plan: inverted-index semi-join on the
+    * shingle — the benchmark side reduces to DISTINCT shingles (small:
+    * eval sets ≪ corpus, AQE broadcasts it), the corpus side shuffles
+    * O(|doc shingles|) rows once. Never |corpus| × |bench|. */
+  def contaminationHits(corpus: DataFrame, bench: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        k: Int = 5): DataFrame = {
+    val cs = corpus.select(col(idCol).as("doc_id"),
+      explode(Text.wordShingles(col(textCol), k)).as("shingle"))
+    val bs = bench
+      .select(explode(Text.wordShingles(col(textCol), k)).as("shingle"))
+      .distinct()
+    cs.join(bs, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The decontaminated corpus: drop docs with ≥ `minHits` benchmark
+    * shingle hits (1 = any overlap, the conservative default). */
+  def dropContaminated(corpus: DataFrame, bench: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       k: Int = 5, minHits: Long = 1L): DataFrame = {
+    val bad = contaminationHits(corpus, bench, textCol, idCol, k)
+      .filter(col("n_hits") >= lit(minHits))
+      .select(col("doc_id").as(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ minCosine — delegates
     * to the similarity module's LSH-bucketed pair join (dedup and
     * similarity search share the candidate-generation primitive). */

@@ -357,6 +357,37 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document token entropy (Shannon, nats): H = ln n − (Σ c·ln c)/n
+    * over the word histogram — the vocabulary-diversity signal of
+    * repetition filters (low entropy = the same words loop). Integer
+    * histogram + one float finish, so the oracle twin agrees to the
+    * 6dp round. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+           sum(col("c").cast("double") * log(col("c").cast("double")))
+             .as("s"))
+      .select(col("doc_id"),
+              round(log(col("n").cast("double")) -
+                      col("s") / col("n").cast("double") + lit(1e-9), 6)
+                .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: every 20th doc plays the eval set; the
+    * query reports each corpus doc's distinct-5-shingle overlap with
+    * it ([[Dedup.contaminationHits]]) — eval-set members hit on
+    * themselves, near-dups of them hit partially. */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.contaminationHits(d, d.filter(col("doc_id") % 20 === 0))
+      .orderBy(col("doc_id"))
+  }
+
   /** The END-TO-END curation pipeline as a declared query: langID
     * allow-list → quality + URL filters → exact dedup → near-dup dedup
     * (no mixture — every remaining stage is deterministic). The oracle

@@ -168,4 +168,26 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(sigs(1L) == expected)
   }
+
+  test("decontamination: eval members fully hit; dropContaminated removes them") {
+    val bench = docs.filter(col("doc_id") % 20 === 0).cache()
+    val hits = Dedup.contaminationHits(docs, bench).cache()
+    val hitIds = hits.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    // every benchmark member hits (on itself, fully)
+    val benchIds = bench.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(benchIds.subsetOf(hitIds))
+    val full = hits.join(
+        docs.select(col("doc_id"),
+          size(graft.text.Text.wordShingles(col("text"), 5)).as("n_sh")),
+        Seq("doc_id"))
+      .filter(col("doc_id") % 20 === 0)
+      .filter(col("n_hits") =!= col("n_sh"))
+    assert(full.count() == 0, "an eval member must hit on ALL its shingles")
+    // dropContaminated removes exactly the hit docs
+    val clean = Dedup.dropContaminated(docs, bench)
+    assert(clean.count() == docs.count() - hitIds.size)
+    assert(clean.filter(col("doc_id").isin(benchIds.toSeq: _*)).count() == 0)
+  }
 }
