@@ -110,7 +110,10 @@ object Bench {
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val failed = (results ++ pipeResults).collect { case (k, v) if v < 0 => k }
-    val total = results.map { case (_, v) => math.abs(v) }.sum
+    // headline total counts SUCCESSFUL queries only — a query that burns
+    // 60s before throwing must not inflate the DuckDB-comparable number;
+    // the `failed` array is the failure signal (ADVICE r3)
+    val total = results.collect { case (_, v) if v > 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"pipelines":${obj(pipeResults)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -53,6 +53,10 @@ object KernelSubstitution extends Rule[LogicalPlan] {
               acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
             LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
           if isFloatOrDoubleArray(a) && isFloatOrDoubleArray(b) &&
+            // the kernel multiplies in DOUBLE; an uncast float-array form
+            // (x*y evaluated in FLOAT, widened afterwards) is numerically
+            // different and must be left alone (ADVICE r3)
+            mul.dataType == DoubleType &&
             isVar(mul.left, x) && isVar(mul.right, y) &&
             isVar(add.left, acc) && isVar(add.right, v) &&
             isVar(fin, fv) =>

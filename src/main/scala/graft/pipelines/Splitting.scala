@@ -67,9 +67,9 @@ object Splitting {
     * pass, deterministic for a fixed seed AND input partitioning (the
     * same caveat as randomSplit; property-tested, never oracle-hashed).
     * Strata absent from `fractions` are dropped (rate 0). */
-  def stratifiedSample(df: DataFrame, stratumCol: String,
-                       fractions: Map[String, Double],
-                       seed: Long = 42L): DataFrame =
+  def stratifiedSample[T](df: DataFrame, stratumCol: String,
+                          fractions: Map[T, Double],
+                          seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
   /** Temperature-flattened mixture: keep-rate per stratum ∝ n^(α−1),
@@ -83,8 +83,12 @@ object Splitting {
                          alpha: Double, maxRate: Double = 1.0,
                          seed: Long = 42L): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    // keys stay the RAW stratum values — sampleBy compares typed values,
+    // so toString keys would silently match nothing on non-string
+    // strata and drop every row (ADVICE r3)
     val counts = df.groupBy(col(stratumCol)).count().collect()
-      .map(r => r.get(0).toString -> r.getLong(1))
+      .map(r => r.get(0) -> r.getLong(1))
+    if (counts.isEmpty) return df // empty input: nothing to flatten
     val raw = counts.map { case (k, n) =>
       k -> math.pow(n.toDouble, alpha - 1.0) }
     val top = raw.map(_._2).max

@@ -202,12 +202,15 @@ object Similarity {
       .filter(l2Norm(col("qv")) > lit(0.0))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("center_cos").desc, col("cell"))
+    // deliberately NOT cached: |Q|·nCells rows through a broadcast cross
+    // join is cheaper to recompute for its two consumers than to leave a
+    // cached block leaking per search call in a long-lived session
+    // (ADVICE r3)
     val probed = q.crossJoin(broadcast(centers))
       .withColumn("center_cos", cosine(col("qv"), col("center")))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= lit(nProbe))
       .select(col("query_id"), col("qv"), col("cell"))
-      .cache()
     val probedCells = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val cells = spark.read.parquet(s"$path/cells")

@@ -217,8 +217,14 @@ object EventStreams {
             }
             open.foreach { s =>
               state.update(s)
-              // close via timeout once the watermark passes end + gap
-              state.setTimeoutTimestamp(s.end_ms + gapMs)
+              // close via timeout once the watermark passes end + gap.
+              // flatMapGroupsWithState does NOT drop late rows, so a
+              // batch whose events all predate the watermark would make
+              // an unclamped timestamp throw (must exceed the current
+              // watermark) and kill the query — clamp to watermark+1
+              // (batch queries report watermark -1, leaving end+gap).
+              state.setTimeoutTimestamp(
+                math.max(s.end_ms + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }
