@@ -8,7 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    lets Catalyst's EliminateSorts drop every final ORDER BY, so sorted
   *    queries would be timed without their sort;
   *  - one full untimed warmup pass first, so JIT + session + parquet
-  *    footer-read costs don't land on whichever query runs first.
+  *    footer-read costs don't land on whichever query runs first;
+  *  - each query is timed THREE times and the MEDIAN reported — a
+  *    single timed pass is defenseless against a noisy co-tenant (the
+  *    r3/r4 driver numbers swung 40x on untouched queries; the median
+  *    of 3 survives one contaminated pass per query).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,7 +48,11 @@ object Bench {
       try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     val results = queries.map { case (name, fn) =>
-      name -> timed(exec(fn(spark, sfDir)))
+      val passes = Seq.fill(3)(timed(exec(fn(spark, sfDir))))
+      val median = passes.map(math.abs).sorted.apply(1)
+      // any failing pass marks the query failed (negated median) — a
+      // flaky query must not masquerade as a fast success
+      name -> (if (passes.forall(_ > 0)) median else -median)
     }
 
     // end-to-end pipeline timings (reference workloads + corpus ops),

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf0.1 → sf1 empirical scaling probe for the heavy queries (VERDICT
+  * r4 "Next round" #3): generates a 10× corpus from the sf0.1 testdata
+  * (no sf1 exists in the harness), times the heavy queries at both
+  * scales, and prints one JSON line with per-query growth factors.
+  *
+  * Generation preserves the statistical shape a real 10× corpus would
+  * have instead of naively replicating rows:
+  *  - `documents`: 10 replicas with offset doc_ids; replica 0 keeps the
+  *    original text, replicas 1..9 deterministically SCRAMBLE word
+  *    order (sort by xxhash64(word, replica)). Language-ID and quality
+  *    kernels are token-multiset functions, so per-doc scores survive;
+  *    word k-shingles do NOT survive reordering, so cross-replica
+  *    Jaccard ≈ 0 and the near-dup pair graph grows ~linearly (each
+  *    replica keeps its own organic near-dup pairs — two docs sharing
+  *    ~all words sort to ~the same scrambled sequence). Naive
+  *    replication would instead make every doc a 10-way exact dup —
+  *    a different workload entirely.
+  *  - `events`: 10 replicas with offset user_ids (new users, same
+  *    activity shape); timestamps unchanged.
+  *
+  * Usage: runMain graft.ScaleProbe [srcDir] [dstDir] [replicas]
+  * Defaults: /root/testdata/sf0.1  .bench/sf1  10
+  */
+object ScaleProbe {
+
+  /** The heavy five from VERDICT r4; q_self_join_pairs is run with a
+    * single pass (its all-pairs semantics make it the slowest probe —
+    * see SCALING.md). */
+  val Heavy = Seq("q_text_stats", "q_ngram_jaccard", "q_dedup_near",
+                  "q_curation", "q_self_join_pairs")
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else ".bench/sf1"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
+
+    generateIfAbsent(spark, src, dst, replicas)
+
+    def exec(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { f; true } catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (ok) sec else -sec
+    }
+
+    // min-of-2 passes (1 for the quadratic-semantics query at scale):
+    // min is the contention-robust statistic for a RATIO probe — any
+    // noise only inflates a pass, never deflates it
+    def run(dir: String): Seq[(String, Double)] = Heavy.map { name =>
+      val fn = SparkEntry.queries(name)
+      val passes = if (name == "q_self_join_pairs" && dir == dst) 1 else 2
+      val ts = Seq.fill(passes)(timed(exec(fn(spark, dir))))
+      val best = ts.map(math.abs).min
+      name -> (if (ts.forall(_ > 0)) best else -best)
+    }
+
+    val base = run(src)
+    val scaled = run(dst)
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    val growth = base.zip(scaled).map { case ((k, b), (_, s)) =>
+      k -> (if (b > 0 && s > 0) s / b else -1.0)
+    }
+    println(s"""{"probe":"scale","replicas":$replicas,"base_sec":${obj(base)},"scaled_sec":${obj(scaled)},"growth":${obj(growth)},"src":"$src","dst":"$dst"}""")
+    spark.stop()
+  }
+
+  def generateIfAbsent(spark: SparkSession, src: String, dst: String,
+                       replicas: Int): Unit = {
+    if (new java.io.File(s"$dst/documents.parquet").exists()) return
+    val reps = spark.range(replicas).select(col("id").as("rep"))
+    val docOff = 10000000L
+
+    def h(w: org.apache.spark.sql.Column) = xxhash64(w, col("rep"))
+    val docs = Tables.documents(spark, src).crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("rep") * lit(docOff))
+      .withColumn("text",
+        when(col("rep") === 0, col("text")).otherwise(
+          array_join(
+            array_sort(split(col("text"), " "),
+              (l, r) => when(h(l) < h(r), -1).when(h(l) > h(r), 1)
+                .otherwise(when(l < r, -1).when(l > r, 1).otherwise(0))),
+            " ")))
+      .drop("rep")
+    docs.repartition(16).write.mode("overwrite")
+      .parquet(s"$dst/documents.parquet")
+
+    // ts is read as int64 epoch-nanos (nanosAsLong) and written back as
+    // plain int64 — every query already treats it as epoch-nanos
+    val events = Tables.events(spark, src).crossJoin(reps)
+      .withColumn("user_id", col("user_id") + col("rep") * lit(docOff))
+      .withColumn("event_id", col("event_id") + col("rep") * lit(docOff))
+      .drop("rep")
+    events.repartition(16).write.mode("overwrite")
+      .parquet(s"$dst/events.parquet")
+  }
+}

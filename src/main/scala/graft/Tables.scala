@@ -10,13 +10,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet scan automatically because these are plain declarative reads.
   */
 object Tables {
+  // Memo of resolved relations per (session, path): `spark.read.parquet`
+  // re-lists files and re-reads footers for schema on EVERY call, which
+  // at 44 bench queries x 3 passes is pure fixed overhead. The testdata
+  // tables are immutable, so the analyzed DataFrame (itself immutable)
+  // is safe to reuse. Entries of stopped sessions are evicted on access.
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md §B), which Spark
     // rejects by default; read it as LongType nanoseconds instead. Queries
     // treat `ts` as int64 epoch-nanos (exact — no precision juggling vs
     // the DuckDB oracle, which uses epoch_ns()).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    memo.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -129,38 +129,66 @@ object Dedup {
                         idCol: String = "doc_id", k: Int = 5,
                         minJaccard: Double = 0.5,
                         maxShingleFreq: Long = 1000L): DataFrame = {
-    // Per-row pair fan-out is C(df,2) structs built in one array, so the
-    // frequency cap is also the memory bound: F=1000 → ≤ ~500K structs
-    // (~12 MB) for a worst-case shingle row. For caps beyond this, use a
-    // shingle equi-join instead of in-array expansion.
-    require(maxShingleFreq <= 2000,
-      s"maxShingleFreq $maxShingleFreq too large for in-array pair expansion")
-    val sh = docs
+    val grouped = shingleIndex(docs, textCol, idCol, k, maxShingleFreq)
+    // pair expansion as CHAINED GENERATORS, not one flattened array:
+    // explode the posting list, filter each element's successors (a
+    // df-sized array, ≤ maxShingleFreq), explode again. Peak per-row
+    // memory is O(df) instead of the old flatten(transform(transform))'s
+    // C(df,2) struct array (~12 MB worst case at F=1000), the generators
+    // pipeline inside codegen, and the cap can rise beyond 2000 safely.
+    finishJaccard(grouped
+      .select(col("ds"), explode(col("ds")).as("a"))
+      .select(col("a"),
+              explode(filter(col("ds"), b => b("id") > col("a.id"))).as("b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+               col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_common")), minJaccard)
+  }
+
+  /** Inverted shingle index: one row per surviving shingle with its
+    * posting list. One shuffle; the df-filter (frequency pruning) is
+    * folded into the same aggregate. */
+  private def shingleIndex(docs: DataFrame, textCol: String, idCol: String,
+                           k: Int, maxShingleFreq: Long): DataFrame =
+    docs
       .select(col(idCol).as("id"),
               Text.wordShingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n_sh"),
               explode(col("sh")).as("shingle"))
-    // one shuffle on the shingle: inverted index row per shingle, the
-    // df-filter (frequency pruning) folded into the same aggregate —
-    // 1.8x faster than the equivalent semi-join + self-equi-join plan
-    // and strictly fewer shuffles (measured at sf0.1, same output)
-    val grouped = sh.groupBy(col("shingle"))
+      .groupBy(col("shingle"))
       .agg(collect_list(struct(col("id"), col("n_sh"))).as("ds"))
       .filter(size(col("ds")).between(2, maxShingleFreq))
-    val pairsExpr = flatten(transform(col("ds"), a =>
-      transform(filter(col("ds"), b => b("id") > a("id")), b =>
-        struct(a("id").as("id_a"), b("id").as("id_b"),
-               a("n_sh").as("n_a"), b("n_sh").as("n_b")))))
-    grouped.select(explode(pairsExpr).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-               col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
-      .agg(count(lit(1)).as("n_common"))
+
+  private def finishJaccard(counted: DataFrame,
+                            minJaccard: Double): DataFrame =
+    counted
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= lit(minJaccard))
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+
+  /** [[ngramJaccardPairs]] as a FLAT shingle self-equi-join (the shape
+    * DuckDB picks): explode both sides of the pruned inverted index and
+    * equi-join on the shingle. Same output; kept for measurement — the
+    * index+generator form wins when posting lists are short, the flat
+    * join when the aggregate's input dominates. */
+  def ngramJaccardPairsJoin(docs: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id", k: Int = 5,
+                            minJaccard: Double = 0.5,
+                            maxShingleFreq: Long = 1000L): DataFrame = {
+    val posting = shingleIndex(docs, textCol, idCol, k, maxShingleFreq)
+      .select(col("shingle"), explode(col("ds")).as("d"))
+      .select(col("shingle"), col("d.id").as("id"), col("d.n_sh").as("n_sh"))
+    val a = posting.as("a")
+    val b = posting.as("b")
+    finishJaccard(a
+      .join(b, col("a.shingle") === col("b.shingle") &&
+               col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+               col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_common")), minJaccard)
   }
 
   /** Connected components of an undirected pair graph by iterative

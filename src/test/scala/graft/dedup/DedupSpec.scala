@@ -105,6 +105,13 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram jaccard: generator form == flat-join form, row for row") {
+    val gen = Dedup.ngramJaccardPairs(planted, k = 5, minJaccard = 0.5)
+    val join = Dedup.ngramJaccardPairsJoin(planted, k = 5, minJaccard = 0.5)
+    assert(gen.exceptAll(join).count() == 0)
+    assert(join.exceptAll(gen).count() == 0)
+  }
+
   test("simhash near-dup finds planted clones with small hamming") {
     val pairs = Dedup.simhashNearDuplicates(planted, maxHamming = 3)
       .cache()

@@ -58,6 +58,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .exists(_.exists(_.isInstanceOf[DotProduct])))
   }
 
+  test("uncast float-array HOF is NOT substituted (multiplies in float)") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    // embeddings.embedding is array<float>; without explicit casts the
+    // lambda multiplies in FLOAT and widens afterwards — numerically
+    // different from the kernel's widen-then-multiply, so the rule must
+    // leave it alone (ADVICE r3 / round-4 guard at
+    // KernelSubstitution.scala:59)
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf0001)
+    val uncast = emb.select(aggregate(
+      zip_with(col("embedding"), col("embedding"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(!uncast.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[DotProduct])),
+      "float-form HOF must not be rewritten to the double kernel")
+    // and it still evaluates (the guard only narrows the rewrite)
+    assert(uncast.limit(5).collect().length == 5)
+  }
+
   test("shingles rejects a non-literal k") {
     GraftExtensions.register(spark)
     import spark.implicits._

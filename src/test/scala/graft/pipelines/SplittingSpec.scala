@@ -79,6 +79,33 @@ class SplittingSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mixture: empty input returns empty, does not throw") {
+    // regression for ADVICE r3: `raw.map(_._2).max` threw on zero strata
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+    val empty = docs.filter(lit(false))
+    val out = Splitting.temperatureMixture(empty, "lang", alpha = 0.5)
+    assert(out.count() == 0)
+    assert(out.schema == docs.schema)
+  }
+
+  test("non-string strata: typed keys keep rows (no toString mismatch)") {
+    // regression for ADVICE r3: keying sampleBy fractions by
+    // `r.get(0).toString` silently matched nothing on non-string strata
+    // (sampleBy compares TYPED values) and dropped every row
+    val events = graft.Tables.events(spark, TestSpark.sf0001)
+    // user_id is a LONG column — the failing case
+    val natural = Splitting.temperatureMixture(events, "user_id", alpha = 1.0)
+    assert(natural.count() == events.count(),
+      "alpha=1 over integer strata must keep everything")
+    // and stratifiedSample itself accepts typed (Long) keys
+    val ids = events.select(col("user_id")).distinct().limit(2).collect()
+      .map(_.getLong(0))
+    val kept = Splitting.stratifiedSample(
+      events, "user_id", ids.map(_ -> 1.0).toMap)
+    val expect = events.filter(col("user_id").isin(ids.map(Long.box): _*))
+    assert(kept.count() == expect.count())
+  }
+
   test("same seed + same partitioning => identical split") {
     val again = Splitting.split(ratings, seed = 42L)
     assert(again.train.exceptAll(splits.train).count() == 0)

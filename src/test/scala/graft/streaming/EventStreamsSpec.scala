@@ -147,6 +147,53 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("closed sessions survive a batch entirely behind the watermark") {
+    // regression for ADVICE r3 / the round-4 clamp at
+    // EventStreams.scala: a batch whose events all predate the
+    // watermark must not kill the query. Probed empirically: Spark 4
+    // drops such rows before the function when EventTimeTimeout is set
+    // (so the late user gets NO session — that drop is the pinned
+    // semantics here), and the clamp keeps setTimeoutTimestamp legal in
+    // versions/configs where late rows do get through.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "event_time", "value")
+      .withWatermark("event_time", "10 minutes")
+      .as[EventStreams.UserEvent]
+    val q = EventStreams.closedUserSessions(events)
+      .writeStream.format("memory").queryName("late_closed_sessions")
+      .outputMode("append").start()
+    def ms(s: String): Long = Timestamp.valueOf(s).getTime
+    try {
+      mem.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // push the watermark far past 10:30 (10:00 session horizon)
+      mem.addData((9L, Timestamp.valueOf("2024-01-01 13:00:00"), 1.0))
+      q.processAllAvailable()
+      // LATE batch: user 2's only event is behind the 12:50 watermark —
+      // the historical crash trigger (setTimeoutTimestamp <= watermark)
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // advance the watermark so pending timeouts fire and flush
+      mem.addData((9L, Timestamp.valueOf("2024-01-01 14:00:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData((9L, Timestamp.valueOf("2024-01-01 15:00:00"), 1.0))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val got = spark.table("late_closed_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // user 1's pre-watermark session still closes via timeout
+      assert(got.contains((1L, ms("2024-01-01 10:00:00"),
+        ms("2024-01-01 10:00:00"), 1L)), s"timeout close missing: $got")
+      // the fully-late event is dropped, not sessionized (Spark 4
+      // late-row filter) — and crucially did not kill the query
+      assert(!got.exists(_._1 == 2L),
+        s"late row behind the watermark must be dropped: $got")
+    } finally q.stop()
+  }
+
   test("file-source streaming: parquet dir stream matches batch windows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
