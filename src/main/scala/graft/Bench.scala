@@ -93,6 +93,11 @@ object Bench {
           exec(Curation.curate(docsDf.select(
             org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text"))))),
+        // five-count funnel report; stage caching keeps it ~curate-cost
+        "pipeline_funnel" -> (() =>
+          Curation.funnel(docsDf.select(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text"))): Unit),
         // streaming throughput: the events table replayed as a file
         // stream through the watermarked tumbling aggregation — the
         // measured time is ingest + stateful agg for the whole SF
