@@ -136,6 +136,9 @@ object Dedup {
     // memory is O(df) instead of the old flatten(transform(transform))'s
     // C(df,2) struct array (~12 MB worst case at F=1000), the generators
     // pipeline inside codegen, and the cap can rise beyond 2000 safely.
+    // Measured at sf0.1 / local[32], median of 3 alternating passes:
+    // generators 1.45 s, [[ngramJaccardPairsJoin]] 1.55 s, the old
+    // in-array expansion 1.97 s (DuckDB's flat-join twin: 0.85 s).
     finishJaccard(grouped
       .select(col("ds"), explode(col("ds")).as("a"))
       .select(col("a"),
