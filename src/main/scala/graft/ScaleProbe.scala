@@ -89,17 +89,31 @@ object ScaleProbe {
     val reps = spark.range(replicas).select(col("id").as("rep"))
     val docOff = 10000000L
 
-    def h(w: org.apache.spark.sql.Column) = xxhash64(w, col("rep"))
+    // POSITION-keyed deterministic shuffle: sort (hash(doc, rep, pos),
+    // word) structs. Keying by position (not word value) is load-
+    // bearing: a word-keyed sort canonicalizes order per replica, so
+    // docs sharing vocabulary share long identical runs and the
+    // shingle-pair workload explodes ~100× superlinearly (first probe
+    // attempt measured Σ C(df,2) = 313M — a generation artifact, not
+    // engine behavior). Independent per-doc permutations keep
+    // cross-doc shingle overlap at the organic level.
     val docs = Tables.documents(spark, src).crossJoin(reps)
-      .withColumn("doc_id", col("doc_id") + col("rep") * lit(docOff))
+      .withColumn("scrambled_id", col("doc_id") + col("rep") * lit(docOff))
       .withColumn("text",
         when(col("rep") === 0, col("text")).otherwise(
           array_join(
-            array_sort(split(col("text"), " "),
-              (l, r) => when(h(l) < h(r), -1).when(h(l) > h(r), 1)
-                .otherwise(when(l < r, -1).when(l > r, 1).otherwise(0))),
+            transform(
+              array_sort(
+                zip_with(
+                  split(col("text"), " "),
+                  sequence(lit(0), size(split(col("text"), " ")) - 1),
+                  (w, i) => struct(
+                    xxhash64(col("doc_id"), col("rep"), i).as("k"),
+                    w.as("w")))),
+              s => s.getField("w")),
             " ")))
-      .drop("rep")
+      .withColumn("doc_id", col("scrambled_id"))
+      .drop("rep", "scrambled_id")
     docs.repartition(16).write.mode("overwrite")
       .parquet(s"$dst/documents.parquet")
 

@@ -231,6 +231,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // labels are localCheckpointed (no lineage into edges), so the
+    // edges cache can be dropped before returning — leaving it
+    // registered leaks blocks in long-lived sessions AND silently
+    // serves any later identical plan from cache (CacheManager matches
+    // canonicalized plans), corrupting repeat-pass measurements (found
+    // via the round-5 scale probe's bogus min-of-2 reading)
+    edges.unpersist(blocking = false)
     labels
   }
 
