@@ -437,7 +437,7 @@ object SparkEntry {
                     FROM documents),
          tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
          df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-         n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
          ranked AS (SELECT tf.doc_id, tf.word, tf.tf, df.df, n.n,
                       row_number() OVER (PARTITION BY tf.doc_id
                         ORDER BY tf.tf DESC, df.df ASC, tf.word) AS rank

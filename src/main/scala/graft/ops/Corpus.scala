@@ -310,8 +310,17 @@ object Corpus {
     * frequency (ties: document frequency asc — rarer wins — then word),
     * scored with smoothed idf `ln((N+1)/(df+1)) + 1`. Selection order
     * is a pure INTEGER tuple, so ranks are engine-portable; only the
-    * reported score is float (rounded @6dp). Two shuffles at any
-    * scale: (doc, word) fold, then word → df broadcast back. */
+    * reported score is float (rounded @6dp).
+    *
+    * Plan shape (round 5, PlanSpec-audited): the text is tokenized and
+    * EXPLODED EXACTLY ONCE — df rides a `count over (partition by
+    * word)` WINDOW on the tf aggregate instead of a separate
+    * re-derived branch (Spark does not reuse sibling exchanges here,
+    * neither statically nor via AQE stage reuse — measured: the
+    * branch form re-ran scan+explode per branch). N comes from a
+    * doc_id-only column-pruned scan (no explode), broadcast as one
+    * row. Shuffles: (doc, word) fold → word window → doc_id rank
+    * window. */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -319,16 +328,11 @@ object Corpus {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = words.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    // N from the already-folded tf keys, not a second documents scan —
-    // the (doc_id, word) partial-agg exchange is identical to the join
-    // branch's, so ReuseExchange serves both from ONE scan (VERDICT r4)
-    val n = tf.select(countDistinct(col("doc_id")).as("n"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
+    val n = docs(spark, dir).select(countDistinct(col("doc_id")).as("n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("word"))
-    // no broadcast hint on df: vocabulary is unbounded at corpus scale —
-    // AQE converts to broadcast at runtime when it does fit
-    tf.join(df, Seq("word"))
+    tf
       .crossJoin(broadcast(n))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= lit(k))

@@ -68,6 +68,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(500))
   }
 
+  test("tfidf top terms: tokenize+explode runs once; N scan is doc_id-only") {
+    // df rides a window over tf instead of a re-derived branch — Spark
+    // does NOT reuse sibling exchanges here (checked both statically
+    // and in the AQE final plan), so every extra branch re-ran the
+    // scan+explode. N's scan must be column-pruned to doc_id alone.
+    val p = plan(Corpus.tfidfTopTerms(spark, dir))
+    // count TREE nodes ("Op (id)") — formatted mode lists each node a
+    // second time in the detail section
+    val generates = "Generate \\(\\d+\\)".r.findAllIn(p).length
+    assert(generates == 1,
+      s"tokenize+explode must appear exactly once, got $generates:\n${p.take(2000)}")
+    val scans = "Scan parquet +\\(\\d+\\)".r.findAllIn(p).length
+    assert(scans <= 2, s"expected at most 2 scans, got $scans")
+    val nScanSchema = p.linesIterator
+      .filter(_.contains("ReadSchema")).filterNot(_.contains("text"))
+      .mkString
+    assert(nScanSchema.contains("doc_id"),
+      s"N branch must scan only doc_id: $nScanSchema")
+  }
+
   test("range self-join is an equi-join on (key, bucket)") {
     val p = plan(Corpus.rangeJoinFollowers(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
