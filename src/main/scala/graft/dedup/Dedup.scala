@@ -68,6 +68,12 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
       .setNumFeatures(numFeatures).setBinary(true)
+    // cache serves BOTH sides of the self approxSimilarityJoin (the
+    // shingle+hash pass would otherwise run twice). It cannot be
+    // unpersisted here — the returned frame is lazy — so the blocks
+    // stay registered for its lifetime; long-lived sessions issuing
+    // many dedup calls should unpersist via spark.catalog.clearCache()
+    // between batches (same contract as cosinePairsLsh/annTopK/ivfTopK).
     val vec = tf.transform(sh).cache()
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(seed)

@@ -42,6 +42,10 @@ object Segmentation {
     val sets = userMovieSets(ratings, minMovies)
     val cv = new CountVectorizer()
       .setInputCol("movies").setOutputCol("features").setBinary(true)
+    // load-bearing: CountVectorizer.fit scans sets, then transform +
+    // both approxSimilarityJoin sides re-read it. Lazy return — blocks
+    // stay registered for the result's lifetime (see Dedup
+    // .minhashNearDuplicates for the session-lifecycle contract).
     val featured = cv.fit(sets).transform(sets).cache()
 
     val mh = new MinHashLSH()

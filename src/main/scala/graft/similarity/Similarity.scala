@@ -89,6 +89,9 @@ object Similarity {
                      idCol: String = "vec_id", minCosine: Double = 0.9,
                      bucketLength: Double = 0.25, numHashTables: Int = 4,
                      seed: Long = 42L): DataFrame = {
+    // load-bearing for the self-join (normalize + vectorize once);
+    // lazy return — see Dedup.minhashNearDuplicates for the
+    // session-lifecycle contract
     val unit = emb
       .select(col(idCol).as("id"), col(vecCol).as("raw"))
       .filter(l2Norm(col("raw")) > lit(0.0))
@@ -122,6 +125,9 @@ object Similarity {
               qId: String = "vec_id", qVec: String = "embedding",
               cId: String = "vec_id", cVec: String = "embedding")
       : DataFrame = {
+    // load-bearing: KMeans.fit ITERATES over c, then transform reads
+    // it again; lazy return — see Dedup.minhashNearDuplicates for the
+    // session-lifecycle contract
     val c = corpus
       .select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
       .filter(l2Norm(col("cv")) > lit(0.0))
@@ -239,6 +245,8 @@ object Similarity {
       .select(col(qId).as("id"), col(qVec).as("raw"))
       .filter(l2Norm(col("raw")) > lit(0.0))
       .select(col("id"), array_to_vector(normalize(col("raw"))).as("v"))
+    // load-bearing for the corpus side of the LSH join; lazy return —
+    // see Dedup.minhashNearDuplicates for the session-lifecycle contract
     val c = corpus
       .select(col(cId).as("id"), col(cVec).as("raw"))
       .filter(l2Norm(col("raw")) > lit(0.0))

@@ -55,6 +55,31 @@ class CurationSpec extends AnyFunSuite {
     assert(f.last._2 > 0, "curation must not empty the corpus")
   }
 
+  test("funnel single-pass counts equal stage-by-stage computation") {
+    // the round-5 fold (conditional counts + countDistinct(hash) in ONE
+    // aggregate) must report exactly what running the stages reports
+    val cfg = Curation.Config()
+    val f = Curation.funnel(docs, cfg).toMap
+    val scored = docs
+      .withColumn("toks", graft.text.Text.tokenize(col("text")))
+      .withColumn("detected",
+        graft.text.Text.langIdFromTokens(col("toks"), col("text")))
+      .withColumn("quality",
+        graft.text.Text.qualityScoreFromTokens(col("toks"), col("text")))
+    val lang = scored.filter(col("detected").isin(cfg.langs.toSeq: _*))
+    val qual = lang.filter(col("quality") >= cfg.minQuality)
+      .filter(graft.text.Text.urlCount(col("text")) <= cfg.maxUrls)
+      .drop("toks", "detected", "quality")
+    val exact = graft.dedup.Dedup.dropExactDuplicates(qual)
+    assert(f("input") == docs.count())
+    assert(f("lang") == lang.count())
+    assert(f("quality") == qual.count())
+    assert(f("exact_dedup") == exact.count())
+    assert(f("near_dedup") == graft.dedup.Dedup
+      .markNearDuplicates(exact, minJaccard = cfg.nearDupJaccard)
+      .filter(col("kept")).count())
+  }
+
   test("mixture resampling keeps only requested strata") {
     val out = Curation.curate(docs,
       Curation.Config(mixture = Map("en" -> 0.5, "de" -> 1.0)))
