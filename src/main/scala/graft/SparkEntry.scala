@@ -62,6 +62,7 @@ object SparkEntry {
     "q_tfidf_topterms"          -> ((s, d) => Corpus.tfidfTopTerms(s, d)),
     "q_content_filters"         -> Corpus.contentFilters _,
     "q_curation"                -> Corpus.curationRun _,
+    "q_funnel"                  -> Corpus.curationFunnel _,
     "q_decontamination"         -> Corpus.decontamination _,
     "q_token_entropy"           -> Corpus.tokenEntropy _,
     // Deterministic (seed-free) ranking metrics — full SQL oracle below.
@@ -142,7 +143,29 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    baseOracleSql +
+      ("q_funnel" -> funnelOracle(baseOracleSql("q_curation")))
+
+  /** `q_funnel`'s oracle reuses `q_curation`'s CTE block verbatim
+    * (single source of truth — the two must stay stage-for-stage
+    * identical): everything before the final survivor listing, with
+    * per-stage count subqueries as the one-row SELECT on top. */
+  private def funnelOracle(curation: String): String = {
+    val finalSelect = "SELECT ex.doc_id, ex.detected"
+    curation.substring(0, curation.indexOf(finalSelect)) +
+      """SELECT (SELECT count(*) FROM t) AS input,
+                (SELECT count(*) FROM l
+                 WHERE detected IN ('en', 'de', 'es', 'fr')) AS lang,
+                (SELECT count(*) FROM f) AS quality,
+                (SELECT count(*) FROM ex) AS exact_dedup,
+                (SELECT count(*) FROM ex LEFT JOIN comp c
+                   ON ex.doc_id = c.id
+                 WHERE coalesce(c.component, ex.doc_id) = ex.doc_id)
+                  AS near_dedup"""
+  }
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q_scan_project_cast" ->
       """SELECT l_orderkey, l_linenumber,
          CAST(l_partkey AS VARCHAR) AS part_str,

@@ -406,6 +406,14 @@ object Corpus {
       .select(col("doc_id"), col("detected"), col("quality"))
       .orderBy(col("doc_id"))
 
+  /** The curation FUNNEL REPORT as a declared query: one row with the
+    * per-stage survivor counts, computed by the single-aggregate fold
+    * ([[graft.pipelines.Curation.funnelFrame]]) and hash-gated against
+    * the same composed DuckDB CTEs as `q_curation` with count
+    * subqueries on top. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.Curation.funnelFrame(docs(spark, dir))
+
   /** Corpus facets: docs + chars per (lang, source) — the partition-key
     * profile a 100-TB layout decision starts from. */
   def langFacets(spark: SparkSession, dir: String): DataFrame = {

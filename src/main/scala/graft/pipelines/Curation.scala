@@ -69,6 +69,15 @@ object Curation {
     * computation: two scans total, no cache — at corpus scale a second
     * codegen'd pass beats pinning the scored corpus in block storage. */
   def funnel(docs: DataFrame, cfg: Config = Config()): Seq[(String, Long)] = {
+    val r = funnelFrame(docs, cfg).head()
+    Seq("input", "lang", "quality", "exact_dedup", "near_dedup")
+      .zipWithIndex.map { case (s, i) => s -> r.getLong(i) }
+  }
+
+  /** [[funnel]] as a one-row DataFrame (input, lang, quality,
+    * exact_dedup, near_dedup) — the driver-contract form, hash-gated
+    * against a composed DuckDB oracle (`q_funnel`). */
+  def funnelFrame(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val toks = Text.tokenize(col("text"))
     val langOk = Text.langIdFromTokens(toks, col("text"))
       .isin(cfg.langs.toSeq: _*)
@@ -80,13 +89,11 @@ object Curation {
       count(when(langOk, 1)).as("lang"),
       count(when(qualOk, 1)).as("quality"),
       countDistinct(when(qualOk, sha2(col("text"), 256))).as("exact_dedup"))
-      .head()
-    val nearCount = Dedup
+    val near = Dedup
       .markNearDuplicates(Dedup.dropExactDuplicates(docs.filter(qualOk)),
         minJaccard = cfg.nearDupJaccard)
-      .filter(col("kept")).count()
-    Seq("input" -> head.getLong(0), "lang" -> head.getLong(1),
-        "quality" -> head.getLong(2), "exact_dedup" -> head.getLong(3),
-        "near_dedup" -> nearCount)
+      .filter(col("kept"))
+      .agg(count(lit(1)).as("near_dedup"))
+    head.crossJoin(near)
   }
 }
