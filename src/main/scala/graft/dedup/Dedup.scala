@@ -200,18 +200,24 @@ object Dedup {
       .agg(count(lit(1)).as("n_common")), minJaccard)
   }
 
-  /** Connected components of an undirected pair graph by iterative
-    * min-label propagation: every node repeatedly adopts the smallest
-    * component id among itself and its neighbors until fixpoint (≤ graph
-    * diameter iterations — near-dup clusters are shallow). Input: pairs
-    * (id_a, id_b); output: (id, component) for every node that appears
-    * in a pair (singletons are implicitly their own component).
+  /** Connected components of an undirected pair graph by min-label
+    * propagation WITH POINTER JUMPING: each sweep every node adopts the
+    * smallest component id among itself, its neighbors, and — the
+    * jump — its current component's component. Edge propagation alone
+    * needs DIAMETER sweeps (a 1000-hop chain at corpus scale would
+    * silently truncate at any fixed cap); the label-indirection step
+    * halves remaining path lengths, so convergence is
+    * O(log diameter) — 20 sweeps cover diameters beyond 2²⁰. Input:
+    * pairs (id_a, id_b); output: (id, component) for every node that
+    * appears in a pair (singletons are implicitly their own
+    * component). Throws if the cap is somehow still hit — a silently
+    * wrong clustering is worse than a failed job.
     *
     * This is the driver-coordinated iterative shape Spark uses for ALS/
-    * Pregel: each sweep is one join + min-aggregate (two shuffles),
-    * `localCheckpoint` truncates the growing lineage so iteration N
-    * doesn't replan N-deep. Convergence is checked with a count — a
-    * scalar to the driver, never data. */
+    * Pregel: each sweep is joins + a min-aggregate, `localCheckpoint`
+    * truncates the growing lineage so iteration N doesn't replan
+    * N-deep. Convergence is checked with a count — a scalar to the
+    * driver, never data. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -226,7 +232,12 @@ object Dedup {
       val prop = edges
         .join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("component"))
-      val next = labels.union(prop)
+      // pointer jump: node → component's component (cuts path length
+      // in half each sweep; joins labels to itself on the label)
+      val jump = labels.as("a")
+        .join(labels.as("b"), col("a.component") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.component").as("component"))
+      val next = labels.union(prop).union(jump)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint()
@@ -237,6 +248,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter sweeps " +
+        s"($changed labels still changing) — raise maxIter")
     // labels are localCheckpointed (no lineage into edges), so the
     // edges cache can be dropped before returning — leaving it
     // registered leaks blocks in long-lived sessions AND silently

@@ -140,6 +140,19 @@ class DedupSpec extends AnyFunSuite {
                        10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: a 200-hop chain converges (pointer jumping)") {
+    import spark.implicits._
+    // plain min-label propagation needs DIAMETER sweeps — 200 here,
+    // 10x the default cap; the pointer-jump step makes it O(log d).
+    // The old code silently truncated; the new code would throw.
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(comp.length == 201)
+    assert(comp.forall(_._2 == 0L),
+      s"all chain nodes must label 0, got ${comp.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("markNearDuplicates: one keeper per cluster, planted clones dropped") {
     val marked = Dedup.markNearDuplicates(planted, k = 5, minJaccard = 0.5)
       .cache()
