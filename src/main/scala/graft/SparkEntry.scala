@@ -30,6 +30,8 @@ object SparkEntry {
     "q_window_row_number"       -> Windows.rowNumberPerGroup _,
     "q_window_rank_topk"        -> ((s, d) => Windows.rankTopKPerGroup(s, d)),
     "q_self_join_pairs"         -> Relational.selfJoinPairs _,
+    "q_dim_rollup"              -> Relational.dimRollup _,
+    "q_part_supplier_volume"    -> Relational.partSupplierVolume _,
     "q_corr_per_pair"           -> Stats.corrPerPair _,
     "q_variance_filter"         -> Stats.varianceFilter _,
     "q_union_splits"            -> Relational.unionSplits _,
@@ -285,6 +287,24 @@ object SparkEntry {
            count(*) AS cnt FROM lineitem)
          SELECT CAST(sum_cents AS DOUBLE) / (CAST(cnt AS DOUBLE) * 100.0)
            AS avg_price, cnt FROM g""",
+    "q_dim_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_part_supplier_volume" ->
+      """SELECT p_brand, n_name, count(*) AS n_lines,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY p_brand, n_name ORDER BY p_brand, n_name""",
     "q_percentiles" ->
       """SELECT o_orderpriority, count(*) AS cnt,
            round(quantile_cont(o_totalprice, 0.5) + 0.000000001, 4) AS p50,

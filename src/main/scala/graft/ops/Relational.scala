@@ -165,4 +165,46 @@ object Relational {
         Exact.avgFromCents(col("sum_cents"), col("cnt")).as("avg_price"),
         col("cnt"))
   }
+
+  /** Snowflake dim chain: customer ⋈ nation ⋈ region, both dims
+    * BROADCAST (regions/nations are tiny at any SF — the canonical
+    * star-schema shape: the fact side never shuffles for the joins,
+    * only the final rollup aggregates). Exact integer-cents balance
+    * total (`Exact` — float sums diverge across engines). */
+  def dimRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           Exact.sumCents(col("c_acctbal")).as("acctbal_cents"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Fact ⋈ two dims ⋈ dim-of-dim: lineitem ⋈ part ⋈ supplier ⋈
+    * nation — per (brand, supplier nation) line counts, quantity and
+    * exact revenue cents. All three dims broadcast; one fact shuffle
+    * for the rollup. Quantities are integral (≤ 50), so a double sum
+    * is exact until ~2⁵³/50 rows — cast to long for the portable
+    * compare. */
+  def partSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+              col("l_extendedprice"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("p_brand"), col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(col("l_quantity")).cast("long").as("total_qty"),
+           Exact.sumCents(col("l_extendedprice")).as("revenue_cents"))
+      .orderBy(col("p_brand"), col("n_name"))
+  }
 }

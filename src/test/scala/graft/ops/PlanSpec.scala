@@ -88,6 +88,17 @@ class PlanSpec extends AnyFunSuite {
       s"N branch must scan only doc_id: $nScanSchema")
   }
 
+  test("dim chains broadcast every dimension (no fact-side join shuffle)") {
+    for (df <- Seq(Relational.dimRollup(spark, dir),
+                   Relational.partSupplierVolume(spark, dir))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), p.take(1200))
+      assert(!p.contains("SortMergeJoin") &&
+             !p.contains("ShuffledHashJoin"),
+        "dimension joins must not shuffle the fact side")
+    }
+  }
+
   test("range self-join is an equi-join on (key, bucket)") {
     val p = plan(Corpus.rangeJoinFollowers(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
