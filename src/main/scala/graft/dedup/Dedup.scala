@@ -233,11 +233,15 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("component"))
       // pointer jump: node → component's component (cuts path length
-      // in half each sweep; joins labels to itself on the label)
-      val jump = labels.as("a")
-        .join(labels.as("b"), col("a.component") === col("b.id"))
-        .select(col("a.id").as("id"), col("b.component").as("component"))
-      val next = labels.union(prop).union(jump)
+      // in half each sweep; joins labels to itself on the label).
+      // Sweep 0 skips it — labels start as component = id, so the
+      // jump is a pure identity join there.
+      val base = labels.union(prop)
+      val next = (if (iter == 0) base
+                  else base.union(labels.as("a")
+                    .join(labels.as("b"), col("a.component") === col("b.id"))
+                    .select(col("a.id").as("id"),
+                            col("b.component").as("component"))))
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint()
