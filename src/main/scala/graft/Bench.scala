@@ -93,7 +93,8 @@ object Bench {
           exec(Curation.curate(docsDf.select(
             org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text"))))),
-        // five-count funnel report; stage caching keeps it ~curate-cost
+        // five-count funnel report: one aggregate pass + the near-dup
+        // chain (no cache — see Curation.funnel scaladoc)
         "pipeline_funnel" -> (() =>
           Curation.funnel(docsDf.select(
             org.apache.spark.sql.functions.col("doc_id"),

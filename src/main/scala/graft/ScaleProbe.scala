@@ -10,16 +10,22 @@ import org.apache.spark.sql.functions._
   *
   * Generation preserves the statistical shape a real 10× corpus would
   * have instead of naively replicating rows:
-  *  - `documents`: 10 replicas with offset doc_ids; replica 0 keeps the
-  *    original text, replicas 1..9 deterministically SCRAMBLE word
-  *    order (sort by xxhash64(word, replica)). Language-ID and quality
-  *    kernels are token-multiset functions, so per-doc scores survive;
-  *    word k-shingles do NOT survive reordering, so cross-replica
-  *    Jaccard ≈ 0 and the near-dup pair graph grows ~linearly (each
-  *    replica keeps its own organic near-dup pairs — two docs sharing
-  *    ~all words sort to ~the same scrambled sequence). Naive
-  *    replication would instead make every doc a 10-way exact dup —
-  *    a different workload entirely.
+  *  - `documents`: 10 replicas with offset doc_ids; replica 0 keeps
+  *    the original text, replicas 1..9 apply an independent
+  *    per-(doc, replica) word-order permutation (sort positions by
+  *    xxhash64(doc_id, rep, pos)). Language-ID and quality kernels are
+  *    token-multiset functions, so per-doc scores survive; word
+  *    k-shingles do NOT survive reordering, so cross-replica Jaccard
+  *    ≈ 0. Because the permutation is doc-keyed, ORGANIC dup pairs
+  *    (distinct doc_ids, near-identical text) also decohere in
+  *    replicas 1..9 — the scaled corpus has ~1× (not 10×) organic
+  *    pairs; the PLANTED pairs every dedup query injects (mutation of
+  *    the already-scrambled text inside the query) do scale 10×, so
+  *    the pair/clustering stages still grow with the corpus, at a
+  *    lower-than-real dup density. Naive replication would instead
+  *    make every doc a 10-way exact dup — a different workload
+  *    entirely; see SCALING.md for why the word-keyed alternative is
+  *    worse.
   *  - `events`: 10 replicas with offset user_ids (new users, same
   *    activity shape); timestamps unchanged.
   *
@@ -85,7 +91,11 @@ object ScaleProbe {
 
   def generateIfAbsent(spark: SparkSession, src: String, dst: String,
                        replicas: Int): Unit = {
-    if (new java.io.File(s"$dst/documents.parquet").exists()) return
+    // completion marker, written only after BOTH tables land — a crash
+    // mid-generation must not leave a partial corpus that later runs
+    // silently accept (checking documents.parquet alone would)
+    val marker = new java.io.File(s"$dst/_GRAFT_GENERATED")
+    if (marker.exists()) return
     val reps = spark.range(replicas).select(col("id").as("rep"))
     val docOff = 10000000L
 
@@ -125,5 +135,8 @@ object ScaleProbe {
       .drop("rep")
     events.repartition(16).write.mode("overwrite")
       .parquet(s"$dst/events.parquet")
+    // the overwrites above invalidate any memoized relations under dst
+    Tables.invalidate(dst)
+    marker.createNewFile(): Unit
   }
 }

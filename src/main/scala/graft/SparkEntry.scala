@@ -145,7 +145,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     baseOracleSql +
       ("q_funnel" -> funnelOracle(baseOracleSql("q_curation")))
 
@@ -155,7 +155,11 @@ object SparkEntry {
     * per-stage count subqueries as the one-row SELECT on top. */
   private def funnelOracle(curation: String): String = {
     val finalSelect = "SELECT ex.doc_id, ex.detected"
-    curation.substring(0, curation.indexOf(finalSelect)) +
+    val idx = curation.indexOf(finalSelect)
+    require(idx >= 0,
+      s"q_curation's final SELECT no longer matches '$finalSelect' — " +
+      "update funnelOracle's splice anchor alongside the q_curation SQL")
+    curation.substring(0, idx) +
       """SELECT (SELECT count(*) FROM t) AS input,
                 (SELECT count(*) FROM l
                  WHERE detected IN ('en', 'de', 'es', 'fr')) AS lang,

@@ -29,6 +29,12 @@ object Tables {
       key => key._1.read.parquet(key._2))
   }
 
+  /** Drop memo entries under `dir` — REQUIRED after overwriting a
+    * generated table directory (e.g. `ScaleProbe`), or later reads
+    * would resolve to the stale pre-overwrite file listing. */
+  def invalidate(dir: String): Unit =
+    memo.keySet.removeIf(k => k._2.startsWith(dir))
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

@@ -223,11 +223,21 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    var labels: DataFrame = null
     var changed = 1L
     var iter = 0
+    // finally: the edges cache must be dropped on EVERY exit path —
+    // a registered cache leaks blocks in long-lived sessions AND
+    // silently serves any later identical plan from cache
+    // (CacheManager matches canonicalized plans), corrupting
+    // repeat-pass measurements (found via the round-5 scale probe's
+    // bogus min-of-2 reading). Leaving it behind on the
+    // non-convergence throw would do the same to whoever catches and
+    // retries.
+    try {
+    labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
     while (changed > 0 && iter < maxIter) {
       val prop = edges
         .join(labels, edges("dst") === labels("id"))
@@ -256,14 +266,9 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter sweeps " +
         s"($changed labels still changing) — raise maxIter")
-    // labels are localCheckpointed (no lineage into edges), so the
-    // edges cache can be dropped before returning — leaving it
-    // registered leaks blocks in long-lived sessions AND silently
-    // serves any later identical plan from cache (CacheManager matches
-    // canonicalized plans), corrupting repeat-pass measurements (found
-    // via the round-5 scale probe's bogus min-of-2 reading)
-    edges.unpersist(blocking = false)
+    // labels are localCheckpointed — no lineage into edges survives
     labels
+    } finally edges.unpersist(blocking = false)
   }
 
   /** Near-dup DEDUPLICATION (not just detection): cluster the exact

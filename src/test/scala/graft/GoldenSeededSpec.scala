@@ -31,10 +31,15 @@ class GoldenSeededSpec extends AnyFunSuite {
       .mkString("|")
     val rows = df.collect().map { row =>
       fields.zipWithIndex.map { case (f, i) =>
+        // Locale.ROOT: the f-interpolator uses the JVM default locale,
+        // which would render "0,123456" on comma-decimal locales and
+        // break (or mis-regenerate) every golden
         if (row.isNullAt(i)) "NULL"
         else f.dataType match {
-          case DoubleType => f"${row.getDouble(i)}%.6f"
-          case FloatType  => f"${row.getFloat(i)}%.6f"
+          case DoubleType => String.format(java.util.Locale.ROOT,
+            "%.6f", Double.box(row.getDouble(i)))
+          case FloatType  => String.format(java.util.Locale.ROOT,
+            "%.6f", Double.box(row.getFloat(i).toDouble))
           case _          => row.get(i).toString
         }
       }.mkString("|")
