@@ -87,6 +87,10 @@ object Bench {
         "pipeline_dedup_embedding" -> (() =>
           exec(graft.dedup.Dedup.embeddingNearDuplicates(
             Tables.embeddings(spark, sfDir), minCosine = 0.99))),
+        "pipeline_semantic_dedup" -> (() =>
+          exec(graft.dedup.Dedup.semanticDedup(
+            Tables.embeddings(spark, sfDir), nClusters = 16,
+            minCosine = 0.95))),
         "pipeline_twins_scalable" -> (() =>
           exec(Segmentation.movieTwinsScalable(ratings))),
         "pipeline_curation" -> (() =>

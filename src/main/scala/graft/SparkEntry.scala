@@ -76,6 +76,7 @@ object SparkEntry {
     "q_simhash_neardup"         -> Corpus.dedupSimhash _,
     "q_minhash_twins"           -> (minhashTwins _),
     "q_als_recommend"           -> (alsRecommend _),
+    "q_semantic_dedup"          -> Corpus.semanticDedupMarked _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users

@@ -2,7 +2,9 @@ package graft.dedup
 
 import graft.functions.SimHash64.simhash64
 import graft.text.Text
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -333,4 +335,108 @@ object Dedup {
                               seed: Long = 42L): DataFrame =
     graft.similarity.Similarity.cosinePairsLsh(
       emb, vecCol, idCol, minCosine, bucketLength, numHashTables, seed)
+
+  /** Embeddings clustered by a seeded k-means coarse quantizer, with
+    * each row's cosine to its own centroid — the shared front half of
+    * [[semanticPairs]]/[[semanticDedup]]. Zero-norm vectors are
+    * dropped (cosine is undefined for them). The quantizer fits on a
+    * `fitSample` fraction when < 1 — at corpus scale k-means sees a
+    * sample, `transform` sees everything.
+    *
+    * Load-bearing cache on the normalized frame: KMeans.fit iterates
+    * over it and transform reads it again; lazy-return contract as in
+    * [[minhashNearDuplicates]]. */
+  private def semanticCells(emb: DataFrame, vecCol: String, idCol: String,
+                            nClusters: Int, fitSample: Double,
+                            seed: Long): DataFrame = {
+    import graft.similarity.Similarity
+    val base = emb
+      .select(col(idCol).as("id"), col(vecCol).as("e"))
+      .filter(Similarity.l2Norm(col("e")) > lit(0.0))
+      .withColumn("nrm", Similarity.l2Norm(col("e")))
+      .withColumn("v", array_to_vector(Similarity.normalize(col("e"))))
+      .cache()
+    val km = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("v").setPredictionCol("cell")
+    val model = km.fit(
+      if (fitSample < 1.0) base.sample(fitSample, seed) else base)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }
+      .toSeq.toDF("cell", "center")
+    model.transform(base)
+      .join(broadcast(centers), Seq("cell"))
+      // v is unit-normalized and so is the centroid's construction
+      // space, but the centroid itself (a mean) is not unit length —
+      // use the full cosine, not a bare dot
+      .withColumn("centroid_cos", Similarity.cosine(col("e"), col("center")))
+      .select(col("id"), col("cell"), col("e"), col("nrm"),
+              col("centroid_cos"))
+  }
+
+  /** Within-cluster near-duplicate pairs for SemDeDup: k-means cells
+    * from [[semanticCells]], then all pairs INSIDE each cell at cosine
+    * ≥ `minCosine`. Output: (id_a, id_b, cell, cos).
+    *
+    * Scale shape: the quadratic stage is confined to cells —
+    * Σ_c C(n_c, 2) with n_c ≈ N/nClusters, never C(N, 2). Raise
+    * `nClusters` with corpus size so cells stay bounded (SemDeDup runs
+    * 50k clusters on LAION-440M). The pair join is
+    * [[graft.ops.Pairs.saltedSelfPairs]] on the cell id, so a few hot
+    * cells can't cap parallelism at nClusters partitions. */
+  def semanticPairs(emb: DataFrame, vecCol: String = "embedding",
+                    idCol: String = "vec_id", nClusters: Int = 16,
+                    minCosine: Double = 0.95, fitSample: Double = 1.0,
+                    numSalts: Int = 8, seed: Long = 42L): DataFrame =
+    pairsFromCells(
+      semanticCells(emb, vecCol, idCol, nClusters, fitSample, seed),
+      minCosine, numSalts)
+
+  private def pairsFromCells(cells: DataFrame, minCosine: Double,
+                             numSalts: Int): DataFrame = {
+    import graft.similarity.Similarity
+    graft.ops.Pairs.saltedSelfPairs(cells, "cell", "id",
+        payload = Seq("e", "nrm"), numSalts = numSalts)
+      .withColumn("cos",
+        Similarity.dot(col("e_a"), col("e_b")) /
+          (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= lit(minCosine))
+      .select(col("id_a"), col("id_b"), col("key").as("cell"), col("cos"))
+  }
+
+  /** SEMANTIC deduplication — SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with seeded
+    * k-means, connect within-cluster pairs at cosine ≥ `minCosine`
+    * into semantic groups ([[connectedComponents]]), and keep ONE
+    * representative per group — per the paper's rule, the member
+    * LEAST similar to its cluster centroid (retains the most atypical
+    * exemplar, maximizing kept diversity), min-id tiebreak.
+    *
+    * Output: one row per non-zero-norm input — (idCol, cell,
+    * centroid_cos, component, kept). Filter `kept` for the
+    * semantically deduplicated corpus.
+    *
+    * This intentionally finds only WITHIN-cluster duplicates (the
+    * SemDeDup contract): a near-dup pair split across a cell boundary
+    * is missed, which the paper accepts in exchange for never
+    * comparing across clusters. [[embeddingNearDuplicates]] (LSH) is
+    * the recall-oriented alternative when cross-cluster pairs matter. */
+  def semanticDedup(emb: DataFrame, vecCol: String = "embedding",
+                    idCol: String = "vec_id", nClusters: Int = 16,
+                    minCosine: Double = 0.95, fitSample: Double = 1.0,
+                    numSalts: Int = 8, seed: Long = 42L): DataFrame = {
+    val cells = semanticCells(emb, vecCol, idCol, nClusters, fitSample, seed)
+    val pairs = pairsFromCells(cells, minCosine, numSalts)
+    val comp = connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .withColumnRenamed("id", "__cc_id")
+    val wKeep = Window.partitionBy(col("component"))
+      .orderBy(col("centroid_cos").asc, col("id").asc)
+    cells
+      .join(comp, cells("id") === comp("__cc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+      .withColumn("kept", row_number().over(wKeep) === lit(1))
+      .select(col("id").as(idCol), col("cell"), col("centroid_cos"),
+              col("component"), col("kept"))
+  }
 }

@@ -290,6 +290,25 @@ object Corpus {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup semantic dedup over embeddings + planted identical-vector
+    * clones (every 10th vec_id under +100000): k-means cells are
+    * seed-dependent (no SQL oracle → rows-only driver check); the
+    * committed sf0.01 golden (GoldenSeededSpec) pins content and
+    * DedupSpec pins semantics. The embeddings table has no organic
+    * pairs at cosine ≥ 0.95 (DuckDB-checked at sf0.001/sf0.01), so the
+    * planted pairs are exactly the expected duplicate set. */
+  def semanticDedupMarked(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val clones = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    graft.dedup.Dedup.semanticDedup(emb.union(clones), nClusters = 16,
+        minCosine = 0.95)
+      .select(col("vec_id"), col("cell"), col("component"), col("kept"),
+              round(col("centroid_cos") + lit(1e-9), 6).as("centroid_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Vocabulary profile: top words by document frequency (plus total
     * occurrences) — the explode → two-phase agg → top-k shape of every
     * corpus vocabulary/stopword analysis. At 100 TB the exact form

@@ -20,7 +20,8 @@ class GoldenSeededSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.01"
   private val Seeded = Seq("q_minhash_twins", "q_als_recommend",
-    "q_dedup_minhash", "q_simhash_neardup", "q_embedding_neardup")
+    "q_dedup_minhash", "q_simhash_neardup", "q_embedding_neardup",
+    "q_semantic_dedup")
 
   private val goldenDir = new java.io.File("src/test/resources/golden")
 

@@ -210,4 +210,66 @@ class DedupSpec extends AnyFunSuite {
     assert(clean.count() == docs.count() - hitIds.size)
     assert(clean.filter(col("doc_id").isin(benchIds.toSeq: _*)).count() == 0)
   }
+
+  /** Embeddings + planted identical-vector clones of every 10th row
+    * under vec_id+100000. The base table has NO organic pairs at
+    * cosine ≥ 0.95 (checked against DuckDB at both sf0.001 and
+    * sf0.01), so the planted pairs are exactly the duplicate set. */
+  lazy val emb: DataFrame = Tables.embeddings(spark, TestSpark.sf0001)
+    .select(col("vec_id"), col("embedding")).cache()
+  lazy val embPlanted: DataFrame = emb.union(
+    emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    .cache()
+  lazy val nEmbClones = emb.filter(col("vec_id") % 10 === 0).count()
+
+  test("semanticPairs finds every planted identical-vector pair in-cluster") {
+    val pairs = Dedup.semanticPairs(embPlanted, nClusters = 8,
+      minCosine = 0.95).cache()
+    // identical vectors quantize to the same cell, so every planted
+    // pair MUST survive SemDeDup's within-cluster restriction
+    val plantedPairs = pairs
+      .filter(col("id_b") === col("id_a") + 100000)
+    assert(plantedPairs.count() == nEmbClones)
+    assert(plantedPairs.filter(col("cos") < 0.9999999).count() == 0,
+      "identical vectors must score cosine ≈ 1")
+    // no organic pairs exist at this threshold (DuckDB ground truth)
+    assert(pairs.count() == nEmbClones)
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+
+  test("semanticDedup keeps exactly one representative per semantic group") {
+    val marked = Dedup.semanticDedup(embPlanted, nClusters = 8,
+      minCosine = 0.95).cache()
+    assert(marked.count() == embPlanted.count())
+    // exactly one keeper per component
+    val bad = marked.groupBy(col("component"))
+      .agg(sum(when(col("kept"), 1).otherwise(0)).as("keepers"))
+      .filter(col("keepers") =!= 1)
+    assert(bad.count() == 0)
+    // each planted clone shares a component with its original
+    val clonesComp = marked.filter(col("vec_id") >= 100000)
+      .select((col("vec_id") - 100000).as("vec_id"),
+              col("component").as("clone_comp"))
+    val joined = marked.join(clonesComp, Seq("vec_id"))
+    assert(joined.count() == nEmbClones)
+    assert(joined.filter(col("component") =!= col("clone_comp")).count() == 0)
+    // total kept = inputs − one duplicate dropped per planted pair
+    assert(marked.filter(col("kept")).count()
+      == embPlanted.count() - nEmbClones)
+    // keep rule: the kept member minimizes (centroid_cos, id) — for an
+    // identical pair centroid_cos ties, so min id (the original) wins
+    assert(marked.filter(col("vec_id") >= 100000 && col("kept")).count() == 0)
+  }
+
+  test("semanticDedup is deterministic for a fixed seed; cells in range") {
+    val a = Dedup.semanticDedup(embPlanted, nClusters = 8, minCosine = 0.95,
+      fitSample = 0.5)
+    val b = Dedup.semanticDedup(embPlanted, nClusters = 8, minCosine = 0.95,
+      fitSample = 0.5)
+    val ca = a.orderBy(col("vec_id")).collect().map(_.toString).toSeq
+    val cb = b.orderBy(col("vec_id")).collect().map(_.toString).toSeq
+    assert(ca == cb)
+    assert(a.filter(col("cell") < 0 || col("cell") >= 8).count() == 0)
+  }
 }
