@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.pipelines.Curation
+import graft.text.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming face of the curation funnel's ingest half — the shape a
+  * continuously-crawled corpus runs 24/7, with the batch pipeline
+  * ([[graft.pipelines.Curation.curate]]) reserved for compaction.
+  *
+  * Stage mapping:
+  *  - langID + quality + content filters (funnel stages 1–3) are
+  *    STATELESS map-shaped kernels, so they lift to a stream verbatim
+  *    — same columns, same codegen'd pass, applied per micro-batch;
+  *  - exact dedup (stage 4) becomes `dropDuplicatesWithinWatermark`
+  *    on the content hash — state holds one entry per distinct
+  *    surviving hash inside the watermark horizon, evicted as the
+  *    watermark passes (bounded by horizon cardinality, not stream
+  *    length). Same sha2-256 key as the batch
+  *    `Dedup.dropExactDuplicates`, so landed output dedups
+  *    consistently with a later batch pass;
+  *  - near-dup dedup + mixture (stages 5–6) need a GLOBAL pair graph /
+  *    stratum counts — they stay batch, run over the landed files at
+  *    compaction (lambda split: cheap exactness online, expensive
+  *    exactness offline).
+  *
+  * Input stream needs `doc_id`, `text`, and an `event_time`
+  * TimestampType column (arrival/crawl time) for the watermark.
+  */
+object CurationStream {
+
+  /** Filter + dedup a document stream; output rows carry `detected`
+    * (language) and `quality` like the batch curate. Dual-mode: on a
+    * batch DataFrame (`dropDuplicatesWithinWatermark` is
+    * streaming-only) the dedup degrades to plain exact dedup on the
+    * same hash — the spec's batch twin pins its survivor count to the
+    * funnel report's independently-computed `exact_dedup` stage. */
+  def ingest(stream: DataFrame, cfg: Curation.Config = Curation.Config(),
+             watermark: String = "1 hour"): DataFrame = {
+    val scored = stream
+      .withColumn("toks", Text.tokenize(col("text")))
+      .withColumn("detected",
+        Text.langIdFromTokens(col("toks"), col("text")))
+      .withColumn("quality",
+        Text.qualityScoreFromTokens(col("toks"), col("text")))
+      .drop("toks")
+    val hashed = scored
+      .filter(col("detected").isin(cfg.langs.toSeq: _*))
+      .filter(col("quality") >= lit(cfg.minQuality))
+      .filter(Text.urlCount(col("text")) <= lit(cfg.maxUrls))
+      .withColumn("content_hash", sha2(col("text"), 256))
+    val deduped =
+      if (stream.isStreaming)
+        hashed.withWatermark("event_time", watermark)
+          .dropDuplicatesWithinWatermark(Seq("content_hash"))
+      else hashed.dropDuplicates(Seq("content_hash"))
+    deduped.drop("content_hash")
+  }
+
+  /** Ingest-health counters over the accepted stream: per tumbling
+    * window, accepted docs and mean quality by detected language —
+    * the dashboard aggregation downstream of [[ingest]]. */
+  def ingestStats(accepted: DataFrame, width: String = "1 hour",
+                  watermark: String = "1 hour"): DataFrame =
+    accepted
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), width), col("detected"))
+      .agg(count(lit(1)).as("n_docs"),
+           avg(col("quality")).as("mean_quality"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start_s"),
+              col("detected"), col("n_docs"), col("mean_quality"))
+}

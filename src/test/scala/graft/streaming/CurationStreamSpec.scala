@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+import graft.pipelines.Curation
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class CurationStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(hms: String) = Timestamp.valueOf(s"2024-01-01 $hms")
+
+  // fixtures with known langId/quality behavior (TextSpec)
+  private val en1 = "the cat is in the house and it is not far from the barn"
+  private val en2 = "the quick brown fox jumps over the lazy dog near the river bank"
+  private val fr = "le chien est dans la maison et les chats sont sur le toit"
+  private val junk = "!!! ??? *** !!! ??? *** !!! ???"
+
+  test("streaming ingest: lang/quality filters + dedup within and across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "event_time")
+    val cfg = Curation.Config(langs = Set("en"), minQuality = 0.3)
+    val out = CurationStream.ingest(stream, cfg, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("curation_ingest")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, en1, ts("10:00:00")),
+        (2L, junk, ts("10:00:10")),
+        (3L, fr, ts("10:00:20")),
+        (4L, en2, ts("10:00:30")),
+        (5L, en1, ts("10:00:40"))) // exact dup of 1, same batch
+      q.processAllAvailable()
+      mem.addData(
+        (6L, en1, ts("10:10:00")), // exact dup of 1, NEXT batch, in horizon
+        (7L, en2 + " again and again", ts("10:10:10")))
+      q.processAllAvailable()
+      val table = spark.table("curation_ingest")
+      val got = table.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 4L, 7L),
+        s"expected survivors {1,4,7}, got $got")
+      assert(!got.contains(2L), "junk quality must be filtered")
+      assert(!got.contains(3L), "language outside the allow-list must be filtered")
+      // the streaming state dropped both the in-batch and cross-batch dup
+      assert(table.columns.toSet
+        == Set("doc_id", "text", "event_time", "detected", "quality"))
+      assert(table.filter(col("detected") =!= "en").count() == 0)
+      assert(table.filter(col("quality") < 0.3).count() == 0)
+    } finally q.stop()
+  }
+
+  test("ingestStats: windowed per-language acceptance counters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "event_time")
+    // stats over an already-accepted stream: separate query, so the
+    // two stateful operators are not chained in one plan
+    val accepted = stream
+      .withColumn("detected", graft.text.Text.langId(col("text")))
+      .withColumn("quality", graft.text.Text.qualityScore(col("text")))
+    val agg = CurationStream.ingestStats(accepted, width = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("curation_stats")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (1L, en1, ts("10:05:00")),
+        (2L, en2, ts("10:25:00")),
+        (3L, fr, ts("10:45:00")),
+        (4L, en1, ts("11:05:00")))
+      q.processAllAvailable()
+      val rows = spark.table("curation_stats").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+      val h11 = Timestamp.valueOf("2024-01-01 11:00:00").getTime / 1000
+      assert(rows((h10, "en")) == 2L)
+      assert(rows((h10, "fr")) == 1L)
+      assert(rows((h11, "en")) == 1L)
+    } finally q.stop()
+  }
+
+  test("batch twin: ingest filter+dedup counts agree with the funnel report") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+      .withColumn("event_time", lit(ts("10:00:00")))
+    val cfg = Curation.Config()
+    // on a batch frame the watermark is a no-op and the within-watermark
+    // dedup degrades to exact dedup — survivor count must equal the
+    // funnel's independently-computed exact_dedup stage
+    val streamed = CurationStream.ingest(docs, cfg).count()
+    val funnel = Curation.funnel(docs.drop("event_time"), cfg).toMap
+    assert(streamed == funnel("exact_dedup"),
+      s"ingest-as-batch $streamed != funnel ${funnel("exact_dedup")}")
+  }
+}
