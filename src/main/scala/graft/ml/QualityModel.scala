@@ -1,0 +1,95 @@
+package graft.ml
+
+import graft.text.Text
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier — the model-based companion to the
+  * heuristic [[graft.text.Text.qualityScore]], in the lineage of the
+  * GPT-3 / CCNet pretraining filters: logistic regression trained to
+  * separate a trusted reference corpus (positives — curated text the
+  * pipeline wants more of) from raw crawl (negatives), then applied to
+  * every candidate document as a keep-probability.
+  *
+  * Features are this library's own codegen'd text kernels (length,
+  * punctuation, diversity, stopword, repetition, URL/email signals) —
+  * one map pass, no vocabulary state, so featurization runs where the
+  * data lives and the only driver-side object is the fitted weight
+  * vector (9 doubles). Scoring is `model.transform` — map-shaped,
+  * shuffle-free, exactly what a 100-TB keep/drop pass needs.
+  *
+  * The heavier public variant hashes token n-grams into a wide sparse
+  * vector (fastText-style); that drops in by swapping the assembler
+  * input for a HashingTF column — the plumbing here stays the same.
+  */
+object QualityModel {
+
+  /** Flat numeric feature columns appended by [[featurize]]. */
+  val FeatureCols: Seq[String] = Seq(
+    "f_n_chars", "f_n_tokens", "f_avg_token_len", "f_punct_ratio",
+    "f_distinct_ratio", "f_stopword_ratio", "f_bigram_ratio",
+    "f_url_count", "f_email_count")
+
+  /** One codegen'd pass: tokens materialized once, every feature
+    * derived from them (same HOF-re-evaluation discipline as the
+    * curation funnel — see Text.langId scaladoc). */
+  def featurize(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = col("__q_toks")
+    val f = Text.qualityFeaturesFromTokens(toks, col(textCol))
+    docs
+      .withColumn("__q_toks", Text.tokenize(col(textCol)))
+      .withColumn("f_n_chars", f.getField("n_chars").cast("double"))
+      .withColumn("f_n_tokens", f.getField("n_tokens").cast("double"))
+      .withColumn("f_avg_token_len", f.getField("avg_token_len"))
+      .withColumn("f_punct_ratio", f.getField("punct_ratio"))
+      .withColumn("f_distinct_ratio", f.getField("distinct_ratio"))
+      .withColumn("f_stopword_ratio", f.getField("stopword_ratio"))
+      .withColumn("f_bigram_ratio", Text.distinctBigramRatio(toks))
+      .withColumn("f_url_count", Text.urlCount(col(textCol)).cast("double"))
+      .withColumn("f_email_count",
+        Text.emailCount(col(textCol)).cast("double"))
+      .drop("__q_toks")
+  }
+
+  /** A fitted filter: [[score]] appends `ml_quality` — P(document
+    * belongs to the trusted corpus) in [0,1]. Threshold downstream
+    * (or importance-sample on it, the CCNet move). */
+  final case class Fitted(model: LogisticRegressionModel,
+                          textCol: String) {
+    def score(docs: DataFrame): DataFrame = {
+      val assembled = assembler.transform(featurize(docs, textCol))
+      val p1: Column = vector_to_array(col("__q_prob")).getItem(1)
+      model.setFeaturesCol("__q_features").setProbabilityCol("__q_prob")
+        .setPredictionCol("__q_pred").setRawPredictionCol("__q_raw")
+        .transform(assembled)
+        .withColumn("ml_quality", p1)
+        .drop(FeatureCols: _*)
+        .drop("__q_features", "__q_prob", "__q_pred", "__q_raw")
+    }
+  }
+
+  private def assembler = new VectorAssembler()
+    .setInputCols(FeatureCols.toArray).setOutputCol("__q_features")
+    .setHandleInvalid("keep")
+
+  private def vector_to_array(c: Column): Column =
+    org.apache.spark.ml.functions.vector_to_array(c)
+
+  /** Fit on a trusted corpus vs a raw one. Deterministic for fixed
+    * inputs and partitioning (L-BFGS over a fixed treeAggregate
+    * topology); no sampling is done here — balance the two frames
+    * upstream if they are wildly skewed. */
+  def fit(trusted: DataFrame, raw: DataFrame, textCol: String = "text",
+          maxIter: Int = 50, regParam: Double = 0.01): Fitted = {
+    val train = featurize(
+      trusted.select(col(textCol)).withColumn("label", lit(1.0))
+        .unionByName(raw.select(col(textCol)).withColumn("label", lit(0.0))),
+      textCol)
+    val lr = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("__q_features").setLabelCol("label")
+    Fitted(lr.fit(assembler.transform(train)), textCol)
+  }
+}

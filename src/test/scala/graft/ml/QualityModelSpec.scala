@@ -1,0 +1,65 @@
+package graft.ml
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualityModelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Trusted corpus: the testdata documents. Raw/low-quality corpus:
+    * the same documents degraded in-engine (first token repeated into
+    * the text + punctuation junk appended) — low distinct/bigram
+    * ratios, high punct ratio, same length scale, so the classifier
+    * must use shape features, not length. */
+  lazy val trusted: DataFrame = Tables.documents(spark, TestSpark.sf0001)
+    .select(col("doc_id"), col("text")).cache()
+  lazy val degraded: DataFrame = trusted
+    .select(col("doc_id"),
+      concat(
+        concat_ws(" ", array_repeat(element_at(split(col("text"), " "), 1), 40)),
+        lit(" !!! ??? *** !!! ??? *** !!! ??? *** !!!")).as("text"))
+    .cache()
+
+  test("featurize appends exactly the declared numeric feature columns") {
+    val f = QualityModel.featurize(trusted)
+    assert(f.columns.toSeq
+      == trusted.columns.toSeq ++ QualityModel.FeatureCols)
+    assert(QualityModel.FeatureCols.forall(c =>
+      f.schema(c).dataType.typeName == "double"))
+    // no NaN/null features on real text
+    val bad = QualityModel.FeatureCols
+      .map(c => sum(when(col(c).isNull || isnan(col(c)), 1).otherwise(0)))
+    assert(f.agg(bad.head, bad.tail: _*).head().toSeq.forall(_ == 0L))
+  }
+
+  test("fit/score separates held-out trusted from degraded documents") {
+    val trainT = trusted.filter(col("doc_id") % 5 =!= 0)
+    val trainD = degraded.filter(col("doc_id") % 5 =!= 0)
+    val heldT = trusted.filter(col("doc_id") % 5 === 0)
+    val heldD = degraded.filter(col("doc_id") % 5 === 0)
+    val model = QualityModel.fit(trainT, trainD)
+    val sT = model.score(heldT).cache()
+    val sD = model.score(heldD).cache()
+    // schema contract: input columns + ml_quality, nothing else
+    assert(sT.columns.toSeq == heldT.columns.toSeq :+ "ml_quality")
+    val accT = sT.filter(col("ml_quality") > 0.5).count().toDouble /
+      heldT.count()
+    val accD = sD.filter(col("ml_quality") < 0.5).count().toDouble /
+      heldD.count()
+    assert(accT >= 0.9, s"held-out trusted accuracy $accT < 0.9")
+    assert(accD >= 0.9, s"held-out degraded accuracy $accD < 0.9")
+    // scores are probabilities
+    assert(sT.filter(col("ml_quality") < 0 || col("ml_quality") > 1)
+      .count() == 0)
+  }
+
+  test("scoring is deterministic for a fixed fitted model") {
+    val model = QualityModel.fit(trusted, degraded)
+    def snap() = model.score(trusted.limit(50)).orderBy(col("doc_id"))
+      .select(col("doc_id"), round(col("ml_quality"), 12).as("q"))
+      .collect().map(_.toString).toSeq
+    assert(snap() == snap())
+  }
+}
