@@ -77,6 +77,11 @@ object SparkEntry {
     "q_minhash_twins"           -> (minhashTwins _),
     "q_als_recommend"           -> (alsRecommend _),
     "q_semantic_dedup"          -> Corpus.semanticDedupMarked _,
+    "q_ann_topk"                -> Corpus.annTopKQuery _,
+    "q_ivf_topk"                -> Corpus.ivfTopKQuery _,
+    // oracle-gated (SQL-expressible) — added with the seeded block in
+    // round 5 part 2:
+    "q_salted_pairs"            -> Relational.saltedPairsSampled _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -236,6 +241,14 @@ object SparkEntry {
                         ORDER BY o_totalprice DESC) AS rnk
            FROM orders) t
          WHERE rnk <= 5 ORDER BY o_custkey, rnk, o_orderkey""",
+    "q_salted_pairs" ->
+      """WITH u AS (SELECT DISTINCT user_id, event_type FROM events
+                    WHERE user_id % 20 = 0)
+         SELECT a.event_type AS event_type,
+                a.user_id AS id_a, b.user_id AS id_b
+         FROM u a JOIN u b
+           ON a.event_type = b.event_type AND a.user_id < b.user_id
+         ORDER BY event_type, id_a, id_b""",
     "q_self_join_pairs" ->
       """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events)
          SELECT a.user_id AS user_a, b.user_id AS user_b,

@@ -90,6 +90,31 @@ object Corpus {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** ANN top-5 for the first 10 embedding vectors via the BRP-LSH path
+    * (seeded hash tables → no SQL oracle; rows-only driver check +
+    * sf0.01 golden; SimilaritySpec pins recall ≥ 0.9 vs exact). */
+  def annTopKQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.annTopK(queries, emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+              round(col("cos") + lit(1e-9), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF ANN top-5 for the first 10 embedding vectors (k-means coarse
+    * quantizer, nProbe=4 of 16 cells — seeded → rows-only + golden;
+    * SimilaritySpec pins recall-vs-probes monotonicity and the
+    * materialized-index identity). */
+  def ivfTopKQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.ivfTopK(queries, emb, k = 5, nCells = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+              round(col("cos") + lit(1e-9), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact cosine top-5 neighbors for the first 10 embedding vectors —
     * brute-force baseline of the similarity-search surface. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
