@@ -47,6 +47,7 @@ object SparkEntry {
     "q_ngram_jaccard"           -> Corpus.ngramJaccard _,
     "q_cosine_topk"             -> Corpus.cosineTopK _,
     "q_text_stats"              -> Corpus.textStats _,
+    "q_pack_chunks"             -> Corpus.packChunks _,
     "q_doc_fingerprint"         -> Corpus.docFingerprint _,
     "q_json_extract"            -> Corpus.jsonExtract _,
     "q_lang_facets"             -> Corpus.langFacets _,
@@ -243,7 +244,7 @@ object SparkEntry {
          WHERE rnk <= 5 ORDER BY o_custkey, rnk, o_orderkey""",
     "q_salted_pairs" ->
       """WITH u AS (SELECT DISTINCT user_id, event_type FROM events
-                    WHERE user_id % 20 = 0)
+                    WHERE user_id % 8 = 0)
          SELECT a.event_type AS event_type,
                 a.user_id AS id_a, b.user_id AS id_b
          FROM u a JOIN u b
@@ -464,6 +465,22 @@ object SparkEntry {
                 JOIN norms nb ON id_b = nb.vec_id)
          SELECT id_a, id_b, round(c + 0.000000001, 6) AS cos
          FROM cs WHERE c >= 0.99 ORDER BY id_a, id_b""",
+    "q_pack_chunks" ->
+      """WITH t AS (SELECT doc_id,
+                    len(string_split(text, ' '))::BIGINT AS n_tokens
+                    FROM documents)
+         SELECT doc_id, n_tokens,
+                (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0))::BIGINT AS "offset",
+                (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) // 2048)::BIGINT AS chunk,
+                ((coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) + greatest(n_tokens, 1) - 1) // 2048)::BIGINT
+                  AS chunk_end
+         FROM t ORDER BY doc_id""",
     "q_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
                 len(string_split(text, ' ')) AS n_tokens,

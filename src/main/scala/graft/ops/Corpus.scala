@@ -334,6 +334,16 @@ object Corpus {
       .orderBy(col("vec_id"))
   }
 
+  /** GPT-style pack-and-chunk assignment (SP2): documents laid
+    * end-to-end by doc_id, the token stream cut every 2048 tokens —
+    * pure window arithmetic, full SQL oracle. */
+  def packChunks(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.pipelines.Packing.concatChunks(t, "n_tokens", 2048)
+      .orderBy(col("doc_id"))
+  }
+
   /** Vocabulary profile: top words by document frequency (plus total
     * occurrences) — the explode → two-phase agg → top-k shape of every
     * corpus vocabulary/stopword analysis. At 100 TB the exact form

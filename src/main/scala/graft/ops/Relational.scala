@@ -160,12 +160,12 @@ object Relational {
     * 5-value event_type key via [[Pairs.saltedSelfPairs]] — identical
     * output to a plain self-equi-join (the oracle) but with
     * |keys|·numSalts join reducers instead of |keys|. Users sampled
-    * deterministically (1 in 20) so the declared pair listing stays
+    * deterministically (1 in 8) so the declared pair listing stays
     * bounded at every SF; the unsampled scale path is the same
     * operator (its naive-equivalence is PairsSpec-pinned). */
   def saltedPairsSampled(spark: SparkSession, dir: String): DataFrame = {
     val ue = Tables.events(spark, dir)
-      .filter(col("user_id") % 20 === 0)
+      .filter(col("user_id") % 8 === 0)
       .select(col("user_id"), col("event_type")).distinct()
     Pairs.saltedSelfPairs(ue, "event_type", "user_id")
       .select(col("key").as("event_type"),
