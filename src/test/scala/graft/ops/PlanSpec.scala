@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.TestSpark
+import graft.{Tables, TestSpark}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -104,5 +104,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
            !p.contains("CartesianProduct"),
       "bucketized range join must be a pure equi-join")
+  }
+
+  test("pack-and-chunk is one scan + one window, no joins") {
+    val p = plan(Corpus.packChunks(spark, dir))
+    val scans = "Scan parquet +\\(\\d+\\)".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans")
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.contains("Join"), "packing must not plan any join")
+  }
+
+  test("quality-classifier scoring plans zero shuffles (pure map pass)") {
+    val docs = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("text"))
+    val model = graft.ml.QualityModel.fit(
+      docs.limit(40), docs.limit(40)
+        .withColumn("text",
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.col("text"),
+            org.apache.spark.sql.functions.lit(" !!! !!! !!!"))))
+    val p = plan(model.score(docs))
+    assert(!p.contains("Exchange"),
+      s"scoring must be shuffle-free:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "scoring must not plan any join")
+  }
+
+  test("semantic-dedup pair join is a salted equi-join, never all-pairs") {
+    val emb = Tables.embeddings(spark, dir)
+    val p = plan(graft.dedup.Dedup.semanticPairs(emb, nClusters = 4))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"),
+      s"within-cell pairing must stay an equi-join:\n${p.take(1500)}")
+    // the join key carries the salt (parallelism multiplier), not just
+    // the cell id
+    assert(p.contains("salt"), "salt column missing from the pair join")
   }
 }
