@@ -64,6 +64,7 @@ object SparkEntry {
     "q_range_join"              -> Corpus.rangeJoinFollowers _,
     "q_tfidf_topterms"          -> ((s, d) => Corpus.tfidfTopTerms(s, d)),
     "q_content_filters"         -> Corpus.contentFilters _,
+    "q_pii_redact"              -> Corpus.piiRedact _,
     "q_curation"                -> Corpus.curationRun _,
     "q_funnel"                  -> Corpus.curationFunnel _,
     "q_decontamination"         -> Corpus.decontamination _,
@@ -526,6 +527,23 @@ object SparkEntry {
                 round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)
                       + 0.000000001, 6) AS tfidf
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q_pii_redact" ->
+      """WITH planted AS (SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+               THEN ' contact bob@example.com or https://example.org/a?b=1 or call 555-123-4567 from 10.0.0.1'
+               ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   'https?://[^\s]+', '[URL]', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             '\+?\d[\d().-]{7,}\d', '[PHONE]', 'g') AS text_redacted
+         FROM planted ORDER BY doc_id""",
     "q_content_filters" ->
       """WITH planted AS (SELECT doc_id,
              text || CASE WHEN doc_id % 7 = 0

@@ -418,6 +418,23 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** TX11 — PII redaction over documents with planted PII (every 7th
+    * doc gets an email, URL, phone and IP appended, mirroring the
+    * contentFilters planting so the redaction is non-vacuous): output
+    * is the redacted text itself, hash-gated against the DuckDB
+    * regexp_replace twin byte-for-byte. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" contact bob@example.com or https://example.org/a?b=1" +
+              " or call 555-123-4567 from 10.0.0.1"))
+          .otherwise(lit(""))).as("text"))
+    planted.select(col("doc_id"),
+        Text.redactPii(col("text")).as("text_redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document token entropy (Shannon, nats): H = ln n − (Σ c·ln c)/n
     * over the word histogram — the vocabulary-diversity signal of
     * repetition filters (low entropy = the same words loop). Integer

@@ -168,6 +168,24 @@ object Text {
         .cast("double") / total.cast("double"))
   }
 
+  /** PII redaction — the C4/Dolma-style cleaning pass: emails, URLs,
+    * IPv4 addresses and phone-shaped digit runs replaced with typed
+    * placeholder tokens. One codegen'd chain of regexp_replace
+    * passes; patterns are RE2-and-Java-compatible so the SQL-oracle
+    * twin matches byte-for-byte. Order is load-bearing: URLs first
+    * (an address inside a URL must become part of [URL], not
+    * [EMAIL]), then emails, then IPs before phones (a dotted quad is
+    * phone-shaped). Pragmatic cleaning patterns, not validators. */
+  def redactPii(text: Column): Column = {
+    val url = regexp_replace(text,
+      "https?://[^\\s]+", "[URL]")
+    val email = regexp_replace(url,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]")
+    regexp_replace(ip, "\\+?\\d[\\d().-]{7,}\\d", "[PHONE]")
+  }
+
   // --- fingerprinting ----------------------------------------------------
 
   /** Winnowing-style document fingerprint: the rolling window of word

@@ -79,4 +79,24 @@ class TextSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getSeq[String](1) ==
       r.getSeq[String](1).sorted))
   }
+
+  test("redactPii: typed placeholders, ordering, clean text untouched") {
+    def red(s: String) = one(Text.redactPii(col("t")), s).getString(0)
+    assert(red("mail bob@example.com today")
+      == "mail [EMAIL] today")
+    assert(red("see https://ex.org/a?b=1 now") == "see [URL] now")
+    assert(red("call 555-123-4567 or +1(800)555-0100 now")
+      == "call [PHONE] or [PHONE] now")
+    assert(red("host 10.0.0.1 and 192.168.255.254 up")
+      == "host [IP] and [IP] up")
+    // an email INSIDE a url redacts as part of the [URL], not [EMAIL]
+    assert(red("x https://ex.org/mail?to=a@b.co y") == "x [URL] y")
+    // a dotted quad must not be phone-eaten
+    assert(red("ip 10.0.0.1 phone 555-123-4567")
+      == "ip [IP] phone [PHONE]")
+    // clean text and plain years survive unchanged
+    val clean = "from 1999 to 2001 the three cats slept"
+    assert(red(clean) == clean)
+    assert(red("") == "")
+  }
 }
