@@ -34,11 +34,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  /** The heavy five from VERDICT r4; q_self_join_pairs is run with a
-    * single pass (its all-pairs semantics make it the slowest probe —
-    * see SCALING.md). */
+  /** The heavy five from VERDICT r4 plus the round-5 global-window
+    * packing query (the one operator whose shuffle is a full
+    * range-sort — worth an empirical growth datum); q_self_join_pairs
+    * is run with a single pass (its all-pairs semantics make it the
+    * slowest probe — see SCALING.md). */
   val Heavy = Seq("q_text_stats", "q_ngram_jaccard", "q_dedup_near",
-                  "q_curation", "q_self_join_pairs")
+                  "q_curation", "q_pack_chunks", "q_self_join_pairs")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
