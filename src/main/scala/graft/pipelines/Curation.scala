@@ -30,12 +30,28 @@ object Curation {
       maxUrls: Int = 10,
       nearDupJaccard: Double = 0.5,
       mixture: Map[String, Double] = Map.empty,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      // round-5 opt-in stages (defaults OFF keep the q_curation /
+      // q_funnel oracles byte-stable):
+      redactPii: Boolean = false,
+      minMlQuality: Double = 0.0)
 
   /** Curate `docs` (needs `doc_id`, `text`). Output: surviving rows
-    * with `detected` (language) and `quality` appended. */
-  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val scored = docs
+    * with `detected` (language) and `quality` appended — plus
+    * `ml_quality` when a trained [[graft.ml.QualityModel.Fitted]] is
+    * supplied (scored after the heuristic filters, thresholded at
+    * `cfg.minMlQuality`). With `cfg.redactPii` the text column is
+    * redacted BEFORE any scoring/dedup (the training-pipeline order:
+    * downstream consumers must never see the raw PII, and dedup has
+    * to key on the text that actually ships). */
+  def curate(docs: DataFrame, cfg: Config = Config(),
+             model: Option[graft.ml.QualityModel.Fitted] = None)
+      : DataFrame = {
+    val input =
+      if (cfg.redactPii)
+        docs.withColumn("text", Text.redactPii(col("text")))
+      else docs
+    val scored = input
       .withColumn("toks", Text.tokenize(col("text")))
       .withColumn("detected",
         Text.langIdFromTokens(col("toks"), col("text")))
@@ -46,7 +62,12 @@ object Curation {
       .filter(col("detected").isin(cfg.langs.toSeq: _*))
       .filter(col("quality") >= lit(cfg.minQuality))
       .filter(Text.urlCount(col("text")) <= lit(cfg.maxUrls))
-    val exact = Dedup.dropExactDuplicates(filtered)
+    val mlFiltered = model match {
+      case Some(m) =>
+        m.score(filtered).filter(col("ml_quality") >= lit(cfg.minMlQuality))
+      case None => filtered
+    }
+    val exact = Dedup.dropExactDuplicates(mlFiltered)
     val near = Dedup
       .markNearDuplicates(exact, minJaccard = cfg.nearDupJaccard)
       .filter(col("kept"))

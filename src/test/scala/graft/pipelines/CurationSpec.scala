@@ -86,4 +86,41 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter(!col("detected").isin("en", "de")).count() == 0)
     assert(out.count() > 0)
   }
+
+  test("opt-in PII redaction: survivors carry no raw emails or URLs") {
+    // plant PII on docs the filters will keep
+    val withPii = docs.withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" mail bob@example.com see https://x.io/a")))
+        .otherwise(col("text")))
+    val out = Curation.curate(withPii,
+      Curation.Config(redactPii = true)).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("text").rlike(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() == 0)
+    assert(out.filter(col("text").contains("https://")).count() == 0)
+    assert(out.filter(col("text").contains("[EMAIL]")).count() > 0)
+    // the redacted text is what dedup keyed on: planted exact clones
+    // still dedup (redaction is applied before hashing)
+    assert(out.filter(col("doc_id") >= 100000 && col("doc_id") < 200000)
+      .count() == 0)
+  }
+
+  test("opt-in model filter: thresholded subset, scores carried") {
+    val trusted = docs.filter(col("doc_id") < 100000)
+    val degraded = trusted.select(col("doc_id"),
+      concat(concat_ws(" ",
+        array_repeat(element_at(split(col("text"), " "), 1), 40)),
+        lit(" !!! ??? *** !!! ??? ***")).as("text"))
+    val model = graft.ml.QualityModel.fit(trusted, degraded)
+    val base = Curation.curate(docs).cache()
+    val gated = Curation.curate(docs,
+      Curation.Config(minMlQuality = 0.5), Some(model)).cache()
+    // survivors are a subset of the un-gated run and carry ml_quality
+    assert(gated.columns.contains("ml_quality"))
+    assert(gated.filter(col("ml_quality") < 0.5).count() == 0)
+    assert(gated.count() <= base.count())
+    // trusted-corpus docs overwhelmingly pass their own model's gate
+    assert(gated.count() >= (base.count() * 0.8).toLong)
+  }
 }
