@@ -55,15 +55,16 @@ object QualityModel {
 
   /** A fitted filter: [[score]] appends `ml_quality` — P(document
     * belongs to the trusted corpus) in [0,1]. Threshold downstream
-    * (or importance-sample on it, the CCNet move). */
+    * (or importance-sample on it, the CCNet move). The model's output
+    * columns are fixed once at [[fit]] time, so `score` never mutates
+    * shared state and a single Fitted is safe to use from concurrent
+    * queries/streams. */
   final case class Fitted(model: LogisticRegressionModel,
                           textCol: String) {
     def score(docs: DataFrame): DataFrame = {
       val assembled = assembler.transform(featurize(docs, textCol))
       val p1: Column = vector_to_array(col("__q_prob")).getItem(1)
-      model.setFeaturesCol("__q_features").setProbabilityCol("__q_prob")
-        .setPredictionCol("__q_pred").setRawPredictionCol("__q_raw")
-        .transform(assembled)
+      model.transform(assembled)
         .withColumn("ml_quality", p1)
         .drop(FeatureCols: _*)
         .drop("__q_features", "__q_prob", "__q_pred", "__q_raw")
@@ -90,6 +91,10 @@ object QualityModel {
     val lr = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setFeaturesCol("__q_features").setLabelCol("label")
-    Fitted(lr.fit(assembler.transform(train)), textCol)
+    val fitted = lr.fit(assembler.transform(train))
+      .setProbabilityCol("__q_prob")
+      .setPredictionCol("__q_pred")
+      .setRawPredictionCol("__q_raw")
+    Fitted(fitted, textCol)
   }
 }

@@ -89,29 +89,57 @@ object Curation {
     * components over the deduplicated survivors) is the one second
     * computation: two scans total, no cache — at corpus scale a second
     * codegen'd pass beats pinning the scored corpus in block storage. */
-  def funnel(docs: DataFrame, cfg: Config = Config()): Seq[(String, Long)] = {
-    val r = funnelFrame(docs, cfg).head()
-    Seq("input", "lang", "quality", "exact_dedup", "near_dedup")
-      .zipWithIndex.map { case (s, i) => s -> r.getLong(i) }
+  def funnel(docs: DataFrame, cfg: Config = Config(),
+             model: Option[graft.ml.QualityModel.Fitted] = None)
+      : Seq[(String, Long)] = {
+    val frame = funnelFrame(docs, cfg, model)
+    val r = frame.head()
+    frame.columns.toIndexedSeq.zipWithIndex
+      .map { case (s, i) => s -> r.getLong(i) }
   }
 
   /** [[funnel]] as a one-row DataFrame (input, lang, quality,
     * exact_dedup, near_dedup) — the driver-contract form, hash-gated
-    * against a composed DuckDB oracle (`q_funnel`). */
-  def funnelFrame(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    * against a composed DuckDB oracle (`q_funnel`). Honors the same
+    * config as [[curate]]: with `cfg.redactPii` the counts are over
+    * the redacted text (so `exact_dedup` hashes what curate actually
+    * dedups), and a supplied model inserts an `ml_gate` stage column
+    * between `quality` and `exact_dedup`. Defaults keep the q_funnel
+    * oracle schema and values byte-stable. */
+  def funnelFrame(docs: DataFrame, cfg: Config = Config(),
+                  model: Option[graft.ml.QualityModel.Fitted] = None)
+      : DataFrame = {
+    val input =
+      if (cfg.redactPii)
+        docs.withColumn("text", Text.redactPii(col("text")))
+      else docs
+    val base = model match {
+      case Some(m) => m.score(input)
+      case None    => input
+    }
     val toks = Text.tokenize(col("text"))
     val langOk = Text.langIdFromTokens(toks, col("text"))
       .isin(cfg.langs.toSeq: _*)
     val qualOk = langOk &&
       Text.qualityScoreFromTokens(toks, col("text")) >= lit(cfg.minQuality) &&
       Text.urlCount(col("text")) <= lit(cfg.maxUrls)
-    val head = docs.agg(
-      count(lit(1)).as("input"),
-      count(when(langOk, 1)).as("lang"),
-      count(when(qualOk, 1)).as("quality"),
-      countDistinct(when(qualOk, sha2(col("text"), 256))).as("exact_dedup"))
+    val mlOk = model match {
+      case Some(_) => qualOk && col("ml_quality") >= lit(cfg.minMlQuality)
+      case None    => qualOk
+    }
+    val headCols =
+      Seq(count(lit(1)).as("input"),
+          count(when(langOk, 1)).as("lang"),
+          count(when(qualOk, 1)).as("quality")) ++
+      (if (model.isDefined) Seq(count(when(mlOk, 1)).as("ml_gate"))
+       else Nil) ++
+      Seq(countDistinct(when(mlOk, sha2(col("text"), 256)))
+            .as("exact_dedup"))
+    val head = base.agg(headCols.head, headCols.tail: _*)
     val near = Dedup
-      .markNearDuplicates(Dedup.dropExactDuplicates(docs.filter(qualOk)),
+      .markNearDuplicates(
+        Dedup.dropExactDuplicates(base.filter(mlOk)
+          .select(input.columns.map(col): _*)),
         minJaccard = cfg.nearDupJaccard)
       .filter(col("kept"))
       .agg(count(lit(1)).as("near_dedup"))

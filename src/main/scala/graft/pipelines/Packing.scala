@@ -13,47 +13,82 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *  - [[concatChunks]] — GPT-style concatenate-then-chunk: documents
   *    are laid end-to-end in a deterministic order and the token
   *    stream is cut every `budget` tokens; a document may straddle a
-  *    chunk boundary. Pure window arithmetic (one sort-shuffle on the
-  *    order key), SQL-expressible → full DuckDB oracle
+  *    chunk boundary. Implemented as a DISTRIBUTED prefix sum (a
+  *    partition-less `Window.orderBy` would plan
+  *    `Exchange SinglePartition` and funnel the corpus through one
+  *    task): quantile-bucket the order key, local prefix sums per
+  *    bucket, then add the tiny cumulative bucket totals back by
+  *    broadcast. SQL-expressible semantics → full DuckDB oracle
   *    (`q_pack_chunks`).
   *
   *  - [[binPackGreedy]] — no-straddle packing (each sequence holds
-  *    whole documents; leftover budget is padding): first-fit over a
-  *    size-descending stream, run INDEPENDENTLY PER PARTITION with
-  *    globally-unique bin ids (partition id ⊕ local bin counter).
-  *    Greedy first-fit is inherently sequential, so the distributed
-  *    form accepts per-partition locality: waste is bounded per
-  *    partition (first-fit-decreasing ≤ 11/9·OPT + 6/9 bins), and
-  *    partitions pack in parallel with no shuffle beyond the initial
-  *    size sort. This is the `mapPartitions`-as-last-resort case the
-  *    build plan reserves for genuinely imperative per-partition
-  *    logic (SURVEY §7.3).
+  *    whole documents; leftover budget is padding): first-fit-
+  *    decreasing run INDEPENDENTLY PER PARTITION over a hash-
+  *    distributed id spread (each partition sees a representative
+  *    size mix), with globally-unique bin ids (partition id ⊕ local
+  *    bin counter). Greedy packing is inherently sequential, so the
+  *    distributed form accepts per-partition locality: the FFD waste
+  *    bound (≤ 11/9·OPT + 6/9 bins) applies per partition, and
+  *    partitions pack in parallel with no coordination. This is the
+  *    `mapPartitions`-as-last-resort case the build plan reserves for
+  *    genuinely imperative per-partition logic (SURVEY §7.3).
   */
 object Packing {
 
   /** Token-stream offsets and chunk assignment for each document:
-    * (input columns…, n_tokens, offset, chunk, chunk_end) where
-    * `offset` is the document's first-token position in the
-    * concatenated stream ordered by `orderCol`, `chunk` =
-    * offset / budget is the training sequence its first token lands
-    * in, and `chunk_end` the sequence of its last token (straddles
-    * when chunk_end > chunk).
+    * (input columns…, offset, chunk, chunk_end) where `offset` is the
+    * document's first-token position in the concatenated stream
+    * ordered by `orderCol`, `chunk` = offset / budget is the training
+    * sequence its first token lands in, and `chunk_end` the sequence
+    * of its last token (straddles when chunk_end > chunk).
     *
-    * One global sort on `orderCol` (range-partitioned at scale —
-    * Spark's window exchange); everything else is codegen'd
-    * arithmetic. */
+    * `orderCol` must be a NUMERIC, unique order key (doc ids).
+    *
+    * Plan: one eager approxQuantile pass fixes `buckets` boundary
+    * literals (collected once, so every branch sees identical
+    * buckets — no reliance on nondeterministic partitioner state);
+    * the corpus then takes one hash exchange on the bucket id for the
+    * local prefix-sum window, and the per-bucket totals (a
+    * `buckets`-row frame) cumulate on the driver-sized side of a
+    * broadcast join. No full-data single-partition stage anywhere. */
   def concatChunks(docs: DataFrame, tokensCol: String, budget: Int,
-                   orderCol: String = "doc_id"): DataFrame = {
+                   orderCol: String = "doc_id",
+                   buckets: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.orderBy(col(orderCol))
+    val spark = docs.sparkSession
+    val nBkt = if (buckets > 0) buckets
+               else spark.sparkContext.defaultParallelism * 8
+    val probes = (1 until nBkt).map(_.toDouble / nBkt).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else docs.select(col(orderCol).cast("double").as("__ord"))
+        .stat.approxQuantile("__ord", probes, 0.01)
+    // bucket = #bounds strictly below the key — monotone in orderCol,
+    // so bucket order IS key order and equal keys share a bucket
+    val bktExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol).cast("double") > lit(b), 1).otherwise(0)
+    }
+    val local = docs.withColumn("__bkt", bktExpr)
+    val wLocal = Window.partitionBy(col("__bkt")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .withColumn("offset",
-        coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+    val wBkt = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__bkt"))
+      .agg(sum(col(tokensCol)).as("__btot"))
+      // tiny frame (≤ nBkt rows): the single-partition window here is
+      // bounded by construction, never by data volume
+      .withColumn("__boff", coalesce(sum(col("__btot")).over(wBkt), lit(0L)))
+      .select(col("__bkt"), col("__boff"))
+    local
+      .withColumn("__local",
+        coalesce(sum(col(tokensCol)).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("offset", (col("__boff") + col("__local")).cast("long"))
       .withColumn("chunk", (col("offset") / budget).cast("long"))
       .withColumn("chunk_end",
         ((col("offset") + greatest(col(tokensCol), lit(1L)) - 1L) / budget)
           .cast("long"))
+      .drop("__bkt", "__local", "__boff")
   }
 
   /** Whole-document first-fit packing: output (idCol, n_tokens,
@@ -62,12 +97,14 @@ object Packing {
     * document, which gets a bin of its own (the caller decides to
     * truncate or split those upstream).
     *
-    * Documents are sorted size-descending (first-fit-DECREASING —
-    * the classic waste bound) and round-robin distributed over
-    * `numPartitions`, then each partition packs its slice with a
-    * local first-fit; bin ids are (partition index) + numPartitions ·
-    * (local bin ordinal), so they are globally unique without any
-    * cross-partition coordination. */
+    * Documents are hash-distributed by id over `numPartitions` (a
+    * deterministic spread in which each partition receives a
+    * representative mix of sizes), sorted size-descending WITHIN each
+    * partition (first-fit-DECREASING — the classic waste bound, which
+    * holds per partition), and packed with a local first-fit; bin ids
+    * are (partition index) + numPartitions · (local bin ordinal), so
+    * they are globally unique without any cross-partition
+    * coordination. */
   def binPackGreedy(docs: DataFrame, tokensCol: String, budget: Int,
                     idCol: String = "doc_id",
                     numPartitions: Int = 0): DataFrame = {
@@ -77,14 +114,8 @@ object Packing {
             else spark.sparkContext.defaultParallelism
     val prepped = docs
       .select(col(idCol), col(tokensCol).cast("long").as("n_tokens"))
-      // size-descending global order, then round-robin so every
-      // partition sees a similar size mix (repartition on the rank,
-      // not the raw size — same-sized docs must spread, not collide)
-      .withColumn("__rank",
-        row_number().over(Window.orderBy(col("n_tokens").desc, col(idCol))))
-      .repartition(n, pmod(col("__rank"), lit(n)))
-      .sortWithinPartitions(col("__rank"))
-      .drop("__rank")
+      .repartition(n, col(idCol))
+      .sortWithinPartitions(col("n_tokens").desc, col(idCol))
     val outSchema = StructType(prepped.schema.fields :+
       StructField("bin_id", LongType, nullable = false))
     val rows = prepped.rdd.mapPartitionsWithIndex { (pid, it) =>

@@ -45,13 +45,14 @@ object Jsonl {
     * columns plus `corruptCol` holding the raw text of any line that
     * failed to parse (null for good rows). Callers split it with
     * {{{ df.filter(col(corruptCol).isNull) }}} /
-    * {{{ df.filter(col(corruptCol).isNotNull) }}} — count the latter,
-    * quarantine it, alert on its rate. One scan either way.
+    * {{{ df.filter(col(corruptCol).isNotNull) }}}.
     *
-    * Spark caveat encoded here: the corrupt-record column must be
-    * part of the passed schema, and a query that selects ONLY the
-    * corrupt column is disallowed (internal-only requirement that it
-    * ride alongside data columns), so this keeps the full row. */
+    * Spark caveat (enforced by the JSON source): a query whose
+    * required schema prunes down to ONLY the corrupt column throws —
+    * the parser can't know a line is corrupt without attempting the
+    * data columns. So CACHE (or persist to parquet) the returned
+    * frame before corrupt-only filters/counts; [[corruptStats]]
+    * handles that internally and is safe on the raw frame. */
   def readWithCorrupt(spark: SparkSession, path: String,
                       schema: StructType,
                       corruptCol: String = "_corrupt_record"): DataFrame = {
@@ -88,14 +89,28 @@ object Jsonl {
 
   /** Malformed-line rate over a [[readWithCorrupt]] frame: one row —
     * (n_rows, n_corrupt, corrupt_rate). The ingest health signal a
-    * curation pipeline alerts on. */
+    * curation pipeline alerts on.
+    *
+    * EAGER by design: the aggregate references only the corrupt
+    * column, which the JSON source rejects on a raw scan (see
+    * [[readWithCorrupt]]), so the input is cached, the one-row result
+    * collected, and the cache dropped before returning — the caller
+    * gets a plain local one-row frame, never a plan that re-triggers
+    * the corrupt-only restriction. */
   def corruptStats(df: DataFrame,
                    corruptCol: String = "_corrupt_record"): DataFrame = {
     val bad: Column = col(corruptCol).isNotNull
-    df.agg(
-      count(lit(1)).as("n_rows"),
-      sum(when(bad, 1L).otherwise(0L)).as("n_corrupt"),
-      (sum(when(bad, 1.0).otherwise(0.0)) / count(lit(1)))
-        .as("corrupt_rate"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cached = df.cache()
+    try {
+      val r = cached.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(bad, 1L).otherwise(0L)).as("n_corrupt")).head()
+      val n = r.getLong(0)
+      val c = if (r.isNullAt(1)) 0L else r.getLong(1)
+      Seq((n, c, if (n == 0) 0.0 else c.toDouble / n))
+        .toDF("n_rows", "n_corrupt", "corrupt_rate")
+    } finally cached.unpersist(blocking = false)
   }
 }

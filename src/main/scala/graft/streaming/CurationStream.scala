@@ -31,25 +31,41 @@ import org.apache.spark.sql.functions._
 object CurationStream {
 
   /** Filter + dedup a document stream; output rows carry `detected`
-    * (language) and `quality` like the batch curate. Dual-mode: on a
-    * batch DataFrame (`dropDuplicatesWithinWatermark` is
-    * streaming-only) the dedup degrades to plain exact dedup on the
-    * same hash — the spec's batch twin pins its survivor count to the
-    * funnel report's independently-computed `exact_dedup` stage. */
+    * (language) and `quality` like the batch curate. Honors the same
+    * config as `Curation.curate`: PII redaction rewrites `text`
+    * BEFORE scoring/hashing (all stateless — lifts to the stream
+    * verbatim), and a supplied quality model gates on `ml_quality`
+    * (model scoring is a deterministic map projection, so it streams
+    * too). Dual-mode: on a batch DataFrame
+    * (`dropDuplicatesWithinWatermark` is streaming-only) the dedup
+    * degrades to plain exact dedup on the same hash — the spec's
+    * batch twin pins its survivor count to the funnel report's
+    * independently-computed `exact_dedup` stage. */
   def ingest(stream: DataFrame, cfg: Curation.Config = Curation.Config(),
-             watermark: String = "1 hour"): DataFrame = {
-    val scored = stream
+             watermark: String = "1 hour",
+             model: Option[graft.ml.QualityModel.Fitted] = None)
+      : DataFrame = {
+    val input =
+      if (cfg.redactPii)
+        stream.withColumn("text", Text.redactPii(col("text")))
+      else stream
+    val scored = input
       .withColumn("toks", Text.tokenize(col("text")))
       .withColumn("detected",
         Text.langIdFromTokens(col("toks"), col("text")))
       .withColumn("quality",
         Text.qualityScoreFromTokens(col("toks"), col("text")))
       .drop("toks")
-    val hashed = scored
+    val filtered = scored
       .filter(col("detected").isin(cfg.langs.toSeq: _*))
       .filter(col("quality") >= lit(cfg.minQuality))
       .filter(Text.urlCount(col("text")) <= lit(cfg.maxUrls))
-      .withColumn("content_hash", sha2(col("text"), 256))
+    val gated = model match {
+      case Some(m) =>
+        m.score(filtered).filter(col("ml_quality") >= lit(cfg.minMlQuality))
+      case None => filtered
+    }
+    val hashed = gated.withColumn("content_hash", sha2(col("text"), 256))
     val deduped =
       if (stream.isStreaming)
         hashed.withWatermark("event_time", watermark)

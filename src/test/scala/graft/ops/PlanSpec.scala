@@ -106,12 +106,18 @@ class PlanSpec extends AnyFunSuite {
       "bucketized range join must be a pure equi-join")
   }
 
-  test("pack-and-chunk is one scan + one window, no joins") {
+  test("pack-and-chunk prefix sum is bucket-distributed, not single-partition") {
     val p = plan(Corpus.packChunks(spark, dir))
-    val scans = "Scan parquet +\\(\\d+\\)".r.findAllIn(p).length
-    assert(scans == 1, s"expected 1 scan, got $scans")
-    assert(p.contains("Window"), p.take(800))
-    assert(!p.contains("Join"), "packing must not plan any join")
+    // the corpus-side window must partition by the quantile bucket —
+    // a partition-less Window.orderBy would plan Exchange
+    // SinglePartition over the whole corpus (the round-5 review bug)
+    assert(p.contains("hashpartitioning(__bkt"),
+      s"local prefix window must hash-exchange on the bucket:\n${p.take(1500)}")
+    // the only single-partition stage is the <= nBuckets totals frame
+    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singles <= 1, s"corpus must not funnel to one partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must join back as a broadcast")
   }
 
   test("quality-classifier scoring plans zero shuffles (pure map pass)") {

@@ -106,6 +106,33 @@ class CurationSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("funnel honors redaction and the model gate, agreeing with curate") {
+    val withPii = docs.withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" mail bob@example.com now")))
+        .otherwise(col("text")))
+    val cfg = Curation.Config(redactPii = true)
+    // the funnel's final stage must equal the curate survivor count
+    // under the SAME config — the round-5 review caught funnel
+    // hashing raw text while curate dedups redacted text
+    val f = Curation.funnel(withPii, cfg).toMap
+    assert(f("near_dedup") == Curation.curate(withPii, cfg).count())
+    // with a model: ml_gate stage appears, monotone, and still agrees
+    val trusted = docs.filter(col("doc_id") < 100000)
+    val degraded = trusted.select(col("doc_id"),
+      concat(concat_ws(" ",
+        array_repeat(element_at(split(col("text"), " "), 1), 40)),
+        lit(" !!! ??? ***")).as("text"))
+    val model = graft.ml.QualityModel.fit(trusted, degraded)
+    val mcfg = Curation.Config(minMlQuality = 0.5)
+    val fm = Curation.funnel(docs, mcfg, Some(model)).toMap
+    assert(fm.contains("ml_gate"))
+    assert(fm("ml_gate") <= fm("quality"))
+    assert(fm("exact_dedup") <= fm("ml_gate"))
+    assert(fm("near_dedup")
+      == Curation.curate(docs, mcfg, Some(model)).count())
+  }
+
   test("opt-in model filter: thresholded subset, scores carried") {
     val trusted = docs.filter(col("doc_id") < 100000)
     val degraded = trusted.select(col("doc_id"),

@@ -61,6 +61,13 @@ class JsonlSpec extends AnyFunSuite {
     assert(stats.getLong(0) == 4L)
     assert(stats.getLong(1) == 2L)
     assert(math.abs(stats.getDouble(2) - 0.5) < 1e-12)
+    // corruptStats must also work on the RAW (uncached) frame — a
+    // corrupt-column-only aggregate over a raw JSON scan throws in
+    // Spark, so the helper materializes internally (round-5 review)
+    val raw = Jsonl.readWithCorrupt(spark, dir + "/mixed.jsonl",
+      Jsonl.documentSchema)
+    val rawStats = Jsonl.corruptStats(raw).head()
+    assert(rawStats.getLong(0) == 4L && rawStats.getLong(1) == 2L)
   }
 
   test("FAILFAST read dies on a malformed line instead of nulling it") {

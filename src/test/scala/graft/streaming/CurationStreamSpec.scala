@@ -83,6 +83,27 @@ class CurationStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest honors redactPii: streamed output carries no raw PII") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "event_time")
+    val cfg = Curation.Config(langs = Set("en"), redactPii = true)
+    val out = CurationStream.ingest(stream, cfg)
+    val q = out.writeStream.format("memory").queryName("curation_redact")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, en1 + " mail bob@example.com now", ts("10:00:00")),
+        (2L, en1 + " mail bob@example.com now", ts("10:00:10"))) // dup AFTER redaction
+      q.processAllAvailable()
+      val rows = spark.table("curation_redact").cache()
+      assert(rows.count() == 1, "redacted duplicates must dedup on redacted text")
+      assert(rows.filter(col("text").contains("bob@example.com")).count() == 0)
+      assert(rows.filter(col("text").contains("[EMAIL]")).count() == 1)
+    } finally q.stop()
+  }
+
   test("batch twin: ingest filter+dedup counts agree with the funnel report") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text"))
