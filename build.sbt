@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver parses the LAST ~2000 chars of `sbt "runMain
+// graft.Bench"` output for a bare JSON line. sbt's default LoggedOutput
+// strategy prefixes every forked-process line with "[info] ", which is
+// not JSON-parseable — route the child's stdout straight through.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
