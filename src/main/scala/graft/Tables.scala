@@ -18,6 +18,14 @@ object Tables {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  // Memo keys are normalized absolute paths, so the same directory
+  // reached via different spellings (relative vs absolute, trailing
+  // slash, `.`/`..` segments) shares one entry — and invalidate()
+  // can't miss it or over-evict a sibling sharing a string prefix
+  // (".bench/sf1" vs ".bench/sf10").
+  private def norm(p: String): String =
+    java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md §B), which Spark
     // rejects by default; read it as LongType nanoseconds instead. Queries
@@ -25,15 +33,19 @@ object Tables {
     // the DuckDB oracle, which uses epoch_ns()).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    memo.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+    memo.computeIfAbsent((spark, norm(s"$sfDir/$name.parquet")),
       key => key._1.read.parquet(key._2))
   }
 
-  /** Drop memo entries under `dir` — REQUIRED after overwriting a
-    * generated table directory (e.g. `ScaleProbe`), or later reads
-    * would resolve to the stale pre-overwrite file listing. */
-  def invalidate(dir: String): Unit =
-    memo.keySet.removeIf(k => k._2.startsWith(dir))
+  /** Drop memo entries under `dir` (path-component match, any
+    * spelling) — REQUIRED after overwriting a generated table
+    * directory (e.g. `ScaleProbe`), or later reads would resolve to
+    * the stale pre-overwrite file listing. */
+  def invalidate(dir: String): Unit = {
+    val d = norm(dir)
+    memo.keySet.removeIf(k =>
+      k._2 == d || k._2.startsWith(d + java.io.File.separator))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -32,10 +32,26 @@ object QualityModel {
     "f_distinct_ratio", "f_stopword_ratio", "f_bigram_ratio",
     "f_url_count", "f_email_count")
 
+  private val TempCols: Seq[String] =
+    Seq("__q_toks", "__q_features", "__q_prob", "__q_pred", "__q_raw")
+
+  // featurize/score overwrite then DROP these names wholesale — a
+  // caller column that happens to collide would be silently destroyed,
+  // so refuse loudly instead (`extra` adds score's `ml_quality`).
+  private def requireNoReserved(docs: DataFrame,
+                                extra: Seq[String] = Nil): Unit = {
+    val clash = docs.columns.toSeq.intersect(FeatureCols ++ TempCols ++ extra)
+    require(clash.isEmpty,
+      s"QualityModel reserves column name(s) ${clash.mkString(", ")} — " +
+        "rename them on the input; featurize/score overwrite and drop " +
+        "these names")
+  }
+
   /** One codegen'd pass: tokens materialized once, every feature
     * derived from them (same HOF-re-evaluation discipline as the
     * curation funnel — see Text.langId scaladoc). */
   def featurize(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    requireNoReserved(docs)
     val toks = col("__q_toks")
     val f = Text.qualityFeaturesFromTokens(toks, col(textCol))
     docs
@@ -62,6 +78,7 @@ object QualityModel {
   final case class Fitted(model: LogisticRegressionModel,
                           textCol: String) {
     def score(docs: DataFrame): DataFrame = {
+      requireNoReserved(docs, extra = Seq("ml_quality"))
       val assembled = assembler.transform(featurize(docs, textCol))
       val p1: Column = vector_to_array(col("__q_prob")).getItem(1)
       model.transform(assembled)

@@ -84,11 +84,15 @@ object Packing {
         coalesce(sum(col(tokensCol)).over(wLocal), lit(0L)))
       .join(broadcast(offsets), Seq("__bkt"))
       .withColumn("offset", (col("__boff") + col("__local")).cast("long"))
-      .withColumn("chunk", (col("offset") / budget).cast("long"))
-      .withColumn("chunk_end",
-        ((col("offset") + greatest(col(tokensCol), lit(1L)) - 1L) / budget)
-          .cast("long"))
-      .drop("__bkt", "__local", "__boff")
+      // integral division (`div`), never Column./ — the `/` operator is
+      // double division, which silently loses integer precision once
+      // offsets pass ~2^53 (a few PB of tokens, i.e. exactly the scale
+      // this API claims); `div` matches the DuckDB oracle's `//`
+      .withColumn("__last",
+        col("offset") + greatest(col(tokensCol).cast("long"), lit(1L)) - 1L)
+      .withColumn("chunk", expr(s"offset div ${budget}L"))
+      .withColumn("chunk_end", expr(s"__last div ${budget}L"))
+      .drop("__bkt", "__local", "__boff", "__last")
   }
 
   /** Whole-document first-fit packing: output (idCol, n_tokens,
@@ -124,11 +128,20 @@ object Packing {
       val remaining = scala.collection.mutable.ArrayBuffer.empty[Long]
       it.map { r =>
         val id = r.get(0)
+        // fail loudly on null/negative token counts: a null would NPE
+        // deep in the task, and a negative would silently inflate bin
+        // capacity, breaking the no-bin-over-budget invariant
+        require(!r.isNullAt(1),
+          s"binPackGreedy: null $tokensCol for $idCol=$id")
         val tok = r.getLong(1)
+        require(tok >= 0,
+          s"binPackGreedy: negative $tokensCol ($tok) for $idCol=$id")
         var b = 0
         while (b < remaining.length && remaining(b) < tok) b += 1
         if (b == remaining.length) remaining += budget.toLong
-        remaining(b) = remaining(b) - math.min(tok, budget.toLong)
+        // an over-budget document gets a bin of its own, sealed with
+        // capacity -1 so nothing (not even a zero-token doc) joins it
+        remaining(b) = if (tok > budget) -1L else remaining(b) - tok
         Row(id, tok, pid.toLong + n.toLong * b.toLong)
       }
     }

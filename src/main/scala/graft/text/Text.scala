@@ -175,7 +175,17 @@ object Text {
     * twin matches byte-for-byte. Order is load-bearing: URLs first
     * (an address inside a URL must become part of [URL], not
     * [EMAIL]), then emails, then IPs before phones (a dotted quad is
-    * phone-shaped). Pragmatic cleaning patterns, not validators. */
+    * phone-shaped). Pragmatic cleaning patterns, not validators.
+    *
+    * The phone pattern counts DIGITS (9–15, at most one `().-`
+    * separator between digits), not raw run length — a raw-run match
+    * rewrote ISO dates, version strings and IDs to [PHONE], and with
+    * `cfg.redactPii` that perturbed quality scores and dedup keys on
+    * PII-free text. 9 is the deliberate floor: `2026-08-12` /
+    * `20260812` date shapes carry 8 digits and are indistinguishable
+    * from short local numbers without lookarounds (which RE2 — the
+    * oracle's engine — lacks), so 7–8-digit local numbers are
+    * knowingly left unredacted. */
   def redactPii(text: Column): Column = {
     val url = regexp_replace(text,
       "https?://[^\\s]+", "[URL]")
@@ -183,7 +193,7 @@ object Text {
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
     val ip = regexp_replace(email,
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]")
-    regexp_replace(ip, "\\+?\\d[\\d().-]{7,}\\d", "[PHONE]")
+    regexp_replace(ip, "\\+?\\d(?:[().-]?\\d){8,14}", "[PHONE]")
   }
 
   // --- fingerprinting ----------------------------------------------------
