@@ -142,7 +142,10 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // "aux", not "metric": only the contract line below may match a
     // driver that scans for the first {"metric":...} line
-    println(s"""{"aux":"pipelines","value":${fmt(pipeResults.map(p => math.abs(p._2)).sum)},"unit":"sec","pipelines":${obj(pipeResults)},"sf":"$sfDir"}""")
+    // aux total mirrors the query-total policy: SUCCESSFUL pipelines
+    // only — a failed (negated) time must not inflate the total; the
+    // failure signal is the negative per-pipeline entry + `failed`
+    println(s"""{"aux":"pipelines","value":${fmt(pipeResults.collect { case (_, v) if v > 0 => v }.sum)},"unit":"sec","pipelines":${obj(pipeResults)},"sf":"$sfDir"}""")
     spark.stop()
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"failed":$failedJson,"sf":"$sfDir"}""")
   }

@@ -38,9 +38,12 @@ object ScaleProbe {
     * packing query (the one operator whose shuffle is a full
     * range-sort — worth an empirical growth datum); q_self_join_pairs
     * is run with a single pass (its all-pairs semantics make it the
-    * slowest probe — see SCALING.md). */
+    * slowest probe — see SCALING.md). Round 7 adds the two heaviest
+    * previously-unprobed composites (VERDICT r6 #3): the five-stage
+    * funnel fold and SemDeDup (k-means + cell-confined pairs + CC). */
   val Heavy = Seq("q_text_stats", "q_ngram_jaccard", "q_dedup_near",
-                  "q_curation", "q_pack_chunks", "q_self_join_pairs")
+                  "q_curation", "q_pack_chunks", "q_self_join_pairs",
+                  "q_funnel", "q_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -97,9 +100,40 @@ object ScaleProbe {
     // mid-generation must not leave a partial corpus that later runs
     // silently accept (checking documents.parquet alone would)
     val marker = new java.io.File(s"$dst/_GRAFT_GENERATED")
-    if (marker.exists()) return
     val reps = spark.range(replicas).select(col("id").as("rep"))
     val docOff = 10000000L
+
+    // embeddings joined the probe in round 7 — a corpus generated by an
+    // earlier round carries the marker but not the table, so its
+    // presence is checked separately and backfilled alone
+    val embDir = new java.io.File(s"$dst/embeddings.parquet")
+    def generateEmbeddings(): Unit = {
+      // 10 replicas with offset vec_ids; replica 0 keeps the original
+      // vector, replicas 1..9 take independent per-(vec, rep, element)
+      // multiplicative jitter x·(1 + u), u uniform in ±0.8 — replicas
+      // stay correlated with the original (cos ≈ 0.9, so the k-means
+      // cell structure scales coherently) but BELOW the 0.95 pair
+      // threshold: naive replication would instead make every vector a
+      // 10-way exact dup, a different workload entirely (the documents
+      // rationale above, in embedding space)
+      val emb = Tables.embeddings(spark, src).crossJoin(reps)
+        .withColumn("vec_id", col("vec_id") + col("rep") * lit(docOff))
+        .withColumn("embedding",
+          when(col("rep") === 0, col("embedding")).otherwise(
+            zip_with(
+              col("embedding"),
+              sequence(lit(0), size(col("embedding")) - 1),
+              (x, i) => (x * (lit(1.0) +
+                (pmod(xxhash64(col("vec_id"), col("rep"), i), lit(1000))
+                  .cast("double") / 999.0 * 1.6 - 0.8))).cast("float"))))
+        .drop("rep")
+      emb.repartition(16).write.mode("overwrite")
+        .parquet(s"$dst/embeddings.parquet")
+    }
+    if (marker.exists()) {
+      if (!embDir.exists()) { generateEmbeddings(); Tables.invalidate(dst) }
+      return
+    }
 
     // POSITION-keyed deterministic shuffle: sort (hash(doc, rep, pos),
     // word) structs. Keying by position (not word value) is load-
@@ -137,6 +171,7 @@ object ScaleProbe {
       .drop("rep")
     events.repartition(16).write.mode("overwrite")
       .parquet(s"$dst/events.parquet")
+    generateEmbeddings()
     // the overwrites above invalidate any memoized relations under dst
     Tables.invalidate(dst)
     marker.createNewFile(): Unit

@@ -542,7 +542,7 @@ object SparkEntry {
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                  '[EMAIL]', 'g'),
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
-             '\+?\d(?:[().-]?\d){8,14}', '[PHONE]', 'g') AS text_redacted
+             '\+?\d(?:[().-]?\d){8,}', '[PHONE]', 'g') AS text_redacted
          FROM planted ORDER BY doc_id""",
     "q_content_filters" ->
       """WITH planted AS (SELECT doc_id,

@@ -22,9 +22,16 @@ object Tables {
   // reached via different spellings (relative vs absolute, trailing
   // slash, `.`/`..` segments) shares one entry — and invalidate()
   // can't miss it or over-evict a sibling sharing a string prefix
-  // (".bench/sf1" vs ".bench/sf10").
+  // (".bench/sf1" vs ".bench/sf10"). URI-scheme paths (hdfs://…,
+  // s3a://…) are keyed verbatim: Paths.get would collapse `//` and
+  // toAbsolutePath would prepend the local cwd, mangling them into
+  // bogus local spellings — Hadoop's FileSystem resolves them, not
+  // java.nio. Their spellings therefore don't collapse; invalidate()
+  // with the same spelling still works. norm() is ONLY the memo key —
+  // the read always uses the caller's original spelling.
   private def norm(p: String): String =
-    java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    if (p.contains("://")) p
+    else java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md §B), which Spark
@@ -33,8 +40,9 @@ object Tables {
     // the DuckDB oracle, which uses epoch_ns()).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     memo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    memo.computeIfAbsent((spark, norm(s"$sfDir/$name.parquet")),
-      key => key._1.read.parquet(key._2))
+    val path = s"$sfDir/$name.parquet"
+    memo.computeIfAbsent((spark, norm(path)),
+      _ => spark.read.parquet(path))
   }
 
   /** Drop memo entries under `dir` (path-component match, any

@@ -70,13 +70,21 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
       .setNumFeatures(numFeatures).setBinary(true)
-    // cache serves BOTH sides of the self approxSimilarityJoin (the
-    // shingle+hash pass would otherwise run twice). It cannot be
-    // unpersisted here — the returned frame is lazy — so the blocks
-    // stay registered for its lifetime; long-lived sessions issuing
-    // many dedup calls should unpersist via spark.catalog.clearCache()
-    // between batches (same contract as cosinePairsLsh/annTopK/ivfTopK).
-    val vec = tf.transform(sh).cache()
+    // localCheckpoint (NOT cache) serves BOTH sides of the self
+    // approxSimilarityJoin: the shingle+hash pass runs exactly once,
+    // and unlike cache() the blocks are (a) never registered in
+    // CacheManager's canonicalized-plan map — so a later identical
+    // plan over overwritten input can't be silently served stale
+    // results, and repeat-pass benchmarks measure the operator, not a
+    // leaked cache — and (b) reclaimed by the ContextCleaner when the
+    // returned frame is GC'd, with no unpersist obligation on the
+    // caller. Tradeoff: materialization is EAGER (the pass runs at
+    // call time) and checkpoint blocks are not recomputable after
+    // executor loss — the same posture as connectedComponents'
+    // iteration state, acceptable for a single-query lifetime.
+    // (Same contract: cosinePairsLsh / annTopK / ivfTopK /
+    // semanticCells / Segmentation.movieTwins.)
+    val vec = tf.transform(sh).localCheckpoint()
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
     val model = mh.fit(vec)
@@ -343,9 +351,10 @@ object Dedup {
     * `fitSample` fraction when < 1 — at corpus scale k-means sees a
     * sample, `transform` sees everything.
     *
-    * Load-bearing cache on the normalized frame: KMeans.fit iterates
-    * over it and transform reads it again; lazy-return contract as in
-    * [[minhashNearDuplicates]]. */
+    * Load-bearing localCheckpoint on the normalized frame: KMeans.fit
+    * iterates over it and transform reads it again; lifecycle contract
+    * as in [[minhashNearDuplicates]] (eager, cleaner-reclaimed, no
+    * CacheManager registration). */
   private def semanticCells(emb: DataFrame, vecCol: String, idCol: String,
                             nClusters: Int, fitSample: Double,
                             seed: Long): DataFrame = {
@@ -355,7 +364,7 @@ object Dedup {
       .filter(Similarity.l2Norm(col("e")) > lit(0.0))
       .withColumn("nrm", Similarity.l2Norm(col("e")))
       .withColumn("v", array_to_vector(Similarity.normalize(col("e"))))
-      .cache()
+      .localCheckpoint()
     val km = new KMeans().setK(nClusters).setSeed(seed)
       .setFeaturesCol("v").setPredictionCol("cell")
     val model = km.fit(

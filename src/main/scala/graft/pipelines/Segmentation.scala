@@ -43,10 +43,10 @@ object Segmentation {
     val cv = new CountVectorizer()
       .setInputCol("movies").setOutputCol("features").setBinary(true)
     // load-bearing: CountVectorizer.fit scans sets, then transform +
-    // both approxSimilarityJoin sides re-read it. Lazy return — blocks
-    // stay registered for the result's lifetime (see Dedup
-    // .minhashNearDuplicates for the session-lifecycle contract).
-    val featured = cv.fit(sets).transform(sets).cache()
+    // both approxSimilarityJoin sides re-read it. localCheckpoint —
+    // see Dedup.minhashNearDuplicates for the lifecycle contract
+    // (eager, cleaner-reclaimed, no CacheManager registration).
+    val featured = cv.fit(sets).transform(sets).localCheckpoint()
 
     val mh = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")

@@ -90,13 +90,14 @@ object Similarity {
                      bucketLength: Double = 0.25, numHashTables: Int = 4,
                      seed: Long = 42L): DataFrame = {
     // load-bearing for the self-join (normalize + vectorize once);
-    // lazy return — see Dedup.minhashNearDuplicates for the
-    // session-lifecycle contract
+    // localCheckpoint — see Dedup.minhashNearDuplicates for the
+    // lifecycle contract (eager, cleaner-reclaimed, no CacheManager
+    // registration)
     val unit = emb
       .select(col(idCol).as("id"), col(vecCol).as("raw"))
       .filter(l2Norm(col("raw")) > lit(0.0))
       .select(col("id"), array_to_vector(normalize(col("raw"))).as("v"))
-      .cache()
+      .localCheckpoint()
     val brp = new BucketedRandomProjectionLSH()
       .setInputCol("v").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)
@@ -126,13 +127,13 @@ object Similarity {
               cId: String = "vec_id", cVec: String = "embedding")
       : DataFrame = {
     // load-bearing: KMeans.fit ITERATES over c, then transform reads
-    // it again; lazy return — see Dedup.minhashNearDuplicates for the
-    // session-lifecycle contract
+    // it again; localCheckpoint — see Dedup.minhashNearDuplicates for
+    // the lifecycle contract
     val c = corpus
       .select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
       .filter(l2Norm(col("cv")) > lit(0.0))
       .withColumn("v", array_to_vector(normalize(col("cv"))))
-      .cache()
+      .localCheckpoint()
     val km = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("v").setPredictionCol("cell")
     val model = km.fit(c)
@@ -245,13 +246,14 @@ object Similarity {
       .select(col(qId).as("id"), col(qVec).as("raw"))
       .filter(l2Norm(col("raw")) > lit(0.0))
       .select(col("id"), array_to_vector(normalize(col("raw"))).as("v"))
-    // load-bearing for the corpus side of the LSH join; lazy return —
-    // see Dedup.minhashNearDuplicates for the session-lifecycle contract
+    // load-bearing for the corpus side of the LSH join;
+    // localCheckpoint — see Dedup.minhashNearDuplicates for the
+    // lifecycle contract
     val c = corpus
       .select(col(cId).as("id"), col(cVec).as("raw"))
       .filter(l2Norm(col("raw")) > lit(0.0))
       .select(col("id"), array_to_vector(normalize(col("raw"))).as("v"))
-      .cache()
+      .localCheckpoint()
     val brp = new BucketedRandomProjectionLSH()
       .setInputCol("v").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)

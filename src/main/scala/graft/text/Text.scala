@@ -177,7 +177,7 @@ object Text {
     * [EMAIL]), then emails, then IPs before phones (a dotted quad is
     * phone-shaped). Pragmatic cleaning patterns, not validators.
     *
-    * The phone pattern counts DIGITS (9–15, at most one `().-`
+    * The phone pattern counts DIGITS (9 or more, at most one `().-`
     * separator between digits), not raw run length — a raw-run match
     * rewrote ISO dates, version strings and IDs to [PHONE], and with
     * `cfg.redactPii` that perturbed quality scores and dedup keys on
@@ -185,7 +185,10 @@ object Text {
     * `20260812` date shapes carry 8 digits and are indistinguishable
     * from short local numbers without lookarounds (which RE2 — the
     * oracle's engine — lacks), so 7–8-digit local numbers are
-    * knowingly left unredacted. */
+    * knowingly left unredacted. No upper bound: a 15-digit ceiling
+    * left residue on longer runs (a 16-digit card became `[PHONE]6`),
+    * and for a CLEANING pass over-redacting a long digit run is
+    * strictly safer than leaking its tail. */
   def redactPii(text: Column): Column = {
     val url = regexp_replace(text,
       "https?://[^\\s]+", "[URL]")
@@ -193,7 +196,7 @@ object Text {
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
     val ip = regexp_replace(email,
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]")
-    regexp_replace(ip, "\\+?\\d(?:[().-]?\\d){8,14}", "[PHONE]")
+    regexp_replace(ip, "\\+?\\d(?:[().-]?\\d){8,}", "[PHONE]")
   }
 
   // --- fingerprinting ----------------------------------------------------

@@ -32,6 +32,35 @@ class TablesSpec extends AnyFunSuite {
            emb("embedding") == ArrayType(FloatType, false))
   }
 
+  // r6-fix regression: memo keys are normalized paths, so alternate
+  // spellings of one directory share an entry, invalidate() hits them
+  // regardless of spelling, and a sibling sharing a string prefix
+  // (sf1 vs sf10) is NOT over-evicted.
+  test("memo normalization: spellings share an entry, invalidate is " +
+       "spelling-proof and prefix-safe") {
+    import org.apache.spark.sql.functions.lit
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-tables-spec").toString
+    for (sf <- Seq("sf1", "sf10"))
+      spark.range(3).withColumn("v", lit(sf))
+        .write.parquet(s"$base/$sf/t.parquet")
+
+    val sf1 = Tables.table(spark, s"$base/sf1", "t")
+    // trailing slash and a ./.. detour resolve to the SAME memo entry
+    assert(Tables.table(spark, s"$base/sf1/", "t") eq sf1)
+    assert(Tables.table(spark, s"$base/sf10/../sf1", "t") eq sf1)
+    val sf10 = Tables.table(spark, s"$base/sf10", "t")
+    assert(!(sf10 eq sf1))
+
+    // invalidate via an alternate spelling must evict sf1 …
+    Tables.invalidate(s"$base/sf10/../sf1/")
+    assert(!(Tables.table(spark, s"$base/sf1", "t") eq sf1),
+      "invalidate must hit every spelling of the directory")
+    // … and must NOT evict the string-prefix sibling sf10
+    assert(Tables.table(spark, s"$base/sf10", "t") eq sf10,
+      "invalidating sf1 must spare sibling sf10")
+  }
+
   test("fact tables: keys and measures used by the declared queries") {
     val li = fields("lineitem")
     assert(li("l_orderkey") == LongType && li("l_partkey") == LongType &&

@@ -272,4 +272,34 @@ class DedupSpec extends AnyFunSuite {
     assert(ca == cb)
     assert(a.filter(col("cell") < 0 || col("cell") >= 8).count() == 0)
   }
+
+  // r7 regression for the LSH-family lifecycle fix: with the old
+  // lazily-returned cache(), CacheManager matched the SECOND call's
+  // canonicalized plan to the first call's cached blocks, so after an
+  // in-place overwrite of the input files the second call silently
+  // returned the PRE-overwrite pairs. localCheckpoint registers
+  // nothing, so every call sees the files as they are.
+  test("minhashNearDuplicates: in-place input overwrite is not served " +
+       "stale results") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dedup-stale").toString + "/docs.parquet"
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    // round 1: ids 1/2 are exact twins → at least one pair
+    Seq((1L, base), (2L, base), (3L, "a b c d e f g h i j k l"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val r1 = Dedup.minhashNearDuplicates(spark.read.parquet(dir))
+      .select("id_a", "id_b").collect().map(_.toString).toSet
+    assert(r1.nonEmpty, "planted twins must pair in round 1")
+    // round 2: same path, all-distinct texts → no pairs
+    Seq((1L, "p q r s t u v w x y z aa"),
+        (2L, "k2 l2 m2 n2 o2 p2 q2 r2 s2 t2 u2 v2"),
+        (3L, "g3 h3 i3 j3 k3 l3 m3 n3 o3 p3 q3 r3"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val r2 = Dedup.minhashNearDuplicates(spark.read.parquet(dir))
+      .select("id_a", "id_b").collect()
+    assert(r2.isEmpty,
+      s"post-overwrite call must see the new files, got stale pairs: " +
+        r2.mkString(", "))
+  }
 }

@@ -62,4 +62,26 @@ class QualityModelSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(snap() == snap())
   }
+
+  // r6-fix regression: featurize/score overwrite-then-drop the reserved
+  // names wholesale, so a colliding caller column must refuse loudly
+  // instead of being silently destroyed (pre-r6 it was).
+  test("reserved-column collisions refuse loudly") {
+    val withFeature = trusted.withColumn("f_n_chars", lit(7.0))
+    val exF = intercept[IllegalArgumentException] {
+      QualityModel.featurize(withFeature)
+    }
+    assert(exF.getMessage.contains("f_n_chars") &&
+           exF.getMessage.contains("reserves"))
+    val withTemp = trusted.withColumn("__q_toks", lit("x"))
+    assert(intercept[IllegalArgumentException] {
+      QualityModel.featurize(withTemp)
+    }.getMessage.contains("__q_toks"))
+    // score additionally reserves its output column
+    val model = QualityModel.fit(trusted.limit(40), degraded.limit(40))
+    val withOut = trusted.withColumn("ml_quality", lit(0.5))
+    assert(intercept[IllegalArgumentException] {
+      model.score(withOut)
+    }.getMessage.contains("ml_quality"))
+  }
 }

@@ -78,4 +78,70 @@ class PackingSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(snap() == snap())
   }
+
+  // --- r6-fix regression pins (each failed on the pre-r6 code) ----------
+
+  test("binPackGreedy: null token count fails loudly, names the doc") {
+    import spark.implicits._
+    val docs = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L)))
+      .toDF("doc_id", "n_tokens")
+    val ex = intercept[Exception] {
+      Packing.binPackGreedy(docs, "n_tokens", 512, numPartitions = 1)
+        .collect()
+    }
+    // thrown inside a task → surfaces wrapped in SparkException; the
+    // require message must survive in the cause chain
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(messages(ex).exists(_.contains("binPackGreedy: null")),
+      s"expected the null-token require message, got: ${messages(ex)}")
+  }
+
+  test("binPackGreedy: negative token count fails loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, -3L)).toDF("doc_id", "n_tokens")
+    val ex = intercept[Exception] {
+      Packing.binPackGreedy(docs, "n_tokens", 512, numPartitions = 1)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(messages(ex).exists(m =>
+      m.contains("negative") && m.contains("n_tokens")),
+      s"expected the negative-token require message, got: ${messages(ex)}")
+  }
+
+  test("binPackGreedy: oversized bin is sealed — even a zero-token doc " +
+       "cannot join it") {
+    import spark.implicits._
+    // pre-r6 the over-budget bin kept remaining = budget − min(tok,
+    // budget) = 0, which a zero-token doc's first-fit (needs remaining
+    // >= 0) happily joined — the -1L seal pins the bin singleton
+    val docs = Seq((1L, 900L), (2L, 0L), (3L, 0L), (4L, 100L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.binPackGreedy(docs, "n_tokens", 512,
+      numPartitions = 1).cache()
+    val bigBin = out.filter(col("doc_id") === 1L).select(col("bin_id"))
+      .head().getLong(0)
+    assert(out.filter(col("bin_id") === bigBin).count() == 1,
+      "zero-token docs must not share the sealed over-budget bin")
+    assert(out.count() == 4)
+  }
+
+  test("concatChunks: chunk ids are exact past 2^53 (div, not double /)") {
+    import spark.implicits._
+    // offset 2^53+1 is not double-representable: double division by 3
+    // floors to 3002399751580330; exact integral div gives …331
+    val big = 9007199254740993L // 2^53 + 1 = 3 * 3002399751580331
+    val docs = Seq((1L, big), (2L, 5L)).toDF("doc_id", "n_tokens")
+    val out = Packing.concatChunks(docs, "n_tokens", budget = 3)
+      .orderBy(col("doc_id")).collect()
+    assert(out(1).getAs[Long]("offset") == big)
+    assert(out(1).getAs[Long]("chunk") == 3002399751580331L,
+      s"chunk must use integral div; got ${out(1).getAs[Long]("chunk")}")
+    // first doc straddles: last token at big-1 = 2^53, chunk_end exact
+    assert(out(0).getAs[Long]("chunk_end") == 3002399751580330L)
+  }
 }

@@ -99,4 +99,28 @@ class TextSpec extends AnyFunSuite {
     assert(red(clean) == clean)
     assert(red("") == "")
   }
+
+  // Regression pins for the r6 digit-COUNTING phone pattern (9-digit
+  // floor, at most one ().- separator between digits) and the r7
+  // removal of the 15-digit ceiling. Each case failed on the pre-r6
+  // raw-run pattern (dates/IDs became [PHONE]) or leaves residue under
+  // the r6 {8,14} ceiling ('[PHONE]6' for a 16-digit card).
+  test("redactPii: digit-counting boundaries (dates survive, 9+ redact)") {
+    def red(s: String) = one(Text.redactPii(col("t")), s).getString(0)
+    // ISO date (8 digits, separators) and compact date survive
+    assert(red("released 2026-08-12 at noon") == "released 2026-08-12 at noon")
+    assert(red("build 20260812 shipped") == "build 20260812 shipped")
+    // 7–8-digit local numbers knowingly unredacted (documented floor)
+    assert(red("call 5551234 today") == "call 5551234 today")
+    assert(red("call 555-1234 today") == "call 555-1234 today")
+    // 9 digits is the floor: redacts, with or without separators
+    assert(red("ssn-shaped 123456789 here") == "ssn-shaped [PHONE] here")
+    assert(red("dial 555-123-4567 now") == "dial [PHONE] now")
+    // long digit runs redact FULLY — no '[PHONE]6' residue (the r6
+    // {8,14} ceiling left trailing digits on 16-digit card numbers)
+    assert(red("card 1234567890123456 on file") == "card [PHONE] on file")
+    assert(red("iban-ish 12345678901234567890 x") == "iban-ish [PHONE] x")
+    // at most ONE separator between digits: a double dash breaks the run
+    assert(red("range 1234--56789 ok") == "range 1234--56789 ok")
+  }
 }
