@@ -107,40 +107,84 @@ object Multimodal {
     * of a Pandas UDF over `mapInPandas`, which is how a real model
     * kernel runs: a handle opened ONCE per partition (codec context,
     * model session), inputs accumulated into fixed-size batches, one
-    * vectorized inference call per batch. The handle/inference here is
+    * vectorized inference call per batch, close guaranteed on task end
+    * (see [[MediaKernel.runKernel]]). The default handle is
     * [[FakeEmbedder]] (deterministic bytes→floats, this container ships
-    * no model runtime); the Spark-side plumbing — typed Dataset in,
-    * per-partition lifecycle, batch shape, schema out — is the real
-    * production contract and is what the spec pins: output is invariant
-    * to partitioning and batch size, and deterministic. */
-  def batchedFeatureExtract(assets: DataFrame, dim: Int = 16,
-                            batchSize: Int = 64): DataFrame = {
+    * no model runtime); a production deployment passes its own
+    * [[MediaKernel.Factory]] and NOTHING else changes — the Spark-side
+    * plumbing — typed Dataset in, per-partition lifecycle, batch shape,
+    * schema out — is the real production contract and is what the spec
+    * pins: output is invariant to partitioning and batch size, and
+    * deterministic. */
+  def batchedFeatureExtract(
+      assets: DataFrame, dim: Int = 16, batchSize: Int = 64,
+      kernel: MediaKernel.Factory[Array[Byte], Array[Float]] = null)
+      : DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.select(col("asset_id").cast("long"), col("content"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val model = new FakeEmbedder(dim) // per-partition handle
-        it.grouped(batchSize).flatMap { batch =>
-          model.embedBatch(batch.map(_._2)).zip(batch).map {
-            case (vec, (id, _)) => (id, vec)
-          }
-        }
-      }
+    val factory = Option(kernel).getOrElse(FakeEmbedder.factory(dim))
+    MediaKernel.runKernel(assets, factory, batchSize)
       .toDF("asset_id", "features")
+  }
+
+  /** The batched kernel form of image decode — same seam as
+    * [[batchedFeatureExtract]], struct-shaped output. The default
+    * handle derives dimensions from a content hash (same contract as
+    * [[decodeImageStub]], which stays as the codegen'd expression form
+    * for plans that never need a native codec). */
+  def batchedDecode(
+      assets: DataFrame, batchSize: Int = 64,
+      kernel: MediaKernel.Factory[Array[Byte], (Int, Int, Int)] = null)
+      : DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val factory = Option(kernel).getOrElse(FakeDecoder.factory)
+    MediaKernel.runKernel(assets, factory, batchSize)
+      .select(col("_1").as("asset_id"),
+              col("_2._1").as("width"), col("_2._2").as("height"),
+              col("_2._3").as("channels"))
   }
 
   /** STUB model handle for [[batchedFeatureExtract]]: deterministic
     * keyed-FNV floats in [-1, 1] (a real handle wraps a model session;
     * the batch-in/batch-out signature is the contract). */
-  final class FakeEmbedder(dim: Int) extends Serializable {
-    def embedBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+  final class FakeEmbedder(dim: Int)
+      extends MediaKernel.Handle[Array[Byte], Array[Float]]
+      with Serializable {
+    def processBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
       batch.map { bytes =>
         Array.tabulate(dim) { i =>
           val h = graft.functions.SimHash64.fnv1a64(bytes :+ i.toByte)
           ((java.lang.Math.floorMod(h, 2000001L) - 1000000L).toDouble /
             1000000.0).toFloat
         }
+      }
+    /** Pre-seam name, kept for source compatibility. */
+    def embedBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+      processBatch(batch)
+  }
+  object FakeEmbedder {
+    def factory(dim: Int): MediaKernel.Factory[Array[Byte], Array[Float]] =
+      new MediaKernel.Factory[Array[Byte], Array[Float]] {
+        def open() = new FakeEmbedder(dim)
+      }
+  }
+
+  /** STUB decode handle for [[batchedDecode]]: dimensions from a 64-bit
+    * content hash — the kernel-form twin of [[decodeImageStub]]. */
+  final class FakeDecoder
+      extends MediaKernel.Handle[Array[Byte], (Int, Int, Int)] {
+    def processBatch(batch: Seq[Array[Byte]]): Seq[(Int, Int, Int)] =
+      batch.map { bytes =>
+        val h = graft.functions.SimHash64.fnv1a64(bytes)
+        ((java.lang.Math.floorMod(h, 1920L) + 1).toInt,
+         (java.lang.Math.floorMod(h >>> 32, 1080L) + 1).toInt, 3)
+      }
+  }
+  object FakeDecoder {
+    val factory: MediaKernel.Factory[Array[Byte], (Int, Int, Int)] =
+      new MediaKernel.Factory[Array[Byte], (Int, Int, Int)] {
+        def open() = new FakeDecoder
       }
   }
 

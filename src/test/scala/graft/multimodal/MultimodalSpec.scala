@@ -94,6 +94,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(f => f >= -1.0f && f <= 1.0f))
   }
 
+  test("kernel seam: a second implementation drops in with no plumbing change") {
+    // trivial alternative kernel: mean byte value, replicated — proves
+    // the Factory/Handle seam works for any implementation, not just
+    // the shipped fake (VERDICT r6 #7)
+    val meanKernel = new MediaKernel.Factory[Array[Byte], Array[Float]] {
+      def open() = new MediaKernel.Handle[Array[Byte], Array[Float]] {
+        def processBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+          batch.map { b =>
+            val m = if (b.isEmpty) 0f
+                    else b.map(_ & 0xff).sum.toFloat / b.length / 255f
+            Array.fill(4)(m)
+          }
+      }
+    }
+    val out = Multimodal.batchedFeatureExtract(assets, kernel = meanKernel)
+    assert(out.columns.toSeq == Seq("asset_id", "features"))
+    assert(out.count() == assets.count())
+    val feats = out.head().getAs[collection.Seq[Float]]("features")
+    assert(feats.size == 4)
+    assert(feats.distinct.size == 1, "mean kernel replicates one value")
+    assert(feats.forall(f => f >= 0f && f <= 1f))
+    // partition/batch invariance holds for the plugged kernel too
+    val repart = Multimodal.batchedFeatureExtract(
+      assets.repartition(5), kernel = meanKernel, batchSize = 2)
+    assert(out.exceptAll(repart).count() == 0)
+  }
+
+  test("kernel seam: handle opened per partition and closed on task end") {
+    val opens = spark.sparkContext.longAccumulator("opens")
+    val closes = spark.sparkContext.longAccumulator("closes")
+    val counting = new MediaKernel.Factory[Array[Byte], Array[Float]] {
+      def open() = {
+        opens.add(1)
+        new MediaKernel.Handle[Array[Byte], Array[Float]] {
+          def processBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+            batch.map(_ => Array(1f))
+          override def close(): Unit = closes.add(1)
+        }
+      }
+    }
+    val nParts = 3
+    val n = Multimodal.batchedFeatureExtract(
+      assets.repartition(nParts), kernel = counting).count()
+    assert(n == assets.count())
+    assert(opens.value == nParts, s"one open per partition: ${opens.value}")
+    assert(closes.value == nParts, s"every handle closed: ${closes.value}")
+  }
+
+  test("batchedDecode: kernel-form decode matches the stub's contract") {
+    val d = Multimodal.batchedDecode(assets).cache()
+    assert(d.columns.toSeq ==
+      Seq("asset_id", "width", "height", "channels"))
+    assert(d.count() == assets.count())
+    val rows = d.collect()
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 1920))
+    assert(rows.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 1080))
+    assert(rows.forall(_.getInt(3) == 3))
+    // deterministic + batch-invariant
+    val again = Multimodal.batchedDecode(assets, batchSize = 7)
+    assert(d.exceptAll(again).count() == 0)
+  }
+
   test("repartitionForBlobs sizes partitions by payload") {
     val small = Multimodal.repartitionForBlobs(assets,
       totalBytes = 10L << 20, targetPartitionBytes = 1L << 20)
