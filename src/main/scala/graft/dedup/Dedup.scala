@@ -249,27 +249,34 @@ object Dedup {
       .withColumn("component", col("id"))
       .localCheckpoint()
     while (changed > 0 && iter < maxIter) {
+      // each id's own current label rides the aggregate tagged `own`,
+      // so convergence is read off the SAME aggregate (min old label
+      // vs min new label per id) — the round-6 form paid a separate
+      // next⋈labels join + shuffle per sweep just to count changes;
+      // here the count is a scan of the already-checkpointed result
+      val own = labels
+        .select(col("id"), col("component"), lit(true).as("own"))
       val prop = edges
         .join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("component"))
+        .select(edges("src").as("id"), col("component"),
+                lit(false).as("own"))
       // pointer jump: node → component's component (cuts path length
       // in half each sweep; joins labels to itself on the label).
       // Sweep 0 skips it — labels start as component = id, so the
       // jump is a pure identity join there.
-      val base = labels.union(prop)
+      val base = own.union(prop)
       val next = (if (iter == 0) base
                   else base.union(labels.as("a")
                     .join(labels.as("b"), col("a.component") === col("b.id"))
                     .select(col("a.id").as("id"),
-                            col("b.component").as("component"))))
+                            col("b.component").as("component"),
+                            lit(false).as("own"))))
         .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
+        .agg(min(col("component")).as("component"),
+             min(when(col("own"), col("component"))).as("__old"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("l"), col("n.id") === col("l.id"))
-        .filter(col("n.component") =!= col("l.component"))
-        .count()
-      labels = next
+      changed = next.filter(col("component") =!= col("__old")).count()
+      labels = next.drop("__old")
       iter += 1
     }
     if (changed > 0)
