@@ -153,6 +153,37 @@ class DedupSpec extends AnyFunSuite {
       s"all chain nodes must label 0, got ${comp.filter(_._2 != 0L).take(5).toSeq}")
   }
 
+  test("connected components: random graphs match a driver-side union-find") {
+    import spark.implicits._
+    // property pin for the round-7 sweep refactor (convergence check
+    // folded into the aggregate): seeded random graphs of mixed shape
+    // — dense pockets, long paths, isolated pairs — vs naive union-find
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60 * trial
+      val edges = (1 to n * 2).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = a + 1 + rnd.nextInt(1 + n / 10) // mostly-local edges
+        (math.min(a, b), math.max(a, b))
+      }.distinct.filter { case (a, b) => a != b }
+      // driver-side union-find ground truth
+      val parent = collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: CC disagrees with union-find")
+    }
+  }
+
   test("markNearDuplicates: one keeper per cluster, planted clones dropped") {
     val marked = Dedup.markNearDuplicates(planted, k = 5, minJaccard = 0.5)
       .cache()
