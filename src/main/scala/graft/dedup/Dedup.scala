@@ -228,7 +228,8 @@ object Dedup {
     * truncates the growing lineage so iteration N doesn't replan
     * N-deep. Convergence is checked with a count — a scalar to the
     * driver, never data. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          driverEdgeLimit: Long = 500000L): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -245,6 +246,52 @@ object Dedup {
     // non-convergence throw would do the same to whoever catches and
     // retries.
     try {
+    // ADAPTIVE SIZE SWITCH (the AQE/broadcast-join pattern applied to
+    // graph clustering): the pair graph after candidate generation is
+    // routinely orders of magnitude smaller than the corpus — at sf0.1
+    // a few hundred edges, and even a 100-TB corpus's near-dup graph
+    // can land under a million edges after exact dedup. For such
+    // graphs the iterative path's cost is pure scheduling (each sweep
+    // is 2 joins + an aggregate + a checkpoint + a count action ≈ a
+    // dozen jobs for 3 sweeps) — measured 2.0 s of q_curation's 4.6 s
+    // at sf0.1 on a ~300-edge graph. Below `driverEdgeLimit`
+    // (directed-edge rows; 500k ≈ 8 MB of longs — broadcast-sized,
+    // same ballpark as spark.sql.autoBroadcastJoinThreshold's intent)
+    // a driver union-find answers in one collect. The count that
+    // gates the switch is the cache materialization the iterative
+    // path needs anyway; above the limit nothing is ever collected.
+    // Fast path only for integral ids (the union-find keys a long
+    // map); exotic id types always take the iterative path.
+    val idType = pairs.schema(pairs.schema.fieldIndex("id_a")).dataType
+    val integralId = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (integralId && edges.count() <= driverEdgeLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // min root wins — matches the iterative path's min-label
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toArray.distinct
+      return spark.createDataset(nodes.map(x => (x, find(x))).toSeq)
+        .toDF("id", "component")
+        .select(col("id").cast(idType), col("component").cast(idType))
+    }
     labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()

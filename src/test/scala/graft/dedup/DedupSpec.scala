@@ -146,7 +146,9 @@ class DedupSpec extends AnyFunSuite {
     // 10x the default cap; the pointer-jump step makes it O(log d).
     // The old code silently truncated; the new code would throw.
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(chain).collect()
+    // driverEdgeLimit = 0 forces the distributed iterative path — the
+    // pointer-jump property is meaningless on the driver fast path
+    val comp = Dedup.connectedComponents(chain, driverEdgeLimit = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(comp.length == 201)
     assert(comp.forall(_._2 == 0L),
@@ -178,9 +180,16 @@ class DedupSpec extends AnyFunSuite {
       }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(x => x -> find(x)).toMap
-      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      // BOTH execution paths must agree with the ground truth: the
+      // driver fast path (default limit) and the distributed
+      // iterative path (limit 0)
+      val fast = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"trial $trial: CC disagrees with union-find")
+      val dist = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+          driverEdgeLimit = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == expected, s"trial $trial: fast path disagrees")
+      assert(dist == expected, s"trial $trial: iterative path disagrees")
     }
   }
 
