@@ -69,6 +69,7 @@ object SparkEntry {
     "q_funnel"                  -> Corpus.curationFunnel _,
     "q_decontamination"         -> Corpus.decontamination _,
     "q_token_entropy"           -> Corpus.tokenEntropy _,
+    "q_dsir_weights"            -> Corpus.dsirWeights _,
     // Deterministic (seed-free) ranking metrics — full SQL oracle below.
     "q_ranking_metrics"         -> (rankingMetrics _),
     // ML / seeded / non-SQL-expressible queries: no oracleSql entry →
@@ -580,6 +581,37 @@ object SparkEntry {
                 round(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)
                       + 0.000000001, 6) AS entropy
          FROM g ORDER BY doc_id""",
+    // DSIR exact-feature importance weights: integer-grid quantized
+    // log-ratios (round(ln-ratio * 2^20) as BIGINT) summed per doc —
+    // order-free exact integer totals, so engines agree bit-for-bit
+    "q_dsir_weights" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                        FROM documents),
+         uni AS (SELECT doc_id, unnest(ws) AS f FROM words),
+         bi AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS f
+                FROM words,
+                LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+                         AS i)
+                WHERE len(ws) >= 2),
+         feats AS (SELECT doc_id, f FROM uni
+                   UNION ALL SELECT doc_id, f FROM bi),
+         cr AS (SELECT f, count(*) AS c_r FROM feats GROUP BY f),
+         ct AS (SELECT f, count(*) AS c_t FROM feats
+                WHERE doc_id % 7 = 0 GROUP BY f),
+         tot AS (SELECT (SELECT sum(c_r) FROM cr) AS tr,
+                        (SELECT count(*) FROM cr) AS v,
+                        (SELECT coalesce(sum(c_t), 0) FROM ct) AS tt),
+         w AS (SELECT cr.f,
+                 CAST(round((ln(coalesce(ct.c_t, 0) + 1.0)
+                           - ln(CAST(tot.tt + tot.v AS DOUBLE))
+                           - ln(cr.c_r + 1.0)
+                           + ln(CAST(tot.tr + tot.v AS DOUBLE)))
+                            * 1048576.0) AS BIGINT) AS w
+               FROM cr LEFT JOIN ct ON cr.f = ct.f CROSS JOIN tot)
+         SELECT feats.doc_id, CAST(sum(w.w) AS BIGINT) AS dsir_score
+         FROM feats JOIN w ON feats.f = w.f
+         GROUP BY feats.doc_id
+         ORDER BY feats.doc_id""",
     "q_decontamination" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
                         FROM documents),

@@ -456,6 +456,20 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023) over the documents
+    * table, exact-feature variant: target distribution = every 7th
+    * doc, raw = the whole corpus; per-doc score = Σ quantized
+    * log(target/raw) likelihood ratios of its unigram+bigram
+    * multiset (integer-grid — see [[graft.pipelines.Dsir]]). Full
+    * DuckDB oracle; the hashed-bucket scale path is golden-pinned in
+    * DsirSpec. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    graft.pipelines.Dsir
+      .scoreExact(d, d.filter(col("doc_id") % 7 === 0))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: every 20th doc plays the eval set; the
     * query reports each corpus doc's distinct-5-shingle overlap with
     * it ([[Dedup.contaminationHits]]) — eval-set members hit on
