@@ -68,6 +68,9 @@ object SparkEntry {
     "q_curation"                -> Corpus.curationRun _,
     "q_funnel"                  -> Corpus.curationFunnel _,
     "q_decontamination"         -> Corpus.decontamination _,
+    "q_decontamination_bloom"   -> Corpus.decontaminationBloom _,
+    "q_repetition_signals"      -> Corpus.repetitionSignals _,
+    "q_line_dedup"              -> Corpus.lineDedup _,
     "q_token_entropy"           -> Corpus.tokenEntropy _,
     "q_dsir_weights"            -> Corpus.dsirWeights _,
     // Deterministic (seed-free) ranking metrics — full SQL oracle below.
@@ -625,6 +628,100 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_hits
          FROM d WHERE shingle IN (SELECT shingle FROM bs)
          GROUP BY doc_id ORDER BY doc_id""",
+    // Bloom-prefilter decontamination: Bloom filters have no false
+    // negatives and survivors are exact-verified, so the oracle is the
+    // plain exact-path complement — hash equality proves the prefilter
+    // changed the plan shape, not the semantics
+    "q_decontamination_bloom" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                        FROM documents),
+         sh AS (SELECT doc_id,
+                  array_to_string(list_slice(ws, i, i + 4), ' ') AS shingle
+                FROM words,
+                LATERAL (SELECT unnest(generate_series(1,
+                           greatest(len(ws) - 4, 1))) AS i)),
+         d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         bs AS (SELECT DISTINCT shingle FROM d WHERE doc_id % 20 = 0),
+         bad AS (SELECT DISTINCT doc_id FROM d
+                 WHERE shingle IN (SELECT shingle FROM bs))
+         SELECT doc_id, length(text) AS n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
+    // Gopher repetition signals over the reflowed lined corpus (every
+    // 3rd doc repeats its first line twice — Corpus.linedSql is the
+    // single source of the planting spelling, shared with q_line_dedup)
+    "q_repetition_signals" ->
+      s"""WITH ${Corpus.linedSql(intraDupEvery = 3)},
+         L AS (SELECT doc_id, unnest(lines) AS line FROM lined),
+         lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+                FROM L GROUP BY doc_id, line, length(line)),
+         la AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_lines,
+                       sum(c) - count(*) AS ndup,
+                       sum(c * len) AS tot, sum((c - 1) * len) AS dupch
+                FROM lc GROUP BY doc_id),
+         tok AS (SELECT doc_id,
+                   list_filter(
+                     string_split(array_to_string(lines, ' '), ' '),
+                     x -> x <> '') AS toks
+                 FROM lined),
+         tn AS (SELECT doc_id, toks,
+                       length(array_to_string(toks, ' ')) AS nchars
+                FROM tok),
+         g2 AS (SELECT doc_id,
+                  array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+                FROM tn, LATERAL (SELECT unnest(generate_series(1,
+                           len(toks) - 1)) AS i)),
+         g3 AS (SELECT doc_id,
+                  array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+                FROM tn, LATERAL (SELECT unnest(generate_series(1,
+                           len(toks) - 2)) AS i)),
+         g4 AS (SELECT doc_id,
+                  array_to_string(list_slice(toks, i, i + 3), ' ') AS gram
+                FROM tn, LATERAL (SELECT unnest(generate_series(1,
+                           len(toks) - 3)) AS i)),
+         b2 AS (SELECT doc_id, max(c * length(gram)) AS b FROM
+                (SELECT doc_id, gram, count(*) AS c FROM g2
+                 GROUP BY doc_id, gram) GROUP BY doc_id),
+         b3 AS (SELECT doc_id, max(c * length(gram)) AS b FROM
+                (SELECT doc_id, gram, count(*) AS c FROM g3
+                 GROUP BY doc_id, gram) GROUP BY doc_id),
+         b4 AS (SELECT doc_id, max(c * length(gram)) AS b FROM
+                (SELECT doc_id, gram, count(*) AS c FROM g4
+                 GROUP BY doc_id, gram) GROUP BY doc_id)
+         SELECT la.doc_id, la.n_lines,
+           round(ndup * 1.0 / n_lines + 0.000000001, 6) AS dup_line_frac,
+           round(dupch * 1.0 / tot + 0.000000001, 6)
+             AS dup_line_char_frac,
+           round(least(coalesce(b2.b, 0) * 1.0 / nchars, 1.0)
+                 + 0.000000001, 6) AS top_2gram_cov,
+           round(least(coalesce(b3.b, 0) * 1.0 / nchars, 1.0)
+                 + 0.000000001, 6) AS top_3gram_cov,
+           round(least(coalesce(b4.b, 0) * 1.0 / nchars, 1.0)
+                 + 0.000000001, 6) AS top_4gram_cov
+         FROM la JOIN tn USING (doc_id)
+         LEFT JOIN b2 USING (doc_id) LEFT JOIN b3 USING (doc_id)
+         LEFT JOIN b4 USING (doc_id)
+         ORDER BY doc_id""",
+    // corpus-level line dedup over the lined corpus with a planted
+    // shared footer on every even doc; ≥3-occurrence lines removed,
+    // text rebuilt in order — the hash covers the full rebuilt text
+    "q_line_dedup" ->
+      s"""WITH ${Corpus.linedSql(
+             boilerplate = Corpus.LineDedupBoilerplate)},
+         L AS (SELECT doc_id, i AS pos, lines[i] AS line
+               FROM lined,
+               LATERAL (SELECT unnest(generate_series(1, len(lines)))
+                        AS i)),
+         rm AS (SELECT line FROM L WHERE trim(line) <> ''
+                GROUP BY line HAVING count(*) >= 3)
+         SELECT doc_id,
+           coalesce(string_agg(
+             CASE WHEN line NOT IN (SELECT line FROM rm) THEN line END,
+             chr(10) ORDER BY pos), '') AS text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN line NOT IN (SELECT line FROM rm)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM L GROUP BY doc_id ORDER BY doc_id""",
     // end-to-end curation: composes the q_lang_id, q_text_quality,
     // q_dedup_exact, and q_dedup_near oracle fragments over the same
     // corpus (no planting, no mixture) — one hash gate for the funnel

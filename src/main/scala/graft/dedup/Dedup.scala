@@ -5,7 +5,7 @@ import graft.text.Text
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -384,6 +384,96 @@ object Dedup {
       .filter(col("n_hits") >= lit(minHits))
       .select(col("doc_id").as(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** [[dropContaminated]] with a Bloom prefilter — IDENTICAL output,
+    * different 100-TB shape. The exact path shuffles every corpus
+    * shingle once (O(corpus shingles) exchange rows); here a Bloom
+    * filter over the benchmark's distinct shingles (eval sets are
+    * small — GPT-3's decontamination benchmarks are ≪ 1 GB against a
+    * 45-TB corpus) is broadcast to the scan, and each doc is tested
+    * scan-locally with one array-UDF call. Only the docs with ≥ 1
+    * Bloom hit — benchmark members, true near-members, and the fpp
+    * tail — proceed to the exact shingle semi-join; Bloom filters
+    * have NO false negatives, so prefilter → exact-verify equals the
+    * exact path bit-for-bit while the shuffle shrinks from the whole
+    * corpus to the candidate sliver.
+    *
+    * The UDF is the justified kind: Spark has no Column-level Bloom
+    * probe, and the probe must ride the scan (a join would reintroduce
+    * the shuffle this exists to avoid). `fpp` trades candidate-sliver
+    * size against filter bytes; 1% over 1e8 shingles ≈ 114 MB, a fine
+    * broadcast. */
+  def dropContaminatedBloom(corpus: DataFrame, bench: DataFrame,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            k: Int = 5, minHits: Long = 1L,
+                            fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val benchShingles = bench
+      .select(explode(Text.wordShingles(col(textCol), k)).as("shingle"))
+      .distinct()
+    val n = math.max(benchShingles.count(), 1L)
+    val bloom = benchShingles.stat.bloomFilter("shingle", n, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val anyHit = udf { shingles: Seq[String] =>
+      shingles != null && shingles.exists(bloomBc.value.mightContainString)
+    }
+    val candidates = corpus
+      .filter(anyHit(Text.wordShingles(col(textCol), k)))
+    val confirmedBad =
+      contaminationHits(candidates, bench, textCol, idCol, k)
+        .filter(col("n_hits") >= lit(minHits))
+        .select(col("doc_id").as(idCol))
+    corpus.join(confirmedBad, Seq(idCol), "left_anti")
+  }
+
+  /** Corpus-level LINE deduplication (the CCNet/RefinedWeb cleaning
+    * pass): lines whose exact text occurs ≥ `minCount` times ACROSS THE
+    * WHOLE CORPUS — navigation chrome, cookie banners, boilerplate
+    * footers — are removed from every document, and each document's
+    * text is reconstructed from its surviving lines in original order.
+    * Blank (whitespace-only) lines are exempt from counting and
+    * removal: they are structure, not boilerplate, and removing them
+    * would merge unrelated paragraphs.
+    *
+    * Output: `idCol`, rebuilt `textCol`, `n_lines`, `n_kept`.
+    *
+    * Plan shape (the CCNet shape): posexplode lines → one groupBy(line)
+    * to build the removal set → one join back on the line → one
+    * groupBy(doc) with an in-array sorted rebuild. Two shuffles total,
+    * both on keys that exist at any scale. `byHash = true` keys the
+    * count/join on xxhash64(line) so the exchanges carry 8-byte keys
+    * instead of full line strings — the 100-TB spelling (a 64-bit
+    * collision wrongly removing a line is vanishingly unlikely and
+    * costs one boilerplate-like line, not correctness of the corpus);
+    * the default keeps exact strings so the DuckDB oracle can replay
+    * it. */
+  def dedupLines(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", minCount: Long = 2L,
+                 byHash: Boolean = false): DataFrame = {
+    val key: Column => Column =
+      if (byHash) (c: Column) => xxhash64(c) else identity
+    val lines = docs.select(
+      col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val removal = lines
+      .filter(trim(col("line")) =!= "")
+      .groupBy(key(col("line")).as("__k"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= lit(minCount))
+      .select(col("__k"), lit(true).as("__rm"))
+    lines
+      .join(removal, key(col("line")) === removal("__k"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__rm").isNull, 1)).as("n_kept"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(col("__rm").isNull, struct(col("pos"), col("line"))))),
+            s => s.getField("line"))).as(textCol))
+      .select(col(idCol), col(textCol), col("n_lines"), col("n_kept"))
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ minCosine — delegates

@@ -480,6 +480,127 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination as an END-TO-END filter via the Bloom-prefilter
+    * path ([[Dedup.dropContaminatedBloom]]): same corpus/eval split as
+    * [[decontamination]], output = the docs that SURVIVE (no shingle
+    * overlap with the every-20th-doc eval set). The Bloom stage is a
+    * scan-local prefilter with no false negatives, so the oracle is the
+    * plain exact-path complement — the hash gate proves the prefilter
+    * did not change semantics. */
+  def decontaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.dropContaminatedBloom(d, d.filter(col("doc_id") % 20 === 0))
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The synthetic corpus reflowed into 6-token lines (it is generated
+    * single-line; line-level operators need lines to operate on), with
+    * optional planted structure — all of it replayed verbatim in the
+    * DuckDB oracle twins so both engines see the identical lined
+    * corpus:
+    *  - `intraDupEvery`: every n-th doc repeats its own first line
+    *    twice at the end (intra-doc repetition for the Gopher signals);
+    *  - `boilerplate`: every even doc gets this shared footer line
+    *    (cross-doc boilerplate for line dedup). */
+  private def linedDocs(spark: SparkSession, dir: String,
+                        intraDupEvery: Int = 0,
+                        boilerplate: Option[String] = None): DataFrame = {
+    // staged projections: each non-cheap array expression is referenced
+    // 2+ times downstream, so CollapseProject keeps the boundaries and
+    // each is computed once per row (see Text.repetitionSignals perf
+    // note on interpreted-HOF re-evaluation)
+    val d = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .select(col("doc_id"), transform(
+        sequence(lit(1),
+          greatest(ceil(size(col("__ws")).cast("double") / lit(6.0))
+                     .cast("int"), lit(1))),
+        i => concat_ws(" ", slice(col("__ws"), (i - 1) * 6 + 1, lit(6))))
+        .as("__lines"))
+    val withDup =
+      if (intraDupEvery > 0)
+        when(col("doc_id") % intraDupEvery === 0,
+             concat(col("__lines"),
+                    array(element_at(col("__lines"), 1),
+                          element_at(col("__lines"), 1))))
+          .otherwise(col("__lines"))
+      else col("__lines")
+    val withBoiler = boilerplate match {
+      case Some(b) =>
+        when(col("doc_id") % 2 === 0, concat(withDup, array(lit(b))))
+          .otherwise(withDup)
+      case None => withDup
+    }
+    d.select(col("doc_id"), concat_ws("\n", withBoiler).as("text"))
+  }
+
+  /** SQL fragment building the same lined corpus as [[linedDocs]] —
+    * interpolated into the oracle twins (single source of the planting
+    * spelling). Produces CTE `lined(doc_id, lines)`. */
+  private[graft] def linedSql(intraDupEvery: Int = 0,
+                              boilerplate: String = ""): String = {
+    val dup =
+      if (intraDupEvery > 0)
+        s"CASE WHEN doc_id % $intraDupEvery = 0 THEN " +
+          "list_concat(lines0, [lines0[1], lines0[1]]) ELSE lines0 END"
+      else "lines0"
+    val boiler =
+      if (boilerplate.nonEmpty)
+        s"CASE WHEN doc_id % 2 = 0 THEN list_append(dup1, '$boilerplate') " +
+          "ELSE dup1 END"
+      else "dup1"
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        lx AS (SELECT doc_id,
+                 list_transform(
+                   generate_series(1,
+                     greatest(CAST(ceil(len(ws) / 6.0) AS INT), 1)),
+                   i -> array_to_string(
+                          list_slice(ws, (i-1)*6 + 1, (i-1)*6 + 6), ' '))
+                   AS lines0
+               FROM t),
+        ld AS (SELECT doc_id, $dup AS dup1 FROM lx),
+        lined AS (SELECT doc_id, $boiler AS lines FROM ld)"""
+  }
+
+  /** Gopher-style repetition signals as a declared query: the corpus
+    * reflowed into lines with every 3rd doc repeating its first line
+    * twice ([[linedDocs]]); per-doc duplicate-line fractions and
+    * top-{2,3,4}-gram character coverage ([[Text.repetitionSignals]]).
+    * Map-only — the whole query is one pass over the scan. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    // two-step projection: the kernel struct is non-cheap and
+    // referenced six times below, so CollapseProject keeps the
+    // boundary and it evaluates once per row
+    linedDocs(spark, dir, intraDupEvery = 3)
+      .select(col("doc_id"),
+              Text.repetitionSignals(col("text")).as("r"))
+      .select(
+        col("doc_id"),
+        col("r.n_lines").as("n_lines"),
+        round(col("r.dup_line_frac") + lit(1e-9), 6).as("dup_line_frac"),
+        round(col("r.dup_line_char_frac") + lit(1e-9), 6)
+          .as("dup_line_char_frac"),
+        round(col("r.top_2gram_cov") + lit(1e-9), 6).as("top_2gram_cov"),
+        round(col("r.top_3gram_cov") + lit(1e-9), 6).as("top_3gram_cov"),
+        round(col("r.top_4gram_cov") + lit(1e-9), 6).as("top_4gram_cov"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-level line dedup as a declared query: the lined corpus with
+    * a shared boilerplate footer planted on every even doc; lines
+    * occurring ≥ 3 times corpus-wide are removed and each doc's text is
+    * rebuilt in order ([[Dedup.dedupLines]]). The hash gate covers the
+    * full reconstructed text byte-for-byte. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val lined = linedDocs(spark, dir,
+      boilerplate = Some(LineDedupBoilerplate))
+    Dedup.dedupLines(lined, minCount = 3L)
+      .orderBy(col("doc_id"))
+  }
+
+  private[graft] val LineDedupBoilerplate =
+    "subscribe to the graft newsletter"
+
   /** The END-TO-END curation pipeline as a declared query: langID
     * allow-list → quality + URL filters → exact dedup → near-dup dedup
     * (no mixture — every remaining stage is deterministic). The oracle

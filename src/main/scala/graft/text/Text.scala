@@ -199,6 +199,106 @@ object Text {
     regexp_replace(ip, "\\+?\\d(?:[().-]?\\d){8,}", "[PHONE]")
   }
 
+  // --- repetition signals (Gopher §A1.1 shape) ---------------------------
+
+  /** Trimmed non-blank lines of a document. */
+  def docLines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+
+  /** Non-distinct word n-grams (space-joined) of a token array — the
+    * counting stream for repetition signals, unlike the DISTINCT
+    * shingle set [[wordShingles]] feeds to MinHash. Sub-n-token docs
+    * yield an empty stream. */
+  private def gramStream(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Max character coverage of any single n-gram: max over distinct
+    * n-grams of count × gram length, as a fraction of `nChars`, capped
+    * at 1.0 (overlapping occurrences can over-count — "a a a a" has
+    * bigram "a a" three times). One sort + one linear run-length pass
+    * per row (O(T log T) per doc), no shuffle: the whole signal rides
+    * the document scan. */
+  private def topGramCoverage(toks: Column, nChars: Column, n: Int): Column = {
+    val sorted = array_sort(gramStream(toks, n))
+    val best = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, g) => {
+        val run = when(st.getField("prev") === g, st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+               greatest(st.getField("best"),
+                        run * length(g).cast("long")).as("best"))
+      },
+      st => st.getField("best"))
+    when(nChars === 0, lit(0.0))
+      .otherwise(least(best.cast("double") / nChars.cast("double"), lit(1.0)))
+  }
+
+  /** Per-document repetition signals, the Gopher-rules family (Rae et
+    * al. 2021 §A1.1): documents that loop the same lines or phrases are
+    * low-quality for training. One struct column computed entirely
+    * per-row (lines via [[docLines]], n-grams via a sorted run-length
+    * pass) — NO shuffle; at 100 TB this is a map-only pass over the
+    * corpus scan.
+    *
+    * Fields:
+    *  - `n_lines` — trimmed non-blank lines;
+    *  - `dup_line_frac` — beyond-first line occurrences / lines;
+    *  - `dup_line_char_frac` — characters in beyond-first occurrences /
+    *    total line characters;
+    *  - `top_{2,3,4}gram_cov` — max single-n-gram character coverage of
+    *    the normalized token stream (count × gram length / normalized
+    *    chars, capped at 1.0; the cap absorbs overlap over-counting).
+    *
+    * Definitional deviation from Gopher (documented): the top-n-gram
+    * signal maximizes count × length (character coverage) directly
+    * instead of picking the most FREQUENT gram and then measuring its
+    * coverage — coverage is the quantity the filter thresholds anyway,
+    * and maximizing it is deterministic without a tie-break rule.
+    *
+    * Computed by the native [[graft.functions.RepetitionStats]] kernel —
+    * one hash-counting pass per row inside codegen. The composed-HOF
+    * reference form [[repetitionSignalsFromParts]] measured 49 s fused /
+    * 3.7 s staged vs well under a second for the kernel on 55K docs at
+    * sf0.1 (HOFs are CodegenFallback and re-evaluate per reference);
+    * KernelsSpec pins the two bit-for-bit. */
+  def repetitionSignals(text: Column): Column =
+    graft.functions.RepetitionStats.repetitionStats(docLines(text),
+                                                    tokenize(text))
+
+  /** The composed-HOF REFERENCE form of [[repetitionSignals]], kept as
+    * the semantic pin for the native kernel (KernelsSpec asserts
+    * bit-for-bit equality): `ls` = [[docLines]], `dls` =
+    * `array_distinct(ls)`, `toks` = [[tokenize]], `nChars` =
+    * `length(concat_ws(" ", toks))` — stage each as a materialized
+    * column when running this form over real data (HOF re-evaluation,
+    * see the kernel's scaladoc). */
+  def repetitionSignalsFromParts(ls: Column, dls: Column,
+                                 toks: Column, nChars: Column): Column = {
+    val nL = size(ls)
+    val totalLineChars =
+      aggregate(ls, lit(0L), (a, l) => a + length(l).cast("long"))
+    // per distinct line: (count − 1) × length — O(|distinct| × |lines|)
+    // comparisons per row, fine for per-document line counts
+    val dupChars = aggregate(dls, lit(0L), (a, d) =>
+      a + (size(filter(ls, x => x === d)) - 1).cast("long") *
+        length(d).cast("long"))
+    struct(
+      nL.as("n_lines"),
+      when(nL === 0, lit(0.0))
+        .otherwise((nL - size(dls)).cast("double") / nL.cast("double"))
+        .as("dup_line_frac"),
+      when(totalLineChars === 0, lit(0.0))
+        .otherwise(dupChars.cast("double") / totalLineChars.cast("double"))
+        .as("dup_line_char_frac"),
+      topGramCoverage(toks, nChars, 2).as("top_2gram_cov"),
+      topGramCoverage(toks, nChars, 3).as("top_3gram_cov"),
+      topGramCoverage(toks, nChars, 4).as("top_4gram_cov"))
+  }
+
   // --- fingerprinting ----------------------------------------------------
 
   /** Winnowing-style document fingerprint: the rolling window of word

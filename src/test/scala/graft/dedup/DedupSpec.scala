@@ -342,4 +342,58 @@ class DedupSpec extends AnyFunSuite {
       s"post-overwrite call must see the new files, got stale pairs: " +
         r2.mkString(", "))
   }
+
+  // --- corpus-level line dedup -------------------------------------------
+
+  test("dedupLines: removes ≥minCount lines, preserves order, exempts " +
+       "blanks") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "keep me\nBOILER\nalso keep"),
+      (2L, "BOILER\nunique two"),
+      (3L, "BOILER\nsolo"),
+      (4L, "BOILER"),
+      (5L, "x\n\nx"),
+      (6L, "x")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, minCount = 3L)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // BOILER occurs 4 times → removed everywhere, order preserved
+    assert(byId(1L) == (("keep me\nalso keep", 3L, 2L)))
+    assert(byId(2L) == (("unique two", 2L, 1L)))
+    // doc whose every line is boilerplate → empty text, zero kept
+    assert(byId(4L) == (("", 1L, 0L)))
+    // "x" occurs 3 times (docs 5 twice + 6) → removed; the BLANK line
+    // is exempt — doc 5 keeps its (empty) middle line only
+    assert(byId(5L) == (("", 3L, 1L)))
+    assert(byId(6L) == (("", 1L, 0L)))
+  }
+
+  test("dedupLines: byHash variant matches the exact-string variant") {
+    val lined = docs.select(col("doc_id"),
+      regexp_replace(col("text"), "((\\S+\\s+){5}\\S+)\\s+", "$1\n")
+        .as("text"))
+    val a = Dedup.dedupLines(lined, minCount = 3L)
+    val b = Dedup.dedupLines(lined, minCount = 3L, byHash = true)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "hash-keyed line dedup must reproduce the exact-string result")
+  }
+
+  // --- Bloom-prefiltered decontamination ---------------------------------
+
+  test("dropContaminatedBloom equals the exact path (incl. high fpp)") {
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val exact = Dedup.dropContaminated(docs, bench)
+      .select("doc_id")
+    assert(exact.count() > 0, "some docs must survive decontamination")
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = Dedup.dropContaminatedBloom(docs, bench, fpp = fpp)
+        .select("doc_id")
+      // fpp=0.5 floods the prefilter with false positives; the exact
+      // verify stage must kill every one of them
+      assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty,
+        s"bloom path diverged from exact path at fpp=$fpp")
+    }
+  }
 }

@@ -96,6 +96,38 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("RepetitionStats expression matches the HOF reference bit-for-bit") {
+    import graft.text.Text
+    // random multi-line docs over a tiny vocabulary so duplicate lines
+    // and repeated n-grams actually occur, plus hand edge cases
+    def randDoc(): String = {
+      val vocab = Seq("a", "bb", "ccc", "dd", "e")
+      val lines = Seq.fill(rnd.nextInt(8))(
+        Seq.fill(1 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      lines.mkString("\n")
+    }
+    val cases = Seq.fill(300)(randDoc()) ++ Seq(
+      "", "a b\na b\nc d e\n\n  \nx", "a a a a", "word",
+      "x\n\nx", "one two\none two\none two")
+    val df = cases.toDF("text")
+      .select(col("text"), Text.docLines(col("text")).as("ls"),
+              Text.tokenize(col("text")).as("toks"))
+      .select(col("text"), col("ls"), array_distinct(col("ls")).as("dls"),
+              col("toks"), length(concat_ws(" ", col("toks"))).as("nchars"))
+      .select(col("text"),
+              Text.repetitionSignals(col("text")).as("kernel"),
+              Text.repetitionSignalsFromParts(
+                col("ls"), col("dls"), col("toks"), col("nchars"))
+                .as("hof"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getStruct(1) == r.getStruct(2),
+        s"kernel=${r.getStruct(1)} hof=${r.getStruct(2)} " +
+          s"text=${r.getString(0).take(80)}")
+    }
+  }
+
   test("Exact sumCents/avgFromCents is exact at extreme counts") {
     // 2dp values whose float sum drifts: many 0.01-grid values
     val n = 200000

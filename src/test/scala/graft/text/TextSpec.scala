@@ -123,4 +123,31 @@ class TextSpec extends AnyFunSuite {
     // at most ONE separator between digits: a double dash breaks the run
     assert(red("range 1234--56789 ok") == "range 1234--56789 ok")
   }
+
+  test("repetitionSignals: hand-computed line and n-gram fixtures") {
+    val r = one(Text.repetitionSignals(col("t")),
+                "a b\na b\nc d e\n\n  \nx")
+    // lines after trim/blank-drop: [a b, a b, c d e, x]
+    assert(r.getStruct(0).getInt(0) == 4)                  // n_lines
+    assert(r.getStruct(0).getDouble(1) == 0.25)            // dup_line_frac
+    // dup chars: one extra "a b" (3 chars) of 12 line chars
+    assert(r.getStruct(0).getDouble(2) == 0.25)
+    // tokens: a b a b c d e x (normalized length 15); bigram "a b"
+    // occurs twice, len 3 → 6/15; tri/4-grams unique → 5/15, 7/15
+    assert(math.abs(r.getStruct(0).getDouble(3) - 6.0 / 15) < 1e-12)
+    assert(math.abs(r.getStruct(0).getDouble(4) - 5.0 / 15) < 1e-12)
+    assert(math.abs(r.getStruct(0).getDouble(5) - 7.0 / 15) < 1e-12)
+  }
+
+  test("repetitionSignals: coverage caps at 1.0, degenerate docs zero") {
+    // "a a a a": bigram "a a" ×3 × len 3 = 9 > 7 normalized chars → cap
+    val cap = one(Text.repetitionSignals(col("t")), "a a a a")
+    assert(cap.getStruct(0).getDouble(3) == 1.0)
+    val empty = one(Text.repetitionSignals(col("t")), "")
+    assert(empty.getStruct(0).getInt(0) == 0)
+    (1 to 5).foreach(i => assert(empty.getStruct(0).getDouble(i) == 0.0))
+    // single token: no bigrams → 0.0, not NaN
+    val single = one(Text.repetitionSignals(col("t")), "word")
+    assert(single.getStruct(0).getDouble(3) == 0.0)
+  }
 }
