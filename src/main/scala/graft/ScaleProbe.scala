@@ -43,7 +43,12 @@ object ScaleProbe {
     * funnel fold and SemDeDup (k-means + cell-confined pairs + CC). */
   val Heavy = Seq("q_text_stats", "q_ngram_jaccard", "q_dedup_near",
                   "q_curation", "q_pack_chunks", "q_self_join_pairs",
-                  "q_funnel", "q_semantic_dedup")
+                  "q_funnel", "q_semantic_dedup",
+                  // round-7 part 2: the new corpus operators — the
+                  // map-only repetition kernel should track scan time;
+                  // line dedup's two line-keyed shuffles should track
+                  // the line count
+                  "q_repetition_signals", "q_line_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

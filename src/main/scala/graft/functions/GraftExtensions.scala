@@ -67,6 +67,13 @@ object GraftExtensions {
      (args: Seq[Expression]) => {
        require(args.length == 1, "lang_hits(tokens) takes one argument")
        LangHits(args.head)
+     }),
+    ("repetition_stats",
+     new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+     (args: Seq[Expression]) => {
+       require(args.length == 2,
+         "repetition_stats(lines, tokens) takes two arguments")
+       RepetitionStats(args(0), args(1))
      }))
 
   /** Same registrations on an already-built session (extensions only

@@ -22,6 +22,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[String](1) == Seq("a b", "b c", "c d"))
   }
 
+  test("SQL callers can use repetition_stats after registration") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq(("a b\na b\nc", Seq("a", "b", "a", "b", "c")))
+      .toDF("text", "toks").createOrReplaceTempView("graft_ext_rep")
+    val row = spark.sql(
+      """SELECT repetition_stats(
+           filter(transform(split(text, '\n'), l -> trim(l)), l -> l != ''),
+           toks) AS r
+         FROM graft_ext_rep""").head().getStruct(0)
+    assert(row.getInt(0) == 3)                        // n_lines
+    assert(math.abs(row.getDouble(1) - 1.0 / 3) < 1e-12) // dup_line_frac
+  }
+
   test("SQL callers can use dot_product and pearson_maps") {
     GraftExtensions.register(spark)
     val row = spark.sql(
