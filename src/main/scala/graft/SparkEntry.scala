@@ -69,6 +69,7 @@ object SparkEntry {
     "q_funnel"                  -> Corpus.curationFunnel _,
     "q_decontamination"         -> Corpus.decontamination _,
     "q_decontamination_bloom"   -> Corpus.decontaminationBloom _,
+    "q_dedup_weights"           -> Corpus.dedupWeights _,
     "q_repetition_signals"      -> Corpus.repetitionSignals _,
     "q_line_dedup"              -> Corpus.lineDedup _,
     "q_token_entropy"           -> Corpus.tokenEntropy _,
@@ -628,6 +629,55 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_hits
          FROM d WHERE shingle IN (SELECT shingle FROM bs)
          GROUP BY doc_id ORDER BY doc_id""",
+    // soft-dedup weights: q_dedup_near's transitive-closure CTE chain
+    // verbatim, finished with a per-component size and 1/n weight
+    "q_dedup_weights" ->
+      """WITH RECURSIVE
+         planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, 'zz1 zz2 zz3 ' || text
+           FROM documents WHERE doc_id % 10 = 0),
+         words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM planted),
+         sh AS (SELECT doc_id,
+                  array_to_string(list_slice(ws, i, i + 4), ' ') AS shingle
+                FROM words,
+                LATERAL (SELECT unnest(generate_series(1,
+                           greatest(len(ws) - 4, 1))) AS i)),
+         d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+         rare AS (SELECT shingle FROM d GROUP BY shingle
+                  HAVING count(*) <= 1000),
+         p AS (SELECT doc_id, shingle FROM d
+               WHERE shingle IN (SELECT shingle FROM rare)),
+         common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           count(*) AS n_common
+                    FROM p a JOIN p b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         pr AS (SELECT id_a, id_b FROM common
+                JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+                WHERE CAST(n_common AS DOUBLE)
+                      / (sa.n + sb.n - n_common) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                   UNION SELECT id_b, id_a FROM pr),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+           WHERE e.b <> r.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         lab AS (SELECT pl.doc_id,
+                        coalesce(c.component, pl.doc_id) AS component
+                 FROM planted pl LEFT JOIN comp c ON pl.doc_id = c.id),
+         sz AS (SELECT component, count(*) AS n_copies
+                FROM lab GROUP BY component)
+         SELECT lab.doc_id, lab.component, sz.n_copies,
+                round(1.0 / sz.n_copies + 0.000000001, 6) AS weight
+         FROM lab JOIN sz USING (component)
+         ORDER BY lab.doc_id""",
     // Bloom-prefilter decontamination: Bloom filters have no false
     // negatives and survivors are exact-verified, so the oracle is the
     // plain exact-path complement — hash equality proves the prefilter

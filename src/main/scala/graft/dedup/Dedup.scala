@@ -354,6 +354,28 @@ object Dedup {
       .drop("__cc_id")
   }
 
+  /** SOFT dedup: duplication-aware training weights instead of
+    * dropping. Each document's weight is 1 / |its near-dup cluster|
+    * (clusters from [[markNearDuplicates]]'s connected components;
+    * singletons weigh 1.0), so a cluster of any size contributes ONE
+    * document's worth of gradient in expectation — repeated data
+    * measurably degrades models (Hernandez et al. 2022, "Scaling Laws
+    * and Interpretability of Learning from Repeated Data"), but hard
+    * dropping discards the cluster's best formatting/variant
+    * information; weighting keeps coverage and lets the sampler
+    * decide. One extra groupBy(component) + broadcast-size join on top
+    * of the CC labels — same scale shape as the hard-dedup path. */
+  def duplicationWeights(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", k: Int = 5,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val marked = markNearDuplicates(docs, textCol, idCol, k, minJaccard)
+    val sizes = marked.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_copies"))
+    marked.join(sizes, Seq("component"))
+      .select(col(idCol), col("component"), col("n_copies"),
+              (lit(1.0) / col("n_copies").cast("double")).as("weight"))
+  }
+
   /** Benchmark DECONTAMINATION hits: for each corpus doc, how many of
     * its distinct word k-shingles appear anywhere in the benchmark/eval
     * set — the overlap stage a training pipeline runs so evaluation

@@ -480,6 +480,21 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Soft-dedup duplication weights over the same planted corpus as
+    * [[dedupNear]]: weight = 1 / |near-dup cluster|
+    * ([[Dedup.duplicationWeights]]) — the oracle extends the
+    * q_dedup_near transitive-closure CTE with a per-component size. */
+  def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val mutated = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              concat(lit("zz1 zz2 zz3 "), col("text")).as("text"))
+    Dedup.duplicationWeights(d.union(mutated), k = 5, minJaccard = 0.5)
+      .select(col("doc_id"), col("component"), col("n_copies"),
+              round(col("weight") + lit(1e-9), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Decontamination as an END-TO-END filter via the Bloom-prefilter
     * path ([[Dedup.dropContaminatedBloom]]): same corpus/eval split as
     * [[decontamination]], output = the docs that SURVIVE (no shingle

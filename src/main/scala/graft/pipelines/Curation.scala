@@ -34,7 +34,12 @@ object Curation {
       // round-5 opt-in stages (defaults OFF keep the q_curation /
       // q_funnel oracles byte-stable):
       redactPii: Boolean = false,
-      minMlQuality: Double = 0.0)
+      minMlQuality: Double = 0.0,
+      // round-7 opt-in: drop docs whose duplicate-line fraction
+      // (Gopher repetition signal, native kernel) exceeds this; 1.0 =
+      // off (the gate is not even planned, keeping defaults
+      // byte-stable AND kernel-pass-free)
+      maxDupLineFrac: Double = 1.0)
 
   /** Curate `docs` (needs `doc_id`, `text`). Output: surviving rows
     * with `detected` (language) and `quality` appended — plus
@@ -58,10 +63,15 @@ object Curation {
       .withColumn("quality",
         Text.qualityScoreFromTokens(col("toks"), col("text")))
       .drop("toks")
-    val filtered = scored
+    val heurFiltered = scored
       .filter(col("detected").isin(cfg.langs.toSeq: _*))
       .filter(col("quality") >= lit(cfg.minQuality))
       .filter(Text.urlCount(col("text")) <= lit(cfg.maxUrls))
+    val filtered =
+      if (cfg.maxDupLineFrac < 1.0)
+        heurFiltered.filter(Text.repetitionSignals(col("text"))
+          .getField("dup_line_frac") <= lit(cfg.maxDupLineFrac))
+      else heurFiltered
     val mlFiltered = model match {
       case Some(m) =>
         m.score(filtered).filter(col("ml_quality") >= lit(cfg.minMlQuality))
@@ -120,9 +130,16 @@ object Curation {
     val toks = Text.tokenize(col("text"))
     val langOk = Text.langIdFromTokens(toks, col("text"))
       .isin(cfg.langs.toSeq: _*)
-    val qualOk = langOk &&
+    val heurOk = langOk &&
       Text.qualityScoreFromTokens(toks, col("text")) >= lit(cfg.minQuality) &&
       Text.urlCount(col("text")) <= lit(cfg.maxUrls)
+    // the opt-in repetition gate folds into the quality stage (it is
+    // heuristic filtering, not a new funnel stage — schema stays stable)
+    val qualOk =
+      if (cfg.maxDupLineFrac < 1.0)
+        heurOk && Text.repetitionSignals(col("text"))
+          .getField("dup_line_frac") <= lit(cfg.maxDupLineFrac)
+      else heurOk
     val mlOk = model match {
       case Some(_) => qualOk && col("ml_quality") >= lit(cfg.minMlQuality)
       case None    => qualOk

@@ -56,10 +56,16 @@ object CurationStream {
       .withColumn("quality",
         Text.qualityScoreFromTokens(col("toks"), col("text")))
       .drop("toks")
-    val filtered = scored
+    val heurFiltered = scored
       .filter(col("detected").isin(cfg.langs.toSeq: _*))
       .filter(col("quality") >= lit(cfg.minQuality))
       .filter(Text.urlCount(col("text")) <= lit(cfg.maxUrls))
+    // repetition gate (stateless kernel — lifts to the stream verbatim)
+    val filtered =
+      if (cfg.maxDupLineFrac < 1.0)
+        heurFiltered.filter(Text.repetitionSignals(col("text"))
+          .getField("dup_line_frac") <= lit(cfg.maxDupLineFrac))
+      else heurFiltered
     val gated = model match {
       case Some(m) =>
         m.score(filtered).filter(col("ml_quality") >= lit(cfg.minMlQuality))

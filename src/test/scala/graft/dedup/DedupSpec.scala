@@ -380,6 +380,29 @@ class DedupSpec extends AnyFunSuite {
       "hash-keyed line dedup must reproduce the exact-string result")
   }
 
+  // --- soft-dedup duplication weights ------------------------------------
+
+  test("duplicationWeights: 1/cluster-size, singletons weigh 1.0, " +
+       "weights sum to cluster count") {
+    val w = Dedup.duplicationWeights(planted).cache()
+    assert(w.count() == planted.count())
+    // every row's weight is exactly 1/n_copies
+    assert(w.filter(col("weight") =!=
+      lit(1.0) / col("n_copies").cast("double")).count() == 0)
+    // planted clones (exact and near) must share a component with their
+    // original → n_copies ≥ 2 → weight ≤ 0.5 (organic near-dups may
+    // enlarge clusters; planted ⊆ found, never found == planted)
+    val clones = w.filter(col("doc_id") >= 10000)
+    assert(clones.count() == nExact + nNear)
+    assert(clones.filter(col("weight") > 0.5).count() == 0)
+    // each cluster contributes exactly 1.0 total weight
+    val sumW = w.agg(sum(col("weight"))).head().getDouble(0)
+    val nComponents = w.select(col("component")).distinct().count()
+    assert(math.abs(sumW - nComponents) < 1e-6,
+      s"weight sum $sumW != component count $nComponents")
+    w.unpersist()
+  }
+
   // --- Bloom-prefiltered decontamination ---------------------------------
 
   test("dropContaminatedBloom equals the exact path (incl. high fpp)") {

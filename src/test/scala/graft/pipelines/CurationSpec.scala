@@ -133,6 +133,33 @@ class CurationSpec extends AnyFunSuite {
       == Curation.curate(docs, mcfg, Some(model)).count())
   }
 
+  test("opt-in repetition gate: looping docs dropped, funnel and " +
+       "streaming ingest agree with curate") {
+    import spark.implicits._
+    // a looping doc: one stopword-rich English line repeated 8 times —
+    // passes lang/quality/url filters, dup_line_frac = 7/8
+    val loop = (1L to 8L).map(_ =>
+      "the cat is in the house and it is not far from the barn")
+      .mkString("\n")
+    val planted = docs.union(Seq((900001L, loop)).toDF("doc_id", "text"))
+    // default config: the gate is off, the looping doc survives
+    val off = Curation.curate(planted)
+    assert(off.filter(col("doc_id") === 900001L).count() == 1)
+    // gated: dropped by the repetition signal, everything else equal
+    val cfg = Curation.Config(maxDupLineFrac = 0.5)
+    val on = Curation.curate(planted, cfg)
+    assert(on.filter(col("doc_id") === 900001L).count() == 0)
+    // the gate folds into the funnel's quality stage and the funnel
+    // still agrees with curate under the same config
+    val fOff = Curation.funnel(planted).toMap
+    val fOn = Curation.funnel(planted, cfg).toMap
+    assert(fOn("quality") < fOff("quality"))
+    assert(fOn("near_dedup") == on.count())
+    // streaming ingest (batch dual-mode) applies the same gate
+    val ing = graft.streaming.CurationStream.ingest(planted, cfg)
+    assert(ing.filter(col("doc_id") === 900001L).count() == 0)
+  }
+
   test("opt-in model filter: thresholded subset, scores carried") {
     val trusted = docs.filter(col("doc_id") < 100000)
     val degraded = trusted.select(col("doc_id"),
