@@ -70,6 +70,7 @@ object SparkEntry {
     "q_decontamination"         -> Corpus.decontamination _,
     "q_decontamination_bloom"   -> Corpus.decontaminationBloom _,
     "q_dedup_weights"           -> Corpus.dedupWeights _,
+    "q_incremental_dedup"       -> Corpus.incrementalDedup _,
     "q_repetition_signals"      -> Corpus.repetitionSignals _,
     "q_line_dedup"              -> Corpus.lineDedup _,
     "q_token_entropy"           -> Corpus.tokenEntropy _,
@@ -629,6 +630,52 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_hits
          FROM d WHERE shingle IN (SELECT shingle FROM bs)
          GROUP BY doc_id ORDER BY doc_id""",
+    // incremental dedup: new batch = exact copies (%5=1) + junk-prefix
+    // near-clones (%5=0) + word-reversed novels; survivors = new docs
+    // neither exactly present in nor Jaccard>=0.5 against the corpus
+    "q_incremental_dedup" ->
+      """WITH newb AS (
+           SELECT doc_id + 500000 AS doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'zz1 zz2 zz3 ' || text
+                  WHEN doc_id % 5 = 1 THEN text
+                  ELSE array_to_string(
+                         list_reverse(string_split(text, ' ')), ' ')
+             END AS text
+           FROM documents),
+         s1 AS (SELECT * FROM newb
+                WHERE text NOT IN (SELECT text FROM documents)),
+         wN AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s1),
+         shN AS (SELECT doc_id,
+                   array_to_string(list_slice(ws, i, i + 4), ' ') AS shingle
+                 FROM wN,
+                 LATERAL (SELECT unnest(generate_series(1,
+                            greatest(len(ws) - 4, 1))) AS i)),
+         dN AS (SELECT DISTINCT doc_id, shingle FROM shN),
+         szN AS (SELECT doc_id, count(*) AS n FROM dN GROUP BY doc_id),
+         wE AS (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents),
+         shE AS (SELECT doc_id,
+                   array_to_string(list_slice(ws, i, i + 4), ' ') AS shingle
+                 FROM wE,
+                 LATERAL (SELECT unnest(generate_series(1,
+                            greatest(len(ws) - 4, 1))) AS i)),
+         dE AS (SELECT DISTINCT doc_id, shingle FROM shE),
+         szE AS (SELECT doc_id, count(*) AS n FROM dE GROUP BY doc_id),
+         postE AS (SELECT shingle FROM dE GROUP BY shingle
+                   HAVING count(*) <= 1000),
+         common AS (SELECT n.doc_id AS id_a, e.doc_id AS id_b,
+                           count(*) AS n_common
+                    FROM dN n JOIN dE e USING (shingle)
+                    WHERE shingle IN (SELECT shingle FROM postE)
+                    GROUP BY 1, 2),
+         hits AS (SELECT DISTINCT id_a FROM common
+                  JOIN szN ON id_a = szN.doc_id
+                  JOIN szE ON id_b = szE.doc_id
+                  WHERE CAST(n_common AS DOUBLE)
+                        / (szN.n + szE.n - n_common) >= 0.5)
+         SELECT doc_id, length(text) AS n_chars FROM s1
+         WHERE doc_id NOT IN (SELECT id_a FROM hits)
+         ORDER BY doc_id""",
     // soft-dedup weights: q_dedup_near's transitive-closure CTE chain
     // verbatim, finished with a per-component size and 1/n weight
     "q_dedup_weights" ->

@@ -354,6 +354,75 @@ object Dedup {
       .drop("__cc_id")
   }
 
+  /** INCREMENTAL exact dedup: drop from `newDocs` every doc whose text
+    * already exists in `existing` — the daily-crawl-vs-landed-corpus
+    * shape (the new batch is deduped against 100 TB without touching
+    * it: the existing side reduces to distinct content hashes, one
+    * anti-join). Within-batch duplicates are NOT touched — compose
+    * with [[exactGroups]]/[[dropExactDuplicates]] for that. */
+  def dropExactDuplicatesAgainst(newDocs: DataFrame, existing: DataFrame,
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id"): DataFrame = {
+    val seen = existing
+      .select(sha2(col(textCol), 256).as("__seen_hash")).distinct()
+    newDocs
+      .withColumn("__h", sha2(col(textCol), 256))
+      .join(seen, col("__h") === col("__seen_hash"), "left_anti")
+      .drop("__h")
+  }
+
+  /** Cross-corpus near-dup pairs: exact n-gram Jaccard between each
+    * new doc and each existing doc, via the same pruned inverted-index
+    * join as [[ngramJaccardPairs]] — posting lists built on the
+    * EXISTING side (that is where web-scale shingle frequencies live),
+    * frequency-capped at `maxShingleFreq`, the new side streamed
+    * through with one equi-join on the shingle. Output:
+    * (new_id, old_id, n_common, jaccard ≥ minJaccard). */
+  def crossNgramJaccardPairs(newDocs: DataFrame, existing: DataFrame,
+                             textCol: String = "text",
+                             idCol: String = "doc_id", k: Int = 5,
+                             minJaccard: Double = 0.5,
+                             maxShingleFreq: Long = 1000L): DataFrame = {
+    def sides(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+              Text.wordShingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("n_sh"),
+              explode(col("sh")).as("shingle"))
+    val posting = sides(existing)
+      .groupBy(col("shingle"))
+      .agg(collect_list(struct(col("id"), col("n_sh"))).as("ds"))
+      .filter(size(col("ds")) <= maxShingleFreq)
+    finishJaccard(sides(newDocs)
+      .withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
+      .join(posting, Seq("shingle"))
+      .select(col("id_a"), col("n_a"), explode(col("ds")).as("b"))
+      .groupBy(col("id_a"), col("b.id").as("id_b"),
+               col("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_common")), minJaccard)
+  }
+
+  /** INCREMENTAL dedup, exact + near: the new batch minus anything
+    * exactly present in OR near-duplicating (`k`-gram Jaccard ≥
+    * `minJaccard`) the existing corpus. The existing corpus is never
+    * rewritten — this is the ingest-side filter a continuously-growing
+    * 100-TB corpus runs on every arriving batch, with within-batch
+    * dedup ([[dropExactDuplicates]] / [[markNearDuplicates]]) composed
+    * separately by the caller. */
+  def dropDuplicatesAgainst(newDocs: DataFrame, existing: DataFrame,
+                            textCol: String = "text",
+                            idCol: String = "doc_id", k: Int = 5,
+                            minJaccard: Double = 0.5,
+                            maxShingleFreq: Long = 1000L): DataFrame = {
+    val afterExact =
+      dropExactDuplicatesAgainst(newDocs, existing, textCol, idCol)
+    val nearHits =
+      crossNgramJaccardPairs(afterExact, existing, textCol, idCol, k,
+                             minJaccard, maxShingleFreq)
+        .select(col("id_a").as(idCol)).distinct()
+    afterExact.join(nearHits, Seq(idCol), "left_anti")
+  }
+
   /** SOFT dedup: duplication-aware training weights instead of
     * dropping. Each document's weight is 1 / |its near-dup cluster|
     * (clusters from [[markNearDuplicates]]'s connected components;

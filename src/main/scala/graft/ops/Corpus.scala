@@ -480,6 +480,26 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental (cross-corpus) dedup as a declared query: the corpus
+    * plays the landed 100-TB side; the "arriving batch" is planted from
+    * it — every 5th doc an exact copy (dropped by the hash anti-join),
+    * every 5th-plus-0 a junk-prefix near-clone (dropped by the
+    * cross-corpus Jaccard join), the rest word-reversed (novel shingle
+    * sets → kept). Output: the surviving new docs. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val newBatch = d.select(
+      (col("doc_id") + 500000).as("doc_id"),
+      when(col("doc_id") % 5 === 0,
+           concat(lit("zz1 zz2 zz3 "), col("text")))
+        .when(col("doc_id") % 5 === 1, col("text"))
+        .otherwise(concat_ws(" ", reverse(split(col("text"), " "))))
+        .as("text"))
+    Dedup.dropDuplicatesAgainst(newBatch, d)
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Soft-dedup duplication weights over the same planted corpus as
     * [[dedupNear]]: weight = 1 / |near-dup cluster|
     * ([[Dedup.duplicationWeights]]) — the oracle extends the

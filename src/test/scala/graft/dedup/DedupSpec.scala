@@ -380,6 +380,30 @@ class DedupSpec extends AnyFunSuite {
       "hash-keyed line dedup must reproduce the exact-string result")
   }
 
+  // --- incremental (cross-corpus) dedup ----------------------------------
+
+  test("dropDuplicatesAgainst: exact copies and near-clones of the " +
+       "existing corpus drop; novel and within-batch dups stay") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (11L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),          // exact copy
+      (12L, "zz1 zz2 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),  // near clone
+      (13L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"),          // novel
+      (14L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10")           // within-batch dup
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropDuplicatesAgainst(newBatch, existing)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 11 exact-drops, 12 near-drops (J = 10/12 ≥ 0.5); 13 AND 14 stay —
+    // within-batch dedup is the caller's composition, by contract
+    assert(kept == Set(13L, 14L), s"got $kept")
+    // the existing corpus is never touched: pairs report new-vs-old only
+    val pairs = Dedup.crossNgramJaccardPairs(newBatch, existing)
+    assert(pairs.filter(col("id_a") < 10).count() == 0)
+  }
+
   // --- soft-dedup duplication weights ------------------------------------
 
   test("duplicationWeights: 1/cluster-size, singletons weigh 1.0, " +
