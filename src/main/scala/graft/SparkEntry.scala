@@ -71,6 +71,7 @@ object SparkEntry {
     "q_decontamination_bloom"   -> Corpus.decontaminationBloom _,
     "q_dedup_weights"           -> Corpus.dedupWeights _,
     "q_incremental_dedup"       -> Corpus.incrementalDedup _,
+    "q_lm_score"                -> Corpus.lmScore _,
     "q_repetition_signals"      -> Corpus.repetitionSignals _,
     "q_line_dedup"              -> Corpus.lineDedup _,
     "q_token_entropy"           -> Corpus.tokenEntropy _,
@@ -630,6 +631,36 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_hits
          FROM d WHERE shingle IN (SELECT shingle FROM bs)
          GROUP BY doc_id ORDER BY doc_id""",
+    // bigram-LM scores: one quantized weight per distinct query bigram
+    // (integer-grid, order-free doc sums — the q_dsir_weights pattern)
+    "q_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         raws AS (SELECT doc_id, ws[i] AS a,
+                         ws[i] || ' ' || ws[i+1] AS ab
+                  FROM t,
+                  LATERAL (SELECT unnest(generate_series(1,
+                             len(ws) - 1)) AS i)),
+         tgt AS (SELECT * FROM t WHERE doc_id % 4 = 0),
+         tbg AS (SELECT ab, count(*) AS cab FROM (
+                   SELECT ws[i] || ' ' || ws[i+1] AS ab FROM tgt,
+                   LATERAL (SELECT unnest(generate_series(1,
+                              len(ws) - 1)) AS i))
+                 GROUP BY ab),
+         tug AS (SELECT a, count(*) AS ca FROM
+                 (SELECT unnest(ws) AS a FROM tgt) GROUP BY a),
+         v AS (SELECT count(*) + 1 AS v FROM tug),
+         types AS (SELECT DISTINCT a, ab FROM raws),
+         w AS (SELECT types.ab,
+                 CAST(round((ln(coalesce(cab, 0) + 1.0) -
+                             ln(coalesce(ca, 0) + v.v))
+                            * 1048576.0) AS BIGINT) AS w
+               FROM types LEFT JOIN tbg ON types.ab = tbg.ab
+               LEFT JOIN tug ON types.a = tug.a CROSS JOIN v)
+         SELECT r.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(w.w) AS BIGINT) AS ll_q
+         FROM raws r JOIN w ON r.ab = w.ab
+         GROUP BY r.doc_id ORDER BY r.doc_id""",
     // incremental dedup: new batch = exact copies (%5=1) + junk-prefix
     // near-clones (%5=0) + word-reversed novels; survivors = new docs
     // neither exactly present in nor Jaccard>=0.5 against the corpus

@@ -480,6 +480,19 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style bigram-LM quality scores as a declared query: every
+    * 4th doc plays the trusted target corpus; each doc's quantized
+    * log-likelihood under the target's add-1 bigram LM
+    * ([[graft.pipelines.NgramLm.score]]) — target members score high,
+    * off-distribution docs low. Full DuckDB oracle (integer-grid,
+    * order-free sums). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.pipelines.NgramLm
+      .score(d, d.filter(col("doc_id") % 4 === 0))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental (cross-corpus) dedup as a declared query: the corpus
     * plays the landed 100-TB side; the "arriving batch" is planted from
     * it — every 5th doc an exact copy (dropped by the hash anti-join),

@@ -1,0 +1,88 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bigram language-model scoring for corpus quality filtering — the
+  * CCNet signal (Wenzek et al. 2020): fit a small LM on a trusted
+  * target corpus (CCNet uses Wikipedia), score every raw document by
+  * its per-token log-likelihood, and filter/tier on the score (low
+  * likelihood ⇒ far from the trusted distribution ⇒ head/middle/tail
+  * quality tiers).
+  *
+  * Model: add-1-smoothed bigram conditionals over space-split tokens,
+  *   logp(b | a) = ln( (c(ab) + 1) / (c(a) + V) )
+  * with c(·) counts in the TARGET corpus and V = |target unigram
+  * vocabulary| + 1 (the +1 holds an OOV slot so unseen contexts get a
+  * proper 1/V mass). Unseen bigrams and unseen contexts fall out of
+  * the same formula via the left joins (counts coalesce to 0) — no
+  * special cases.
+  *
+  * ==Determinism (the DSIR integer-grid trick, [[Dsir]])==
+  * The log-conditional is computed ONCE per distinct query bigram and
+  * quantized to a long on a 2^20 grid; per-doc scores are exact
+  * integer sums — aggregation-order-free and engine-portable, so the
+  * declared query (`q_lm_score`) carries a full DuckDB oracle.
+  *
+  * ==100-TB shape==
+  * Both count tables are bounded by the TARGET corpus (trusted sets
+  * are small by definition — CCNet's Wikipedia LM vs a Common-Crawl
+  * raw side), so the joins broadcast; the raw corpus streams through
+  * one bigram explosion + one doc-keyed integer sum. The distinct
+  * bigram-type table is vocab-bound, not corpus-bound.
+  */
+object NgramLm {
+
+  val Scale: Long = 1L << 20
+
+  /** Per-doc bigram stream (id, a, ab): one `zip_with` over two
+    * slices of the pre-materialized token array (see
+    * [[Dsir.features]] on HOF re-evaluation). Sub-2-token docs
+    * contribute nothing. */
+  def bigramStream(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val pairs = when(n >= 2,
+      zip_with(slice(toks, lit(1), n - lit(1)),
+               slice(toks, lit(2), n - lit(1)),
+               (a, b) => struct(a.as("a"), concat(a, lit(" "), b).as("ab"))))
+      .otherwise(array().cast("array<struct<a:string,ab:string>>"))
+    docs.select(col(idCol).as("id"), explode(pairs).as("p"))
+      .select(col("id"), col("p.a").as("a"), col("p.ab").as("ab"))
+  }
+
+  /** Per-doc LM score against a target corpus:
+    * (idCol, n_bigrams, ll_q) where ll_q = Σ quantized
+    * ln p(b|a) over the doc's bigram stream (a long; divide by
+    * `n_bigrams · 2^20` for the mean log-likelihood, exponentiate for
+    * perplexity). Higher ll_q/n ⇒ more target-like. */
+  def score(raw: DataFrame, target: DataFrame,
+            textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val tBg = bigramStream(target, textCol, idCol)
+      .groupBy(col("ab")).agg(count(lit(1)).as("cab"))
+    val tUg = target
+      .select(explode(split(col(textCol), " ")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    // V = |target unigram vocab| + 1 (OOV slot) — a one-row crossJoin,
+    // never the driver
+    val v = tUg.agg((count(lit(1)) + 1L).as("v"))
+    val stream = bigramStream(raw, textCol, idCol)
+    // one quantized weight per DISTINCT bigram type (one rounding per
+    // type, the DSIR shape — summing per-occurrence doubles would be
+    // order-dependent and engine-divergent)
+    val w = stream.select(col("a"), col("ab")).distinct()
+      .join(tBg, Seq("ab"), "left")
+      .join(tUg, Seq("a"), "left")
+      .crossJoin(v)
+      .select(col("ab"),
+        round((log(coalesce(col("cab"), lit(0L)) + lit(1.0)) -
+               log(coalesce(col("ca"), lit(0L)) + col("v")))
+          .multiply(lit(Scale.toDouble))).cast("long").as("w"))
+    stream
+      .join(w, Seq("ab"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("ll_q"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.pipelines
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class NgramLmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Scale = NgramLm.Scale.toDouble
+
+  test("score: hand-computed add-1 bigram conditionals") {
+    // target "a b a b": c(a b)=2, c(b a)=1; unigrams a:2 b:2 → V=2+1=3
+    val target = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "a b"),   // seen bigram, seen context: ln(3/5)
+      (2L, "z q"),   // unseen everything: ln(1/3)
+      (3L, "a z"),   // unseen bigram, seen context: ln(1/5)
+      (4L, "solo")   // <2 tokens → no bigrams → absent from output
+    ).toDF("doc_id", "text")
+    val got = NgramLm.score(raw, target).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def q(x: Double): Long = math.round(math.log(x) * Scale)
+    assert(got(1L) == ((1L, q(3.0 / 5))))
+    assert(got(2L) == ((1L, q(1.0 / 3))))
+    assert(got(3L) == ((1L, q(1.0 / 5))))
+    assert(!got.contains(4L))
+    // multi-bigram doc: exact integer sum of per-type weights
+    val multi = Seq((5L, "a b a b")).toDF("doc_id", "text")
+    val m = NgramLm.score(multi, target).head()
+    assert(m.getLong(1) == 3L)
+    assert(m.getLong(2) == 2 * q(3.0 / 5) + q((1 + 1.0) / (2 + 3)))
+  }
+
+  test("score separates target-like docs from junk on the real corpus") {
+    val d = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val junk = spark.range(1, 21)
+      .select((col("id") + 900000).as("doc_id"),
+        concat_ws(" ", (1 to 12).map(i =>
+          concat(lit(s"junk$i"), col("id"))): _*).as("text"))
+    val scored = NgramLm
+      .score(d.union(junk), d.filter(col("doc_id") % 4 === 0))
+      .withColumn("mean_ll",
+        col("ll_q").cast("double") / col("n_bigrams").cast("double"))
+      .cache()
+    val corpusMean = scored.filter(col("doc_id") < 900000)
+      .agg(avg(col("mean_ll"))).head().getDouble(0)
+    val junkMax = scored.filter(col("doc_id") >= 900000)
+      .agg(max(col("mean_ll"))).head().getDouble(0)
+    assert(junkMax < corpusMean,
+      s"junk docs must score below the corpus mean ($junkMax >= $corpusMean)")
+    scored.unpersist()
+  }
+}
