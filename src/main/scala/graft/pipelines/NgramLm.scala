@@ -68,20 +68,20 @@ object NgramLm {
     // V = |target unigram vocab| + 1 (OOV slot) — a one-row crossJoin,
     // never the driver
     val v = tUg.agg((count(lit(1)) + 1L).as("v"))
-    val stream = bigramStream(raw, textCol, idCol)
-    // one quantized weight per DISTINCT bigram type (one rounding per
-    // type, the DSIR shape — summing per-occurrence doubles would be
-    // order-dependent and engine-divergent)
-    val w = stream.select(col("a"), col("ab")).distinct()
+    // quantize per OCCURRENCE: the weight is a deterministic scalar of
+    // the (bounded, broadcast) target counts, so every occurrence of a
+    // bigram type lands on the same long and the doc sum stays exact
+    // and order-free — while the plan never materializes a
+    // corpus-bound distinct-type table (that extra shuffle grows with
+    // the RAW corpus; these joins grow only with the target)
+    bigramStream(raw, textCol, idCol)
       .join(tBg, Seq("ab"), "left")
       .join(tUg, Seq("a"), "left")
       .crossJoin(v)
-      .select(col("ab"),
+      .select(col("id"),
         round((log(coalesce(col("cab"), lit(0L)) + lit(1.0)) -
                log(coalesce(col("ca"), lit(0L)) + col("v")))
           .multiply(lit(Scale.toDouble))).cast("long").as("w"))
-    stream
-      .join(w, Seq("ab"))
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("ll_q"))
   }
