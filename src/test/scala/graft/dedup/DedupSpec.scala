@@ -404,6 +404,28 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.filter(col("id_a") < 10).count() == 0)
   }
 
+  test("dropDuplicatesAgainst: empty existing corpus drops nothing; " +
+       "frequency cap excludes hot shingles from candidate generation") {
+    import spark.implicits._
+    val newBatch = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    val none = newBatch.filter(col("doc_id") < 0)
+    assert(Dedup.dropDuplicatesAgainst(newBatch, none).count() == 2)
+    // a shingle present in MORE existing docs than the cap generates no
+    // candidates: 3 existing copies, cap 2 → the (identical!) new doc
+    // survives the near stage (and the exact stage, text differs)
+    val existing = Seq(
+      (11L, "h1 h2 h3 h4 h5 h6"), (12L, "h1 h2 h3 h4 h5 h6"),
+      (13L, "h1 h2 h3 h4 h5 h6")).toDF("doc_id", "text")
+    val probe = Seq((21L, "h1 h2 h3 h4 h5 h6 tail7")).toDF("doc_id", "text")
+    val capped = Dedup.crossNgramJaccardPairs(probe, existing,
+      maxShingleFreq = 2L)
+    assert(capped.count() == 0, "cap must suppress hot-shingle candidates")
+    val uncapped = Dedup.crossNgramJaccardPairs(probe, existing)
+    assert(uncapped.count() == 3, "without the cap all three pairs appear")
+  }
+
   // --- soft-dedup duplication weights ------------------------------------
 
   test("duplicationWeights: 1/cluster-size, singletons weigh 1.0, " +

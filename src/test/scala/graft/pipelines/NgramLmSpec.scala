@@ -33,6 +33,17 @@ class NgramLmSpec extends AnyFunSuite {
     assert(m.getLong(2) == 2 * q(3.0 / 5) + q((1 + 1.0) / (2 + 3)))
   }
 
+  test("score: degenerate inputs — empty target, empty raw") {
+    val raw = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val empty = raw.filter(col("doc_id") < 0)
+    // empty target: V = 0 + 1, every bigram scores ln((0+1)/(0+1)) = 0
+    val vsEmpty = NgramLm.score(raw, empty).collect()
+    assert(vsEmpty.length == 1)
+    assert(vsEmpty.head.getLong(1) == 2L && vsEmpty.head.getLong(2) == 0L)
+    // empty raw: empty output, no crash
+    assert(NgramLm.score(empty, raw).count() == 0)
+  }
+
   test("score separates target-like docs from junk on the real corpus") {
     val d = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text"))
