@@ -389,10 +389,23 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n_sh"),
               explode(col("sh")).as("shingle"))
-    val posting = sides(existing)
+    val es = sides(existing)
+    // hot-shingle prefilter BEFORE collecting posting lists: filtering
+    // on size(collect_list(…)) only after the list exists would grow
+    // one aggregation buffer to the shingle's full document frequency —
+    // on the EXISTING side that frequency is web-scale for boilerplate
+    // shingles. A count aggregate has map-side partials (skew-safe);
+    // the surviving hot set is tiny and rides an anti-join. The
+    // existing side is scanned twice — a real deployment materializes
+    // this pruned index once and appends to it (see scaladoc).
+    val hot = es.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleFreq)
+      .select(col("shingle"))
+    val posting = es
+      .join(hot, Seq("shingle"), "left_anti")
       .groupBy(col("shingle"))
       .agg(collect_list(struct(col("id"), col("n_sh"))).as("ds"))
-      .filter(size(col("ds")) <= maxShingleFreq)
     finishJaccard(sides(newDocs)
       .withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
       .join(posting, Seq("shingle"))

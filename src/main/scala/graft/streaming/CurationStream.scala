@@ -80,6 +80,25 @@ object CurationStream {
     deduped.drop("content_hash")
   }
 
+  /** Land the accepted stream as facet-partitioned parquet — the file
+    * half of the lambda split ([[ingest]] scaladoc): the file sink's
+    * transaction log gives exactly-once file visibility across
+    * restarts (a batch re-attempt never double-lands), partitioning by
+    * detected language keeps later batch compaction/near-dedup scans
+    * partition-pruned per language, and the checkpoint carries the
+    * dedup watermark state so a restart resumes, not replays. Returns
+    * the started query; callers own its lifecycle. */
+  def land(accepted: DataFrame, path: String, checkpoint: String,
+           partitionCols: Seq[String] = Seq("detected"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    accepted.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(partitionCols: _*)
+      .outputMode("append")
+      .start()
+
   /** Ingest-health counters over the accepted stream: per tumbling
     * window, accepted docs and mean quality by detected language —
     * the dashboard aggregation downstream of [[ingest]]. */

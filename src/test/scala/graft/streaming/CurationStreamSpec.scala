@@ -104,6 +104,43 @@ class CurationStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("land: accepted stream lands as partitioned parquet; restart " +
+       "resumes from the checkpoint without replaying") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "event_time")
+    val cfg = Curation.Config(langs = Set("en"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-land").toString
+    val (path, ckpt) = (s"$base/corpus", s"$base/ckpt")
+    val accepted = CurationStream.ingest(stream, cfg)
+    val q1 = CurationStream.land(accepted, path, ckpt)
+    try {
+      mem.addData((1L, en1, ts("10:00:00")), (2L, en2, ts("10:00:10")),
+                  (3L, junk, ts("10:00:20")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val landed1 = spark.read.parquet(path)
+    assert(landed1.count() == 2, "junk must be filtered before landing")
+    // hive-style language partitions for pruned compaction scans
+    assert(new java.io.File(path).listFiles()
+      .exists(f => f.isDirectory && f.getName == "detected=en"))
+    // restart against the same checkpoint: old batches are NOT
+    // replayed, new data lands exactly once
+    val q2 = CurationStream.land(
+      CurationStream.ingest(stream, cfg), path, ckpt)
+    try {
+      mem.addData((4L, en1 + " again today", ts("11:00:00")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val landed2 = spark.read.parquet(path)
+    assert(landed2.count() == 3,
+      s"expected 2 old + 1 new rows, got ${landed2.count()}")
+    assert(landed2.select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("batch twin: ingest filter+dedup counts agree with the funnel report") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text"))
