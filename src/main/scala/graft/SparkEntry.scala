@@ -72,6 +72,7 @@ object SparkEntry {
     "q_dedup_weights"           -> Corpus.dedupWeights _,
     "q_incremental_dedup"       -> Corpus.incrementalDedup _,
     "q_lm_score"                -> Corpus.lmScore _,
+    "q_select_top_quality"      -> Corpus.selectTopQuality _,
     "q_repetition_signals"      -> Corpus.repetitionSignals _,
     "q_line_dedup"              -> Corpus.lineDedup _,
     "q_token_entropy"           -> Corpus.tokenEntropy _,
@@ -661,6 +662,39 @@ object SparkEntry {
                 CAST(sum(w.w) AS BIGINT) AS ll_q
          FROM raws r JOIN w ON r.ab = w.ab
          GROUP BY r.doc_id ORDER BY r.doc_id""",
+    // quality selection: q_lm_score's CTEs → mean log-likelihood →
+    // exact-percentile (quantile_cont twin, the q_percentiles
+    // estimator) top-25% threshold filter
+    "q_select_top_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         raws AS (SELECT doc_id, ws[i] AS a,
+                         ws[i] || ' ' || ws[i+1] AS ab
+                  FROM t,
+                  LATERAL (SELECT unnest(generate_series(1,
+                             len(ws) - 1)) AS i)),
+         tgt AS (SELECT * FROM t WHERE doc_id % 4 = 0),
+         tbg AS (SELECT ab, count(*) AS cab FROM (
+                   SELECT ws[i] || ' ' || ws[i+1] AS ab FROM tgt,
+                   LATERAL (SELECT unnest(generate_series(1,
+                              len(ws) - 1)) AS i))
+                 GROUP BY ab),
+         tug AS (SELECT a, count(*) AS ca FROM
+                 (SELECT unnest(ws) AS a FROM tgt) GROUP BY a),
+         v AS (SELECT count(*) + 1 AS v FROM tug),
+         w AS (SELECT raws.doc_id,
+                 CAST(round((ln(coalesce(cab, 0) + 1.0) -
+                             ln(coalesce(ca, 0) + v.v))
+                            * 1048576.0) AS BIGINT) AS w
+               FROM raws LEFT JOIN tbg ON raws.ab = tbg.ab
+               LEFT JOIN tug ON raws.a = tug.a CROSS JOIN v),
+         scored AS (SELECT doc_id,
+                      CAST(sum(w) AS DOUBLE) / count(*) AS mean_ll
+                    FROM w GROUP BY doc_id),
+         thr AS (SELECT quantile_cont(mean_ll, 0.75) AS t FROM scored)
+         SELECT doc_id, round(mean_ll + 0.000000001, 6) AS mean_ll
+         FROM scored, thr WHERE mean_ll >= t
+         ORDER BY doc_id""",
     // incremental dedup: new batch = exact copies (%5=1) + junk-prefix
     // near-clones (%5=0) + word-reversed novels; survivors = new docs
     // neither exactly present in nor Jaccard>=0.5 against the corpus

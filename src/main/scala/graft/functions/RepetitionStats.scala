@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * composed form needs one `array_sort` + run-length `aggregate` HOF
   * per gram size plus an O(distinct × lines) nested-filter aggregate
   * for line stats — all CodegenFallback, re-evaluated interpreted per
-  * reference (measured 49 s fused / 3.7 s staged for 55K docs at
+  * reference (measured 49 s fused / 3.7 s staged for 5K docs at
   * sf0.1; this kernel: one hash-counting pass per row inside codegen).
   * Semantics are pinned bit-for-bit against the HOF reference form
   * [[graft.text.Text.repetitionSignalsFromParts]] in KernelsSpec.

@@ -493,6 +493,26 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality SELECTION as a declared query (the FineWeb/DCLM step):
+    * LM-score every doc ([[lmScore]]'s model), keep the top 25% by
+    * mean log-likelihood via one distributed exact-percentile
+    * threshold ([[graft.pipelines.Splitting.selectTopFraction]]).
+    * Interpolated threshold ⇒ no data point sits exactly on it, so the
+    * `>=` filter is float-safe across engines (same estimator as the
+    * green q_percentiles twin). */
+  def selectTopQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val scored = graft.pipelines.NgramLm
+      .score(d, d.filter(col("doc_id") % 4 === 0))
+      .select(col("doc_id"),
+              (col("ll_q").cast("double") /
+               col("n_bigrams").cast("double")).as("mean_ll"))
+    graft.pipelines.Splitting.selectTopFraction(scored, "mean_ll", 0.25)
+      .select(col("doc_id"), round(col("mean_ll") + lit(1e-9), 6)
+        .as("mean_ll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental (cross-corpus) dedup as a declared query: the corpus
     * plays the landed 100-TB side; the "arriving batch" is planted from
     * it — every 5th doc an exact copy (dropped by the hash anti-join),

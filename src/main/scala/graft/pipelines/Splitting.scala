@@ -79,6 +79,39 @@ object Splitting {
     * equalizes expected per-stratum counts). One tiny count aggregate
     * reaches the driver (|strata| rows — the mixture TABLE, not data);
     * the sample itself is per-partition Bernoulli, no shuffle. */
+  /** Keep the rows whose `scoreCol` lands in the top `frac` of the
+    * distribution — the quality-selection step of FineWeb/DCLM-style
+    * pipelines ("train on the best X% by classifier/LM score").
+    *
+    * Exact form: ONE distributed `percentile` aggregate finds the
+    * (1−frac) threshold (linear interpolation, same estimator as the
+    * DuckDB twin's quantile_cont), then a broadcast scalar filter —
+    * no global-sort window, no single-partition stage. Ties AT the
+    * threshold are kept (`>=`), so the kept fraction can slightly
+    * exceed `frac` on discrete scores — deterministic either way.
+    * At 100 TB swap in [[selectTopFractionApprox]]: approx_percentile
+    * is a one-pass mergeable sketch with bounded error where the exact
+    * aggregate must see every value. */
+  def selectTopFraction(df: DataFrame, scoreCol: String,
+                        frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1]: $frac")
+    val thr = df.agg(
+      expr(s"percentile($scoreCol, ${1.0 - frac})").as("t"))
+    df.crossJoin(thr).filter(col(scoreCol) >= col("t")).drop("t")
+  }
+
+  /** [[selectTopFraction]] with a sketch threshold (approx_percentile,
+    * `accuracy` trades error for memory) — the 100-TB spelling. */
+  def selectTopFractionApprox(df: DataFrame, scoreCol: String,
+                              frac: Double,
+                              accuracy: Int = 10000): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1]: $frac")
+    val thr = df.agg(
+      expr(s"approx_percentile($scoreCol, ${1.0 - frac}, $accuracy)")
+        .as("t"))
+    df.crossJoin(thr).filter(col(scoreCol) >= col("t")).drop("t")
+  }
+
   def temperatureMixture(df: DataFrame, stratumCol: String,
                          alpha: Double, maxRate: Double = 1.0,
                          seed: Long = 42L): DataFrame = {

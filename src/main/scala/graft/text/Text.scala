@@ -266,7 +266,7 @@ object Text {
     * Computed by the native [[graft.functions.RepetitionStats]] kernel —
     * one hash-counting pass per row inside codegen. The composed-HOF
     * reference form [[repetitionSignalsFromParts]] measured 49 s fused /
-    * 3.7 s staged vs well under a second for the kernel on 55K docs at
+    * 3.7 s staged vs well under a second for the kernel on 5K docs at
     * sf0.1 (HOFs are CodegenFallback and re-evaluate per reference);
     * KernelsSpec pins the two bit-for-bit. */
   def repetitionSignals(text: Column): Column =

@@ -106,6 +106,26 @@ class SplittingSpec extends AnyFunSuite {
     assert(kept.count() == expect.count())
   }
 
+  test("selectTopFraction: exact percentile threshold keeps the top " +
+       "frac; approx variant agrees closely; frac=1 keeps all") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "score")
+    // percentile(0.75) over 1..100 interpolates to 75.25 → keep 76..100
+    val kept = Splitting.selectTopFraction(df, "score", 0.25)
+    assert(kept.count() == 25)
+    assert(kept.agg(min(col("score"))).head().getDouble(0) == 76.0)
+    val approx = Splitting.selectTopFractionApprox(df, "score", 0.25)
+    assert(math.abs(approx.count() - 25L) <= 2,
+      s"approx kept ${approx.count()}")
+    assert(Splitting.selectTopFraction(df, "score", 1.0).count() == 100)
+    // repartitioning must not change the exact result (the aggregate
+    // is distributed, not a single-partition window)
+    val shuffled = Splitting.selectTopFraction(
+      df.repartition(7, col("id")), "score", 0.25)
+    assert(shuffled.count() == 25)
+  }
+
   test("same seed + same partitioning => identical split") {
     val again = Splitting.split(ratings, seed = 42L)
     assert(again.train.exceptAll(splits.train).count() == 0)
