@@ -73,6 +73,7 @@ object SparkEntry {
     "q_incremental_dedup"       -> Corpus.incrementalDedup _,
     "q_lm_score"                -> Corpus.lmScore _,
     "q_select_top_quality"      -> Corpus.selectTopQuality _,
+    "q_auc"                     -> Corpus.aucLength _,
     "q_repetition_signals"      -> Corpus.repetitionSignals _,
     "q_line_dedup"              -> Corpus.lineDedup _,
     "q_token_entropy"           -> Corpus.tokenEntropy _,
@@ -662,6 +663,25 @@ object SparkEntry {
                 CAST(sum(w.w) AS BIGINT) AS ll_q
          FROM raws r JOIN w ON r.ab = w.ab
          GROUP BY r.doc_id ORDER BY r.doc_id""",
+    // rank-sum AUC with integer doubled midranks (order-free long
+    // sums; float only at the final division)
+    "q_auc" ->
+      """WITH s AS (SELECT CAST(length(text) AS DOUBLE) AS s,
+                    CASE WHEN lang IN ('en', 'de') THEN 1 ELSE 0 END AS l
+                    FROM documents),
+         g AS (SELECT s, count(*) AS m, sum(l) AS p FROM s GROUP BY s),
+         r AS (SELECT *, coalesce(sum(m) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS before
+               FROM g),
+         a AS (SELECT sum(p * (2 * before + m + 1)) AS spr2,
+                      sum(p) AS pos, sum(m - p) AS neg
+               FROM r)
+         SELECT round(CAST(spr2 - pos * (pos + 1) AS DOUBLE)
+                      / CAST(2 * pos * neg AS DOUBLE)
+                      + 0.000000001, 6) AS auc,
+                CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg
+         FROM a""",
     // quality selection: q_lm_score's CTEs → mean log-likelihood →
     // exact-percentile (quantile_cont twin, the q_percentiles
     // estimator) top-25% threshold filter

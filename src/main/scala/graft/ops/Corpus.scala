@@ -493,6 +493,22 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** AUC as a declared query: how well document LENGTH separates the
+    * en/de slice of the corpus from the rest — an arbitrary but fully
+    * deterministic (score, label) pairing whose job is to hash-gate
+    * the rank-sum AUC MATH (ties included: lengths collide) against
+    * the DuckDB twin; the estimator's semantics are pinned separately
+    * against mllib in BinaryMetricsSpec. */
+  def aucLength(spark: SparkSession, dir: String): DataFrame =
+    graft.ml.BinaryMetricsDF
+      .aucROC(
+        Tables.documents(spark, dir)
+          .select(length(col("text")).as("score"),
+                  col("lang").isin("en", "de").cast("int").as("label")),
+        "score", "label")
+      .select(round(col("auc") + lit(1e-9), 6).as("auc"),
+              col("pos"), col("neg"))
+
   /** Quality SELECTION as a declared query (the FineWeb/DCLM step):
     * LM-score every doc ([[lmScore]]'s model), keep the top 25% by
     * mean log-likelihood via one distributed exact-percentile
