@@ -48,7 +48,11 @@ object ScaleProbe {
                   // map-only repetition kernel should track scan time;
                   // line dedup's two line-keyed shuffles should track
                   // the line count
-                  "q_repetition_signals", "q_line_dedup")
+                  "q_repetition_signals", "q_line_dedup",
+                  // round-7 part 3: LM scoring (broadcast target +
+                  // map), incremental dedup (existing-side index 10×),
+                  // soft-dedup weights (pair graph + CC at 10×)
+                  "q_lm_score", "q_incremental_dedup", "q_dedup_weights")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -507,7 +507,16 @@ object Dedup {
     * probe, and the probe must ride the scan (a join would reintroduce
     * the shuffle this exists to avoid). `fpp` trades candidate-sliver
     * size against filter bytes; 1% over 1e8 shingles ≈ 114 MB, a fine
-    * broadcast. */
+    * broadcast.
+    *
+    * NOTE: unlike the fully-lazy exact path, the Bloom filter is
+    * materialized AT CALL TIME (two jobs over `bench`: a count and the
+    * sketch build). Consume the returned frame before overwriting the
+    * bench input in place, or the prefilter tests yesterday's eval set
+    * while the exact verify reads today's (the round-5 stale-input
+    * lesson, here as an eager snapshot instead of a stale cache). The
+    * broadcast's lifetime is tied to the returned plan — the
+    * ContextCleaner reclaims it with the closure, no manual destroy. */
   def dropContaminatedBloom(corpus: DataFrame, bench: DataFrame,
                             textCol: String = "text", idCol: String = "doc_id",
                             k: Int = 5, minHits: Long = 1L,
