@@ -427,8 +427,16 @@ object Dedup {
                             idCol: String = "doc_id", k: Int = 5,
                             minJaccard: Double = 0.5,
                             maxShingleFreq: Long = 1000L): DataFrame = {
+    // lazy localCheckpoint: afterExact is consumed TWICE (the near
+    // candidate join's probe side + the final anti-join's left side);
+    // without it each consumer re-runs the exact anti-join — and with
+    // it the 100-TB existing side is scanned by the exact stage once,
+    // not once per consumer. (The near stage's own two existing-side
+    // scans — hot set + posting lists — are the documented pair a real
+    // deployment replaces with a materialized index.)
     val afterExact =
       dropExactDuplicatesAgainst(newDocs, existing, textCol, idCol)
+        .localCheckpoint(false)
     val nearHits =
       crossNgramJaccardPairs(afterExact, existing, textCol, idCol, k,
                              minJaccard, maxShingleFreq)

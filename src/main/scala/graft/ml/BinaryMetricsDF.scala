@@ -31,12 +31,17 @@ import org.apache.spark.sql.functions._
 object BinaryMetricsDF {
 
   /** One-row (auc, pos, neg) for a frame carrying a numeric score and
-    * a 0/1 label. */
+    * a 0/1 label. NULL scores are EXCLUDED — a null has no rank, and
+    * silently ordering it below every real score would skew the
+    * statistic (mllib's metrics cannot even represent the case).
+    * Single-class input (pos or neg = 0) raises at execution time
+    * instead of emitting a null auc that callers would NPE on. */
   def aucROC(df: DataFrame, scoreCol: String, labelCol: String)
       : DataFrame = {
     val g = df
       .select(col(scoreCol).cast("double").as("s"),
               col(labelCol).cast("long").as("l"))
+      .filter(col("s").isNotNull)
       .groupBy(col("s"))
       .agg(count(lit(1)).as("m"), sum(col("l")).as("p"))
     val before = Window.orderBy(col("s"))
@@ -48,8 +53,14 @@ object BinaryMetricsDF {
            sum(col("p")).as("pos"),
            sum(col("m") - col("p")).as("neg"))
     spr2.select(
-      ((col("spr2") - col("pos") * (col("pos") + 1L)).cast("double") /
-       (lit(2L) * col("pos") * col("neg")).cast("double")).as("auc"),
+      when(col("pos") > 0L && col("neg") > 0L,
+        (col("spr2") - col("pos") * (col("pos") + 1L)).cast("double") /
+          (lit(2L) * col("pos") * col("neg")).cast("double"))
+        .otherwise(raise_error(concat(
+          lit("aucROC needs both classes present, got pos="), col("pos"),
+          lit(" neg="), col("neg")))
+          .cast("double"))
+        .as("auc"),
       col("pos"), col("neg"))
   }
 }

@@ -531,10 +531,10 @@ object Corpus {
 
   /** Incremental (cross-corpus) dedup as a declared query: the corpus
     * plays the landed 100-TB side; the "arriving batch" is planted from
-    * it — every 5th doc an exact copy (dropped by the hash anti-join),
-    * every 5th-plus-0 a junk-prefix near-clone (dropped by the
-    * cross-corpus Jaccard join), the rest word-reversed (novel shingle
-    * sets → kept). Output: the surviving new docs. */
+    * it — every 5th-plus-1 doc an exact copy (dropped by the hash
+    * anti-join), every 5th-plus-0 a junk-prefix near-clone (dropped by
+    * the cross-corpus Jaccard join), the rest word-reversed (novel
+    * shingle sets → kept). Output: the surviving new docs. */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val newBatch = d.select(

@@ -69,8 +69,8 @@ object Curation {
       .filter(Text.urlCount(col("text")) <= lit(cfg.maxUrls))
     val filtered =
       if (cfg.maxDupLineFrac < 1.0)
-        heurFiltered.filter(Text.repetitionSignals(col("text"))
-          .getField("dup_line_frac") <= lit(cfg.maxDupLineFrac))
+        heurFiltered.filter(
+          Text.dupLineFrac(col("text")) <= lit(cfg.maxDupLineFrac))
       else heurFiltered
     val mlFiltered = model match {
       case Some(m) =>
@@ -137,8 +137,7 @@ object Curation {
     // heuristic filtering, not a new funnel stage — schema stays stable)
     val qualOk =
       if (cfg.maxDupLineFrac < 1.0)
-        heurOk && Text.repetitionSignals(col("text"))
-          .getField("dup_line_frac") <= lit(cfg.maxDupLineFrac)
+        heurOk && Text.dupLineFrac(col("text")) <= lit(cfg.maxDupLineFrac)
       else heurOk
     val mlOk = model match {
       case Some(_) => qualOk && col("ml_quality") >= lit(cfg.minMlQuality)

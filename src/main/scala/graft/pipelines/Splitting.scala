@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Train/validation/test splitting with cold-start mitigation — the
@@ -72,13 +72,6 @@ object Splitting {
                           seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
-  /** Temperature-flattened mixture: keep-rate per stratum ∝ n^(α−1),
-    * normalized so the smallest stratum keeps `maxRate` — expected
-    * kept counts ∝ n^α, the standard multilingual-corpus flattening
-    * dial (α = 1 keeps the natural distribution untouched; α → 0
-    * equalizes expected per-stratum counts). One tiny count aggregate
-    * reaches the driver (|strata| rows — the mixture TABLE, not data);
-    * the sample itself is per-partition Bernoulli, no shuffle. */
   /** Keep the rows whose `scoreCol` lands in the top `frac` of the
     * distribution — the quality-selection step of FineWeb/DCLM-style
     * pipelines ("train on the best X% by classifier/LM score").
@@ -93,25 +86,36 @@ object Splitting {
     * is a one-pass mergeable sketch with bounded error where the exact
     * aggregate must see every value. */
   def selectTopFraction(df: DataFrame, scoreCol: String,
-                        frac: Double): DataFrame = {
-    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1]: $frac")
-    val thr = df.agg(
-      expr(s"percentile($scoreCol, ${1.0 - frac})").as("t"))
-    df.crossJoin(thr).filter(col(scoreCol) >= col("t")).drop("t")
-  }
+                        frac: Double): DataFrame =
+    selectByThreshold(df, scoreCol,
+      expr(s"percentile(`$scoreCol`, ${1.0 - frac})"), frac)
 
   /** [[selectTopFraction]] with a sketch threshold (approx_percentile,
     * `accuracy` trades error for memory) — the 100-TB spelling. */
   def selectTopFractionApprox(df: DataFrame, scoreCol: String,
                               frac: Double,
-                              accuracy: Int = 10000): DataFrame = {
+                              accuracy: Int = 10000): DataFrame =
+    selectByThreshold(df, scoreCol,
+      expr(s"approx_percentile(`$scoreCol`, ${1.0 - frac}, $accuracy)"),
+      frac)
+
+  // dunder temp name so a caller column named "t" can't collide (the
+  // repo-wide convention: __h, __k, __cnt); score column backquoted in
+  // the expr strings above so exotic names parse
+  private def selectByThreshold(df: DataFrame, scoreCol: String,
+                                thrExpr: Column, frac: Double): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1]: $frac")
-    val thr = df.agg(
-      expr(s"approx_percentile($scoreCol, ${1.0 - frac}, $accuracy)")
-        .as("t"))
-    df.crossJoin(thr).filter(col(scoreCol) >= col("t")).drop("t")
+    val thr = df.agg(thrExpr.as("__thr"))
+    df.crossJoin(thr).filter(col(scoreCol) >= col("__thr")).drop("__thr")
   }
 
+  /** Temperature-flattened mixture: keep-rate per stratum ∝ n^(α−1),
+    * normalized so the smallest stratum keeps `maxRate` — expected
+    * kept counts ∝ n^α, the standard multilingual-corpus flattening
+    * dial (α = 1 keeps the natural distribution untouched; α → 0
+    * equalizes expected per-stratum counts). One tiny count aggregate
+    * reaches the driver (|strata| rows — the mixture TABLE, not data);
+    * the sample itself is per-partition Bernoulli, no shuffle. */
   def temperatureMixture(df: DataFrame, stratumCol: String,
                          alpha: Double, maxRate: Double = 1.0,
                          seed: Long = 42L): DataFrame = {

@@ -60,11 +60,12 @@ object CurationStream {
       .filter(col("detected").isin(cfg.langs.toSeq: _*))
       .filter(col("quality") >= lit(cfg.minQuality))
       .filter(Text.urlCount(col("text")) <= lit(cfg.maxUrls))
-    // repetition gate (stateless kernel — lifts to the stream verbatim)
+    // repetition gate (stateless — lifts to the stream verbatim; the
+    // cheap lines-only slice, not the full six-signal kernel)
     val filtered =
       if (cfg.maxDupLineFrac < 1.0)
-        heurFiltered.filter(Text.repetitionSignals(col("text"))
-          .getField("dup_line_frac") <= lit(cfg.maxDupLineFrac))
+        heurFiltered.filter(
+          Text.dupLineFrac(col("text")) <= lit(cfg.maxDupLineFrac))
       else heurFiltered
     val gated = model match {
       case Some(m) =>

@@ -273,6 +273,20 @@ object Text {
     graft.functions.RepetitionStats.repetitionStats(docLines(text),
                                                     tokenize(text))
 
+  /** Duplicate-line fraction ALONE — the cheap slice of
+    * [[repetitionSignals]] for gates that threshold only on looping
+    * lines (the curation `maxDupLineFrac` gate): beyond-first line
+    * occurrences / lines. Skips the kernel's three n-gram
+    * hash-counting passes entirely; the line array is evaluated ~3×
+    * per row (HOF re-evaluation), still far cheaper than computing
+    * five unused signals. */
+  def dupLineFrac(text: Column): Column = {
+    val ls = docLines(text)
+    when(size(ls) === 0, lit(0.0))
+      .otherwise((size(ls) - size(array_distinct(ls))).cast("double") /
+                 size(ls).cast("double"))
+  }
+
   /** The composed-HOF REFERENCE form of [[repetitionSignals]], kept as
     * the semantic pin for the native kernel (KernelsSpec asserts
     * bit-for-bit equality): `ls` = [[docLines]], `dls` =

@@ -32,6 +32,22 @@ class BinaryMetricsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
   }
 
+  test("aucROC: null scores excluded, single-class input raises") {
+    // a null-scored row must not be ranked below everything silently
+    val withNull = Seq((Some(1.0), 0), (Some(2.0), 1), (None, 1))
+      .toDF("score", "label")
+    val clean = Seq((1.0, 0), (2.0, 1)).toDF("score", "label")
+    assert(BinaryMetricsDF.aucROC(withNull, "score", "label").head() ==
+           BinaryMetricsDF.aucROC(clean, "score", "label").head())
+    // pos=0 or neg=0: a named error, not a null auc NPE downstream
+    val oneClass = Seq((0.3, 1), (0.7, 1)).toDF("score", "label")
+    val e = intercept[Exception] {
+      BinaryMetricsDF.aucROC(oneClass, "score", "label").head()
+    }
+    assert(e.getMessage.contains("both classes"),
+      s"wrong error: ${e.getMessage}")
+  }
+
   test("aucROC matches mllib BinaryClassificationMetrics on random data") {
     val rnd = new scala.util.Random(77)
     // discretized scores so tie handling is genuinely exercised

@@ -124,6 +124,11 @@ class SplittingSpec extends AnyFunSuite {
     val shuffled = Splitting.selectTopFraction(
       df.repartition(7, col("id")), "score", 0.25)
     assert(shuffled.count() == 25)
+    // a caller column literally named "t" must neither collide with
+    // the threshold temp nor get dropped (dunder temp-name regression)
+    val witht = df.withColumn("t", col("id") * 2)
+    val keptT = Splitting.selectTopFraction(witht, "score", 0.25)
+    assert(keptT.columns.contains("t") && keptT.count() == 25)
   }
 
   test("same seed + same partitioning => identical split") {
