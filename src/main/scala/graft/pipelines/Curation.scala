@@ -87,6 +87,45 @@ object Curation {
     else near
   }
 
+  /** The COMPLETE corpus → training-sequences pipeline, composing the
+    * verified stages end to end: [[curate]] (langID → quality/content
+    * filters → exact + near dedup → optional mixture), optional
+    * LM-quality SELECTION (score against a trusted target corpus with
+    * [[NgramLm.score]], keep the top `keepFrac` by mean log-likelihood
+    * via [[Splitting.selectTopFraction]] — the FineWeb/DCLM step), and
+    * GPT-style pack-and-chunk ([[Packing.concatChunks]]) into
+    * `seqLen`-token training sequences. Output: one row per surviving
+    * doc with its pack offsets (doc_id, n_tokens, offset, chunk,
+    * chunk_end).
+    *
+    * Every stage is individually oracle-gated or property-pinned;
+    * this composition is itself spec-tested (survivors ⊆ curate's,
+    * packing covers survivors exactly). Docs shorter than 2 tokens
+    * carry no LM signal and are dropped by the selection stage's
+    * inner score join — documented, deliberate (sub-2-token docs are
+    * not trainable sequences). */
+  def prepareTrainingData(docs: DataFrame, cfg: Config = Config(),
+                          lmTarget: Option[DataFrame] = None,
+                          keepFrac: Double = 1.0,
+                          seqLen: Int = 2048): DataFrame = {
+    val curated = curate(docs, cfg)
+    val selected = (lmTarget, keepFrac) match {
+      case (Some(t), f) if f < 1.0 =>
+        val scored = graft.pipelines.NgramLm.score(curated, t)
+          .select(col("doc_id"),
+                  (col("ll_q").cast("double") /
+                   col("n_bigrams").cast("double")).as("__mean_ll"))
+        curated.join(
+          Splitting.selectTopFraction(scored, "__mean_ll", f)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      case _ => curated
+    }
+    val withTokens = selected.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Packing.concatChunks(withTokens, "n_tokens", seqLen)
+  }
+
   /** Per-stage survivor counts — the curation funnel report.
     *
     * The first FOUR stages fold into ONE aggregate over one scan

@@ -160,6 +160,29 @@ class CurationSpec extends AnyFunSuite {
     assert(ing.filter(col("doc_id") === 900001L).count() == 0)
   }
 
+  test("prepareTrainingData: curate → LM-select → pack composition") {
+    val full = Curation.prepareTrainingData(docs).cache()
+    val curated = Curation.curate(docs)
+    // no selection: packing covers exactly the curated survivors
+    assert(full.count() == curated.count())
+    // offsets are a proper prefix structure: total tokens = last
+    // doc's offset + its n_tokens (ordering by offset)
+    val last = full.orderBy(col("offset").desc).head()
+    val totalTokens = full.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(last.getAs[Long]("offset") + last.getAs[Long]("n_tokens")
+      == totalTokens)
+    // with LM selection at 50%: survivors are a subset of curate's,
+    // and roughly half (ties at the threshold may keep a few more)
+    val selected = Curation.prepareTrainingData(docs,
+      lmTarget = Some(docs.filter(col("doc_id") % 4 === 0)),
+      keepFrac = 0.5)
+    assert(selected.count() <= curated.count())
+    assert(selected.count() >= (curated.count() * 0.4).toLong &&
+           selected.count() <= (curated.count() * 0.65).toLong,
+      s"selected ${selected.count()} of ${curated.count()}")
+    full.unpersist()
+  }
+
   test("opt-in model filter: thresholded subset, scores carried") {
     val trusted = docs.filter(col("doc_id") < 100000)
     val degraded = trusted.select(col("doc_id"),
