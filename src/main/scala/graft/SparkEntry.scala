@@ -67,6 +67,7 @@ object SparkEntry {
     "q_pii_redact"              -> Corpus.piiRedact _,
     "q_curation"                -> Corpus.curationRun _,
     "q_funnel"                  -> Corpus.curationFunnel _,
+    "q_training_data"           -> Corpus.trainingData _,
     "q_decontamination"         -> Corpus.decontamination _,
     "q_decontamination_bloom"   -> Corpus.decontaminationBloom _,
     "q_dedup_weights"           -> Corpus.dedupWeights _,
@@ -164,7 +165,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   lazy val oracleSql: Map[String, String] =
     baseOracleSql +
-      ("q_funnel" -> funnelOracle(baseOracleSql("q_curation")))
+      ("q_funnel" -> funnelOracle(baseOracleSql("q_curation"))) +
+      ("q_training_data" ->
+        trainingDataOracle(baseOracleSql("q_curation")))
 
   /** `q_funnel`'s oracle reuses `q_curation`'s CTE block verbatim
     * (single source of truth — the two must stay stage-for-stage
@@ -186,6 +189,37 @@ object SparkEntry {
                    ON ex.doc_id = c.id
                  WHERE coalesce(c.component, ex.doc_id) = ex.doc_id)
                   AS near_dedup"""
+  }
+
+  /** `q_training_data`'s oracle also reuses `q_curation`'s CTE block
+    * verbatim (same splice anchor as [[funnelOracle]]): the survivor
+    * set feeds the q_pack_chunks window prefix-sum — so one hash gates
+    * the WHOLE curate→pack composition. */
+  private def trainingDataOracle(curation: String): String = {
+    val finalSelect = "SELECT ex.doc_id, ex.detected"
+    val idx = curation.indexOf(finalSelect)
+    require(idx >= 0,
+      s"q_curation's final SELECT no longer matches '$finalSelect' — " +
+      "update trainingDataOracle's splice anchor alongside the SQL")
+    curation.substring(0, idx) +
+      """, surv AS (SELECT ex.doc_id, ex.text
+             FROM ex LEFT JOIN comp c ON ex.doc_id = c.id
+             WHERE coalesce(c.component, ex.doc_id) = ex.doc_id),
+         tt AS (SELECT doc_id,
+                  len(string_split(text, ' '))::BIGINT AS n_tokens
+                FROM surv)
+         SELECT doc_id, n_tokens,
+                (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0))::BIGINT AS "offset",
+                (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) // 2048)::BIGINT AS chunk,
+                ((coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) + greatest(n_tokens, 1) - 1) // 2048)::BIGINT
+                  AS chunk_end
+         FROM tt ORDER BY doc_id"""
   }
 
   private lazy val baseOracleSql: Map[String, String] = Map(

@@ -493,6 +493,16 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** The corpus → training-sequences COMPOSITION as a declared query:
+    * [[graft.pipelines.Curation.prepareTrainingData]] with default
+    * config (curate → pack-and-chunk, no LM stage — selection is
+    * separately gated by q_select_top_quality); the oracle splices the
+    * q_curation survivor CTEs into the q_pack_chunks prefix-sum
+    * window, so one hash covers the whole composition. */
+  def trainingData(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.Curation.prepareTrainingData(docs(spark, dir))
+      .orderBy(col("doc_id"))
+
   /** AUC as a declared query: how well document LENGTH separates the
     * en/de slice of the corpus from the rest — an arbitrary but fully
     * deterministic (score, label) pairing whose job is to hash-gate
