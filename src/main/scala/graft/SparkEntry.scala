@@ -60,6 +60,7 @@ object SparkEntry {
     "q_window_sliding"          -> Corpus.windowSliding _,
     "q_session_window"          -> Corpus.sessionWindow _,
     "q_multimodal_meta"         -> Corpus.multimodalMeta _,
+    "q_image_decode"            -> Corpus.imageDecode _,
     "q_asof_join"               -> Corpus.asofJoin _,
     "q_range_join"              -> Corpus.rangeJoinFollowers _,
     "q_tfidf_topterms"          -> ((s, d) => Corpus.tfidfTopTerms(s, d)),
@@ -1196,5 +1197,17 @@ object SparkEntry {
                 CASE WHEN doc_id % 3 = 2 THEN (n_chars - 1) // 50 + 1
                      ELSE 0 END AS n_frames_planned
          FROM documents ORDER BY asset_id""",
+    // Real javax.imageio decode vs closed-form expected facts: Spark
+    // encodes+decodes genuine PNG bytes; the oracle derives the same
+    // dims/bands arithmetically from the asset id (see Corpus.imageDecode).
+    "q_image_decode" ->
+      """SELECT range AS asset_id,
+                1 + (range % 9) AS width,
+                1 + (range % 7) AS height,
+                CAST(CASE range % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 1 END
+                     AS BIGINT) AS channels,
+                'png' AS format,
+                CAST(1 AS BIGINT) AS ok
+         FROM range(64) ORDER BY asset_id""",
   )
 }

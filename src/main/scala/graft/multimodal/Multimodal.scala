@@ -10,15 +10,19 @@ import org.apache.spark.sql.functions._
   * ==What is real vs STUBBED==
   * The Spark-side plumbing is real and tested: asset schema, binary
   * columns, content hashing/sizing, partitioning strategy, per-stage
-  * column contracts, determinism. The CODEC KERNELS ARE STUBS — this
-  * container ships no image/audio libraries, so `decodeImageStub`,
-  * `featureExtractStub`, `frameSampleStub` derive deterministic fake
-  * values from the content bytes. A production deployment swaps each
-  * stub for a real kernel with the SAME column signature (binary in,
-  * struct/array out), typically `mapPartitions` over a Dataset with a
-  * per-partition codec/model handle (the Scala analogue of a batched
-  * Pandas UDF) — the surrounding plan, schema, and partitioning do not
-  * change.
+  * column contracts, determinism. IMAGE DECODE IS REAL: [[decodeImages]]
+  * runs the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF, zero external
+  * deps) through the [[MediaKernel]] seam — see [[ImageIo]]. The
+  * REMAINING CODEC KERNELS ARE STUBS — this container ships no
+  * audio/video libraries or model runtime, so `featureExtractStub`
+  * (model inference) and `frameSampleStub` (video demux) derive
+  * deterministic fake values from the content bytes, and
+  * `decodeImageStub` stays as the hash-derived codegen'd expression
+  * form for plans over non-image binaries. A production deployment
+  * swaps each remaining stub for a real kernel with the SAME column
+  * signature (binary in, struct/array out) via a
+  * [[MediaKernel.Factory]] — the surrounding plan, schema, and
+  * partitioning do not change, exactly as [[decodeImages]] proves.
   *
   * ==Scale notes==
   * Blobs ride the shuffle, so every stage here is map-shaped (no
@@ -143,6 +147,46 @@ object Multimodal {
       .select(col("_1").as("asset_id"),
               col("_2._1").as("width"), col("_2._2").as("height"),
               col("_2._3").as("channels"))
+  }
+
+  /** REAL image decode (MM2): `javax.imageio` over the [[MediaKernel]]
+    * seam — one decoder per partition, fixed-size batches, blobs never
+    * shuffled. Output: `asset_id, width, height, channels, format, ok`
+    * with `ok = false` (null facts) for undecodable bytes, so corrupt
+    * assets are CAPTURED, not fatal — the caller quarantines on the
+    * flag (same posture as the corrupt-record columns in `sources/`).
+    * No oracle is possible (DuckDB cannot decode PNGs), so the gate is
+    * MultimodalSpec: real encoded bytes in, exact known dims/bands
+    * out, partition/batch invariance. */
+  def decodeImages(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    MediaKernel.runKernel(assets, ImageIo.decoderFactory, batchSize)
+      .select(col("_1").as("asset_id"),
+              col("_2.width").as("width"), col("_2.height").as("height"),
+              col("_2.channels").as("channels"),
+              col("_2.format").as("format"), col("_2.ok").as("ok"))
+  }
+
+  /** Deterministic REAL-image asset table: `n` PNGs (mix of RGB, ARGB,
+    * grayscale) encoded by [[ImageIo.encodePng]] on the executors —
+    * genuine codec bytes for exercising [[decodeImages]] without media
+    * files in the container. Dims are a pure function of the id, so
+    * specs can assert exact decode facts. Generation is map-shaped
+    * over a `spark.range`. */
+  def syntheticImageAssets(spark: org.apache.spark.sql.SparkSession,
+                           n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val w = 1 + (id % 9).toInt
+      val h = 1 + (id % 7).toInt
+      val t = (id % 3) match {
+        case 0 => java.awt.image.BufferedImage.TYPE_INT_RGB
+        case 1 => java.awt.image.BufferedImage.TYPE_INT_ARGB
+        case _ => java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      }
+      (id, "image", ImageIo.encodePng(w, h, seed = id * 7919L, imageType = t))
+    }.toDF("asset_id", "modality", "content")
   }
 
   /** STUB model handle for [[batchedFeatureExtract]]: deterministic

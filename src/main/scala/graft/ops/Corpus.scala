@@ -204,6 +204,26 @@ object Corpus {
       .orderBy(col("asset_id"))
   }
 
+  /** REAL image decode, oracle-gated end to end: Spark ENCODES 64
+    * deterministic PNGs on the executors ([[graft.multimodal.ImageIo
+    * .encodePng]]) and DECODES them with the real `javax.imageio`
+    * kernel over the MediaKernel seam. The oracle computes the same
+    * facts in closed form — width/height/bands are pure functions of
+    * the asset id — so a decode that returns anything but the true
+    * pixel dimensions of the true PNG bytes hash-mismatches. The `ok`
+    * flag rides along as 0/1 so the oracle also gates "every asset
+    * decoded". */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.decodeImages(
+      graft.multimodal.Multimodal.syntheticImageAssets(spark, 64))
+      .select(col("asset_id"),
+              col("width").cast("long").as("width"),
+              col("height").cast("long").as("height"),
+              col("channels").cast("long").as("channels"),
+              col("format"),
+              col("ok").cast("long").as("ok"))
+      .orderBy(col("asset_id"))
+
   /** Per-document heuristic language ID (graft.text stopword profiles;
     * the oracle inlines the same lists — with a shared denominator the
     * ratio argmax reduces to integer hit-count comparisons, so the SQL
