@@ -359,10 +359,14 @@ object Dedup {
     * shape (the new batch is deduped against 100 TB without touching
     * it: the existing side reduces to distinct content hashes, one
     * anti-join). Within-batch duplicates are NOT touched — compose
-    * with [[exactGroups]]/[[dropExactDuplicates]] for that. */
+    * with [[exactGroups]]/[[dropExactDuplicates]] for that.
+    *
+    * Dedup is purely by content hash — no id column is consulted, so
+    * unlike [[dropDuplicatesAgainst]] this takes no `idCol` (ADVICE
+    * r7: the parameter existed, unused, and implied the batch id
+    * mattered to the semantics). */
   def dropExactDuplicatesAgainst(newDocs: DataFrame, existing: DataFrame,
-                                 textCol: String = "text",
-                                 idCol: String = "doc_id"): DataFrame = {
+                                 textCol: String = "text"): DataFrame = {
     val seen = existing
       .select(sha2(col(textCol), 256).as("__seen_hash")).distinct()
     newDocs
@@ -435,7 +439,7 @@ object Dedup {
     // scans — hot set + posting lists — are the documented pair a real
     // deployment replaces with a materialized index.)
     val afterExact =
-      dropExactDuplicatesAgainst(newDocs, existing, textCol, idCol)
+      dropExactDuplicatesAgainst(newDocs, existing, textCol)
         .localCheckpoint(false)
     val nearHits =
       crossNgramJaccardPairs(afterExact, existing, textCol, idCol, k,
@@ -559,42 +563,82 @@ object Dedup {
     *
     * Output: `idCol`, rebuilt `textCol`, `n_lines`, `n_kept`.
     *
-    * Plan shape (the CCNet shape): posexplode lines → one groupBy(line)
-    * to build the removal set → one join back on the line → one
-    * groupBy(doc) with an in-array sorted rebuild. Two shuffles total,
-    * both on keys that exist at any scale. `byHash = true` keys the
-    * count/join on xxhash64(line) so the exchanges carry 8-byte keys
-    * instead of full line strings — the 100-TB spelling (a 64-bit
-    * collision wrongly removing a line is vanishingly unlikely and
-    * costs one boilerplate-like line, not correctness of the corpus);
-    * the default keeps exact strings so the DuckDB oracle can replay
-    * it. */
+    * Plan shape: one NARROW groupBy(line) pass builds the removal set
+    * (only the line — or its 8-byte hash with `byHash` — rides the
+    * count shuffle, and map-side partial aggregation collapses repeats
+    * before exchange). Boilerplate sets are small relative to any
+    * corpus, so when the removal set fits `broadcastKeyLimit` the
+    * rebuild is ONE BROADCAST MAP PASS over the documents — the corpus
+    * itself never shuffles at all (the round-7 q_line_dedup finding:
+    * the old form shipped every document's full text through two
+    * line-keyed exchanges). Above the limit it falls back to the
+    * explode → left join on the line key → groupBy(doc) sorted-rebuild
+    * form, whose shuffles are keyed on values that exist at any scale.
+    * The driver bound mirrors the CC union-find fast path: ≤ 500k
+    * removal lines collected, documented, with the distributed form as
+    * the automatic fallback.
+    *
+    * `byHash = true` keys the count shuffle on xxhash64(line) so the
+    * exchange carries 8-byte keys instead of full line strings — the
+    * 100-TB spelling (the representative line string per hash rides the
+    * aggregation buffer, one per group, so the broadcast set still
+    * matches EXACT strings and a hash collision costs one extra
+    * counted line, never a wrong removal on the fast path); the
+    * default keeps exact strings so the DuckDB oracle can replay it. */
   def dedupLines(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id", minCount: Long = 2L,
-                 byHash: Boolean = false): DataFrame = {
+                 byHash: Boolean = false,
+                 broadcastKeyLimit: Long = 500000L): DataFrame = {
+    val spark = docs.sparkSession
     val key: Column => Column =
       if (byHash) (c: Column) => xxhash64(c) else identity
-    val lines = docs.select(
-      col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val removal = lines
-      .filter(trim(col("line")) =!= "")
-      .groupBy(key(col("line")).as("__k"))
-      .agg(count(lit(1)).as("__cnt"))
+    // removal set: non-blank lines occurring >= minCount corpus-wide —
+    // consumed twice (size probe, then broadcast or join), so the tiny
+    // post-filter frame is checkpointed and the explode+count runs once
+    val removal = docs
+      .select(explode(split(col(textCol), "\n")).as("__line"))
+      .filter(trim(col("__line")) =!= "")
+      .groupBy(key(col("__line")).as("__k"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__line")).as("__line"))
       .filter(col("__cnt") >= lit(minCount))
-      .select(col("__k"), lit(true).as("__rm"))
-    lines
-      .join(removal, key(col("line")) === removal("__k"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_lines"),
-        count(when(col("__rm").isNull, 1)).as("n_kept"),
-        concat_ws("\n",
-          transform(
-            array_sort(collect_list(
-              when(col("__rm").isNull, struct(col("pos"), col("line"))))),
-            s => s.getField("line"))).as(textCol))
-      .select(col(idCol), col(textCol), col("n_lines"), col("n_kept"))
+      .select(col("__k"), col("__line"))
+      .localCheckpoint(false)
+    if (removal.count() <= broadcastKeyLimit) {
+      // FAST PATH: broadcast the removal strings; rebuild every doc in
+      // one map pass. One narrow shuffle total (the count), zero over
+      // the corpus. A single UDF call per document — not a HOF chain —
+      // so lines split exactly once per row.
+      val bc = spark.sparkContext.broadcast(
+        removal.select(col("__line")).collect().map(_.getString(0)).toSet)
+      val rebuild = udf { text: String =>
+        // -1 limit: keep trailing empty lines, matching SQL split()
+        val all = text.split("\n", -1)
+        val kept = all.filter(l => l.trim.isEmpty || !bc.value.contains(l))
+        (kept.mkString("\n"), all.length.toLong, kept.length.toLong)
+      }
+      docs
+        .filter(col(textCol).isNotNull)
+        .select(col(idCol), rebuild(col(textCol)).as("__r"))
+        .select(col(idCol), col("__r._1").as(textCol),
+                col("__r._2").as("n_lines"), col("__r._3").as("n_kept"))
+    } else {
+      val lines = docs.select(
+        col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      lines
+        .join(removal.select(col("__k"), lit(true).as("__rm")),
+              key(col("line")) === col("__k"), "left")
+        .groupBy(col(idCol))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          count(when(col("__rm").isNull, 1)).as("n_kept"),
+          concat_ws("\n",
+            transform(
+              array_sort(collect_list(
+                when(col("__rm").isNull, struct(col("pos"), col("line"))))),
+              s => s.getField("line"))).as(textCol))
+        .select(col(idCol), col(textCol), col("n_lines"), col("n_kept"))
+    }
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ minCosine — delegates

@@ -543,9 +543,13 @@ object Corpus {
     * LM-score every doc ([[lmScore]]'s model), keep the top 25% by
     * mean log-likelihood via one distributed exact-percentile
     * threshold ([[graft.pipelines.Splitting.selectTopFraction]]).
-    * Interpolated threshold ⇒ no data point sits exactly on it, so the
-    * `>=` filter is float-safe across engines (same estimator as the
-    * green q_percentiles twin). */
+    * Same estimator as the green q_percentiles twin; note ties AT the
+    * threshold are engine-sensitive in general (when (1−frac)·(n−1) is
+    * integral both engines return an exact data value, and even the
+    * interpolated case can differ by an ulp and flip `>=` membership
+    * for a boundary doc — the Splitting scaladoc's caveat). On this
+    * corpus the threshold interpolates strictly between scores, which
+    * the hash gate itself verifies every round. */
   def selectTopQuality(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val scored = graft.pipelines.NgramLm

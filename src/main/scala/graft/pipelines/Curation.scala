@@ -121,14 +121,12 @@ object Curation {
           Seq("doc_id"), "left_semi")
       case _ => curated
     }
-    // lazy localCheckpoint of the NARROW projection (two longs per
-    // surviving doc): concatChunks evaluates its input three times
-    // (range-bound probe, bucket-totals aggregate, main window pass) —
-    // without this the whole curation DAG re-executes per pass
-    // (measured 7.2 s vs ~5 s at sf0.1)
+    // NARROW projection (two longs per surviving doc) so the
+    // materialization concatChunks now owns internally (its three
+    // passes over one stored copy — Packing scaladoc) stores longs,
+    // not text (measured 7.2 s vs ~5 s at sf0.1)
     val withTokens = selected.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .localCheckpoint(false)
     Packing.concatChunks(withTokens, "n_tokens", seqLen)
   }
 

@@ -88,7 +88,7 @@ object Splitting {
   def selectTopFraction(df: DataFrame, scoreCol: String,
                         frac: Double): DataFrame =
     selectByThreshold(df, scoreCol,
-      expr(s"percentile(`$scoreCol`, ${1.0 - frac})"), frac)
+      percentile(col(scoreCol), lit(1.0 - frac)), frac)
 
   /** [[selectTopFraction]] with a sketch threshold (approx_percentile,
     * `accuracy` trades error for memory) — the 100-TB spelling. */
@@ -96,12 +96,19 @@ object Splitting {
                               frac: Double,
                               accuracy: Int = 10000): DataFrame =
     selectByThreshold(df, scoreCol,
-      expr(s"approx_percentile(`$scoreCol`, ${1.0 - frac}, $accuracy)"),
+      approx_percentile(col(scoreCol), lit(1.0 - frac), lit(accuracy)),
       frac)
 
   // dunder temp name so a caller column named "t" can't collide (the
-  // repo-wide convention: __h, __k, __cnt); score column backquoted in
-  // the expr strings above so exotic names parse
+  // repo-wide convention: __h, __k, __cnt); thresholds are built with
+  // the Column API (functions.percentile/approx_percentile), never
+  // string-interpolated SQL — exotic column names (backticks included)
+  // resolve like everywhere else in the library (ADVICE r7).
+  // NULL-threshold contract: percentile over an EMPTY or all-null
+  // score column is NULL, and `score >= NULL` is never true, so the
+  // output is empty — "the top frac of nothing is nothing", not an
+  // error. Callers that must distinguish empty-in from filtered-out
+  // count upstream.
   private def selectByThreshold(df: DataFrame, scoreCol: String,
                                 thrExpr: Column, frac: Double): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1]: $frac")

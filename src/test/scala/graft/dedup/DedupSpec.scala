@@ -380,6 +380,29 @@ class DedupSpec extends AnyFunSuite {
       "hash-keyed line dedup must reproduce the exact-string result")
   }
 
+  test("dedupLines: broadcast fast path and join fallback agree exactly") {
+    val lined = docs.select(col("doc_id"),
+      regexp_replace(col("text"), "((\\S+\\s+){5}\\S+)\\s+", "$1\n")
+        .as("text"))
+    val fast = Dedup.dedupLines(lined, minCount = 3L)
+    val join = Dedup.dedupLines(lined, minCount = 3L,
+      broadcastKeyLimit = 0L) // force the distributed fallback
+    assert(fast.exceptAll(join).isEmpty && join.exceptAll(fast).isEmpty,
+      "the two execution paths must be result-identical")
+    // and the unit-case semantics hold on the fallback too
+    import spark.implicits._
+    val df = Seq(
+      (1L, "keep me\nBOILER\nalso keep"),
+      (4L, "BOILER"), (5L, "x\n\nx"), (6L, "x"),
+      (7L, "BOILER\nz")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, minCount = 3L, broadcastKeyLimit = 0L)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == (("keep me\nalso keep", 3L, 2L)))
+    assert(out(5L) == (("", 3L, 1L)), "blank lines stay exempt")
+  }
+
   // --- incremental (cross-corpus) dedup ----------------------------------
 
   test("dropDuplicatesAgainst: exact copies and near-clones of the " +

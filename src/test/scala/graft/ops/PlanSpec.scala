@@ -13,8 +13,15 @@ class PlanSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = TestSpark.sf0001
 
-  private def plan(df: DataFrame): String =
+  private def plan(df: DataFrame): String = {
+    // sibling suites .cache() shared tables; a cached input swaps the
+    // parquet scan for InMemoryTableScan and every scan-shape assertion
+    // here goes vacuous or false depending on suite ORDER (flaked when
+    // SplittingSpec preceded this suite). Plans are asserted against a
+    // cache-free catalog; other suites' cached frames just recompute.
+    spark.catalog.clearCache()
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
 
   test("filters and projections reach the parquet scan") {
     val p = plan(Relational.filterNotNullThreshold(spark, dir))
