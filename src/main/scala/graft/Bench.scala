@@ -18,9 +18,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions sized to the DATA, not the core count (the
+    // 100-TB rule applied downward): at sf0.1 the whole input is
+    // ~100 MB, so 32-way shuffles plan 32 near-empty reduce tasks per
+    // exchange and pure task-launch overhead owns every sub-second
+    // query (ConfigProbe r8: floor avg 0.353 s/query at 32 → 0.208 s
+    // at 8; the heavy composites got FASTER, not slower). One 64 MB
+    // target partition per input split, clamped to [8, cpus] — at
+    // sf10+ this lands back on `cpus` exactly as before.
+    val inputBytes = Option(new java.io.File(sfDir).listFiles())
+      .map(_.filter(_.isFile).map(_.length).sum).getOrElse(Long.MaxValue)
+    val shufflePartitions = math.max(8L,
+      math.min(cpus.toLong, inputBytes / (64L << 20))).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -145,7 +157,7 @@ object Bench {
     // aux total mirrors the query-total policy: SUCCESSFUL pipelines
     // only — a failed (negated) time must not inflate the total; the
     // failure signal is the negative per-pipeline entry + `failed`
-    println(s"""{"aux":"pipelines","value":${fmt(pipeResults.collect { case (_, v) if v > 0 => v }.sum)},"unit":"sec","pipelines":${obj(pipeResults)},"sf":"$sfDir"}""")
+    println(s"""{"aux":"pipelines","value":${fmt(pipeResults.collect { case (_, v) if v > 0 => v }.sum)},"unit":"sec","pipelines":${obj(pipeResults)},"shuffle_partitions":$shufflePartitions,"sf":"$sfDir"}""")
     spark.stop()
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"failed":$failedJson,"sf":"$sfDir"}""")
   }

@@ -93,6 +93,35 @@ object ScaleProbe {
 
     val base = run(src)
     val scaled = run(dst)
+
+    // PRODUCTION-SHAPE incremental dedup (VERDICT r7 #7): the round-7
+    // table row grew BOTH sides 10×; the daily-crawl shape is landed
+    // 10×, batch 1×. The batch is the declared query's planted mix
+    // built from the BASE corpus both times — only the landed side
+    // changes — so the growth figure isolates the landed-side index.
+    // ~O(batch) expected: the landed 100 TB reduces to distinct hashes
+    // + a frequency-capped posting-list index before anything joins.
+    {
+      import org.apache.spark.sql.functions._
+      def batchFrom(d: DataFrame) = d.select(
+        (col("doc_id") + 500000).as("doc_id"),
+        when(col("doc_id") % 5 === 0,
+             concat(lit("zz1 zz2 zz3 "), col("text")))
+          .when(col("doc_id") % 5 === 1, col("text"))
+          .otherwise(concat_ws(" ", reverse(split(col("text"), " "))))
+          .as("text"))
+      val batch = batchFrom(Tables.documents(spark, src))
+      def incr(landedDir: String): Double = {
+        val landed = Tables.documents(spark, landedDir)
+        val ts = Seq.fill(2)(timed(exec(
+          graft.dedup.Dedup.dropDuplicatesAgainst(batch, landed)
+            .select(col("doc_id")))))
+        ts.map(math.abs).min
+      }
+      val b = incr(src)
+      val s = incr(dst)
+      println(f"""{"probe":"incremental_realistic","batch":"1x($src)","landed_base_sec":$b%.3f,"landed_10x_sec":$s%.3f,"growth":${s / b}%.3f}""")
+    }
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_content_filters"         -> Corpus.contentFilters _,
     "q_pii_redact"              -> Corpus.piiRedact _,
     "q_curation"                -> Corpus.curationRun _,
+    "q_curation_gated"          -> Corpus.curationGated _,
     "q_funnel"                  -> Corpus.curationFunnel _,
     "q_training_data"           -> Corpus.trainingData _,
     "q_decontamination"         -> Corpus.decontamination _,
@@ -168,7 +169,9 @@ object SparkEntry {
     baseOracleSql +
       ("q_funnel" -> funnelOracle(baseOracleSql("q_curation"))) +
       ("q_training_data" ->
-        trainingDataOracle(baseOracleSql("q_curation")))
+        trainingDataOracle(baseOracleSql("q_curation"))) +
+      ("q_curation_gated" ->
+        gatedCurationOracle(baseOracleSql("q_curation")))
 
   /** `q_funnel`'s oracle reuses `q_curation`'s CTE block verbatim
     * (single source of truth — the two must stay stage-for-stage
@@ -221,6 +224,52 @@ object SparkEntry {
                   0) + greatest(n_tokens, 1) - 1) // 2048)::BIGINT
                   AS chunk_end
          FROM tt ORDER BY doc_id"""
+  }
+
+  /** `q_curation_gated`'s oracle is `q_curation`'s CTE block with
+    * three anchored edits (same single-source idiom as
+    * [[funnelOracle]]): (1) the source table becomes `d0`, the corpus
+    * with every 7th doc's text duplicated as a second line; (2) the
+    * token CTE folds the planted newline into a separator exactly as
+    * `Text.tokenize` does (and drops empty tokens — identical on this
+    * corpus); (3) the survivor CTE `f` additionally requires the
+    * duplicate-line fraction (trimmed, blank-exempt lines — the
+    * `Text.docLines` spelling) to pass the 0.4 gate. */
+  private def gatedCurationOracle(curation: String): String = {
+    val srcT = "t AS (SELECT doc_id, text, string_split(text, ' ') AS toks\n" +
+      "               FROM documents),"
+    val gatedT =
+      """d0 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || text
+                       ELSE text END AS text
+                FROM documents),
+         gl AS (SELECT doc_id,
+                  CASE WHEN len(lines) = 0 THEN 0.0
+                       ELSE CAST(len(lines) - len(list_distinct(lines))
+                                 AS DOUBLE) / len(lines) END AS dup_frac
+                FROM (SELECT doc_id,
+                        list_filter(list_transform(
+                          string_split(text, chr(10)), l -> trim(l)),
+                          l -> l <> '') AS lines
+                      FROM d0) lf),
+         t AS (SELECT doc_id, text,
+                 list_filter(string_split(replace(text, chr(10), ' '), ' '),
+                             x -> x <> '') AS toks
+               FROM d0),"""
+    val srcJoin = "FROM t JOIN l USING (doc_id) JOIN qs USING (doc_id)"
+    val srcUrl = "AND len(regexp_extract_all(t.text,\n" +
+      "                       'https?://[^\\s]+')) <= 10),"
+    val gatedUrl = "AND len(regexp_extract_all(t.text,\n" +
+      "                       'https?://[^\\s]+')) <= 10\n" +
+      "                 AND gl.dup_frac <= 0.4),"
+    for (anchor <- Seq(srcT, srcJoin, srcUrl))
+      require(curation.contains(anchor),
+        s"q_curation SQL no longer contains the gated splice anchor " +
+        s"'${anchor.take(60)}…' — update gatedCurationOracle alongside it")
+    curation
+      .replace(srcT, gatedT)
+      .replace(srcJoin, srcJoin + " JOIN gl USING (doc_id)")
+      .replace(srcUrl, gatedUrl)
   }
 
   private lazy val baseOracleSql: Map[String, String] = Map(

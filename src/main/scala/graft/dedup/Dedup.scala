@@ -592,9 +592,7 @@ object Dedup {
     val spark = docs.sparkSession
     val key: Column => Column =
       if (byHash) (c: Column) => xxhash64(c) else identity
-    // removal set: non-blank lines occurring >= minCount corpus-wide —
-    // consumed twice (size probe, then broadcast or join), so the tiny
-    // post-filter frame is checkpointed and the explode+count runs once
+    // removal set: non-blank lines occurring >= minCount corpus-wide
     val removal = docs
       .select(explode(split(col(textCol), "\n")).as("__line"))
       .filter(trim(col("__line")) =!= "")
@@ -602,14 +600,23 @@ object Dedup {
       .agg(count(lit(1)).as("__cnt"), min(col("__line")).as("__line"))
       .filter(col("__cnt") >= lit(minCount))
       .select(col("__k"), col("__line"))
-      .localCheckpoint(false)
-    if (removal.count() <= broadcastKeyLimit) {
+    // size probe and collection are ONE job: take limit+1 rows — if
+    // they all arrived, that IS the removal set (no separate count
+    // pass); if not, fall back to the join form (which recomputes the
+    // count aggregate — the over-limit case is the 100-TB-boilerplate
+    // shape where a second pass is the cost of not collecting it)
+    val probeLimit = math.min(broadcastKeyLimit, Int.MaxValue - 1L).toInt
+    val probe =
+      if (probeLimit > 0)
+        removal.select(col("__line")).limit(probeLimit + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (probeLimit > 0 && probe.length <= probeLimit) {
       // FAST PATH: broadcast the removal strings; rebuild every doc in
       // one map pass. One narrow shuffle total (the count), zero over
       // the corpus. A single UDF call per document — not a HOF chain —
       // so lines split exactly once per row.
       val bc = spark.sparkContext.broadcast(
-        removal.select(col("__line")).collect().map(_.getString(0)).toSet)
+        probe.map(_.getString(0)).toSet)
       val rebuild = udf { text: String =>
         // -1 limit: keep trailing empty lines, matching SQL split()
         val all = text.split("\n", -1)

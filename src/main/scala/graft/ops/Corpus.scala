@@ -710,8 +710,13 @@ object Corpus {
     * rebuilt in order ([[Dedup.dedupLines]]). The hash gate covers the
     * full reconstructed text byte-for-byte. */
   def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    // lazy localCheckpoint: dedupLines makes two passes (removal count,
+    // rebuild) and the reflow transform is the expensive part of this
+    // query's input — one materialized copy instead of two evaluations
+    // (LineProbe r8: 0.64 s → 0.34 s for the dedup on top)
     val lined = linedDocs(spark, dir,
       boilerplate = Some(LineDedupBoilerplate))
+      .localCheckpoint(false)
     Dedup.dedupLines(lined, minCount = 3L)
       .orderBy(col("doc_id"))
   }
@@ -729,6 +734,27 @@ object Corpus {
     graft.pipelines.Curation.curate(docs(spark, dir))
       .select(col("doc_id"), col("detected"), col("quality"))
       .orderBy(col("doc_id"))
+
+  /** The GATED curation pipeline as a declared query (VERDICT r7 #8):
+    * every 7th doc is planted as a LOOPING document (its whole text
+    * duplicated as a second line), and [[graft.pipelines.Curation]]
+    * runs with the round-7 repetition gate ON (`maxDupLineFrac = 0.4`;
+    * planted docs score exactly 0.5, clean docs 0.0) — so the hash
+    * gate covers the composed curate path WITH the gate planned, not
+    * just the gate kernel in isolation. The oracle replays the same
+    * planting and the same dup-line-fraction filter; its token CTE
+    * folds the planted newline into a separator exactly as
+    * [[graft.text.Text.tokenize]] does. */
+  def curationGated(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).withColumn("text",
+      when(col("doc_id") % 7 === 0,
+           concat(col("text"), lit("\n"), col("text")))
+        .otherwise(col("text")))
+    graft.pipelines.Curation
+      .curate(planted, graft.pipelines.Curation.Config(maxDupLineFrac = 0.4))
+      .select(col("doc_id"), col("detected"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
 
   /** The curation FUNNEL REPORT as a declared query: one row with the
     * per-stage survivor counts, computed by the single-aggregate fold

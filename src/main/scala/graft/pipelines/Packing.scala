@@ -71,8 +71,16 @@ object Packing {
     require(budget > 0, "budget must be positive")
     val spark = docs.sparkSession
     val input = if (ownInput) docs.localCheckpoint(false) else docs
+    // bucket count tracks the INPUT's partition count, not the core
+    // count: buckets bound the per-bucket window sort (so they must
+    // grow with the data — 4 per input split keeps each well under a
+    // split's row count), while each extra bucket adds a branch to the
+    // quantile boundary chain (pure plan/codegen overhead — 256
+    // buckets over a 5k-row sf0.1 input was most of q_pack_chunks'
+    // wall, ConfigProbe r8). At cluster scale a 100 TB input has
+    // thousands of splits and gets thousands of buckets, as before.
     val nBkt = if (buckets > 0) buckets
-               else spark.sparkContext.defaultParallelism * 8
+               else math.max(8, input.rdd.getNumPartitions * 4)
     val probes = (1 until nBkt).map(_.toDouble / nBkt).toArray
     val bounds =
       if (probes.isEmpty) Array.empty[Double]
