@@ -88,8 +88,21 @@ object Segmentation {
       .join(ra, col("userA") === col("uA"))
       .join(rb, col("userB") === col("uB") && col("mA") === col("mB"))
       .groupBy(col("userA"), col("userB"))
-      .agg(corr(col("ratingA"), col("ratingB")).as("correlation"))
-      .filter(col("correlation").isNotNull)
+      // Pearson spelled as covar/(sa*sb) with try_divide, NOT the
+      // builtin corr: under ANSI mode (Spark 4 default) corr's final
+      // division THROWS on a zero-variance side — e.g. a twin who
+      // rated every common movie 5.0 — killing the whole job; the
+      // reference's pandas corr yields NaN there (ReproductionSpec
+      // surfaced this). Identical values where defined (the n−1
+      // factors cancel); degenerate pairs become NULL and are
+      // filtered, matching the reference's dropna.
+      .agg(covar_samp(col("ratingA"), col("ratingB")).as("__cov"),
+           stddev_samp(col("ratingA")).as("__sa"),
+           stddev_samp(col("ratingB")).as("__sb"))
+      .select(col("userA"), col("userB"),
+              try_divide(col("__cov"), col("__sa") * col("__sb"))
+                .as("correlation"))
+      .filter(col("correlation").isNotNull && !isnan(col("correlation")))
   }
 
   /** The 100-TB twins formulation: same banding semantics as

@@ -77,18 +77,28 @@ object SyntheticRatings {
     val withMovie = exploded.withColumn("movieId",
       when(col("casual"), col("c") + lit(clusters) * col("i"))
         .otherwise(when(r1 < 0.7, homePick).otherwise(globalPick)))
-    // rating: base + popularity bias (low ids better) + cluster
-    // affinity + user bias + per-(u,m) noise, clamped to the
-    // MovieLens 0.5..5.0 half-star grid. Noise keys on (userId,
-    // movieId) ONLY, so a duplicate draw of the same pair carries an
-    // identical rating and distinct() is exact dedup, not a choice.
-    val bM = lit(0.75) - lit(1.5) * col("movieId").cast("double") / nMovies
-    val affinity = when(col("movieId") % clusters === col("c"), lit(0.8))
-      .otherwise(lit(-0.2))
+    // rating: base + a SMALL global movie bias + a per-(CLUSTER,
+    // movie) preference + user bias + per-(u,m) noise, clamped to the
+    // MovieLens 0.5..5.0 half-star grid. The variance budget is what
+    // reproduces the reference's correlation structure (PDF p.3,
+    // twins 0.1041 vs random 0.0409 — both LOW but ordered): the only
+    // rating component two users SHARE over common movies is the
+    // movie bias (small → random-pair corr near 0) plus, for
+    // same-cluster pairs like twins, the cluster preference (moderate
+    // → twin corr positive); per-(u,m) noise dominates both. ALS can
+    // learn the rank-C preference table; a popularity ranker cannot —
+    // the NDCG gap. Noise keys on (userId, movieId) ONLY, so a
+    // duplicate draw of the same pair carries an identical rating and
+    // distinct() is exact dedup, not a choice.
+    val bM = lit(0.15) - lit(0.3) * col("movieId").cast("double") / nMovies
+    val pref = (unif(col("movieId"), col("c"), lit(seed), lit(23)) - 0.5) * 1.4
     val uBias = (unif(col("userId"), lit(seed), lit(7)) - 0.5) * 0.6
     val noise = (unif(col("userId"), col("movieId"), lit(seed), lit(11))
-                 - 0.5) * 0.8
-    val raw = lit(3.2) + bM + affinity + uBias + noise
+                 - 0.5) * 1.0
+    // base keeps the whole raw range inside (0.5, 5.0) — saturation
+    // would hand casual users constant 5.0 rows (zero rating
+    // variance, degenerate twin correlations)
+    val raw = lit(3.2) + bM + pref + uBias + noise
     withMovie
       .withColumn("rating",
         least(lit(5.0), greatest(lit(0.5),
