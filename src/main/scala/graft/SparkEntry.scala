@@ -61,6 +61,7 @@ object SparkEntry {
     "q_session_window"          -> Corpus.sessionWindow _,
     "q_multimodal_meta"         -> Corpus.multimodalMeta _,
     "q_image_decode"            -> Corpus.imageDecode _,
+    "q_audio_decode"            -> Corpus.audioDecode _,
     "q_asof_join"               -> Corpus.asofJoin _,
     "q_range_join"              -> Corpus.rangeJoinFollowers _,
     "q_tfidf_topterms"          -> ((s, d) => Corpus.tfidfTopTerms(s, d)),
@@ -1256,6 +1257,21 @@ object SparkEntry {
                 CAST(CASE range % 3 WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 1 END
                      AS BIGINT) AS channels,
                 'png' AS format,
+                CAST(1 AS BIGINT) AS ok
+         FROM range(64) ORDER BY asset_id""",
+    // Real javax.sound.sampled WAV header decode vs closed-form shape
+    // facts (see Corpus.audioDecode). duration_ms = trunc(frames *
+    // 1000 / rate) — exact in double for these magnitudes.
+    "q_audio_decode" ->
+      """SELECT range AS asset_id,
+                CAST(CASE range % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     ELSE 44100 END AS BIGINT) AS sample_rate_hz,
+                1 + (range % 2) AS channels,
+                100 + (range % 400) AS frames,
+                CAST(floor((100 + (range % 400)) * 1000.0 /
+                     (CASE range % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                      ELSE 44100 END)) AS BIGINT) AS duration_ms,
+                'wave' AS format,
                 CAST(1 AS BIGINT) AS ok
          FROM range(64) ORDER BY asset_id""",
   )

@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * columns, content hashing/sizing, partitioning strategy, per-stage
   * column contracts, determinism. IMAGE DECODE IS REAL: [[decodeImages]]
   * runs the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF, zero external
-  * deps) through the [[MediaKernel]] seam — see [[ImageIo]]. The
+  * deps) through the [[MediaKernel]] seam — see [[ImageIo]]. AUDIO
+  * METADATA DECODE IS REAL: [[decodeAudio]] runs `javax.sound.sampled`
+  * (WAV/AIFF/AU headers) through the same seam — see [[AudioIo]]. The
   * REMAINING CODEC KERNELS ARE STUBS — this container ships no
-  * audio/video libraries or model runtime, so `featureExtractStub`
+  * compressed-codec/video libraries or model runtime, so `featureExtractStub`
   * (model inference) and `frameSampleStub` (video demux) derive
   * deterministic fake values from the content bytes, and
   * `decodeImageStub` stays as the hash-derived codegen'd expression
@@ -166,6 +168,38 @@ object Multimodal {
               col("_2.width").as("width"), col("_2.height").as("height"),
               col("_2.channels").as("channels"),
               col("_2.format").as("format"), col("_2.ok").as("ok"))
+  }
+
+  /** REAL audio metadata decode: `javax.sound.sampled` (WAV/AIFF/AU)
+    * over the same [[MediaKernel]] seam — header facts only (sample
+    * rate, channels, frames, duration), the PCM stream is never read,
+    * so a multi-GB asset costs a header parse. `ok = false` rows are
+    * quarantined corrupt bytes, as in [[decodeImages]]. Gated by
+    * `q_audio_decode` (closed-form oracle) + AudioIoSpec. */
+  def decodeAudio(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    MediaKernel.runKernel(assets, AudioIo.decoderFactory, batchSize)
+      .select(col("_1").as("asset_id"),
+              col("_2.sampleRateHz").as("sample_rate_hz"),
+              col("_2.channels").as("channels"),
+              col("_2.frames").as("frames"),
+              col("_2.durationMs").as("duration_ms"),
+              col("_2.format").as("format"), col("_2.ok").as("ok"))
+  }
+
+  /** Deterministic REAL-audio asset table: `n` 16-bit PCM WAVs encoded
+    * by [[AudioIo.encodeWav]] on the executors; shape facts are pure
+    * functions of the id (same design as [[syntheticImageAssets]]). */
+  def syntheticAudioAssets(spark: org.apache.spark.sql.SparkSession,
+                           n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val frames = 100 + (id % 400).toInt
+      val rate = Seq(8000, 16000, 44100)((id % 3).toInt)
+      val channels = 1 + (id % 2).toInt
+      (id, "audio", AudioIo.encodeWav(frames, rate, channels, seed = id * 6007L))
+    }.toDF("asset_id", "modality", "content")
   }
 
   /** Deterministic REAL-image asset table: `n` PNGs (mix of RGB, ARGB,

@@ -224,6 +224,23 @@ object Corpus {
               col("ok").cast("long").as("ok"))
       .orderBy(col("asset_id"))
 
+  /** REAL audio decode, oracle-gated end to end (the audio twin of
+    * [[imageDecode]]): Spark encodes 64 deterministic 16-bit PCM WAVs
+    * on the executors and decodes their headers with the real
+    * `javax.sound.sampled` kernel; the oracle computes the same shape
+    * facts (rate/channels/frames/duration) in closed form. */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.decodeAudio(
+      graft.multimodal.Multimodal.syntheticAudioAssets(spark, 64))
+      .select(col("asset_id"),
+              col("sample_rate_hz").cast("long").as("sample_rate_hz"),
+              col("channels").cast("long").as("channels"),
+              col("frames").cast("long").as("frames"),
+              col("duration_ms").cast("long").as("duration_ms"),
+              col("format"),
+              col("ok").cast("long").as("ok"))
+      .orderBy(col("asset_id"))
+
   /** Per-document heuristic language ID (graft.text stopword profiles;
     * the oracle inlines the same lists — with a shared denominator the
     * ratio argmax reduces to integer hit-count comparisons, so the SQL
