@@ -75,6 +75,7 @@ object SparkEntry {
     "q_decontamination_bloom"   -> Corpus.decontaminationBloom _,
     "q_dedup_weights"           -> Corpus.dedupWeights _,
     "q_incremental_dedup"       -> Corpus.incrementalDedup _,
+    "q_incremental_dedup_index" -> Corpus.incrementalDedupIndex _,
     "q_lm_score"                -> Corpus.lmScore _,
     "q_select_top_quality"      -> Corpus.selectTopQuality _,
     "q_auc"                     -> Corpus.aucLength _,
@@ -172,7 +173,11 @@ object SparkEntry {
       ("q_training_data" ->
         trainingDataOracle(baseOracleSql("q_curation"))) +
       ("q_curation_gated" ->
-        gatedCurationOracle(baseOracleSql("q_curation")))
+        gatedCurationOracle(baseOracleSql("q_curation"))) +
+      // the index-served path must be byte-identical to the rescan
+      // path, so it shares q_incremental_dedup's oracle verbatim
+      ("q_incremental_dedup_index" ->
+        baseOracleSql("q_incremental_dedup"))
 
   /** `q_funnel`'s oracle reuses `q_curation`'s CTE block verbatim
     * (single source of truth — the two must stay stage-for-stage

@@ -179,7 +179,19 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("n_sh"))).as("ds"))
       .filter(size(col("ds")).between(2, maxShingleFreq))
 
-  private def finishJaccard(counted: DataFrame,
+  /** (id, n_sh, shingle) stream of a corpus side: each doc's distinct
+    * k-shingle set size plus one row per shingle — the shared input
+    * shape of the cross-corpus candidate machinery and the persistent
+    * [[DedupIndex]]. */
+  private[dedup] def shingleSides(df: DataFrame, textCol: String,
+                                  idCol: String, k: Int): DataFrame = df
+    .select(col(idCol).as("id"),
+            Text.wordShingles(col(textCol), k).as("sh"))
+    .filter(size(col("sh")) > 0)
+    .select(col("id"), size(col("sh")).as("n_sh"),
+            explode(col("sh")).as("shingle"))
+
+  private[dedup] def finishJaccard(counted: DataFrame,
                             minJaccard: Double): DataFrame =
     counted
       .withColumn("jaccard",
@@ -387,12 +399,7 @@ object Dedup {
                              idCol: String = "doc_id", k: Int = 5,
                              minJaccard: Double = 0.5,
                              maxShingleFreq: Long = 1000L): DataFrame = {
-    def sides(df: DataFrame) = df
-      .select(col(idCol).as("id"),
-              Text.wordShingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), size(col("sh")).as("n_sh"),
-              explode(col("sh")).as("shingle"))
+    def sides(df: DataFrame) = shingleSides(df, textCol, idCol, k)
     val es = sides(existing)
     // hot-shingle prefilter BEFORE collecting posting lists: filtering
     // on size(collect_list(…)) only after the list exists would grow

@@ -1,0 +1,133 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTENT incremental-dedup index — the materialized form of the
+  * existing-corpus side of [[Dedup.dropDuplicatesAgainst]], promised
+  * by that operator's scaladoc ("a real deployment materializes this
+  * pruned index once and appends to it"). A continuously-growing
+  * corpus builds the index ONCE, appends each landed batch, and every
+  * arriving batch dedups against the index without touching the
+  * corpus again: the 100 TB never rescans; the index is
+  * hashes + pruned posting lists (content-bounded, heavily smaller).
+  *
+  * Layout under `path` (plain parquet; a deployment buckets
+  * `postings` by shingle for co-located candidate joins):
+  *  - `hashes/`    distinct sha-256 of every landed text
+  *  - `postings/`  (shingle, id, n_sh) with write-time-hot shingles
+  *                 excluded
+  *  - `hot/`       shingles whose document frequency exceeded
+  *                 `maxShingleFreq` at write time (never indexed;
+  *                 appends are anti-joined against this so a hot
+  *                 shingle cannot re-enter)
+  *  - `meta/`      one row (k, max_shingle_freq) — append and query
+  *                 read the parameters here, so a mismatched `k`
+  *                 cannot silently corrupt semantics
+  *
+  * ==Exact parity with the batch path==
+  * [[dropDuplicatesAgainstIndex]] returns byte-identical survivors to
+  * `dropDuplicatesAgainst(batch, allLandedSoFar)` (spec-pinned). The
+  * subtle case is the hot cap under appends, and it works because
+  * document frequency is MONOTONE: a shingle hot at write time stays
+  * hot forever (both paths exclude it — here it has no postings at
+  * all); a shingle that becomes hot only through appends was never
+  * dropped, so its stored df is its true df and the query-time
+  * recount excludes it exactly when the batch path would.
+  *
+  * ==Scale notes==
+  * `build` scans the corpus (twice: hot set, then postings — the
+  * one-time price the per-batch path paid on EVERY batch); `append`
+  * and `dropDuplicatesAgainstIndex` scan only the batch and the
+  * index. Query-time work: one narrow recount over the index, one
+  * hash anti-join, one shingle-keyed candidate join. */
+object DedupIndex {
+
+  def build(existing: DataFrame, path: String,
+            textCol: String = "text", idCol: String = "doc_id",
+            k: Int = 5, maxShingleFreq: Long = 1000L): Unit = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    Seq((k, maxShingleFreq)).toDF("k", "max_shingle_freq")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    existing.select(sha2(col(textCol), 256).as("hash")).distinct()
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    val es = Dedup.shingleSides(existing, textCol, idCol, k)
+    es.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleFreq)
+      .select(col("shingle"))
+      .write.mode("overwrite").parquet(s"$path/hot")
+    // read the hot set back from disk so this plan scans the written
+    // files instead of re-running the frequency aggregate
+    es.join(spark.read.parquet(s"$path/hot"), Seq("shingle"), "left_anti")
+      .select(col("shingle"), col("id"), col("n_sh"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** Land a new batch into the index (hashes + postings appended; the
+    * stored hot set keeps write-time-hot shingles out). Call AFTER
+    * dedup-filtering the batch — the index stores what was kept. */
+  def append(batch: DataFrame, path: String,
+             textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val spark = batch.sparkSession
+    val (k, _) = readMeta(spark, path)
+    batch.select(sha2(col(textCol), 256).as("hash")).distinct()
+      .write.mode("append").parquet(s"$path/hashes")
+    Dedup.shingleSides(batch, textCol, idCol, k)
+      .join(spark.read.parquet(s"$path/hot"), Seq("shingle"), "left_anti")
+      .select(col("shingle"), col("id"), col("n_sh"))
+      .write.mode("append").parquet(s"$path/postings")
+  }
+
+  /** [[Dedup.dropDuplicatesAgainst]] with the existing side served
+    * entirely from the index: exact copies (hash anti-join) and
+    * near-duplicates (k-gram Jaccard ≥ `minJaccard` against the
+    * posting lists) of anything landed are dropped from `newDocs`.
+    * The landed corpus itself is never read. */
+  def dropDuplicatesAgainstIndex(newDocs: DataFrame, path: String,
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id",
+                                 minJaccard: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (k, maxShingleFreq) = readMeta(spark, path)
+    val seen = spark.read.parquet(s"$path/hashes")
+    val afterExact = newDocs
+      .withColumn("__h", sha2(col(textCol), 256))
+      .join(seen, col("__h") === col("hash"), "left_anti")
+      .drop("__h")
+      // consumed twice (candidate probe + final anti-join) across the
+      // query's single action — but the probe side feeds a groupBy
+      // whose exchange cannot be reused for the anti-join, so the
+      // checkpoint holds the batch at one hash-scan (the same contract
+      // as dropDuplicatesAgainst's own checkpoint)
+      .localCheckpoint(false)
+    val postings = spark.read.parquet(s"$path/postings")
+    // appends may have pushed a shingle past the cap since write time;
+    // stored df is true df for never-hot shingles (monotonicity note
+    // in the header), so this recount is exact
+    val hotNow = postings.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleFreq)
+      .select(col("shingle"))
+    val lists = postings
+      .join(hotNow, Seq("shingle"), "left_anti")
+      .groupBy(col("shingle"))
+      .agg(collect_list(struct(col("id"), col("n_sh"))).as("ds"))
+    val candidates = Dedup.shingleSides(afterExact, textCol, idCol, k)
+      .withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")
+      .join(lists, Seq("shingle"))
+      .select(col("id_a"), col("n_a"), explode(col("ds")).as("b"))
+      .groupBy(col("id_a"), col("b.id").as("id_b"),
+               col("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val nearHits = Dedup.finishJaccard(candidates, minJaccard)
+      .select(col("id_a").as(idCol)).distinct()
+    afterExact.join(nearHits, Seq(idCol), "left_anti")
+  }
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Long) = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    (m.getAs[Int]("k"), m.getAs[Long]("max_shingle_freq"))
+  }
+}
