@@ -62,6 +62,7 @@ object SparkEntry {
     "q_multimodal_meta"         -> Corpus.multimodalMeta _,
     "q_image_decode"            -> Corpus.imageDecode _,
     "q_audio_decode"            -> Corpus.audioDecode _,
+    "q_video_decode"            -> Corpus.videoDecode _,
     "q_asof_join"               -> Corpus.asofJoin _,
     "q_range_join"              -> Corpus.rangeJoinFollowers _,
     "q_tfidf_topterms"          -> ((s, d) => Corpus.tfidfTopTerms(s, d)),
@@ -1279,5 +1280,52 @@ object SparkEntry {
                 'wave' AS format,
                 CAST(1 AS BIGINT) AS ok
          FROM range(64) ORDER BY asset_id""",
+    // video demux twin: every fact of the Y4M streams Spark encodes —
+    // header facts, sampled-frame payload offsets (header length +
+    // FRAME markers + colorspace-sized payloads), and each sampled
+    // frame's exact luma-plane byte sum from the generator's linear
+    // pixel formula — recomputed in closed form from the asset id
+    "q_video_decode" ->
+      """WITH p AS (
+           SELECT range AS id,
+             CASE WHEN range % 2 = 1 THEN 3 + range % 8
+                  ELSE 2 * (1 + range % 4) END AS w,
+             CASE WHEN range % 2 = 1 THEN 2 + range % 5
+                  ELSE 2 * (1 + range % 3) END AS h,
+             CASE range % 3 WHEN 0 THEN 25 WHEN 1 THEN 30
+                  ELSE 30000 END AS fn,
+             CASE range % 3 WHEN 2 THEN 1001 ELSE 1 END AS fd,
+             3 + range % 8 AS nf,
+             CASE WHEN range % 2 = 1 THEN 'mono'
+                  ELSE '420jpeg' END AS cs
+           FROM range(64)),
+         g AS (
+           SELECT *,
+             length('YUV4MPEG2 W' || w || ' H' || h || ' F' || fn || ':'
+                    || fd || ' Ip A1:1 C' || cs) + 1 AS hlen,
+             CASE WHEN cs = 'mono' THEN w * h
+                  ELSE w * h + 2 * ((w // 2) * (h // 2)) END AS fsize
+           FROM p),
+         f AS (
+           SELECT g.*, fi
+           FROM g, LATERAL (SELECT unnest(list_slice(
+                    generate_series(0, nf - 1, 2), 1, 4)) AS fi)),
+         l AS (
+           SELECT f.id, f.fi,
+                  sum((7 * f.id + 13 * f.fi + 3 * x.x + 5 * y.y) % 256)
+                    AS luma_sum
+           FROM f,
+                LATERAL (SELECT unnest(generate_series(0, f.w - 1)) AS x) x,
+                LATERAL (SELECT unnest(generate_series(0, f.h - 1)) AS y) y
+           GROUP BY 1, 2)
+         SELECT f.id AS asset_id, f.w AS width, f.h AS height,
+                f.fn AS fps_num, f.fd AS fps_den, f.cs AS colorspace,
+                f.nf AS n_frames,
+                (f.nf * 1000 * f.fd) // f.fn AS duration_ms,
+                CAST(1 AS BIGINT) AS ok, f.fi AS frame_idx,
+                f.hlen + f.fi * (6 + f.fsize) + 6 AS byte_off,
+                l.luma_sum
+         FROM f JOIN l ON f.id = l.id AND f.fi = l.fi
+         ORDER BY asset_id, frame_idx""",
   )
 }

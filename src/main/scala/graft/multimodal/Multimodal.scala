@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * runs the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF, zero external
   * deps) through the [[MediaKernel]] seam — see [[ImageIo]]. AUDIO
   * METADATA DECODE IS REAL: [[decodeAudio]] runs `javax.sound.sampled`
-  * (WAV/AIFF/AU headers) through the same seam — see [[AudioIo]]. The
-  * REMAINING CODEC KERNELS ARE STUBS — this container ships no
-  * compressed-codec/video libraries or model runtime, so `featureExtractStub`
-  * (model inference) and `frameSampleStub` (video demux) derive
-  * deterministic fake values from the content bytes, and
+  * (WAV/AIFF/AU headers) through the same seam — see [[AudioIo]].
+  * VIDEO DEMUX IS REAL: [[decodeVideos]]/[[sampleVideoFrames]] walk
+  * genuine YUV4MPEG2 frame boundaries and read real luma planes — see
+  * [[VideoIo]]. The REMAINING KERNELS ARE STUBS — this container
+  * ships no compressed codecs (H.264/VP9/MP3) or model runtime, so
+  * `featureExtractStub` (model inference) derives deterministic fake
+  * values from the content bytes, `frameSampleStub` remains the
+  * Spark-side frame-index plan for compressed containers, and
   * `decodeImageStub` stays as the hash-derived codegen'd expression
   * form for plans over non-image binaries. A production deployment
   * swaps each remaining stub for a real kernel with the SAME column
@@ -186,6 +189,63 @@ object Multimodal {
               col("_2.frames").as("frames"),
               col("_2.durationMs").as("duration_ms"),
               col("_2.format").as("format"), col("_2.ok").as("ok"))
+  }
+
+  /** REAL video demux: YUV4MPEG2 over the same [[MediaKernel]] seam —
+    * stream facts (dims, fps ratio, colorspace, frame count, duration)
+    * from a single-pass walk of genuine frame boundaries. `ok = false`
+    * rows are quarantined corrupt/truncated bytes, as in
+    * [[decodeImages]]. Gated by `q_video_decode` (closed-form oracle)
+    * + VideoIoSpec. */
+  def decodeVideos(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    MediaKernel.runKernel(assets, VideoIo.decoderFactory, batchSize)
+      .select(col("_1").as("asset_id"),
+              col("_2.width").as("width"), col("_2.height").as("height"),
+              col("_2.fpsNum").as("fps_num"), col("_2.fpsDen").as("fps_den"),
+              col("_2.colorspace").as("colorspace"),
+              col("_2.nFrames").as("n_frames"),
+              col("_2.durationMs").as("duration_ms"),
+              col("_2.ok").as("ok"))
+  }
+
+  /** REAL frame sampling: every `everyNth`-th frame (≤ `maxFrames`),
+    * each sampled frame's payload offset and exact luma-plane byte sum
+    * read from the REAL bytes — one output row per sampled frame.
+    * Corrupt assets vanish from the output (their frame list is
+    * empty); quarantine on [[decodeVideos]]'s `ok` instead. */
+  def sampleVideoFrames(assets: DataFrame, everyNth: Int = 2,
+                        maxFrames: Int = 4,
+                        batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    MediaKernel.runKernel(
+        assets, VideoIo.samplerFactory(everyNth, maxFrames), batchSize)
+      .select(col("_1").as("asset_id"), explode(col("_2")).as("f"))
+      .select(col("asset_id"),
+              col("f.frameIdx").as("frame_idx"),
+              col("f.byteOff").as("byte_off"),
+              col("f.lumaSum").as("luma_sum"))
+  }
+
+  /** Deterministic REAL-video asset table: `n` Y4M streams encoded by
+    * [[VideoIo.encodeY4m]] on the executors — odd ids mono (odd dims
+    * allowed), even ids 420jpeg (even dims), fps cycling 25/30/NTSC
+    * 30000:1001; all facts pure functions of the id. */
+  def syntheticVideoAssets(spark: org.apache.spark.sql.SparkSession,
+                           n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val mono = id % 2 == 1
+      val w = if (mono) 3 + (id % 8).toInt else 2 * (1 + (id % 4).toInt)
+      val h = if (mono) 2 + (id % 5).toInt else 2 * (1 + (id % 3).toInt)
+      val (fn, fd) = Seq((25, 1), (30, 1), (30000, 1001))((id % 3).toInt)
+      val frames = 3 + (id % 8).toInt
+      (id, "video",
+       VideoIo.encodeY4m(w, h, fn, fd, frames, seed = id,
+                         colorspace = if (mono) "mono" else "420jpeg"))
+    }.toDF("asset_id", "modality", "content")
   }
 
   /** Deterministic REAL-audio asset table: `n` 16-bit PCM WAVs encoded

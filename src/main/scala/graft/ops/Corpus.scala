@@ -241,6 +241,34 @@ object Corpus {
               col("ok").cast("long").as("ok"))
       .orderBy(col("asset_id"))
 
+  /** REAL video demux + frame sampling, oracle-gated end to end (the
+    * video twin of [[imageDecode]]/[[audioDecode]]): Spark encodes 64
+    * deterministic Y4M streams on the executors, demuxes them with the
+    * real [[graft.multimodal.VideoIo]] kernel, and samples every 2nd
+    * frame (≤ 4) reading the REAL luma planes. The oracle recomputes
+    * every fact in closed form — including each sampled frame's byte
+    * offset and exact luma-plane sum, which only come out right if the
+    * kernel walked genuine frame boundaries in the genuine bytes. */
+  def videoDecode(spark: SparkSession, dir: String): DataFrame = {
+    val assets = graft.multimodal.Multimodal.syntheticVideoAssets(spark, 64)
+    val meta = graft.multimodal.Multimodal.decodeVideos(assets)
+    val frames = graft.multimodal.Multimodal.sampleVideoFrames(assets)
+    meta.join(frames, Seq("asset_id"))
+      .select(col("asset_id"),
+              col("width").cast("long").as("width"),
+              col("height").cast("long").as("height"),
+              col("fps_num").cast("long").as("fps_num"),
+              col("fps_den").cast("long").as("fps_den"),
+              col("colorspace"),
+              col("n_frames").cast("long").as("n_frames"),
+              col("duration_ms").cast("long").as("duration_ms"),
+              col("ok").cast("long").as("ok"),
+              col("frame_idx").cast("long").as("frame_idx"),
+              col("byte_off").cast("long").as("byte_off"),
+              col("luma_sum").cast("long").as("luma_sum"))
+      .orderBy(col("asset_id"), col("frame_idx"))
+  }
+
   /** Per-document heuristic language ID (graft.text stopword profiles;
     * the oracle inlines the same lists — with a shared denominator the
     * ratio argmax reduces to integer hit-count comparisons, so the SQL
