@@ -96,6 +96,9 @@ object Bench {
           exec(graft.dedup.Dedup.minhashNearDuplicates(docsDf))),
         "pipeline_dedup_simhash" -> (() =>
           exec(graft.dedup.Dedup.simhashNearDuplicates(docsDf))),
+        "pipeline_dedup_phash" -> (() =>
+          exec(graft.dedup.Dedup.phashNearDuplicates(
+            graft.multimodal.Multimodal.syntheticImageAssets(spark, 256)))),
         "pipeline_dedup_embedding" -> (() =>
           exec(graft.dedup.Dedup.embeddingNearDuplicates(
             Tables.embeddings(spark, sfDir), minCosine = 0.99))),

@@ -91,6 +91,7 @@ object SparkEntry {
     // covered by the ScalaTest golden/property suites.
     "q_dedup_minhash"           -> Corpus.dedupMinhash _,
     "q_simhash_neardup"         -> Corpus.dedupSimhash _,
+    "q_phash_neardup"           -> Corpus.phashNeardup _,
     "q_minhash_twins"           -> (minhashTwins _),
     "q_als_recommend"           -> (alsRecommend _),
     "q_semantic_dedup"          -> Corpus.semanticDedupMarked _,

@@ -105,14 +105,25 @@ object Dedup {
   def simhashNearDuplicates(docs: DataFrame, textCol: String = "text",
                             idCol: String = "doc_id",
                             maxHamming: Int = 3,
-                            bands: Int = 4): DataFrame = {
+                            bands: Int = 4): DataFrame =
+    bandedHammingPairs(docs.select(
+      col(idCol).as("id"),
+      simhash64(Text.tokenize(col(textCol))).as("sig")),
+      maxHamming, bands)
+
+  /** Banded Hamming self-join over 64-bit signatures — the shared
+    * candidate machinery of [[simhashNearDuplicates]] (text) and
+    * [[phashNearDuplicates]] (images). `signed` must carry (`id`,
+    * `sig: long`); output (id_a, id_b, hamming ≤ maxHamming). One long
+    * per row per band rides the shuffle; completeness for Hamming
+    * < bands by pigeonhole (Manku et al. 2007). */
+  private[graft] def bandedHammingPairs(signed: DataFrame,
+                                        maxHamming: Int,
+                                        bands: Int): DataFrame = {
     require(maxHamming < bands,
       s"band join is only complete for hamming < bands ($maxHamming >= $bands)")
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val signed = docs.select(
-      col(idCol).as("id"),
-      simhash64(Text.tokenize(col(textCol))).as("sig"))
     val banded = signed.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))): _*))
@@ -127,6 +138,30 @@ object Dedup {
                 .as("hamming"))
       .distinct()
       .filter(col("hamming") <= lit(maxHamming))
+  }
+
+  /** Near-duplicate IMAGE pairs by perceptual hash: decode the real
+    * pixels ([[graft.multimodal.ImagePhash]] — DCT pHash), then the
+    * same banded Hamming join as SimHash. Re-encodes and
+    * perceptually-identical variants land within a few bits;
+    * undecodable assets are quarantined (dropped from pairing — list
+    * them via [[graft.multimodal.Multimodal.decodeImages]]'s `ok`).
+    * Scale: hash is a map-shaped kernel pass (pixels never shuffle);
+    * pairing ships one long per image per band. */
+  def phashNearDuplicates(assets: DataFrame,
+                          idCol: String = "asset_id",
+                          contentCol: String = "content",
+                          maxHamming: Int = 3,
+                          bands: Int = 4): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val signed = graft.multimodal.MediaKernel.runKernel(
+        assets.select(col(idCol).as("asset_id"),
+                      col(contentCol).as("content")),
+        graft.multimodal.ImagePhash.hasherFactory, batchSize = 64)
+      .select(col("_1").as("id"), col("_2").as("sig"))
+      .filter(col("sig").isNotNull)
+    bandedHammingPairs(signed, maxHamming, bands)
   }
 
   /** EXACT n-gram Jaccard pairs via a shingle equi-join:

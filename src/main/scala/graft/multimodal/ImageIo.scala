@@ -76,6 +76,20 @@ object ImageIo {
       def open() = new Decoder
     }
 
+  /** REAL transcode: decode with `javax.imageio`, re-encode in
+    * `format` ("png"/"bmp"/"jpg"...) — the re-encode half of a resize/
+    * normalize stage, and the planted-twin generator for perceptual
+    * dedup (same pixels, different container → same pHash). Throws on
+    * undecodable input or a missing writer — fixture-side tool; the
+    * quarantining decode paths are the kernels. */
+  def transcode(bytes: Array[Byte], format: String): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "transcode: input does not decode")
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, format, out), s"no $format writer")
+    out.toByteArray
+  }
+
   /** Deterministic tiny PNG: `width`×`height`, each pixel's RGB a pure
     * function of (seed, x, y). Real bytes through the real encoder —
     * used by specs and [[Multimodal.syntheticImageAssets]] so the

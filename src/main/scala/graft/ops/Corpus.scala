@@ -269,6 +269,27 @@ object Corpus {
       .orderBy(col("asset_id"), col("frame_idx"))
   }
 
+  /** REAL perceptual image dedup as a declared query (golden-pinned —
+    * pixels are not SQL-expressible): 64 distinct 64×64 textures, every
+    * 8th one planted again as a BMP TRANSCODE (same pixels, different
+    * container) under id+100000; [[graft.dedup.Dedup.phashNearDuplicates]]
+    * must recover exactly the planted pairs at Hamming 0 — distinct
+    * textures sit ~31 bits apart, far outside the band-join radius. */
+  def phashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = spark.range(64).as[Long]
+      .map { id =>
+        (id, graft.multimodal.ImageIo.encodePng(64, 64, seed = id * 104729L))
+      }.toDF("asset_id", "content")
+    val twins = base.as[(Long, Array[Byte])]
+      .filter(_._1 % 8 == 0)
+      .map { case (id, png) =>
+        (id + 100000L, graft.multimodal.ImageIo.transcode(png, "bmp"))
+      }.toDF("asset_id", "content")
+    graft.dedup.Dedup.phashNearDuplicates(base.union(twins))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Per-document heuristic language ID (graft.text stopword profiles;
     * the oracle inlines the same lists — with a shared denominator the
     * ratio argmax reduces to integer hit-count comparisons, so the SQL
