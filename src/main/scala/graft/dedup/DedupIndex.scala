@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `path` (plain parquet; a deployment buckets
   * `postings` by shingle for co-located candidate joins):
-  *  - `hashes/`    distinct sha-256 of every landed text
-  *  - `postings/`  (shingle, id, n_sh) with write-time-hot shingles
-  *                 excluded
+  *  - `hashes/batch=<tag>/`   distinct sha-256 of each landed batch's
+  *                 texts
+  *  - `postings/batch=<tag>/` (shingle, id, n_sh) with write-time-hot
+  *                 shingles excluded
   *  - `hot/`       shingles whose document frequency exceeded
   *                 `maxShingleFreq` at write time (never indexed;
   *                 appends are anti-joined against this so a hot
@@ -24,6 +25,15 @@ import org.apache.spark.sql.functions._
   *  - `meta/`      one row (k, max_shingle_freq) — append and query
   *                 read the parameters here, so a mismatched `k`
   *                 cannot silently corrupt semantics
+  *
+  * Hashes and postings land in BATCH-SCOPED partition directories,
+  * each written with per-directory OVERWRITE: re-running an append
+  * with the same tag replaces its own files instead of duplicating
+  * postings. That makes the whole ingest loop idempotent under
+  * at-least-once retry semantics — exactly what
+  * [[graft.streaming.IndexedIngest]] needs from `foreachBatch`, where
+  * a crashed micro-batch is re-attempted with the same batch id.
+  * Readers discover the `batch` column and drop it.
   *
   * ==Exact parity with the batch path==
   * [[dropDuplicatesAgainstIndex]] returns byte-identical survivors to
@@ -51,7 +61,7 @@ object DedupIndex {
     Seq((k, maxShingleFreq)).toDF("k", "max_shingle_freq")
       .write.mode("overwrite").parquet(s"$path/meta")
     existing.select(sha2(col(textCol), 256).as("hash")).distinct()
-      .write.mode("overwrite").parquet(s"$path/hashes")
+      .write.mode("overwrite").parquet(s"$path/hashes/batch=b0")
     val es = Dedup.shingleSides(existing, textCol, idCol, k)
     es.groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df"))
@@ -62,36 +72,55 @@ object DedupIndex {
     // files instead of re-running the frequency aggregate
     es.join(spark.read.parquet(s"$path/hot"), Seq("shingle"), "left_anti")
       .select(col("shingle"), col("id"), col("n_sh"))
-      .write.mode("overwrite").parquet(s"$path/postings")
+      .write.mode("overwrite").parquet(s"$path/postings/batch=b0")
   }
 
-  /** Land a new batch into the index (hashes + postings appended; the
-    * stored hot set keeps write-time-hot shingles out). Call AFTER
-    * dedup-filtering the batch — the index stores what was kept. */
-  def append(batch: DataFrame, path: String,
+  /** Land a new batch into the index (hashes + postings written into
+    * the batch's own partition directory; the stored hot set keeps
+    * write-time-hot shingles out). Call AFTER dedup-filtering the
+    * batch — the index stores what was kept. `batchTag` must be unique
+    * per landed batch ("b0" is the build); re-using a tag OVERWRITES
+    * that batch's files, which is exactly the retry-idempotence an
+    * at-least-once ingest loop needs. */
+  def append(batch: DataFrame, path: String, batchTag: String,
              textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    require(batchTag.nonEmpty && batchTag != "b0" &&
+            batchTag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"batchTag must be a fresh directory-safe tag, got '$batchTag'")
     val spark = batch.sparkSession
     val (k, _) = readMeta(spark, path)
     batch.select(sha2(col(textCol), 256).as("hash")).distinct()
-      .write.mode("append").parquet(s"$path/hashes")
+      .write.mode("overwrite").parquet(s"$path/hashes/batch=$batchTag")
     Dedup.shingleSides(batch, textCol, idCol, k)
       .join(spark.read.parquet(s"$path/hot"), Seq("shingle"), "left_anti")
       .select(col("shingle"), col("id"), col("n_sh"))
-      .write.mode("append").parquet(s"$path/postings")
+      .write.mode("overwrite").parquet(s"$path/postings/batch=$batchTag")
   }
 
   /** [[Dedup.dropDuplicatesAgainst]] with the existing side served
     * entirely from the index: exact copies (hash anti-join) and
     * near-duplicates (k-gram Jaccard ≥ `minJaccard` against the
     * posting lists) of anything landed are dropped from `newDocs`.
-    * The landed corpus itself is never read. */
+    * The landed corpus itself is never read.
+    *
+    * `excludeBatchTag`: ignore that batch's own index partitions
+    * (partition-pruned at the scan). An at-least-once ingest retry
+    * whose previous attempt already appended THIS batch must not see
+    * the batch's own entries — it would drop every doc and overwrite
+    * the landing with nothing ([[graft.streaming.IndexedIngest]]). */
   def dropDuplicatesAgainstIndex(newDocs: DataFrame, path: String,
                                  textCol: String = "text",
                                  idCol: String = "doc_id",
-                                 minJaccard: Double = 0.5): DataFrame = {
+                                 minJaccard: Double = 0.5,
+                                 excludeBatchTag: Option[String] = None)
+      : DataFrame = {
     val spark = newDocs.sparkSession
     val (k, maxShingleFreq) = readMeta(spark, path)
-    val seen = spark.read.parquet(s"$path/hashes")
+    def excluded(df: DataFrame): DataFrame = excludeBatchTag match {
+      case Some(tag) => df.filter(col("batch") =!= lit(tag))
+      case None      => df
+    }
+    val seen = excluded(spark.read.parquet(s"$path/hashes"))
     val afterExact = newDocs
       .withColumn("__h", sha2(col(textCol), 256))
       .join(seen, col("__h") === col("hash"), "left_anti")
@@ -102,7 +131,7 @@ object DedupIndex {
       // checkpoint holds the batch at one hash-scan (the same contract
       // as dropDuplicatesAgainst's own checkpoint)
       .localCheckpoint(false)
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = excluded(spark.read.parquet(s"$path/postings"))
     // appends may have pushed a shingle past the cap since write time;
     // stored df is true df for never-hot shingles (monotonicity note
     // in the header), so this recount is exact

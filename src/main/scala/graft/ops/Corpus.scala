@@ -674,7 +674,7 @@ object Corpus {
         val p = java.nio.file.Files
           .createTempDirectory("graft-dedup-index").toString
         DedupIndex.build(d.filter(col("doc_id") % 2 === 0), p)
-        DedupIndex.append(d.filter(col("doc_id") % 2 =!= 0), p)
+        DedupIndex.append(d.filter(col("doc_id") % 2 =!= 0), p, "b1")
         p
       })
     }

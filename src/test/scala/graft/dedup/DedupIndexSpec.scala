@@ -34,7 +34,7 @@ class DedupIndexSpec extends AnyFunSuite {
         .as("text"))
     val path = tmp()
     DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
-    DedupIndex.append(docs.filter(col("doc_id") % 2 =!= 0), path)
+    DedupIndex.append(docs.filter(col("doc_id") % 2 =!= 0), path, "b1")
     val viaIndex = rows(DedupIndex.dropDuplicatesAgainstIndex(batch, path))
     val viaRescan = rows(Dedup.dropDuplicatesAgainst(batch, docs))
     assert(viaIndex == viaRescan,
@@ -61,7 +61,7 @@ class DedupIndexSpec extends AnyFunSuite {
     for (cap <- Seq(2L, 10L)) {
       val path = tmp()
       DedupIndex.build(built, path, k = 2, maxShingleFreq = cap)
-      DedupIndex.append(landed, path)
+      DedupIndex.append(landed, path, "b1")
       val viaIndex = rows(
         DedupIndex.dropDuplicatesAgainstIndex(batch, path))
       val viaRescan = rows(Dedup.dropDuplicatesAgainst(
@@ -91,7 +91,7 @@ class DedupIndexSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val path = tmp()
     DedupIndex.build(built, path, k = 3)
-    DedupIndex.append(landed, path)
+    DedupIndex.append(landed, path, "b1")
     val viaIndex = rows(DedupIndex.dropDuplicatesAgainstIndex(batch, path))
     val viaRescan = rows(
       Dedup.dropDuplicatesAgainst(batch, built.union(landed), k = 3))
@@ -109,7 +109,7 @@ class DedupIndexSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val path = tmp()
     DedupIndex.build(built, path)
-    DedupIndex.append(landed, path)
+    DedupIndex.append(landed, path, "b1")
     val kept = rows(DedupIndex.dropDuplicatesAgainstIndex(batch, path))
     assert(kept.map(_._1) == Set(11L))
   }
