@@ -121,6 +121,28 @@ object ScaleProbe {
       val b = incr(src)
       val s = incr(dst)
       println(f"""{"probe":"incremental_realistic","batch":"1x($src)","landed_base_sec":$b%.3f,"landed_10x_sec":$s%.3f,"growth":${s / b}%.3f}""")
+
+      // INDEX-SERVED variant (round 8): the landed corpus materializes
+      // into the persistent DedupIndex once; the probe times ONLY the
+      // recurring per-batch query. Expected: growth well under the
+      // rescan path's — the corpus scan is gone entirely; what remains
+      // that scales with landed size is the narrow posting recount.
+      def incrIndexed(landedDir: String): (Double, Double) = {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-scaleprobe-index").toString
+        val tBuild = timed(
+          graft.dedup.DedupIndex.build(
+            Tables.documents(spark, landedDir)
+              .select(col("doc_id"), col("text")), path))
+        val ts = Seq.fill(2)(timed(exec(
+          graft.dedup.DedupIndex
+            .dropDuplicatesAgainstIndex(batch, path)
+            .select(col("doc_id")))))
+        (ts.map(math.abs).min, math.abs(tBuild))
+      }
+      val (qb, bb) = incrIndexed(src)
+      val (qs, bs) = incrIndexed(dst)
+      println(f"""{"probe":"incremental_index","batch":"1x($src)","query_base_sec":$qb%.3f,"query_10x_sec":$qs%.3f,"growth":${qs / qb}%.3f,"build_base_sec":$bb%.3f,"build_10x_sec":$bs%.3f}""")
     }
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -155,6 +155,45 @@ object DedupIndex {
     afterExact.join(nearHits, Seq(idCol), "left_anti")
   }
 
+  /** Maintenance: fold an index that has accumulated many append
+    * batches into a fresh single-batch layout at `dst`. Two things
+    * compact away: (1) thousands of `batch=` partition directories
+    * (file-listing pressure on every query) collapse to one, and
+    * (2) append-made-hot shingles — which the per-query recount has
+    * been re-excluding on every query, while their postings kept
+    * accumulating — are PROMOTED into the stored hot set and their
+    * postings physically dropped, so future appends anti-join them
+    * away at write time and future recounts scan less. Query results
+    * against the compacted index are identical (the recount was
+    * already excluding exactly these), pinned by DedupIndexSpec.
+    * `dst` must differ from `path`: the swap (rename dst over path)
+    * belongs to the deployment's catalog/filesystem, not the engine —
+    * rename semantics differ per store. */
+  def compact(path: String, dst: String): Unit = {
+    require(dst != path, "compact to a fresh directory, then swap")
+    val spark = SparkSession.active
+    val (k, maxShingleFreq) = readMeta(spark, path)
+    import spark.implicits._
+    Seq((k, maxShingleFreq)).toDF("k", "max_shingle_freq")
+      .write.mode("overwrite").parquet(s"$dst/meta")
+    spark.read.parquet(s"$path/hashes").select(col("hash")).distinct()
+      .write.mode("overwrite").parquet(s"$dst/hashes/batch=b0")
+    val postings = spark.read.parquet(s"$path/postings")
+      .select(col("shingle"), col("id"), col("n_sh"))
+    val hotNow = postings.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleFreq)
+      .select(col("shingle"))
+    spark.read.parquet(s"$path/hot").select(col("shingle"))
+      .union(hotNow).distinct()
+      .write.mode("overwrite").parquet(s"$dst/hot")
+    // re-read the written hot set so this scan-and-filter plan reads
+    // files, not a re-run of the frequency aggregate (same as build)
+    postings
+      .join(spark.read.parquet(s"$dst/hot"), Seq("shingle"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dst/postings/batch=b0")
+  }
+
   private def readMeta(spark: SparkSession, path: String): (Int, Long) = {
     val m = spark.read.parquet(s"$path/meta").head()
     (m.getAs[Int]("k"), m.getAs[Long]("max_shingle_freq"))

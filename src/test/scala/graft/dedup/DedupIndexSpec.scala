@@ -100,6 +100,47 @@ class DedupIndexSpec extends AnyFunSuite {
       "k=3 near-clone of the appended doc must be dropped, novel kept")
   }
 
+  test("compact folds batches, promotes append-made-hot shingles, " +
+       "and preserves query results exactly") {
+    import spark.implicits._
+    // same planted shapes as the recount test: "a b" (df 3 > cap 2)
+    // goes hot only through the append, so compact must promote it
+    val built = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val landed = Seq((3L, "a b d")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b q"), (11L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val path = tmp()
+    val dst = tmp() + "/compacted"
+    DedupIndex.build(built, path, k = 2, maxShingleFreq = 2L)
+    DedupIndex.append(landed, path, "b1")
+    val before = rows(DedupIndex.dropDuplicatesAgainstIndex(batch, path))
+    DedupIndex.compact(path, dst)
+    val after = rows(DedupIndex.dropDuplicatesAgainstIndex(batch, dst))
+    assert(after == before)
+    assert(after.map(_._1) == Set(10L, 11L)) // "a b" hot -> 10 kept
+    // append-made-hot shingle physically left the postings and joined
+    // the stored hot set
+    val hot = spark.read.parquet(s"$dst/hot")
+      .as[String].collect().toSet
+    assert(hot.contains("a b"))
+    assert(spark.read.parquet(s"$dst/postings")
+      .filter(col("shingle") === "a b").count() == 0)
+    assert(spark.read.parquet(s"$dst/postings")
+      .select(col("batch")).distinct().as[String].collect().toSeq
+      == Seq("b0"))
+    // the compacted index keeps working: appends anti-join the
+    // promoted hot set, and a doc riding only the hot shingle stays
+    // un-droppable while exact copies of appended docs drop
+    DedupIndex.append(Seq((4L, "a b e")).toDF("doc_id", "text"),
+                      dst, "b1")
+    val probe = Seq((20L, "a b e"), (21L, "a b r"), (22L, "n o p q r s"))
+      .toDF("doc_id", "text")
+    val kept = rows(DedupIndex.dropDuplicatesAgainstIndex(probe, dst))
+      .map(_._1)
+    assert(kept == Set(21L, 22L),
+      "exact copy of post-compact append dropped; hot-only near miss kept")
+  }
+
   test("exact copies of appended (not just built) docs are dropped " +
        "by the hash side alone") {
     import spark.implicits._
