@@ -50,7 +50,63 @@ object ImagePhash {
     img.map(hashPixels)
   }
 
+  /** REAL (classical) visual feature vector: the 63 AC coefficients of
+    * the same low-frequency DCT block, L2-normalized — genuine pixel
+    * features, not a learned embedding (the model seam stays
+    * [[Multimodal.FakeEmbedder]]'s to fill). Feeds
+    * `Dedup.embeddingNearDuplicates` for cosine-space image dedup:
+    * perceptual twins land at cosine ≈ 1, unrelated textures near 0.
+    * None if the bytes do not decode. */
+  def dctFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      val coef = dctBlock(im)
+      val ac = (for { u <- 0 until K; v <- 0 until K if u != 0 || v != 0 }
+        yield coef(u)(v)).toArray
+      val norm = StrictMath.sqrt(ac.map(a => a * a).sum)
+      if (norm == 0.0) ac.map(_ => 0f)
+      else ac.map(a => (a / norm).toFloat)
+    }
+  }
+
+  /** Per-partition handle for [[Multimodal.batchedFeatureExtract]]:
+    * undecodable bytes yield an EMPTY vector (filter on
+    * `size(features) > 0` to quarantine). */
+  final class FeatureExtractor
+      extends MediaKernel.Handle[Array[Byte], Array[Float]] {
+    ImageIO.setUseCache(false)
+    def processBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+      batch.map(b => dctFeatures(b).getOrElse(Array.empty[Float]))
+  }
+
+  val featureFactory: MediaKernel.Factory[Array[Byte], Array[Float]] =
+    new MediaKernel.Factory[Array[Byte], Array[Float]] {
+      def open() = new FeatureExtractor
+    }
+
   private def hashPixels(img: BufferedImage): Long = {
+    val coef = dctBlock(img)
+    val ac = (for { u <- 0 until K; v <- 0 until K if u != 0 || v != 0 }
+      yield coef(u)(v)).toArray.sorted
+    val median = ac(ac.length / 2)
+    var bits = 0L
+    var u = 0
+    while (u < K) {
+      var v = 0
+      while (v < K) {
+        if ((u != 0 || v != 0) && coef(u)(v) > median)
+          bits |= 1L << (u * K + v)
+        v += 1
+      }
+      u += 1
+    }
+    bits
+  }
+
+  /** Luminance → 32×32 area-average → DCT-II, low-frequency K×K block. */
+  private def dctBlock(img: BufferedImage): Array[Array[Double]] = {
     val w = img.getWidth
     val h = img.getHeight
     // luminance (ITU-R BT.601), area-averaged onto the N×N grid; each
@@ -104,21 +160,7 @@ object ImagePhash {
       }
       u += 1
     }
-    val ac = (for { u <- 0 until K; v <- 0 until K if u != 0 || v != 0 }
-      yield coef(u)(v)).toArray.sorted
-    val median = ac(ac.length / 2)
-    var bits = 0L
-    u = 0
-    while (u < K) {
-      var v = 0
-      while (v < K) {
-        if ((u != 0 || v != 0) && coef(u)(v) > median)
-          bits |= 1L << (u * K + v)
-        v += 1
-      }
-      u += 1
-    }
-    bits
+    coef
   }
 
   final class Hasher extends MediaKernel.Handle[Array[Byte], Option[Long]] {

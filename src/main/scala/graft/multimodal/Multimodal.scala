@@ -17,13 +17,19 @@ import org.apache.spark.sql.functions._
   * (WAV/AIFF/AU headers) through the same seam — see [[AudioIo]].
   * VIDEO DEMUX IS REAL: [[decodeVideos]]/[[sampleVideoFrames]] walk
   * genuine YUV4MPEG2 frame boundaries and read real luma planes — see
-  * [[VideoIo]]. The REMAINING KERNELS ARE STUBS — this container
-  * ships no compressed codecs (H.264/VP9/MP3) or model runtime, so
-  * `featureExtractStub` (model inference) derives deterministic fake
-  * values from the content bytes, `frameSampleStub` remains the
-  * Spark-side frame-index plan for compressed containers, and
-  * `decodeImageStub` stays as the hash-derived codegen'd expression
-  * form for plans over non-image binaries. A production deployment
+  * [[VideoIo]]. IMAGE FEATURE EXTRACTION IS REAL in its classical
+  * form: [[ImagePhash.featureFactory]] plugs the normalized DCT
+  * coefficient block (genuine pixel features) into
+  * [[batchedFeatureExtract]], composing with
+  * `Dedup.embeddingNearDuplicates` for cosine-space image dedup. The
+  * REMAINING KERNELS ARE STUBS — this container ships no compressed
+  * codecs (H.264/VP9/MP3) or model runtime, so `featureExtractStub` /
+  * [[FakeEmbedder]] (LEARNED-embedding inference) derive
+  * deterministic fake values from the content bytes,
+  * `frameSampleStub` remains the Spark-side frame-index plan for
+  * compressed containers, and `decodeImageStub` stays as the
+  * hash-derived codegen'd expression form for plans over non-image
+  * binaries. A production deployment
   * swaps each remaining stub for a real kernel with the SAME column
   * signature (binary in, struct/array out) via a
   * [[MediaKernel.Factory]] — the surrounding plan, schema, and

@@ -79,6 +79,41 @@ class ImagePhashSpec extends AnyFunSuite {
     assert(ImagePhash.phash64(Array.empty[Byte]).isEmpty)
   }
 
+  private def cosine(a: Array[Float], b: Array[Float]): Double =
+    a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+
+  test("DCT features: re-encode identical, noise cosine ~ 1, " +
+       "unrelated near 0, garbage empty") {
+    val f0 = ImagePhash.dctFeatures(base).get
+    assert(f0.length == 63)
+    assert(math.abs(f0.map(x => x.toDouble * x).sum - 1.0) < 1e-6,
+      "L2-normalized")
+    assert(f0.sameElements(ImagePhash.dctFeatures(reencode(base, "bmp")).get))
+    assert(cosine(f0, ImagePhash.dctFeatures(noised(base)).get) > 0.99)
+    assert(math.abs(cosine(f0, ImagePhash.dctFeatures(other).get)) < 0.5,
+      "unrelated textures must not align")
+    assert(ImagePhash.dctFeatures("junk".getBytes).isEmpty)
+    assert(new ImagePhash.FeatureExtractor()
+      .processBatch(Seq("junk".getBytes)).head.isEmpty)
+  }
+
+  test("composition: real DCT features through batchedFeatureExtract " +
+       "feed cosine near-dup exactly like a learned embedding would") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, base), (2L, noised(base)), (3L, other),
+      (4L, ImageIo.encodePng(64, 64, seed = 3L))
+    ).toDF("asset_id", "content")
+    val feats = Multimodal.batchedFeatureExtract(
+        assets, kernel = ImagePhash.featureFactory)
+      .filter(size(col("features")) > 0)
+    val pairs = Dedup.embeddingNearDuplicates(
+        feats, vecCol = "features", idCol = "asset_id",
+        minCosine = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("phashNearDuplicates finds planted re-encodes and perturbations, " +
        "quarantines garbage, skips unrelated pairs") {
     import spark.implicits._
