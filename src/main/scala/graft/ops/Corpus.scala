@@ -115,6 +115,21 @@ object Corpus {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** PQ top-5 for the first 10 embedding vectors with exact re-ranking
+    * (m=8 subspaces × 16 codes, ADC shortlist ×5) — the memory-scale
+    * leg of the similarity family: the corpus-wide scan reads 8-code
+    * rows, raw floats only for the shortlist. Seeded quantizer → no
+    * SQL oracle; rows-only driver check + sf0.01 golden; PqSpec pins
+    * recall and index-vs-in-memory identity. */
+  def pqTopKQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    graft.similarity.Pq.pqTopKRefined(queries, emb, k = 5, refine = 5)
+      .select(col("query_id"), col("neighbor_id"),
+              round(col("cos") + lit(1e-9), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact cosine top-5 neighbors for the first 10 embedding vectors —
     * brute-force baseline of the similarity-search surface. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,281 @@
+package graft.similarity
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the MEMORY-scale leg of the similarity
+  * family (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011; the FAISS `IndexPQ`/`IndexIVFPQ` layout).
+  *
+  * [[Similarity.cosineTopK]] scans raw vectors (dim × 4 bytes each);
+  * [[Similarity.ivfTopK]] prunes WHICH vectors are scanned but still
+  * reads raw floats. PQ compresses WHAT is scanned: each unit vector is
+  * cut into `m` contiguous subvectors, each subvector quantized to one
+  * of `kCodes` per-subspace centroids, so a vector becomes `m` small
+  * ints — at (m=8, kCodes=16), 64 float dims (256 B) become 8 codes
+  * (≤ 8 B), a 32× shrink. A 100-TB embedding corpus becomes a ~3-TB
+  * code table that fits a modest cluster's page cache; search reads
+  * codes only, never raw floats.
+  *
+  * Search is ADC (asymmetric distance computation): per query, one
+  * m × kCodes table of exact subspace distances (query side stays
+  * un-quantized — hence "asymmetric"); each corpus row's approximate
+  * squared L2 distance is then `m` table lookups, no float math on the
+  * corpus side. On unit vectors ‖q−x‖² = 2(1−cos), so the reported
+  * `cos` is 1 − adc/2 — an ESTIMATE whose error is the quantization
+  * residual (tested: recall vs the exact scan, and error → 0 as kCodes
+  * grows).
+  *
+  * Training is m seeded KMeans fits over one localCheckpoint'd pass of
+  * the corpus (the codebook is m·kCodes·(dim/m) doubles — KBs; ships
+  * to executors by closure). Seeded quantizer ⇒ no SQL oracle; the
+  * declared query is rows-checked by the driver and content-pinned by
+  * the committed sf0.01 golden (GoldenSeededSpec), like the other
+  * seeded similarity queries.
+  */
+object Pq {
+
+  /** Trained product quantizer: `codebooks(j)(c)` is the (dim/m)-dim
+    * centroid of code `c` in subspace `j`. Tiny by construction —
+    * m·kCodes·dsub doubles. */
+  final case class PqModel(m: Int, dsub: Int,
+                           codebooks: Array[Array[Array[Double]]]) {
+    require(codebooks.length == m && codebooks.forall(_.nonEmpty))
+    def kCodes: Int = codebooks(0).length
+  }
+
+  /** Fit per-subspace codebooks on the unit-normalized corpus. One
+    * corpus pass materializes the normalized vectors (localCheckpoint —
+    * KMeans iterates, and m fits would otherwise re-run the upstream
+    * DAG m × iterations times); each fit then reads only its own
+    * dsub-wide slice. Zero-norm vectors are dropped (no direction to
+    * quantize). `dim` must divide evenly by `m`. */
+  def trainPq(corpus: DataFrame, m: Int = 8, kCodes: Int = 16,
+              seed: Long = 42L, vecCol: String = "embedding"): PqModel = {
+    val unit = corpus
+      .select(col(vecCol).as("raw"))
+      .filter(Similarity.l2Norm(col("raw")) > lit(0.0))
+      .select(Similarity.normalize(col("raw")).as("nv"))
+      .localCheckpoint()
+    val dim = unit.select(size(col("nv"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = unit.select(
+        array_to_vector(slice(col("nv"), j * dsub + 1, dsub)).as("v"))
+      new KMeans().setK(kCodes).setSeed(seed + j)
+        .setFeaturesCol("v").setPredictionCol("c")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }
+    PqModel(m, dsub, codebooks)
+  }
+
+  /** Argmin code of subvector `arr[off, off+dsub)` against one
+    * subspace's codebook. */
+  private def nearestCode(arr: Array[Double], off: Int,
+                          book: Array[Array[Double]], dsub: Int): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val cen = book(c)
+      var d = 0.0
+      var i = 0
+      while (i < dsub) {
+        val t = arr(off + i) - cen(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Corpus → (`idCol`, codes array<int> of length m). The UDF is the
+    * justified kind (SURVEY §2.8 ladder): the kernel is an argmin over
+    * a closure-shipped codebook — m·kCodes·dsub multiplies per row in
+    * tight JVM loops; the Column-algebra form would be an m·kCodes-way
+    * expression tree re-evaluated per reference (the round-6 HOF
+    * staging lesson). Zero-norm vectors are dropped, matching
+    * [[trainPq]]. */
+  def encodePq(df: DataFrame, model: PqModel,
+               vecCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame = {
+    val m = model.m
+    val dsub = model.dsub
+    val books = model.codebooks
+    val enc = udf { nv: Seq[Double] =>
+      val arr = nv.toArray
+      Array.tabulate(m)(j => nearestCode(arr, j * dsub, books(j), dsub))
+    }
+    df.select(col(idCol), col(vecCol).as("raw"))
+      .filter(Similarity.l2Norm(col("raw")) > lit(0.0))
+      .select(col(idCol), enc(Similarity.normalize(col("raw"))).as("codes"))
+  }
+
+  /** PQ-approximate top-k: train on the corpus, encode the corpus,
+    * ADC-rank per query. Output (query_id, neighbor_id, cos, rank) —
+    * `cos` is the ADC estimate 1 − adc/2, NOT the exact cosine.
+    *
+    * Plan: broadcast(queries ⊕ their flattened distance tables — each
+    * m·kCodes doubles) × one pass over the code table; scoring is m
+    * array lookups per pair inside a JVM UDF; per-query top-k via
+    * WindowGroupLimit, exactly the [[Similarity.cosineTopK]] serving
+    * shape. The corpus-side bytes are the whole point: codes, not
+    * floats. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, kCodes: Int = 16, seed: Long = 42L,
+             qId: String = "vec_id", qVec: String = "embedding",
+             cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    val model = trainPq(corpus, m, kCodes, seed, cVec)
+    searchCodes(queries, encodePq(corpus, model, cVec, cId)
+                  .withColumnRenamed(cId, "neighbor_id"),
+                model, k, qId, qVec)
+  }
+
+  /** ADC search of a pre-encoded code table (`neighbor_id`, `codes`) —
+    * the reusable second half of [[pqTopK]], and the whole recurring
+    * cost once codes are materialized ([[writePqIndex]]). */
+  def searchCodes(queries: DataFrame, codes: DataFrame, model: PqModel,
+                  k: Int, qId: String = "vec_id",
+                  qVec: String = "embedding"): DataFrame = {
+    val m = model.m
+    val dsub = model.dsub
+    val kC = model.kCodes
+    val books = model.codebooks
+    // per-query subspace-distance table, flattened to m·kCodes doubles
+    // (flat primitive array: one allocation, O(1) indexed lookups)
+    val tableUdf = udf { nv: Seq[Double] =>
+      val arr = nv.toArray
+      val t = new Array[Double](m * kC)
+      var j = 0
+      while (j < m) {
+        val book = books(j)
+        var c = 0
+        while (c < kC) {
+          val cen = book(c)
+          var d = 0.0
+          var i = 0
+          while (i < dsub) {
+            val x = arr(j * dsub + i) - cen(i)
+            d += x * x
+            i += 1
+          }
+          t(j * kC + c) = d
+          c += 1
+        }
+        j += 1
+      }
+      t
+    }
+    val adcUdf = udf { (codes: Seq[Int], table: Seq[Double]) =>
+      var s = 0.0
+      var j = 0
+      while (j < m) {
+        s += table(j * kC + codes(j))
+        j += 1
+      }
+      s
+    }
+    val q = queries
+      .select(col(qId).as("query_id"), col(qVec).as("qraw"))
+      .filter(Similarity.l2Norm(col("qraw")) > lit(0.0))
+      .select(col("query_id"),
+              tableUdf(Similarity.normalize(col("qraw"))).as("qtable"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw",
+        lit(1.0) - adcUdf(col("codes"), col("qtable")) / lit(2.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(k))
+      .select(col("query_id"), col("neighbor_id"),
+              col("cos_raw").as("cos"), col("rank"))
+  }
+
+  /** PQ search with EXACT RE-RANKING (the FAISS `refine` stage): ADC
+    * produces a shortlist of `k·refine` candidates per query from codes
+    * alone, then ONLY those rows' raw vectors are fetched and scored
+    * exactly. Output contract matches [[Similarity.cosineTopK]] —
+    * `cos` is the TRUE cosine — while the corpus-wide scan still reads
+    * nothing but codes; the refine join touches |Q|·k·refine raw rows
+    * (point lookups against the id-keyed store at scale). Recall is
+    * bounded by ADC recall@(k·refine), which the `refine` dial widens
+    * cheaply — the spec pins it well above plain [[pqTopK]]'s. */
+  def pqTopKRefined(queries: DataFrame, corpus: DataFrame, k: Int,
+                    refine: Int = 5, m: Int = 8, kCodes: Int = 16,
+                    seed: Long = 42L,
+                    qId: String = "vec_id", qVec: String = "embedding",
+                    cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    val model = trainPq(corpus, m, kCodes, seed, cVec)
+    val codes = encodePq(corpus, model, cVec, cId)
+      .withColumnRenamed(cId, "neighbor_id")
+    val shortlist = searchCodes(queries, codes, model, k * refine,
+        qId, qVec)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+      .withColumn("cn", Similarity.l2Norm(col("cv")))
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+      .withColumn("qn", Similarity.l2Norm(col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    shortlist
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos_raw",
+        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(k))
+      .select(col("query_id"), col("neighbor_id"),
+              col("cos_raw").as("cos"), col("rank"))
+  }
+
+  /** Materialized PQ index: the code table as parquet plus the
+    * codebooks as one tiny parquet frame (subspace, code, center) —
+    * the concrete 100-TB form: build once at landing, every search
+    * then scans m-byte codes instead of dim·4-byte floats. Same seed ⇒
+    * same quantizer ⇒ [[searchPqIndex]] ≡ [[pqTopK]] (spec-pinned). */
+  def writePqIndex(corpus: DataFrame, path: String, m: Int = 8,
+                   kCodes: Int = 16, seed: Long = 42L,
+                   cId: String = "vec_id", cVec: String = "embedding")
+      : Unit = {
+    val model = trainPq(corpus, m, kCodes, seed, cVec)
+    encodePq(corpus, model, cVec, cId)
+      .withColumnRenamed(cId, "neighbor_id")
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    (for {
+      j <- model.codebooks.indices
+      c <- model.codebooks(j).indices
+    } yield (j, c, model.codebooks(j)(c).toSeq))
+      .toDF("subspace", "code", "center")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Search a [[writePqIndex]] index: rebuild the (tiny) PqModel from
+    * the codebook frame — collected driver-side, KBs — then ADC-scan
+    * the code table. */
+  def searchPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int, qId: String = "vec_id",
+                    qVec: String = "embedding"): DataFrame = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("subspace"), col("code"), col("center"))
+      .collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val books = Array.tabulate(m) { j =>
+      rows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
+    }
+    val model = PqModel(m, books(0)(0).length, books)
+    searchCodes(queries, spark.read.parquet(s"$path/codes"), model, k,
+                qId, qVec)
+  }
+}
