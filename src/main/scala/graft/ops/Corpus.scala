@@ -450,6 +450,24 @@ object Corpus {
     * corpus vocabulary/stopword analysis. At 100 TB the exact form
     * shuffles one row per distinct (doc, word); the sketch path is
     * approx_count_distinct/frequent-items over the same explode. */
+  /** Learned-BPE token counts (TX13): train 200 merges on THIS corpus's
+    * word-frequency dictionary (one distributed aggregate + a
+    * driver-side merge loop over the compact vocab — the HF-tokenizers
+    * shape, [[graft.text.Bpe]]), then count each doc's subword tokens
+    * next to its whole-word count. Deterministic (exact long counts,
+    * lexicographic tie-breaks — no seed), but the merge recursion has
+    * no SQL form → rows-only driver check + committed sf0.01 golden. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val model = graft.text.Bpe.learnBpe(
+      graft.text.Bpe.wordCounts(d), numMerges = 200)
+    d.select(col("doc_id"),
+             graft.text.Bpe.bpeTokenCount(col("text"), model)
+               .as("n_bpe_tokens"),
+             graft.text.Text.tokenCount(col("text")).as("n_word_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   def vocabTopK(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
     val words = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
