@@ -175,38 +175,38 @@ object Bpe {
     * Zipfian word distribution — each distinct word in a partition is
     * encoded once, not once per occurrence. */
   def bpeTokens(text: Column, model: BpeModel): Column = {
-    val ranks = model.ranks
-    val f = udf { (s: String) =>
-      if (s == null) null
-      else {
-        val memo = bpeTokensMemo.get()
-        tokenizeString(s).flatMap { w =>
-          memo.getOrElseUpdate(w, encodeWord(w, ranks))
-        }
-      }
-    }
+    val f = udf(new MemoizedEncoder(model.ranks))
     f(text)
   }
 
-  // per-thread (= per-task-slot) word→tokens memo, cleared by GC
-  // pressure never — bounded instead: beyond 100k distinct words per
-  // slot the memo stops growing (hit rate already captured; unbounded
-  // growth would leak in a long-lived executor)
-  private val bpeTokensMemo
-      : ThreadLocal[mutable.Map[String, Array[String]]] =
-    ThreadLocal.withInitial { () =>
-      new mutable.HashMap[String, Array[String]] {
-        override def getOrElseUpdate(key: String,
-                                     op: => Array[String]): Array[String] =
-          get(key) match {
-            case Some(v) => v
-            case None =>
-              val v = op
-              if (size < 100000) update(key, v)
-              v
-          }
+  /** The encode closure with its word→tokens memo. The memo is
+    * `@transient lazy`, so every task-side DESERIALIZATION of the
+    * closure gets its own fresh, empty map — per-task memoization
+    * (one encode per distinct word per partition, collapsing the
+    * Zipfian word distribution) that is inherently scoped to THIS
+    * model and this task. A process-wide/thread-local cache here was
+    * a real bug: two models in one session (e.g. comparing merge
+    * depths, or curation training a fresh tokenizer after an ad-hoc
+    * query) silently served each other's encodings — caught by the
+    * suite when CurationSpec's 100-merge model poisoned BpeSpec's
+    * zero-merge closed form. Bounded at 100k entries: beyond that the
+    * map stops growing (hit rate is already captured; a pathological
+    * partition of unique words must not balloon task memory). */
+  private final class MemoizedEncoder(ranks: Map[(String, String), Int])
+      extends (String => Array[String]) with Serializable {
+    @transient private lazy val memo =
+      new java.util.HashMap[String, Array[String]]()
+    def apply(s: String): Array[String] =
+      if (s == null) null
+      else tokenizeString(s).flatMap { w =>
+        var v = memo.get(w)
+        if (v == null) {
+          v = encodeWord(w, ranks)
+          if (memo.size < 100000) memo.put(w, v)
+        }
+        v
       }
-    }
+  }
 
   /** Learned-BPE token count — the exact form of
     * [[Text.bpeTokenCount]]'s estimate. */
