@@ -52,7 +52,13 @@ object ScaleProbe {
                   // round-7 part 3: LM scoring (broadcast target +
                   // map), incremental dedup (existing-side index 10×),
                   // soft-dedup weights (pair graph + CC at 10×)
-                  "q_lm_score", "q_incremental_dedup", "q_dedup_weights")
+                  "q_lm_score", "q_incremental_dedup", "q_dedup_weights",
+                  // round-8 part 2: PQ (train + encode scale with the
+                  // corpus, ADC scan with the code table) and learned
+                  // BPE (the dictionary — and so the driver loop —
+                  // grows SUBlinearly; the count aggregate is the 10×
+                  // part)
+                  "q_pq_topk", "q_bpe_tokens")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -108,8 +108,23 @@ object Curation {
                           lmTarget: Option[DataFrame] = None,
                           keepFrac: Double = 1.0,
                           seqLen: Int = 2048): DataFrame = {
+    val selected = selectForTraining(docs, cfg, lmTarget, keepFrac)
+    // NARROW projection (two longs per surviving doc) so the
+    // materialization concatChunks now owns internally (its three
+    // passes over one stored copy — Packing scaladoc) stores longs,
+    // not text (measured 7.2 s vs ~5 s at sf0.1)
+    val withTokens = selected.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Packing.concatChunks(withTokens, "n_tokens", seqLen)
+  }
+
+  /** curate → optional LM-quality selection — the shared front of the
+    * two packing variants. */
+  private def selectForTraining(docs: DataFrame, cfg: Config,
+                                lmTarget: Option[DataFrame],
+                                keepFrac: Double): DataFrame = {
     val curated = curate(docs, cfg)
-    val selected = (lmTarget, keepFrac) match {
+    (lmTarget, keepFrac) match {
       case (Some(t), f) if f < 1.0 =>
         val scored = graft.pipelines.NgramLm.score(curated, t)
           .select(col("doc_id"),
@@ -121,12 +136,36 @@ object Curation {
           Seq("doc_id"), "left_semi")
       case _ => curated
     }
-    // NARROW projection (two longs per surviving doc) so the
-    // materialization concatChunks now owns internally (its three
-    // passes over one stored copy — Packing scaladoc) stores longs,
-    // not text (measured 7.2 s vs ~5 s at sf0.1)
+  }
+
+  /** [[prepareTrainingData]] with the REAL token budget: a BPE
+    * tokenizer ([[graft.text.Bpe]]) is learned on the curated
+    * survivors themselves (`numMerges` merges over their word-count
+    * dictionary), and sequences are packed by LEARNED-subword counts
+    * instead of the whitespace proxy — so a 2048-token training
+    * sequence means 2048 tokens the model will actually see, not 2048
+    * words that tokenize into ~3000. The survivors are
+    * localCheckpoint'ed once: tokenizer training (one aggregate + a
+    * driver-side merge loop) and the packing passes all read the
+    * stored blocks, so the curation DAG executes once however many
+    * passes follow; the narrow (doc_id, n_tokens) frame is then owned
+    * by concatChunks as usual, so the BPE encode itself also runs
+    * exactly once, not once per packing pass. */
+  def prepareTrainingDataBpe(docs: DataFrame, cfg: Config = Config(),
+                             lmTarget: Option[DataFrame] = None,
+                             keepFrac: Double = 1.0,
+                             seqLen: Int = 2048,
+                             numMerges: Int = 200,
+                             driverWordLimit: Long = 2000000L)
+      : DataFrame = {
+    val selected = selectForTraining(docs, cfg, lmTarget, keepFrac)
+      .localCheckpoint(false)
+    val model = graft.text.Bpe.learnBpe(
+      graft.text.Bpe.wordCounts(selected), numMerges,
+      driverWordLimit = driverWordLimit)
     val withTokens = selected.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.text.Bpe.bpeTokenCount(col("text"), model).cast("long")
+        .as("n_tokens"))
     Packing.concatChunks(withTokens, "n_tokens", seqLen)
   }
 

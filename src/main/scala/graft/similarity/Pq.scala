@@ -141,16 +141,13 @@ object Pq {
   /** ADC search of a pre-encoded code table (`neighbor_id`, `codes`) —
     * the reusable second half of [[pqTopK]], and the whole recurring
     * cost once codes are materialized ([[writePqIndex]]). */
-  def searchCodes(queries: DataFrame, codes: DataFrame, model: PqModel,
-                  k: Int, qId: String = "vec_id",
-                  qVec: String = "embedding"): DataFrame = {
-    val m = model.m
-    val dsub = model.dsub
-    val kC = model.kCodes
+  /** Per-query subspace-distance table UDF, flattened to m·kCodes
+    * doubles (flat primitive array: one allocation, O(1) indexed
+    * lookups). */
+  private def tableUdfOf(model: PqModel) = {
+    val m = model.m; val dsub = model.dsub; val kC = model.kCodes
     val books = model.codebooks
-    // per-query subspace-distance table, flattened to m·kCodes doubles
-    // (flat primitive array: one allocation, O(1) indexed lookups)
-    val tableUdf = udf { nv: Seq[Double] =>
+    udf { nv: Seq[Double] =>
       val arr = nv.toArray
       val t = new Array[Double](m * kC)
       var j = 0
@@ -173,7 +170,12 @@ object Pq {
       }
       t
     }
-    val adcUdf = udf { (codes: Seq[Int], table: Seq[Double]) =>
+  }
+
+  /** ADC lookup-sum UDF: m table reads per (codes, table) pair. */
+  private def adcUdfOf(model: PqModel) = {
+    val m = model.m; val kC = model.kCodes
+    udf { (codes: Seq[Int], table: Seq[Double]) =>
       var s = 0.0
       var j = 0
       while (j < m) {
@@ -182,6 +184,13 @@ object Pq {
       }
       s
     }
+  }
+
+  def searchCodes(queries: DataFrame, codes: DataFrame, model: PqModel,
+                  k: Int, qId: String = "vec_id",
+                  qVec: String = "embedding"): DataFrame = {
+    val tableUdf = tableUdfOf(model)
+    val adcUdf = adcUdfOf(model)
     val q = queries
       .select(col(qId).as("query_id"), col(qVec).as("qraw"))
       .filter(Similarity.l2Norm(col("qraw")) > lit(0.0))
@@ -232,6 +241,89 @@ object Pq {
       .withColumn("cos_raw",
         Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(k))
+      .select(col("query_id"), col("neighbor_id"),
+              col("cos_raw").as("cos"), col("rank"))
+  }
+
+  /** IVF × PQ — both scale dials composed (the FAISS `IndexIVFPQ`
+    * role): a k-means coarse quantizer prunes WHICH rows are touched
+    * (each query reads only its `nProbe` of `nCells` cells), PQ codes
+    * shrink WHAT is read per touched row (m codes, not dim·4 float
+    * bytes), and an exact refine stage re-ranks the `k·refine`
+    * shortlist with true cosines. At 100 TB: cell-partitioned CODE
+    * table (the [[Similarity.writeIvfIndex]] layout holding codes
+    * instead of vectors) ⇒ a search scans nProbe/nCells of a
+    * 32×-compressed corpus — both factors multiply.
+    *
+    * One deliberate divergence from FAISS: codebooks are SHARED across
+    * cells and trained on the vectors themselves, not per-cell
+    * residuals — residual encoding couples the two quantizers (every
+    * re-cluster invalidates every code; a shared codebook lets cells
+    * and codes rebuild independently, the right trade for a
+    * periodically re-landed corpus). Recall lost to the coarser
+    * codebook is bought back by the refine stage, which the spec pins
+    * against plain [[pqTopKRefined]]. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nCells: Int = 16, nProbe: Int = 4, refine: Int = 5,
+                m: Int = 8, kCodes: Int = 16, seed: Long = 42L,
+                qId: String = "vec_id", qVec: String = "embedding",
+                cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = trainPq(corpus, m, kCodes, seed, cVec)
+    // coarse quantizer over the same unit sphere the codes live on
+    val c = corpus
+      .select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+      .filter(Similarity.l2Norm(col("cv")) > lit(0.0))
+      .withColumn("v", array_to_vector(Similarity.normalize(col("cv"))))
+      .localCheckpoint()
+    val km = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("v").setPredictionCol("cell")
+    val kmModel = km.fit(c)
+    val codes = encodePq(corpus, model, cVec, cId)
+      .withColumnRenamed(cId, "neighbor_id")
+      .join(kmModel.transform(c).select(col("neighbor_id"), col("cell")),
+            Seq("neighbor_id"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = kmModel.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "center")
+    val tableUdf = tableUdfOf(model)
+    val adcUdf = adcUdfOf(model)
+    val q = queries
+      .select(col(qId).as("query_id"), col(qVec).as("qv"))
+      .filter(Similarity.l2Norm(col("qv")) > lit(0.0))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("center_cos").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(centers))
+      .withColumn("center_cos", Similarity.cosine(col("qv"), col("center")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= lit(nProbe))
+      .select(col("query_id"), col("qv"),
+              tableUdf(Similarity.normalize(col("qv"))).as("qtable"),
+              col("cell"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    val shortlist = probed.join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adcUdf(col("codes"), col("qtable")))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= lit(k * refine))
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    // exact re-rank of the shortlist: raw floats touched for
+    // |Q|·k·refine rows only
+    val raw = c.select(col("neighbor_id"), col("cv"),
+                       Similarity.l2Norm(col("cv")).as("cn"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    shortlist.join(raw, Seq("neighbor_id"))
+      .withColumn("cos_raw",
+        Similarity.dot(col("qv"), col("cv")) /
+          (Similarity.l2Norm(col("qv")) * col("cn")))
+      .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= lit(k))
       .select(col("query_id"), col("neighbor_id"),
               col("cos_raw").as("cos"), col("rank"))

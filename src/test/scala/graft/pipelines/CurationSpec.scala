@@ -183,6 +183,32 @@ class CurationSpec extends AnyFunSuite {
     full.unpersist()
   }
 
+  test("prepareTrainingDataBpe: packs the same survivors by learned " +
+       "subword counts, never fewer tokens than words") {
+    val bpe = Curation.prepareTrainingDataBpe(docs, numMerges = 100)
+      .cache()
+    val word = Curation.prepareTrainingData(docs).cache()
+    // same survivor set, joined 1:1
+    assert(bpe.count() == word.count())
+    val joined = bpe.as("b").join(word.as("w"), Seq("doc_id")).cache()
+    assert(joined.count() == bpe.count())
+    // BPE can only split words further: per-doc subword count ≥ the
+    // word count under the SAME tokenize semantics (the whitespace
+    // proxy in `word` differs on punctuation-only splits, so compare
+    // against Text.tokenCount, not w.n_tokens)
+    val withWords = bpe.join(
+      Curation.curate(docs).select(col("doc_id"),
+        graft.text.Text.tokenCount(col("text")).cast("long").as("nw")),
+      Seq("doc_id"))
+    assert(withWords.filter(col("n_tokens") < col("nw")).count() == 0)
+    // prefix structure holds for the BPE stream too
+    val last = bpe.orderBy(col("offset").desc).head()
+    val total = bpe.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(last.getAs[Long]("offset") + last.getAs[Long]("n_tokens")
+      == total)
+    bpe.unpersist(); word.unpersist(); joined.unpersist()
+  }
+
   test("opt-in model filter: thresholded subset, scores carried") {
     val trusted = docs.filter(col("doc_id") < 100000)
     val degraded = trusted.select(col("doc_id"),

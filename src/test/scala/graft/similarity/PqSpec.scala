@@ -92,6 +92,36 @@ class PqSpec extends AnyFunSuite {
     assert(mism.count() == 0, "refined cos must be the true cosine")
   }
 
+  test("ivfPqTopK: contract holds, recall rises with probes, full " +
+       "probe ≈ pqTopKRefined") {
+    val queries = emb.filter(col("vec_id") < 30)
+    val k = 10
+    val exact = Similarity.cosineTopK(queries, emb, k = k)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val got = Pq.ivfPqTopK(queries, emb, k = k, nCells = 8,
+          nProbe = nProbe, refine = 10)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val r2 = recallAt(2)
+    val rFull = recallAt(8)
+    assert(rFull >= r2 - 0.02,
+      s"recall must not fall as probes widen: $r2 -> $rFull")
+    // at full probe the cell filter is a no-op: same candidates as the
+    // flat refined search, so recall matches it (both ADC@(k·refine)
+    // shortlists over the identical code table)
+    val flat = Pq.pqTopKRefined(queries, emb, k = k, refine = 10,
+        m = 8, kCodes = 16)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flatRecall = (exact & flat).size.toDouble / exact.size
+    assert(math.abs(rFull - flatRecall) < 1e-9,
+      s"full-probe IVFPQ recall $rFull != flat refined $flatRecall")
+  }
+
   test("materialized index: searchPqIndex equals the in-memory pqTopK") {
     val dir = java.nio.file.Files.createTempDirectory("pq_index")
       .toString
