@@ -102,6 +102,9 @@ object SparkEntry {
     // oracle-gated (SQL-expressible) — added with the seeded block in
     // round 5 part 2:
     "q_salted_pairs"            -> Relational.saltedPairsSampled _,
+    // round 8 part 2:
+    "q_chunk_overlap"           -> Corpus.chunkOverlapQuery _,
+    "q_stratified_exactk"       -> Relational.stratifiedExactKEvents _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -354,6 +357,29 @@ object SparkEntry {
          FROM u a JOIN u b
            ON a.event_type = b.event_type AND a.user_id < b.user_id
          ORDER BY event_type, id_a, id_b""",
+    "q_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n,
+                      unnest(generate_series(0, len(toks) - 1, 24))
+                        AS tstart
+               FROM t)
+         SELECT doc_id,
+                CAST(tstart // 24 AS BIGINT) AS chunk_idx,
+                CAST(tstart AS BIGINT) AS token_start,
+                array_to_string(list_slice(toks, tstart + 1, tstart + 32),
+                                ' ') AS chunk_text,
+                CAST(least(32, n - tstart) AS BIGINT) AS n_tokens
+         FROM s ORDER BY doc_id, chunk_idx""",
+    "q_stratified_exactk" ->
+      """WITH ranked AS (
+           SELECT event_id, event_type, user_id,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                              event_id) AS r
+           FROM events)
+         SELECT event_id, event_type, user_id FROM ranked WHERE r <= 50
+         ORDER BY event_type, event_id""",
     "q_self_join_pairs" ->
       """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events)
          SELECT a.user_id AS user_a, b.user_id AS user_b,

@@ -445,6 +445,14 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** RAG-style overlapping chunking (SP4): 32-token windows advancing
+    * by 24 over each doc's whitespace token stream — map-side only,
+    * full SQL oracle (string_split + generate_series + list_slice
+    * twin). */
+  def chunkOverlapQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.Packing.chunkOverlap(docs(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Vocabulary profile: top words by document frequency (plus total
     * occurrences) — the explode → two-phase agg → top-k shape of every
     * corpus vocabulary/stopword analysis. At 100 TB the exact form

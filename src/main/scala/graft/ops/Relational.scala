@@ -173,6 +173,21 @@ object Relational {
       .orderBy(col("event_type"), col("id_a"), col("id_b"))
   }
 
+  /** SP5 as a declared query: exact-k stratified sample — exactly
+    * min(50, |stratum|) events per event_type, selected by the
+    * seedless md5(event_id) permutation
+    * ([[graft.pipelines.Splitting.stratifiedExactK]]); deterministic
+    * on any engine, so unlike the Bernoulli sampler this one is
+    * hash-oracled. */
+  def stratifiedExactKEvents(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    graft.pipelines.Splitting.stratifiedExactK(
+        ev, stratumCol = "event_type", k = 50, idCol = "event_id")
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   /** A7 — global aggregate, single row (customer_segmentation_2.py:41). */
   def globalAvg(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

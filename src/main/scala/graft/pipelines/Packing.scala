@@ -132,6 +132,44 @@ object Packing {
     * are (partition index) + numPartitions · (local bin ordinal), so
     * they are globally unique without any cross-partition
     * coordination. */
+  /** Overlapping token-window chunking — the RAG-indexing shape (and
+    * the sliding-window eval shape): each document's whitespace token
+    * stream is cut into windows of `width` tokens whose starts advance
+    * by `stride`; `stride < width` overlaps consecutive chunks so no
+    * boundary-straddling span is lost to retrieval. Output: one row
+    * per (doc, window) — (idCol, chunk_idx, token_start, chunk_text,
+    * n_tokens); the final window may be shorter than `width`.
+    *
+    * Pure generator plan: split once, `sequence` + `explode` for the
+    * window starts, `slice`/`array_join` rebuild the window text —
+    * all codegen'd array expressions, no UDF, no shuffle at all (the
+    * output inherits the scan's partitioning; a 100-TB corpus chunks
+    * map-side). Null texts produce no rows — filtered explicitly,
+    * because Spark's size(null) is −1 (a null text would otherwise
+    * emit one junk row where the SQL twin's unnest(NULL) emits none).
+    * Fully SQL-expressible → DuckDB-oracled (`q_chunk_overlap`). */
+  def chunkOverlap(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", width: Int = 32,
+                   stride: Int = 24): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    val toks = split(col(textCol), " ")
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__toks"), size(toks).as("__n"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)),
+                         lit(stride))).as("__start"))
+      .select(col(idCol),
+        (col("__start") / lit(stride)).cast("long").as("chunk_idx"),
+        col("__start").cast("long").as("token_start"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(width)),
+                   " ")
+          .as("chunk_text"),
+        least(lit(width), col("__n") - col("__start")).cast("long")
+          .as("n_tokens"))
+  }
+
   def binPackGreedy(docs: DataFrame, tokensCol: String, budget: Int,
                     idCol: String = "doc_id",
                     numPartitions: Int = 0): DataFrame = {

@@ -72,6 +72,29 @@ object Splitting {
                           seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** EXACT-count stratified sample: exactly min(k, |stratum|) rows per
+    * stratum, chosen by a deterministic hash order — the companion to
+    * [[stratifiedSample]] when the contract is a COUNT ("1M docs per
+    * language for the eval set"), not a rate. Ordering by
+    * (md5(idCol), idCol) is a seedless uniform permutation, identical
+    * on any engine and partitioning — so unlike the Bernoulli path
+    * this one IS oracle-hashable. One shuffle on the stratum key; the
+    * per-stratum sort is bounded by the largest stratum, and Spark
+    * plans a WindowGroupLimit (rank ≤ k pushes into a per-partition
+    * top-k before the exchange), so skewed strata don't sort globally.
+    * `idCol` must be unique — it both drives and tie-breaks the
+    * permutation. */
+  def stratifiedExactK(df: DataFrame, stratumCol: String, k: Int,
+                       idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")),
+               col(idCol))
+    df.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= lit(k))
+      .drop("__r")
+  }
+
   /** Keep the rows whose `scoreCol` lands in the top `frac` of the
     * distribution — the quality-selection step of FineWeb/DCLM-style
     * pipelines ("train on the best X% by classifier/LM score").

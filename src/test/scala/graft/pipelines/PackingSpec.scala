@@ -153,6 +153,35 @@ class PackingSpec extends AnyFunSuite {
     assert(evals2.value > 100, "ownInput=false must not checkpoint")
   }
 
+  test("chunkOverlap: windows tile with overlap, reconstruct the doc, " +
+       "short tail, null text drops") {
+    import spark.implicits._
+    val text = (1 to 80).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "a b c"), (3L, null))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkOverlap(docs, width = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx")).collect()
+    // doc 1: starts 0,24,48,72 → 4 windows; doc 2: one short window;
+    // doc 3: none
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 1L, 1L, 1L, 2L))
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getAs[Long]("token_start")).toSeq ==
+      Seq(0L, 24L, 48L, 72L))
+    assert(d1.map(_.getAs[Long]("n_tokens")).toSeq ==
+      Seq(32L, 32L, 32L, 8L))
+    // consecutive windows overlap by width − stride = 8 tokens
+    val w0 = d1(0).getAs[String]("chunk_text").split(" ")
+    val w1 = d1(1).getAs[String]("chunk_text").split(" ")
+    assert(w0.takeRight(8).toSeq == w1.take(8).toSeq)
+    // stride-spaced prefixes reconstruct the doc exactly
+    val rebuilt = d1.flatMap(r =>
+      r.getAs[String]("chunk_text").split(" ").take(24)).toSeq ++
+      d1.last.getAs[String]("chunk_text").split(" ").drop(24)
+    assert(rebuilt.mkString(" ") == text)
+    assert(out.filter(_.getLong(0) == 2L).head
+      .getAs[Long]("n_tokens") == 3L)
+  }
+
   test("concatChunks: chunk ids are exact past 2^53 (div, not double /)") {
     import spark.implicits._
     // offset 2^53+1 is not double-representable: double division by 3

@@ -136,4 +136,28 @@ class SplittingSpec extends AnyFunSuite {
     assert(again.train.exceptAll(splits.train).count() == 0)
     assert(splits.train.exceptAll(again.train).count() == 0)
   }
+
+  test("stratifiedExactK: exactly min(k, |stratum|) per stratum, " +
+       "subset of input, partitioning-invariant") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, s"s${i % 3}")).toDF(
+      "id", "stratum")
+      .union(Seq((9999L, "rare")).toDF("id", "stratum"))
+    val out = Splitting.stratifiedExactK(df, "stratum", k = 20,
+      idCol = "id").cache()
+    val counts = out.groupBy(col("stratum")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s0" -> 20L, "s1" -> 20L, "s2" -> 20L,
+                         "rare" -> 1L))
+    assert(out.exceptAll(df.join(out, Seq("id", "stratum"), "left_semi"))
+      .count() == 0)
+    // the md5 permutation is partitioning-independent: a different
+    // physical layout selects the SAME rows (what makes it
+    // oracle-hashable, unlike the Bernoulli sampler)
+    val re = Splitting.stratifiedExactK(df.repartition(13, col("id")),
+      "stratum", k = 20, idCol = "id")
+    assert(re.exceptAll(out).count() == 0 &&
+           out.exceptAll(re).count() == 0)
+    out.unpersist()
+  }
 }
