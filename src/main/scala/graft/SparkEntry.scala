@@ -105,6 +105,7 @@ object SparkEntry {
     // round 8 part 2:
     "q_chunk_overlap"           -> Corpus.chunkOverlapQuery _,
     "q_stratified_exactk"       -> Relational.stratifiedExactKEvents _,
+    "q_span_dedup"              -> Corpus.spanDedup _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -371,6 +372,44 @@ object SparkEntry {
                                 ' ') AS chunk_text,
                 CAST(least(32, n - tstart) AS BIGINT) AS n_tokens
          FROM s ORDER BY doc_id, chunk_idx""",
+    "q_span_dedup" ->
+      """WITH planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000,
+                  'sp1 sp2 sp3 sp4 sp5 sp6 sp7 sp8 sp9 sp10 sp11 sp12 ' ||
+                  'sp13 sp14 sp15 sp16 sp17 sp18 sp19 sp20 sp21 sp22 ' ||
+                  'sp23 sp24 sp25 ' || text
+           FROM documents WHERE doc_id % 10 = 0),
+         base AS (SELECT doc_id AS id, string_split(text, ' ') AS t,
+                         len(string_split(text, ' ')) AS n
+                  FROM planted),
+         wins AS (
+           SELECT id, i AS s,
+                  md5(array_to_string(list_slice(t, i + 1, i + 20), ' '))
+                    AS key
+           FROM base, unnest(generate_series(0, n - 20)) AS u(i)
+           WHERE n >= 20),
+         dup AS (SELECT key, min(id) AS canon FROM wins
+                 GROUP BY key HAVING count(DISTINCT id) >= 2),
+         rem AS (SELECT w.id, w.s AS lo, w.s + 19 AS hi
+                 FROM wins w JOIN dup d
+                   ON w.key = d.key AND w.id <> d.canon),
+         tokens AS (SELECT id, t[i + 1] AS w, i AS pos
+                    FROM base,
+                         unnest(generate_series(0, n - 1)) AS u(i)),
+         kept AS (SELECT tk.id, tk.w, tk.pos FROM tokens tk
+                  WHERE NOT EXISTS (SELECT 1 FROM rem r
+                    WHERE r.id = tk.id
+                      AND tk.pos BETWEEN r.lo AND r.hi)),
+         rebuilt AS (SELECT id, string_agg(w, ' ' ORDER BY pos) AS t2,
+                            count(*) AS n_kept
+                     FROM kept GROUP BY id)
+         SELECT b.id AS doc_id, coalesce(r.t2, '') AS text,
+                CAST(b.n AS BIGINT) AS n_tokens,
+                CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+         FROM base b LEFT JOIN rebuilt r ON b.id = r.id
+         ORDER BY doc_id""",
     "q_stratified_exactk" ->
       """WITH ranked AS (
            SELECT event_id, event_type, user_id,

@@ -806,4 +806,76 @@ object Dedup {
       .select(col("id").as(idCol), col("cell"), col("centroid_cos"),
               col("component"), col("kept"))
   }
+
+  /** EXACT-SUBSTRING (span) dedup — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr) member of the family, sitting between line dedup
+    * (whole repeated lines) and document dedup (whole docs): any run
+    * of ≥ k tokens appearing verbatim in ≥ 2 DISTINCT documents is
+    * removed from every doc EXCEPT the lowest-id one holding it —
+    * one canonical copy of every repeated passage survives. Intra-doc
+    * repetition is deliberately out of scope ([[graft.functions.
+    * RepetitionStats]] covers it).
+    *
+    * Mechanics: every k-token window is keyed by md5 of its joined
+    * tokens (128 bits, engine-portable — the DuckDB twin replays the
+    * identical keys, so hash behavior can't diverge); a NARROW
+    * groupBy(key) pass finds keys spanning ≥ 2 docs and each key's
+    * canonical (min) doc; every non-canonical occurrence marks the
+    * interval [start, start+k−1]; a token is dropped iff ANY marked
+    * interval of its doc covers it — consecutive windows of one
+    * shared passage union into the full passage through the coverage
+    * test, so no explicit interval merging is needed; the text is
+    * rebuilt in original order. Docs with every token covered remain
+    * as rows with empty text (callers decide about stubs); docs
+    * shorter than k tokens have no windows and pass through intact.
+    *
+    * Scale shape: the window exchange carries (16-byte key, id,
+    * start) — never text; the coverage test is an equi-join on the
+    * doc id with a range predicate (a doc joins only its OWN marked
+    * intervals); the rebuild is line dedup's sorted-collect form.
+    * Output: `idCol`, rebuilt `textCol`, `n_tokens`, `n_kept`. */
+  def dropRepeatedSpans(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", k: Int = 20)
+      : DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    val toks = split(col(textCol), " ")
+    // three consumers (windows, tokens, rebuild ids) — own the
+    // evaluation once, lazily (the concatChunks contract)
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), toks.as("t"), size(toks).as("n"))
+      .localCheckpoint(false)
+    val wins = base.filter(col("n") >= k)
+      .select(col("id"), explode(transform(
+          sequence(lit(0), col("n") - k),
+          i => struct(i.as("s"),
+            md5(array_join(slice(col("t"), i + 1, lit(k)), " ")
+              .cast("binary")).as("key"))))
+        .as("w"))
+      .select(col("id"), col("w.s").as("s"), col("w.key").as("key"))
+    val dupKeys = wins.groupBy(col("key"))
+      .agg(min(col("id")).as("canon"), countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("key"), col("canon"))
+    val remove = wins.join(dupKeys, Seq("key"))
+      .filter(col("id") =!= col("canon"))
+      .select(col("id").as("rid"), col("s").as("lo"),
+              (col("s") + (k - 1)).as("hi"))
+    val tokens = base.select(col("id"),
+      posexplode(col("t")).as(Seq("pos", "w")))
+    val kept = tokens.join(remove,
+      col("id") === col("rid") && col("pos").between(col("lo"), col("hi")),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(array_join(transform(
+             array_sort(collect_list(struct(col("pos"), col("w")))),
+             x => x.getField("w")), " ").as("__text"),
+           count(lit(1)).as("n_kept"))
+    base.select(col("id"), col("n"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+              coalesce(col("__text"), lit("")).as(textCol),
+              col("n").cast("long").as("n_tokens"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

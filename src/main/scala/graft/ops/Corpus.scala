@@ -61,6 +61,24 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-substring span dedup (DD15) over a corpus with a PLANTED
+    * shared passage: every 10th doc re-appears under id+100000 with a
+    * fixed 25-token preamble prepended, so the preamble (≥ k=20
+    * tokens, shared across all clones) survives only in the lowest
+    * clone id, and each clone's copied body text — shared verbatim
+    * with its lower-id original — is stripped too. Fully
+    * deterministic and SQL-expressible → hash-gated end to end
+    * (rebuilt text included). */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val preamble = (1 to 25).map(i => s"sp$i").mkString(" ")
+    val clones = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              concat(lit(preamble + " "), col("text")).as("text"))
+    Dedup.dropRepeatedSpans(d.union(clones), k = 20)
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash+LSH near-dup pairs over the planted corpus — the banded
     * (seeded) scale path of the dedup family; no SQL oracle (the
     * candidate set depends on the LSH seed) → rows-only driver check;

@@ -60,7 +60,10 @@ object Pq {
       .filter(Similarity.l2Norm(col("raw")) > lit(0.0))
       .select(Similarity.normalize(col("raw")).as("nv"))
       .localCheckpoint()
-    val dim = unit.select(size(col("nv"))).head.getInt(0)
+    val first = unit.select(size(col("nv"))).head(1)
+    require(first.nonEmpty,
+      "trainPq needs at least one non-zero-norm vector")
+    val dim = first(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     val codebooks = Array.tabulate(m) { j =>
@@ -270,8 +273,6 @@ object Pq {
                 qId: String = "vec_id", qVec: String = "embedding",
                 cId: String = "vec_id", cVec: String = "embedding")
       : DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val model = trainPq(corpus, m, kCodes, seed, cVec)
     // coarse quantizer over the same unit sphere the codes live on
     val c = corpus

@@ -488,4 +488,33 @@ class DedupSpec extends AnyFunSuite {
         s"bloom path diverged from exact path at fpp=$fpp")
     }
   }
+
+  test("dropRepeatedSpans: shared passage removed everywhere but the " +
+       "lowest id; short/unrelated docs intact; fully-covered doc " +
+       "stays as an empty row") {
+    import spark.implicits._
+    val P = (1 to 25).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $P a4 a5"),
+      (2L, s"b1 b2 $P b3 b4 b5 b6"),
+      (3L, s"$P c1 c2"),
+      (4L, (1 to 30).map(i => s"u$i").mkString(" ")),
+      (5L, "s1 s2 s3"),
+      (6L, P)
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedSpans(docs, k = 20).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 == s"a1 a2 a3 $P a4 a5", "canonical keeps P")
+    assert(out(1L)._3 == 30L)
+    // overlapping shared windows union to EXACTLY the passage: the
+    // clones lose P and nothing else, in original order
+    assert(out(2L)._1 == "b1 b2 b3 b4 b5 b6")
+    assert(out(2L)._2 == 31L && out(2L)._3 == 6L)
+    assert(out(3L)._1 == "c1 c2")
+    assert(out(4L)._1.startsWith("u1 ") && out(4L)._3 == 30L)
+    assert(out(5L)._1 == "s1 s2 s3", "doc shorter than k untouched")
+    assert(out(6L)._1 == "" && out(6L)._3 == 0L,
+      "fully-covered doc remains as a row with empty text")
+  }
 }

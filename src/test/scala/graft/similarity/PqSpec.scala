@@ -24,6 +24,13 @@ class PqSpec extends AnyFunSuite {
       "same seed must give identical codes")
   }
 
+  test("trainPq on an empty / all-zero corpus fails with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      Pq.trainPq(emb.filter(col("vec_id") < 0))
+    }
+    assert(e.getMessage.contains("non-zero-norm"))
+  }
+
   test("quantization error shrinks as kCodes grows") {
     // ADC distance of each vector to ITS OWN codes = reconstruction
     // error; exact self-cosine is 1, so error = mean(1 − cos_adc).
