@@ -43,6 +43,7 @@ object SparkEntry {
     "q_percentiles"             -> Stats.percentilesByGroup _,
     "q_rollup_facets"           -> Stats.rollupFacets _,
     "q_dedup_exact"             -> Corpus.dedupExact _,
+    "q_dedup_keep_cleanest"     -> Corpus.dedupKeepCleanest _,
     "q_dedup_near"              -> Corpus.dedupNear _,
     "q_ngram_jaccard"           -> Corpus.ngramJaccard _,
     "q_cosine_topk"             -> Corpus.cosineTopK _,
@@ -68,6 +69,7 @@ object SparkEntry {
     "q_tfidf_topterms"          -> ((s, d) => Corpus.tfidfTopTerms(s, d)),
     "q_content_filters"         -> Corpus.contentFilters _,
     "q_pii_redact"              -> Corpus.piiRedact _,
+    "q_normalize_text"          -> Corpus.normalizeTextQuery _,
     "q_curation"                -> Corpus.curationRun _,
     "q_curation_gated"          -> Corpus.curationGated _,
     "q_funnel"                  -> Corpus.curationFunnel _,
@@ -516,6 +518,27 @@ object SparkEntry {
          SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
                 count(*) AS n_copies
          FROM planted GROUP BY sha256(text) ORDER BY keep_id""",
+    "q_dedup_keep_cleanest" ->
+      """WITH planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, '  ' || upper(text) || chr(9)
+           FROM documents WHERE doc_id % 10 = 0),
+         keyed AS (
+           SELECT doc_id, text,
+             lower(trim(regexp_replace(
+               regexp_replace(nfc_normalize(text),
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '\s+', ' ', 'g'))) AS k
+           FROM planted),
+         ranked AS (
+           SELECT doc_id, text,
+             row_number() OVER (PARTITION BY k
+                                ORDER BY length(text), doc_id) AS r,
+             count(*) OVER (PARTITION BY k) AS n_copies
+           FROM keyed)
+         SELECT doc_id, n_copies, length(text) AS n_chars_kept
+         FROM ranked WHERE r = 1 ORDER BY doc_id""",
     "q_dedup_near" ->
       """WITH RECURSIVE
          planted AS (
@@ -711,6 +734,18 @@ object SparkEntry {
                  '[EMAIL]', 'g'),
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
              '\+?\d(?:[().-]?\d){8,}', '[PHONE]', 'g') AS text_redacted
+         FROM planted ORDER BY doc_id""",
+    "q_normalize_text" ->
+      """WITH planted AS (SELECT doc_id,
+             text || CASE WHEN doc_id % 6 = 0
+               THEN '  cafe' || chr(769) || ' ' || chr(7) || ' bad' || chr(9) || 'ws  x'
+               ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(nfc_normalize(text),
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             '\s+', ' ', 'g')) AS text_norm
          FROM planted ORDER BY doc_id""",
     "q_content_filters" ->
       """WITH planted AS (SELECT doc_id,

@@ -39,6 +39,40 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"),
            count(lit(1)).as("n_copies"))
 
+  /** Normalized-content dedup key: SHA-256 of the case-folded,
+    * [[graft.text.Text.normalizeText]]-canonicalized text. Two raw
+    * variants that differ only in Unicode composition form, control
+    * characters, whitespace runs, or case fold to the SAME key — the
+    * duplicate class exact hashing misses on crawled corpora (the same
+    * page re-crawled through a different extractor). All codegen'd
+    * scalar work, so keying a 100-TB scan is map-side. */
+  def normalizedKey(text: Column): Column =
+    sha2(lower(Text.normalizeText(text)), 256)
+
+  /** Normalization-aware exact dedup that keeps the CLEANEST copy: rows
+    * group by [[normalizedKey]], and within each group the survivor is
+    * the row minimizing `(length(raw text), id)` — the shortest raw
+    * variant is by construction the one with the least normalization
+    * junk (no control bytes, no whitespace padding), and the id breaks
+    * exact ties deterministically. Unlike [[dropExactDuplicates]] the
+    * members of a group here genuinely DIFFER in raw bytes, so which
+    * copy survives matters; "already clean beats cleaned-up" keeps the
+    * output byte-stable under re-runs that add mutated copies.
+    *
+    * One hash aggregate (`min_by` on a struct ordering key) — one
+    * shuffle on the 256-bit key, no join, no window sort; same 100-TB
+    * shape as [[dropExactDuplicates]]. Output: every column of the
+    * kept row plus `n_copies`. */
+  def dropNormalizedDuplicates(docs: DataFrame, textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    val cols = docs.columns.toIndexedSeq
+    docs.groupBy(normalizedKey(col(textCol)).as("__norm_hash"))
+      .agg(min_by(struct(cols.map(col): _*),
+                  struct(length(col(textCol)), col(idCol))).as("row"),
+           count(lit(1)).as("n_copies"))
+      .select(cols.map(c => col(s"row.$c")) :+ col("n_copies"): _*)
+  }
+
   /** Exact dedup: keep the full row with the minimum id per distinct
     * content. min_by in a single hash aggregate — one shuffle, no join,
     * no window sort. */

@@ -68,6 +68,12 @@ object GraftExtensions {
        require(args.length == 1, "lang_hits(tokens) takes one argument")
        LangHits(args.head)
      }),
+    ("nfc_normalize",
+     new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+     (args: Seq[Expression]) => {
+       require(args.length == 1, "nfc_normalize(text) takes one argument")
+       NfcNormalize(args.head)
+     }),
     ("repetition_stats",
      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
      (args: Seq[Expression]) => {

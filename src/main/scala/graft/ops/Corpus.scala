@@ -33,6 +33,23 @@ object Corpus {
       .orderBy(col("keep_id"))
   }
 
+  /** Normalization-aware dedup (DD16) over a corpus with planted DIRTY
+    * clones: every 10th doc re-appears under id+100000 with whitespace
+    * padding, a tab, and the text uppercased — byte-distinct (invisible
+    * to exact hashing) but identical after normalize+casefold. The
+    * cleanest copy (shortest raw text, id tiebreak) survives: here
+    * always the original, asserted by the oracle twin end to end. */
+  def dedupKeepCleanest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val dirty = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              concat(lit("  "), upper(col("text")), lit("\t")).as("text"))
+    Dedup.dropNormalizedDuplicates(d.union(dirty))
+      .select(col("doc_id"), col("n_copies"),
+              length(col("text")).as("n_chars_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram (5-shingle) Jaccard near-dup pairs over a corpus with
     * planted near-clones (every 10th doc re-appears under id+100000 with
     * three junk words prepended → Jaccard (S)/(S+3) ∈ (0.5, 1)). */
@@ -577,6 +594,24 @@ object Corpus {
           .otherwise(lit(""))).as("text"))
     planted.select(col("doc_id"),
         Text.redactPii(col("text")).as("text_redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TX14 — canonical text normalization over documents with planted
+    * mess (every 6th doc gets a suffix mixing decomposed Unicode
+    * (`e` + combining acute U+0301), a BEL control char, tabs and
+    * multi-space runs — synthetic testdata text is clean ASCII, so
+    * without planting the normalize pass would be vacuous): output is
+    * the normalized text itself, hash-gated byte-for-byte against the
+    * DuckDB `nfc_normalize` + regexp twin. */
+  def normalizeTextQuery(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 6 === 0,
+          lit("  cafe\u0301 \u0007 bad\tws  x"))
+          .otherwise(lit(""))).as("text"))
+    planted.select(col("doc_id"),
+        Text.normalizeText(col("text")).as("text_norm"))
       .orderBy(col("doc_id"))
   }
 

@@ -203,6 +203,29 @@ object Text {
     regexp_replace(ip, "\\+?\\d(?:[().-]?\\d){8,}", "[PHONE]")
   }
 
+  /** Canonical text normalization — the cleaning pass a crawled corpus
+    * runs BEFORE hashing, shingling, or tokenizing (CCNet/Dolma-style):
+    *  1. Unicode NFC composition ([[graft.functions.NfcNormalize]] —
+    *     native codegen'd kernel, ASCII zero-copy fast path), so
+    *     precomposed and decomposed forms of the same glyph hash alike;
+    *  2. strip non-whitespace C0/DEL control characters (`\x00-\x08`,
+    *     `\x0B`, `\x0C`, `\x0E-\x1F`, `\x7F` — tab/newline/CR survive
+    *     to the next step, they are layout, not garbage);
+    *  3. collapse every whitespace run to one space and trim the ends.
+    * Deliberately NOT lowercased and NOT NFKC: case and compatibility
+    * forms (ligatures, full-width) are meaning-bearing; dedup keys that
+    * need case folding apply `lower` downstream.
+    *
+    * All three stages are codegen'd scalar expressions (the regexes are
+    * Java-and-RE2-common syntax, so the DuckDB oracle twin is
+    * byte-for-byte — hash-gated by `q_normalize_text`). */
+  def normalizeText(text: Column): Column = {
+    val composed = graft.functions.NfcNormalize.nfcNormalize(text)
+    val noCtrl = regexp_replace(composed,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    trim(regexp_replace(noCtrl, "\\s+", " "))
+  }
+
   // --- repetition signals (Gopher §A1.1 shape) ---------------------------
 
   /** Trimmed non-blank lines of a document. */

@@ -32,6 +32,24 @@ class TextSpec extends AnyFunSuite {
     assert(dup.distinct == dup)
   }
 
+  test("normalizeText: NFC composes, controls stripped, whitespace collapsed") {
+    def norm(s: String) = one(Text.normalizeText(col("t")), s).getString(0)
+    // decomposed e + U+0301 composes to precomposed é (U+00E9)
+    assert(norm("cafe\u0301") == "café")
+    // already-NFC and pure-ASCII text passes through unchanged
+    assert(norm("café") == "café")
+    assert(norm("plain ascii") == "plain ascii")
+    // C0 controls stripped, tab/newline treated as whitespace not garbage
+    assert(norm("a\u0000b\u0007c") == "abc")
+    assert(norm("a\tb\nc") == "a b c")
+    // whitespace runs collapse, ends trimmed
+    assert(norm("  a \t\n  b  ") == "a b")
+    assert(norm("") == "")
+    // NFC is idempotent through the full pipeline
+    val messy = "  x\u0301\u0007  cafe\u0301\ty  "
+    assert(norm(messy) == norm(norm(messy)))
+  }
+
   test("token counts: whitespace and BPE-ish regex") {
     assert(one(Text.tokenCount(col("t")), "one two three").getInt(0) == 3)
     val bpe = one(Text.bpeTokenCount(col("t")), "don't stop me now")
