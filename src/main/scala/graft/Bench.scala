@@ -122,13 +122,17 @@ object Bench {
         // stream through the watermarked tumbling aggregation — the
         // measured time is ingest + stateful agg for the whole SF
         "pipeline_streaming_tumbling" -> (() => {
-          val batch = Tables.events(spark, sfDir)
           val dir = java.nio.file.Files.createTempDirectory("graft-bench-stream")
           java.nio.file.Files.copy(
             java.nio.file.Path.of(sfDir, "events.parquet"),
             dir.resolve("events.parquet"))
-          val stream = spark.readStream.schema(batch.schema)
-            .parquet(dir.toString)
+          // schema must match the file's PHYSICAL types (readStream does
+          // no cast) — so take it from a raw read of the copied file and
+          // apply the engine's ts normalization after, same as the batch
+          // loader does (Tables.normalizeEventTs).
+          val rawSchema = spark.read.parquet(dir.toString).schema
+          val stream = Tables.normalizeEventTs(
+              spark.readStream.schema(rawSchema).parquet(dir.toString))
             .withColumn("event_time",
               org.apache.spark.sql.functions.expr(
                 "timestamp_micros(ts div 1000)"))
@@ -141,11 +145,23 @@ object Bench {
 
     // The driver keeps only the LAST ~2000 chars of output and JSON-parses
     // a line from it (BENCH_r01–r05 all show parsed:null because the old
-    // single line was ~2700 chars and sbt-prefixed). So: 3-decimal values,
-    // pipelines on their own EARLIER line, and the contract line printed
-    // LAST — after spark.stop(), so no shutdown logs can land after it.
-    def fmt(v: Double): String =
+    // single line was ~2700 chars and sbt-prefixed; r08 went null again at
+    // 70 queries × 3-decimal values ≈ 1960 chars + sbt's ~72-char
+    // "[success]" trailer). So: COMPACT values (2 decimals, trailing
+    // zeros trimmed — 10 ms granularity, enough for paired medians),
+    // failure sentinel -1, `failed` emitted only when non-empty, sf as
+    // basename, pipelines on their own EARLIER line, and the contract
+    // line printed LAST — after spark.stop(), so no shutdown logs can
+    // land after it. fmtTotal keeps 3 decimals for the headline only.
+    def fmtTotal(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else {
+        val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+        val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        if (t.isEmpty) "0" else t
+      }
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -154,14 +170,22 @@ object Bench {
     // 60s before throwing must not inflate the DuckDB-comparable number;
     // the `failed` array is the failure signal (ADVICE r3)
     val total = results.collect { case (_, v) if v > 0 => v }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedField =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
+    val sfShort = new java.io.File(sfDir).getName
     // "aux", not "metric": only the contract line below may match a
     // driver that scans for the first {"metric":...} line
     // aux total mirrors the query-total policy: SUCCESSFUL pipelines
     // only — a failed (negated) time must not inflate the total; the
     // failure signal is the negative per-pipeline entry + `failed`
-    println(s"""{"aux":"pipelines","value":${fmt(pipeResults.collect { case (_, v) if v > 0 => v }.sum)},"unit":"sec","pipelines":${obj(pipeResults)},"shuffle_partitions":$shufflePartitions,"sf":"$sfDir"}""")
+    println(s"""{"aux":"pipelines","value":${fmtTotal(pipeResults.collect { case (_, v) if v > 0 => v }.sum)},"unit":"sec","pipelines":${obj(pipeResults)},"shuffle_partitions":$shufflePartitions,"sf":"$sfDir"}""")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmtTotal(total)},"unit":"sec","queries":${obj(results)}$failedField,"sf":"$sfShort"}"""
+    // guard: the driver's tail window is ~2000 chars incl. sbt's trailer;
+    // a line past ~1900 chars silently yields parsed:null driver-side
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING contract line ${line.length} chars (>1900): driver tail window may truncate it")
+    println(line)
   }
 }

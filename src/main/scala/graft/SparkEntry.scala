@@ -1415,8 +1415,8 @@ object SparkEntry {
                     generate_series(0, nf - 1, 2), 1, 4)) AS fi)),
          l AS (
            SELECT f.id, f.fi,
-                  sum((7 * f.id + 13 * f.fi + 3 * x.x + 5 * y.y) % 256)
-                    AS luma_sum
+                  CAST(sum((7 * f.id + 13 * f.fi + 3 * x.x + 5 * y.y) % 256)
+                       AS BIGINT) AS luma_sum
            FROM f,
                 LATERAL (SELECT unnest(generate_series(0, f.w - 1)) AS x) x,
                 LATERAL (SELECT unnest(generate_series(0, f.h - 1)) AS y) y

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Typed loaders for the driver testdata tables (TESTDATA.md / FIXTURES.md).
   *
@@ -62,7 +64,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** The engine-wide contract for `events.ts` is int64 epoch-NANOseconds
+    * (exact integral arithmetic everywhere downstream — EventStreams
+    * scaladoc). The driver's generated parquet has carried two physical
+    * types across rounds: TIMESTAMP(NANOS) (read as long via
+    * `nanosAsLong`, rounds ≤7) and plain TIMESTAMP micros (round 8+,
+    * which `nanosAsLong` does NOT touch — it arrives as TimestampType).
+    * Normalize here, once, so every consumer keeps the int64-ns
+    * contract regardless of which vintage of parquet is on disk.
+    *
+    * Exactness + timezone independence: `unix_micros` reads the
+    * internal epoch-micros long directly (no float, no tz math). The
+    * driver writes tz-NAIVE micros (pandas), which Spark 4 infers as
+    * TIMESTAMP_NTZ; the DuckDB oracle's `epoch_ns(ts)` treats that
+    * naive wall-clock AS the epoch instant, so the NTZ branch must do
+    * the same — `timestampdiff` against the epoch NTZ literal is pure
+    * wall-clock arithmetic, no session-timezone involvement. ×1000
+    * can't overflow long until year ~2262, the bound the ns contract
+    * already has. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == TimestampType =>
+        df.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      case Some(f) if f.dataType == TimestampNTZType =>
+        df.withColumn("ts", expr(
+          "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts) * 1000L"))
+      case _ => df
+    }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -13,12 +13,30 @@ class TablesSpec extends AnyFunSuite {
     Tables.table(spark, d, name).schema.fields
       .map(f => f.name -> f.dataType).toMap
 
-  test("events: ts arrives as epoch-nanos long (nanosAsLong)") {
-    val f = fields("events")
+  test("events: ts is normalized to epoch-nanos long") {
+    // the on-disk physical type has varied across driver rounds
+    // (TIMESTAMP(NANOS) vs TIMESTAMP micros); the loader contract is
+    // that `Tables.events` always yields int64 epoch-nanos
+    val f = Tables.events(spark, d).schema.fields
+      .map(x => x.name -> x.dataType).toMap
     assert(f("ts") == LongType,
-      "TIMESTAMP(NANOS) must be read as LongType — see Tables scaladoc")
+      "events.ts must be normalized to LongType ns — see Tables scaladoc")
     assert(f("user_id") == LongType && f("event_type") == StringType &&
            f("value") == DoubleType && f("props") == StringType)
+  }
+
+  test("normalizeEventTs: timestamp input converts exactly, long passes through") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val withTs = spark.range(3)
+      .withColumn("ts", expr("timestamp_micros(1700000000000000 + id)"))
+    val norm = Tables.normalizeEventTs(withTs)
+    assert(norm.schema("ts").dataType == LongType)
+    val got = norm.orderBy(col("id")).collect().map(_.getLong(1))
+    assert(got.sameElements(Array(1700000000000000000L,
+      1700000000000001000L, 1700000000000002000L)))
+    // already-long frames are untouched (same plan, no extra projection)
+    val asLong = spark.range(3).withColumn("ts", col("id") * 1000L)
+    assert(Tables.normalizeEventTs(asLong) eq asLong)
   }
 
   test("documents and embeddings: extension-table shapes") {

@@ -199,9 +199,12 @@ class EventStreamsSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Path.of(TestSpark.sf0001, "events.parquet"),
       tmp.resolve("events.parquet"))
-    val batch = events // also ensures nanosAsLong is set on the session
-    val stream = spark.readStream.schema(batch.schema)
-      .parquet(tmp.toString)
+    val batch = events
+    // readStream needs the file's PHYSICAL schema (no implicit cast);
+    // normalize ts afterwards exactly like the batch loader
+    val rawSchema = spark.read.parquet(tmp.toString).schema
+    val stream = graft.Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema).parquet(tmp.toString))
     assert(stream.isStreaming)
     val q = EventStreams.tumblingCounts(stream)
       .writeStream.format("memory").queryName("file_tumbling")
