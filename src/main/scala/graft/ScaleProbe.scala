@@ -58,7 +58,12 @@ object ScaleProbe {
                   // BPE (the dictionary — and so the driver loop —
                   // grows SUBlinearly; the count aggregate is the 10×
                   // part)
-                  "q_pq_topk", "q_bpe_tokens")
+                  "q_pq_topk", "q_bpe_tokens",
+                  // round 9: mixture (per-source window — budget
+                  // boundary work is per-source; doc count is the 10×
+                  // part) and shard manifest (map arithmetic + one
+                  // narrow aggregate — should track scan time)
+                  "q_mix_budget", "q_shard_manifest")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

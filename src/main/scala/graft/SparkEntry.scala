@@ -108,6 +108,8 @@ object SparkEntry {
     "q_chunk_overlap"           -> Corpus.chunkOverlapQuery _,
     "q_stratified_exactk"       -> Relational.stratifiedExactKEvents _,
     "q_span_dedup"              -> Corpus.spanDedup _,
+    "q_mix_budget"              -> Corpus.mixBudget _,
+    "q_shard_manifest"          -> Corpus.shardManifestDocs _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -1430,5 +1432,46 @@ object SparkEntry {
                 l.luma_sum
          FROM f JOIN l ON f.id = l.id AND f.fi = l.fi
          ORDER BY asset_id, frame_idx""",
+    // budgets are floor(w/Σw · 10000) for weights 5:3:2 — the same
+    // integer math Splitting.sourceBudgets does driver-side
+    "q_mix_budget" ->
+      """WITH b(source, budget) AS (
+           VALUES ('src3', 5000), ('src7', 3000), ('src11', 2000)),
+         r AS (SELECT d.doc_id, d.source, d.n_chars,
+                 sum(d.n_chars) OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 b.budget
+               FROM documents d JOIN b USING (source))
+         SELECT doc_id, source, n_chars FROM r WHERE cum <= budget
+         ORDER BY doc_id""",
+    // uint32(md5[0,8)) mod 12 via a Horner hex parse — the portable
+    // twin of Sharding.shardId's conv(substr(md5,1,8),16,10)
+    "q_shard_manifest" ->
+      """WITH h AS (
+           SELECT doc_id, n_chars,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+           FROM documents),
+         v AS (
+           SELECT doc_id, n_chars,
+             ((((((((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,2,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,3,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,4,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,5,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,6,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,7,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,8,1)) - 1) % 12
+               AS shard
+           FROM h),
+         c AS (SELECT shard, count(*) AS n_rows,
+                      CAST(sum(n_chars) AS BIGINT) AS sum_tokens
+               FROM v GROUP BY 1)
+         SELECT s.shard, coalesce(c.n_rows, 0) AS n_rows,
+                coalesce(c.sum_tokens, 0) AS sum_tokens
+         FROM (SELECT unnest(generate_series(0, 11)) AS shard) s
+         LEFT JOIN c USING (shard)
+         ORDER BY shard""",
   )
 }

@@ -96,6 +96,32 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget mixture composition (SP6): fill a 10k-token budget
+    * 5:3:2 from three sources — each source contributes its
+    * md5-permutation prefix of docs until its floor(wᵢ/Σw·B) share is
+    * exhausted. Seedless and partitioning-invariant, so the SQL twin
+    * (same window, same VALUES budgets) hash-matches exactly. */
+  def mixBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.Splitting.mixToBudget(
+        Tables.documents(spark, dir),
+        sourceCol = "source", tokensCol = "n_chars", idCol = "doc_id",
+        weights = Map("src3" -> 5.0, "src7" -> 3.0, "src11" -> 2.0),
+        totalBudget = 10000L)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic shard manifest (SP7): the documents spread over 12
+    * shards by uint32(md5(doc_id)[0,8)) mod 12 — per-shard row count +
+    * token mass, every shard id present. The twin re-derives the same
+    * assignment with a Horner hex parse, so the manifest hash-gates
+    * the portable-arithmetic contract end to end. 12, not a power of
+    * 16: a 16-shard mod would only exercise the last hex digit. */
+  def shardManifestDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.Sharding.shardManifest(
+        Tables.documents(spark, dir),
+        idCol = "doc_id", tokensCol = "n_chars", nShards = 12)
+      .orderBy(col("shard"))
+
   /** MinHash+LSH near-dup pairs over the planted corpus — the banded
     * (seeded) scale path of the dedup family; no SQL oracle (the
     * candidate set depends on the LSH seed) → rows-only driver check;

@@ -1,0 +1,80 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic output sharding — the last step of a training-data
+  * pipeline: spread the packed sequences over N shard files so every
+  * data-loader rank reads its own slice, with a MANIFEST the trainer
+  * can trust (per-shard row and token counts) without listing or
+  * scanning the data.
+  *
+  * Assignment is `uint32(md5(id)[0,8)) mod n`: a pure, seedless
+  * function of the row id — identical on any engine, any partitioning,
+  * any day (the md5-permutation trick of
+  * [[Splitting.stratifiedExactK]]), which is what makes
+  * `q_shard_manifest` hash-oracleable where a `hash()`-based spread
+  * would be engine-private. Balance is hash-binomial: shard sizes
+  * concentrate within O(√(rows/n)) of rows/n — at training scale
+  * (millions of sequences per shard) the imbalance is noise, and no
+  * global sort or row_number pass is ever needed: assignment is
+  * map-side arithmetic, the ONLY wide stage is the write's own
+  * partitioning, so the operator scales like a write, not like a sort.
+  *
+  * The reference's pipelines end with `coalesce(1)` single-file writes
+  * (splitting_data.py:48-50) — the anti-pattern this module replaces:
+  * N independent shard directories, written by N tasks.
+  */
+object Sharding {
+
+  /** Portable deterministic shard id for a row id: the first 8 md5 hex
+    * chars parsed as a uint32, mod `nShards`. `conv` parses unsigned
+    * (max 0xffffffff fits a long); the SQL twin spells the same parse
+    * as a Horner chain over `strpos('0123456789abcdef', …)`. */
+  def shardId(idCol: Column, nShards: Int): Column = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    pmod(conv(substring(md5(idCol.cast("string").cast("binary")), 1, 8),
+              16, 10).cast("long"),
+         lit(nShards.toLong))
+  }
+
+  /** Attach the shard assignment as a `shard` column (map-only). */
+  def assignShards(df: DataFrame, idCol: String, nShards: Int): DataFrame =
+    df.withColumn("shard", shardId(col(idCol), nShards))
+
+  /** The manifest: per-shard row count and token mass — one narrow
+    * aggregate, `nShards` output rows. Every shard id appears, even
+    * empty ones (a trainer sizing its ranks needs the zero row): the
+    * id range is generated and left-joined, not discovered. */
+  def shardManifest(df: DataFrame, idCol: String, tokensCol: String,
+                    nShards: Int): DataFrame = {
+    val spark = df.sparkSession
+    val counts = assignShards(df, idCol, nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col(tokensCol)).as("sum_tokens"))
+    spark.range(nShards).select(col("id").as("shard"))
+      .join(counts, Seq("shard"), "left")
+      .select(col("shard"),
+              coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+              coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
+  }
+
+  /** Write `df` as `path/shard=K/` parquet directories plus
+    * `path/_manifest/` (the [[shardManifest]] as one small parquet),
+    * and return the manifest. `repartition` on the shard column makes
+    * one write task per shard produce one file run — the shard count,
+    * not the upstream partitioning, controls the file layout; readers
+    * of a single shard prune every other directory (LayoutSpec
+    * contract for partitioned layouts). */
+  def writeShards(df: DataFrame, idCol: String, tokensCol: String,
+                  nShards: Int, path: String): DataFrame = {
+    assignShards(df, idCol, nShards)
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val manifest = shardManifest(df, idCol, tokensCol, nShards)
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_manifest")
+    manifest
+  }
+}

@@ -163,4 +163,87 @@ object Splitting {
       k -> math.min(1.0, v / top * maxRate) }.toMap
     stratifiedSample(df, stratumCol, fractions, seed)
   }
+
+  /** Per-source integer budgets for [[mixToBudget]]: floor(wᵢ/Σw · B)
+    * tokens to source i — driver-side exact integer math on a map the
+    * size of the SOURCE LIST (a mixture recipe is tens of rows, never
+    * data-scale). */
+  private[pipelines] def sourceBudgets(weights: Map[String, Double],
+                                       totalBudget: Long): Map[String, Long] = {
+    require(weights.nonEmpty, "mixture weights must be non-empty")
+    require(weights.values.forall(_ > 0.0),
+      s"mixture weights must be positive: $weights")
+    require(totalBudget > 0, s"token budget must be positive: $totalBudget")
+    val wSum = weights.values.sum
+    weights.map { case (s, w) =>
+      s -> math.floor(w / wSum * totalBudget).toLong }
+  }
+
+  /** Token-budget mixture composition — the "fill the training mix"
+    * step of a Pile/DoReMi-shaped recipe: given per-source weights and
+    * a total token budget, keep documents from each source — in the
+    * seedless md5(id) permutation order of [[stratifiedExactK]] — until
+    * that source's budget share floor(wᵢ/Σw · B) is EXHAUSTED: a doc is
+    * kept iff the running token total up to and including it fits the
+    * source budget (so a source whose very first doc overshoots
+    * contributes nothing — same rule the SQL twin applies). Sources
+    * absent from `weights` are dropped (weight 0), mirroring
+    * [[stratifiedSample]].
+    *
+    * Deterministic on any engine and partitioning (the md5-permutation
+    * trick), hence oracle-hashable. Cost: one shuffle on the source
+    * key + a per-source running-sum window — fine for the oracle path,
+    * but at 100 TB a single source IS the corpus, making that window a
+    * skew hazard; swap in [[mixToBudgetApprox]], which replaces the
+    * sort with a broadcast per-source key threshold (two scans, no
+    * shuffle of the corpus, expected token mass = the same budget). */
+  def mixToBudget(df: DataFrame, sourceCol: String, tokensCol: String,
+                  idCol: String, weights: Map[String, Double],
+                  totalBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgets = sourceBudgets(weights, totalBudget)
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(sourceCol).isInCollection(budgets.keys))
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      .filter(col("__cum") <= element_at(typedLit(budgets), col(sourceCol)))
+      .drop("__cum")
+  }
+
+  /** The 100-TB spelling of [[mixToBudget]]: instead of sorting each
+    * source to cut at the exact running-sum boundary, cut the SAME
+    * md5(id) permutation at a per-source KEY threshold tᵢ =
+    * budgetᵢ / tokensᵢ — the md5 key is uniform and independent of
+    * token length, so the token mass below tᵢ concentrates on
+    * budgetᵢ (relative error O(1/√n) per source). One narrow
+    * per-source totals aggregate reaches the driver (|sources| rows),
+    * then the corpus takes a single broadcast-literal map FILTER —
+    * no shuffle, no sort, no skew.
+    *
+    * Both forms cut prefixes of the SAME permutation, so one output
+    * is always a superset of the other, differing only near the
+    * boundary (property-tested). Seedless and partitioning-invariant
+    * like the exact form, but the kept token mass is approximate —
+    * budget-exactness is what [[mixToBudget]] is for. */
+  def mixToBudgetApprox(df: DataFrame, sourceCol: String,
+                        tokensCol: String, idCol: String,
+                        weights: Map[String, Double],
+                        totalBudget: Long): DataFrame = {
+    val budgets = sourceBudgets(weights, totalBudget)
+    val totals = df
+      .filter(col(sourceCol).isInCollection(budgets.keys))
+      .groupBy(col(sourceCol)).agg(sum(col(tokensCol)).as("__tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thresholds = totals.map { case (s, tot) =>
+      s -> math.min(1.0, budgets(s).toDouble / math.max(tot, 1L)) }
+    // md5-key fraction in [0,1): first 8 hex chars as a uint32 / 2^32 —
+    // the same leading bits that order the exact form's permutation,
+    // so both cuts are prefixes of one ordering
+    val frac =
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+           16, 10).cast("long").cast("double") / lit(4294967296.0)
+    df.filter(col(sourceCol).isInCollection(thresholds.keys))
+      .filter(frac < element_at(typedLit(thresholds), col(sourceCol)))
+  }
 }

@@ -1,0 +1,135 @@
+package graft.pipelines
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Token-budget mixture composition ([[Splitting.mixToBudget]] /
+  * [[Splitting.mixToBudgetApprox]], SP6). The synthetic frame is
+  * built in-test (two sources, fixed token sizes) so every budget
+  * boundary is hand-checkable; the testdata path is hash-gated by
+  * `q_mix_budget`. */
+class MixtureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 2000 docs/source, tokens cycle 50..149 → per-source mass 199_000
+  private lazy val corpus = {
+    val rows = for {
+      s <- Seq("a", "b")
+      i <- 0 until 2000
+    } yield (s match { case "a" => i.toLong; case _ => 10000L + i },
+             s, 50L + i % 100)
+    rows.toDF("doc_id", "source", "tokens").cache()
+  }
+
+  private val weights = Map("a" -> 3.0, "b" -> 1.0)
+
+  test("exact: per-source token mass fits the budget and the next doc would not") {
+    val budget = 40000L // budgets: a=30000, b=10000
+    val kept = Splitting.mixToBudget(corpus, "source", "tokens", "doc_id",
+      weights, budget)
+    val mass = kept.groupBy(col("source")).agg(sum(col("tokens")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mass("a") <= 30000L && mass("b") <= 10000L, s"over budget: $mass")
+    // maximality: the kept set is the LONGEST md5-permutation prefix
+    // that fits — appending the first dropped doc must overshoot
+    val keyed = corpus
+      .withColumn("__k", md5(col("doc_id").cast("string").cast("binary")))
+      .orderBy(col("__k"), col("doc_id"))
+      .select(col("source"), col("tokens"), col("doc_id"))
+      .collect()
+    val keptIds = kept.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    Seq(("a", 30000L), ("b", 10000L)).foreach { case (src, b) =>
+      val inOrder = keyed.filter(_.getString(0) == src)
+      val firstDropped = inOrder.find(r => !keptIds.contains(r.getLong(2)))
+      firstDropped.foreach { r =>
+        assert(mass(src) + r.getLong(1) > b,
+          s"$src: dropped doc ${r.getLong(2)} would still have fit")
+      }
+    }
+  }
+
+  test("exact: kept set is a prefix of the md5 permutation per source") {
+    val kept = Splitting.mixToBudget(corpus, "source", "tokens", "doc_id",
+      weights, 40000L)
+    val keptIds = kept.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val keyed = corpus
+      .withColumn("__k", md5(col("doc_id").cast("string").cast("binary")))
+      .orderBy(col("__k"), col("doc_id"))
+      .select(col("source"), col("doc_id")).collect()
+    Seq("a", "b").foreach { src =>
+      val flags = keyed.filter(_.getString(0) == src)
+        .map(r => keptIds.contains(r.getLong(1)))
+      val firstDrop = flags.indexOf(false)
+      if (firstDrop >= 0)
+        assert(!flags.drop(firstDrop).contains(true),
+          s"$src: kept doc after the first dropped one — not a prefix")
+    }
+  }
+
+  test("sources absent from the weights are dropped") {
+    val kept = Splitting.mixToBudget(corpus, "source", "tokens", "doc_id",
+      Map("a" -> 1.0), 40000L)
+    assert(kept.filter(col("source") === "b").count() == 0)
+  }
+
+  test("a source whose first doc overshoots its budget contributes nothing") {
+    val tiny = Seq((1L, "a", 500L), (2L, "a", 500L), (3L, "b", 90L))
+      .toDF("doc_id", "source", "tokens")
+    // budgets: a=300, b=100 — a's cheapest doc is 500 > 300
+    val kept = Splitting.mixToBudget(tiny, "source", "tokens", "doc_id",
+      Map("a" -> 3.0, "b" -> 1.0), 400L)
+    assert(kept.filter(col("source") === "a").count() == 0)
+    assert(kept.filter(col("source") === "b").count() == 1)
+  }
+
+  test("approx: one cut is a subset of the other and mass lands near budget") {
+    val budget = 40000L
+    val exact = Splitting.mixToBudget(corpus, "source", "tokens", "doc_id",
+      weights, budget)
+    val approx = Splitting.mixToBudgetApprox(corpus, "source", "tokens",
+      "doc_id", weights, budget)
+    // nesting holds PER SOURCE (each source cuts its own permutation
+    // at its own boundary — one source can cut deeper while the other
+    // cuts shallower, so the pooled sets need not nest)
+    Seq("a", "b").foreach { src =>
+      val e = exact.filter(col("source") === src)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val a = approx.filter(col("source") === src)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(e.subsetOf(a) || a.subsetOf(e),
+        s"$src cuts must nest: |e\\a|=${(e -- a).size} |a\\e|=${(a -- e).size}")
+    }
+    val mass = approx.groupBy(col("source")).agg(sum(col("tokens")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5 keys are uniform: with ~300/100 docs kept the relative error
+    // concentrates well under 20% (deterministic given the fixed ids)
+    assert(math.abs(mass("a") - 30000L) < 6000L, s"a mass ${mass("a")}")
+    assert(math.abs(mass("b") - 10000L) < 2000L, s"b mass ${mass("b")}")
+  }
+
+  test("partitioning invariance: same kept set at 1 and 13 partitions") {
+    val one = Splitting.mixToBudget(corpus.repartition(1), "source",
+      "tokens", "doc_id", weights, 40000L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val many = Splitting.mixToBudget(corpus.repartition(13), "source",
+      "tokens", "doc_id", weights, 40000L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(one == many)
+  }
+
+  test("budget floors: integer shares of the total, never rounded up") {
+    val b = Splitting.sourceBudgets(Map("x" -> 1.0, "y" -> 2.0), 100L)
+    assert(b == Map("x" -> 33L, "y" -> 66L))
+    assertThrows[IllegalArgumentException] {
+      Splitting.sourceBudgets(Map.empty, 100L)
+    }
+    assertThrows[IllegalArgumentException] {
+      Splitting.sourceBudgets(Map("x" -> -1.0), 100L)
+    }
+    assertThrows[IllegalArgumentException] {
+      Splitting.sourceBudgets(Map("x" -> 1.0), 0L)
+    }
+  }
+}
