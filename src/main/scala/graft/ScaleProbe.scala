@@ -61,9 +61,10 @@ object ScaleProbe {
                   "q_pq_topk", "q_bpe_tokens",
                   // round 9: mixture (per-source window — budget
                   // boundary work is per-source; doc count is the 10×
-                  // part) and shard manifest (map arithmetic + one
-                  // narrow aggregate — should track scan time)
-                  "q_mix_budget", "q_shard_manifest")
+                  // part), shard manifest (map arithmetic + one narrow
+                  // aggregate — should track scan time), and span dedup
+                  // (window-key exchange + affected-sliver rebuild)
+                  "q_mix_budget", "q_shard_manifest", "q_span_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -887,16 +887,27 @@ object Dedup {
               .cast("binary")).as("key"))))
         .as("w"))
       .select(col("id"), col("w.s").as("s"), col("w.key").as("key"))
+    // "≥ 2 distinct docs" as min≠max — same predicate, but a plain
+    // two-value aggregate instead of countDistinct's Expand + two-phase
+    // plan (intra-doc repeats of a key still count as ONE doc)
     val dupKeys = wins.groupBy(col("key"))
-      .agg(min(col("id")).as("canon"), countDistinct(col("id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("id")).as("canon"), max(col("id")).as("__mx"))
+      .filter(col("__mx") =!= col("canon"))
       .select(col("key"), col("canon"))
     val remove = wins.join(dupKeys, Seq("key"))
       .filter(col("id") =!= col("canon"))
       .select(col("id").as("rid"), col("s").as("lo"),
               (col("s") + (k - 1)).as("hi"))
-    val tokens = base.select(col("id"),
-      posexplode(col("t")).as(Seq("pos", "w")))
+    // Only docs that actually LOSE a span go through the explode →
+    // anti-join → sorted-collect rebuild; in a real corpus that's the
+    // duplicated sliver, not the corpus (planted testdata: ~10%). An
+    // untouched doc's rebuild is the identity `array_join(t, " ")` —
+    // byte-identical to the collect_list form, because EVERY output
+    // doc is space-rejoined tokens (split/join round-trips exactly,
+    // empty tokens included) — so it never needs to explode at all.
+    val affected = remove.select(col("rid").as("id")).distinct()
+    val tokens = base.join(affected, Seq("id"), "left_semi")
+      .select(col("id"), posexplode(col("t")).as(Seq("pos", "w")))
     val kept = tokens.join(remove,
       col("id") === col("rid") && col("pos").between(col("lo"), col("hi")),
       "left_anti")
@@ -905,11 +916,20 @@ object Dedup {
              array_sort(collect_list(struct(col("pos"), col("w")))),
              x => x.getField("w")), " ").as("__text"),
            count(lit(1)).as("n_kept"))
-    base.select(col("id"), col("n"))
+    base.select(col("id"), col("t"), col("n"))
+      .join(affected.withColumn("__aff", lit(true)), Seq("id"), "left")
       .join(rebuilt, Seq("id"), "left")
       .select(col("id").as(idCol),
-              coalesce(col("__text"), lit("")).as(textCol),
+              // affected + absent from `rebuilt` = every token covered
+              // → empty text, not the identity rebuild
+              coalesce(col("__text"),
+                       when(col("__aff"), lit(""))
+                         .otherwise(array_join(col("t"), " ")))
+                .as(textCol),
               col("n").cast("long").as("n_tokens"),
-              coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+              coalesce(col("n_kept"),
+                       when(col("__aff"), lit(0L))
+                         .otherwise(col("n").cast("long")))
+                .as("n_kept"))
   }
 }

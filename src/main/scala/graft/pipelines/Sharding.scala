@@ -66,12 +66,29 @@ object Sharding {
     * one write task per shard produce one file run — the shard count,
     * not the upstream partitioning, controls the file layout; readers
     * of a single shard prune every other directory (LayoutSpec
-    * contract for partitioned layouts). */
+    * contract for partitioned layouts).
+    *
+    * `orderWithinShards = true` additionally fixes each shard's ROW
+    * ORDER to the seedless md5(id) permutation — a deterministic,
+    * source-interleaved training order any engine can reproduce —
+    * via `sortWithinPartitions`: a map-side sort on the already-
+    * shuffled shard partitions, no extra exchange. */
   def writeShards(df: DataFrame, idCol: String, tokensCol: String,
-                  nShards: Int, path: String): DataFrame = {
-    assignShards(df, idCol, nShards)
+                  nShards: Int, path: String,
+                  orderWithinShards: Boolean = false): DataFrame = {
+    val assigned = assignShards(df, idCol, nShards)
       .repartition(nShards, col("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    // `shard` leads the sort: the partitioned write REQUIRES rows
+    // grouped by the partition column and would otherwise insert its
+    // own (tie-unstable) sort on `shard`, scrambling the permutation —
+    // leading with it makes the writer's required ordering already
+    // satisfied, so this one map-side sort is the only one
+    val placed =
+      if (orderWithinShards)
+        assigned.sortWithinPartitions(col("shard"),
+          md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      else assigned
+    placed.write.mode("overwrite").partitionBy("shard").parquet(path)
     val manifest = shardManifest(df, idCol, tokensCol, nShards)
     manifest.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/_manifest")

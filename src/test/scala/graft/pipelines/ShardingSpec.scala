@@ -103,4 +103,23 @@ class ShardingSpec extends AnyFunSuite {
     val expected = ret.find(_._1 == 3L).get._2
     assert(one.count() == expected)
   }
+
+  test("orderWithinShards: each shard file is in md5-permutation order") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shards-ord")
+    val df = spark.range(500).select(col("id").as("doc_id"),
+                                     lit(1L).as("tokens"))
+    Sharding.writeShards(df, "doc_id", "tokens", 4, tmp.toString,
+      orderWithinShards = true)
+    (0 until 4).foreach { s =>
+      // read ONE shard's files in order; no sort on the read side —
+      // the on-disk row order itself must be the permutation
+      val ids = spark.read.parquet(s"$tmp/shard=$s")
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      val md5Of = (id: Long) => java.security.MessageDigest
+        .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val sorted = ids.sortBy(id => (md5Of(id), id))
+      assert(ids.sameElements(sorted), s"shard $s not in md5 order")
+    }
+  }
 }
