@@ -109,6 +109,7 @@ object SparkEntry {
     "q_stratified_exactk"       -> Relational.stratifiedExactKEvents _,
     "q_span_dedup"              -> Corpus.spanDedup _,
     "q_mix_budget"              -> Corpus.mixBudget _,
+    "q_mix_epochs"              -> Corpus.mixEpochs _,
     "q_shard_manifest"          -> Corpus.shardManifestDocs _,
   )
 
@@ -1446,6 +1447,34 @@ object SparkEntry {
                FROM documents d JOIN b USING (source))
          SELECT doc_id, source, n_chars FROM r WHERE cum <= budget
          ORDER BY doc_id""",
+    // budgets floor(w/Σw · 40000) for weights 6:3:1; full epochs =
+    // budget // source mass, remainder = the q_mix_budget window cut
+    // at budget % mass, epoch-tagged like Splitting.mixToBudgetEpochs
+    "q_mix_epochs" ->
+      """WITH b(source, budget) AS (
+           VALUES ('src2', 24000), ('src5', 12000), ('src9', 4000)),
+         t AS (SELECT d.source, CAST(sum(d.n_chars) AS BIGINT) AS tot
+               FROM documents d JOIN b USING (source) GROUP BY 1),
+         e AS (SELECT b.source, b.budget // t.tot AS epochs,
+                      b.budget % t.tot AS rem
+               FROM b JOIN t USING (source)),
+         f AS (SELECT d.doc_id, d.source, d.n_chars, ep.epoch
+               FROM documents d JOIN e USING (source),
+                    LATERAL (SELECT unnest(generate_series(0, e.epochs - 1))
+                             AS epoch) ep),
+         r AS (SELECT d.doc_id, d.source, d.n_chars,
+                 CAST(e.epochs AS BIGINT) AS epoch,
+                 sum(d.n_chars) OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 e.rem
+               FROM documents d JOIN e USING (source))
+         SELECT doc_id, source, n_chars, CAST(epoch AS BIGINT) AS epoch
+         FROM f
+         UNION ALL
+         SELECT doc_id, source, n_chars, epoch FROM r WHERE cum <= rem
+         ORDER BY doc_id, epoch""",
     // uint32(md5[0,8)) mod 12 via a Horner hex parse — the portable
     // twin of Sharding.shardId's conv(substr(md5,1,8),16,10)
     "q_shard_manifest" ->

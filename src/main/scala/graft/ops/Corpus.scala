@@ -110,6 +110,20 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Epoch-repeating mixture ([[graft.pipelines.Splitting
+    * .mixToBudgetEpochs]]): weights 6:3:1 over a 40k-token budget make
+    * src2 repeat 3 full epochs + a remainder prefix, src5 one epoch +
+    * remainder, src9 remainder only — all three repeat regimes in one
+    * hash-gated result. */
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.Splitting.mixToBudgetEpochs(
+        Tables.documents(spark, dir),
+        sourceCol = "source", tokensCol = "n_chars", idCol = "doc_id",
+        weights = Map("src2" -> 6.0, "src5" -> 3.0, "src9" -> 1.0),
+        totalBudget = 40000L)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+
   /** Deterministic shard manifest (SP7): the documents spread over 12
     * shards by uint32(md5(doc_id)[0,8)) mod 12 — per-shard row count +
     * token mass, every shard id present. The twin re-derives the same

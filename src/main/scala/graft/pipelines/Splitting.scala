@@ -199,9 +199,17 @@ object Splitting {
     * shuffle of the corpus, expected token mass = the same budget). */
   def mixToBudget(df: DataFrame, sourceCol: String, tokensCol: String,
                   idCol: String, weights: Map[String, Double],
-                  totalBudget: Long): DataFrame = {
+                  totalBudget: Long): DataFrame =
+    cutPrefix(df, sourceCol, tokensCol, idCol,
+              sourceBudgets(weights, totalBudget))
+
+  /** The md5-permutation prefix cut at explicit per-source token
+    * budgets — [[mixToBudget]]'s window pass, shared with the
+    * remainder epoch of [[mixToBudgetEpochs]]. */
+  private def cutPrefix(df: DataFrame, sourceCol: String,
+                        tokensCol: String, idCol: String,
+                        budgets: Map[String, Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val budgets = sourceBudgets(weights, totalBudget)
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -209,6 +217,44 @@ object Splitting {
       .withColumn("__cum", sum(col(tokensCol)).over(w))
       .filter(col("__cum") <= element_at(typedLit(budgets), col(sourceCol)))
       .drop("__cum")
+  }
+
+  /** [[mixToBudget]] with REPEATS — the semantic real recipes (The
+    * Pile, LLaMA) actually use when a high-weight source is SMALLER
+    * than its budget share: the source contributes floor(budgetᵢ/massᵢ)
+    * full passes over its corpus ("epochs") plus the md5-permutation
+    * prefix of one more pass for the remainder. Output gains an
+    * `epoch` column (0-based; the remainder pass is the last epoch),
+    * so one physical row per (doc, epoch) — downstream packing treats
+    * repeats as distinct sequences exactly as a sampler would.
+    *
+    * Sources larger than their budget degenerate to [[mixToBudget]]
+    * with epoch 0 only. Cost: one |sources|-row totals aggregate to
+    * the driver, a generator explode for the full epochs (map-side),
+    * and the remainder cut's per-source window. */
+  def mixToBudgetEpochs(df: DataFrame, sourceCol: String,
+                        tokensCol: String, idCol: String,
+                        weights: Map[String, Double],
+                        totalBudget: Long): DataFrame = {
+    val budgets = sourceBudgets(weights, totalBudget)
+    val totals = df
+      .filter(col(sourceCol).isInCollection(budgets.keys))
+      .groupBy(col(sourceCol)).agg(sum(col(tokensCol)).as("__tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val epochs = totals.map { case (s, tot) =>
+      s -> (if (tot > 0) budgets(s) / tot else 0L) }
+    val rem = totals.map { case (s, tot) =>
+      s -> (if (tot > 0) budgets(s) % tot else 0L) }
+    val inMix = df.filter(col(sourceCol).isInCollection(totals.keys))
+    val epochCol = element_at(typedLit(epochs), col(sourceCol))
+    // full epochs 0..E-1: sequence(1, E) is empty-safe only for E >= 1,
+    // so gate on it (sequence(0, -1) would COUNT DOWN, not be empty)
+    val full = inMix.filter(epochCol >= 1L)
+      .withColumn("epoch", explode(sequence(lit(0L), epochCol - 1L)))
+    val remainder =
+      cutPrefix(inMix, sourceCol, tokensCol, idCol, rem)
+        .withColumn("epoch", epochCol)
+    full.unionByName(remainder)
   }
 
   /** The 100-TB spelling of [[mixToBudget]]: instead of sorting each

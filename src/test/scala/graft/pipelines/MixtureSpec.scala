@@ -119,6 +119,41 @@ class MixtureSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("epochs: over-budget source repeats, remainder is the prefix cut") {
+    // source "a": mass 199_000, budget 450_000 → 2 full epochs +
+    // remainder 52_000; source "b": mass 199_000, budget 150_000 →
+    // 0 full epochs, remainder = plain mixToBudget
+    val kept = Splitting.mixToBudgetEpochs(corpus, "source", "tokens",
+      "doc_id", Map("a" -> 3.0, "b" -> 1.0), 600000L)
+    val aFull = kept.filter(col("source") === "a" && col("epoch") < 2)
+    assert(aFull.count() == 2 * 2000, "2 full epochs of all 2000 docs")
+    assert(kept.filter(col("source") === "a")
+      .groupBy(col("epoch")).count().count() == 3)
+    // the remainder epoch equals the plain budget cut at budget % mass
+    val aRem = kept.filter(col("source") === "a" && col("epoch") === 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val aCut = Splitting.mixToBudget(
+        corpus.filter(col("source") === "a"), "source", "tokens",
+        "doc_id", Map("a" -> 1.0), 52000L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(aRem == aCut)
+    // an under-budget source degenerates to mixToBudget at epoch 0
+    val b = kept.filter(col("source") === "b")
+    assert(b.groupBy(col("epoch")).count().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L))
+    val bIds = b.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val bCut = Splitting.mixToBudget(
+        corpus.filter(col("source") === "b"), "source", "tokens",
+        "doc_id", Map("b" -> 1.0), 150000L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(bIds == bCut)
+    // total token mass within one doc of each source budget
+    val mass = kept.groupBy(col("source")).agg(sum(col("tokens")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mass("a") <= 450000L && mass("a") > 450000L - 150L)
+    assert(mass("b") <= 150000L && mass("b") > 150000L - 150L)
+  }
+
   test("budget floors: integer shares of the total, never rounded up") {
     val b = Splitting.sourceBudgets(Map("x" -> 1.0, "y" -> 2.0), 100L)
     assert(b == Map("x" -> 33L, "y" -> 66L))
