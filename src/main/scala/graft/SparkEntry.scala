@@ -76,6 +76,7 @@ object SparkEntry {
     "q_training_data"           -> Corpus.trainingData _,
     "q_decontamination"         -> Corpus.decontamination _,
     "q_decontamination_bloom"   -> Corpus.decontaminationBloom _,
+    "q_decontamination_frac"    -> Corpus.decontaminationFraction _,
     "q_dedup_weights"           -> Corpus.dedupWeights _,
     "q_incremental_dedup"       -> Corpus.incrementalDedup _,
     "q_incremental_dedup_index" -> Corpus.incrementalDedupIndex _,
@@ -111,6 +112,7 @@ object SparkEntry {
     "q_mix_budget"              -> Corpus.mixBudget _,
     "q_mix_epochs"              -> Corpus.mixEpochs _,
     "q_shard_manifest"          -> Corpus.shardManifestDocs _,
+    "q_sniff_route"             -> Corpus.sniffRoute _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -1433,6 +1435,53 @@ object SparkEntry {
                 l.luma_sum
          FROM f JOIN l ON f.id = l.id AND f.fi = l.fi
          ORDER BY asset_id, frame_idx""",
+    // the true container of every asset id is a closed-form function
+    // of the id (the generators are deterministic), so detection from
+    // REAL bytes must reproduce this table exactly
+    "q_sniff_route" ->
+      """SELECT range AS asset_id,
+           CASE WHEN range % 10 = 7 THEN 'unknown'
+                WHEN range % 3 = 0 THEN 'image/png'
+                WHEN range % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/y4m' END AS detected,
+           CASE WHEN range % 10 = 7 THEN 'quarantine'
+                WHEN range % 3 = 0 THEN 'image'
+                WHEN range % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS route
+         FROM range(60) ORDER BY asset_id""",
+    // half-copy chimeras at id+200001 (first half of a % 40 == 0
+    // benchmark doc + second half of the next doc) probe the 50% gate
+    // from both sides; the flag is exact integer hits·100 > total·50
+    "q_decontamination_frac" ->
+      """WITH raw AS (SELECT doc_id, text FROM documents),
+         pl AS (SELECT a.doc_id + 200001 AS doc_id,
+                  array_to_string(list_slice(a.wa, 1, (len(a.wa)+1)//2), ' ')
+                  || ' ' ||
+                  array_to_string(list_slice(b.wb, (len(b.wb)+1)//2 + 1,
+                                             len(b.wb)), ' ') AS text
+                FROM (SELECT doc_id, string_split(text, ' ') AS wa
+                      FROM raw WHERE doc_id % 40 = 0) a
+                JOIN (SELECT doc_id - 1 AS doc_id,
+                             string_split(text, ' ') AS wb FROM raw) b
+                  USING (doc_id)),
+         corpus AS (SELECT * FROM raw UNION ALL SELECT * FROM pl),
+         words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM corpus),
+         sh AS (SELECT doc_id,
+                  array_to_string(list_slice(ws, i, i + 4), ' ') AS shingle
+                FROM words,
+                LATERAL (SELECT unnest(generate_series(1,
+                           greatest(len(ws) - 4, 1))) AS i)),
+         d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         bs AS (SELECT DISTINCT shingle FROM d WHERE doc_id % 20 = 0),
+         agg AS (SELECT doc_id, count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM bs)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+                 FROM d GROUP BY 1)
+         SELECT doc_id, n_shingles, n_hits,
+                CAST(n_hits * 100 > n_shingles * 50 AS BIGINT)
+                  AS contaminated
+         FROM agg ORDER BY doc_id""",
     // budgets are floor(w/Σw · 10000) for weights 5:3:2 — the same
     // integer math Splitting.sourceBudgets does driver-side
     "q_mix_budget" ->

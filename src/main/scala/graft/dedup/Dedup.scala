@@ -578,6 +578,54 @@ object Dedup {
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** FRACTION-threshold contamination — the GPT-3 Appendix C /
+    * BigBench semantic: a doc is contaminated when MORE than
+    * `maxFracPct`% of its distinct k-shingles hit the benchmark
+    * (absolute-count [[dropContaminated]] over-fires on long docs that
+    * graze a common phrase; the fraction scales with doc length). Per
+    * doc: distinct-shingle count, hit count, and the flag — decided in
+    * EXACT integer arithmetic (`hits·100 > pct·total`), so the oracle
+    * can replay it with no float boundary. Docs shorter than k tokens
+    * have one degenerate shingle (the whole text) and are judged on
+    * it, same as the hit path.
+    *
+    * Plan: ONE exchange of the corpus's exploded shingles, LEFT-joined
+    * against the benchmark's distinct shingles (eval sets are small →
+    * AQE broadcasts), one aggregate counting rows and hits together —
+    * the fraction costs nothing over the hit count. */
+  def contaminationFraction(corpus: DataFrame, bench: DataFrame,
+                            textCol: String = "text",
+                            idCol: String = "doc_id", k: Int = 5,
+                            maxFracPct: Long = 50L): DataFrame = {
+    require(maxFracPct >= 0 && maxFracPct <= 100,
+      s"maxFracPct must be a percentage: $maxFracPct")
+    val cs = corpus.select(col(idCol).as("doc_id"),
+      explode(Text.wordShingles(col(textCol), k)).as("shingle"))
+    val bs = bench
+      .select(explode(Text.wordShingles(col(textCol), k)).as("shingle"))
+      .distinct().withColumn("__hit", lit(1))
+    cs.join(bs, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hits"))
+      .withColumn("contaminated",
+        (col("n_hits") * 100L > col("n_shingles") * lit(maxFracPct))
+          .cast("long"))
+  }
+
+  /** The fraction-decontaminated corpus: [[contaminationFraction]]'s
+    * flagged docs anti-joined away; docs with no shingle rows (null
+    * text filtered upstream) never flag. */
+  def dropContaminatedFraction(corpus: DataFrame, bench: DataFrame,
+                               textCol: String = "text",
+                               idCol: String = "doc_id", k: Int = 5,
+                               maxFracPct: Long = 50L): DataFrame = {
+    val bad =
+      contaminationFraction(corpus, bench, textCol, idCol, k, maxFracPct)
+        .filter(col("contaminated") === 1L)
+        .select(col("doc_id").as(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** [[dropContaminated]] with a Bloom prefilter — IDENTICAL output,
     * different 100-TB shape. The exact path shuffles every corpus
     * shingle once (O(corpus shingles) exchange rows); here a Bloom

@@ -110,6 +110,63 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** FRACTION-threshold decontamination ([[Dedup.contaminationFraction]],
+    * GPT-3 App. C semantic) with planted HALF-COPIES so the threshold
+    * genuinely separates: every benchmark doc with id % 40 == 0 gets a
+    * chimera at id+200001 whose text is its first half + the second
+    * half of the next doc — ~50% shingle overlap, straddling the 50%
+    * gate from both sides across docs, while benchmark members sit at
+    * 100% and clean docs at ~0%. All-integer output (counts + flag),
+    * exact `hits·100 > total·50` arithmetic in both engines. */
+  def decontaminationFraction(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val a = d.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("wa"))
+    val next = d.select((col("doc_id") - 1).as("doc_id"),
+                        split(col("text"), " ").as("wb"))
+    val planted = a.join(next, Seq("doc_id"))
+      .select((col("doc_id") + 200001L).as("doc_id"),
+        concat(
+          array_join(slice(col("wa"), lit(1),
+            expr("(size(wa) + 1) div 2")), " "),
+          lit(" "),
+          array_join(slice(col("wb"),
+            expr("(size(wb) + 1) div 2 + 1"),
+            expr("size(wb) - ((size(wb) + 1) div 2)")), " "))
+          .as("text"))
+    val corpus = d.union(planted)
+    val bench = d.filter(col("doc_id") % 20 === 0)
+    Dedup.contaminationFraction(corpus, bench, k = 5, maxFracPct = 50L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content sniffing + routing over REAL mixed bytes
+    * ([[graft.multimodal.Sniff]]): 60 assets encoded on the executors
+    * by the REAL kernels (PNG / WAV / Y4M cycling by id, every
+    * id % 10 == 7 replaced with non-media bytes), detected from magic
+    * numbers alone and routed image/audio/video/quarantine. The
+    * oracle knows the true container of every id in closed form, so a
+    * sniffer that misreads any real header hash-mismatches. */
+  def sniffRoute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assets = spark.range(60).as[Long].map { id =>
+      val content: Array[Byte] =
+        if (id % 10 == 7) "NOT A MEDIA FILE".getBytes("US-ASCII")
+        else (id % 3) match {
+          case 0 => graft.multimodal.ImageIo.encodePng(
+            2 + (id % 5).toInt, 2 + (id % 4).toInt, seed = id * 7919L)
+          case 1 => graft.multimodal.AudioIo.encodeWav(
+            50 + (id % 50).toInt, 8000, 1, seed = id * 6007L)
+          case _ => graft.multimodal.VideoIo.encodeY4m(
+            2, 2, 25, 1, 2, seed = id)
+        }
+      (id, content)
+    }.toDF("asset_id", "content")
+    graft.multimodal.Sniff.route(assets)
+      .select(col("asset_id"), col("detected"), col("route"))
+      .orderBy(col("asset_id"))
+  }
+
   /** Epoch-repeating mixture ([[graft.pipelines.Splitting
     * .mixToBudgetEpochs]]): weights 6:3:1 over a 40k-token budget make
     * src2 repeat 3 full epochs + a remainder prefix, src5 one epoch +

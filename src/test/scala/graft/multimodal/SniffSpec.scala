@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Magic-byte sniffing ([[Sniff]]): every container the real kernels
+  * decode is detected from genuine encoder output (or a hand-built
+  * minimal header where no encoder exists), and everything else lands
+  * in quarantine. */
+class SniffSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def detectOne(bytes: Array[Byte]): String =
+    Sniff.detect(Seq((1L, bytes)).toDF("id", "content"))
+      .select(col("detected")).head().getString(0)
+
+  test("real encoder output detects as its container") {
+    assert(detectOne(ImageIo.encodePng(3, 2, seed = 7L)) == "image/png")
+    assert(detectOne(ImageIo.transcode(
+      ImageIo.encodePng(4, 4, seed = 9L), "bmp")) == "image/bmp")
+    assert(detectOne(ImageIo.transcode(
+      ImageIo.encodePng(4, 4, seed = 9L), "gif")) == "image/gif")
+    assert(detectOne(ImageIo.transcode(
+      ImageIo.encodePng(4, 4, seed = 9L), "jpg")) == "image/jpeg")
+    assert(detectOne(AudioIo.encodeWav(100, 8000, 1, seed = 3L))
+      == "audio/wav")
+    assert(detectOne(VideoIo.encodeY4m(2, 2, 25, 1, 1, seed = 1L))
+      == "video/y4m")
+  }
+
+  test("hand-built AIFF and AU headers detect (no encoder for these)") {
+    val aiff = "FORM".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 4) ++
+      "AIFF".getBytes("US-ASCII")
+    assert(detectOne(aiff) == "audio/aiff")
+    val au = ".snd".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 24)
+    assert(detectOne(au) == "audio/au")
+  }
+
+  test("non-media, truncated, empty, and null bytes quarantine") {
+    assert(detectOne("plain text".getBytes("US-ASCII")) == "unknown")
+    // a PNG magic cut short must NOT detect
+    assert(detectOne(Array[Byte](0x89.toByte, 0x50)) == "unknown")
+    assert(detectOne(Array.empty[Byte]) == "unknown")
+    // RIFF that is not WAVE (e.g. AVI) stays unknown
+    val avi = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "AVI ".getBytes("US-ASCII")
+    assert(detectOne(avi) == "unknown")
+    val nullRow = Seq((1L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "content")
+    assert(Sniff.route(nullRow).select(col("route")).head().getString(0)
+      == "quarantine")
+  }
+
+  test("route composes with the real decoders: each slice decodes clean") {
+    val assets = spark.range(30).as[Long].map { id =>
+      val content: Array[Byte] = (id % 3) match {
+        case 0 => ImageIo.encodePng(2 + (id % 4).toInt, 3, seed = id)
+        case 1 => AudioIo.encodeWav(80, 16000, 2, seed = id)
+        case _ => VideoIo.encodeY4m(2, 2, 30, 1, 2, seed = id)
+      }
+      (id, content)
+    }.toDF("asset_id", "content")
+    val routed = Sniff.route(assets).cache()
+    val img = Multimodal.decodeImages(
+      routed.filter(col("route") === "image"))
+    assert(img.count() == 10 && img.filter(!col("ok")).count() == 0)
+    val aud = Multimodal.decodeAudio(
+      routed.filter(col("route") === "audio"))
+    assert(aud.count() == 10 && aud.filter(!col("ok")).count() == 0)
+    val vid = Multimodal.decodeVideos(
+      routed.filter(col("route") === "video"))
+    assert(vid.count() == 10 && vid.filter(!col("ok")).count() == 0)
+    routed.unpersist()
+  }
+}
