@@ -53,6 +53,28 @@ class SniffSpec extends AnyFunSuite {
       == "quarantine")
   }
 
+  test("stateless sniffing lifts to Structured Streaming verbatim") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Byte])]
+    val routed = Sniff.route(
+      in.toDF().toDF("asset_id", "content"))
+    val q = routed.writeStream.format("memory").queryName("sniff_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ImageIo.encodePng(2, 2, seed = 5L)),
+        (2L, "junk".getBytes("US-ASCII")))
+      q.processAllAvailable()
+      in.addData((3L, AudioIo.encodeWav(60, 8000, 1, seed = 2L)))
+      q.processAllAvailable()
+      val got = spark.table("sniff_stream")
+        .select(col("asset_id"), col("route")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "image", 2L -> "quarantine", 3L -> "audio"))
+    } finally q.stop()
+  }
+
   test("route composes with the real decoders: each slice decodes clean") {
     val assets = spark.range(30).as[Long].map { id =>
       val content: Array[Byte] = (id % 3) match {
