@@ -64,7 +64,12 @@ object ScaleProbe {
                   // part), shard manifest (map arithmetic + one narrow
                   // aggregate — should track scan time), and span dedup
                   // (window-key exchange + affected-sliver rebuild)
-                  "q_mix_budget", "q_shard_manifest", "q_span_dedup")
+                  "q_mix_budget", "q_shard_manifest", "q_span_dedup",
+                  // round-9 part 2: fraction decontamination (the
+                  // corpus-side shingle exchange is the 10× part; the
+                  // benchmark side stays broadcast-small) — q_sniff_route
+                  // is omitted: it reads no testdata (fixed 60 assets)
+                  "q_decontamination_frac")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
