@@ -113,6 +113,8 @@ object SparkEntry {
     "q_mix_epochs"              -> Corpus.mixEpochs _,
     "q_shard_manifest"          -> Corpus.shardManifestDocs _,
     "q_sniff_route"             -> Corpus.sniffRoute _,
+    // round 10:
+    "q_ingest_decode"           -> Corpus.ingestDecode _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -1437,18 +1439,55 @@ object SparkEntry {
          ORDER BY asset_id, frame_idx""",
     // the true container of every asset id is a closed-form function
     // of the id (the generators are deterministic), so detection from
-    // REAL bytes must reproduce this table exactly
+    // REAL bytes must reproduce this table exactly; ids >= 60 are the
+    // corrupt quadrant (valid magic, broken body) that only the
+    // structural sniff checks keep out of the decoder routes
     "q_sniff_route" ->
       """SELECT range AS asset_id,
-           CASE WHEN range % 10 = 7 THEN 'unknown'
+           CASE WHEN range >= 60 OR range % 10 = 7 THEN 'unknown'
                 WHEN range % 3 = 0 THEN 'image/png'
                 WHEN range % 3 = 1 THEN 'audio/wav'
                 ELSE 'video/y4m' END AS detected,
-           CASE WHEN range % 10 = 7 THEN 'quarantine'
+           CASE WHEN range >= 60 OR range % 10 = 7 THEN 'quarantine'
                 WHEN range % 3 = 0 THEN 'image'
                 WHEN range % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS route
-         FROM range(60) ORDER BY asset_id""",
+         FROM range(80) ORDER BY asset_id""",
+    // the whole ingest loop in closed form: every id's route, decode
+    // facts, and byte mass are pure functions of the id (see
+    // Corpus.mixedAssetSurface), so the per-route rollup of the REAL
+    // sniff → route → decode chain must reproduce this table exactly
+    "q_ingest_decode" ->
+      """WITH a AS (
+           SELECT range AS id,
+             CASE WHEN range >= 60 OR range % 10 = 7 THEN 'quarantine'
+                  WHEN range % 3 = 0 THEN 'image'
+                  WHEN range % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS route
+           FROM range(80)),
+         f AS (
+           SELECT route,
+             CASE WHEN route = 'quarantine' THEN 0 ELSE 1 END AS ok,
+             CASE route
+               WHEN 'image' THEN 2 + (id % 5)
+               WHEN 'audio' THEN 50 + (id % 50)
+               WHEN 'video' THEN 2
+               ELSE CASE WHEN id < 60 THEN 16
+                         WHEN id % 4 = 0 THEN 12
+                         WHEN id % 4 = 1 THEN 20
+                         WHEN id % 4 = 2 THEN 19
+                         ELSE 12 END END AS fa,
+             CASE route
+               WHEN 'image' THEN 2 + (id % 4)
+               WHEN 'audio' THEN (50 + (id % 50)) // 8
+               WHEN 'video' THEN 80
+               ELSE 0 END AS fb
+           FROM a)
+         SELECT route, count(*) AS n_assets,
+                CAST(sum(ok) AS BIGINT) AS n_ok,
+                CAST(sum(fa) AS BIGINT) AS fact_a,
+                CAST(sum(fb) AS BIGINT) AS fact_b
+         FROM f GROUP BY route ORDER BY route""",
     // half-copy chimeras at id+200001 (first half of a % 40 == 0
     // benchmark doc + second half of the next doc) probe the 50% gate
     // from both sides; the flag is exact integer hits·100 > total·50

@@ -13,10 +13,37 @@ import org.apache.spark.sql.functions._
   * (binary `substring` + literal compares — codegen'd, no UDF, no
   * shuffle: sniffing a 100-TB asset table is a map over the scan).
   *
+  * ==Structural depth (beyond leading magic)==
+  * Leading magic alone routes a truncated-but-magic'd blob to a
+  * decoder that then fails on it — wasted decode work and a late
+  * quarantine. Each container therefore also gets the CHEAPEST
+  * structural check that catches obvious corruption at sniff time,
+  * still as pure Column arithmetic over header bytes:
+  *  - PNG: the first chunk must be `IHDR` (bytes 12–15 — mandatory
+  *    first chunk per the PNG spec), so an 8-byte magic stub fails;
+  *  - JPEG: the byte after SOI must be a marker type (≥ 0xC0);
+  *  - BMP: the DIB header size (bytes 14–17, LE) must be one of the
+  *    real DIB sizes {12, 40, 52, 56, 64, 108, 124} — plain text
+  *    starting `BM` no longer routes to the image decoder;
+  *  - GIF: full `GIF87a`/`GIF89a` version, not just `GIF8`;
+  *  - RIFF/WAVE and FORM/AIFF: the container's declared chunk size
+  *    (bytes 4–7; RIFF little-endian, FORM big-endian) must fit in
+  *    the actual byte count — a capture cut mid-file quarantines;
+  *  - AU: the declared data offset (bytes 4–7, BE) must be ≥ the
+  *    24-byte fixed header and present in the bytes;
+  *  - Y4M: the first header parameter after `YUV4MPEG2 ` must be
+  *    `W` (width — first in every real muxer's header).
+  * Byte-field reads are `hex(substring(...))` + `conv` — builtins,
+  * codegen'd; on truncated input `substring` shortens, so the field
+  * compare fails (or nulls out on empty bytes), the `when` branch is
+  * not taken, and the asset falls through to `unknown` (quarantine)
+  * with no special-casing.
+  *
   * Detected types cover exactly the containers the real kernels
   * decode: PNG / JPEG / BMP / GIF (image), WAV / AIFF / AU (audio),
-  * YUV4MPEG2 (video); anything else — including truncated headers —
-  * is `unknown`, the quarantine route. */
+  * YUV4MPEG2 (video); anything else — truncated headers, declared
+  * sizes past EOF, junk with a 2-byte magic prefix — is `unknown`,
+  * the quarantine route. */
 object Sniff {
 
   private def startsWith(content: Column, bytes: Array[Byte],
@@ -26,31 +53,65 @@ object Sniff {
   private def ascii(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
+  /** Big-endian unsigned 32-bit field at byte offset `off` (0-based),
+    * as a nullable long (null when the bytes aren't there). */
+  private def beU32(content: Column, off: Int): Column =
+    conv(hex(substring(content, off + 1, 4)), 16, 10).cast("long")
+
+  /** Little-endian unsigned 32-bit field at byte offset `off`:
+    * per-byte hex, concatenated most-significant-first. */
+  private def leU32(content: Column, off: Int): Column =
+    conv(concat((3 to 0 by -1).map(i =>
+           hex(substring(content, off + 1 + i, 1))): _*),
+         16, 10).cast("long")
+
+  /** Unsigned byte value at offset `off` (0-based), nullable long. */
+  private def u8(content: Column, off: Int): Column =
+    conv(hex(substring(content, off + 1, 1)), 16, 10).cast("long")
+
   /** The detected container of a binary column, as `kind/container`
     * (e.g. `image/png`, `audio/wav`, `video/y4m`, `unknown`). */
-  def sniffModality(content: Column): Column =
+  def sniffModality(content: Column): Column = {
+    val len = length(content)
     when(content.isNull, lit("unknown"))
-      // PNG: \x89PNG\r\n\x1a\n
+      // PNG: \x89PNG\r\n\x1a\n + mandatory IHDR first chunk
       .when(startsWith(content, Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
-                                      0x1a, 0x0a).map(_.toByte)),
+                                      0x1a, 0x0a).map(_.toByte)) &&
+            startsWith(content, ascii("IHDR"), offset = 12),
             lit("image/png"))
-      // JPEG: FF D8 FF
-      .when(startsWith(content, Array(0xff, 0xd8, 0xff).map(_.toByte)),
+      // JPEG: FF D8 FF + a real marker type after SOI
+      .when(startsWith(content, Array(0xff, 0xd8, 0xff).map(_.toByte)) &&
+            u8(content, 3) >= 0xC0L,
             lit("image/jpeg"))
-      .when(startsWith(content, ascii("BM")), lit("image/bmp"))
-      .when(startsWith(content, ascii("GIF8")), lit("image/gif"))
-      // RIFF container whose form type (bytes 8-11) is WAVE
+      // BMP: 'BM' + a known DIB header size at bytes 14-17
+      .when(startsWith(content, ascii("BM")) &&
+            leU32(content, 14).isInCollection(
+              Seq(12L, 40L, 52L, 56L, 64L, 108L, 124L)),
+            lit("image/bmp"))
+      // GIF: full version string, 87a or 89a
+      .when(startsWith(content, ascii("GIF87a")) ||
+            startsWith(content, ascii("GIF89a")), lit("image/gif"))
+      // RIFF container, form type WAVE, declared size within the bytes
       .when(startsWith(content, ascii("RIFF")) &&
-            startsWith(content, ascii("WAVE"), offset = 8),
+            startsWith(content, ascii("WAVE"), offset = 8) &&
+            len >= leU32(content, 4) + 8L,
             lit("audio/wav"))
-      // IFF FORM container whose form type is AIFF (or AIFC)
+      // IFF FORM container, form type AIFF/AIFC, declared size within
       .when(startsWith(content, ascii("FORM")) &&
             (startsWith(content, ascii("AIFF"), offset = 8) ||
-             startsWith(content, ascii("AIFC"), offset = 8)),
+             startsWith(content, ascii("AIFC"), offset = 8)) &&
+            len >= beU32(content, 4) + 8L,
             lit("audio/aiff"))
-      .when(startsWith(content, ascii(".snd")), lit("audio/au"))
-      .when(startsWith(content, ascii("YUV4MPEG2 ")), lit("video/y4m"))
+      // AU: .snd + data offset >= fixed header, present in the bytes
+      .when(startsWith(content, ascii(".snd")) &&
+            beU32(content, 4) >= 24L && len >= beU32(content, 4),
+            lit("audio/au"))
+      // Y4M: magic + the W (width) parameter leading the header
+      .when(startsWith(content, ascii("YUV4MPEG2 ")) &&
+            startsWith(content, ascii("W"), offset = 10),
+            lit("video/y4m"))
       .otherwise(lit("unknown"))
+  }
 
   /** Attach the sniffed type as a `detected` column (map-only). */
   def detect(assets: DataFrame, contentCol: String = "content"): DataFrame =

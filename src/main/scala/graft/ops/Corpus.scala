@@ -140,18 +140,31 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
-  /** Content sniffing + routing over REAL mixed bytes
-    * ([[graft.multimodal.Sniff]]): 60 assets encoded on the executors
-    * by the REAL kernels (PNG / WAV / Y4M cycling by id, every
-    * id % 10 == 7 replaced with non-media bytes), detected from magic
-    * numbers alone and routed image/audio/video/quarantine. The
-    * oracle knows the true container of every id in closed form, so a
-    * sniffer that misreads any real header hash-mismatches. */
-  def sniffRoute(spark: SparkSession, dir: String): DataFrame = {
+  /** The mixed-container ingest surface shared by [[sniffRoute]] and
+    * [[ingestDecode]]: 80 assets encoded on the executors. Ids 0–59
+    * are REAL kernel output (PNG / WAV / Y4M cycling by id % 3, every
+    * id % 10 == 7 replaced with non-media bytes); ids 60–79 are the
+    * CORRUPT quadrant — valid leading magic over a broken body
+    * (truncated PNG, mid-file-cut WAV, `BM`-prefixed text, FORM/AIFF
+    * declaring a size past EOF, cycling by id % 4) — which only the
+    * structural sniff checks catch. Every asset's true disposition is
+    * a closed-form function of its id. */
+  private[graft] def mixedAssetSurface(spark: SparkSession)
+      : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val assets = spark.range(60).as[Long].map { id =>
+    spark.range(80).as[Long].map { id =>
       val content: Array[Byte] =
-        if (id % 10 == 7) "NOT A MEDIA FILE".getBytes("US-ASCII")
+        if (id >= 60) (id % 4) match {
+          case 0 => graft.multimodal.ImageIo.encodePng(
+            3, 3, seed = id * 7919L).take(12)
+          case 1 => graft.multimodal.AudioIo.encodeWav(
+            50 + (id % 50).toInt, 8000, 1, seed = id * 6007L).take(20)
+          case 2 => s"BM corrupt asset $id".getBytes("US-ASCII")
+          case _ => "FORM".getBytes("US-ASCII") ++
+            Array[Byte](0, 0, 3, 0x18.toByte) ++
+            "AIFF".getBytes("US-ASCII")
+        }
+        else if (id % 10 == 7) "NOT A MEDIA FILE".getBytes("US-ASCII")
         else (id % 3) match {
           case 0 => graft.multimodal.ImageIo.encodePng(
             2 + (id % 5).toInt, 2 + (id % 4).toInt, seed = id * 7919L)
@@ -162,9 +175,76 @@ object Corpus {
         }
       (id, content)
     }.toDF("asset_id", "content")
-    graft.multimodal.Sniff.route(assets)
+  }
+
+  /** Content sniffing + routing over REAL mixed bytes
+    * ([[graft.multimodal.Sniff]]) on the 80-asset
+    * [[mixedAssetSurface]], detected from header bytes alone and
+    * routed image/audio/video/quarantine. The oracle knows the true
+    * container of every id in closed form, so a sniffer that misreads
+    * a real header — or routes a corrupt quadrant asset anywhere but
+    * quarantine — hash-mismatches. */
+  def sniffRoute(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Sniff.route(mixedAssetSurface(spark))
       .select(col("asset_id"), col("detected"), col("route"))
       .orderBy(col("asset_id"))
+
+  /** The multimodal ingest loop gated END TO END: sniff → route →
+    * per-route REAL decode → per-route fact rollup, over the full
+    * 80-asset [[mixedAssetSurface]]. Each routed slice goes through
+    * its REAL kernel (javax.imageio / javax.sound.sampled / the Y4M
+    * demuxer), quarantine keeps raw byte mass, and the rollup pins
+    * (n_assets, n_ok, two route-specific fact sums): image →
+    * (Σwidth, Σheight), audio → (Σframes, Σduration_ms), video →
+    * (Σn_frames, Σduration_ms), quarantine → (Σbytes, 0). The oracle
+    * recomputes every sum in closed form from the id → container
+    * mapping, so ONE misrouted, misdecoded, or undecoded asset
+    * anywhere in the loop breaks the hash — the composition gate the
+    * three per-kernel decode oracles don't give on their own.
+    *
+    * `n_ok` must equal `n_assets` on the three decoder routes: the
+    * structural sniff checks promise decoders only see decodable
+    * bytes, and this query holds them to it.
+    *
+    * Scale shape: sniff+route is a map over the scan; the routed
+    * frame is localCheckpoint'd once and each decoder reads only its
+    * slice (the batch stand-in for the route-partitioned landing of
+    * [[graft.streaming.MultimodalIngest]], where partition pruning
+    * does the slicing); decode is map-shaped per partition; the only
+    * wide stage is four 1-row aggregates. */
+  def ingestDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val routed = graft.multimodal.Sniff.route(mixedAssetSurface(spark))
+      .localCheckpoint(false)
+    def slice(r: String) = routed.filter(col("route") === r)
+    val img = Multimodal.decodeImages(slice("image"))
+      .agg(count(lit(1)).as("n_assets"),
+           sum(col("ok").cast("long")).as("n_ok"),
+           sum(col("width").cast("long")).as("fact_a"),
+           sum(col("height").cast("long")).as("fact_b"))
+      .select(lit("image").as("route"), col("n_assets"), col("n_ok"),
+              col("fact_a"), col("fact_b"))
+    val aud = Multimodal.decodeAudio(slice("audio"))
+      .agg(count(lit(1)).as("n_assets"),
+           sum(col("ok").cast("long")).as("n_ok"),
+           sum(col("frames").cast("long")).as("fact_a"),
+           sum(col("duration_ms").cast("long")).as("fact_b"))
+      .select(lit("audio").as("route"), col("n_assets"), col("n_ok"),
+              col("fact_a"), col("fact_b"))
+    val vid = Multimodal.decodeVideos(slice("video"))
+      .agg(count(lit(1)).as("n_assets"),
+           sum(col("ok").cast("long")).as("n_ok"),
+           sum(col("n_frames").cast("long")).as("fact_a"),
+           sum(col("duration_ms").cast("long")).as("fact_b"))
+      .select(lit("video").as("route"), col("n_assets"), col("n_ok"),
+              col("fact_a"), col("fact_b"))
+    val quar = slice("quarantine")
+      .agg(count(lit(1)).as("n_assets"),
+           sum(length(col("content")).cast("long")).as("fact_a"))
+      .select(lit("quarantine").as("route"), col("n_assets"),
+              lit(0L).as("n_ok"), col("fact_a"), lit(0L).as("fact_b"))
+    img.unionByName(aud).unionByName(vid).unionByName(quar)
+      .orderBy(col("route"))
   }
 
   /** Epoch-repeating mixture ([[graft.pipelines.Splitting

@@ -34,8 +34,41 @@ class SniffSpec extends AnyFunSuite {
     val aiff = "FORM".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 4) ++
       "AIFF".getBytes("US-ASCII")
     assert(detectOne(aiff) == "audio/aiff")
-    val au = ".snd".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 24)
+    // full 24-byte AU fixed header: magic, data offset 24, size 0,
+    // encoding 3 (16-bit PCM), 8000 Hz, mono
+    val au = ".snd".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 24) ++ Array[Byte](0, 0, 0, 0) ++
+      Array[Byte](0, 0, 0, 3) ++
+      Array[Byte](0, 0, 0x1f, 0x40) ++ Array[Byte](0, 0, 0, 1)
     assert(detectOne(au) == "audio/au")
+  }
+
+  test("structural checks: valid magic + corrupt body quarantines") {
+    // PNG magic with the IHDR chunk cut off (magic + length field only)
+    val pngStub = ImageIo.encodePng(3, 3, seed = 11L).take(12)
+    assert(detectOne(pngStub) == "unknown")
+    // full WAV truncated mid-file: RIFF declared size now past EOF
+    val wav = AudioIo.encodeWav(100, 8000, 1, seed = 4L)
+    assert(detectOne(wav) == "audio/wav")
+    assert(detectOne(wav.take(20)) == "unknown")
+    // AIFF FORM declared size past EOF
+    val aiffCut = "FORM".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 3, 0x18.toByte) ++ "AIFF".getBytes("US-ASCII")
+    assert(detectOne(aiffCut) == "unknown")
+    // AU header cut before its own declared data offset
+    val auStub = ".snd".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 24)
+    assert(detectOne(auStub) == "unknown")
+    // 'BM' junk: bytes 14-17 are ASCII, not a real DIB header size
+    assert(detectOne("BM plain text that is not a bitmap at all"
+      .getBytes("US-ASCII")) == "unknown")
+    // real BMP still detects (DIB size 40 from javax.imageio's writer)
+    assert(detectOne(ImageIo.transcode(
+      ImageIo.encodePng(4, 4, seed = 9L), "bmp")) == "image/bmp")
+    // Y4M magic without the leading W parameter
+    assert(detectOne("YUV4MPEG2 bogus\n".getBytes("US-ASCII")) == "unknown")
+    // JPEG SOI with a non-marker 4th byte
+    assert(detectOne(Array(0xff, 0xd8, 0xff, 0x10).map(_.toByte))
+      == "unknown")
   }
 
   test("non-media, truncated, empty, and null bytes quarantine") {
