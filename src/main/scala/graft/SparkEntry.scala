@@ -1502,7 +1502,8 @@ object SparkEntry {
                       FROM raw WHERE doc_id % 40 = 0) a
                 JOIN (SELECT doc_id - 1 AS doc_id,
                              string_split(text, ' ') AS wb FROM raw) b
-                  USING (doc_id)),
+                  USING (doc_id)
+                WHERE len(a.wa) >= 2 AND len(b.wb) >= 2),
          corpus AS (SELECT * FROM raw UNION ALL SELECT * FROM pl),
          words AS (SELECT doc_id, string_split(text, ' ') AS ws
                    FROM corpus),

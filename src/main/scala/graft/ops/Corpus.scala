@@ -125,6 +125,11 @@ object Corpus {
     val next = d.select((col("doc_id") - 1).as("doc_id"),
                         split(col("text"), " ").as("wb"))
     val planted = a.join(next, Seq("doc_id"))
+      // both halves must be non-empty: a 1-token side would plant a
+      // leading/trailing space whose empty token Scala's tokenize
+      // drops but the SQL twin's string_split keeps (ADVICE r9) —
+      // guarding the join keeps both engines on identical streams
+      .filter(size(col("wa")) >= 2 && size(col("wb")) >= 2)
       .select((col("doc_id") + 200001L).as("doc_id"),
         concat(
           array_join(slice(col("wa"), lit(1),

@@ -47,10 +47,18 @@ object Sharding {
     * empty ones (a trainer sizing its ranks needs the zero row): the
     * id range is generated and left-joined, not discovered. */
   def shardManifest(df: DataFrame, idCol: String, tokensCol: String,
-                    nShards: Int): DataFrame = {
-    val spark = df.sparkSession
-    val counts = assignShards(df, idCol, nShards)
-      .groupBy(col("shard"))
+                    nShards: Int): DataFrame =
+    manifestOfAssigned(assignShards(df, idCol, nShards), tokensCol, nShards)
+
+  /** The manifest aggregate over an already-`shard`-carrying frame —
+    * shared by [[shardManifest]] (assigns in-flight) and
+    * [[writeShards]] (reads the shard column back from the written
+    * directories). */
+  private def manifestOfAssigned(assigned: DataFrame, tokensCol: String,
+                                 nShards: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    val counts = assigned
+      .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
            sum(col(tokensCol)).as("sum_tokens"))
     spark.range(nShards).select(col("id").as("shard"))
@@ -89,7 +97,14 @@ object Sharding {
           md5(col(idCol).cast("string").cast("binary")), col(idCol))
       else assigned
     placed.write.mode("overwrite").partitionBy("shard").parquet(path)
-    val manifest = shardManifest(df, idCol, tokensCol, nShards)
+    // the manifest derives from the WRITTEN directories, not a second
+    // scan of `df`: a nondeterministic input (or a source mutated
+    // between actions) could otherwise commit a _manifest disagreeing
+    // with the shard files it describes (ADVICE r9) — reading back
+    // what the write landed makes that divergence impossible, and the
+    // read is of the compacted shard layout, not the raw source
+    val manifest = manifestOfAssigned(
+      df.sparkSession.read.parquet(path), tokensCol, nShards)
     manifest.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/_manifest")
     manifest

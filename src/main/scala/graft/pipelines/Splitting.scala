@@ -190,6 +190,14 @@ object Splitting {
     * absent from `weights` are dropped (weight 0), mirroring
     * [[stratifiedSample]].
     *
+    * PRECONDITION (shared with [[mixToBudgetEpochs]] and
+    * [[stratifiedExactK]]): `idCol` values are unique within each
+    * source. The permutation orders by (md5(id), id), so duplicate
+    * ids tie completely and the running sum — hence the kept set at
+    * the budget boundary — would depend on physical row order
+    * (ADVICE r9). Training corpora carry unique doc ids by
+    * construction; dedupe first if yours doesn't.
+    *
     * Deterministic on any engine and partitioning (the md5-permutation
     * trick), hence oracle-hashable. Cost: one shuffle on the source
     * key + a per-source running-sum window — fine for the oracle path,
@@ -229,7 +237,9 @@ object Splitting {
     * repeats as distinct sequences exactly as a sampler would.
     *
     * Sources larger than their budget degenerate to [[mixToBudget]]
-    * with epoch 0 only. Cost: one |sources|-row totals aggregate to
+    * with epoch 0 only. Same unique-`idCol` precondition as
+    * [[mixToBudget]] (the remainder cut is the same (md5(id), id)
+    * window). Cost: one |sources|-row totals aggregate to
     * the driver, a generator explode for the full epochs (map-side),
     * and the remainder cut's per-source window. */
   def mixToBudgetEpochs(df: DataFrame, sourceCol: String,
@@ -237,10 +247,23 @@ object Splitting {
                         weights: Map[String, Double],
                         totalBudget: Long): DataFrame = {
     val budgets = sourceBudgets(weights, totalBudget)
-    val totals = df
+    val totalRows = df
       .filter(col(sourceCol).isInCollection(budgets.keys))
-      .groupBy(col(sourceCol)).agg(sum(col(tokensCol)).as("__tot"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol)).as("__tot"), count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the remainder cut's per-source window sorts each source inside
+    // ONE partition — free to check here because the totals aggregate
+    // already ran (this method is eager by design); a corpus-dominating
+    // source is exactly the case the windowless approx path exists for
+    dominatedSource(totalRows.map(t => t._1 -> t._3).toMap)
+      .foreach { case (s, n) =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"mixToBudgetEpochs: source '$s' holds $n rows — its " +
+            "remainder-cut window sorts them in one partition; " +
+            "consider mixToBudgetApprox for the remainder regime")
+      }
+    val totals = totalRows.map(t => t._1 -> t._2).toMap
     val epochs = totals.map { case (s, tot) =>
       s -> (if (tot > 0) budgets(s) / tot else 0L) }
     val rem = totals.map { case (s, tot) =>
@@ -256,6 +279,18 @@ object Splitting {
         .withColumn("epoch", epochCol)
     full.unionByName(remainder)
   }
+
+  /** A source whose row count exceeds `bound` (default 50M — past the
+    * point where one window partition's sort spills any sane executor)
+    * — the skew tripwire for the per-source running-sum window.
+    * Returns the largest such source, if any. */
+  private[pipelines] def dominatedSource(
+      rowsPerSource: Map[String, Long],
+      bound: Long = 50000000L): Option[(String, Long)] =
+    rowsPerSource.filter(_._2 > bound) match {
+      case m if m.isEmpty => None
+      case m              => Some(m.maxBy(_._2))
+    }
 
   /** The 100-TB spelling of [[mixToBudget]]: instead of sorting each
     * source to cut at the exact running-sum boundary, cut the SAME

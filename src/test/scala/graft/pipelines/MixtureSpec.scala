@@ -154,6 +154,32 @@ class MixtureSpec extends AnyFunSuite {
     assert(mass("b") <= 150000L && mass("b") > 150000L - 150L)
   }
 
+  test("skew posture: exact path plans a per-source window, approx " +
+       "path plans no exchange at all; dominated-source tripwire fires") {
+    // the structural fact behind the SCALING.md skew rows: the exact
+    // cut's cost concentrates one window partition per source (a
+    // corpus-dominating source sorts in ONE task), while the approx
+    // cut is a map-only filter — nothing to tilt, whatever the skew
+    val exactPlan = Splitting.mixToBudget(corpus, "source", "tokens",
+        "doc_id", weights, 40000L)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Window"),
+      "exact path must carry the per-source window")
+    val approxPlan = Splitting.mixToBudgetApprox(corpus, "source",
+        "tokens", "doc_id", weights, 40000L)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Exchange") &&
+           !approxPlan.contains("Window"),
+      s"approx path must be shuffle-free, got:\n$approxPlan")
+    // tripwire: fires only past the partition-mass bound, names the
+    // largest offender
+    assert(Splitting.dominatedSource(
+      Map("a" -> 1000L, "b" -> 2000L)).isEmpty)
+    assert(Splitting.dominatedSource(
+      Map("a" -> 1000L, "b" -> 2000L), bound = 1500L)
+      == Some("b" -> 2000L))
+  }
+
   test("budget floors: integer shares of the total, never rounded up") {
     val b = Splitting.sourceBudgets(Map("x" -> 1.0, "y" -> 2.0), 100L)
     assert(b == Map("x" -> 33L, "y" -> 66L))
