@@ -194,6 +194,69 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$dst/postings/batch=b0")
   }
 
+  /** Retention GC: rebuild the index at `dst` WITHOUT the `removed`
+    * docs — the takedown/expiry half of the index lifecycle
+    * ([[compact]] folds batches; nothing before this expired
+    * postings for docs deleted from the landed corpus, so a removed
+    * doc kept suppressing future near-duplicates of itself forever).
+    * `removed` carries the removed docs themselves (id + text): ids
+    * drive the posting purge, text hashes drive the exact-hash purge.
+    * Only the index and the (small) removal set are scanned — the
+    * landed corpus is never read, preserving the module's
+    * no-rescan contract.
+    *
+    * ==Semantics==
+    *  - postings: every posting of a removed id is dropped — a new
+    *    doc near-duplicating ONLY removed docs now survives ingest
+    *    (the spec's parity gate: equals `dropDuplicatesAgainst`
+    *    vs the corpus with the removals applied);
+    *  - hashes: the removed docs' content hashes are dropped. This
+    *    assumes the landed corpus is exact-deduped (every ingest path
+    *    in this module guarantees it: only dedup survivors are
+    *    appended), so a removed doc's hash cannot also belong to a
+    *    surviving doc;
+    *  - hot set: kept, plus the usual recount promotion — deletions
+    *    NEVER un-hot a shingle. Un-hotting would need the dropped
+    *    postings back (a corpus rescan, exactly what the index
+    *    exists to avoid), so a once-hot shingle stays excluded: the
+    *    conservative direction — strictly fewer near-dup candidates
+    *    than a from-scratch rebuild, never a spurious drop. A
+    *    deployment wanting exact un-hotting runs [[build]] over the
+    *    landed corpus at maintenance cadence instead.
+    *
+    * Output is the compacted single-batch layout of [[compact]];
+    * same `dst != path` swap contract. */
+  def gc(removed: DataFrame, path: String, dst: String,
+         textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    require(dst != path, "gc to a fresh directory, then swap")
+    val spark = removed.sparkSession
+    val (k, maxShingleFreq) = readMeta(spark, path)
+    import spark.implicits._
+    Seq((k, maxShingleFreq)).toDF("k", "max_shingle_freq")
+      .write.mode("overwrite").parquet(s"$dst/meta")
+    val removedHashes = removed
+      .select(sha2(col(textCol), 256).as("hash")).distinct()
+    spark.read.parquet(s"$path/hashes").select(col("hash")).distinct()
+      .join(removedHashes, Seq("hash"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dst/hashes/batch=b0")
+    val removedIds = removed.select(col(idCol).as("id")).distinct()
+    val postings = spark.read.parquet(s"$path/postings")
+      .select(col("shingle"), col("id"), col("n_sh"))
+      .join(removedIds, Seq("id"), "left_anti")
+    val hotNow = postings.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleFreq)
+      .select(col("shingle"))
+    spark.read.parquet(s"$path/hot").select(col("shingle"))
+      .union(hotNow).distinct()
+      .write.mode("overwrite").parquet(s"$dst/hot")
+    // re-read the written hot set so this plan scans files, not a
+    // re-run of the frequency aggregate (same as build/compact)
+    postings
+      .join(spark.read.parquet(s"$dst/hot"), Seq("shingle"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dst/postings/batch=b0")
+  }
+
   private def readMeta(spark: SparkSession, path: String): (Int, Long) = {
     val m = spark.read.parquet(s"$path/meta").head()
     (m.getAs[Int]("k"), m.getAs[Long]("max_shingle_freq"))

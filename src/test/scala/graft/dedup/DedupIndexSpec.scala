@@ -141,6 +141,41 @@ class DedupIndexSpec extends AnyFunSuite {
       "exact copy of post-compact append dropped; hot-only near miss kept")
   }
 
+  test("gc purges removed docs' postings and hashes; queries match a " +
+       "rescan of the post-removal corpus exactly") {
+    val keptDocs = docs.filter(col("doc_id") % 2 === 0)
+    val removed = docs.filter(col("doc_id") % 2 =!= 0)
+    val path = tmp()
+    val dst = tmp() + "/gc"
+    DedupIndex.build(docs, path) // default cap: nothing hot -> exact
+    DedupIndex.gc(removed, path, dst)
+    // verbatim copies of every doc: copies of REMOVED docs must now
+    // survive ingest (their suppressors are gone), copies of kept
+    // docs must still drop — and the index must agree with a rescan
+    // of the corpus-as-it-now-is in every row
+    val batch = docs.select((col("doc_id") + 700000).as("doc_id"),
+                            col("text"))
+    val viaIndex = rows(DedupIndex.dropDuplicatesAgainstIndex(batch, dst))
+    val viaRescan = rows(Dedup.dropDuplicatesAgainst(batch, keptDocs))
+    assert(viaIndex == viaRescan,
+      s"index-only=${(viaIndex -- viaRescan).take(3)} " +
+      s"rescan-only=${(viaRescan -- viaIndex).take(3)}")
+    assert(viaIndex.exists(_._1 % 2 == 1),
+      "some removed-doc copy must survive after gc")
+    assert(!viaIndex.exists(_._1 % 2 == 0),
+      "kept-doc copies must still be dropped")
+    // physical retention: no posting carries a removed id, no removed
+    // content hash remains
+    val postIds = spark.read.parquet(s"$dst/postings")
+      .select(col("id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(postIds.nonEmpty && postIds.forall(_ % 2 == 0))
+    val removedHashes = removed
+      .select(sha2(col("text"), 256).as("hash")).distinct()
+    assert(spark.read.parquet(s"$dst/hashes")
+      .join(removedHashes, Seq("hash"), "left_semi").count() == 0)
+  }
+
   test("exact copies of appended (not just built) docs are dropped " +
        "by the hash side alone") {
     import spark.implicits._
