@@ -60,14 +60,23 @@ object Pq {
       .filter(Similarity.l2Norm(col("raw")) > lit(0.0))
       .select(Similarity.normalize(col("raw")).as("nv"))
       .localCheckpoint()
-    val first = unit.select(size(col("nv"))).head(1)
+    trainPqVectors(unit, m, kCodes, seed)
+  }
+
+  /** Codebook fit over an ALREADY-prepared vector column `nv` (no
+    * normalization — residual vectors must be quantized as-is). The
+    * input should be materialized (localCheckpoint) by the caller:
+    * KMeans iterates, and m fits re-read it. */
+  private def trainPqVectors(prepared: DataFrame, m: Int, kCodes: Int,
+                             seed: Long): PqModel = {
+    val first = prepared.select(size(col("nv"))).head(1)
     require(first.nonEmpty,
       "trainPq needs at least one non-zero-norm vector")
     val dim = first(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     val codebooks = Array.tabulate(m) { j =>
-      val sub = unit.select(
+      val sub = prepared.select(
         array_to_vector(slice(col("nv"), j * dsub + 1, dsub)).as("v"))
       new KMeans().setK(kCodes).setSeed(seed + j)
         .setFeaturesCol("v").setPredictionCol("c")
@@ -108,16 +117,22 @@ object Pq {
   def encodePq(df: DataFrame, model: PqModel,
                vecCol: String = "embedding",
                idCol: String = "vec_id"): DataFrame = {
-    val m = model.m
-    val dsub = model.dsub
-    val books = model.codebooks
-    val enc = udf { nv: Seq[Double] =>
-      val arr = nv.toArray
-      Array.tabulate(m)(j => nearestCode(arr, j * dsub, books(j), dsub))
-    }
+    val enc = encodeUdfOf(model)
     df.select(col(idCol), col(vecCol).as("raw"))
       .filter(Similarity.l2Norm(col("raw")) > lit(0.0))
       .select(col(idCol), enc(Similarity.normalize(col("raw"))).as("codes"))
+  }
+
+  /** Argmin-encode UDF over an as-is vector column (shared by
+    * [[encodePq]] and the residual path, which must NOT normalize). */
+  private def encodeUdfOf(model: PqModel) = {
+    val m = model.m
+    val dsub = model.dsub
+    val books = model.codebooks
+    udf { nv: Seq[Double] =>
+      val arr = nv.toArray
+      Array.tabulate(m)(j => nearestCode(arr, j * dsub, books(j), dsub))
+    }
   }
 
   /** PQ-approximate top-k: train on the corpus, encode the corpus,
@@ -325,6 +340,87 @@ object Pq {
         Similarity.dot(col("qv"), col("cv")) /
           (Similarity.l2Norm(col("qv")) * col("cn")))
       .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= lit(k))
+      .select(col("query_id"), col("neighbor_id"),
+              col("cos_raw").as("cos"), col("rank"))
+  }
+
+  /** IVF-PQ with RESIDUAL encoding — the other side of
+    * [[ivfPqTopK]]'s documented trade-off (its scaladoc: shared
+    * codebooks decouple the quantizers at some recall cost). Here the
+    * coupling is accepted to buy recall at the SAME code budget:
+    * codes quantize `v − center(cell(v))` instead of `v`, and
+    * residuals concentrate near the origin with far less variance
+    * than raw unit vectors, so the same m × kCodes budget spends its
+    * centroids on a much smaller ball — finer quantization, higher
+    * ADC recall (PqSpec pins residual ≥ shared-codebook at equal
+    * budget; SCALING.md carries the measured gap). ADC is exact over
+    * the decomposition ‖q − (c + r̂)‖² = ‖(q − c) − r̂‖²: each probed
+    * cell gets its own query-residual distance table (nProbe small
+    * tables per query — still KBs).
+    *
+    * The price stays as documented on [[ivfPqTopK]]: re-clustering
+    * cells invalidates every code (residuals move), so this variant
+    * fits corpora whose cell structure is stable between full
+    * re-lands, while the shared-codebook variant suits independent
+    * rebuild cadences. No refine stage — output `cos` is the ADC
+    * estimate, so the codebook quality itself is what benchmarks
+    * (compose [[pqTopKRefined]]'s refine join on top when serving
+    * true cosines). */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        nCells: Int = 16, nProbe: Int = 4,
+                        m: Int = 8, kCodes: Int = 16, seed: Long = 42L,
+                        qId: String = "vec_id", qVec: String = "embedding",
+                        cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus
+      .select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+      .filter(Similarity.l2Norm(col("cv")) > lit(0.0))
+      .withColumn("nv", Similarity.normalize(col("cv")))
+      .withColumn("v", array_to_vector(col("nv")))
+      .localCheckpoint()
+    val kmModel = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("v").setPredictionCol("cell").fit(c)
+    val centers = kmModel.clusterCenters.map(_.toArray)
+    val residUdf = udf { (nv: Seq[Double], cell: Int) =>
+      val cen = centers(cell)
+      Array.tabulate(nv.length)(i => nv(i) - cen(i))
+    }
+    val resid = kmModel.transform(c)
+      .select(col("neighbor_id"), col("cell"),
+              residUdf(col("nv"), col("cell")).as("nv_r"))
+      .localCheckpoint() // codebook fit + encode both read it
+    val model = trainPqVectors(
+      resid.select(col("nv_r").as("nv")), m, kCodes, seed)
+    val codes = resid
+      .select(col("neighbor_id"), col("cell"),
+              encodeUdfOf(model)(col("nv_r")).as("codes"))
+    val centersDf = centers.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "center")
+    val tableUdf = tableUdfOf(model)
+    val adcUdf = adcUdfOf(model)
+    val q = queries
+      .select(col(qId).as("query_id"), col(qVec).as("qv"))
+      .filter(Similarity.l2Norm(col("qv")) > lit(0.0))
+      .withColumn("qnv", Similarity.normalize(col("qv")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("center_cos").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(centersDf))
+      .withColumn("center_cos", Similarity.cosine(col("qnv"), col("center")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= lit(nProbe))
+      .select(col("query_id"),
+              tableUdf(residUdf(col("qnv"), col("cell"))).as("qtable"),
+              col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    probed.join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw",
+        lit(1.0) - adcUdf(col("codes"), col("qtable")) / lit(2.0))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= lit(k))
       .select(col("query_id"), col("neighbor_id"),
               col("cos_raw").as("cos"), col("rank"))

@@ -129,6 +129,61 @@ class PqSpec extends AnyFunSuite {
       s"full-probe IVFPQ recall $rFull != flat refined $flatRecall")
   }
 
+  test("residual encoding: contract holds; recall >= shared codebooks " +
+       "at equal code budget, with a clear win on clustered data") {
+    val k = 10
+    def recallOf(queries: org.apache.spark.sql.DataFrame,
+                 corpus: org.apache.spark.sql.DataFrame,
+                 topk: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Similarity.cosineTopK(queries, corpus, k = k)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = topk.select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    // organic testdata (weak cluster structure): residual at FULL
+    // probe must at least hold the shared-codebook line — same m and
+    // kCodes, same rows scanned, only codebook construction differs
+    val queries = emb.filter(col("vec_id") < 30)
+    val resid = Pq.ivfPqResidualTopK(queries, emb, k = k, nCells = 8,
+        nProbe = 8, m = 8, kCodes = 16).cache()
+    assert(resid.count() == 30 * k)
+    assert(resid.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    val rResid = recallOf(queries, emb, resid)
+    val rPlain = recallOf(queries, emb,
+      Pq.pqTopK(queries, emb, k = k, m = 8, kCodes = 16))
+    assert(rResid >= rPlain - 0.05,
+      s"residual $rResid fell below shared-codebook $rPlain")
+
+    // clustered corpus (the regime IVF exists for): 16 tight clusters;
+    // residuals concentrate near the origin, so the same 8x16 budget
+    // quantizes far finer than raw-vector codebooks — the recall gap
+    // must be decisive, not marginal
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def unit(dim: Int): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(16)(unit(64))
+    val clustered = (0 until 640).map { i =>
+      val c = centers(i % 16)
+      val noise = unit(64)
+      val v = c.indices.map(d => c(d) + 0.25 * noise(d))
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding").cache()
+    val cq = clustered.filter(col("vec_id") < 30)
+    val cResid = recallOf(cq, clustered,
+      Pq.ivfPqResidualTopK(cq, clustered, k = k, nCells = 16,
+        nProbe = 16, m = 8, kCodes = 16))
+    val cPlain = recallOf(cq, clustered,
+      Pq.pqTopK(cq, clustered, k = k, m = 8, kCodes = 16))
+    assert(cResid > cPlain,
+      s"clustered: residual $cResid must beat shared $cPlain")
+  }
+
   test("materialized index: searchPqIndex equals the in-memory pqTopK") {
     val dir = java.nio.file.Files.createTempDirectory("pq_index")
       .toString
