@@ -209,6 +209,61 @@ class CurationSpec extends AnyFunSuite {
     bpe.unpersist(); word.unpersist(); joined.unpersist()
   }
 
+  test("end to end: curate -> BPE-pack -> shard; each boundary agrees " +
+       "with its individually-gated stage") {
+    // the full training-data story as ONE run: survivors from the
+    // curation funnel, sequence offsets from the learned-BPE packer,
+    // shard files + manifest from the deterministic sharder — with
+    // every hand-off pinned against the stage run on its own
+    val packed = Curation.prepareTrainingDataBpe(docs, numMerges = 100)
+      .cache()
+    // boundary 1 (curate -> pack): the packed set IS the curated
+    // survivor set — packing invents and loses nothing
+    val survivors = Curation.curate(docs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val packedIds = packed.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(packedIds == survivors)
+
+    // boundary 2 (pack -> shard): manifest totals equal the packed
+    // frame's own aggregates, and the written shard files carry
+    // exactly the packed rows
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-curation-shards").toString + "/shards"
+    val manifest = Sharding.writeShards(packed, "doc_id", "n_tokens",
+      nShards = 8, path = dir, orderWithinShards = true).cache()
+    val totalTokens = packed.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(manifest.agg(sum(col("n_rows"))).head().getLong(0)
+      == packed.count())
+    assert(manifest.agg(sum(col("sum_tokens"))).head().getLong(0)
+      == totalTokens)
+
+    val back = spark.read.parquet(dir).cache()
+    assert(back.count() == packed.count())
+    // per-shard file contents match the manifest row for row
+    val fromFiles = back.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    manifest.collect().foreach { r =>
+      val (n, t) = fromFiles.getOrElse(r.getLong(0), (0L, 0L))
+      assert(n == r.getLong(1) && t == r.getLong(2),
+        s"shard ${r.getLong(0)}: files ($n,$t) vs manifest " +
+        s"(${r.getLong(1)},${r.getLong(2)})")
+    }
+    // the directory assignment is the portable md5 arithmetic, not an
+    // accident of the write
+    assert(back.filter(col("shard").cast("long")
+      =!= Sharding.shardId(col("doc_id"), 8)).count() == 0)
+    // pack offsets survive the shard round-trip untouched
+    val offsetDrift = back.as("s")
+      .join(packed.as("p"), Seq("doc_id"))
+      .filter(col("s.offset") =!= col("p.offset") ||
+              col("s.n_tokens") =!= col("p.n_tokens"))
+    assert(offsetDrift.count() == 0)
+    packed.unpersist(); manifest.unpersist(); back.unpersist()
+  }
+
   test("opt-in model filter: thresholded subset, scores carried") {
     val trusted = docs.filter(col("doc_id") < 100000)
     val degraded = trusted.select(col("doc_id"),
