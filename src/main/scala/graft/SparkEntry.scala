@@ -101,6 +101,7 @@ object SparkEntry {
     "q_ann_topk"                -> Corpus.annTopKQuery _,
     "q_ivf_topk"                -> Corpus.ivfTopKQuery _,
     "q_pq_topk"                 -> Corpus.pqTopKQuery _,
+    "q_ivfpq_residual"          -> Corpus.ivfPqResidualQuery _,
     "q_bpe_tokens"              -> Corpus.bpeTokens _,
     // oracle-gated (SQL-expressible) — added with the seeded block in
     // round 5 part 2:

@@ -347,6 +347,25 @@ object Corpus {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Residual IVF-PQ top-5 for the first 10 embedding vectors (16
+    * cells, 4 probes, m=8 × 16 codes over per-cell residuals) — the
+    * recall-per-byte leg of the PQ family: same code budget as
+    * [[pqTopKQuery]], finer quantization from residual concentration
+    * ([[graft.similarity.Pq.ivfPqResidualTopK]]; PqSpec pins the
+    * recall ordering, SCALING.md the measured gap). Seeded coarse +
+    * sub-quantizers → no SQL oracle; rows-only driver check + sf0.01
+    * golden. `cos` is the ADC estimate, rounded like the other
+    * similarity queries. */
+  def ivfPqResidualQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    graft.similarity.Pq.ivfPqResidualTopK(queries, emb, k = 5,
+        nCells = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+              round(col("cos") + lit(1e-9), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact cosine top-5 neighbors for the first 10 embedding vectors —
     * brute-force baseline of the similarity-search surface. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {

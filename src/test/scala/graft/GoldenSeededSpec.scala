@@ -22,7 +22,7 @@ class GoldenSeededSpec extends AnyFunSuite {
   private val Seeded = Seq("q_minhash_twins", "q_als_recommend",
     "q_dedup_minhash", "q_simhash_neardup", "q_embedding_neardup",
     "q_semantic_dedup", "q_ann_topk", "q_ivf_topk", "q_phash_neardup",
-    "q_pq_topk",
+    "q_pq_topk", "q_ivfpq_residual",
     // not seeded but equally un-oracle-able: deterministic merge
     // recursion with no SQL form
     "q_bpe_tokens")
