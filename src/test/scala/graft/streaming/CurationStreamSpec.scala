@@ -141,6 +141,66 @@ class CurationStreamSpec extends AnyFunSuite {
       .toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("lambda round-trip: stream-land micro-batches -> compact the " +
+       "retired dir -> batch near-dedup over the compacted landing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "event_time")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-lambda").toString
+    val (path, ckpt) = (s"$base/corpus", s"$base/ckpt")
+    val q = CurationStream.land(
+      CurationStream.ingest(stream, Curation.Config(langs = Set("en"))),
+      path, ckpt)
+    try { // several batches; batch 3 carries NEAR-clones of batch 1 —
+          // different hash, so the online exact dedup correctly lands
+          // them; catching them is the batch layer's job
+      // word-reversed texts keep the token-multiset lang/quality
+      // kernels happy but share no word 5-shingles with the originals
+      // — genuinely distinct docs, not near-dups
+      val en1r = en1.split(" ").reverse.mkString(" ")
+      val en2r = en2.split(" ").reverse.mkString(" ")
+      mem.addData((1L, en1, ts("10:00:00")), (2L, en2, ts("10:00:05")))
+      q.processAllAvailable()
+      mem.addData((3L, en1r, ts("10:10:00")))
+      q.processAllAvailable()
+      mem.addData((11L, "zz1 zz2 zz3 " + en1, ts("10:20:00")),
+                  (12L, "zz1 zz2 zz3 " + en2, ts("10:20:05")))
+      q.processAllAvailable()
+      mem.addData((13L, en2r, ts("10:30:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def dataFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.startsWith("_") || f.getName.startsWith("."))
+          Nil else Seq(f)
+      walk(new java.io.File(path)).size
+    }
+    val before = dataFiles()
+    assert(before >= 4, s"one file set per micro-batch expected, $before")
+    val stats = graft.sources.Layout.compact(spark, path)
+    assert(stats.rows == 6 && dataFiles() < before)
+
+    // the batch (compaction-time) half of the lambda split: near-dedup
+    // over the compacted landing, reading the lang partition PRUNED
+    val landed = spark.read.parquet(path)
+      .filter(col("detected") === "en")
+    assert(graft.sources.Layout.isPartitionPruned(landed))
+    val survivors = graft.dedup.Dedup
+      .markNearDuplicates(landed.select(col("doc_id"), col("text")))
+      .filter(col("kept"))
+    // planted near-clones 11/12 must collapse onto their batch-1
+    // originals; the genuinely-new docs survive
+    val ids = survivors.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 13L),
+      s"near-clones 11/12 must collapse onto their batch-1 originals " +
+      s"at compaction time, distinct docs survive; got $ids")
+  }
+
   test("batch twin: ingest filter+dedup counts agree with the funnel report") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text"))
