@@ -116,6 +116,9 @@ object SparkEntry {
     "q_sniff_route"             -> Corpus.sniffRoute _,
     // round 10:
     "q_ingest_decode"           -> Corpus.ingestDecode _,
+    "q_mp3_parse"               -> Corpus.mp3Parse _,
+    "q_h264_parse"              -> Corpus.h264Parse _,
+    "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -1489,6 +1492,88 @@ object SparkEntry {
                 CAST(sum(fa) AS BIGINT) AS fact_a,
                 CAST(sum(fb) AS BIGINT) AS fact_b
          FROM f GROUP BY route ORDER BY route""",
+    // REAL MP3 frame-header walking vs closed-form stream facts: the
+    // authored streams' frame sizes, tags, and VBR mean bitrate are
+    // pure arithmetic over the asset id (see Corpus.mp3Parse); the
+    // VBR mean is floor((ceil(f/2)·ka + floor(f/2)·kb) / f) over the
+    // two alternating Layer-III table rates
+    "q_mp3_parse" ->
+      """WITH p AS (
+           SELECT range AS id, 20 + (range % 30) AS f,
+             CASE range % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS rate,
+             CASE range % 8 WHEN 0 THEN 64 WHEN 1 THEN 80 WHEN 2 THEN 96
+                  WHEN 3 THEN 112 WHEN 4 THEN 128 WHEN 5 THEN 160
+                  WHEN 6 THEN 192 ELSE 224 END AS ka,
+             CASE (range + 1) % 8 WHEN 0 THEN 64 WHEN 1 THEN 80
+                  WHEN 2 THEN 96 WHEN 3 THEN 112 WHEN 4 THEN 128
+                  WHEN 5 THEN 160 WHEN 6 THEN 192 ELSE 224 END AS kb
+           FROM range(64))
+         SELECT id AS asset_id, rate AS sample_rate_hz,
+                CASE WHEN id % 4 < 2 THEN 1 ELSE 2 END AS channels,
+                f AS frames,
+                (f * 1152 * 1000) // rate AS duration_ms,
+                CASE WHEN id % 2 = 0 THEN ka
+                     ELSE (((f + 1) // 2) * ka + (f // 2) * kb) // f
+                     END AS bitrate_kbps,
+                CAST(id % 2 AS BIGINT) AS vbr,
+                3 AS layer, 'mpeg1' AS version,
+                CASE WHEN id % 4 = 0 THEN 27 + id ELSE 0 END
+                  AS id3v2_bytes,
+                CAST(1 AS BIGINT) AS ok
+         FROM p ORDER BY asset_id""",
+    // REAL H.264 NAL walking + exp-Golomb SPS decode vs closed-form
+    // geometry: width/height from pic_{width,height}_in_mbs with the
+    // 4:2:0 crop-unit arithmetic on every 5th id (see Corpus.h264Parse)
+    "q_h264_parse" ->
+      """SELECT range AS asset_id,
+                16 * (1 + range % 6) -
+                  CASE WHEN range % 5 = 0 THEN 2 ELSE 0 END AS width,
+                16 * (1 + range % 4) -
+                  CASE WHEN range % 5 = 0 THEN 2 ELSE 0 END AS height,
+                66 AS profile_idc, 30 AS level_idc,
+                CAST(2 + (1 + range % 3) + (range % 5) AS INT) AS n_nal,
+                CAST(1 + range % 3 AS INT) AS n_idr,
+                CAST(range % 5 AS INT) AS n_non_idr,
+                CAST(1 AS BIGINT) AS ok
+         FROM range(64) ORDER BY asset_id""",
+    // the compressed ingest loop in closed form: every id's sniffed
+    // format, parse disposition, and facts are pure functions of the
+    // id (see Corpus.compressedAssetSurface). The id % 4 == 3 corrupt
+    // rows land on the mp3 route with ok = 0 and NO fact mass — the
+    // sniff-cannot-see-deep-truncation contract, pinned
+    "q_ingest_decode_compressed" ->
+      """WITH a AS (
+           SELECT range AS id,
+             CASE WHEN range >= 40 THEN
+                    CASE range % 4 WHEN 3 THEN 'mp3' ELSE 'quarantine' END
+                  WHEN range % 10 = 7 THEN 'quarantine'
+                  WHEN range % 2 = 0 THEN 'mp3'
+                  ELSE 'h264' END AS format
+           FROM range(60)),
+         f AS (
+           SELECT format, id,
+             CASE WHEN format = 'mp3' AND id < 40 THEN 1
+                  WHEN format = 'h264' THEN 1 ELSE 0 END AS ok,
+             CASE WHEN format = 'mp3' AND id < 40 THEN 10 + id % 20
+                  WHEN format = 'h264' THEN 1 + id % 3
+                  WHEN format = 'quarantine' THEN
+                    CASE WHEN id < 40 THEN 16
+                         WHEN id % 4 = 0 THEN 30 ELSE 16 END
+                  ELSE 0 END AS fa,
+             CASE WHEN format = 'mp3' AND id < 40 THEN
+                    ((10 + id % 20) * 1152 * 1000) //
+                      (CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                            ELSE 32000 END)
+                  WHEN format = 'h264' THEN 16 * (1 + id % 6) -
+                    CASE WHEN id % 5 = 0 THEN 2 ELSE 0 END
+                  ELSE 0 END AS fb
+           FROM a)
+         SELECT format, count(*) AS n_assets,
+                CAST(sum(ok) AS BIGINT) AS n_ok,
+                CAST(sum(fa) AS BIGINT) AS fact_a,
+                CAST(sum(fb) AS BIGINT) AS fact_b
+         FROM f GROUP BY format ORDER BY format""",
     // half-copy chimeras at id+200001 (first half of a % 40 == 0
     // benchmark doc + second half of the next doc) probe the 50% gate
     // from both sides; the flag is exact integer hits·100 > total·50

@@ -21,9 +21,17 @@ import org.apache.spark.sql.functions._
   * form: [[ImagePhash.featureFactory]] plugs the normalized DCT
   * coefficient block (genuine pixel features) into
   * [[batchedFeatureExtract]], composing with
-  * `Dedup.embeddingNearDuplicates` for cosine-space image dedup. The
-  * REMAINING KERNELS ARE STUBS — this container ships no compressed
-  * codecs (H.264/VP9/MP3) or model runtime, so `featureExtractStub` /
+  * `Dedup.embeddingNearDuplicates` for cosine-space image dedup.
+  * COMPRESSED-CONTAINER STRUCTURAL METADATA IS REAL:
+  * [[parseMp3Streams]] walks genuine MPEG audio frame headers
+  * (ID3 tags, full bitrate/sample-rate tables, VBR — [[Mp3Io]]) and
+  * [[parseH264Streams]] walks H.264 Annex-B NAL units with a real
+  * exp-Golomb SPS decode (geometry, profile/level, IDR census —
+  * [[H264Io]]) — the `ffprobe`-style facts a curation pipeline
+  * filters on, no codec needed. The REMAINING KERNELS ARE STUBS —
+  * this container ships no compressed-codec SAMPLE decoders
+  * (H.264 macroblocks / MP3 subband synthesis / VP9) or model
+  * runtime, so `featureExtractStub` /
   * [[FakeEmbedder]] (LEARNED-embedding inference) derive
   * deterministic fake values from the content bytes,
   * `frameSampleStub` remains the Spark-side frame-index plan for
@@ -286,6 +294,92 @@ object Multimodal {
         case _ => java.awt.image.BufferedImage.TYPE_BYTE_GRAY
       }
       (id, "image", ImageIo.encodePng(w, h, seed = id * 7919L, imageType = t))
+    }.toDF("asset_id", "modality", "content")
+  }
+
+  /** REAL MP3 structural parse ([[Mp3Io]]) over the [[MediaKernel]]
+    * seam — frame-header walking for sample rate, channels, frame
+    * count, duration, CBR/VBR bitrate and ID3 tag size, reading 4
+    * bytes per frame and zero sample decode. `ok = false` rows are
+    * corrupt/truncated streams, quarantined by the caller. Gated by
+    * `q_mp3_parse` (closed-form oracle) + Mp3IoSpec. */
+  def parseMp3Streams(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    MediaKernel.runKernel(assets, Mp3Io.parserFactory, batchSize)
+      .select(col("_1").as("asset_id"),
+              col("_2.sampleRateHz").as("sample_rate_hz"),
+              col("_2.channels").as("channels"),
+              col("_2.frames").as("frames"),
+              col("_2.durationMs").as("duration_ms"),
+              col("_2.bitrateKbps").as("bitrate_kbps"),
+              col("_2.vbr").cast("long").as("vbr"),
+              col("_2.layer").as("layer"),
+              col("_2.versionId").as("version"),
+              col("_2.id3v2Bytes").as("id3v2_bytes"),
+              col("_2.ok").as("ok"))
+  }
+
+  /** REAL H.264 Annex-B structural parse ([[H264Io]]) over the same
+    * seam — start-code walk + exp-Golomb SPS decode for geometry,
+    * profile/level and the NAL/IDR census; slice payloads are never
+    * bit-parsed. `ok = false` rows are corrupt streams, quarantined
+    * by the caller. Gated by `q_h264_parse` (closed-form oracle) +
+    * H264IoSpec. */
+  def parseH264Streams(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    MediaKernel.runKernel(assets, H264Io.parserFactory, batchSize)
+      .select(col("_1").as("asset_id"),
+              col("_2.width").as("width"),
+              col("_2.height").as("height"),
+              col("_2.profileIdc").as("profile_idc"),
+              col("_2.levelIdc").as("level_idc"),
+              col("_2.nNal").as("n_nal"),
+              col("_2.nIdr").as("n_idr"),
+              col("_2.nNonIdr").as("n_non_idr"),
+              col("_2.ok").as("ok"))
+  }
+
+  /** Deterministic REAL-MP3 asset table: `n` MPEG-1 Layer III streams
+    * authored by [[Mp3Io.encodeMp3]] on the executors — sample rate
+    * cycling 44.1/48/32 kHz, even ids CBR / odd ids two-rate VBR,
+    * every 4th id ID3v2-tagged, every 5th ID3v1-tailed, every 3rd
+    * with alternating padding bits; all facts pure functions of the
+    * id (same design as [[syntheticAudioAssets]]). */
+  def syntheticMp3Assets(spark: org.apache.spark.sql.SparkSession,
+                         n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val frames = 20 + (id % 30).toInt
+      val a = 5 + (id % 8).toInt
+      val b = 5 + ((id + 1) % 8).toInt
+      (id, "audio", Mp3Io.encodeMp3(
+        nFrames = frames, versionBits = 3, layer = 3,
+        sampleRateIdx = (id % 3).toInt,
+        bitrateIdxOf = f => if (id % 2 == 0 || f % 2 == 0) a else b,
+        channels = if (id % 4 < 2) 1 else 2, seed = id * 9103L,
+        paddingOf = f => if (id % 3 == 0) f % 2 else 0,
+        id3v2PadBytes = if (id % 4 == 0) 17 + id.toInt else -1,
+        id3v1 = id % 5 == 0))
+    }.toDF("asset_id", "modality", "content")
+  }
+
+  /** Deterministic REAL-H.264 asset table: `n` Annex-B streams
+    * authored by [[H264Io.encodeAnnexB]] on the executors — bit-real
+    * SPS/PPS, every 5th id cropped to non-multiple-of-16 dims, IDR
+    * and non-IDR slice counts cycling; all facts pure functions of
+    * the id. */
+  def syntheticH264Assets(spark: org.apache.spark.sql.SparkSession,
+                          n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val crop = id % 5 == 0
+      (id, "video", H264Io.encodeAnnexB(
+        widthMbs = 1 + (id % 6).toInt, heightMbs = 1 + (id % 4).toInt,
+        nIdr = 1 + (id % 3).toInt, nNonIdr = (id % 5).toInt,
+        seed = id * 7877L,
+        cropRight = if (crop) 1 else 0, cropBottom = if (crop) 1 else 0))
     }.toDF("asset_id", "modality", "content")
   }
 

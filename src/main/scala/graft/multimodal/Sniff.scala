@@ -32,7 +32,22 @@ import org.apache.spark.sql.functions._
   *  - AU: the declared data offset (bytes 4–7, BE) must be ≥ the
   *    24-byte fixed header and present in the bytes;
   *  - Y4M: the first header parameter after `YUV4MPEG2 ` must be
-  *    `W` (width — first in every real muxer's header).
+  *    `W` (width — first in every real muxer's header);
+  *  - MP3 (ID3-tagged): the four ID3v2 size bytes must be syncsafe
+  *    (high bit clear) and the declared tag must FIT in the bytes —
+  *    a tag cut mid-download quarantines;
+  *  - MP3 (raw sync): the 11 sync bits plus non-reserved version and
+  *    layer bits and VALID bitrate (≠ 0 free, ≠ 15 bad) /
+  *    sample-rate (≠ 3) indices — random `FF Ex` junk quarantines;
+  *  - H.264 Annex-B: a 4-byte start code, a clear
+  *    `forbidden_zero_bit`, and a leading NAL type a real stream
+  *    starts with (slice/IDR/SEI/SPS/PPS/AUD).
+  *
+  * A structural LIMIT, by design: compressed streams (MP3, H.264)
+  * carry no declared total length, so a cut BODY with an intact
+  * leading frame passes sniff and is caught by the structural
+  * walkers ([[Mp3Io]]/[[H264Io]]) at parse time — `q_ingest_decode
+  * _compressed` gates exactly that division of labor.
   * Byte-field reads are `hex(substring(...))` + `conv` — builtins,
   * codegen'd; on truncated input `substring` shortens, so the field
   * compare fails (or nulls out on empty bytes), the `when` branch is
@@ -40,10 +55,11 @@ import org.apache.spark.sql.functions._
   * with no special-casing.
   *
   * Detected types cover exactly the containers the real kernels
-  * decode: PNG / JPEG / BMP / GIF (image), WAV / AIFF / AU (audio),
-  * YUV4MPEG2 (video); anything else — truncated headers, declared
-  * sizes past EOF, junk with a 2-byte magic prefix — is `unknown`,
-  * the quarantine route. */
+  * decode or structurally parse: PNG / JPEG / BMP / GIF (image),
+  * WAV / AIFF / AU / MP3 (audio), YUV4MPEG2 / H.264 Annex-B
+  * (video); anything else — truncated headers, declared sizes past
+  * EOF, junk with a 2-byte magic prefix — is `unknown`, the
+  * quarantine route. */
 object Sniff {
 
   private def startsWith(content: Column, bytes: Array[Byte],
@@ -110,6 +126,37 @@ object Sniff {
       .when(startsWith(content, ascii("YUV4MPEG2 ")) &&
             startsWith(content, ascii("W"), offset = 10),
             lit("video/y4m"))
+      // ID3v2-tagged MPEG audio: syncsafe size bytes, declared tag
+      // (10-byte header + payload) fits in the bytes
+      .when(startsWith(content, ascii("ID3")) &&
+            u8(content, 6) < 0x80L && u8(content, 7) < 0x80L &&
+            u8(content, 8) < 0x80L && u8(content, 9) < 0x80L &&
+            len > lit(10L) + u8(content, 6) * lit(1L << 21) +
+                  u8(content, 7) * lit(1L << 14) +
+                  u8(content, 8) * lit(1L << 7) + u8(content, 9),
+            lit("audio/mp3"))
+      // raw MPEG audio sync: FF + 3 more sync bits, version != 01
+      // (reserved), layer != 00, bitrate index not 0 (free) / 15,
+      // sample-rate index != 3
+      .when(u8(content, 0) === 0xffL &&
+            u8(content, 1) >= 0xe0L &&
+            shiftright(u8(content, 1), 3).bitwiseAND(lit(3L)) =!= 1L &&
+            shiftright(u8(content, 1), 1).bitwiseAND(lit(3L)) =!= 0L &&
+            shiftright(u8(content, 2), 4) =!= 0L &&
+            shiftright(u8(content, 2), 4) =!= 15L &&
+            shiftright(u8(content, 2), 2).bitwiseAND(lit(3L)) =!= 3L,
+            lit("audio/mp3"))
+      // H.264 Annex-B: a leading 4- or 3-byte start code, clear
+      // forbidden_zero_bit, and a NAL type a real stream leads with
+      .when((startsWith(content, Array[Byte](0, 0, 0, 1)) &&
+             u8(content, 4) < 0x80L &&
+             u8(content, 4).bitwiseAND(lit(0x1fL)).isInCollection(
+               Seq(1L, 5L, 6L, 7L, 8L, 9L))) ||
+            (startsWith(content, Array[Byte](0, 0, 1)) &&
+             u8(content, 3) < 0x80L &&
+             u8(content, 3).bitwiseAND(lit(0x1fL)).isInCollection(
+               Seq(1L, 5L, 6L, 7L, 8L, 9L))),
+            lit("video/h264"))
       .otherwise(lit("unknown"))
   }
 

@@ -252,6 +252,123 @@ object Corpus {
       .orderBy(col("route"))
   }
 
+  /** REAL MP3 frame-header walking ([[graft.multimodal.Mp3Io]]) over
+    * 64 authored MPEG-1 Layer III streams — CBR and two-rate VBR,
+    * ID3v2/ID3v1 tags, padding bits. The oracle recomputes every
+    * fact (rate, channels, frame count, integer-floor duration, the
+    * VBR mean bitrate, tag size) arithmetically from the asset id,
+    * so a walker that mis-sizes ONE frame, miscounts a tag byte, or
+    * rounds duration differently hash-mismatches. */
+  def mp3Parse(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.parseMp3Streams(
+        graft.multimodal.Multimodal.syntheticMp3Assets(spark, 64))
+      .withColumn("ok", col("ok").cast("long"))
+      .orderBy(col("asset_id"))
+
+  /** REAL H.264 Annex-B walking + exp-Golomb SPS decode
+    * ([[graft.multimodal.H264Io]]) over 64 authored streams — every
+    * 5th cropped to non-multiple-of-16 geometry, IDR/non-IDR mixes,
+    * emulation-prevention bytes in play. The oracle recomputes
+    * width/height (with crop arithmetic), profile/level, and the NAL
+    * census from the asset id. */
+  def h264Parse(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.parseH264Streams(
+        graft.multimodal.Multimodal.syntheticH264Assets(spark, 64))
+      .withColumn("ok", col("ok").cast("long"))
+      .orderBy(col("asset_id"))
+
+  /** The compressed-container ingest surface for
+    * [[ingestDecodeCompressed]]: 60 assets. Ids 0–39 are real
+    * streams (even → MP3, odd → H.264 Annex-B, every id % 10 == 7
+    * replaced with non-media text); ids 40–59 are the corrupt
+    * quadrant cycling by id % 4: an ID3 tag declaring a size past
+    * EOF, an `FF Ex` sync with bitrate index 15, a start code with
+    * the forbidden bit set — all caught AT SNIFF — and a valid MP3
+    * first frame with a truncated second frame, which sniff CANNOT
+    * catch (compressed streams declare no total length) and the
+    * structural walker rejects at parse time. */
+  private[graft] def compressedAssetSurface(spark: SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(60).as[Long].map { id =>
+      val content: Array[Byte] =
+        if (id >= 40) (id % 4) match {
+          case 0 => // ID3 declaring 1000 payload bytes, only 30 total
+            Array[Byte]('I', 'D', '3', 3, 0, 0,
+                        0, 0, (1000 >> 7).toByte, (1000 & 0x7f).toByte) ++
+              Array.fill(20)(0x41.toByte)
+          case 1 => // sync with bad bitrate index 15
+            Array(0xff, 0xfb, 0xf0, 0x00).map(_.toByte) ++
+              Array.fill(12)(0x42.toByte)
+          case 2 => // start code + forbidden_zero_bit set
+            Array(0, 0, 0, 1, 0x87, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+              .map(_.toByte)
+          case _ => // valid first MP3 frame, second frame cut
+            val whole = graft.multimodal.Mp3Io.encodeMp3(
+              nFrames = 2, versionBits = 3, layer = 3,
+              sampleRateIdx = 0, bitrateIdxOf = _ => 5,
+              channels = 1, seed = id)
+            whole.take(whole.length - 40)
+        }
+        else if (id % 10 == 7) "NOT A MEDIA FILE".getBytes("US-ASCII")
+        else if (id % 2 == 0)
+          graft.multimodal.Mp3Io.encodeMp3(
+            nFrames = 10 + (id % 20).toInt, versionBits = 3, layer = 3,
+            sampleRateIdx = (id % 3).toInt,
+            bitrateIdxOf = _ => 5 + (id % 8).toInt,
+            channels = 1, seed = id * 9103L)
+        else
+          graft.multimodal.H264Io.encodeAnnexB(
+            widthMbs = 1 + (id % 6).toInt, heightMbs = 1 + (id % 4).toInt,
+            nIdr = 1 + (id % 3).toInt, nNonIdr = (id % 5).toInt,
+            seed = id * 7877L,
+            cropRight = if (id % 5 == 0) 1 else 0,
+            cropBottom = if (id % 5 == 0) 1 else 0)
+      (id, content)
+    }.toDF("asset_id", "content")
+  }
+
+  /** The COMPRESSED ingest loop gated end to end — the [[Mp3Io]] /
+    * [[H264Io]] twin of [[ingestDecode]]: sniff → route → per-format
+    * REAL structural parse → per-format rollup over the 60-asset
+    * [[compressedAssetSurface]]. Facts: mp3 → (Σframes,
+    * Σduration_ms over parsed-ok streams), h264 → (Σidr, Σwidth),
+    * quarantine → (Σbytes, 0). Unlike the raw-container loop,
+    * `n_ok < n_assets` on the mp3 route IS the contract: the
+    * deep-truncated stream (id % 4 == 3 corrupt case) carries a
+    * valid leading frame no length field can expose, so sniff
+    * routes it and the WALKER rejects it — the oracle pins that
+    * division of labor in closed form. Dispatch is on `detected`
+    * (not the coarse route), the way a real ingest hands each
+    * container family its own parser. */
+  def ingestDecodeCompressed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val routed = graft.multimodal.Sniff
+      .route(compressedAssetSurface(spark)).localCheckpoint(false)
+    val mp3 = Multimodal.parseMp3Streams(
+        routed.filter(col("detected") === "audio/mp3"))
+      .agg(count(lit(1)).as("n_assets"),
+           sum(col("ok").cast("long")).as("n_ok"),
+           sum(when(col("ok"), col("frames"))).as("fact_a"),
+           sum(when(col("ok"), col("duration_ms"))).as("fact_b"))
+      .select(lit("mp3").as("format"), col("n_assets"), col("n_ok"),
+              col("fact_a"), col("fact_b"))
+    val h264 = Multimodal.parseH264Streams(
+        routed.filter(col("detected") === "video/h264"))
+      .agg(count(lit(1)).as("n_assets"),
+           sum(col("ok").cast("long")).as("n_ok"),
+           sum(when(col("ok"), col("n_idr"))).as("fact_a"),
+           sum(when(col("ok"), col("width"))).as("fact_b"))
+      .select(lit("h264").as("format"), col("n_assets"), col("n_ok"),
+              col("fact_a"), col("fact_b"))
+    val quar = routed.filter(col("route") === "quarantine")
+      .agg(count(lit(1)).as("n_assets"),
+           sum(length(col("content")).cast("long")).as("fact_a"))
+      .select(lit("quarantine").as("format"), col("n_assets"),
+              lit(0L).as("n_ok"), col("fact_a"), lit(0L).as("fact_b"))
+    mp3.unionByName(h264).unionByName(quar).orderBy(col("format"))
+  }
+
   /** Epoch-repeating mixture ([[graft.pipelines.Splitting
     * .mixToBudgetEpochs]]): weights 6:3:1 over a 40k-token budget make
     * src2 repeat 3 full epochs + a remainder prefix, src5 one epoch +

@@ -71,6 +71,53 @@ class SniffSpec extends AnyFunSuite {
       == "unknown")
   }
 
+  test("compressed containers detect: MP3 (tagged + raw sync), H.264") {
+    // raw-sync CBR MP3 from the real header author
+    assert(detectOne(Mp3Io.encodeMp3(3, 3, 3, 0, _ => 9, 1, seed = 1L))
+      == "audio/mp3")
+    // ID3v2-tagged MP3: tag declared and fits
+    assert(detectOne(Mp3Io.encodeMp3(3, 3, 3, 0, _ => 9, 1, seed = 1L,
+      id3v2PadBytes = 25)) == "audio/mp3")
+    // H.264 Annex-B with 4-byte leading start code (SPS first)
+    assert(detectOne(H264Io.encodeAnnexB(2, 2, 1, 1, seed = 3L))
+      == "video/h264")
+    // 3-byte leading start code is also legal Annex-B
+    assert(detectOne(Array[Byte](0, 0, 1, 0x67, 0x42))
+      == "video/h264")
+    // routes land on their coarse kinds
+    val routed = Sniff.route(Seq(
+        (1L, Mp3Io.encodeMp3(2, 3, 3, 0, _ => 5, 1, seed = 2L)),
+        (2L, H264Io.encodeAnnexB(1, 1, 1, 0, seed = 2L)))
+      .toDF("asset_id", "content"))
+      .select(col("asset_id"), col("route")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(routed == Map(1L -> "audio", 2L -> "video"))
+  }
+
+  test("compressed-container structural checks quarantine header junk") {
+    // ID3 tag declaring a size past EOF (cut mid-download)
+    val id3Cut = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 7, 0x68) ++
+      Array.fill(20)(0x41.toByte)
+    assert(detectOne(id3Cut) == "unknown")
+    // ID3 with a non-syncsafe size byte
+    val id3BadSize = Array[Byte]('I', 'D', '3', 3, 0, 0,
+      0x80.toByte, 0, 0, 4) ++ Array.fill(30)(0x41.toByte)
+    assert(detectOne(id3BadSize) == "unknown")
+    // sync with bad bitrate index 15 / free index 0 / reserved
+    // version / reserved sample-rate index
+    assert(detectOne(Array(0xff, 0xfb, 0xf0, 0).map(_.toByte)) == "unknown")
+    assert(detectOne(Array(0xff, 0xfb, 0x00, 0).map(_.toByte)) == "unknown")
+    assert(detectOne(Array(0xff, 0xeb, 0x90, 0).map(_.toByte)) == "unknown")
+    assert(detectOne(Array(0xff, 0xfb, 0x9c, 0).map(_.toByte)) == "unknown")
+    // FF Ex junk with reserved layer 00
+    assert(detectOne(Array(0xff, 0xe1, 0x90, 0).map(_.toByte)) == "unknown")
+    // H.264 start code + forbidden_zero_bit set
+    assert(detectOne(Array[Byte](0, 0, 0, 1, 0x87.toByte, 0))
+      == "unknown")
+    // H.264 start code + a NAL type no stream leads with
+    assert(detectOne(Array[Byte](0, 0, 0, 1, 0x6c, 0)) == "unknown")
+  }
+
   test("non-media, truncated, empty, and null bytes quarantine") {
     assert(detectOne("plain text".getBytes("US-ASCII")) == "unknown")
     // a PNG magic cut short must NOT detect
