@@ -86,8 +86,6 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
 
-    generateIfAbsent(spark, src, dst, replicas)
-
     def exec(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
     def timed(f: => Unit): Double = {
@@ -96,6 +94,52 @@ object ScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       if (ok) sec else -sec
     }
+
+    // COMPRESSED-WALKER probe (round 10 part 2): the Mp3Io/H264Io
+    // structural walkers are map-shaped over the kernel seam, so
+    // growth must track the asset count, nothing else. Assets are
+    // materialized eagerly (localCheckpoint) before timing so the
+    // probe isolates the walk from the authoring map.
+    // SPARK_GRAFT_PROBE_ONLY=media runs just this block.
+    {
+      def mediaProbe(name: String, mk: Int => DataFrame,
+                     parse: DataFrame => DataFrame): Unit = {
+        def t(n: Int): Double = {
+          val assets = mk(n).localCheckpoint(true)
+          try {
+            // min-of-4: each pass deserializes the full blob column
+            // (fresh byte arrays), so individual passes can catch a
+            // GC pause; min is the contention-robust ratio statistic
+            val ts = Seq.fill(4)(timed(exec(parse(assets))))
+            ts.map(math.abs).min
+          } finally { assets.unpersist(); () }
+        }
+        val b = t(6400); val s = t(64000)
+        println(f"""{"probe":"$name%s","assets_base":6400,"assets_10x":64000,"base_sec":$b%.3f,"scaled_sec":$s%.3f,"growth":${s / b}%.3f}""")
+      }
+      mediaProbe("mp3_walk",
+        n => graft.multimodal.Multimodal.syntheticMp3Assets(spark, n),
+        d => graft.multimodal.Multimodal.parseMp3Streams(d))
+      // the declared 64-asset surface's streams are a few hundred
+      // bytes — author probe-sized streams (200 slice NALs ≈ 6 KB,
+      // the mass of the MP3 probe's) so the walk, not task setup, is
+      // what the ratio measures
+      def bigH264(n: Int): DataFrame = {
+        import spark.implicits._
+        spark.range(n).as[Long].map { id =>
+          (id, graft.multimodal.H264Io.encodeAnnexB(
+            widthMbs = 1 + (id % 6).toInt, heightMbs = 1 + (id % 4).toInt,
+            nIdr = 30, nNonIdr = 170, seed = id))
+        }.toDF("asset_id", "content")
+      }
+      mediaProbe("h264_walk", bigH264,
+        d => graft.multimodal.Multimodal.parseH264Streams(d))
+    }
+    if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("media")) {
+      spark.stop(); return
+    }
+
+    generateIfAbsent(spark, src, dst, replicas)
 
     // min-of-2 passes (1 for the quadratic-semantics query at scale):
     // min is the contention-robust statistic for a RATIO probe — any

@@ -258,6 +258,73 @@ object H264Io {
     }
   }
 
+  /** One sampled slice NAL: its index among the stream's slices, the
+    * byte offset of its NAL header (start code excluded), its type
+    * (5 = IDR, 1 = non-IDR), byte length (header + EBSP payload), and
+    * the unsigned byte sum of its payload — a real content read, the
+    * compressed-stream analogue of [[VideoIo]]'s luma sums. */
+  final case class SampledNal(sliceIdx: Int, byteOff: Long, nalType: Int,
+                              nalBytes: Int, paySum: Long)
+
+  /** REAL frame sampling for compressed video, structurally: walk the
+    * start codes and emit every `everyNth`-th slice NAL (≤
+    * `maxFrames`) with its exact byte offset, size, and payload byte
+    * sum — the seek index a downstream (GPU) decoder consumes, built
+    * without decoding a pixel. Corrupt streams (no leading start
+    * code) return an empty list; quarantine on [[parseAnnexB]]'s
+    * `ok`, same contract as [[VideoIo]]'s sampler. */
+  def sampleNals(bytes: Array[Byte], everyNth: Int,
+                 maxFrames: Int): Seq[SampledNal] = {
+    if (bytes == null || bytes.length < 5) return Nil
+    def startCodeLen(i: Int): Int =
+      if (i + 3 <= bytes.length && bytes(i) == 0 && bytes(i + 1) == 0 &&
+          bytes(i + 2) == 1) 3
+      else if (i + 4 <= bytes.length && bytes(i) == 0 && bytes(i + 1) == 0 &&
+               bytes(i + 2) == 0 && bytes(i + 3) == 1) 4
+      else 0
+    val first = startCodeLen(0)
+    if (first == 0) return Nil
+    val out = ArrayBuffer.empty[SampledNal]
+    var sliceIdx = 0
+    var nalStart = first
+    var i = first
+    def emit(start: Int, end: Int): Unit = {
+      if (end > start) {
+        val h = bytes(start) & 0xff
+        val t = h & 0x1f
+        if ((h & 0x80) == 0 && (t == 1 || t == 5)) {
+          if (sliceIdx % everyNth == 0 && out.size < maxFrames) {
+            var s = 0L
+            var j = start + 1
+            while (j < end) { s += bytes(j) & 0xff; j += 1 }
+            out += SampledNal(sliceIdx, start.toLong, t, end - start, s)
+          }
+          sliceIdx += 1
+        }
+      }
+    }
+    while (i < bytes.length) {
+      val sc = startCodeLen(i)
+      if (sc > 0 && i > nalStart) {
+        emit(nalStart, i)
+        nalStart = i + sc
+        i += sc
+      } else i += 1
+    }
+    emit(nalStart, bytes.length)
+    out.toSeq
+  }
+
+  def samplerFactory(everyNth: Int, maxFrames: Int)
+      : MediaKernel.Factory[Array[Byte], Seq[SampledNal]] =
+    new MediaKernel.Factory[Array[Byte], Seq[SampledNal]] {
+      def open(): MediaKernel.Handle[Array[Byte], Seq[SampledNal]] =
+        new MediaKernel.Handle[Array[Byte], Seq[SampledNal]] {
+          def processBatch(batch: Seq[Array[Byte]]): Seq[Seq[SampledNal]] =
+            batch.map(sampleNals(_, everyNth, maxFrames))
+        }
+    }
+
   final class Parser extends MediaKernel.Handle[Array[Byte], Parsed] {
     def processBatch(batch: Seq[Array[Byte]]): Seq[Parsed] =
       batch.map(parseAnnexB)

@@ -243,6 +243,32 @@ object Multimodal {
               col("f.lumaSum").as("luma_sum"))
   }
 
+  /** REAL frame sampling for COMPRESSED video ([[H264Io.sampleNals]]):
+    * every `everyNth`-th slice NAL (≤ `maxFrames`) with its exact
+    * byte offset, type (5 = IDR), size, and payload byte sum — the
+    * seek index a downstream decoder consumes, built structurally
+    * with no pixel decode. One output row per sampled slice; corrupt
+    * assets vanish (empty list) — quarantine on [[parseH264Streams]]'s
+    * `ok`, the same contract as [[sampleVideoFrames]]. This retires
+    * [[frameSampleStub]]'s role for Annex-B streams; the stub remains
+    * only as the fps-arithmetic PLAN for containers with no
+    * structural walker. */
+  def sampleH264Nals(assets: DataFrame, everyNth: Int = 2,
+                     maxFrames: Int = 4,
+                     batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    MediaKernel.runKernel(
+        assets, H264Io.samplerFactory(everyNth, maxFrames), batchSize)
+      .select(col("_1").as("asset_id"), explode(col("_2")).as("s"))
+      .select(col("asset_id"),
+              col("s.sliceIdx").as("slice_idx"),
+              col("s.byteOff").as("byte_off"),
+              col("s.nalType").as("nal_type"),
+              col("s.nalBytes").as("nal_bytes"),
+              col("s.paySum").as("pay_sum"))
+  }
+
   /** Deterministic REAL-video asset table: `n` Y4M streams encoded by
     * [[VideoIo.encodeY4m]] on the executors — odd ids mono (odd dims
     * allowed), even ids 420jpeg (even dims), fps cycling 25/30/NTSC

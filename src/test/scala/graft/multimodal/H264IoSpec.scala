@@ -118,6 +118,60 @@ class H264IoSpec extends AnyFunSuite {
     assert(!H264Io.parseAnnexB(null).ok)
   }
 
+  test("sampleNals: offsets, sizes, and payload sums match an independent scan") {
+    val b = H264Io.encodeAnnexB(3, 2, nIdr = 3, nNonIdr = 5, seed = 9L)
+    // independent ground truth: locate every start code by brute scan
+    val codes = (0 until b.length - 3).flatMap { i =>
+      if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) Some((i, 3))
+      else if (i + 4 <= b.length && b(i) == 0 && b(i + 1) == 0 &&
+               b(i + 2) == 0 && b(i + 3) == 1) Some((i, 4))
+      else None
+    }.foldLeft(Vector.empty[(Int, Int)]) { (acc, c) =>
+      // keep only non-overlapping codes (a 4-byte code also matches
+      // the 3-byte pattern one position later)
+      if (acc.nonEmpty && c._1 < acc.last._1 + acc.last._2) acc
+      else acc :+ c
+    }
+    // NAL k runs from just after its start code to the next code's
+    // first byte (or EOF): (headerOff, type, length)
+    val nals = codes.zipWithIndex.map { case ((off, sc), k) =>
+      val start = off + sc
+      val end = if (k + 1 < codes.length) codes(k + 1)._1 else b.length
+      (start, b(start) & 0x1f, end - start)
+    }
+    val slices = nals.filter { case (_, t, _) => t == 1 || t == 5 }
+    val got = H264Io.sampleNals(b, everyNth = 3, maxFrames = 2)
+    assert(got.size == 2)
+    for ((s, k) <- got.zipWithIndex) {
+      val (off, t, len) = slices(k * 3)
+      assert(s.sliceIdx == k * 3 && s.byteOff == off && s.nalType == t &&
+             s.nalBytes == len, s"sample $k")
+      // payload sum recomputed directly over the sampled NAL's bytes
+      val expSum = (off + 1 until off + len)
+        .map(j => (b(j) & 0xff).toLong).sum
+      assert(s.paySum == expSum, s"paySum $k")
+    }
+    // everyNth=1, large cap: all 8 slices, IDR first then non-IDR
+    val all = H264Io.sampleNals(b, 1, 100)
+    assert(all.size == 8)
+    assert(all.take(3).forall(_.nalType == 5) &&
+           all.drop(3).forall(_.nalType == 1))
+    // corrupt stream: no samples
+    assert(H264Io.sampleNals("junk".getBytes, 1, 10).isEmpty)
+  }
+
+  test("sampleH264Nals: one row per sampled slice, stable across batch size") {
+    val assets = Multimodal.syntheticH264Assets(spark, 12)
+    val a = Multimodal.sampleH264Nals(assets, everyNth = 2, maxFrames = 3,
+        batchSize = 64)
+      .orderBy(col("asset_id"), col("slice_idx")).collect()
+    val c = Multimodal.sampleH264Nals(assets, everyNth = 2, maxFrames = 3,
+        batchSize = 1)
+      .orderBy(col("asset_id"), col("slice_idx")).collect()
+    assert(a.toSeq == c.toSeq)
+    assert(a.nonEmpty && a.forall(r => Set(1, 5)(r.getAs[Int]("nal_type"))))
+  }
+
   test("parseH264Streams: every synthetic asset parses ok with id-exact facts") {
     val out = Multimodal.parseH264Streams(
         Multimodal.syntheticH264Assets(spark, 32))
