@@ -69,7 +69,15 @@ object ScaleProbe {
                   // corpus-side shingle exchange is the 10× part; the
                   // benchmark side stays broadcast-small) — q_sniff_route
                   // is omitted: it reads no testdata (fixed 60 assets)
-                  "q_decontamination_frac")
+                  "q_decontamination_frac",
+                  // round-10 part 2: URL canonicalization (pure map —
+                  // should track scan time) and the domain cap (the
+                  // one wide stage is the per-domain row_number
+                  // window; the planted fixture spreads docs over 21
+                  // domains, so partitions grow evenly — the
+                  // MEGA-domain skew case is the documented hazard,
+                  // not reproducible from uniform testdata)
+                  "q_url_canonicalize", "q_domain_cap")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -119,6 +119,8 @@ object SparkEntry {
     "q_mp3_parse"               -> Corpus.mp3Parse _,
     "q_h264_parse"              -> Corpus.h264Parse _,
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
+    "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
+    "q_domain_cap"              -> Corpus.domainCap _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -1574,6 +1576,60 @@ object SparkEntry {
                 CAST(sum(fa) AS BIGINT) AS fact_a,
                 CAST(sum(fb) AS BIGINT) AS fact_b
          FROM f GROUP BY format ORDER BY format""",
+    // Spark PARSES the planted mixed-case/tracking/fragment URLs with
+    // parse_url + array functions; the oracle CONSTRUCTS the expected
+    // canonical form directly from the id arithmetic (see
+    // Corpus.plantedUrl) — no parsing on the oracle side, so the two
+    // derivations are independent
+    "q_url_canonicalize" ->
+      """WITH p AS (
+           SELECT doc_id AS i, doc_id % 7 AS h, doc_id % 4 AS pp,
+                  doc_id % 3 AS m3, doc_id % 2 AS m2
+           FROM documents),
+         u AS (
+           SELECT i, h, pp, m3, m2,
+             (CASE WHEN m2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+             (CASE m3 WHEN 0 THEN 'WWW.Site' || h || '.COM'
+                      WHEN 1 THEN 'Blog.site' || h || '.co.uk'
+                      ELSE 'site' || h || '.ORG' END) ||
+             (CASE WHEN pp = 0 THEN '/' ELSE '/p' || pp || '/' END) ||
+             (CASE WHEN m2 = 0 THEN '?utm_source=news&b=' || (i % 3)
+                                     || '&a=1'
+                   ELSE '?fbclid=abc' || i END) ||
+             '#s' || (i % 5) AS url,
+             CASE m3 WHEN 0 THEN 'site' || h || '.com'
+                     WHEN 1 THEN 'blog.site' || h || '.co.uk'
+                     ELSE 'site' || h || '.org' END AS host
+           FROM p)
+         SELECT i AS doc_id, url,
+                (CASE WHEN m2 = 0 THEN 'https' ELSE 'http' END)
+                  || '://' || host ||
+                (CASE WHEN pp = 0 THEN '' ELSE '/p' || pp END) ||
+                (CASE WHEN m2 = 0 THEN '?a=1&b=' || (i % 3) ELSE '' END)
+                  AS canonical_url,
+                host,
+                CASE m3 WHEN 0 THEN 'site' || h || '.com'
+                        WHEN 1 THEN 'site' || h || '.co.uk'
+                        ELSE 'site' || h || '.org' END AS domain
+         FROM u ORDER BY doc_id""",
+    // blocklist drop + top-2 per registrable domain by (n_chars desc,
+    // doc_id) — the window twin re-derives the domain from the id
+    "q_domain_cap" ->
+      """WITH p AS (
+           SELECT doc_id AS i, n_chars,
+             CASE (doc_id % 3)
+               WHEN 0 THEN 'site' || (doc_id % 7) || '.com'
+               WHEN 1 THEN 'site' || (doc_id % 7) || '.co.uk'
+               ELSE 'site' || (doc_id % 7) || '.org' END AS domain
+           FROM documents),
+         f AS (SELECT * FROM p
+               WHERE domain NOT IN ('site2.com', 'site4.co.uk')),
+         r AS (SELECT i, domain, n_chars,
+                 row_number() OVER (PARTITION BY domain
+                   ORDER BY n_chars DESC, i) AS domain_rank
+               FROM f)
+         SELECT i AS doc_id, domain, domain_rank, n_chars
+         FROM r WHERE domain_rank <= 2 ORDER BY doc_id""",
     // half-copy chimeras at id+200001 (first half of a % 40 == 0
     // benchmark doc + second half of the next doc) probe the 50% gate
     // from both sides; the flag is exact integer hits·100 > total·50

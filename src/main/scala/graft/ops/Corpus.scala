@@ -4,7 +4,7 @@ import graft.Tables
 import graft.dedup.{Dedup, DedupIndex}
 import graft.similarity.Similarity
 import graft.text.Text
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-corpus operators as declared oracle queries over the
@@ -367,6 +367,62 @@ object Corpus {
       .select(lit("quarantine").as("format"), col("n_assets"),
               lit(0L).as("n_ok"), col("fact_a"), lit(0L).as("fact_b"))
     mp3.unionByName(h264).unionByName(quar).orderBy(col("format"))
+  }
+
+  /** Planted URL fixture shared by [[urlCanonicalize]] and
+    * [[domainCap]]: a deterministic raw URL per doc_id exercising
+    * every canonicalization rule at once — mixed-case scheme/host,
+    * `www.` prefixes, generic-SLD ccTLD hosts (`co.uk`), root and
+    * trailing-slash paths, tracking + real query parameters in
+    * unsorted order, and fragments. */
+  private def plantedUrl(i: Column): Column = {
+    val h = i % 7
+    concat(
+      when(i % 2 === 0, lit("https")).otherwise(lit("HTTP")), lit("://"),
+      when(i % 3 === 0, concat(lit("WWW.Site"), h, lit(".COM")))
+        .when(i % 3 === 1, concat(lit("Blog.site"), h, lit(".co.uk")))
+        .otherwise(concat(lit("site"), h, lit(".ORG"))),
+      when(i % 4 === 0, lit("/"))
+        .otherwise(concat(lit("/p"), i % 4, lit("/"))),
+      when(i % 2 === 0,
+           concat(lit("?utm_source=news&b="), i % 3, lit("&a=1")))
+        .otherwise(concat(lit("?fbclid=abc"), i)),
+      lit("#s"), i % 5)
+  }
+
+  /** URL canonicalization + registrable domain ([[graft.text.UrlOps]])
+    * over planted raw URLs: Spark PARSES the mixed-case, tracking-
+    * laden, fragment-bearing fixture with `parse_url` + array
+    * functions; the oracle CONSTRUCTS the expected canonical form
+    * directly from the id arithmetic — a parser that drops the wrong
+    * parameter, sorts differently, keeps a port, or groups `co.uk`
+    * one label short hash-mismatches. */
+  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.WebCuration.withUrlColumns(
+        Tables.documents(spark, dir)
+          .withColumn("url", plantedUrl(col("doc_id"))))
+      .select(col("doc_id"), col("url"), col("canonical_url"),
+              col("host"), col("domain"))
+      .orderBy(col("doc_id"))
+
+  /** Domain-level curation end to end ([[graft.pipelines
+    * .WebCuration]]): planted URLs → registrable domain → blocklist
+    * drop (literal IN set, map-only) → top-2 per domain by
+    * (n_chars desc, doc_id). The one wide stage is the per-domain
+    * row_number window — the operator whose whole purpose is taming
+    * domain skew, spelled filter-then-cap so the window's input is
+    * already blocklist-reduced. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.pipelines.WebCuration.withUrlColumns(
+      Tables.documents(spark, dir)
+        .withColumn("url", plantedUrl(col("doc_id"))))
+    val kept = graft.pipelines.WebCuration.capPerDomain(
+      graft.pipelines.WebCuration.dropBlockedDomains(
+        docs, Seq("site2.com", "site4.co.uk")),
+      maxDocs = 2, qualityCol = "n_chars", idCol = "doc_id")
+    kept.select(col("doc_id"), col("domain"), col("domain_rank"),
+                col("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   /** Epoch-repeating mixture ([[graft.pipelines.Splitting

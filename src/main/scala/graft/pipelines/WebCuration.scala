@@ -1,0 +1,80 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.UrlOps
+
+/** Domain-level web curation — the URL-keyed stage every web-scale
+  * training corpus runs BEFORE content filters (C4's blocklist,
+  * RefinedWeb's URL filtering + per-domain balance, Dolma's domain
+  * caps): attach canonical URL + registrable domain, drop blocklisted
+  * domains, and cap each domain's contribution so a single crawl-happy
+  * site cannot dominate the mixture.
+  *
+  * ==Scale notes==
+  *  - [[withUrlColumns]] is pure map (Column expressions over the
+  *    scan — [[UrlOps]]).
+  *  - [[dropBlockedDomains]] broadcasts the blocklist as a literal
+  *    set when small (the common case: thousands of domains) — a
+  *    map-only filter, no join, no shuffle. Past
+  *    `broadcastThreshold` it becomes a broadcast anti-join —
+  *    still no wide exchange of the corpus.
+  *  - [[capPerDomain]] is the one wide stage: a row_number window
+  *    keyed on domain. Web corpora are domain-skewed by nature
+  *    (that is WHY the cap exists), so the hot domain's partition
+  *    carries its full row set; the cap itself then discards all
+  *    but `maxDocs` of them. For 100-TB corpora with mega-domains,
+  *    pre-aggregate with [[domainStats]] and cap only domains over
+  *    budget — the filter-then-window spelling keeps the window's
+  *    input bounded. The skew posture mirrors
+  *    `Splitting.mixToBudget`'s documented hazard + approx path. */
+object WebCuration {
+
+  /** Attach `canonical_url`, `host`, `domain` (map-only). */
+  def withUrlColumns(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val host = UrlOps.canonicalHost(col(urlCol))
+    docs
+      .withColumn("canonical_url", UrlOps.canonicalizeUrl(col(urlCol)))
+      .withColumn("host", host)
+      .withColumn("domain", UrlOps.registrableDomain(host))
+  }
+
+  /** Drop docs whose registrable domain is blocklisted. Small lists
+    * (≤ `broadcastThreshold`) compile to a literal IN set — map-only;
+    * larger lists broadcast anti-join. */
+  def dropBlockedDomains(docs: DataFrame, blocklist: Seq[String],
+                         domainCol: String = "domain",
+                         broadcastThreshold: Int = 10000): DataFrame =
+    if (blocklist.isEmpty) docs
+    else if (blocklist.size <= broadcastThreshold)
+      docs.filter(!col(domainCol).isInCollection(blocklist))
+    else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      docs.join(broadcast(blocklist.toDF(domainCol)),
+                Seq(domainCol), "left_anti")
+    }
+
+  /** Keep at most `maxDocs` docs per domain, best-first by
+    * `qualityCol` (ties broken by `idCol` for determinism). Adds
+    * `domain_rank` (1-based) to the survivors. */
+  def capPerDomain(docs: DataFrame, maxDocs: Int,
+                   qualityCol: String = "n_chars",
+                   idCol: String = "doc_id",
+                   domainCol: String = "domain"): DataFrame = {
+    require(maxDocs > 0, s"maxDocs must be positive, got $maxDocs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    docs.withColumn("domain_rank", row_number().over(w))
+      .filter(col("domain_rank") <= maxDocs)
+  }
+
+  /** Per-domain doc count + token mass — the rollup that feeds
+    * domain quality priors and the filter-then-cap spelling above. */
+  def domainStats(docs: DataFrame, tokensCol: String = "n_chars",
+                  domainCol: String = "domain"): DataFrame =
+    docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col(tokensCol)).as("tokens"))
+}

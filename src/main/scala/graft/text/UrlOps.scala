@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + domain extraction — the stage-1 web-corpus
+  * curation signals (C4 / RefinedWeb / Dolma all key their first
+  * filters on the URL): a crawl's raw URLs differ in case, `www.`,
+  * trailing slashes, tracking parameters, and fragments while naming
+  * the SAME resource, so URL-level dedup, blocklists, and per-domain
+  * caps all need a canonical form first. Everything here is pure
+  * Column expressions over Spark's `parse_url` builtin + string/array
+  * functions — no UDF, no shuffle; canonicalizing a 100-TB URL column
+  * is a map over the scan. The `try_` spelling makes malformed URLs
+  * null (→ quarantine) instead of an ANSI runtime error.
+  *
+  * ==Canonical form==
+  * `lower(scheme)://host'[path'][?query']` where
+  *  - host': lowercased, leading `www.` stripped (ports never appear:
+  *    `parse_url(..., 'HOST')` excludes them);
+  *  - path': trailing `/` stripped; a bare root path disappears;
+  *  - query': tracking parameters dropped (`utm_*`, `fbclid`,
+  *    `gclid`, `msclkid`, `mc_cid`, `mc_eid`, `ref`), the rest
+  *    SORTED so parameter order cannot split a URL's identity;
+  *  - fragment: always dropped (`parse_url` never returns it in
+  *    HOST/PATH/QUERY).
+  *
+  * ==Registrable domain==
+  * [[registrableDomain]] approximates eTLD+1 WITHOUT the public
+  * suffix list (an external dataset this library does not embed):
+  * last two host labels, or last THREE when the second-to-last label
+  * is a generic second-level name (`co`/`com`/`net`/`org`/`ac`/
+  * `gov`/`edu`) under a 2-letter ccTLD — the rule that gets
+  * `site.co.uk` and `site.com.au` right. Documented approximation:
+  * exotic multi-label suffixes (e.g. `*.kawasaki.jp`) group one
+  * level too coarse; a deployment with the PSL swaps this one
+  * Column function. */
+object UrlOps {
+
+  /** `try_parse_url`: null on malformed input (ANSI `parse_url`
+    * throws) — malformed URLs must quarantine, not kill the job. */
+  private def pu(url: Column, part: String): Column =
+    call_function("try_parse_url", url, lit(part))
+
+  private val TrackingExact =
+    Seq("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref")
+  private val GenericSld =
+    Seq("co", "com", "net", "org", "ac", "gov", "edu")
+
+  /** Lowercased host with any leading `www.` stripped. */
+  def canonicalHost(url: Column): Column =
+    regexp_replace(lower(pu(url, "HOST")), "^www\\.", "")
+
+  /** Path with the trailing slash stripped (root path → empty). */
+  def canonicalPath(url: Column): Column =
+    regexp_replace(coalesce(pu(url, "PATH"), lit("")),
+                   "/+$", "")
+
+  /** Query with tracking parameters dropped and the survivors sorted;
+    * empty string when nothing survives. */
+  def canonicalQuery(url: Column): Column = {
+    val params = filter(
+      split(coalesce(pu(url, "QUERY"), lit("")), "&"),
+      p => {
+        val key = lower(split(p, "=").getItem(0))
+        !(key.startsWith("utm_") || key.isInCollection(TrackingExact) ||
+          p === "")
+      })
+    array_join(array_sort(params), "&")
+  }
+
+  /** The full canonical URL (see object scaladoc); null for a null or
+    * hostless input — callers quarantine on it. */
+  def canonicalizeUrl(url: Column): Column = {
+    val host = canonicalHost(url)
+    val q = canonicalQuery(url)
+    when(host.isNull || host === "", lit(null))
+      .otherwise(concat(
+        lower(pu(url, "PROTOCOL")), lit("://"), host,
+        canonicalPath(url),
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
+  /** Approximate eTLD+1 of a (canonical) host — see object scaladoc. */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val genericUnderCc =
+      element_at(labels, -2).isInCollection(GenericSld) &&
+        length(element_at(labels, -1)) === 2
+    when(n >= 3 && genericUnderCc, concat_ws(".", slice(labels, -3, 3)))
+      .when(n >= 2, concat_ws(".", slice(labels, -2, 2)))
+      .otherwise(host)
+  }
+}

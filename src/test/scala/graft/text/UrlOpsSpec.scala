@@ -1,0 +1,96 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL canonicalization + registrable domain ([[UrlOps]]) and the
+  * domain-curation pipeline ([[graft.pipelines.WebCuration]]). */
+class UrlOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canon(url: String): String = {
+    val r = Seq(Tuple1(url)).toDF("url")
+      .select(UrlOps.canonicalizeUrl(col("url")).as("c")).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  private def domain(host: String): String =
+    Seq(Tuple1(host)).toDF("h")
+      .select(UrlOps.registrableDomain(col("h"))).head().getString(0)
+
+  test("canonicalization: case, www, port-free host, slash, fragment") {
+    assert(canon("HTTPS://WWW.Example.COM/") == "https://example.com")
+    assert(canon("https://example.com/a/b/") == "https://example.com/a/b")
+    assert(canon("https://example.com/a#frag") == "https://example.com/a")
+    // identical resources under different raw spellings converge
+    assert(canon("HTTP://WWW.Site.ORG/x/?b=2&a=1#z") ==
+           canon("http://site.org/x?a=1&b=2"))
+  }
+
+  test("tracking parameters drop; survivors sort; bare ? disappears") {
+    assert(canon("https://e.com/p?utm_source=a&utm_medium=b") ==
+      "https://e.com/p")
+    assert(canon("https://e.com/p?gclid=1&z=9&fbclid=2&a=3") ==
+      "https://e.com/p?a=3&z=9")
+    assert(canon("https://e.com/p?ref=hn&msclkid=7&mc_cid=8&mc_eid=9") ==
+      "https://e.com/p")
+    // UTM prefix is case-insensitive, real params keep their case
+    assert(canon("https://e.com/p?UTM_Source=x&Q=1") ==
+      "https://e.com/p?Q=1")
+  }
+
+  test("null and hostless inputs yield null (quarantine contract)") {
+    assert(canon(null) == null)
+    assert(canon("not a url at all") == null)
+    assert(canon("/relative/path?a=1") == null)
+  }
+
+  test("registrable domain: plain TLD, generic SLD under ccTLD, edge shapes") {
+    assert(domain("example.com") == "example.com")
+    assert(domain("a.b.example.com") == "example.com")
+    assert(domain("site.co.uk") == "site.co.uk")
+    assert(domain("blog.site.co.uk") == "site.co.uk")
+    assert(domain("shop.com.au") == "shop.com.au")
+    assert(domain("x.gov.br") == "x.gov.br")
+    // 2-label host whose FIRST label is a generic SLD keyword: no
+    // third label exists, so it stays as-is
+    assert(domain("co.uk") == "co.uk")
+    // generic SLD under a LONG TLD is a real 2-label domain, not a
+    // suffix ('com' under .org is just a name)
+    assert(domain("com.org") == "com.org")
+    assert(domain("localhost") == "localhost")
+  }
+
+  test("capPerDomain keeps best-k per domain deterministically") {
+    val docs = Seq(
+      (1L, "a.com", 100L), (2L, "a.com", 300L), (3L, "a.com", 200L),
+      (4L, "b.com", 50L), (5L, "b.com", 50L), (6L, "b.com", 50L))
+      .toDF("doc_id", "domain", "n_chars")
+    val kept = graft.pipelines.WebCuration
+      .capPerDomain(docs, maxDocs = 2)
+      .select("doc_id", "domain_rank").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // a.com: 300 (id 2) then 200 (id 3); b.com ties break by id: 4, 5
+    assert(kept == Map(2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2))
+  }
+
+  test("dropBlockedDomains: literal-set and anti-join paths agree") {
+    val docs = Seq((1L, "a.com"), (2L, "bad.com"), (3L, "c.org"))
+      .toDF("doc_id", "domain")
+    val block = Seq("bad.com", "worse.net")
+    val small = graft.pipelines.WebCuration
+      .dropBlockedDomains(docs, block)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val large = graft.pipelines.WebCuration
+      .dropBlockedDomains(docs, block, broadcastThreshold = 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(small == Seq(1L, 3L) && large == small)
+    // the small path compiles to a map-only filter: no join, no
+    // exchange in the plan
+    val plan = graft.pipelines.WebCuration.dropBlockedDomains(docs, block)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"))
+  }
+}
