@@ -121,6 +121,7 @@ object SparkEntry {
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,
+    "q_url_dedup"               -> Corpus.urlDedup _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -1522,6 +1523,7 @@ object SparkEntry {
                 3 AS layer, 'mpeg1' AS version,
                 CASE WHEN id % 4 = 0 THEN 27 + id ELSE 0 END
                   AS id3v2_bytes,
+                CASE WHEN id % 6 = 0 THEN f ELSE NULL END AS xing_frames,
                 CAST(1 AS BIGINT) AS ok
          FROM p ORDER BY asset_id""",
     // REAL H.264 NAL walking + exp-Golomb SPS decode vs closed-form
@@ -1612,6 +1614,31 @@ object SparkEntry {
                         WHEN 1 THEN 'site' || h || '.co.uk'
                         ELSE 'site' || h || '.org' END AS domain
          FROM u ORDER BY doc_id""",
+    // raw URLs are all distinct (odd ids carry a unique fbclid);
+    // the canonical form collapses mod 84, so dedup does real work
+    // exactly when canonicalization strips the identity-free parts —
+    // best doc per canonical URL by (n_chars desc, doc_id)
+    "q_url_dedup" ->
+      """WITH p AS (
+           SELECT doc_id AS i, n_chars, doc_id % 7 AS h, doc_id % 4 AS pp,
+                  doc_id % 3 AS m3, doc_id % 2 AS m2
+           FROM documents),
+         c AS (
+           SELECT i, n_chars,
+             (CASE WHEN m2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+             (CASE m3 WHEN 0 THEN 'site' || h || '.com'
+                      WHEN 1 THEN 'blog.site' || h || '.co.uk'
+                      ELSE 'site' || h || '.org' END) ||
+             (CASE WHEN pp = 0 THEN '' ELSE '/p' || pp END) ||
+             (CASE WHEN m2 = 0 THEN '?a=1&b=' || (i % 3) ELSE '' END)
+               AS canonical_url
+           FROM p),
+         r AS (SELECT i, canonical_url, n_chars,
+                 row_number() OVER (PARTITION BY canonical_url
+                   ORDER BY n_chars DESC, i) AS rk
+               FROM c)
+         SELECT i AS doc_id, canonical_url, n_chars
+         FROM r WHERE rk = 1 ORDER BY doc_id""",
     // blocklist drop + top-2 per registrable domain by (n_chars desc,
     // doc_id) — the window twin re-derives the domain from the id
     "q_domain_cap" ->

@@ -42,15 +42,20 @@ import java.io.ByteArrayOutputStream
   * header-only cost, like [[AudioIo]]'s unread PCM stream. */
 object Mp3Io {
 
-  /** Parsed structural facts of one MPEG audio stream. */
+  /** Parsed structural facts of one MPEG audio stream. `xingFrames`
+    * is the audio-frame count DECLARED by a Xing/Info tag when the
+    * stream carries one (the first-frame VBR header every real
+    * encoder writes); the walker counts frames itself either way and
+    * rejects a disagreeing declaration as corruption. */
   final case class Parsed(sampleRateHz: Option[Int], channels: Option[Int],
                           frames: Option[Long], durationMs: Option[Long],
                           bitrateKbps: Option[Int], vbr: Option[Boolean],
                           layer: Option[Int], versionId: Option[String],
-                          id3v2Bytes: Option[Int], ok: Boolean)
+                          id3v2Bytes: Option[Int],
+                          xingFrames: Option[Long], ok: Boolean)
 
   private val Bad = Parsed(None, None, None, None, None, None, None, None,
-                           None, ok = false)
+                           None, None, ok = false)
 
   // Public MPEG audio header tables (ISO/IEC 11172-3 / 13818-3).
   // Indexed [versionGroup][layer][bitrateIndex]; versionGroup 0 = MPEG-1,
@@ -119,6 +124,32 @@ object Mp3Io {
                 frameLength(versionBits, layer, kbps, rate, padding)))
   }
 
+  /** Layer III side-info byte length (ISO 11172-3 §2.4.1.7): the
+    * fixed block between the header and the main data — the Xing/
+    * Info tag sits immediately after it in an info frame. */
+  private def sideInfoLen(versionBits: Int, channels: Int): Int =
+    if (versionBits == 3) { if (channels == 1) 17 else 32 }
+    else { if (channels == 1) 9 else 17 }
+
+  /** If the Layer III frame at `off` is a Xing/Info tag frame,
+    * return its declared audio-frame count (None when the frames
+    * flag is unset — still a tag frame, caller excludes it). */
+  private def xingDeclared(b: Array[Byte], h: Header,
+                           off: Int): Option[Option[Long]] = {
+    if (h.layer != 3) return None
+    val m = off + 4 + sideInfoLen(h.versionBits, h.channels)
+    if (m + 8 > b.length || m + 8 > off + h.len) return None
+    val magic = new String(b, m, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (magic != "Xing" && magic != "Info") return None
+    val flags = ((b(m + 4) & 0xff) << 24) | ((b(m + 5) & 0xff) << 16) |
+                ((b(m + 6) & 0xff) << 8) | (b(m + 7) & 0xff)
+    if ((flags & 1) == 0 || m + 12 > b.length || m + 12 > off + h.len)
+      Some(None)
+    else Some(Some(
+      (((b(m + 8) & 0xffL) << 24) | ((b(m + 9) & 0xffL) << 16) |
+       ((b(m + 10) & 0xffL) << 8) | (b(m + 11) & 0xffL))))
+  }
+
   /** Syncsafe 28-bit ID3v2 size (4 bytes, each < 0x80). */
   private def id3v2Size(b: Array[Byte]): Option[Int] =
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3' &&
@@ -149,6 +180,9 @@ object Mp3Io {
     var frames = 0L
     var kbpsSum = 0L
     var vbr = false
+    var firstAudioKbps = -1
+    var declared: Option[Long] = None
+    var isFirstFrame = true
     while (off < end) {
       header(bytes, off) match {
         case Some(h) =>
@@ -156,15 +190,29 @@ object Mp3Io {
           else if (h.versionBits != first.versionBits ||
                    h.layer != first.layer || h.rateHz != first.rateHz)
             return Bad // mid-stream format change = corruption
-          else if (h.bitrateKbps != first.bitrateKbps) vbr = true
           if (off + h.len > end) return Bad // truncated final frame
-          frames += 1
-          kbpsSum += h.bitrateKbps
+          val isInfo = isFirstFrame && {
+            xingDeclared(bytes, h, off) match {
+              case Some(d) => declared = d; true
+              case None => false
+            }
+          }
+          // a Xing/Info tag frame is metadata, not audio: every real
+          // parser excludes it from the count/bitrate/duration
+          if (!isInfo) {
+            if (firstAudioKbps < 0) firstAudioKbps = h.bitrateKbps
+            else if (h.bitrateKbps != firstAudioKbps) vbr = true
+            frames += 1
+            kbpsSum += h.bitrateKbps
+          }
+          isFirstFrame = false
           off += h.len
         case None => return Bad
       }
     }
-    if (first == null) return Bad
+    if (first == null || frames == 0) return Bad
+    // a declaration that disagrees with the walked truth is corruption
+    if (declared.exists(_ != frames)) return Bad
     val spf = samplesPerFrame(first.versionBits, first.layer)
     val samples = frames * spf
     Parsed(Some(first.rateHz), Some(first.channels), Some(frames),
@@ -173,7 +221,7 @@ object Mp3Io {
            Some(first.versionBits match {
              case 3 => "mpeg1"; case 2 => "mpeg2"; case _ => "mpeg2.5"
            }),
-           Some(tag.getOrElse(0)), ok = true)
+           Some(tag.getOrElse(0)), declared, ok = true)
   }
 
   final class Parser extends MediaKernel.Handle[Array[Byte], Parsed] {
@@ -198,13 +246,18 @@ object Mp3Io {
     * @param paddingOf per-frame padding bit (0/1).
     * @param id3v2PadBytes if > 0, prepend an ID3v2 tag with that many
     *   payload bytes.
-    * @param id3v1 if true, append a 128-byte ID3v1 `TAG` block. */
+    * @param id3v1 if true, append a 128-byte ID3v1 `TAG` block.
+    * @param xing if true, prepend a Layer III Xing/Info tag frame
+    *   (zeroed side info, magic, flags=1, BE frame count — `Xing`
+    *   when the stream is VBR, `Info` for CBR, like real encoders)
+    *   declaring the TRUE audio frame count. */
   def encodeMp3(nFrames: Int, versionBits: Int, layer: Int,
                 sampleRateIdx: Int, bitrateIdxOf: Int => Int,
                 channels: Int, seed: Long,
                 paddingOf: Int => Int = _ => 0,
                 id3v2PadBytes: Int = -1,
-                id3v1: Boolean = false): Array[Byte] = {
+                id3v1: Boolean = false,
+                xing: Boolean = false): Array[Byte] = {
     require(nFrames > 0 && (versionBits == 3 || versionBits == 2 ||
             versionBits == 0) && layer >= 1 && layer <= 3 &&
             sampleRateIdx >= 0 && sampleRateIdx <= 2,
@@ -226,6 +279,31 @@ object Mp3Io {
     }
     val vGroup = if (versionBits == 3) 0 else 1
     val rate = SampleRateHz(versionBits)(sampleRateIdx)
+    if (xing) {
+      require(layer == 3, "Xing/Info tags are a Layer III construct")
+      val brIdx = bitrateIdxOf(0)
+      val kbps = BitrateKbps(vGroup)(2)(brIdx)
+      val len = frameLength(versionBits, 3, kbps, rate, 0)
+      val isVbr = (1 until nFrames).exists(bitrateIdxOf(_) != brIdx)
+      out.write(0xff)
+      out.write(0xe0 | (versionBits << 3) | (1 << 1) | 1)
+      out.write((brIdx << 4) | (sampleRateIdx << 2))
+      out.write((if (channels == 1) 3 else 0) << 6)
+      val si = sideInfoLen(versionBits, channels)
+      var i = 0
+      while (i < si) { out.write(0); i += 1 } // zeroed side info
+      out.write((if (isVbr) "Xing" else "Info")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.write(0); out.write(0); out.write(0); out.write(1) // frames flag
+      out.write((nFrames >> 24) & 0xff); out.write((nFrames >> 16) & 0xff)
+      out.write((nFrames >> 8) & 0xff); out.write(nFrames & 0xff)
+      i = 4 + si + 12
+      while (i < len) { // pad the rest of the tag frame
+        out.write((graft.functions.SimHash64.fnv1a64(
+          Array(seed.toByte, 'X'.toByte, i.toByte)) & 0x3f).toInt)
+        i += 1
+      }
+    }
     var f = 0
     while (f < nFrames) {
       val brIdx = bitrateIdxOf(f)

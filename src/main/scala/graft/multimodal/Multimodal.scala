@@ -343,6 +343,7 @@ object Multimodal {
               col("_2.layer").as("layer"),
               col("_2.versionId").as("version"),
               col("_2.id3v2Bytes").as("id3v2_bytes"),
+              col("_2.xingFrames").as("xing_frames"),
               col("_2.ok").as("ok"))
   }
 
@@ -371,8 +372,9 @@ object Multimodal {
     * authored by [[Mp3Io.encodeMp3]] on the executors — sample rate
     * cycling 44.1/48/32 kHz, even ids CBR / odd ids two-rate VBR,
     * every 4th id ID3v2-tagged, every 5th ID3v1-tailed, every 3rd
-    * with alternating padding bits; all facts pure functions of the
-    * id (same design as [[syntheticAudioAssets]]). */
+    * with alternating padding bits, every 6th carrying a Xing/Info
+    * tag frame declaring the true count; all facts pure functions of
+    * the id (same design as [[syntheticAudioAssets]]). */
   def syntheticMp3Assets(spark: org.apache.spark.sql.SparkSession,
                          n: Int): DataFrame = {
     import spark.implicits._
@@ -387,7 +389,7 @@ object Multimodal {
         channels = if (id % 4 < 2) 1 else 2, seed = id * 9103L,
         paddingOf = f => if (id % 3 == 0) f % 2 else 0,
         id3v2PadBytes = if (id % 4 == 0) 17 + id.toInt else -1,
-        id3v1 = id % 5 == 0))
+        id3v1 = id % 5 == 0, xing = id % 6 == 0))
     }.toDF("asset_id", "modality", "content")
   }
 

@@ -425,6 +425,22 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** URL-level dedup ([[graft.pipelines.WebCuration
+    * .dedupByCanonicalUrl]]) over the planted fixture: the raw URLs
+    * are all DISTINCT (odd ids carry a unique `fbclid=abc{id}`), but
+    * the canonical form collapses to a function of id mod 84
+    * (lcm of the fixture's 2/3/4/7 cycles) — ~6 docs per canonical
+    * URL at sf0.01 — so the dedup only works if canonicalization
+    * first strips exactly the identity-free parts. Keeps the best
+    * doc per URL by (n_chars desc, doc_id). */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.WebCuration.dedupByCanonicalUrl(
+        graft.pipelines.WebCuration.withUrlColumns(
+          Tables.documents(spark, dir)
+            .withColumn("url", plantedUrl(col("doc_id")))))
+      .select(col("doc_id"), col("canonical_url"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** Epoch-repeating mixture ([[graft.pipelines.Splitting
     * .mixToBudgetEpochs]]): weights 6:3:1 over a 40k-token budget make
     * src2 repeat 3 full epochs + a remainder prefix, src5 one epoch +

@@ -77,4 +77,30 @@ object WebCuration {
     docs.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"),
            sum(col(tokensCol)).as("tokens"))
+
+  /** URL-level dedup: keep ONE doc per canonical URL (recrawls,
+    * mirror spellings, tracking-param variants), best-first by
+    * `qualityCol` with `idCol` tie-break — the most common web dedup
+    * stage, run BEFORE content dedup because it needs no text at
+    * all. Docs with a null canonical URL (malformed input) are KEPT:
+    * they carry no URL identity to collide on, and dropping them is
+    * the quarantine policy's call, not dedup's. One hash-partitioned
+    * window on the canonical URL — at 100 TB the key space is
+    * near-unique, so partitions stay balanced (unlike the domain
+    * cap, where skew is the point). The null rows DO ride the window
+    * as one partition (single-scan spelling); if malformed URLs are
+    * non-rare in a crawl, quarantine them before this call. */
+  def dedupByCanonicalUrl(docs: DataFrame,
+                          urlCol: String = "canonical_url",
+                          qualityCol: String = "n_chars",
+                          idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(urlCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    docs
+      .withColumn("url_rank",
+        when(col(urlCol).isNull, lit(1)).otherwise(row_number().over(w)))
+      .filter(col("url_rank") === 1)
+      .drop("url_rank")
+  }
 }

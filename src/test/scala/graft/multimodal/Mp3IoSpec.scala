@@ -69,6 +69,36 @@ class Mp3IoSpec extends AnyFunSuite {
     assert(p.durationMs.contains(12L * 1152 * 1000 / 44100))
   }
 
+  test("Xing/Info tag frame: detected, excluded from facts, cross-checked") {
+    // CBR -> Info magic; facts identical to the untagged stream
+    val cbrTagged = Mp3Io.encodeMp3(15, 3, 3, 0, _ => 9, 2, seed = 4L,
+                                    xing = true)
+    val p = Mp3Io.parseMp3(cbrTagged)
+    assert(p.ok && p.xingFrames.contains(15L))
+    assert(p.frames.contains(15L)) // tag frame not counted as audio
+    assert(p.bitrateKbps.contains(128) && p.vbr.contains(false))
+    assert(p.durationMs.contains(15L * 1152 * 1000 / 44100))
+    assert(new String(cbrTagged, 4 + 32, 4) == "Info") // stereo V1
+    // VBR -> Xing magic, mono side-info offset
+    val vbrTagged = Mp3Io.encodeMp3(9, 3, 3, 0,
+      f => if (f % 2 == 0) 9 else 11, 1, seed = 5L, xing = true)
+    val q = Mp3Io.parseMp3(vbrTagged)
+    assert(q.ok && q.xingFrames.contains(9L) && q.vbr.contains(true))
+    assert(new String(vbrTagged, 4 + 17, 4) == "Xing")
+    // untagged stream: no declaration
+    assert(Mp3Io.parseMp3(cbr()).xingFrames.isEmpty)
+    // a declaration disagreeing with the walked count is corruption:
+    // patch the BE count field (last byte) to declare one frame more
+    val lied = cbrTagged.clone
+    val countOff = 4 + 32 + 8 + 3
+    lied(countOff) = (lied(countOff) + 1).toByte
+    assert(!Mp3Io.parseMp3(lied).ok)
+    // MPEG-2 mono offset (side info 9) also detected
+    val v2 = Mp3Io.parseMp3(Mp3Io.encodeMp3(6, 2, 3, 1, _ => 7, 1,
+                                            seed = 6L, xing = true))
+    assert(v2.ok && v2.xingFrames.contains(6L) && v2.frames.contains(6L))
+  }
+
   test("corruption is rejected, never mis-read") {
     val good = cbr(nFrames = 4)
     // truncated final frame
@@ -114,6 +144,9 @@ class Mp3IoSpec extends AnyFunSuite {
       assert(r.getAs[Long]("vbr") == id % 2)
       assert(r.getAs[Int]("id3v2_bytes") ==
         (if (id % 4 == 0) 27 + id.toInt else 0))
+      if (id % 6 == 0)
+        assert(r.getAs[Long]("xing_frames") == 20 + id % 30, s"xing $id")
+      else assert(r.isNullAt(r.fieldIndex("xing_frames")), s"no xing $id")
     }
   }
 }

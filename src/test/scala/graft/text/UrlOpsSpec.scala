@@ -76,6 +76,30 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(kept == Map(2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2))
   }
 
+  test("dedupByCanonicalUrl keeps one best doc per URL; null URLs all survive") {
+    val docs = Seq(
+      (1L, "https://a.com/x", 100L), (2L, "https://a.com/x", 300L),
+      (3L, "https://a.com/y", 10L),
+      (4L, null.asInstanceOf[String], 1L),
+      (5L, null.asInstanceOf[String], 2L))
+      .toDF("doc_id", "canonical_url", "n_chars")
+    val kept = graft.pipelines.WebCuration.dedupByCanonicalUrl(docs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // URL a.com/x: best quality wins (id 2); y unique; nulls never collide
+    assert(kept == Seq(2L, 3L, 4L, 5L))
+    // composes with the canonicalizer: raw spellings of one resource
+    // (case, www, tracking params, fragment) collapse to one survivor
+    val raw = Seq(
+      (10L, "HTTPS://WWW.E.COM/p?utm_source=x&a=1", 5L),
+      (11L, "https://e.com/p/?a=1#frag", 9L),
+      (12L, "https://e.com/q", 1L))
+      .toDF("doc_id", "url", "n_chars")
+    val survivors = graft.pipelines.WebCuration.dedupByCanonicalUrl(
+        graft.pipelines.WebCuration.withUrlColumns(raw))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(11L, 12L))
+  }
+
   test("dropBlockedDomains: literal-set and anti-join paths agree") {
     val docs = Seq((1L, "a.com"), (2L, "bad.com"), (3L, "c.org"))
       .toDF("doc_id", "domain")
