@@ -122,6 +122,7 @@ object SparkEntry {
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,
     "q_url_dedup"               -> Corpus.urlDedup _,
+    "q_hashed_embed_topk"       -> Corpus.hashedEmbedTopk _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -1733,6 +1734,48 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id, source, n_chars, epoch FROM r WHERE cum <= rem
          ORDER BY doc_id, epoch""",
+    // hashed-TF text vectors (md5 token buckets via the Horner hex
+    // parse) + integer-exact cosine ranking: TF counts are integers,
+    // so dot/norms are integers and dot^2*2^20 // (|a|^2*|b|^2)
+    // orders exactly like cosine — no float tolerance anywhere
+    "q_hashed_embed_topk" ->
+      """WITH tok AS (
+           SELECT doc_id, t.tok
+           FROM documents,
+                LATERAL (SELECT unnest(string_split(text, ' ')) AS tok) t
+           WHERE t.tok <> ''),
+         hx AS (
+           SELECT doc_id, substr(md5(tok), 1, 8) AS hx FROM tok),
+         tf AS (
+           SELECT doc_id,
+             ((((((((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,2,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,3,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,4,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,5,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,6,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,7,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,8,1)) - 1) % 512
+               AS bucket,
+             count(*) AS tf
+           FROM hx GROUP BY 1, 2),
+         n AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
+         q AS (SELECT doc_id AS qid, bucket, tf AS qtf
+               FROM tf WHERE doc_id % 50 = 0),
+         dt AS (SELECT qid, t.doc_id AS nid, sum(qtf * t.tf) AS dot
+                FROM q JOIN tf t USING (bucket)
+                WHERE qid <> t.doc_id GROUP BY 1, 2),
+         s AS (SELECT dt.qid, dt.nid,
+                 (dt.dot * dt.dot * 1048576) // (nq.n2 * nn.n2) AS score_q
+               FROM dt
+               JOIN n nq ON nq.doc_id = dt.qid
+               JOIN n nn ON nn.doc_id = dt.nid),
+         r AS (SELECT qid, nid, score_q,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY score_q DESC, nid) AS rank
+               FROM s)
+         SELECT qid AS query_id, rank, nid AS neighbor_id, score_q
+         FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
     // uint32(md5[0,8)) mod 12 via a Horner hex parse — the portable
     // twin of Sharding.shardId's conv(substr(md5,1,8),16,10)
     "q_shard_manifest" ->

@@ -441,6 +441,21 @@ object Corpus {
       .select(col("doc_id"), col("canonical_url"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** REAL classical text embedding + similarity search, hash-gated
+    * ([[graft.text.TextVectors]]): every 50th doc queries the corpus
+    * for its 3 nearest hashed-TF neighbors. The md5-bucket hashing
+    * makes the VECTORS portable and the integer-exact
+    * `dot²·2²⁰ div (|a|²·|b|²)` score makes the RANKING portable —
+    * the one embedding-similarity query in the family a DuckDB twin
+    * can recompute bit-for-bit (the float-cosine queries are
+    * golden-pinned instead). Candidates come from a bucket-keyed
+    * inverted-index join, never all-pairs. */
+  def hashedEmbedTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextVectors.topKBySparseCosine(
+        Tables.documents(spark, dir),
+        queryPred = col("doc_id") % 50 === 0, k = 3, d = 512)
+      .orderBy(col("query_id"), col("rank"))
+
   /** Epoch-repeating mixture ([[graft.pipelines.Splitting
     * .mixToBudgetEpochs]]): weights 6:3:1 over a 40k-token budget make
     * src2 repeat 3 full epochs + a remainder prefix, src5 one epoch +
