@@ -123,6 +123,13 @@ object SparkEntry {
     "q_domain_cap"              -> Corpus.domainCap _,
     "q_url_dedup"               -> Corpus.urlDedup _,
     "q_hashed_embed_topk"       -> Corpus.hashedEmbedTopk _,
+    "q_embed_infer"             -> Corpus.embedInfer _,
+    "q_cluster_scan"            -> Corpus.clusterScan _,
+    "q_pagerank"                -> Corpus.pageRankDocs _,
+    "q_profile"                 -> Corpus.profileDocs _,
+    "q_table_diff"              -> Corpus.tableDiff _,
+    "q_cohort_retention"        -> Corpus.cohortRetentionDays _,
+    "q_event_funnel"            -> Corpus.eventFunnel _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -202,7 +209,121 @@ object SparkEntry {
       // the index-served path must be byte-identical to the rescan
       // path, so it shares q_incremental_dedup's oracle verbatim
       ("q_incremental_dedup_index" ->
-        baseOracleSql("q_incremental_dedup"))
+        baseOracleSql("q_incremental_dedup")) +
+      ("q_pagerank" -> pageRankOracle(5)) +
+      ("q_profile" -> profileOracle) +
+      ("q_table_diff" -> tableDiffOracle)
+
+  /** DuckDB spelling of `uint32(md5(<expr>)[0,8 hex))` — the Horner
+    * hex parse every planted fixture's twin uses, generated instead
+    * of hand-unrolled. `md5Expr` must be an expression yielding the
+    * md5 hex string. */
+  private def hornerU32(md5Expr: String): String =
+    (2 to 8).foldLeft(
+      s"(strpos('0123456789abcdef', substr($md5Expr, 1, 1)) - 1)") {
+      (acc, i) =>
+        s"($acc * 16 + strpos('0123456789abcdef', substr($md5Expr, $i, 1)) - 1)"
+    }
+
+  /** `q_pagerank`'s twin: regenerate the planted link graph from the
+    * id column, then UNROLL the integer fixed-point recurrence
+    * `iters` times — same floor divisions, same dangling-mass drop,
+    * same degree computation as [[graft.graph.PageRank
+    * .pageRankScaled]]. Generated, not hand-written, so the
+    * iteration count provably matches the Spark call. */
+  private def pageRankOracle(iters: Int): String = {
+    val kk = hornerU32("md5('prk:' || CAST(d.doc_id AS VARCHAR))")
+    val dst = hornerU32(
+      "md5('pr:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR))")
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+           SELECT ids.id,
+                  CAST(150000 + COALESCE(s.mass, 0) AS BIGINT) AS rank
+           FROM ids LEFT JOIN (
+             SELECT e.dst AS id,
+                    CAST(SUM((85 * r.rank) // (100 * e.outdeg)) AS BIGINT)
+                      AS mass
+             FROM e JOIN r${i - 1} r ON r.id = e.src
+             GROUP BY e.dst) s USING (id))"""
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         cand AS (
+           SELECT d.doc_id AS src, j.j,
+                  $kk % 3 AS kk,
+                  $dst % (SELECT n FROM nn) AS dst
+           FROM documents d,
+                (SELECT unnest(generate_series(0, 2)) AS j) j),
+         edges AS (SELECT DISTINCT src, dst FROM cand
+                   WHERE j < 1 + kk AND dst <> src),
+         deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         e AS (SELECT edges.src, edges.dst, deg.outdeg
+               FROM edges JOIN deg USING (src)),
+         ids AS (SELECT doc_id AS id FROM documents),
+         r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM ids),
+         $steps
+         SELECT id AS doc_id, rank FROM r$iters ORDER BY doc_id"""
+  }
+
+  /** `q_profile`'s twin: the same metric grid as
+    * [[graft.ops.Profile.profile]], one UNION ALL leg per cell —
+    * generated from the same column lists the Spark call uses. */
+  private def profileOracle: String = {
+    def legs(c: String, isStr: Boolean): Seq[String] = {
+      val v = if (isStr) s"length($c)" else c
+      val suffix = if (isStr) "_len" else ""
+      Seq(
+        "n" -> s"count($c)",
+        "nulls" -> s"count(CASE WHEN $c IS NULL THEN 1 END)",
+        "distinct" -> s"count(DISTINCT $c)",
+        s"min$suffix" -> s"min($v)",
+        s"max$suffix" -> s"max($v)",
+        s"sum$suffix" -> s"sum($v)"
+      ).map { case (m, e) =>
+        s"""SELECT '$c' AS col_name, '$m' AS metric,
+              CAST($e AS BIGINT) AS value FROM documents"""
+      }
+    }
+    (Seq("doc_id", "n_chars").flatMap(legs(_, isStr = false)) ++
+      Seq("lang", "source", "text").flatMap(legs(_, isStr = true)))
+      .mkString(" UNION ALL ") + " ORDER BY col_name, metric"
+  }
+
+  /** `q_table_diff`'s twin: regenerate the planted next-epoch
+    * snapshot (17-mod deletes, 10-mod text edits, 10 fresh ids),
+    * fingerprint both sides with the same NUL-safe md5 as
+    * [[graft.ops.Diff.rowFingerprint]], and classify via FULL OUTER
+    * join. */
+  private def tableDiffOracle: String = {
+    val fp = """md5(concat_ws(chr(1),
+        COALESCE(CAST(text AS VARCHAR), chr(2)),
+        COALESCE(lang, chr(2)), COALESCE(source, chr(2)),
+        COALESCE(CAST(n_chars AS VARCHAR), chr(2))))"""
+    val del = hornerU32("md5('del:' || CAST(doc_id AS VARCHAR))")
+    val mod = hornerU32("md5('mod:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH after AS (
+           SELECT doc_id,
+                  CASE WHEN $mod % 10 = 0 THEN text || ' v2'
+                       ELSE text END AS text,
+                  lang, source, n_chars
+           FROM documents
+           WHERE $del % 17 <> 0
+           UNION ALL
+           SELECT 1000000 + i AS doc_id,
+                  'new doc ' || CAST(i AS VARCHAR) AS text,
+                  'en' AS lang, 's_new' AS source,
+                  CAST(length('new doc ' || CAST(i AS VARCHAR)) AS BIGINT)
+                    AS n_chars
+           FROM (SELECT unnest(generate_series(0, 9)) AS i)),
+         fb AS (SELECT doc_id, $fp AS fp FROM documents),
+         fa AS (SELECT doc_id, $fp AS fp FROM after)
+         SELECT COALESCE(fb.doc_id, fa.doc_id) AS doc_id,
+                CASE WHEN fb.fp IS NULL THEN 'added'
+                     WHEN fa.fp IS NULL THEN 'removed'
+                     WHEN fa.fp <> fb.fp THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM fb FULL OUTER JOIN fa ON fb.doc_id = fa.doc_id
+         ORDER BY doc_id"""
+  }
 
   /** `q_funnel`'s oracle reuses `q_curation`'s CTE block verbatim
     * (single source of truth — the two must stay stage-for-stage
@@ -1776,6 +1897,67 @@ object SparkEntry {
                FROM s)
          SELECT qid AS query_id, rank, nid AS neighbor_id, score_q
          FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+    // the clustered rewrite must be value-preserving: the oracle
+    // answers the same two-dimensional slice from the RAW table
+    "q_cluster_scan" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+                CAST(sum(user_id) AS BIGINT) AS sum_user_id
+         FROM events
+         WHERE user_id BETWEEN 3 AND 8
+           AND event_id BETWEEN 200 AND 699
+         GROUP BY event_type ORDER BY event_type""",
+    // learned-embedding inference twin: regenerate the 64x8 integer
+    // model from the same md5-Horner arithmetic, then inference as a
+    // relational plan (explode -> bucket -> join weights -> per-dim
+    // sum) — gates the Spark side's broadcast-GEMM kernel bit-for-bit
+    "q_embed_infer" ->
+      """WITH tok AS (
+           SELECT doc_id, t.tok
+           FROM documents,
+                LATERAL (SELECT unnest(string_split(text, ' ')) AS tok) t
+           WHERE t.tok <> ''),
+         hx AS (
+           SELECT doc_id, substr(md5(tok), 1, 8) AS hx FROM tok),
+         tf AS (
+           SELECT doc_id,
+             ((((((((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,2,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,3,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,4,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,5,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,6,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,7,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,8,1)) - 1) % 64
+               AS bucket,
+             count(*) AS tf
+           FROM hx GROUP BY 1, 2),
+         grid AS (
+           SELECT b.bucket, d.dim
+           FROM (SELECT unnest(generate_series(0, 63)) AS bucket) b,
+                (SELECT unnest(generate_series(0, 7)) AS dim) d),
+         wh AS (
+           SELECT bucket, dim,
+                  substr(md5(CAST(bucket AS VARCHAR) || ':' ||
+                             CAST(dim AS VARCHAR)), 1, 8) AS hx
+           FROM grid),
+         w AS (
+           SELECT bucket, dim,
+             ((((((((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,2,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,3,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,4,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,5,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,6,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,7,1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(hx,8,1)) - 1) % 2001
+               - 1000 AS w
+           FROM wh)
+         SELECT tf.doc_id, w.dim,
+                CAST(sum(tf.tf * w.w) AS BIGINT) AS val
+         FROM tf JOIN w USING (bucket)
+         GROUP BY 1, 2
+         ORDER BY doc_id, dim""",
     // uint32(md5[0,8)) mod 12 via a Horner hex parse — the portable
     // twin of Sharding.shardId's conv(substr(md5,1,8),16,10)
     "q_shard_manifest" ->
@@ -1803,5 +1985,33 @@ object SparkEntry {
          FROM (SELECT unnest(generate_series(0, 11)) AS shard) s
          LEFT JOIN c USING (shard)
          ORDER BY shard""",
+    // day-bucket cohorting at micro precision (epoch_us // day), the
+    // same floor Spark computes as (ts div 1000) div 86400000000
+    "q_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS b FROM events),
+         c AS (SELECT user_id, min(b) AS cohort FROM a GROUP BY 1)
+         SELECT c.cohort AS cohort_day, a.b - c.cohort AS age_days,
+                count(DISTINCT a.user_id) AS n_users
+         FROM a JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // min-time chained funnel: each step strictly after the user's
+    // earliest completion of the previous prefix
+    "q_event_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t
+                     FROM events WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t
+                FROM events e
+                JOIN s1 ON e.user_id = s1.u AND epoch_us(e.ts) > s1.t
+                WHERE e.event_type = 'click' GROUP BY 1),
+         s3 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t
+                FROM events e
+                JOIN s2 ON e.user_id = s2.u AND epoch_us(e.ts) > s2.t
+                WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT * FROM (
+           SELECT 1 AS step, count(*) AS n_users FROM s1
+           UNION ALL SELECT 2, count(*) FROM s2
+           UNION ALL SELECT 3, count(*) FROM s3)
+         ORDER BY step""",
   )
 }

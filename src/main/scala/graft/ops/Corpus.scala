@@ -1364,6 +1364,67 @@ object Corpus {
   def curationFunnel(spark: SparkSession, dir: String): DataFrame =
     graft.pipelines.Curation.funnelFrame(docs(spark, dir))
 
+  /** REAL learned-embedding inference as a declared query, hash-gated
+    * end to end THROUGH THE PRODUCTION KERNEL: the weight checkpoint is
+    * the portable synthetic model ([[graft.text.EmbedModel
+    * .syntheticWeightRows]], 64×8 integer weights), inference runs the
+    * broadcast-matrix embedding-bag map ([[graft.text.EmbedModel
+    * .embedBag]] — the zero-shuffle 100-TB spelling, NOT the relational
+    * oracle twin), and the output is posexploded to `(doc_id, dim,
+    * val)` long form. Integer weights keep the float accumulation
+    * exact (|partial sums| ≤ tokens·1000 ≪ 2²⁴ — testdata max is 100
+    * tokens/doc), which is what lets a DuckDB relational twin gate a
+    * kernel that never materializes a join. Docs are filtered to ≥1
+    * token so both spellings share inner semantics (the bag embeds the
+    * empty doc to 0⃗; the join drops it). */
+  def embedInfer(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.EmbedModel
+    val V = 64; val D = 8
+    val m = EmbedModel.collectMatrix(
+      EmbedModel.syntheticWeightRows(spark, V, D), V, D)
+    val docsWithTokens = Tables.documents(spark, dir)
+      .filter(size(filter(split(col("text"), " "),
+                          t => t =!= "")) > 0)
+    EmbedModel.embedBag(docsWithTokens, m, V, D)
+      .select(col("doc_id"),
+              posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("doc_id"), col("dim").cast("long").as("dim"),
+              col("v").cast("long").as("val"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  /** Z-order clustered layout as a declared query ([[graft.sources
+    * .Clustering.writeClustered]]): rewrite `events` clustered by
+    * `(user_id, event_id)`, then answer a BOTH-dimension range slice
+    * from the clustered copy. The hash gate proves the layout op is
+    * value-preserving — same rows, same aggregates — while
+    * ClusteringSpec proves the file-envelope pruning that is the
+    * layout's reason to exist (each written file covers a small
+    * (user_id, event_id) rectangle, so min/max stats prune either
+    * dimension; a sorted layout prunes only its sort column). */
+  private val clusteredEventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def clusterScan(spark: SparkSession, dir: String): DataFrame = {
+    // cluster ONCE per input dir, query many times — the layout's
+    // real usage shape (and what the bench should time: the read)
+    val path = clusteredEventsCache.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-cluster").toString + "/events_z"
+      graft.sources.Clustering.writeClustered(
+        Tables.events(spark, d), p, "user_id", "event_id", 16)
+      p
+    })
+    spark.read.parquet(path)
+      .filter(col("user_id").between(3, 8) &&
+              col("event_id").between(200, 699))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("event_id")).as("sum_event_id"),
+           sum(col("user_id")).as("sum_user_id"))
+      .orderBy(col("event_type"))
+  }
+
   /** Corpus facets: docs + chars per (lang, source) — the partition-key
     * profile a 100-TB layout decision starts from. */
   def langFacets(spark: SparkSession, dir: String): DataFrame = {
@@ -1371,5 +1432,99 @@ object Corpus {
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("lang"), col("source"))
+  }
+
+  /** `uint32(md5(s)[0,8 hex))` as a Column — the portable hash every
+    * planted fixture keys on ([[graft.pipelines.Sharding.shardId]]
+    * arithmetic). */
+  private def u32(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Planted deterministic link graph over doc_ids: doc `i` links to
+    * `k_i = 1 + (u32(md5("prk:"+i)) mod 3)` targets
+    * `u32(md5("pr:"+i+":"+j)) mod N`, self-links dropped, parallel
+    * edges deduped — a web-shaped directed graph both engines
+    * regenerate bit-for-bit from the id column alone. */
+  private def plantedEdges(d: DataFrame, n: Long): DataFrame = {
+    val spark = d.sparkSession
+    d.select(col("doc_id").as("src"))
+      .crossJoin(spark.range(3).toDF("j"))
+      .filter(col("j") <
+        lit(1L) + pmod(u32(concat_ws(":", lit("prk"), col("src"))), lit(3L)))
+      .select(col("src"),
+        pmod(u32(concat_ws(":", lit("pr"), col("src"), col("j"))),
+             lit(n)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** PageRank over the planted link graph ([[graft.graph.PageRank
+    * .pageRankScaled]], 5 iterations, integer fixed-point): the
+    * directed-authority signal a crawl-curation pipeline ranks
+    * domains with. The oracle unrolls the identical integer
+    * recurrence, so any drift in damping, dangling handling, degree
+    * computation, or floor-division order hash-mismatches. */
+  def pageRankDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val n = d.count() // one bounded action: the planted graph's modulus
+    graft.graph.PageRank.pageRankScaled(
+        plantedEdges(d, n), d.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact per-column profile of `documents` ([[graft.ops.Profile
+    * .profile]]): one scan, one fused aggregate, long-form
+    * integer-exact stats — the ANALYZE pass layout decisions start
+    * from. */
+  def profileDocs(spark: SparkSession, dir: String): DataFrame =
+    Profile.profile(Tables.documents(spark, dir),
+        numericCols = Seq("doc_id", "n_chars"),
+        stringCols = Seq("lang", "source", "text"))
+      .orderBy(col("col_name"), col("metric"))
+
+  /** Day-granular cohort retention over `events` ([[graft.ops
+    * .Behavior.cohortRetention]]): each user cohorted at their first
+    * active day, distinct-user counts per (cohort, age) cell — the
+    * retention triangle. */
+  def cohortRetentionDays(spark: SparkSession, dir: String): DataFrame =
+    Behavior.cohortRetention(Tables.events(spark, dir))
+      .select(col("cohort").as("cohort_day"), col("age").as("age_days"),
+              col("n_users"))
+      .orderBy(col("cohort_day"), col("age_days"))
+
+  /** view → click → purchase ordered funnel over `events`
+    * ([[graft.ops.Behavior.sequenceFunnel]]): users completing each
+    * prefix strictly in time order, min-time chaining. */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame =
+    Behavior.sequenceFunnel(Tables.events(spark, dir),
+        Seq(col("event_type") === "view",
+            col("event_type") === "click",
+            col("event_type") === "purchase"))
+      .orderBy(col("step"))
+
+  /** Snapshot diff ([[graft.ops.Diff.diff]]) of `documents` against a
+    * planted next-epoch version: drop ids where `u32(md5("del:"+id))
+    * mod 17 = 0`, append " v2" to the text where `u32(md5("mod:"+id))
+    * mod 10 = 0`, add 10 fresh docs at ids 1000000+. Every key lands
+    * with its status — the epoch-reconciliation report an incremental
+    * pipeline gates on. */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val before = Tables.documents(spark, dir)
+    val kept = before.filter(
+      pmod(u32(concat_ws(":", lit("del"), col("doc_id"))), lit(17L)) =!= 0L)
+    val modded = kept.withColumn("text",
+      when(pmod(u32(concat_ws(":", lit("mod"), col("doc_id"))),
+                lit(10L)) === 0L,
+           concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    val added = spark.range(10).select(
+      (col("id") + 1000000L).as("doc_id"),
+      concat(lit("new doc "), col("id")).as("text"),
+      lit("en").as("lang"), lit("s_new").as("source"),
+      length(concat(lit("new doc "), col("id"))).cast("long").as("n_chars"))
+    val after = modded.unionByName(added)
+    Diff.diff(before, after, "doc_id",
+              Seq("text", "lang", "source", "n_chars"))
+      .orderBy(col("doc_id"))
   }
 }
