@@ -75,7 +75,7 @@ object Bench {
     }
     // Outlier re-run pass (VERDICT r9 #3): a contended window can blow
     // a single query's median 10-40x (the r3/r4 lesson). Any query
-    // whose median lands past 2x its pinned best-of-runs (+0.25 s
+    // whose median lands past 1.5x its pinned best-of-runs (+0.25 s
     // floor for sub-100ms queries) gets three FRESH passes, and the
     // better median wins — a transiently contaminated first triple
     // can no longer masquerade as a regression. The pin is advisory
@@ -96,7 +96,7 @@ object Bench {
     val qByName = queries.toMap
     var reruns = 0
     val results = firstPass.map { case (name, v) =>
-      val outlier = v > 0 && pin.get(name).exists(p => v > 2 * p + 0.25)
+      val outlier = v > 0 && pin.get(name).exists(p => v > 1.5 * p + 0.25)
       if (!outlier) name -> v
       else {
         reruns += 1
