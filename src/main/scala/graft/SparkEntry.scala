@@ -130,6 +130,8 @@ object SparkEntry {
     "q_table_diff"              -> Corpus.tableDiff _,
     "q_cohort_retention"        -> Corpus.cohortRetentionDays _,
     "q_event_funnel"            -> Corpus.eventFunnel _,
+    "q_triangles"               -> Corpus.triangleDocs _,
+    "q_event_transitions"       -> Corpus.eventTransitions _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -212,7 +214,8 @@ object SparkEntry {
         baseOracleSql("q_incremental_dedup")) +
       ("q_pagerank" -> pageRankOracle(5)) +
       ("q_profile" -> profileOracle) +
-      ("q_table_diff" -> tableDiffOracle)
+      ("q_table_diff" -> tableDiffOracle) +
+      ("q_triangles" -> trianglesOracle)
 
   /** DuckDB spelling of `uint32(md5(<expr>)[0,8 hex))` — the Horner
     * hex parse every planted fixture's twin uses, generated instead
@@ -231,10 +234,59 @@ object SparkEntry {
     * same degree computation as [[graft.graph.PageRank
     * .pageRankScaled]]. Generated, not hand-written, so the
     * iteration count provably matches the Spark call. */
-  private def pageRankOracle(iters: Int): String = {
+  /** The planted-link-graph CTE block shared by `q_pagerank` and
+    * `q_triangles` — ONE source of truth for the graph both twins
+    * regenerate (yields `edges(src, dst)`; expects to open a WITH). */
+  private def plantedEdgesCte: String = {
     val kk = hornerU32("md5('prk:' || CAST(d.doc_id AS VARCHAR))")
     val dst = hornerU32(
       "md5('pr:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR))")
+    s"""nn AS (SELECT count(*) AS n FROM documents),
+        cand AS (
+          SELECT d.doc_id AS src, j.j,
+                 $kk % 3 AS kk,
+                 $dst % (SELECT n FROM nn) AS dst
+          FROM documents d,
+               (SELECT unnest(generate_series(0, 2)) AS j) j),
+        edges AS (SELECT DISTINCT src, dst FROM cand
+                  WHERE j < 1 + kk AND dst <> src)"""
+  }
+
+  /** `q_triangles`'s twin: same planted graph, undirected closure,
+    * the SAME degree orientation as [[graft.graph.Triangles]], wedge
+    * join + close-edge EXISTS, per-vertex credit. */
+  private def trianglesOracle: String =
+    s"""WITH $plantedEdgesCte,
+         und AS (SELECT DISTINCT least(src, dst) AS a,
+                        greatest(src, dst) AS b
+                 FROM edges WHERE src <> dst),
+         deg AS (SELECT x, count(*) AS d FROM
+                   (SELECT a AS x FROM und
+                    UNION ALL SELECT b FROM und)
+                 GROUP BY 1),
+         o AS (SELECT CASE WHEN da.d < db.d
+                             OR (da.d = db.d AND und.a < und.b)
+                           THEN und.a ELSE und.b END AS u,
+                      CASE WHEN da.d < db.d
+                             OR (da.d = db.d AND und.a < und.b)
+                           THEN und.b ELSE und.a END AS v
+               FROM und
+               JOIN deg da ON da.x = und.a
+               JOIN deg db ON db.x = und.b),
+         wg AS (SELECT e1.u AS u, e1.v AS x, e2.v AS y
+                FROM o e1 JOIN o e2
+                  ON e1.u = e2.u AND e1.v < e2.v),
+         t AS (SELECT wg.u, wg.x, wg.y FROM wg
+               WHERE EXISTS (SELECT 1 FROM o
+                 WHERE (o.u = wg.x AND o.v = wg.y)
+                    OR (o.u = wg.y AND o.v = wg.x))),
+         verts AS (SELECT u AS id FROM t
+                   UNION ALL SELECT x FROM t
+                   UNION ALL SELECT y FROM t)
+         SELECT id AS doc_id, count(*) AS n_triangles
+         FROM verts GROUP BY 1 ORDER BY 1"""
+
+  private def pageRankOracle(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""r$i AS (
            SELECT ids.id,
@@ -246,15 +298,7 @@ object SparkEntry {
              FROM e JOIN r${i - 1} r ON r.id = e.src
              GROUP BY e.dst) s USING (id))"""
     }.mkString(",\n")
-    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
-         cand AS (
-           SELECT d.doc_id AS src, j.j,
-                  $kk % 3 AS kk,
-                  $dst % (SELECT n FROM nn) AS dst
-           FROM documents d,
-                (SELECT unnest(generate_series(0, 2)) AS j) j),
-         edges AS (SELECT DISTINCT src, dst FROM cand
-                   WHERE j < 1 + kk AND dst <> src),
+    s"""WITH $plantedEdgesCte,
          deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
          e AS (SELECT edges.src, edges.dst, deg.outdeg
                FROM edges JOIN deg USING (src)),
@@ -2013,5 +2057,17 @@ object SparkEntry {
            UNION ALL SELECT 2, count(*) FROM s2
            UNION ALL SELECT 3, count(*) FROM s3)
          ORDER BY step""",
+    // per-user lead() at micro precision, event_id tie-break — the
+    // deterministic Markov transition matrix of the event stream
+    "q_event_transitions" ->
+      """WITH p AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS to_type
+           FROM events)
+         SELECT from_type, to_type, count(*) AS n
+         FROM p WHERE to_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -72,4 +72,28 @@ object Behavior {
     }
     counts.result().reduce(_ unionByName _)
   }
+
+  /** First-order transition counts — the Markov matrix of the event
+    * stream: per user, order events by `(time, tieCol)` and count
+    * each consecutive `(from, to)` label pair. Stream ends
+    * contribute no pair (no synthetic terminal state). `tieCol` must
+    * break time ties deterministically (an event id); the window
+    * partitions by user, so no global sort — the usual per-entity
+    * window shape, skew-bounded by the busiest single user. Returns
+    * `(from_type, to_type, n)`. */
+  def transitionCounts(events: DataFrame,
+                       typeCol: String = "event_type",
+                       userCol: String = "user_id",
+                       tsCol: String = "ts",
+                       tieCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(expr(s"$tsCol div 1000"), col(tieCol))
+    events
+      .select(col(typeCol).as("from_type"),
+              lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

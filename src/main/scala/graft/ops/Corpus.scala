@@ -1473,6 +1473,23 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-vertex triangle participation over the planted link graph
+    * (undirected closure; [[graft.graph.Triangles.vertexTriangles]],
+    * the degree-ordered forward algorithm) — the local-density signal
+    * that pairs with [[pageRankDocs]]'s global authority. */
+  def triangleDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    graft.graph.Triangles.vertexTriangles(plantedEdges(d, d.count()))
+      .select(col("id").as("doc_id"), col("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** First-order event-type transition matrix over `events`
+    * ([[graft.ops.Behavior.transitionCounts]]). */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    Behavior.transitionCounts(Tables.events(spark, dir))
+      .orderBy(col("from_type"), col("to_type"))
+
   /** Exact per-column profile of `documents` ([[graft.ops.Profile
     * .profile]]): one scan, one fused aggregate, long-form
     * integer-exact stats — the ANALYZE pass layout decisions start

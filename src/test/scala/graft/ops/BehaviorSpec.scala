@@ -75,6 +75,22 @@ class BehaviorSpec extends AnyFunSuite {
     assert(r == Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
   }
 
+  test("transitionCounts: known Markov pairs with a time tie broken " +
+       "by event id") {
+    val M = 1000L
+    // u1: a -> b -> b ; u2: b -> a. At t=2µs u1 has TWO events (ids
+    // 10 < 11): the tie-break orders b(10) before b(11)... use
+    // distinct types to pin the order: x(10), y(11).
+    val ev = Seq(
+      (1L, 5L, "a", 1L * M), (1L, 10L, "x", 2L * M), (1L, 11L, "y", 2L * M),
+      (2L, 20L, "b", 1L * M), (2L, 21L, "a", 3L * M))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val r = Behavior.transitionCounts(ev)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(r == Map(("a", "x") -> 1L, ("x", "y") -> 1L, ("b", "a") -> 1L))
+  }
+
   test("funnel steps shuffle on the user key only (no cartesian)") {
     // range-based input: Catalyst can't constant-fold either step
     // slice to an empty relation and drop the join
