@@ -77,7 +77,19 @@ object ScaleProbe {
                   // domains, so partitions grow evenly — the
                   // MEGA-domain skew case is the documented hazard,
                   // not reproducible from uniform testdata)
-                  "q_url_canonicalize", "q_domain_cap")
+                  "q_url_canonicalize", "q_domain_cap",
+                  // round-10 part 3: the two whole-graph passes (the
+                  // planted edge set is ~2|V| so both scale with the
+                  // corpus; PageRank's per-iteration rank⋈edges join
+                  // and Triangles' wedge join are the 10× parts),
+                  // inference (broadcast matrix constant, scan 10×),
+                  // the profile aggregate (distinct exchanges are the
+                  // wide part), the key+hash diff join, and the three
+                  // event-behavior shapes (per-user aggregates and
+                  // windows — user count is the 10× part)
+                  "q_pagerank", "q_triangles", "q_embed_infer",
+                  "q_profile", "q_table_diff", "q_cohort_retention",
+                  "q_event_funnel", "q_event_transitions")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -132,6 +132,7 @@ object SparkEntry {
     "q_event_funnel"            -> Corpus.eventFunnel _,
     "q_triangles"               -> Corpus.triangleDocs _,
     "q_event_transitions"       -> Corpus.eventTransitions _,
+    "q_compact_scan"            -> Corpus.compactScan _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -2069,5 +2070,14 @@ object SparkEntry {
          SELECT from_type, to_type, count(*) AS n
          FROM p WHERE to_type IS NOT NULL
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the compacted rewrite must be value-preserving: the oracle
+    // answers the same type-sliced aggregate from the RAW table
+    "q_compact_scan" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+                CAST(sum(user_id) AS BIGINT) AS sum_user_id
+         FROM events
+         WHERE event_type IN ('click', 'view', 'purchase')
+         GROUP BY event_type ORDER BY event_type""",
   )
 }

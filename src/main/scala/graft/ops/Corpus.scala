@@ -1473,6 +1473,42 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Compaction as a declared query ([[graft.sources.Layout
+    * .compact]]): land `events` partitioned by `event_type` in two
+    * append batches (the many-small-files state a micro-batch sink
+    * accumulates), COMPACT the directory (restart-safe swap, leaf
+    * layout preserved), then answer a type-sliced aggregate from the
+    * compacted copy. The hash gate proves the maintenance op is
+    * value-preserving — same rows, same aggregates, partition
+    * pruning intact — while LayoutCompactSpec proves the file-count
+    * bound and crash-resume machinery. */
+  private val compactedEventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def compactScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = compactedEventsCache.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-compact").toString + "/events_t"
+      val ev = Tables.events(spark, d)
+      // two "micro-batches", each spread over several tasks per key —
+      // the small-file accumulation compaction exists to fold
+      Seq(0, 1).foreach { half =>
+        ev.filter(pmod(col("event_id"), lit(2)) === half)
+          .repartition(8)
+          .write.mode("append").partitionBy("event_type").parquet(p)
+      }
+      graft.sources.Layout.compact(spark, p)
+      p
+    })
+    spark.read.parquet(path)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("event_id")).as("sum_event_id"),
+           sum(col("user_id")).as("sum_user_id"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-vertex triangle participation over the planted link graph
     * (undirected closure; [[graft.graph.Triangles.vertexTriangles]],
     * the degree-ordered forward algorithm) — the local-density signal
