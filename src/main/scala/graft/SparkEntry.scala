@@ -133,6 +133,8 @@ object SparkEntry {
     "q_triangles"               -> Corpus.triangleDocs _,
     "q_event_transitions"       -> Corpus.eventTransitions _,
     "q_compact_scan"            -> Corpus.compactScan _,
+    "q_pivot_events"            -> Stats.pivotEventCounts _,
+    "q_char_deciles"            -> Stats.charDeciles _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -2079,5 +2081,31 @@ object SparkEntry {
          FROM events
          WHERE event_type IN ('click', 'view', 'purchase')
          GROUP BY event_type ORDER BY event_type""",
+    // pivot = conditional aggregation with a FIXED column set (the
+    // hand spelling of Spark's explicit-values pivot)
+    "q_pivot_events" ->
+      """SELECT user_id,
+                count(CASE WHEN event_type = 'click' THEN 1 END)
+                  AS click,
+                count(CASE WHEN event_type = 'error' THEN 1 END)
+                  AS "error",
+                count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS purchase,
+                count(CASE WHEN event_type = 'signup' THEN 1 END)
+                  AS signup,
+                count(CASE WHEN event_type = 'view' THEN 1 END)
+                  AS "view"
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    // ntile shares SQL-standard semantics (equal buckets, remainder
+    // to the low ones) given the identical (n_chars, doc_id) order
+    "q_char_deciles" ->
+      """WITH d AS (
+           SELECT doc_id, n_chars,
+                  ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+           FROM documents)
+         SELECT decile, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM d GROUP BY 1 ORDER BY 1""",
   )
 }

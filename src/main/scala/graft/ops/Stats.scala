@@ -147,4 +147,44 @@ object Stats {
       .select(col("event_id"), col("user_id"), col("value"))
       .orderBy(col("event_id"))
   }
+
+  /** Pivot (long → wide): per-user event counts, one column per
+    * event type. The pivot values are EXPLICIT — the scale rule: an
+    * unlisted-values `pivot` first runs a distinct scan to discover
+    * the column set and makes the output schema data-dependent, both
+    * wrong at 100 TB (and wrong for a hash-gated contract). Explicit
+    * values keep it ONE two-phase aggregate with a fixed schema —
+    * Spark compiles it to `count(CASE WHEN type = v)` legs, the same
+    * conditional-aggregation the oracle twin spells by hand. */
+  def pivotEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+      .orderBy(col("user_id"))
+  }
+
+  /** Decile bucketing via `ntile(10)` over `(n_chars, doc_id)` —
+    * rank-based equal-count buckets (remainder to the low buckets,
+    * the SQL-standard semantics both engines share), tie-broken by
+    * id so the assignment is deterministic. The global sort window
+    * is the documented cost: at 100 TB use `approxQuantilesByGroup`
+    * cutpoints + a map-side bucket join instead (no global window);
+    * ntile is the exact, gateable spelling. Returns per-decile
+    * `(decile, n_docs, sum_chars, min_chars, max_chars)`. */
+  def charDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+              ntile(10).over(w).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           min(col("n_chars")).as("min_chars"),
+           max(col("n_chars")).as("max_chars"))
+      .orderBy(col("decile"))
+  }
 }

@@ -55,4 +55,36 @@ class StatsSpec extends AnyFunSuite {
       .agg(sum(col("cnt"))).head().getLong(0)
     assert(sub == total)
   }
+
+  test("pivot: per-user wide counts reconcile with the long form") {
+    val p = Stats.pivotEventCounts(spark, TestSpark.sf0001).cache()
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    // row count = distinct users; cell sum = event count; no nulls
+    assert(p.count() == ev.select(col("user_id")).distinct().count())
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = p.agg(sum(types.map(col).reduce(_ + _))).head().getLong(0)
+    assert(wide == ev.count())
+    types.foreach(t => assert(p.filter(col(t).isNull).count() == 0))
+    p.unpersist()
+  }
+
+  test("deciles: equal-count buckets (remainder low), cover all docs") {
+    val d = Stats.charDeciles(spark, TestSpark.sf0001).cache()
+    val n = Tables.documents(spark, TestSpark.sf0001).count()
+    val sizes = d.orderBy(col("decile")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(sizes.map(_._2).sum == n)
+    assert(sizes.map(_._1).toSeq == (1 to 10))
+    // SQL-standard ntile: sizes differ by at most 1, big buckets first
+    val szs = sizes.map(_._2)
+    assert(szs.max - szs.min <= 1)
+    assert(szs.sorted.reverse.toSeq == szs.toSeq)
+    // buckets are range-contiguous: max of decile k <= min of k+1
+    val rng = d.orderBy(col("decile")).collect()
+      .map(r => (r.getLong(3), r.getLong(4)))
+    rng.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2)
+    }
+    d.unpersist()
+  }
 }
