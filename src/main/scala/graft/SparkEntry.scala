@@ -135,6 +135,7 @@ object SparkEntry {
     "q_compact_scan"            -> Corpus.compactScan _,
     "q_pivot_events"            -> Stats.pivotEventCounts _,
     "q_char_deciles"            -> Stats.charDeciles _,
+    "q_bucketed_join"           -> Corpus.bucketedJoin _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -2107,5 +2108,14 @@ object SparkEntry {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 min(n_chars) AS min_chars, max(n_chars) AS max_chars
          FROM d GROUP BY 1 ORDER BY 1""",
+    // the bucketed landing must be value-preserving: the oracle joins
+    // the RAW tables (co-location is a plan property, spec-proven)
+    "q_bucketed_join" ->
+      """SELECT o.o_orderstatus, l.l_returnflag, count(*) AS n,
+                CAST(sum(l.l_linenumber) AS BIGINT) AS sum_linenumber,
+                sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS sum_price_cents
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -1509,6 +1509,37 @@ object Corpus {
       .orderBy(col("event_type"))
   }
 
+  /** Bucketed co-located join as a declared query ([[graft.sources
+    * .Bucketing]]): land orders AND lineitem bucketed by order key
+    * (one write-time shuffle each), then join + roll up from the
+    * bucketed tables. The hash gate proves the bucketed landing is
+    * value-preserving; BucketingSpec proves the exchange-FREE join
+    * plan that is bucketing's reason to exist. */
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (to, tl) = bucketedCache.computeIfAbsent(dir, { d =>
+      val tag = s"${d.length}_${Integer.toHexString(d.hashCode)}"
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bucketed").toString
+      val no = s"graft_orders_b$tag"; val nl = s"graft_lineitem_b$tag"
+      graft.sources.Bucketing.writeBucketed(
+        Tables.orders(spark, d), no, s"$base/orders", "o_orderkey", 8)
+      graft.sources.Bucketing.writeBucketed(
+        Tables.lineitem(spark, d), nl, s"$base/lineitem", "l_orderkey", 8)
+      (no, nl)
+    })
+    spark.table(to)
+      .join(spark.table(tl), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("l_linenumber").cast("long")).as("sum_linenumber"),
+           graft.functions.Exact.sumCents(col("l_extendedprice"))
+             .as("sum_price_cents"))
+      .orderBy(col("o_orderstatus"), col("l_returnflag"))
+  }
+
   /** Per-vertex triangle participation over the planted link graph
     * (undirected closure; [[graft.graph.Triangles.vertexTriangles]],
     * the degree-ordered forward algorithm) — the local-density signal
