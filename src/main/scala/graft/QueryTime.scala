@@ -36,6 +36,15 @@ object QueryTime {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name%-28s median ${times.sorted.apply(1)}%.3f s  (${times.map(t => f"$t%.3f").mkString(", ")})")
+      // SPARK_GRAFT_EXPLAIN=1: dump the POST-EXECUTION adaptive plan
+      // (the one with final stage decisions + ReusedExchange nodes) —
+      // the plan-audit loop the brief asks for per operator
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.write.mode("overwrite").format("noop").save()
+        println(s"=== $name executed plan ===")
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }

@@ -56,34 +56,41 @@ object Triangles {
 
   /** Every triangle exactly once as `(u, v, w)`: `u` the triangle's
     * lowest-(degree, id) vertex (both wedge edges leave it), `v < w`
-    * by plain id. One wedge self-join + one close membership probe
-    * (each undirected edge lives in `o` in exactly ONE direction, so
-    * the two semi-joins can't both match — no dedup needed). */
+    * by plain id. One wedge self-join + ONE close membership
+    * semi-join against the both-directions probe set (each
+    * undirected edge lives in `o` in exactly one direction, so the
+    * union can't double-match — no dedup needed).
+    *
+    * The oriented set is localCheckpoint-MATERIALIZED before the
+    * joins: it is referenced three times (both wedge sides + the
+    * close probe) and Spark replans each reference from the scan —
+    * the plan audit that motivated this showed 90 parquet scans /
+    * 127 shuffle stages for one triangle pass before the cut, 4
+    * scans after. Swap for reliable checkpointing on a cluster. */
   def triangleList(edges: DataFrame, srcCol: String = "src",
                    dstCol: String = "dst"): DataFrame = {
-    val o = orient(undirect(edges, srcCol, dstCol))
+    val o = orient(undirect(edges, srcCol, dstCol)).localCheckpoint()
     val wedges = o.as("e1")
       .join(o.as("e2"),
             col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.u").as("u"), col("e1.v").as("v"),
               col("e2.v").as("w"))
-    val vw = o.select(col("u").as("v"), col("v").as("w"))
-    val wv = o.select(col("v").as("v"), col("u").as("w"))
-    wedges.join(vw, Seq("v", "w"), "left_semi")
-      .unionAll(wedges.join(wv, Seq("v", "w"), "left_semi"))
+    val probe = o.select(col("u").as("v"), col("v").as("w"))
+      .unionAll(o.select(col("v").as("v"), col("u").as("w")))
+    wedges.join(probe, Seq("v", "w"), "left_semi")
   }
 
   /** Per-vertex triangle participation `(id, n_triangles)` — every
     * vertex of every triangle credited once; vertices in no triangle
-    * absent (join against nodes for a dense frame). */
+    * absent (join against nodes for a dense frame). One pass over
+    * the triangle list: the three corners explode from each row
+    * instead of a 3-way self-union that would recompute the wedge
+    * join three times. */
   def vertexTriangles(edges: DataFrame, srcCol: String = "src",
-                      dstCol: String = "dst"): DataFrame = {
-    val t = triangleList(edges, srcCol, dstCol)
-    t.select(col("u").as("id"))
-      .unionAll(t.select(col("v").as("id")))
-      .unionAll(t.select(col("w").as("id")))
+                      dstCol: String = "dst"): DataFrame =
+    triangleList(edges, srcCol, dstCol)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
-  }
 
   /** Global triangle count — one long. */
   def triangleCount(edges: DataFrame, srcCol: String = "src",
