@@ -90,12 +90,15 @@ object ScaleProbe {
                   "q_pagerank", "q_triangles", "q_embed_infer",
                   "q_profile", "q_table_diff", "q_cohort_retention",
                   "q_event_funnel", "q_event_transitions",
-                  // round-10 part-3b: the co-located join (both sides
-                  // land bucketed at 10×, then the join itself is the
-                  // probe), the explicit-values pivot (one two-phase
-                  // aggregate), and the global ntile window (the
-                  // documented single-partition hazard — watch it)
-                  "q_bucketed_join", "q_pivot_events", "q_char_deciles")
+                  // round-10 part-3b: the explicit-values pivot (one
+                  // two-phase aggregate) and the global ntile window
+                  // (the documented single-partition hazard — watch
+                  // it). q_bucketed_join is OMITTED: the generated 10×
+                  // corpus carries only documents/events replicas, not
+                  // orders/lineitem (its scale story is the plan shape
+                  // — exchange-free by construction — not a growth
+                  // curve, BucketingSpec proves it)
+                  "q_pivot_events", "q_char_deciles")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
