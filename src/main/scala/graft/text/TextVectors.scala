@@ -26,11 +26,12 @@ import org.apache.spark.sql.functions._
   *
   * ==Scale notes==
   * [[hashedTf]] is one narrow aggregate after a tokenizing flatMap.
-  * [[topKBySparseCosine]] joins on the BUCKET — an inverted-index
-  * candidate join like the dedup family's, never all-pairs; with
-  * `d` buckets the join fan-out per query row is corpus/d. For
-  * large-k dense workloads route the [[hashedTfVectors]] dense form
-  * through the IVF/PQ index instead. */
+  * [[topKBySparseCosine]] broadcasts the dense query vectors and
+  * runs one codegen'd integer-dot pass over the corpus (see its
+  * scaladoc for why the inverted-index bucket join loses here: TF
+  * vectors are dense in a small bucket space). For corpus-scale
+  * query sides route the [[hashedTfVectors]] dense form through the
+  * IVF/PQ index instead. */
 object TextVectors {
 
   /** Portable bucket of one token: `uint32(md5(token)[0,8)) mod d`. */
@@ -59,39 +60,51 @@ object TextVectors {
                       idCol: String = "doc_id", d: Int = 64): DataFrame =
     hashedTf(docs, textCol, idCol, d)
       .groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("bucket"), col("tf"))))
-             .as("m"))
+      .agg(graft.functions.DenseScatter.scatter(
+             collect_list(struct(col("bucket"), col("tf"))), d).as("lv"))
       .select(col(idCol),
-              transform(sequence(lit(0L), lit(d - 1L)),
-                i => coalesce(try_element_at(col("m"), i), lit(0L))
-                       .cast("float"))
-                .as("embedding"))
+              transform(col("lv"), x => x.cast("float")).as("embedding"))
 
   /** Top-`k` most-similar docs per query doc by hashed-TF cosine,
     * ranked by the integer-exact `dot² · 2²⁰ div (|a|²·|b|²)` score
-    * (ties → neighbor id). `queryPred` selects the query side; the
-    * candidate join is bucket-keyed (inverted index), never
-    * all-pairs. Output: `(query_id, rank, neighbor_id, score_q)`. */
+    * (ties → neighbor id). `queryPred` selects the query side.
+    * Output: `(query_id, rank, neighbor_id, score_q)`.
+    *
+    * Plan shape (measured, round 10): the earlier inverted-index
+    * bucket join emitted one row per (query, candidate, shared
+    * bucket) — with `d` ≪ tokens/doc, vectors are DENSE in the
+    * bucket space, so that join degenerated to all-pairs × buckets
+    * (~40M rows into the pair aggregate at sf0.1) and owned ~2/3 of
+    * the query's wall time. Dense `array<long>` vectors + the
+    * codegen'd [[graft.functions.VectorKernels.dotLong]] kernel do
+    * the same integer math in one broadcast pass: |corpus| × |query|
+    * dot products with no per-bucket row blowup, no pair shuffle, no
+    * aggregate — only the final per-query top-k window shuffles.
+    * Contract: the QUERY side must be broadcast-small (the ANN
+    * search shape); for corpus×corpus workloads route the dense form
+    * through the IVF/PQ index ([[graft.similarity.Pq]]) instead.
+    * `dot > 0` keeps output byte-identical to the bucket join (TF
+    * products are positive, so dot > 0 ⟺ the pair shares a bucket). */
   def topKBySparseCosine(docs: DataFrame, queryPred: Column, k: Int,
                          textCol: String = "text",
                          idCol: String = "doc_id",
                          d: Int = 64): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val tf = hashedTf(docs, textCol, idCol, d)
-      .localCheckpoint(false) // one tokenize pass serves both sides
-    val norms = tf.groupBy(col(idCol))
-      .agg(sum(col("tf") * col("tf")).as("n2"))
-    val q = tf.filter(queryPred)
-      .select(col(idCol).as("qid"), col("bucket"), col("tf").as("qtf"))
-    val c = tf.select(col(idCol).as("nid"), col("bucket"),
-                      col("tf").as("ntf"))
-    val dots = q.join(c, "bucket")
-      .filter(col("qid") =!= col("nid"))
-      .groupBy(col("qid"), col("nid"))
-      .agg(sum(col("qtf") * col("ntf")).as("dot"))
-    val scored = dots
-      .join(norms.select(col(idCol).as("qid"), col("n2").as("qn2")), "qid")
-      .join(norms.select(col(idCol).as("nid"), col("n2").as("nn2")), "nid")
+    val dense = hashedTf(docs, textCol, idCol, d)
+      .groupBy(col(idCol))
+      .agg(graft.functions.DenseScatter.scatter(
+             collect_list(struct(col("bucket"), col("tf"))), d).as("v"))
+      .withColumn("n2", graft.functions.VectorKernels
+        .dotLong(col("v"), col("v")))
+      .localCheckpoint(false) // one tokenize+densify pass serves both sides
+    val q = dense.filter(queryPred)
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val c = dense.select(col(idCol).as("nid"), col("v").as("nv"),
+                         col("n2").as("nn2"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("dot", graft.functions.VectorKernels
+        .dotLong(col("qv"), col("nv")))
+      .filter(col("dot") > 0)
       .withColumn("score_q",
         expr("(dot * dot * 1048576) div (qn2 * nn2)"))
     val w = org.apache.spark.sql.expressions.Window
