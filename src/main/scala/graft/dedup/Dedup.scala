@@ -235,12 +235,15 @@ object Dedup {
 
   /** Inverted shingle index: one row per surviving shingle with its
     * posting list. One shuffle; the df-filter (frequency pruning) is
-    * folded into the same aggregate. */
+    * folded into the same aggregate. Keys are the 8-byte
+    * [[graft.text.Text.wordShingleHashes]] longs — the shingle is
+    * never output, so only a collision-free key is needed, and the
+    * exchange shrinks ~5× vs shuffling k-word strings. */
   private def shingleIndex(docs: DataFrame, textCol: String, idCol: String,
                            k: Int, maxShingleFreq: Long): DataFrame =
     docs
       .select(col(idCol).as("id"),
-              Text.wordShingles(col(textCol), k).as("sh"))
+              Text.wordShingleHashes(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n_sh"),
               explode(col("sh")).as("shingle"))
@@ -248,14 +251,14 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("n_sh"))).as("ds"))
       .filter(size(col("ds")).between(2, maxShingleFreq))
 
-  /** (id, n_sh, shingle) stream of a corpus side: each doc's distinct
-    * k-shingle set size plus one row per shingle — the shared input
-    * shape of the cross-corpus candidate machinery and the persistent
-    * [[DedupIndex]]. */
+  /** (id, n_sh, shingle) stream of a corpus side — `shingle` is the
+    * 8-byte hash KEY ([[graft.text.Text.wordShingleHashes]]), the
+    * shared input shape of the cross-corpus candidate machinery and
+    * the persistent [[DedupIndex]] (which persists these keys). */
   private[dedup] def shingleSides(df: DataFrame, textCol: String,
                                   idCol: String, k: Int): DataFrame = df
     .select(col(idCol).as("id"),
-            Text.wordShingles(col(textCol), k).as("sh"))
+            Text.wordShingleHashes(col(textCol), k).as("sh"))
     .filter(size(col("sh")) > 0)
     .select(col("id"), size(col("sh")).as("n_sh"),
             explode(col("sh")).as("shingle"))
@@ -558,9 +561,9 @@ object Dedup {
                         textCol: String = "text", idCol: String = "doc_id",
                         k: Int = 5): DataFrame = {
     val cs = corpus.select(col(idCol).as("doc_id"),
-      explode(Text.wordShingles(col(textCol), k)).as("shingle"))
+      explode(Text.wordShingleHashes(col(textCol), k)).as("shingle"))
     val bs = bench
-      .select(explode(Text.wordShingles(col(textCol), k)).as("shingle"))
+      .select(explode(Text.wordShingleHashes(col(textCol), k)).as("shingle"))
       .distinct()
     cs.join(bs, Seq("shingle"), "left_semi")
       .groupBy(col("doc_id"))
@@ -600,9 +603,9 @@ object Dedup {
     require(maxFracPct >= 0 && maxFracPct <= 100,
       s"maxFracPct must be a percentage: $maxFracPct")
     val cs = corpus.select(col(idCol).as("doc_id"),
-      explode(Text.wordShingles(col(textCol), k)).as("shingle"))
+      explode(Text.wordShingleHashes(col(textCol), k)).as("shingle"))
     val bs = bench
-      .select(explode(Text.wordShingles(col(textCol), k)).as("shingle"))
+      .select(explode(Text.wordShingleHashes(col(textCol), k)).as("shingle"))
       .distinct().withColumn("__hit", lit(1))
     cs.join(bs, Seq("shingle"), "left")
       .groupBy(col("doc_id"))
@@ -659,16 +662,16 @@ object Dedup {
                             fpp: Double = 0.01): DataFrame = {
     val spark = corpus.sparkSession
     val benchShingles = bench
-      .select(explode(Text.wordShingles(col(textCol), k)).as("shingle"))
+      .select(explode(Text.wordShingleHashes(col(textCol), k)).as("shingle"))
       .distinct()
     val n = math.max(benchShingles.count(), 1L)
     val bloom = benchShingles.stat.bloomFilter("shingle", n, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val anyHit = udf { shingles: Seq[String] =>
-      shingles != null && shingles.exists(bloomBc.value.mightContainString)
+    val anyHit = udf { shingles: Seq[Long] =>
+      shingles != null && shingles.exists(bloomBc.value.mightContainLong)
     }
     val candidates = corpus
-      .filter(anyHit(Text.wordShingles(col(textCol), k)))
+      .filter(anyHit(Text.wordShingleHashes(col(textCol), k)))
     val confirmedBad =
       contaminationHits(candidates, bench, textCol, idCol, k)
         .filter(col("n_hits") >= lit(minHits))
@@ -899,9 +902,13 @@ object Dedup {
     * repetition is deliberately out of scope ([[graft.functions.
     * RepetitionStats]] covers it).
     *
-    * Mechanics: every k-token window is keyed by md5 of its joined
-    * tokens (128 bits, engine-portable — the DuckDB twin replays the
-    * identical keys, so hash behavior can't diverge); a NARROW
+    * Mechanics: every k-token window is keyed by xxhash64 over its
+    * token-slice ARRAY — the key is engine-INTERNAL (grouping only,
+    * never output), so it needs to be collision-free, not portable:
+    * no joined-string build, no crypto digest, and the window
+    * exchange carries an 8-byte long where the earlier md5-hex form
+    * shuffled a 32-char string (the SQL twin keeps md5 — either
+    * engine may pick any injective-whp key). A NARROW
     * groupBy(key) pass finds keys spanning ≥ 2 docs and each key's
     * canonical (min) doc; every non-canonical occurrence marks the
     * interval [start, start+k−1]; a token is dropped iff ANY marked
@@ -912,7 +919,7 @@ object Dedup {
     * as rows with empty text (callers decide about stubs); docs
     * shorter than k tokens have no windows and pass through intact.
     *
-    * Scale shape: the window exchange carries (16-byte key, id,
+    * Scale shape: the window exchange carries (8-byte key, id,
     * start) — never text; the coverage test is an equi-join on the
     * doc id with a range predicate (a doc joins only its OWN marked
     * intervals); the rebuild is line dedup's sorted-collect form.
@@ -931,8 +938,7 @@ object Dedup {
       .select(col("id"), explode(transform(
           sequence(lit(0), col("n") - k),
           i => struct(i.as("s"),
-            md5(array_join(slice(col("t"), i + 1, lit(k)), " ")
-              .cast("binary")).as("key"))))
+            xxhash64(slice(col("t"), i + 1, lit(k))).as("key"))))
         .as("w"))
       .select(col("id"), col("w.s").as("s"), col("w.key").as("key"))
     // "≥ 2 distinct docs" as min≠max — same predicate, but a plain

@@ -45,6 +45,14 @@ object Text {
   def wordShingles(text: Column, k: Int): Column =
     graft.functions.Shingles.shingles(tokenize(text), k)
 
+  /** Distinct k-shingle xxhash64 KEYS (`array<long>`) — for consumers
+    * that only ever join/group on the shingle (the inverted-index
+    * dedup family): same set semantics as [[wordShingles]] up to
+    * 64-bit collisions, no window string ever leaves the kernel, and
+    * downstream exchanges carry longs. */
+  def wordShingleHashes(text: Column, k: Int): Column =
+    graft.functions.Shingles.shingleHashes(tokenize(text), k)
+
   // --- language ID -------------------------------------------------------
 
   /** Tiny built-in stopword profiles — sourced from the native

@@ -119,12 +119,15 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(after == before)
     assert(after.map(_._1) == Set(10L, 11L)) // "a b" hot -> 10 kept
     // append-made-hot shingle physically left the postings and joined
-    // the stored hot set
+    // the stored hot set (keys are the wordShingleHashes longs —
+    // xxhash64 of the window string, same as Spark's xxhash64)
+    val abKey = Seq("a b").toDF("s")
+      .select(xxhash64(col("s"))).as[Long].head()
     val hot = spark.read.parquet(s"$dst/hot")
-      .as[String].collect().toSet
-    assert(hot.contains("a b"))
+      .as[Long].collect().toSet
+    assert(hot.contains(abKey))
     assert(spark.read.parquet(s"$dst/postings")
-      .filter(col("shingle") === "a b").count() == 0)
+      .filter(col("shingle") === abKey).count() == 0)
     assert(spark.read.parquet(s"$dst/postings")
       .select(col("batch")).distinct().as[String].collect().toSeq
       == Seq("b0"))
