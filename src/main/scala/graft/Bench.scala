@@ -37,10 +37,19 @@ object Bench {
       .map(_.filter(_.isFile).map(_.length).sum).getOrElse(Long.MaxValue)
     val shufflePartitions = math.max(8L,
       math.min(cpus.toLong, inputBytes / (64L << 20))).toString
+    // AQE sized to the data, like the shuffle-partition formula: each
+    // adaptive stage is a scheduling round-trip + re-optimization, and
+    // below ~1 GiB of input there is nothing for it to decide — static
+    // plans already broadcast the small sides and 8 partitions need no
+    // coalescing (ConfigProbe r10: AQE off beat on for BOTH the floor
+    // sample, 0.185 vs 0.215 s/query, AND the heavy composites, 14.6
+    // vs 15.7 s). Past the threshold — where skew splitting and
+    // runtime join re-planning earn their keep — it stays on.
+    val adaptive = (inputBytes > (1L << 30)).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", adaptive)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -19,7 +19,9 @@ object QueryTime {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.enabled", "true")
+      // mirrors Bench's size-conditional AQE (see Bench.scala)
+      .config("spark.sql.adaptive.enabled",
+              (inputBytes > (1L << 30)).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

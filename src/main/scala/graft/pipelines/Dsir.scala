@@ -71,11 +71,45 @@ object Dsir {
     * (Tr, Tt, V) ride a one-row crossJoin — never the driver. */
   def fitLogWeights(raw: DataFrame, target: DataFrame,
                     textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame =
+    fitFromCounts(
+      features(raw, textCol, idCol)
+        .groupBy(col("f")).agg(count(lit(1)).as("cr")),
+      features(target, textCol, idCol)
+        .groupBy(col("f")).agg(count(lit(1)).as("ct")))
+
+  /** Exact-feature DSIR scores: (idCol, dsir_score: long) for every
+    * raw doc — higher means more target-like. One shuffle to count
+    * each distribution, one feature-keyed join (AQE broadcasts the
+    * weight table while vocab is small), one doc-keyed sum.
+    *
+    * Two plan economies over the textbook spelling (round 10): the
+    * raw feature stream is OWNED ONCE (a lazy localCheckpoint feeds
+    * both the raw count table and the scoring join — without it the
+    * corpus tokenizes and explodes twice), and features ride as
+    * xxhash64 longs from the explode on — the feature string is
+    * internal (w depends only on counts), so every exchange and join
+    * carries 8 bytes instead of the n-gram text. "Exact" still means
+    * exact-STRING distributions up to 64-bit collisions (the oracle
+    * hash gate would surface one). */
+  def scoreExact(raw: DataFrame, target: DataFrame,
+                 textCol: String = "text", idCol: String = "doc_id")
       : DataFrame = {
-    val cr = features(raw, textCol, idCol)
-      .groupBy(col("f")).agg(count(lit(1)).as("cr"))
-    val ct = features(target, textCol, idCol)
-      .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val fr = features(raw, textCol, idCol)
+      .select(col("id"), xxhash64(col("f")).as("f"))
+      .localCheckpoint(false)
+    val ft = features(target, textCol, idCol)
+      .select(col("id"), xxhash64(col("f")).as("f"))
+    val cr = fr.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+    val ct = ft.groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    fr.join(fitFromCounts(cr, ct), Seq("f"))
+      .groupBy(col("id").as(idCol))
+      .agg(sum(col("w")).as("dsir_score"))
+  }
+
+  /** The fit math shared by [[fitLogWeights]] and [[scoreExact]]:
+    * (f, w) from the two count tables, any key type. */
+  private def fitFromCounts(cr: DataFrame, ct: DataFrame): DataFrame = {
     val tot = cr.agg(sum(col("cr")).as("tr"),
                      count(lit(1)).as("v"))
       .crossJoin(ct.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
@@ -88,20 +122,6 @@ object Dsir {
          log(col("tr") + col("v")))
           .multiply(lit(Scale.toDouble)).as("wd"))
       .select(col("f"), round(col("wd")).cast("long").as("w"))
-  }
-
-  /** Exact-feature DSIR scores: (idCol, dsir_score: long) for every
-    * raw doc — higher means more target-like. One shuffle to count
-    * each distribution, one feature-keyed join (AQE broadcasts the
-    * weight table while vocab is small), one doc-keyed sum. */
-  def scoreExact(raw: DataFrame, target: DataFrame,
-                 textCol: String = "text", idCol: String = "doc_id")
-      : DataFrame = {
-    val w = fitLogWeights(raw, target, textCol, idCol)
-    features(raw, textCol, idCol)
-      .join(w, Seq("f"))
-      .groupBy(col("id").as(idCol))
-      .agg(sum(col("w")).as("dsir_score"))
   }
 
   /** Hashed-bucket DSIR — the scale path: features collapse to

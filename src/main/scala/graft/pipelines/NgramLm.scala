@@ -60,11 +60,15 @@ object NgramLm {
   def score(raw: DataFrame, target: DataFrame,
             textCol: String = "text", idCol: String = "doc_id")
       : DataFrame = {
+    // n-gram keys ride as xxhash64 longs from the stream on: they are
+    // join keys only (the conditional depends on counts, not text), so
+    // every exchange carries 8 bytes instead of bigram strings; V stays
+    // |distinct unigram| up to 64-bit collisions (oracle-gate-guarded)
     val tBg = bigramStream(target, textCol, idCol)
-      .groupBy(col("ab")).agg(count(lit(1)).as("cab"))
+      .groupBy(xxhash64(col("ab")).as("ab")).agg(count(lit(1)).as("cab"))
     val tUg = target
       .select(explode(split(col(textCol), " ")).as("a"))
-      .groupBy(col("a")).agg(count(lit(1)).as("ca"))
+      .groupBy(xxhash64(col("a")).as("a")).agg(count(lit(1)).as("ca"))
     // V = |target unigram vocab| + 1 (OOV slot) — a one-row crossJoin,
     // never the driver
     val v = tUg.agg((count(lit(1)) + 1L).as("v"))
@@ -75,6 +79,8 @@ object NgramLm {
     // corpus-bound distinct-type table (that extra shuffle grows with
     // the RAW corpus; these joins grow only with the target)
     bigramStream(raw, textCol, idCol)
+      .select(col("id"), xxhash64(col("a")).as("a"),
+              xxhash64(col("ab")).as("ab"))
       .join(tBg, Seq("ab"), "left")
       .join(tUg, Seq("a"), "left")
       .crossJoin(v)
