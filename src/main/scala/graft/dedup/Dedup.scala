@@ -427,14 +427,21 @@ object Dedup {
   def markNearDuplicates(docs: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id", k: Int = 5,
                          minJaccard: Double = 0.5): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, textCol, idCol, k, minJaccard)
+    // two consumers (the pair machinery and the final label join) —
+    // own the input's evaluation ONCE, lazily (the concatChunks
+    // contract): without this the caller's entire upstream lineage
+    // (curate: scan → kernels → filters → exact dedup) re-executes
+    // per consumer — measured as the bulk of q_curation's wall time
+    // at sf0.1 (round 10)
+    val d = docs.localCheckpoint(false)
+    val pairs = ngramJaccardPairs(d, textCol, idCol, k, minJaccard)
       .select(col("id_a"), col("id_b"))
     val comp = connectedComponents(pairs)
       .withColumnRenamed("id", "__cc_id")
-    docs
-      .join(comp, docs(idCol) === comp("__cc_id"), "left")
-      .withColumn("component", coalesce(col("component"), docs(idCol)))
-      .withColumn("kept", docs(idCol) === col("component"))
+    d
+      .join(comp, d(idCol) === comp("__cc_id"), "left")
+      .withColumn("component", coalesce(col("component"), d(idCol)))
+      .withColumn("kept", d(idCol) === col("component"))
       .drop("__cc_id")
   }
 
@@ -541,7 +548,11 @@ object Dedup {
   def duplicationWeights(docs: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id", k: Int = 5,
                          minJaccard: Double = 0.5): DataFrame = {
+    // marked feeds both the size aggregate and the final join — one
+    // evaluation (its own lineage ends at markNearDuplicates's
+    // checkpoint, but the label join itself would still run twice)
     val marked = markNearDuplicates(docs, textCol, idCol, k, minJaccard)
+      .localCheckpoint(false)
     val sizes = marked.groupBy(col("component"))
       .agg(count(lit(1)).as("n_copies"))
     marked.join(sizes, Seq("component"))
