@@ -479,15 +479,17 @@ object Dedup {
                              minJaccard: Double = 0.5,
                              maxShingleFreq: Long = 1000L): DataFrame = {
     def sides(df: DataFrame) = shingleSides(df, textCol, idCol, k)
-    val es = sides(existing)
+    // two consumers of the existing side's shingle stream (the hot
+    // count and the posting build) — own the tokenize+shingle pass
+    // once; a real deployment materializes the pruned index instead
+    // (see scaladoc), this is the one-shot spelling's equivalent
+    val es = sides(existing).localCheckpoint(false)
     // hot-shingle prefilter BEFORE collecting posting lists: filtering
     // on size(collect_list(…)) only after the list exists would grow
     // one aggregation buffer to the shingle's full document frequency —
     // on the EXISTING side that frequency is web-scale for boilerplate
     // shingles. A count aggregate has map-side partials (skew-safe);
-    // the surviving hot set is tiny and rides an anti-join. The
-    // existing side is scanned twice — a real deployment materializes
-    // this pruned index once and appends to it (see scaladoc).
+    // the surviving hot set is tiny and rides an anti-join.
     val hot = es.groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxShingleFreq)
@@ -946,12 +948,9 @@ object Dedup {
       .select(col(idCol).as("id"), toks.as("t"), size(toks).as("n"))
       .localCheckpoint(false)
     val wins = base.filter(col("n") >= k)
-      .select(col("id"), explode(transform(
-          sequence(lit(0), col("n") - k),
-          i => struct(i.as("s"),
-            xxhash64(slice(col("t"), i + 1, lit(k))).as("key"))))
-        .as("w"))
-      .select(col("id"), col("w.s").as("s"), col("w.key").as("key"))
+      .select(col("id"),
+              posexplode(graft.functions.Shingles
+                .windowHashes(col("t"), k)).as(Seq("s", "key")))
     // "≥ 2 distinct docs" as min≠max — same predicate, but a plain
     // two-value aggregate instead of countDistinct's Expand + two-phase
     // plan (intra-doc repeats of a key still count as ONE doc)

@@ -61,6 +61,37 @@ case class ShingleHashes(child: Expression, k: Int)
       : ShingleHashes = copy(child = newChild)
 }
 
+/** ALL k-token window xxhash64 keys of a token array, in window
+  * order (`array<long>`, index = window start) — the span-dedup
+  * window build ([[graft.dedup.Dedup.dropRepeatedSpans]]):
+  * `posexplode` over this kernel replaces an interpreted HOF that
+  * sliced the token array once per window. Unlike [[ShingleHashes]]
+  * this keeps duplicates and positions (span semantics need every
+  * occurrence). Fewer than k non-null tokens → empty array. */
+case class WindowHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"window size must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"window_hashes requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles.windowHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Shingles.windowHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WindowHashes = copy(child = newChild)
+}
+
 case class Shingles(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
@@ -93,6 +124,39 @@ object Shingles {
   /** Column API: distinct window xxhash64 keys of an `array<string>`. */
   def shingleHashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), k))
+
+  /** Column API: ALL window xxhash64 keys, in order (index = start). */
+  def windowHashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(WindowHashes(ColumnBridge.expression(tokens), k))
+
+  /** Shared interpreted/codegen kernel for [[WindowHashes]]. */
+  def windowHashes(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { toks(m) = arr.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    if (m < k)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Long])
+    val space = UTF8String.fromString(" ")
+    val out = new Array[Long](m - k + 1)
+    i = 0
+    val window = new Array[UTF8String](k)
+    while (i <= m - k) {
+      var j = 0
+      while (j < k) { window(j) = toks(i + j); j += 1 }
+      val s = UTF8String.concatWs(space, window: _*)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 
   /** Shared interpreted/codegen hash kernel: distinct XXH64(seed 42)
     * of each space-joined k-window, first-occurrence order. */
