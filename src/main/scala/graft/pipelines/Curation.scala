@@ -225,18 +225,27 @@ object Curation {
       case Some(_) => qualOk && col("ml_quality") >= lit(cfg.minMlQuality)
       case None    => qualOk
     }
+    // ONE kernel pass over the corpus: the head aggregate and the
+    // near-dedup chain both consume the flag columns from a lazily
+    // owned frame — without it the tokenize/langID/quality kernels
+    // run once per consumer (the markNearDuplicates lesson, round 10)
+    val flagged = base
+      .withColumn("__lang_ok", langOk)
+      .withColumn("__qual_ok", qualOk)
+      .withColumn("__ml_ok", mlOk)
+      .localCheckpoint(false)
     val headCols =
       Seq(count(lit(1)).as("input"),
-          count(when(langOk, 1)).as("lang"),
-          count(when(qualOk, 1)).as("quality")) ++
-      (if (model.isDefined) Seq(count(when(mlOk, 1)).as("ml_gate"))
+          count(when(col("__lang_ok"), 1)).as("lang"),
+          count(when(col("__qual_ok"), 1)).as("quality")) ++
+      (if (model.isDefined) Seq(count(when(col("__ml_ok"), 1)).as("ml_gate"))
        else Nil) ++
-      Seq(countDistinct(when(mlOk, sha2(col("text"), 256)))
+      Seq(countDistinct(when(col("__ml_ok"), sha2(col("text"), 256)))
             .as("exact_dedup"))
-    val head = base.agg(headCols.head, headCols.tail: _*)
+    val head = flagged.agg(headCols.head, headCols.tail: _*)
     val near = Dedup
       .markNearDuplicates(
-        Dedup.dropExactDuplicates(base.filter(mlOk)
+        Dedup.dropExactDuplicates(flagged.filter(col("__ml_ok"))
           .select(input.columns.map(col): _*)),
         minJaccard = cfg.nearDupJaccard)
       .filter(col("kept"))
