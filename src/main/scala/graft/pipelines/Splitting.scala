@@ -135,8 +135,14 @@ object Splitting {
   private def selectByThreshold(df: DataFrame, scoreCol: String,
                                 thrExpr: Column, frac: Double): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1]: $frac")
-    val thr = df.agg(thrExpr.as("__thr"))
-    df.crossJoin(thr).filter(col(scoreCol) >= col("__thr")).drop("__thr")
+    // the scores frame feeds both the threshold aggregate and the
+    // filter — own its evaluation once (callers hand in whole scoring
+    // pipelines, e.g. q_select_top_quality's bigram-LM pass; without
+    // this that pipeline runs twice). Scores are narrow rows, so the
+    // checkpoint is bounded by |docs|, not text bytes.
+    val d = df.localCheckpoint(false)
+    val thr = d.agg(thrExpr.as("__thr"))
+    d.crossJoin(thr).filter(col(scoreCol) >= col("__thr")).drop("__thr")
   }
 
   /** Temperature-flattened mixture: keep-rate per stratum ∝ n^(α−1),

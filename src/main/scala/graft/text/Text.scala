@@ -111,26 +111,34 @@ object Text {
   def qualityFeatures(text: Column): Column =
     qualityFeaturesFromTokens(tokenize(text), text)
 
-  /** [[qualityFeatures]] over an already-materialized token column. */
+  /** [[qualityFeatures]] over an already-materialized token column.
+    * Counters come from the one-pass [[graft.functions.QualityStats]]
+    * kernel (the composed form paid four interpreted walks per row —
+    * see its scaladoc); the ratio arithmetic here is byte-identical
+    * to the original HOF/regex spelling and to the SQL-oracle twins. */
   def qualityFeaturesFromTokens(toks: Column, text: Column): Column = {
-    val nTok = size(toks)
-    val punct = regexp_count(text, lit("[\\p{Punct}]"))
     val allStops = Stopwords.flatMap(_._2).distinct
+    val s = graft.functions.QualityStats.stats(toks, text, allStops)
+    val nTok = s.getField("n_tokens")
+    val nCh = s.getField("n_chars")
     struct(
-      length(text).as("n_chars"),
+      nCh.as("n_chars"),
       nTok.as("n_tokens"),
       when(nTok === 0, lit(0.0))
-        .otherwise(aggregate(toks, lit(0), (acc, t) => acc + length(t))
-                     .cast("double") / nTok.cast("double"))
+        .otherwise(s.getField("sum_tok_len").cast("double") /
+                   nTok.cast("double"))
         .as("avg_token_len"),
-      when(length(text) === 0, lit(0.0))
-        .otherwise(punct.cast("double") / length(text).cast("double"))
+      when(nCh === 0, lit(0.0))
+        .otherwise(s.getField("punct").cast("double") / nCh.cast("double"))
         .as("punct_ratio"),
       when(nTok === 0, lit(0.0))
-        .otherwise(size(array_distinct(toks)).cast("double") /
+        .otherwise(s.getField("distinct_toks").cast("double") /
                    nTok.cast("double"))
         .as("distinct_ratio"),
-      stopwordRatio(toks, allStops).as("stopword_ratio"))
+      when(nTok === 0, lit(0.0))
+        .otherwise(s.getField("stop_hits").cast("double") /
+                   nTok.cast("double"))
+        .as("stopword_ratio"))
   }
 
   /** Scalar quality score in [0,1]: penalizes extreme length, high
