@@ -75,7 +75,8 @@ object PageRank {
                      iters: Int = 5, scale: Long = 1000000L,
                      dampNum: Long = 85L, dampDen: Long = 100L,
                      srcCol: String = "src", dstCol: String = "dst",
-                     idCol: String = "id"): DataFrame = {
+                     idCol: String = "id",
+                     driverEdgeLimit: Long = 500000L): DataFrame = {
     require(iters >= 0, s"bad iters $iters")
     require(scale > 0 && dampNum >= 0 && dampDen > dampNum,
       s"bad damping $dampNum/$dampDen @ scale $scale")
@@ -94,6 +95,37 @@ object PageRank {
     val n0 = nodes.select(col(idCol).cast("long").as("id"))
     var ranks = n0.withColumn("rank", lit(scale))
     try {
+    // ADAPTIVE SIZE SWITCH (the Dedup.connectedComponents pattern):
+    // after candidate filtering a link graph is routinely far smaller
+    // than the corpus, and below `driverEdgeLimit` directed edges
+    // (500k ≈ 12 MB of longs — broadcast ballpark) the iterative
+    // path's cost is pure scheduling: each of `iters` rounds is 2
+    // joins + an aggregate + a lineage cut. The recurrence is
+    // integer-exact floor arithmetic, so the driver loop reproduces
+    // the distributed path BIT-FOR-BIT (same `div`, same Σ over
+    // longs — order-free). The gating count is the persist
+    // materialization the iterative path needs anyway; above the
+    // limit nothing is ever collected.
+    if (e.count() <= driverEdgeLimit) {
+      import spark.implicits._
+      val es = e.select(col("src"), col("dst"), col("outdeg"))
+        .as[(Long, Long, Long)].collect()
+      val ns = n0.as[Long].collect()
+      val rank = new java.util.HashMap[Long, java.lang.Long](ns.length * 2)
+      ns.foreach(id => rank.put(id, scale))
+      for (_ <- 0 until iters) {
+        val mass = new java.util.HashMap[Long, Long](ns.length * 2)
+        es.foreach { case (s, d, od) =>
+          val r = rank.get(s) // src outside the node universe → no mass
+          if (r != null)
+            mass.merge(d, (dampNum * r) / (dampDen * od), _ + _)
+        }
+        ns.foreach(id => rank.put(id, base + mass.getOrDefault(id, 0L)))
+      }
+      return spark
+        .createDataset(ns.toSeq.map(id => (id, rank.get(id).longValue())))
+        .toDF("id", "rank")
+    }
       for (_ <- 0 until iters) {
         val contribs = e
           .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
