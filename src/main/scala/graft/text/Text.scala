@@ -18,9 +18,7 @@ object Text {
   /** Normalized word tokens: lowercase, non-letter/digit → space, split,
     * drop empties. */
   def tokenize(text: Column): Column =
-    filter(
-      split(lower(regexp_replace(text, "[^\\p{L}\\p{Nd}]+", " ")), " "),
-      t => t =!= "")
+    graft.functions.Tokenize.tokenize(text)
 
   /** Whitespace token count — the cheap length proxy. */
   def tokenCount(text: Column): Column = size(tokenize(text))
