@@ -75,6 +75,14 @@ class PageRankSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("distributed path (driverEdgeLimit=0) is bit-equal to the " +
+       "driver fast path") {
+    val dist = PageRank.pageRankScaled(edges, nodes, iters = 3,
+        driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == ranksMap(3))
+  }
+
   test("isolated node (in nodes, no edges) holds base after an iter") {
     val n5 = Seq(0L, 1L, 2L, 3L, 9L).toDF("id")
     val r = PageRank.pageRankScaled(edges, n5, iters = 2)
