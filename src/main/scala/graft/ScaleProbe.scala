@@ -98,7 +98,23 @@ object ScaleProbe {
                   // orders/lineitem (its scale story is the plan shape
                   // — exchange-free by construction — not a growth
                   // curve, BucketingSpec proves it)
-                  "q_pivot_events", "q_char_deciles")
+                  "q_pivot_events", "q_char_deciles",
+                  // round-10 part 4 (the perf-rework session): the
+                  // dense-kernel ANN query — BOTH sides of its
+                  // broadcast pass grow with the corpus (queries are
+                  // every-50th-doc), so it is declared
+                  // quadratic-with-N like q_self_join_pairs; the
+                  // production spelling for corpus-scale query sides
+                  // is the IVF/PQ index. DSIR (feature join; vocab
+                  // sublinear), quality selection (LM pass + one
+                  // percentile threshold), the curate→pack and gated
+                  // compositions, and the index-served incremental
+                  // dedup (index build amortized via the per-dir
+                  // memo; the probe measures the recurring per-batch
+                  // query)
+                  "q_hashed_embed_topk", "q_dsir_weights",
+                  "q_select_top_quality", "q_training_data",
+                  "q_curation_gated", "q_incremental_dedup_index")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
