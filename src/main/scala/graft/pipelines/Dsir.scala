@@ -95,17 +95,26 @@ object Dsir {
   def scoreExact(raw: DataFrame, target: DataFrame,
                  textCol: String = "text", idCol: String = "doc_id")
       : DataFrame = {
-    val fr = features(raw, textCol, idCol)
-      .select(col("id"), xxhash64(col("f")).as("f"))
+    val fr = featuresHashed(raw, textCol, idCol)
       .localCheckpoint(false)
-    val ft = features(target, textCol, idCol)
-      .select(col("id"), xxhash64(col("f")).as("f"))
+    val ft = featuresHashed(target, textCol, idCol)
     val cr = fr.groupBy(col("f")).agg(count(lit(1)).as("cr"))
     val ct = ft.groupBy(col("f")).agg(count(lit(1)).as("ct"))
     fr.join(fitFromCounts(cr, ct), Seq("f"))
       .groupBy(col("id").as(idCol))
       .agg(sum(col("w")).as("dsir_score"))
   }
+
+  /** [[features]] with the key ALREADY hashed inside the
+    * [[graft.functions.NgramHashes]] kernel — no per-feature string
+    * build, no HOF; key-equal to `xxhash64` over [[features]]'s
+    * strings (unigrams can never collide with space-carrying bigram
+    * strings, and 64-bit collisions are oracle-gate-guarded). */
+  private def featuresHashed(docs: DataFrame, textCol: String,
+                             idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(graft.functions.NgramHashes
+        .featureHashes(split(col(textCol), " "))).as("f"))
 
   /** The fit math shared by [[fitLogWeights]] and [[scoreExact]]:
     * (f, w) from the two count tables, any key type. */

@@ -63,9 +63,16 @@ object NgramLm {
     // n-gram keys ride as xxhash64 longs from the stream on: they are
     // join keys only (the conditional depends on counts, not text), so
     // every exchange carries 8 bytes instead of bigram strings; V stays
-    // |distinct unigram| up to 64-bit collisions (oracle-gate-guarded)
-    val tBg = bigramStream(target, textCol, idCol)
-      .groupBy(xxhash64(col("ab")).as("ab")).agg(count(lit(1)).as("cab"))
+    // |distinct unigram| up to 64-bit collisions (oracle-gate-guarded).
+    // The keys come straight out of the NgramHashes kernel — no "a b"
+    // concat string is ever built (the zip_with lambda was interpreted)
+    def pairs(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"),
+        explode(graft.functions.NgramHashes
+          .bigramKeyPairs(split(col(textCol), " "))).as("p"))
+      .select(col("id"), col("p.a").as("a"), col("p.ab").as("ab"))
+    val tBg = pairs(target)
+      .groupBy(col("ab")).agg(count(lit(1)).as("cab"))
     val tUg = target
       .select(explode(split(col(textCol), " ")).as("a"))
       .groupBy(xxhash64(col("a")).as("a")).agg(count(lit(1)).as("ca"))
@@ -78,9 +85,7 @@ object NgramLm {
     // and order-free — while the plan never materializes a
     // corpus-bound distinct-type table (that extra shuffle grows with
     // the RAW corpus; these joins grow only with the target)
-    bigramStream(raw, textCol, idCol)
-      .select(col("id"), xxhash64(col("a")).as("a"),
-              xxhash64(col("ab")).as("ab"))
+    pairs(raw)
       .join(tBg, Seq("ab"), "left")
       .join(tUg, Seq("a"), "left")
       .crossJoin(v)
