@@ -136,6 +136,8 @@ object SparkEntry {
     "q_pivot_events"            -> Stats.pivotEventCounts _,
     "q_char_deciles"            -> Stats.charDeciles _,
     "q_bucketed_join"           -> Corpus.bucketedJoin _,
+    // round 10 part 4:
+    "q_split_leakproof"         -> Corpus.splitLeakproof _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -765,6 +767,61 @@ object SparkEntry {
                 coalesce(c.component, pl.doc_id) = pl.doc_id AS kept
          FROM planted pl LEFT JOIN comp c ON pl.doc_id = c.id
          ORDER BY pl.doc_id""",
+    // leakage-safe split: the q_dedup_near transitive-closure CTEs +
+    // the integer md5-u32 threshold cut over the COMPONENT id
+    // (thresholds are floor(0.8·2³²)=3435973836 and
+    // floor(0.9·2³²)=3865470566, the same doubles-then-floor the
+    // Spark side computes)
+    "q_split_leakproof" ->
+      s"""WITH RECURSIVE
+         planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, 'zz1 zz2 zz3 ' || text
+           FROM documents WHERE doc_id % 10 = 0),
+         words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM planted),
+         sh AS (SELECT doc_id,
+                  array_to_string(list_slice(ws, i, i + 4), ' ') AS shingle
+                FROM words,
+                LATERAL (SELECT unnest(generate_series(1,
+                           greatest(len(ws) - 4, 1))) AS i)),
+         d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+         rare AS (SELECT shingle FROM d GROUP BY shingle
+                  HAVING count(*) <= 1000),
+         p AS (SELECT doc_id, shingle FROM d
+               WHERE shingle IN (SELECT shingle FROM rare)),
+         common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           count(*) AS n_common
+                    FROM p a JOIN p b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         pr AS (SELECT id_a, id_b FROM common
+                JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+                WHERE CAST(n_common AS DOUBLE)
+                      / (sa.n + sb.n - n_common) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                   UNION SELECT id_b, id_a FROM pr),
+         reach AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+           WHERE e.b <> r.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         labeled AS (
+           SELECT pl.doc_id,
+                  coalesce(c.component, pl.doc_id) AS component
+           FROM planted pl LEFT JOIN comp c ON pl.doc_id = c.id)
+         SELECT doc_id, component,
+                CASE WHEN ${hornerU32(
+                       "md5(CAST(component AS VARCHAR))")} < 3435973836
+                     THEN 0
+                     WHEN ${hornerU32(
+                       "md5(CAST(component AS VARCHAR))")} < 3865470566
+                     THEN 1 ELSE 2 END AS split
+         FROM labeled ORDER BY doc_id""",
     "q_ngram_jaccard" ->
       """WITH planted AS (
            SELECT doc_id, text FROM documents

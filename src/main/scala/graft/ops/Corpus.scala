@@ -78,6 +78,25 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe splitting as a declared query: the [[dedupNear]]
+    * planted corpus → near-dup clusters → whole-cluster 80/10/10
+    * assignment ([[graft.pipelines.Splitting.splitByComponent]]), so
+    * a doc and its near-duplicate can never straddle a train/eval
+    * boundary. Hash-gated end to end: the oracle replays the
+    * transitive-closure CTE and the integer md5-u32 threshold cut. */
+  def splitLeakproof(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val mutated = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              concat(lit("zz1 zz2 zz3 "), col("text")).as("text"))
+    graft.pipelines.Splitting.splitByComponent(
+        Dedup.markNearDuplicates(d.union(mutated), k = 5,
+                                 minJaccard = 0.5),
+        Seq(0.8, 0.1, 0.1))
+      .select(col("doc_id"), col("component"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-substring span dedup (DD15) over a corpus with a PLANTED
     * shared passage: every 10th doc re-appears under id+100000 with a
     * fixed 25-token preamble prepended, so the preamble (≥ k=20

@@ -160,4 +160,37 @@ class SplittingSpec extends AnyFunSuite {
            out.exceptAll(re).count() == 0)
     out.unpersist()
   }
+
+  test("splitByComponent never separates a near-dup cluster and is " +
+       "partitioning-invariant") {
+    import spark.implicits._
+    // 300 singleton clusters + 3 multi-doc clusters (ids share a
+    // component label) — enough singletons that every split index
+    // appears with 80/10/10 thresholds
+    val rows =
+      (1L to 300L).map(i => (i, i)) ++
+        Seq((1001L, 7L), (1002L, 7L), (1003L, 7L),
+            (1004L, 13L), (1005L, 13L), (1006L, 42L))
+    val marked = rows.toDF("doc_id", "component")
+    val out = Splitting.splitByComponent(marked, Seq(0.8, 0.1, 0.1))
+      .cache()
+    // whole-cluster assignment: one distinct split per component
+    val perComp = out.groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") =!= 1)
+    assert(perComp.count() == 0)
+    // every split occupied, roughly 8:1:1 over the 303 clusters
+    val counts = out.select(col("component"), col("split")).distinct()
+      .groupBy(col("split")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0, 1, 2), s"splits seen: $counts")
+    assert(counts(0) > counts(1) && counts(0) > counts(2),
+      s"train should dominate: $counts")
+    // partitioning-invariant (the md5 cut is a pure row function)
+    val re = Splitting.splitByComponent(
+      marked.repartition(13, col("doc_id")), Seq(0.8, 0.1, 0.1))
+    assert(re.exceptAll(out).count() == 0 &&
+           out.exceptAll(re).count() == 0)
+    out.unpersist()
+  }
 }
