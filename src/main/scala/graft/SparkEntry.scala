@@ -138,6 +138,7 @@ object SparkEntry {
     "q_bucketed_join"           -> Corpus.bucketedJoin _,
     // round 10 part 4:
     "q_split_leakproof"         -> Corpus.splitLeakproof _,
+    "q_split_leakage"           -> Corpus.splitLeakage _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -822,6 +823,51 @@ object SparkEntry {
                        "md5(CAST(component AS VARCHAR))")} < 3865470566
                      THEN 1 ELSE 2 END AS split
          FROM labeled ORDER BY doc_id""",
+    // split-leakage audit: the q_ngram_jaccard pair CTEs + the NAIVE
+    // doc-level md5-u32 cut on BOTH endpoints, grouped into the
+    // (split_a, split_b) matrix
+    "q_split_leakage" ->
+      s"""WITH planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, 'zz1 zz2 zz3 ' || text
+           FROM documents WHERE doc_id % 10 = 0),
+         words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM planted),
+         sh AS (SELECT doc_id,
+                  array_to_string(list_slice(ws, i, i + 4), ' ') AS shingle
+                FROM words,
+                LATERAL (SELECT unnest(generate_series(1,
+                           greatest(len(ws) - 4, 1))) AS i)),
+         d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+         rare AS (SELECT shingle FROM d GROUP BY shingle
+                  HAVING count(*) <= 1000),
+         p AS (SELECT doc_id, shingle FROM d
+               WHERE shingle IN (SELECT shingle FROM rare)),
+         common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           count(*) AS n_common
+                    FROM p a JOIN p b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+         pr AS (SELECT id_a, id_b FROM common
+                JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+                WHERE CAST(n_common AS DOUBLE)
+                      / (sa.n + sb.n - n_common) >= 0.5),
+         assign AS (
+           SELECT doc_id,
+                  CASE WHEN ${hornerU32(
+                         "md5(CAST(doc_id AS VARCHAR))")} < 3435973836
+                       THEN 0
+                       WHEN ${hornerU32(
+                         "md5(CAST(doc_id AS VARCHAR))")} < 3865470566
+                       THEN 1 ELSE 2 END AS split
+           FROM planted)
+         SELECT a.split AS split_a, b.split AS split_b,
+                count(*) AS n_pairs, a.split <> b.split AS leaks
+         FROM pr JOIN assign a ON pr.id_a = a.doc_id
+                 JOIN assign b ON pr.id_b = b.doc_id
+         GROUP BY 1, 2 ORDER BY split_a, split_b""",
     "q_ngram_jaccard" ->
       """WITH planted AS (
            SELECT doc_id, text FROM documents

@@ -97,6 +97,28 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Split-leakage AUDIT as a declared query: the [[ngramJaccard]]
+    * planted pairs against a NAIVE doc-level 80/10/10 split (each doc
+    * its own "cluster" — `splitByComponent(componentCol = doc_id)`),
+    * reporting the (split_a, split_b) pair matrix with off-diagonal
+    * cells flagged — the contamination [[splitLeakproof]] removes,
+    * measured. Every planted clone pair is a potential leak, so the
+    * off-diagonal mass is structurally nonzero here (spec-pinned;
+    * the component split zeroes it on the same pairs). */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val mutated = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              concat(lit("zz1 zz2 zz3 "), col("text")).as("text"))
+    val corpus = d.union(mutated)
+    val pairs = Dedup.ngramJaccardPairs(corpus, k = 5, minJaccard = 0.5)
+    val naive = graft.pipelines.Splitting.splitByComponent(
+      corpus.select(col("doc_id")), Seq(0.8, 0.1, 0.1),
+      componentCol = "doc_id")
+    graft.pipelines.Splitting.splitLeakage(pairs, naive)
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** Exact-substring span dedup (DD15) over a corpus with a PLANTED
     * shared passage: every 10th doc re-appears under id+100000 with a
     * fixed 25-token preamble prepended, so the preamble (≥ k=20

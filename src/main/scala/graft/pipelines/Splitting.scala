@@ -133,6 +133,34 @@ object Splitting {
     * expectation over CLUSTERS (the randomSplit contract; exact-k
     * selection is [[stratifiedExactK]]'s job), and cluster-mass skew
     * is bounded by the dedup cap itself. */
+  /** Split-leakage AUDIT: the near-dup-pair × split-assignment
+    * matrix — how many near-dup pairs land inside each (split_a,
+    * split_b) cell, `leaks` flagging the off-diagonal ones (a pair
+    * straddling a train/eval boundary is evaluation contamination).
+    * Run it over a NAIVE doc-level assignment to measure the hazard
+    * [[splitByComponent]] removes — note that passing `componentCol
+    * = idCol` to splitByComponent IS the naive doc-level split, so
+    * the two spellings share one code path and the audit is the
+    * proof either way (SplittingSpec pins component-split leakage ≡
+    * 0 on the same pairs where the naive split leaks). Plan: two
+    * broadcast-sized joins of the pair list against the assignment,
+    * one tiny aggregate — the pair list, not the corpus, is the big
+    * side at scale. */
+  def splitLeakage(pairs: DataFrame, assignment: DataFrame,
+                   idCol: String = "doc_id",
+                   splitCol: String = "split"): DataFrame = {
+    val a = assignment
+      .select(col(idCol).as("id_a"), col(splitCol).as("split_a"))
+    val b = assignment
+      .select(col(idCol).as("id_b"), col(splitCol).as("split_b"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(a, Seq("id_a"))
+      .join(b, Seq("id_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaks", col("split_a") =!= col("split_b"))
+  }
+
   def splitByComponent(marked: DataFrame, weights: Seq[Double],
                        componentCol: String = "component"): DataFrame = {
     require(weights.nonEmpty && weights.forall(_ > 0),

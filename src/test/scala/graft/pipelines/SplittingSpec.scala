@@ -193,4 +193,28 @@ class SplittingSpec extends AnyFunSuite {
            out.exceptAll(re).count() == 0)
     out.unpersist()
   }
+
+  test("splitLeakage: zero off-diagonal under the component split, " +
+       "nonzero under the naive doc split on the same pairs") {
+    import spark.implicits._
+    // 60 near-dup pairs (i, i+10000), each its own component
+    val pairs = (1L to 60L).map(i => (i, i + 10000L))
+      .toDF("id_a", "id_b")
+    val docs = ((1L to 60L) ++ (10001L to 10060L)).toDF("doc_id")
+    val marked = docs.withColumn("component",
+      when(col("doc_id") > 10000L, col("doc_id") - 10000L)
+        .otherwise(col("doc_id")))
+    val safe = Splitting.splitLeakage(pairs,
+      Splitting.splitByComponent(marked, Seq(0.8, 0.1, 0.1)))
+    assert(safe.filter(col("leaks")).count() == 0)
+    val naive = Splitting.splitLeakage(pairs,
+      Splitting.splitByComponent(docs, Seq(0.8, 0.1, 0.1),
+        componentCol = "doc_id"))
+    val leaked = naive.filter(col("leaks"))
+      .agg(sum(col("n_pairs"))).as[Long].head()
+    assert(leaked > 0, "naive doc-level split should leak on 60 pairs")
+    // conservation: both matrices count every pair exactly once
+    assert(safe.agg(sum(col("n_pairs"))).as[Long].head() == 60L)
+    assert(naive.agg(sum(col("n_pairs"))).as[Long].head() == 60L)
+  }
 }
