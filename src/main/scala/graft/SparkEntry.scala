@@ -113,6 +113,7 @@ object SparkEntry {
     "q_mix_budget"              -> Corpus.mixBudget _,
     "q_mix_epochs"              -> Corpus.mixEpochs _,
     "q_shard_manifest"          -> Corpus.shardManifestDocs _,
+    "q_epoch_shuffle"           -> Corpus.epochShuffle _,
     "q_sniff_route"             -> Corpus.sniffRoute _,
     // round 10:
     "q_ingest_decode"           -> Corpus.ingestDecode _,
@@ -2111,6 +2112,24 @@ object SparkEntry {
          ORDER BY doc_id, dim""",
     // uint32(md5[0,8)) mod 12 via a Horner hex parse — the portable
     // twin of Sharding.shardId's conv(substr(md5,1,8),16,10)
+    // the per-epoch re-shuffle audit: the same md5("ep:<e>:<id>") key
+    // and row_number in both engines — lowercase fixed-width hex
+    // compares identically as a string, and doc_id breaks (impossible
+    // on unique ids) ties the same way on both sides
+    "q_epoch_shuffle" ->
+      """WITH p0 AS (
+           SELECT doc_id, row_number() OVER (
+             ORDER BY md5('ep:0:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS pos_e0
+           FROM documents),
+         p1 AS (
+           SELECT doc_id, row_number() OVER (
+             ORDER BY md5('ep:1:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS pos_e1
+           FROM documents)
+         SELECT p0.doc_id, pos_e0, pos_e1
+         FROM p0 JOIN p1 USING (doc_id)
+         ORDER BY doc_id""",
     "q_shard_manifest" ->
       """WITH h AS (
            SELECT doc_id, n_chars,

@@ -523,6 +523,28 @@ object Corpus {
         idCol = "doc_id", tokensCol = "n_chars", nShards = 12)
       .orderBy(col("shard"))
 
+  /** Per-epoch deterministic re-shuffle audit (SP9): every doc's
+    * global position under the epoch-0 and epoch-1
+    * [[graft.pipelines.Sharding.epochKey]] permutations, side by
+    * side — integer-exact, and the twin replays the same
+    * md5("ep:<e>:<id>") row_number in SQL, so the hash gate proves
+    * the epoch seed yields the SAME order on any engine and a
+    * DIFFERENT order per epoch. The global row_number here is the
+    * AUDIT spelling (single-reducer window over an 8-byte/row
+    * projection); production epoch re-shuffling is
+    * `writeShards(..., orderWithinShards = true, epoch = e)` —
+    * shard-local sorts only, no global exchange (ShardingSpec pins
+    * that path's per-epoch order directly from the written files). */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir).select(col("doc_id"))
+    def pos(e: Long) = row_number().over(
+      Window.orderBy(graft.pipelines.Sharding.epochKey(col("doc_id"), e),
+                     col("doc_id")))
+    d.select(col("doc_id"), pos(0).as("pos_e0"), pos(1).as("pos_e1"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash+LSH near-dup pairs over the planted corpus — the banded
     * (seeded) scale path of the dedup family; no SQL oracle (the
     * candidate set depends on the LSH seed) → rows-only driver check;

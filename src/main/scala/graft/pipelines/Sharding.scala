@@ -42,6 +42,20 @@ object Sharding {
   def assignShards(df: DataFrame, idCol: String, nShards: Int): DataFrame =
     df.withColumn("shard", shardId(col(idCol), nShards))
 
+  /** Per-epoch seeded order key: `md5("ep:<epoch>:<id>")` — a FRESH
+    * deterministic permutation for every epoch number, so a trainer
+    * re-shuffles its corpus between passes (the global-shuffle knob of
+    * every data loader) without any engine-private randomness: the
+    * epoch number IS the seed, and two engines replaying the same
+    * epoch derive byte-identical order. Ordering by the hex string
+    * (lowercase, fixed 32 chars) is ordering by the hash value;
+    * ties are impossible on unique ids and broken by the id anyway
+    * wherever this key is used. Map-side arithmetic — the cost is
+    * wherever the ORDER lands (a shard-local sort in
+    * [[writeShards]]; a global sort only in the audit query). */
+  def epochKey(idCol: Column, epoch: Long): Column =
+    md5(concat(lit(s"ep:$epoch:"), idCol.cast("string")).cast("binary"))
+
   /** The manifest: per-shard row count and token mass — one narrow
     * aggregate, `nShards` output rows. Every shard id appears, even
     * empty ones (a trainer sizing its ranks needs the zero row): the
@@ -80,12 +94,24 @@ object Sharding {
     * ORDER to the seedless md5(id) permutation — a deterministic,
     * source-interleaved training order any engine can reproduce —
     * via `sortWithinPartitions`: a map-side sort on the already-
-    * shuffled shard partitions, no extra exchange. */
+    * shuffled shard partitions, no extra exchange.
+    *
+    * `epoch >= 0` (with `orderWithinShards`) swaps the seedless key
+    * for [[epochKey]]: each epoch writes the SAME shard membership
+    * (assignment ignores the epoch — rank k always owns its slice)
+    * in a fresh per-epoch order. That is the production spelling of
+    * epoch re-shuffling at 100 TB: shard-LOCAL sorts, never a global
+    * one — the cross-shard mixing is already done by the hash
+    * assignment, so per-shard reorder is all an epoch needs. */
   def writeShards(df: DataFrame, idCol: String, tokensCol: String,
                   nShards: Int, path: String,
-                  orderWithinShards: Boolean = false): DataFrame = {
+                  orderWithinShards: Boolean = false,
+                  epoch: Long = -1L): DataFrame = {
     val assigned = assignShards(df, idCol, nShards)
       .repartition(nShards, col("shard"))
+    val orderKey =
+      if (epoch >= 0L) epochKey(col(idCol), epoch)
+      else md5(col(idCol).cast("string").cast("binary"))
     // `shard` leads the sort: the partitioned write REQUIRES rows
     // grouped by the partition column and would otherwise insert its
     // own (tie-unstable) sort on `shard`, scrambling the permutation —
@@ -93,8 +119,7 @@ object Sharding {
     // satisfied, so this one map-side sort is the only one
     val placed =
       if (orderWithinShards)
-        assigned.sortWithinPartitions(col("shard"),
-          md5(col(idCol).cast("string").cast("binary")), col(idCol))
+        assigned.sortWithinPartitions(col("shard"), orderKey, col(idCol))
       else assigned
     placed.write.mode("overwrite").partitionBy("shard").parquet(path)
     // the manifest derives from the WRITTEN directories, not a second

@@ -104,6 +104,46 @@ class ShardingSpec extends AnyFunSuite {
     assert(one.count() == expected)
   }
 
+  test("epochKey: fresh permutation per epoch, partitioning-invariant") {
+    val base = spark.range(2000).select(col("id").as("doc_id"))
+    def order(ep: Long, parts: Int): Seq[Long] =
+      base.repartition(parts)
+        .orderBy(Sharding.epochKey(col("doc_id"), ep), col("doc_id"))
+        .collect().map(_.getLong(0)).toSeq
+    val e0 = order(0, 1)
+    val e1 = order(1, 1)
+    // both are permutations of the same ids
+    assert(e0.sorted == (0L until 2000L) && e1.sorted == (0L until 2000L))
+    // the epoch number genuinely re-shuffles: almost no position agrees
+    val agree = e0.zip(e1).count { case (a, b) => a == b }
+    assert(agree < 20, s"epochs 0/1 agree on $agree of 2000 positions")
+    // same epoch, different partitioning -> identical order
+    assert(order(0, 13) == e0)
+  }
+
+  test("writeShards epoch: same shard membership, fresh per-epoch order") {
+    val df = spark.range(600).select(col("id").as("doc_id"),
+                                     lit(1L).as("tokens"))
+    def shardRows(epoch: Long): Map[Int, Seq[Long]] = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-shards-ep")
+      Sharding.writeShards(df, "doc_id", "tokens", 4, tmp.toString,
+        orderWithinShards = true, epoch = epoch)
+      (0 until 4).map { s =>
+        s -> spark.read.parquet(s"$tmp/shard=$s")
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      }.toMap
+    }
+    val ep0  = shardRows(0)
+    val ep0b = shardRows(0)
+    val ep1  = shardRows(1)
+    (0 until 4).foreach { s =>
+      // membership is epoch-independent; order is epoch-seeded
+      assert(ep0(s).sorted == ep1(s).sorted, s"shard $s membership moved")
+      assert(ep0(s) == ep0b(s), s"shard $s epoch-0 order not deterministic")
+      assert(ep0(s) != ep1(s), s"shard $s order did not re-shuffle")
+    }
+  }
+
   test("orderWithinShards: each shard file is in md5-permutation order") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-shards-ord")
     val df = spark.range(500).select(col("id").as("doc_id"),
