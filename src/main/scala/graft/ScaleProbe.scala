@@ -114,7 +114,17 @@ object ScaleProbe {
                   // query)
                   "q_hashed_embed_topk", "q_dsir_weights",
                   "q_select_top_quality", "q_training_data",
-                  "q_curation_gated", "q_incremental_dedup_index")
+                  "q_curation_gated", "q_incremental_dedup_index",
+                  // round-10 part 5: leak-safe split + audit (the
+                  // near-dup pair machinery is the 10× part — the
+                  // split cut itself is map-side; the audit joins the
+                  // pair SLIVER to the assignment twice) and the
+                  // epoch re-shuffle audit (its global row_number is
+                  // the declared single-partition audit spelling over
+                  // a doc_id-only projection — watch it; production
+                  // is the shard-local writeShards path)
+                  "q_split_leakproof", "q_split_leakage",
+                  "q_epoch_shuffle")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
