@@ -233,6 +233,10 @@ object Bench {
     // basename, pipelines on their own EARLIER line, and the contract
     // line printed LAST — after spark.stop(), so no shutdown logs can
     // land after it. fmtTotal keeps 3 decimals for the headline only.
+    // SCHEMA NOTE for consumers: past ~95 queries the line falls back
+    // to heavy-queries-only detail plus an {"others":{n,total}}
+    // rollup (see contractHeavy below); the complete per-query table
+    // is the committed BENCH_PIN.json.
     def fmtTotal(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def fmtN(decimals: Int)(v: Double): String =
@@ -282,9 +286,33 @@ object Bench {
     // the driver's tail window is ~2000 chars incl. sbt's trailer; a
     // line past ~1900 chars silently yields parsed:null driver-side —
     // degrade per-query precision to 0.1 s before letting that happen
-    // (totals/ratio keep full precision either way)
+    // (totals/ratio keep full precision either way). Past ~95 queries
+    // even 1-decimal keys overflow the window (key NAMES are the
+    // mass: ~15 chars × n), so the last resort keeps full 2-decimal
+    // detail for the HEAVY queries (≥0.45 s, plus every failure) and
+    // folds the sub-floor rest into {"others":{"n":…,"total":…}} —
+    // the complete per-query table is committed in BENCH_PIN.json
+    // (best-of-runs, refreshed every round), so nothing is lost, and
+    // the line the driver parses can never silently truncate again.
+    def contractHeavy(threshold: Double): String = {
+      val (heavy, light) = results.partition {
+        case (_, v) => v < 0 || math.abs(v) >= threshold }
+      val othersField =
+        s""","others":{"n":${light.size},"total":${
+          fmtTotal(light.map(_._2).sum)}}"""
+      s"""{"metric":"total","value":${fmtTotal(total)},"unit":"sec","queries":${
+        obj(heavy, fmt)}$othersField$failedField$pairFields,"sf":"$sfShort"}"""
+    }
     val line2 = contract(fmt)
-    val line = if (line2.length <= 1880) line2 else contract(fmtN(1))
+    val line1 = if (line2.length <= 1880) line2 else contract(fmtN(1))
+    // escalate the heavy threshold until the line fits — a contended
+    // window inflates every median, so a fixed cut could readmit all
+    // 99 keys and overflow exactly when it matters most
+    val line =
+      if (line1.length <= 1880) line1
+      else Seq(0.45, 1.0, 2.0, 5.0).map(contractHeavy)
+        .find(_.length <= 1880)
+        .getOrElse(contractHeavy(Double.MaxValue))
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING contract line ${line.length} chars (>1900): driver tail window may truncate it")
     println(line)
