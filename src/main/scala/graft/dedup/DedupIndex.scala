@@ -57,9 +57,7 @@ object DedupIndex {
             textCol: String = "text", idCol: String = "doc_id",
             k: Int = 5, maxShingleFreq: Long = 1000L): Unit = {
     val spark = existing.sparkSession
-    import spark.implicits._
-    Seq((k, maxShingleFreq)).toDF("k", "max_shingle_freq")
-      .write.mode("overwrite").parquet(s"$path/meta")
+    writeMeta(spark, path, k, maxShingleFreq)
     existing.select(sha2(col(textCol), 256).as("hash")).distinct()
       .write.mode("overwrite").parquet(s"$path/hashes/batch=b0")
     val es = Dedup.shingleSides(existing, textCol, idCol, k)
@@ -173,9 +171,7 @@ object DedupIndex {
     require(dst != path, "compact to a fresh directory, then swap")
     val spark = SparkSession.active
     val (k, maxShingleFreq) = readMeta(spark, path)
-    import spark.implicits._
-    Seq((k, maxShingleFreq)).toDF("k", "max_shingle_freq")
-      .write.mode("overwrite").parquet(s"$dst/meta")
+    writeMeta(spark, dst, k, maxShingleFreq)
     spark.read.parquet(s"$path/hashes").select(col("hash")).distinct()
       .write.mode("overwrite").parquet(s"$dst/hashes/batch=b0")
     val postings = spark.read.parquet(s"$path/postings")
@@ -231,9 +227,7 @@ object DedupIndex {
     require(dst != path, "gc to a fresh directory, then swap")
     val spark = removed.sparkSession
     val (k, maxShingleFreq) = readMeta(spark, path)
-    import spark.implicits._
-    Seq((k, maxShingleFreq)).toDF("k", "max_shingle_freq")
-      .write.mode("overwrite").parquet(s"$dst/meta")
+    writeMeta(spark, dst, k, maxShingleFreq)
     val removedHashes = removed
       .select(sha2(col(textCol), 256).as("hash")).distinct()
     spark.read.parquet(s"$path/hashes").select(col("hash")).distinct()
@@ -257,8 +251,37 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$dst/postings/batch=b0")
   }
 
+  /** Key-format stamp. The round-10 move from string shingles to
+    * 8-byte xxhash64 keys changed the PERSISTED posting key type: a
+    * pre-move index joined against new long keys type-coerces
+    * (string → bigint → null) and silently matches NOTHING — hot-set
+    * anti-joins stop excluding and candidate joins stop finding.
+    * Every writer stamps the format into `meta/`; every reader fails
+    * FAST on a mismatch (or on a pre-stamp index) instead of
+    * returning quietly wrong survivors. Bump when the key type or
+    * shingle hash changes again. */
+  private[dedup] val KeyFormat = "xxhash64-long-v1"
+
+  private def writeMeta(spark: SparkSession, dir: String, k: Int,
+                        maxShingleFreq: Long): Unit = {
+    import spark.implicits._
+    Seq((k, maxShingleFreq, KeyFormat))
+      .toDF("k", "max_shingle_freq", "key_format")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
   private def readMeta(spark: SparkSession, path: String): (Int, Long) = {
-    val m = spark.read.parquet(s"$path/meta").head()
+    val meta = spark.read.parquet(s"$path/meta")
+    val stored =
+      if (meta.schema.fieldNames.contains("key_format"))
+        meta.head().getAs[String]("key_format")
+      else "<unstamped pre-xxhash64 index (string shingle keys)>"
+    if (stored != KeyFormat)
+      throw new IllegalStateException(
+        s"DedupIndex at $path has key format '$stored' but this build " +
+        s"expects '$KeyFormat' — joins across formats silently match " +
+        "nothing; rebuild the index with DedupIndex.build")
+    val m = meta.head()
     (m.getAs[Int]("k"), m.getAs[Long]("max_shingle_freq"))
   }
 }

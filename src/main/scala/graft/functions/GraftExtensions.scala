@@ -80,7 +80,55 @@ object GraftExtensions {
        require(args.length == 2,
          "repetition_stats(lines, tokens) takes two arguments")
        RepetitionStats(args(0), args(1))
+     }),
+    ("tokenize",
+     new ExpressionInfo(classOf[Tokenize].getName, "tokenize"),
+     (args: Seq[Expression]) => {
+       require(args.length == 1, "tokenize(text) takes one argument")
+       Tokenize(args.head)
+     }),
+    ("shingle_hashes",
+     new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+     (args: Seq[Expression]) => {
+       require(args.length == 2,
+         "shingle_hashes(tokens, k) takes two arguments")
+       ShingleHashes(args.head, intLiteral("shingle_hashes k", args(1)))
+     }),
+    ("window_hashes",
+     new ExpressionInfo(classOf[WindowHashes].getName, "window_hashes"),
+     (args: Seq[Expression]) => {
+       require(args.length == 2,
+         "window_hashes(tokens, k) takes two arguments")
+       WindowHashes(args.head, intLiteral("window_hashes k", args(1)))
+     }),
+    ("dense_scatter",
+     new ExpressionInfo(classOf[DenseScatter].getName, "dense_scatter"),
+     (args: Seq[Expression]) => {
+       require(args.length == 2,
+         "dense_scatter(entries, d) takes two arguments")
+       DenseScatter(args.head, intLiteral("dense_scatter d", args(1)))
+     }),
+    ("registrable_domain",
+     new ExpressionInfo(classOf[graft.text.RegistrableDomain].getName,
+       "registrable_domain"),
+     (args: Seq[Expression]) => {
+       require(args.length == 1,
+         "registrable_domain(host) takes one argument")
+       graft.text.RegistrableDomain(args.head)
+     }),
+    ("dot_product_long",
+     new ExpressionInfo(classOf[DotProductLong].getName, "dot_product_long"),
+     (args: Seq[Expression]) => {
+       require(args.length == 2,
+         "dot_product_long(a, b) takes two arguments")
+       DotProductLong(args(0), args(1))
      }))
+
+  private def intLiteral(what: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   /** Same registrations on an already-built session (extensions only
     * apply at session construction). The optimizer rule rides on the

@@ -69,13 +69,26 @@ object Tokenize {
       if (Character.isLetter(cp) || Character.isDigit(cp)) {
         if (start < 0) start = i
       } else if (start >= 0) {
-        out.add(UTF8String.fromString(s.substring(start, i).toLowerCase))
+        out.add(UTF8String.fromString(lower(s.substring(start, i))))
         start = -1
       }
       i += w
     }
     if (start >= 0)
-      out.add(UTF8String.fromString(s.substring(start, n).toLowerCase))
+      out.add(UTF8String.fromString(lower(s.substring(start, n))))
     new GenericArrayData(out.toArray)
+  }
+
+  /** Mirror of `UTF8String.toLowerCase`'s two paths: all-ASCII tokens
+    * take a locale-independent mapping (Locale.ROOT — a tr/az default
+    * JVM locale must NOT turn ASCII 'I' into 'ı' here when Spark's
+    * `lower()` and the DuckDB oracle twins would not), non-ASCII
+    * tokens take the same default-locale call `Lower`'s slow path
+    * makes. */
+  private def lower(t: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < t.length) { ascii = t.charAt(i) < 0x80; i += 1 }
+    if (ascii) t.toLowerCase(java.util.Locale.ROOT) else t.toLowerCase
   }
 }

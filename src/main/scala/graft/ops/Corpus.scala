@@ -1581,16 +1581,44 @@ object Corpus {
   private val bucketedCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** Table names carry a per-JVM nonce: the derby metastore +
+    * spark-warehouse live in the WORKING DIRECTORY and outlive the
+    * JVM, so a dir-derived name could resolve to a previous run's
+    * catalog entry (pointing at that run's /tmp files) — the one
+    * cross-session channel that could corrupt this query's values
+    * without changing its row count (round-10 driver flake
+    * `q_bucketed_join`, rows_match=true hash_match=false). A nonce'd
+    * name can only ever resolve to THIS JVM's write. */
+  private val bucketedNonce =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val (to, tl) = bucketedCache.computeIfAbsent(dir, { d =>
-      val tag = s"${d.length}_${Integer.toHexString(d.hashCode)}"
+      // drop stale graft_*_b* entries left by earlier JVMs sharing
+      // this metastore — their /tmp data dirs may be gone or stale
+      spark.catalog.listTables().collect()
+        .map(_.name)
+        .filter(n => (n.startsWith("graft_orders_b") ||
+                      n.startsWith("graft_lineitem_b")) &&
+                     !n.contains(bucketedNonce))
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+      val tag = s"${bucketedNonce}_${Integer.toHexString(d.hashCode)}"
       val base = java.nio.file.Files
         .createTempDirectory("graft-bucketed").toString
       val no = s"graft_orders_b$tag"; val nl = s"graft_lineitem_b$tag"
+      val srcOrders = Tables.orders(spark, d)
+      val srcLineitem = Tables.lineitem(spark, d)
       graft.sources.Bucketing.writeBucketed(
-        Tables.orders(spark, d), no, s"$base/orders", "o_orderkey", 8)
+        srcOrders, no, s"$base/orders", "o_orderkey", 8)
       graft.sources.Bucketing.writeBucketed(
-        Tables.lineitem(spark, d), nl, s"$base/lineitem", "l_orderkey", 8)
+        srcLineitem, nl, s"$base/lineitem", "l_orderkey", 8)
+      // self-verification: the landed tables must carry exactly the
+      // source rows — a stale/partial/foreign read fails LOUDLY here
+      // instead of surfacing as a silent value drift downstream
+      val (wo, so) = (spark.table(no).count(), srcOrders.count())
+      val (wl, sl) = (spark.table(nl).count(), srcLineitem.count())
+      require(wo == so && wl == sl,
+        s"bucketed landing lost rows: orders $wo/$so lineitem $wl/$sl")
       (no, nl)
     })
     spark.table(to)

@@ -113,26 +113,6 @@ object Splitting {
     selectByThreshold(df, scoreCol,
       percentile(col(scoreCol), lit(1.0 - frac)), frac)
 
-  /** Near-dup-LEAKAGE-SAFE splitting: assign whole near-dup CLUSTERS
-    * to splits, so a document and its near-duplicate can never land
-    * on opposite sides of a train/eval boundary — doc-level random
-    * splitting leaks train text into eval whenever near-dups exist,
-    * the test-set-inflation failure mode Lee et al. 2022
-    * ("Deduplicating Training Data Makes Language Models Better")
-    * measure. Input is [[graft.dedup.Dedup.markNearDuplicates]]
-    * output (or any frame with a cluster column); output appends
-    * `split` ∈ [0, weights.size).
-    *
-    * Assignment hashes the COMPONENT id through the library's
-    * seedless md5-u32 permutation (the [[Sharding.shardId]] /
-    * [[stratifiedExactK]] arithmetic) and cuts at the integer
-    * thresholds `floor(cumFracᵢ · 2³²)` — pure map-side (no extra
-    * shuffle: the component column is already on the row),
-    * deterministic, partitioning-invariant, and integer-exact, so a
-    * SQL twin replays it bit-for-bit. Proportions hold in
-    * expectation over CLUSTERS (the randomSplit contract; exact-k
-    * selection is [[stratifiedExactK]]'s job), and cluster-mass skew
-    * is bounded by the dedup cap itself. */
   /** Split-leakage AUDIT: the near-dup-pair × split-assignment
     * matrix — how many near-dup pairs land inside each (split_a,
     * split_b) cell, `leaks` flagging the off-diagonal ones (a pair
@@ -161,6 +141,26 @@ object Splitting {
       .withColumn("leaks", col("split_a") =!= col("split_b"))
   }
 
+  /** Near-dup-LEAKAGE-SAFE splitting: assign whole near-dup CLUSTERS
+    * to splits, so a document and its near-duplicate can never land
+    * on opposite sides of a train/eval boundary — doc-level random
+    * splitting leaks train text into eval whenever near-dups exist,
+    * the test-set-inflation failure mode Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * measure. Input is [[graft.dedup.Dedup.markNearDuplicates]]
+    * output (or any frame with a cluster column); output appends
+    * `split` ∈ [0, weights.size).
+    *
+    * Assignment hashes the COMPONENT id through the library's
+    * seedless md5-u32 permutation (the [[Sharding.shardId]] /
+    * [[stratifiedExactK]] arithmetic) and cuts at the integer
+    * thresholds `floor(cumFracᵢ · 2³²)` — pure map-side (no extra
+    * shuffle: the component column is already on the row),
+    * deterministic, partitioning-invariant, and integer-exact, so a
+    * SQL twin replays it bit-for-bit. Proportions hold in
+    * expectation over CLUSTERS (the randomSplit contract; exact-k
+    * selection is [[stratifiedExactK]]'s job), and cluster-mass skew
+    * is bounded by the dedup cap itself. */
   def splitByComponent(marked: DataFrame, weights: Seq[Double],
                        componentCol: String = "component"): DataFrame = {
     require(weights.nonEmpty && weights.forall(_ > 0),

@@ -26,15 +26,14 @@ import org.apache.spark.sql.functions._
   *    HOST/PATH/QUERY).
   *
   * ==Registrable domain==
-  * [[registrableDomain]] approximates eTLD+1 WITHOUT the public
-  * suffix list (an external dataset this library does not embed):
-  * last two host labels, or last THREE when the second-to-last label
-  * is a generic second-level name (`co`/`com`/`net`/`org`/`ac`/
-  * `gov`/`edu`) under a 2-letter ccTLD — the rule that gets
-  * `site.co.uk` and `site.com.au` right. Documented approximation:
-  * exotic multi-label suffixes (e.g. `*.kawasaki.jp`) group one
-  * level too coarse; a deployment with the PSL swaps this one
-  * Column function. */
+  * [[registrableDomain]] is eTLD+1 against the vendored trimmed
+  * Public Suffix List ([[PublicSuffix]] — wildcard and exception
+  * rules included, so `pref.hokkaido.jp`-class prefecture suffixes
+  * and `*.ck`-class registries group correctly).
+  * [[registrableDomainApprox]] keeps the earlier pure-arithmetic
+  * approximation (last two labels, three under a generic-SLD ccTLD)
+  * for callers that need a zero-resource closed form — e.g. an
+  * engine-portable SQL twin. */
 object UrlOps {
 
   /** `try_parse_url`: null on malformed input (ANSI `parse_url`
@@ -81,8 +80,17 @@ object UrlOps {
         when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 
-  /** Approximate eTLD+1 of a (canonical) host — see object scaladoc. */
-  def registrableDomain(host: Column): Column = {
+  /** eTLD+1 of a (canonical) host against the trimmed PSL — see
+    * [[PublicSuffix]]. */
+  def registrableDomain(host: Column): Column =
+    PublicSuffix.registrableDomain(host)
+
+  /** Approximate eTLD+1 WITHOUT the suffix list — last two labels,
+    * three when the second-to-last is a generic second-level name
+    * under a 2-letter ccTLD. Kept for zero-resource/closed-form
+    * callers; agrees with [[registrableDomain]] everywhere outside
+    * the PSL's exotic multi-label and wildcard suffixes. */
+  def registrableDomainApprox(host: Column): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
     val genericUnderCc =

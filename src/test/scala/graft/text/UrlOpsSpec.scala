@@ -63,6 +63,41 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(domain("localhost") == "localhost")
   }
 
+  test("registrable domain: PSL multi-label, wildcard, exception, private rules") {
+    // prefecture suffixes: hokkaido.jp is a public suffix, so the
+    // prefecture government's own host groups at pref.hokkaido.jp —
+    // the case the two-label arithmetic gets one level coarse
+    assert(domain("www.pref.hokkaido.jp") == "pref.hokkaido.jp")
+    assert(domain("city.sapporo.hokkaido.jp") == "sapporo.hokkaido.jp")
+    assert(domain("x.co.jp") == "x.co.jp")
+    // designated-city wildcard: every label under kawasaki.jp is a
+    // suffix EXCEPT the city government itself (!city.kawasaki.jp)
+    assert(domain("a.b.kawasaki.jp") == "a.b.kawasaki.jp")
+    assert(domain("ward.city.kawasaki.jp") == "city.kawasaki.jp")
+    // *.ck with !www.ck
+    assert(domain("shop.biz.ck") == "shop.biz.ck")
+    assert(domain("sub.www.ck") == "www.ck")
+    // private-section hosting platforms: subdomains are independent
+    // registrants and must not collapse into the platform apex
+    assert(domain("alice.github.io") == "alice.github.io")
+    assert(domain("deep.alice.github.io") == "alice.github.io")
+    assert(domain("bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com")
+    assert(domain("key.bucket.s3.amazonaws.com") ==
+           "key.bucket.s3.amazonaws.com")
+    // approx form agrees on the common shapes it was built for
+    val approx = Seq("a.b.example.com", "blog.site.co.uk", "shop.com.au")
+      .toDF("h")
+      .select(UrlOps.registrableDomainApprox(col("h")).as("a"),
+              UrlOps.registrableDomain(col("h")).as("p"))
+      .collect()
+    approx.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // SQL registration via GraftExtensions
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.sql(
+        "SELECT registrable_domain('www.pref.hokkaido.jp')")
+      .head().getString(0) == "pref.hokkaido.jp")
+  }
+
   test("capPerDomain keeps best-k per domain deterministically") {
     val docs = Seq(
       (1L, "a.com", 100L), (2L, "a.com", 300L), (3L, "a.com", 200L),
