@@ -119,6 +119,7 @@ object SparkEntry {
     "q_ingest_decode"           -> Corpus.ingestDecode _,
     "q_mp3_parse"               -> Corpus.mp3Parse _,
     "q_h264_parse"              -> Corpus.h264Parse _,
+    "q_mp4_parse"               -> Corpus.mp4Parse _,
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,
@@ -1803,6 +1804,35 @@ object SparkEntry {
     // REAL H.264 NAL walking + exp-Golomb SPS decode vs closed-form
     // geometry: width/height from pic_{width,height}_in_mbs with the
     // 4:2:0 crop-unit arithmetic on every 5th id (see Corpus.h264Parse)
+    // REAL MP4/ISO-BMFF box walking vs closed-form container facts:
+    // geometry (SPS-decoded through avcC, crop included), timescale/
+    // duration (sampleDelta multiples of 30 against 1000*(1+id%3)
+    // timescales keep the ms division exact), and the sample-table
+    // census — sample i is 20 + i%7 bytes, so mdat bytes have the
+    // closed form 20n + 21*(n//7) + r(r-1)/2, r = n%7; chunks of 4
+    "q_mp4_parse" ->
+      """WITH p AS (
+           SELECT range AS id, 8 + (range % 13) AS n,
+                  120 + 30 * (range % 5) AS delta,
+                  1000 * (1 + range % 3) AS ts,
+                  CASE WHEN range % 5 = 0 THEN 2 ELSE 0 END AS crop
+           FROM range(64))
+         SELECT id AS asset_id, 'isom' AS brand, 'vide' AS handler,
+                CAST(ts AS BIGINT) AS timescale,
+                CAST((n * delta * 1000) // ts AS BIGINT) AS duration_ms,
+                CAST(16 * (2 + id % 6) - crop AS INT) AS width,
+                CAST(16 * (2 + id % 4) - crop AS INT) AS height,
+                66 AS profile_idc, 30 AS level_idc,
+                CAST(n AS BIGINT) AS n_samples,
+                CAST((n + 3) // 4 AS BIGINT) AS n_chunks,
+                CAST(20 * n + 21 * (n // 7)
+                     + ((n % 7) * ((n % 7) - 1)) // 2 AS BIGINT)
+                  AS mdat_bytes,
+                CAST(20 * n + 21 * (n // 7)
+                     + ((n % 7) * ((n % 7) - 1)) // 2 AS BIGINT)
+                  AS sample_span,
+                CAST(1 AS BIGINT) AS ok
+         FROM p ORDER BY asset_id""",
     "q_h264_parse" ->
       """SELECT range AS asset_id,
                 16 * (1 + range % 6) -
@@ -1823,18 +1853,22 @@ object SparkEntry {
     "q_ingest_decode_compressed" ->
       """WITH a AS (
            SELECT range AS id,
-             CASE WHEN range >= 40 THEN
+             CASE WHEN range >= 60 THEN 'mp4'
+                  WHEN range >= 40 THEN
                     CASE range % 4 WHEN 3 THEN 'mp3' ELSE 'quarantine' END
                   WHEN range % 10 = 7 THEN 'quarantine'
                   WHEN range % 2 = 0 THEN 'mp3'
                   ELSE 'h264' END AS format
-           FROM range(60)),
+           FROM range(80)),
          f AS (
            SELECT format, id,
              CASE WHEN format = 'mp3' AND id < 40 THEN 1
-                  WHEN format = 'h264' THEN 1 ELSE 0 END AS ok,
+                  WHEN format = 'h264' THEN 1
+                  WHEN format = 'mp4' AND id % 4 <> 3 THEN 1
+                  ELSE 0 END AS ok,
              CASE WHEN format = 'mp3' AND id < 40 THEN 10 + id % 20
                   WHEN format = 'h264' THEN 1 + id % 3
+                  WHEN format = 'mp4' AND id % 4 <> 3 THEN 8 + id % 13
                   WHEN format = 'quarantine' THEN
                     CASE WHEN id < 40 THEN 16
                          WHEN id % 4 = 0 THEN 30 ELSE 16 END
@@ -1844,6 +1878,9 @@ object SparkEntry {
                       (CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
                             ELSE 32000 END)
                   WHEN format = 'h264' THEN 16 * (1 + id % 6) -
+                    CASE WHEN id % 5 = 0 THEN 2 ELSE 0 END
+                  WHEN format = 'mp4' AND id % 4 <> 3 THEN
+                    16 * (2 + id % 6) -
                     CASE WHEN id % 5 = 0 THEN 2 ELSE 0 END
                   ELSE 0 END AS fb
            FROM a)

@@ -368,6 +368,52 @@ object Multimodal {
               col("_2.ok").as("ok"))
   }
 
+  /** [[Mp4Io.parseMp4]] over a binary asset table — the ISO-BMFF
+    * analogue of [[parseMp3Streams]]/[[parseH264Streams]]: brand,
+    * timescale/duration, handler, SPS-derived geometry (decoded
+    * through the real [[H264Io]] kernel via avcC), and the PROVEN
+    * sample seek index census. */
+  def parseMp4Streams(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    MediaKernel.runKernel(assets, Mp4Io.parserFactory, batchSize)
+      .select(col("_1").as("asset_id"),
+              col("_2.brand").as("brand"),
+              col("_2.handler").as("handler"),
+              col("_2.timescale").as("timescale"),
+              col("_2.durationMs").as("duration_ms"),
+              col("_2.width").as("width"),
+              col("_2.height").as("height"),
+              col("_2.profileIdc").as("profile_idc"),
+              col("_2.levelIdc").as("level_idc"),
+              col("_2.nSamples").as("n_samples"),
+              col("_2.nChunks").as("n_chunks"),
+              col("_2.mdatBytes").as("mdat_bytes"),
+              col("_2.sampleSpan").as("sample_span"),
+              col("_2.ok").as("ok"))
+  }
+
+  /** Deterministic REAL-MP4 asset table: `n` flat ISO-BMFF files
+    * authored by [[Mp4Io.encodeMp4]] on the executors — geometry
+    * cycling (every 5th id cropped to non-multiple-of-16 dims, same
+    * contract as [[syntheticH264Assets]]), sample counts 8–20,
+    * sample deltas in multiples of 30 against timescales
+    * 1000·(1 + id % 3) so `duration_ms` stays integer-exact; all
+    * facts pure functions of the id. */
+  def syntheticMp4Assets(spark: org.apache.spark.sql.SparkSession,
+                         n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val crop = id % 5 == 0
+      (id, "video", Mp4Io.encodeMp4(
+        widthMbs = 2 + (id % 6).toInt, heightMbs = 2 + (id % 4).toInt,
+        nSamples = 8 + (id % 13).toInt,
+        sampleDelta = 120L + 30L * (id % 5),
+        timescale = 1000L * (1 + id % 3), seed = id * 6301L,
+        cropRight = if (crop) 1 else 0, cropBottom = if (crop) 1 else 0))
+    }.toDF("asset_id", "modality", "content")
+  }
+
   /** Deterministic REAL-MP3 asset table: `n` MPEG-1 Layer III streams
     * authored by [[Mp3Io.encodeMp3]] on the executors — sample rate
     * cycling 44.1/48/32 kHz, even ids CBR / odd ids two-rate VBR,

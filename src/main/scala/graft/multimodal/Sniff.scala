@@ -126,6 +126,12 @@ object Sniff {
       .when(startsWith(content, ascii("YUV4MPEG2 ")) &&
             startsWith(content, ascii("W"), offset = 10),
             lit("video/y4m"))
+      // ISO-BMFF (MP4): 'ftyp' at offset 4 with a sane leading box
+      // size (>= 16: header + major brand + minor version) that FITS
+      // in the bytes — a capture cut inside the ftyp box quarantines
+      .when(startsWith(content, ascii("ftyp"), offset = 4) &&
+            beU32(content, 0) >= 16L && len >= beU32(content, 0),
+            lit("video/mp4"))
       // ID3v2-tagged MPEG audio: syncsafe size bytes, declared tag
       // (10-byte header + payload) fits in the bytes
       .when(startsWith(content, ascii("ID3")) &&

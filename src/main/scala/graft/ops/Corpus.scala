@@ -306,6 +306,21 @@ object Corpus {
       .withColumn("ok", col("ok").cast("long"))
       .orderBy(col("asset_id"))
 
+  /** REAL MP4/ISO-BMFF box walking ([[graft.multimodal.Mp4Io]]) over
+    * 64 authored flat files — every 5th cropped to non-multiple-of-16
+    * geometry (decoded from avcC's real SPS through the H.264
+    * kernel), ragged final chunks, per-id timescales. The oracle
+    * recomputes brand/handler/timescale/duration/geometry and the
+    * whole sample-table census (sample count, chunk count, mdat
+    * bytes, first-to-last sample span) from the asset id — a walker
+    * that mis-sizes one box, miscounts one chunk run, or trusts the
+    * avc1 display fields over the SPS hash-mismatches. */
+  def mp4Parse(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.parseMp4Streams(
+        graft.multimodal.Multimodal.syntheticMp4Assets(spark, 64))
+      .withColumn("ok", col("ok").cast("long"))
+      .orderBy(col("asset_id"))
+
   /** REAL H.264 Annex-B walking + exp-Golomb SPS decode
     * ([[graft.multimodal.H264Io]]) over 64 authored streams — every
     * 5th cropped to non-multiple-of-16 geometry, IDR/non-IDR mixes,
@@ -319,7 +334,7 @@ object Corpus {
       .orderBy(col("asset_id"))
 
   /** The compressed-container ingest surface for
-    * [[ingestDecodeCompressed]]: 60 assets. Ids 0–39 are real
+    * [[ingestDecodeCompressed]]: 80 assets. Ids 0–39 are real
     * streams (even → MP3, odd → H.264 Annex-B, every id % 10 == 7
     * replaced with non-media text); ids 40–59 are the corrupt
     * quadrant cycling by id % 4: an ID3 tag declaring a size past
@@ -327,13 +342,28 @@ object Corpus {
     * the forbidden bit set — all caught AT SNIFF — and a valid MP3
     * first frame with a truncated second frame, which sniff CANNOT
     * catch (compressed streams declare no total length) and the
-    * structural walker rejects at parse time. */
+    * structural walker rejects at parse time. Ids 60–79 are the MP4
+    * quadrant: flat ISO-BMFF files ([[graft.multimodal.Mp4Io]]),
+    * every id % 4 == 3 truncated 40 bytes INSIDE the trailing mdat —
+    * the ftyp box is intact so sniff routes it (MP4's leading box
+    * declares only its own size, not the file's), and the walker
+    * rejects it when the mdat size points past EOF. */
   private[graft] def compressedAssetSurface(spark: SparkSession)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    spark.range(60).as[Long].map { id =>
+    spark.range(80).as[Long].map { id =>
       val content: Array[Byte] =
-        if (id >= 40) (id % 4) match {
+        if (id >= 60) {
+          val whole = graft.multimodal.Mp4Io.encodeMp4(
+            widthMbs = 2 + (id % 6).toInt, heightMbs = 2 + (id % 4).toInt,
+            nSamples = 8 + (id % 13).toInt,
+            sampleDelta = 120L + 30L * (id % 5),
+            timescale = 1000L * (1 + id % 3), seed = id * 6301L,
+            cropRight = if (id % 5 == 0) 1 else 0,
+            cropBottom = if (id % 5 == 0) 1 else 0)
+          if (id % 4 == 3) whole.take(whole.length - 40) else whole
+        }
+        else if (id >= 40) (id % 4) match {
           case 0 => // ID3 declaring 1000 payload bytes, only 30 total
             Array[Byte]('I', 'D', '3', 3, 0, 0,
                         0, 0, (1000 >> 7).toByte, (1000 & 0x7f).toByte) ++
@@ -402,12 +432,21 @@ object Corpus {
            sum(when(col("ok"), col("width"))).as("fact_b"))
       .select(lit("h264").as("format"), col("n_assets"), col("n_ok"),
               col("fact_a"), col("fact_b"))
+    val mp4 = Multimodal.parseMp4Streams(
+        routed.filter(col("detected") === "video/mp4"))
+      .agg(count(lit(1)).as("n_assets"),
+           sum(col("ok").cast("long")).as("n_ok"),
+           sum(when(col("ok"), col("n_samples"))).as("fact_a"),
+           sum(when(col("ok"), col("width"))).as("fact_b"))
+      .select(lit("mp4").as("format"), col("n_assets"), col("n_ok"),
+              col("fact_a"), col("fact_b"))
     val quar = routed.filter(col("route") === "quarantine")
       .agg(count(lit(1)).as("n_assets"),
            sum(length(col("content")).cast("long")).as("fact_a"))
       .select(lit("quarantine").as("format"), col("n_assets"),
               lit(0L).as("n_ok"), col("fact_a"), lit(0L).as("fact_b"))
-    mp3.unionByName(h264).unionByName(quar).orderBy(col("format"))
+    mp3.unionByName(h264).unionByName(mp4).unionByName(quar)
+      .orderBy(col("format"))
   }
 
   /** Planted URL fixture shared by [[urlCanonicalize]] and
