@@ -124,6 +124,7 @@ object SparkEntry {
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,
     "q_url_dedup"               -> Corpus.urlDedup _,
+    "q_domain_heavyhitters"     -> Corpus.domainHeavyHitters _,
     "q_hashed_embed_topk"       -> Corpus.hashedEmbedTopk _,
     "q_embed_infer"             -> Corpus.embedInfer _,
     "q_cluster_scan"            -> Corpus.clusterScan _,
@@ -1968,6 +1969,20 @@ object SparkEntry {
                FROM f)
          SELECT i AS doc_id, domain, domain_rank, n_chars
          FROM r WHERE domain_rank <= 2 ORDER BY doc_id""",
+    // exact heavy-hitters: sketch-then-confirm on the Spark side is
+    // EXACT by the Misra-Gries superset guarantee, so the twin is the
+    // plain GROUP BY ... HAVING over the same planted skew
+    "q_domain_heavyhitters" ->
+      """WITH d AS (
+           SELECT CASE WHEN doc_id % 20 < 6 THEN 'mega-a.com'
+                       WHEN doc_id % 20 < 10 THEN 'mega-b.net'
+                       WHEN doc_id % 20 < 13 THEN 'mid-c.org'
+                       ELSE 'site' || (doc_id % 89) || '.example'
+                  END AS domain
+           FROM documents)
+         SELECT domain, count(*) AS n FROM d GROUP BY 1
+         HAVING count(*) >= (SELECT count(*) // 10 FROM d)
+         ORDER BY domain""",
     // half-copy chimeras at id+200001 (first half of a % 40 == 0
     // benchmark doc + second half of the next doc) probe the 50% gate
     // from both sides; the flag is exact integer hits·100 > total·50

@@ -505,6 +505,28 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** EXACT heavy-hitter domains via the Misra–Gries sketch-then-
+    * confirm pass ([[graft.ops.Frequent.heavyHitters]]) over a
+    * planted skew fixture: 30% of docs land on `mega-a.com`, 20% on
+    * `mega-b.net`, 15% on `mid-c.org`, the rest spread over 89 tail
+    * domains (~0.4% each). Threshold = 10% of the corpus, sketch
+    * size 256 ≪ the line the guarantee needs — the trim path really
+    * runs and the confirm pass makes the answer exact, so a plain
+    * GROUP BY ... HAVING twin gates it. */
+  def domainHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 20
+    val d = Tables.documents(spark, dir).withColumn("domain",
+      when(m < 6, lit("mega-a.com"))
+        .when(m < 10, lit("mega-b.net"))
+        .when(m < 13, lit("mid-c.org"))
+        .otherwise(concat(lit("site"), col("doc_id") % 89,
+                          lit(".example"))))
+    val n = d.count()
+    graft.ops.Frequent.heavyHitters(d, "domain", minCount = n / 10,
+        sketchSize = 256)
+      .orderBy(col("domain"))
+  }
+
   /** URL-level dedup ([[graft.pipelines.WebCuration
     * .dedupByCanonicalUrl]]) over the planted fixture: the raw URLs
     * are all DISTINCT (odd ids carry a unique `fbclid=abc{id}`), but

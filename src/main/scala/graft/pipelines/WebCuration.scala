@@ -70,6 +70,57 @@ object WebCuration {
       .filter(col("domain_rank") <= maxDocs)
   }
 
+  /** The skew-safe spelling of [[capPerDomain]] for crawls with
+    * mega-domains — now the DEFAULT recommendation for raw web
+    * corpora: find the over-budget domains with the
+    * [[graft.ops.Frequent]] sketch-then-confirm pass (exact set, one
+    * scan + one candidate-bounded scan, no full-width shuffle), then
+    * run the row_number window ONLY over their rows; under-budget
+    * domains pass through the plan as a map-side anti-filter with
+    * every doc kept. The window's input is bounded by
+    * |heavy domains| · their row mass — the exact rows the cap
+    * exists to discard — instead of the whole corpus.
+    *
+    * Survivor SET is identical to [[capPerDomain]] (spec-pinned);
+    * the difference is `domain_rank` is only materialized for
+    * heavy-domain survivors (null for pass-through rows — their
+    * rank can never reach the cap, so nothing downstream keys on
+    * it; callers needing every rank pay [[capPerDomain]]'s full
+    * window knowingly). */
+  def capPerDomainSkewed(docs: DataFrame, maxDocs: Int,
+                         qualityCol: String = "n_chars",
+                         idCol: String = "doc_id",
+                         domainCol: String = "domain",
+                         sketchSize: Int = 4096): DataFrame = {
+    require(maxDocs > 0, s"maxDocs must be positive, got $maxDocs")
+    graft.ops.Frequent
+      .heavyHittersOption(docs, domainCol, minCount = maxDocs + 1L,
+                          sketchSize) match {
+      case None =>
+        // cap below the sketch's guarantee line (a tiny cap over a
+        // huge corpus: "heavy" would be most domains, so the window's
+        // input is most rows anyway) — the full window IS the plan
+        capPerDomain(docs, maxDocs, qualityCol, idCol, domainCol)
+      case Some(hh) =>
+        val heavy = hh.select(col(domainCol)).collect()
+          .map(_.getString(0)).toSeq
+        if (heavy.isEmpty)
+          docs.withColumn("domain_rank", lit(null).cast("int"))
+        else {
+          val light = docs
+            .filter(!col(domainCol).cast("string")
+                      .isInCollection(heavy) ||
+                    col(domainCol).isNull)
+            .withColumn("domain_rank", lit(null).cast("int"))
+          val capped = capPerDomain(
+            docs.filter(col(domainCol).cast("string")
+              .isInCollection(heavy)),
+            maxDocs, qualityCol, idCol, domainCol)
+          light.unionByName(capped)
+        }
+    }
+  }
+
   /** Per-domain doc count + token mass — the rollup that feeds
     * domain quality priors and the filter-then-cap spelling above. */
   def domainStats(docs: DataFrame, tokensCol: String = "n_chars",

@@ -430,7 +430,21 @@ object Pq {
     * codebooks as one tiny parquet frame (subspace, code, center) —
     * the concrete 100-TB form: build once at landing, every search
     * then scans m-byte codes instead of dim·4-byte floats. Same seed ⇒
-    * same quantizer ⇒ [[searchPqIndex]] ≡ [[pqTopK]] (spec-pinned). */
+    * same quantizer ⇒ [[searchPqIndex]] ≡ [[pqTopK]] (spec-pinned).
+    *
+    * ==Lifecycle (the [[graft.dedup.DedupIndex]] pattern)==
+    * Codes land in BATCH-SCOPED partition directories
+    * (`codes/batch=<tag>`, per-directory overwrite): a growing
+    * corpus [[appendPqIndex]]es each landed batch — encoded with the
+    * BUILD-TIME codebooks, no retrain, the shared-codebooks contract
+    * that keeps old and new codes comparable under one ADC table —
+    * and re-running an append with the same tag replaces its own
+    * files (at-least-once-retry idempotence). [[gcPqIndex]] is the
+    * takedown half: rewrite minus the removed ids, codebooks carried
+    * over. Codebook DRIFT (the corpus distribution wandering from
+    * the training sample) degrades recall, not correctness — ADC
+    * stays exact over whatever centroids exist; re-train cadence is
+    * a deployment call ([[trainPq]] + full re-encode). */
   def writePqIndex(corpus: DataFrame, path: String, m: Int = 8,
                    kCodes: Int = 16, seed: Long = 42L,
                    cId: String = "vec_id", cVec: String = "embedding")
@@ -438,7 +452,7 @@ object Pq {
     val model = trainPq(corpus, m, kCodes, seed, cVec)
     encodePq(corpus, model, cVec, cId)
       .withColumnRenamed(cId, "neighbor_id")
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .write.mode("overwrite").parquet(s"$path/codes/batch=b0")
     val spark = corpus.sparkSession
     import spark.implicits._
     (for {
@@ -449,12 +463,46 @@ object Pq {
       .write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
-  /** Search a [[writePqIndex]] index: rebuild the (tiny) PqModel from
-    * the codebook frame — collected driver-side, KBs — then ADC-scan
-    * the code table. */
-  def searchPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                    queries: DataFrame, k: Int, qId: String = "vec_id",
-                    qVec: String = "embedding"): DataFrame = {
+  /** Land a new batch of vectors into an existing index: encode with
+    * the STORED codebooks (no retrain — appended codes stay
+    * comparable with every earlier batch under one ADC table) and
+    * write into the batch's own partition directory. `batchTag` must
+    * be fresh per landed batch ("b0" is the build); re-using a tag
+    * overwrites that batch's files — retry idempotence. */
+  def appendPqIndex(batch: DataFrame, path: String, batchTag: String,
+                    cId: String = "vec_id", cVec: String = "embedding")
+      : Unit = {
+    require(batchTag.nonEmpty && batchTag != "b0" &&
+            batchTag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"batchTag must be a fresh directory-safe tag, got '$batchTag'")
+    val model = readModel(batch.sparkSession, path)
+    encodePq(batch, model, cVec, cId)
+      .withColumnRenamed(cId, "neighbor_id")
+      .write.mode("overwrite").parquet(s"$path/codes/batch=$batchTag")
+  }
+
+  /** Retention GC + compaction: rewrite the index at `dst` WITHOUT
+    * the `removedIds` vectors, all batches folded to one directory,
+    * codebooks carried over unchanged. Only the index is scanned —
+    * never the vector corpus. Same `dst != path` swap contract as
+    * [[graft.dedup.DedupIndex.gc]]. */
+  def gcPqIndex(spark: org.apache.spark.sql.SparkSession,
+                removedIds: DataFrame, path: String, dst: String,
+                idCol: String = "vec_id"): Unit = {
+    require(dst != path, "gc to a fresh directory, then swap")
+    val removed = removedIds.select(col(idCol).as("neighbor_id")).distinct()
+    spark.read.parquet(s"$path/codes")
+      .select(col("neighbor_id"), col("codes"))
+      .join(broadcast(removed), Seq("neighbor_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dst/codes/batch=b0")
+    spark.read.parquet(s"$path/codebooks")
+      .write.mode("overwrite").parquet(s"$dst/codebooks")
+  }
+
+  /** Rebuild the (tiny) PqModel from an index's codebook frame —
+    * collected driver-side, KBs. */
+  private def readModel(spark: org.apache.spark.sql.SparkSession,
+                        path: String): PqModel = {
     val rows = spark.read.parquet(s"$path/codebooks")
       .select(col("subspace"), col("code"), col("center"))
       .collect()
@@ -463,8 +511,19 @@ object Pq {
       rows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
         .map(_.getSeq[Double](2).toArray)
     }
-    val model = PqModel(m, books(0)(0).length, books)
-    searchCodes(queries, spark.read.parquet(s"$path/codes"), model, k,
-                qId, qVec)
+    PqModel(m, books(0)(0).length, books)
+  }
+
+  /** Search a [[writePqIndex]] index: rebuild the model, then
+    * ADC-scan the code table (all batches — partition discovery
+    * walks `codes/batch=*`). */
+  def searchPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int, qId: String = "vec_id",
+                    qVec: String = "embedding"): DataFrame = {
+    val model = readModel(spark, path)
+    searchCodes(queries,
+                spark.read.parquet(s"$path/codes")
+                  .select(col("neighbor_id"), col("codes")),
+                model, k, qId, qVec)
   }
 }

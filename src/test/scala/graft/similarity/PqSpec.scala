@@ -203,4 +203,60 @@ class PqSpec extends AnyFunSuite {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("index lifecycle: build+append equals full-corpus encode under " +
+       "the shared codebooks; re-append is idempotent; gc removes ids") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_lifecycle")
+      .toString
+    try {
+      val half = emb.filter(col("vec_id") % 2 === 0)
+      val rest = emb.filter(col("vec_id") % 2 =!= 0)
+      Pq.writePqIndex(half, s"$dir/idx", m = 8, kCodes = 16, seed = 42L)
+      Pq.appendPqIndex(rest, s"$dir/idx", "b1")
+      val queries = emb.filter(col("vec_id") < 10)
+      def hits(path: String) =
+        Pq.searchPqIndex(spark, path, queries, k = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+          .toSet
+      val appended = hits(s"$dir/idx")
+      // parity target: the WHOLE corpus encoded with the build-half
+      // codebooks (the shared-codebooks contract — not a retrain)
+      val model = Pq.trainPq(half, m = 8, kCodes = 16, seed = 42L)
+      val expected = Pq.searchCodes(queries,
+          Pq.encodePq(emb, model)
+            .withColumnRenamed("vec_id", "neighbor_id"),
+          model, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .toSet
+      assert(appended == expected)
+      // at-least-once retry: same tag overwrites, results unchanged
+      Pq.appendPqIndex(rest, s"$dir/idx", "b1")
+      assert(hits(s"$dir/idx") == appended)
+      // fresh tags must be fresh; the build tag is reserved
+      intercept[IllegalArgumentException] {
+        Pq.appendPqIndex(rest, s"$dir/idx", "b0")
+      }
+      // gc: searching the collapsed index never returns a removed id
+      val removed = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"))
+      Pq.gcPqIndex(spark, removed, s"$dir/idx", s"$dir/gc")
+      val afterGc = Pq.searchPqIndex(spark, s"$dir/gc", queries, k = 5)
+        .collect()
+      assert(afterGc.nonEmpty &&
+             afterGc.forall(_.getLong(1) % 5 != 0))
+      // gc parity: identical to encoding corpus-minus-removed with
+      // the same codebooks
+      val expectedGc = Pq.searchCodes(queries,
+          Pq.encodePq(emb.filter(col("vec_id") % 5 =!= 0), model)
+            .withColumnRenamed("vec_id", "neighbor_id"),
+          model, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .toSet
+      assert(afterGc.map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .toSet == expectedGc)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
