@@ -282,6 +282,22 @@ object Bench {
             f: Double => String = fmt): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
+    // Complete per-query detail as a SIDE FILE: the printed contract
+    // line degrades to heavy-queries-only past ~95 queries (driver
+    // tail-window bound), which left BENCH_PIN refreshes without a
+    // full table. Best-effort — the bench never fails over it.
+    try {
+      val dir = new java.io.File(".bench"); dir.mkdirs()
+      val full = finalResults.map { case (k, v) =>
+        "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(".bench/bench_full.json"),
+        s"""{"queries":$full,"duck":${duckPerQuery.map { case (k, v) =>
+          "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+        }.mkString("{", ",", "}")},"sf":"$sfDir","reruns":$reruns,"sweeps":$sweeps}""")
+    } catch { case _: Throwable => () }
+
     val failed = (finalResults ++ pipeResults).collect { case (k, v) if v < 0 => k }
     // headline total counts SUCCESSFUL queries only — a query that burns
     // 60s before throwing must not inflate the DuckDB-comparable number;

@@ -42,6 +42,10 @@ object ScaleProbe {
     * previously-unprobed composites (VERDICT r6 #3): the five-stage
     * funnel fold and SemDeDup (k-means + cell-confined pairs + CC). */
   val Heavy = Seq("q_text_stats", "q_ngram_jaccard", "q_dedup_near",
+                  // round 11: sketch-then-confirm heavy-hitters —
+                  // two corpus scans, k-counter state; growth must
+                  // track the scan, never the key count
+                  "q_domain_heavyhitters",
                   "q_curation", "q_pack_chunks", "q_self_join_pairs",
                   "q_funnel", "q_semantic_dedup",
                   // round-7 part 2: the new corpus operators — the
@@ -175,6 +179,20 @@ object ScaleProbe {
       mediaProbe("mp3_walk",
         n => graft.multimodal.Multimodal.syntheticMp3Assets(spark, n),
         d => graft.multimodal.Multimodal.parseMp3Streams(d))
+      // round 11: MP4 box walker — probe-sized files (400 samples →
+      // KB-scale stts/stsz/stco tables + mdat) so the box walk and
+      // table expansion, not task setup, set the ratio
+      def bigMp4(n: Int): DataFrame = {
+        import spark.implicits._
+        spark.range(n).as[Long].map { id =>
+          (id, graft.multimodal.Mp4Io.encodeMp4(
+            widthMbs = 2 + (id % 6).toInt, heightMbs = 2 + (id % 4).toInt,
+            nSamples = 400, sampleDelta = 120L, timescale = 1000L,
+            seed = id))
+        }.toDF("asset_id", "content")
+      }
+      mediaProbe("mp4_walk", bigMp4,
+        d => graft.multimodal.Multimodal.parseMp4Streams(d))
       // the declared 64-asset surface's streams are a few hundred
       // bytes — author probe-sized streams (200 slice NALs ≈ 6 KB,
       // the mass of the MP3 probe's) so the walk, not task setup, is
