@@ -120,6 +120,7 @@ object SparkEntry {
     "q_mp3_parse"               -> Corpus.mp3Parse _,
     "q_h264_parse"              -> Corpus.h264Parse _,
     "q_mp4_parse"               -> Corpus.mp4Parse _,
+    "q_fmp4_parse"              -> Corpus.fmp4Parse _,
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,
@@ -1811,6 +1812,34 @@ object SparkEntry {
     // timescales keep the ms division exact), and the sample-table
     // census — sample i is 20 + i%7 bytes, so mdat bytes have the
     // closed form 20n + 21*(n//7) + r(r-1)/2, r = n%7; chunks of 4
+    // fragmented MP4: duration/sample truth lives in the truns; per-
+    // fragment sizes restart at i=0, so total mdat bytes = f * the
+    // per-fragment closed form; n_chunks counts FRAGMENTS
+    "q_fmp4_parse" ->
+      """WITH p AS (
+           SELECT range AS id,
+                  2 + (range % 5) AS f,
+                  4 + (range % 6) AS spf,
+                  120 + 30 * (range % 5) AS delta,
+                  1 + range % 3 AS tsf,
+                  CASE WHEN range % 5 = 0 THEN 2 ELSE 0 END AS crop
+           FROM range(64))
+         SELECT id AS asset_id, 'iso6' AS brand, 'vide' AS handler,
+                CAST(1000 * tsf AS BIGINT) AS timescale,
+                CAST((f * spf * delta) // tsf AS BIGINT) AS duration_ms,
+                CAST(16 * (2 + id % 6) - crop AS INT) AS width,
+                CAST(16 * (2 + id % 4) - crop AS INT) AS height,
+                66 AS profile_idc, 30 AS level_idc,
+                CAST(f * spf AS BIGINT) AS n_samples,
+                CAST(f AS BIGINT) AS n_chunks,
+                CAST(f * (20 * spf + 21 * (spf // 7)
+                     + ((spf % 7) * ((spf % 7) - 1)) // 2) AS BIGINT)
+                  AS mdat_bytes,
+                CAST(f * (20 * spf + 21 * (spf // 7)
+                     + ((spf % 7) * ((spf % 7) - 1)) // 2) AS BIGINT)
+                  AS sample_span,
+                CAST(1 AS BIGINT) AS ok
+         FROM p ORDER BY asset_id""",
     "q_mp4_parse" ->
       """WITH p AS (
            SELECT range AS id, 8 + (range % 13) AS n,

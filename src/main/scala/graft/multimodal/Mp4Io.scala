@@ -140,10 +140,13 @@ object Mp4Io {
 
   // ---- the walker --------------------------------------------------
 
-  /** Walk a flat MP4: box tree → facts + proven seek index. Strict:
-    * any malformed size, missing mandatory box, table inconsistency,
-    * avc1-vs-SPS geometry disagreement, or sample range outside
-    * `mdat` is `ok = false` (quarantine, never a guess). */
+  /** Walk an MP4 — flat OR fragmented (DASH/CMAF `moof`+`mdat`
+    * sequences; the branch is `moov/mvex`, the spec's fragmented-file
+    * marker): box tree → facts + proven seek index. Strict: any
+    * malformed size, missing mandatory box, table inconsistency,
+    * avc1-vs-SPS geometry disagreement, out-of-order fragment
+    * sequence number, or sample range outside its `mdat` is
+    * `ok = false` (quarantine, never a guess). */
   def parseMp4(bytes: Array[Byte]): Parsed = {
     if (bytes == null || bytes.length < 16) return Bad
     val top = boxes(bytes, 0, bytes.length).getOrElse(return Bad)
@@ -152,9 +155,9 @@ object Mp4Io {
         if (fe - fs < 8) return Bad
         val brand = fourcc(bytes, fs)
         val moov = find(rest, "moov").getOrElse(return Bad)
-        val mdat = find(rest, "mdat").getOrElse(return Bad)
         val moovKids = boxes(bytes, moov.start, moov.end)
           .getOrElse(return Bad)
+        val fragmented = find(moovKids, "mvex").isDefined
         // mvhd (version 0 or 1)
         val mvhd = find(moovKids, "mvhd").getOrElse(return Bad)
         val mvhdV = bytes(mvhd.start) & 0xff
@@ -199,6 +202,10 @@ object Mp4Io {
         val sps = decodeAvcC(bytes, avcc).getOrElse(return Bad)
         if (!sps.width.contains(dispW) || !sps.height.contains(dispH))
           return Bad
+        if (fragmented)
+          return parseFragments(bytes, rest, stblKids, brand, timescale,
+                                handler, sps)
+        val mdat = find(rest, "mdat").getOrElse(return Bad)
         // stts: total samples + duration cross-check
         val stts = find(stblKids, "stts").getOrElse(return Bad)
         val sttsN = u32(bytes, stts.start + 4).toInt
@@ -268,6 +275,97 @@ object Mp4Io {
           Some(lastEnd - firstOff), ok = true)
       case _ => Bad // first box must be ftyp
     }
+  }
+
+  /** The fragmented (DASH/CMAF) walk: `moof`+`mdat` pairs in stream
+    * order. Facts: `nSamples`/duration summed over every `trun`,
+    * `nChunks` = fragment count, `mdatBytes`/`sampleSpan` summed per
+    * fragment. Proven like the flat path: each `trun`'s data offset
+    * (relative to its `moof`'s first byte — the `default-base-is-
+    * moof` addressing this walker REQUIRES in `tfhd`, the CMAF
+    * profile's rule) plus its sample sizes must land inside that
+    * fragment's `mdat`; `mfhd` sequence numbers must run 1..n in
+    * order; the `moov` sample tables must be empty (a fragmented
+    * file carrying flat samples too is a muxer bug, not a corpus). */
+  private def parseFragments(bytes: Array[Byte], top: List[Box],
+                             stblKids: List[Box], brand: String,
+                             timescale: Long, handler: String,
+                             sps: H264Io.Parsed): Parsed = {
+    // strict: fragmented moov declares EMPTY tables
+    val stsz = find(stblKids, "stsz").getOrElse(return Bad)
+    if (u32(bytes, stsz.start + 8) != 0L) return Bad
+    val stts = find(stblKids, "stts").getOrElse(return Bad)
+    if (u32(bytes, stts.start + 4) != 0L) return Bad
+    // collect (moof, following mdat) pairs in stream order
+    val pairs = List.newBuilder[(Box, Box)]
+    var pending: Option[Box] = None
+    top.foreach {
+      case b if b.tag == "moof" =>
+        if (pending.isDefined) return Bad // moof without its mdat
+        pending = Some(b)
+      case b if b.tag == "mdat" && pending.isDefined =>
+        pairs += ((pending.get, b)); pending = None
+      case _ => () // moov/free/sidx between fragments are legal
+    }
+    if (pending.isDefined) return Bad
+    val frags = pairs.result()
+    if (frags.isEmpty) return Bad
+    var totalSamples = 0L; var totalDur = 0L
+    var totalMdat = 0L; var totalSpan = 0L
+    var seq = 1L
+    for ((moof, mdat) <- frags) {
+      val moofKids = boxes(bytes, moof.start, moof.end)
+        .getOrElse(return Bad)
+      val mfhd = find(moofKids, "mfhd").getOrElse(return Bad)
+      if (u32(bytes, mfhd.start + 4) != seq) return Bad
+      seq += 1
+      val traf = find(moofKids, "traf").getOrElse(return Bad)
+      val trafKids = boxes(bytes, traf.start, traf.end)
+        .getOrElse(return Bad)
+      val tfhd = find(trafKids, "tfhd").getOrElse(return Bad)
+      val tfhdFlags = u32(bytes, tfhd.start) & 0xffffffL
+      if ((tfhdFlags & 0x020000L) == 0L) return Bad // default-base-is-moof
+      if (u32(bytes, tfhd.start + 4) != 1L) return Bad // track_id
+      val trun = find(trafKids, "trun").getOrElse(return Bad)
+      val trunFlags = u32(bytes, trun.start) & 0xffffffL
+      // strict authored profile: data-offset + per-sample duration
+      // and size present (trex defaults carry no per-sample truth)
+      if ((trunFlags & 0x000001L) == 0L ||
+          (trunFlags & 0x000100L) == 0L ||
+          (trunFlags & 0x000200L) == 0L) return Bad
+      val n = u32(bytes, trun.start + 4)
+      if (n <= 0) return Bad
+      var p = trun.start + 8
+      val dataOffset = u32(bytes, p).toInt; p += 4
+      if ((trunFlags & 0x000004L) != 0L) p += 4 // first-sample-flags
+      val entryBytes =
+        4 + 4 + (if ((trunFlags & 0x000400L) != 0L) 4 else 0) +
+          (if ((trunFlags & 0x000800L) != 0L) 4 else 0)
+      if (trun.end - p < n * entryBytes) return Bad
+      var sumSizes = 0L
+      var i = 0L
+      while (i < n) {
+        totalDur += u32(bytes, p); p += 4
+        sumSizes += u32(bytes, p); p += 4
+        if ((trunFlags & 0x000400L) != 0L) p += 4
+        if ((trunFlags & 0x000800L) != 0L) p += 4
+        i += 1
+      }
+      // data offset is relative to the moof's FIRST byte (header
+      // included); Box.start is the payload, so back up the 8-byte
+      // header (this walker rejects largesize moofs implicitly — the
+      // range check below fails on the shifted base)
+      val base = (moof.start - 8).toLong + dataOffset
+      if (base < mdat.start || base + sumSizes > mdat.end) return Bad
+      totalSamples += n
+      totalSpan += sumSizes
+      totalMdat += (mdat.end - mdat.start).toLong
+    }
+    Parsed(Some(brand), Some(timescale),
+           Some(totalDur * 1000L / timescale), Some(handler),
+           sps.width, sps.height, sps.profileIdc, sps.levelIdc,
+           Some(totalSamples), Some(frags.size.toLong),
+           Some(totalMdat), Some(totalSpan), ok = true)
   }
 
   final class Parser extends MediaKernel.Handle[Array[Byte], Parsed] {
@@ -435,6 +533,124 @@ object Mp4Io {
     val out = new ByteArrayOutputStream(
       ftyp.length + moov.length + mdat.length)
     out.write(ftyp); out.write(moov); out.write(mdat)
+    out.toByteArray
+  }
+
+  /** Author a deterministic FRAGMENTED MP4 (DASH/CMAF shape): ftyp
+    * (`iso6`) + moov with EMPTY sample tables and `mvex/trex`, then
+    * `nFragments` × (`moof` + `mdat`) with contiguous `mfhd`
+    * sequence numbers, `default-base-is-moof` addressing, and
+    * per-sample durations/sizes in `trun` (sample i of every
+    * fragment is `20 + i % 7` bytes, sizes restarting per fragment).
+    * Movie/media durations are 0 — in a fragmented file duration
+    * truth lives in the truns, exactly what the walker sums. */
+  def encodeFmp4(widthMbs: Int, heightMbs: Int, nFragments: Int,
+                 samplesPerFrag: Int, sampleDelta: Long, timescale: Long,
+                 seed: Long, cropRight: Int = 0, cropBottom: Int = 0)
+      : Array[Byte] = {
+    require(widthMbs > 0 && heightMbs > 0 && nFragments > 0 &&
+            samplesPerFrag > 0 && sampleDelta > 0 && timescale > 0,
+      s"bad fMP4 shape: ${widthMbs}x$heightMbs, $nFragments frags")
+    val psStream = H264Io.encodeAnnexB(widthMbs, heightMbs, nIdr = 0,
+      nNonIdr = 0, seed = seed, cropRight = cropRight,
+      cropBottom = cropBottom)
+    val scs = (0 to psStream.length - 4).filter(i =>
+      psStream(i) == 0 && psStream(i + 1) == 0 && psStream(i + 2) == 0 &&
+        psStream(i + 3) == 1)
+    require(scs.length == 2, "expected SPS+PPS stream")
+    val spsB = psStream.slice(scs(0) + 4, scs(1))
+    val ppsB = psStream.slice(scs(1) + 4, psStream.length)
+    val width = widthMbs * 16 - 2 * cropRight
+    val height = heightMbs * 16 - 2 * cropBottom
+
+    val ftyp = mkBox("ftyp",
+      "iso6".getBytes("US-ASCII"), beBytes32(0),
+      "iso6".getBytes("US-ASCII"), "dash".getBytes("US-ASCII"))
+
+    val mvhd = mkBox("mvhd", beBytes32(0),
+      beBytes32(0), beBytes32(0),
+      beBytes32(timescale), beBytes32(0), // duration unknown: truns
+      beBytes32(0x00010000L), beBytes16(0x0100), beBytes16(0),
+      new Array[Byte](8), UnityMatrix, new Array[Byte](24),
+      beBytes32(2))
+    val tkhd = mkBox("tkhd", beBytes32(3),
+      beBytes32(0), beBytes32(0), beBytes32(1), beBytes32(0),
+      beBytes32(0), new Array[Byte](8),
+      beBytes16(0), beBytes16(0), beBytes16(0), beBytes16(0),
+      UnityMatrix,
+      beBytes32(width.toLong << 16), beBytes32(height.toLong << 16))
+    val mdhd = mkBox("mdhd", beBytes32(0),
+      beBytes32(0), beBytes32(0),
+      beBytes32(timescale), beBytes32(0),
+      beBytes16(0x55c4), beBytes16(0))
+    val hdlr = mkBox("hdlr", beBytes32(0), beBytes32(0),
+      "vide".getBytes("US-ASCII"), new Array[Byte](12),
+      "graft ".getBytes("US-ASCII"))
+    val avcc = mkBox("avcC",
+      Array[Byte](1, 66, 0, 30, 0xff.toByte, 0xe1.toByte),
+      beBytes16(spsB.length), spsB,
+      Array[Byte](1), beBytes16(ppsB.length), ppsB)
+    val avc1 = mkBox("avc1",
+      new Array[Byte](6), beBytes16(1),
+      new Array[Byte](16),
+      beBytes16(width), beBytes16(height),
+      beBytes32(0x00480000L), beBytes32(0x00480000L),
+      beBytes32(0), beBytes16(1),
+      new Array[Byte](32),
+      beBytes16(0x0018), beBytes16(0xffff),
+      avcc)
+    val stsd = mkBox("stsd", beBytes32(0), beBytes32(1), avc1)
+    // fragmented: the four sample tables exist but are EMPTY
+    val stts = mkBox("stts", beBytes32(0), beBytes32(0))
+    val stsc = mkBox("stsc", beBytes32(0), beBytes32(0))
+    val stsz = mkBox("stsz", beBytes32(0), beBytes32(0), beBytes32(0))
+    val stco = mkBox("stco", beBytes32(0), beBytes32(0))
+    val stbl = mkBox("stbl", stsd, stts, stsc, stsz, stco)
+    val vmhd = mkBox("vmhd", beBytes32(1), new Array[Byte](8))
+    val dref = mkBox("dref", beBytes32(0), beBytes32(1),
+      mkBox("url ", beBytes32(1)))
+    val dinf = mkBox("dinf", dref)
+    val minf = mkBox("minf", vmhd, dinf, stbl)
+    val mdia = mkBox("mdia", mdhd, hdlr, minf)
+    val trak = mkBox("trak", tkhd, mdia)
+    val trex = mkBox("trex", beBytes32(0),
+      beBytes32(1), beBytes32(1), // track_id, default_sample_desc_idx
+      beBytes32(0), beBytes32(0), beBytes32(0))
+    val mvex = mkBox("mvex", trex)
+    val moov = mkBox("moov", mvhd, trak, mvex)
+
+    def sampleSize(i: Int): Int = 20 + i % 7
+    val fragMdatBytes = (0 until samplesPerFrag).map(sampleSize).sum
+
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov)
+    var f = 1
+    while (f <= nFragments) {
+      def moofWith(dataOffset: Int): Array[Byte] = {
+        val mfhd = mkBox("mfhd", beBytes32(0), beBytes32(f.toLong))
+        val tfhd = mkBox("tfhd", beBytes32(0x020000L), beBytes32(1))
+        val trun = mkBox("trun", beBytes32(0x000301L),
+          beBytes32(samplesPerFrag.toLong), beBytes32(dataOffset.toLong),
+          (0 until samplesPerFrag).flatMap(i =>
+            beBytes32(sampleDelta) ++ beBytes32(sampleSize(i).toLong))
+            .toArray)
+        mkBox("moof", mfhd, mkBox("traf", tfhd, trun))
+      }
+      // two passes: data_offset = moof size + 8 (the mdat header),
+      // and moof's size doesn't depend on the offset VALUE
+      val moofLen = moofWith(0).length
+      val moof = moofWith(moofLen + 8)
+      val payload = new Array[Byte](fragMdatBytes)
+      var i = 0
+      while (i < fragMdatBytes) {
+        payload(i) = (graft.functions.SimHash64.fnv1a64(
+          Array(seed.toByte, f.toByte, (i >> 8).toByte, i.toByte))
+          & 0xff).toByte
+        i += 1
+      }
+      out.write(moof); out.write(mkBox("mdat", payload))
+      f += 1
+    }
     out.toByteArray
   }
 }

@@ -414,6 +414,25 @@ object Multimodal {
     }.toDF("asset_id", "modality", "content")
   }
 
+  /** Deterministic REAL fragmented-MP4 asset table (DASH/CMAF
+    * `moof`+`mdat` shape, [[Mp4Io.encodeFmp4]]): fragment counts 2–6,
+    * 4–9 samples per fragment, same geometry/timescale cycling as
+    * [[syntheticMp4Assets]]; all facts pure functions of the id. */
+  def syntheticFmp4Assets(spark: org.apache.spark.sql.SparkSession,
+                          n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val crop = id % 5 == 0
+      (id, "video", Mp4Io.encodeFmp4(
+        widthMbs = 2 + (id % 6).toInt, heightMbs = 2 + (id % 4).toInt,
+        nFragments = 2 + (id % 5).toInt,
+        samplesPerFrag = 4 + (id % 6).toInt,
+        sampleDelta = 120L + 30L * (id % 5),
+        timescale = 1000L * (1 + id % 3), seed = id * 8597L,
+        cropRight = if (crop) 1 else 0, cropBottom = if (crop) 1 else 0))
+    }.toDF("asset_id", "modality", "content")
+  }
+
   /** Deterministic REAL-MP3 asset table: `n` MPEG-1 Layer III streams
     * authored by [[Mp3Io.encodeMp3]] on the executors — sample rate
     * cycling 44.1/48/32 kHz, even ids CBR / odd ids two-rate VBR,

@@ -333,6 +333,18 @@ object Corpus {
       .withColumn("ok", col("ok").cast("long"))
       .orderBy(col("asset_id"))
 
+  /** REAL fragmented-MP4 (DASH/CMAF) walking over 64 authored
+    * `moof`+`mdat` sequences — duration/sample truth summed from the
+    * truns (movie/media durations are 0, as fragmented muxers write
+    * them), every fragment's data offset proven inside its own mdat,
+    * sequence numbers checked contiguous. Same output schema as
+    * [[mp4Parse]]; `n_chunks` counts FRAGMENTS here. */
+  def fmp4Parse(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.parseMp4Streams(
+        graft.multimodal.Multimodal.syntheticFmp4Assets(spark, 64))
+      .withColumn("ok", col("ok").cast("long"))
+      .orderBy(col("asset_id"))
+
   /** The compressed-container ingest surface for
     * [[ingestDecodeCompressed]]: 80 assets. Ids 0–39 are real
     * streams (even → MP3, odd → H.264 Annex-B, every id % 10 == 7

@@ -91,6 +91,53 @@ class Mp4IoSpec extends AnyFunSuite {
     assert(got(2L) == ("unknown", "quarantine"))
   }
 
+  test("fragmented round-trip: trun-summed facts come back exactly") {
+    for (f <- Seq(1, 3, 6); spf <- Seq(1, 4, 9)) {
+      val b = Mp4Io.encodeFmp4(widthMbs = 4, heightMbs = 3,
+        nFragments = f, samplesPerFrag = spf, sampleDelta = 120L,
+        timescale = 3000L, seed = f * 100L + spf)
+      val p = Mp4Io.parseMp4(b)
+      assert(p.ok, s"f=$f spf=$spf")
+      assert(p.brand.contains("iso6") && p.handler.contains("vide"))
+      assert(p.durationMs.contains(f * spf * 120L * 1000L / 3000L))
+      assert(p.width.contains(64) && p.height.contains(48))
+      assert(p.nSamples.contains((f * spf).toLong))
+      assert(p.nChunks.contains(f.toLong)) // fragments
+      val perFrag = (0 until spf).map(i => 20 + i % 7).sum.toLong
+      assert(p.mdatBytes.contains(f * perFrag))
+      assert(p.sampleSpan.contains(f * perFrag))
+    }
+  }
+
+  test("fragmented corruption is rejected: sequence, offsets, truncation") {
+    val good = Mp4Io.encodeFmp4(widthMbs = 4, heightMbs = 3,
+      nFragments = 3, samplesPerFrag = 5, sampleDelta = 120L,
+      timescale = 1000L, seed = 9L)
+    assert(Mp4Io.parseMp4(good).ok)
+    // cut inside the last fragment's mdat
+    assert(!Mp4Io.parseMp4(good.take(good.length - 10)).ok)
+    // mfhd sequence number tampered: 1,2,3 -> 1,5,3
+    val reseq = good.clone()
+    val mfhd2 = {
+      val t = "mfhd".getBytes("US-ASCII")
+      (0 to reseq.length - 4).filter(i =>
+        reseq(i) == t(0) && reseq(i + 1) == t(1) && reseq(i + 2) == t(2) &&
+          reseq(i + 3) == t(3)).apply(1)
+    }
+    reseq(mfhd2 + 11) = 5.toByte
+    assert(!Mp4Io.parseMp4(reseq).ok)
+    // trun data offset shifted: fragment data escapes its mdat
+    val shifted = good.clone()
+    val trun1 = idx(shifted, "trun")
+    shifted(trun1 + 14) = (shifted(trun1 + 14) + 0x40).toByte
+    assert(!Mp4Io.parseMp4(shifted).ok)
+    // sniff still routes by the leading ftyp, iso6 brand included
+    import spark.implicits._
+    val got = Sniff.route(Seq((0L, good)).toDF("asset_id", "content"))
+      .select("detected").head().getString(0)
+    assert(got == "video/mp4")
+  }
+
   test("synthetic asset table parses all-ok through the kernel seam") {
     val parsed = Multimodal.parseMp4Streams(
       Multimodal.syntheticMp4Assets(spark, 16))
