@@ -121,6 +121,7 @@ object SparkEntry {
     "q_h264_parse"              -> Corpus.h264Parse _,
     "q_mp4_parse"               -> Corpus.mp4Parse _,
     "q_fmp4_parse"              -> Corpus.fmp4Parse _,
+    "q_image_embed"             -> Corpus.imageEmbed _,
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,

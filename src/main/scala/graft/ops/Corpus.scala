@@ -345,6 +345,26 @@ object Corpus {
       .withColumn("ok", col("ok").cast("long"))
       .orderBy(col("asset_id"))
 
+  /** REAL learned image-embedding inference ([[graft.multimodal
+    * .ImageEmbed]]): an md5-derived 63×8 linear head over the DCT
+    * pixel features of 256 authored PNGs, posexploded to long form.
+    * Seeded-float family: no SQL twin (DCT is double math), driver
+    * rows-check + committed sf-independent golden (GoldenSeededSpec)
+    * — the gate that pins the decode→DCT→GEMV composition
+    * bit-for-bit. */
+  def imageEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{ImageEmbed, Multimodal}
+    val w = graft.text.EmbedModel.collectMatrix(
+      graft.text.EmbedModel.syntheticWeightRows(
+        spark, ImageEmbed.FeatureDim, 8),
+      ImageEmbed.FeatureDim, 8)
+    ImageEmbed.embedImages(Multimodal.syntheticImageAssets(spark, 256),
+        w, dOut = 8)
+      .select(col("asset_id"),
+              posexplode(col("embedding")).as(Seq("dim", "v")))
+      .orderBy(col("asset_id"), col("dim"))
+  }
+
   /** The compressed-container ingest surface for
     * [[ingestDecodeCompressed]]: 80 assets. Ids 0–39 are real
     * streams (even → MP3, odd → H.264 Annex-B, every id % 10 == 7

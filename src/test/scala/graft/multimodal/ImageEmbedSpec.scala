@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Learned image-embedding inference ([[ImageEmbed]]): projection
+  * math, partition invariance, checkpoint round-trip through the
+  * shared EmbedModel format, quarantine, and the clones-nearest
+  * retrieval composition. */
+class ImageEmbedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dOut = 8
+  private lazy val matrix = graft.text.EmbedModel.collectMatrix(
+    graft.text.EmbedModel.syntheticWeightRows(
+      spark, ImageEmbed.FeatureDim, dOut),
+    ImageEmbed.FeatureDim, dOut)
+
+  test("project is exactly y = W'x (hand multiply)") {
+    val x = Array.tabulate(ImageEmbed.FeatureDim)(i =>
+      ((i * 37 % 11) - 5).toFloat / 4f)
+    val got = ImageEmbed.project(x, matrix, dOut, normalize = false)
+    val want = Array.tabulate(dOut) { k =>
+      (0 until ImageEmbed.FeatureDim)
+        .map(i => x(i) * matrix(i * dOut + k)).sum
+    }
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-3f)
+    }
+    // normalized head is unit length
+    val n = ImageEmbed.project(x, matrix, dOut, normalize = true)
+    val len = math.sqrt(n.map(v => v.toDouble * v).sum)
+    assert(math.abs(len - 1.0) < 1e-5)
+  }
+
+  test("embedImages: deterministic, partition-invariant, quarantines junk") {
+    val assets = Multimodal.syntheticImageAssets(spark, 48)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      ImageEmbed.embedImages(df, matrix, dOut)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+        .toMap
+    val a = run(assets.repartition(1))
+    val b = run(assets.repartition(7))
+    assert(a == b && a.size == 48)
+    assert(a.values.forall(_.length == dOut))
+    // junk bytes embed to the empty vector (quarantine contract)
+    val junk = Seq((99L, "not an image".getBytes("US-ASCII")))
+      .toDF("asset_id", "content")
+    assert(run(junk)(99L).isEmpty)
+  }
+
+  test("weights round-trip the EmbedModel checkpoint format") {
+    val dir = java.nio.file.Files.createTempDirectory("img_embed_w")
+      .toString
+    try {
+      graft.text.EmbedModel.saveWeights(
+        graft.text.EmbedModel.syntheticWeightRows(
+          spark, ImageEmbed.FeatureDim, dOut), dir)
+      val loaded = graft.text.EmbedModel.loadMatrix(
+        spark, dir, ImageEmbed.FeatureDim, dOut)
+      assert(loaded.toSeq == matrix.toSeq)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("composition: a re-encoded clone is its original's nearest neighbor") {
+    // clones = the same seeded pixels re-encoded (id + 1000); the
+    // learned head must keep clone pairs nearest in cosine among all
+    // pairs — the retrieval composition the embedding exists for
+    val base = Multimodal.syntheticImageAssets(spark, 8)
+      .filter(col("asset_id") >= 4) // larger images: features stable
+    val clones = base
+      .select((col("asset_id") + 1000L).as("asset_id"),
+              col("modality"), col("content"))
+    val emb = ImageEmbed.embedImages(base.unionByName(clones), matrix,
+        dOut, normalize = true)
+      .filter(size(col("embedding")) > 0)
+      .withColumnRenamed("asset_id", "vec_id")
+    val top = graft.similarity.Similarity.cosineTopK(
+      emb, emb, k = 1)
+    top.collect().foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(math.abs(q - n) == 1000L,
+        s"nearest of $q should be its clone, got $n")
+    }
+  }
+}
