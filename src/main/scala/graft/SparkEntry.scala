@@ -122,6 +122,7 @@ object SparkEntry {
     "q_mp4_parse"               -> Corpus.mp4Parse _,
     "q_fmp4_parse"              -> Corpus.fmp4Parse _,
     "q_image_embed"             -> Corpus.imageEmbed _,
+    "q_warc_extract"            -> Corpus.warcExtract _,
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,
@@ -1813,6 +1814,27 @@ object SparkEntry {
     // timescales keep the ms division exact), and the sample-table
     // census — sample i is 20 + i%7 bytes, so mdat bytes have the
     // closed form 20n + 21*(n//7) + r(r-1)/2, r = n%7; chunks of 4
+    // WARC + HTML twin: the oracle CONSTRUCTS every field from the id
+    // arithmetic (uri/status/title/extracted text/body byte length) -
+    // fully independent of the Spark side's container+markup parsing
+    "q_warc_extract" ->
+      """WITH p AS (
+           SELECT range AS id,
+             '<html><head><title>Doc ' || range ||
+             '</title><style>p{color:red}</style></head><body><h1>H' ||
+             (range % 7) || '</h1><p>alpha &amp; beta ' || (range % 5) ||
+             '</p><!-- hidden --><script>var x=1;</script>' ||
+             '<p>tail&#33;</p></body></html>' AS html
+           FROM range(64))
+         SELECT 'http://site' || (id % 7) || '.example/p' || id
+                  AS target_uri,
+                CAST(CASE WHEN id % 10 = 3 THEN 404 ELSE 200 END AS INT)
+                  AS http_status,
+                'Doc ' || id AS title,
+                'Doc ' || id || ' H' || (id % 7) || ' alpha & beta ' ||
+                  (id % 5) || ' tail!' AS text,
+                CAST(length(html) AS BIGINT) AS n_body_bytes
+         FROM p ORDER BY target_uri""",
     // fragmented MP4: duration/sample truth lives in the truns; per-
     // fragment sizes restart at i=0, so total mdat bytes = f * the
     // per-fragment closed form; n_chunks counts FRAGMENTS

@@ -365,6 +365,47 @@ object Corpus {
       .orderBy(col("asset_id"), col("dim"))
   }
 
+  /** WARC crawl ingestion + HTML extraction end to end
+    * ([[graft.sources.Warc]] → [[graft.text.HtmlText]]): 4 authored
+    * shards × 16 response records (odd shards in the Common Crawl
+    * record-per-gzip-member layout), each carrying a planted HTML
+    * page with title/style/comment/script/entity material. Spark
+    * PARSES the container and the markup; the oracle CONSTRUCTS
+    * uri/status/title/text/body-length from the id arithmetic — two
+    * independent derivations, so a reader that mis-lengths one
+    * record or an extractor that keeps one script hash-mismatches.
+    * Shards are re-authored into a fresh temp dir per call
+    * (deterministic content — idempotent by construction). */
+  def warcExtract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.HtmlText
+    val tmp = java.nio.file.Files.createTempDirectory("graft-warc")
+    def html(id: Long): String =
+      s"<html><head><title>Doc $id</title><style>p{color:red}</style>" +
+      s"</head><body><h1>H${id % 7}</h1><p>alpha &amp; beta ${id % 5}" +
+      s"</p><!-- hidden --><script>var x=1;</script><p>tail&#33;</p>" +
+      "</body></html>"
+    (0 until 4).foreach { f =>
+      val recs = (0 until 16).map { r =>
+        val id = f * 16L + r
+        val status = if (id % 10 == 3) "404 Not Found" else "200 OK"
+        ("response", s"http://site${id % 7}.example/p$id",
+         "2024-01-01T00:00:00Z", s"<urn:uuid:$id>",
+         s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n\r\n${html(id)}")
+      }
+      java.nio.file.Files.write(tmp.resolve(s"shard$f.warc" +
+          (if (f % 2 == 1) ".gz" else "")),
+        graft.sources.Warc.writeWarc(recs, gzipPerRecord = f % 2 == 1))
+    }
+    graft.sources.Warc.readWarc(spark, tmp.toString)
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"),
+              col("http_status"),
+              HtmlText.htmlTitle(col("body").cast("string")).as("title"),
+              HtmlText.htmlText(col("body").cast("string")).as("text"),
+              length(col("body")).cast("long").as("n_body_bytes"))
+      .orderBy(col("target_uri"))
+  }
+
   /** The compressed-container ingest surface for
     * [[ingestDecodeCompressed]]: 80 assets. Ids 0–39 are real
     * streams (even → MP3, odd → H.264 Annex-B, every id % 10 == 7

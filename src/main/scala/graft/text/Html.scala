@@ -1,0 +1,231 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML → text extraction — the stage between a crawl's raw payloads
+  * ([[graft.sources.Warc]]) and every text operator in the engine:
+  * language ID, quality scoring, dedup, and tokenization all assume
+  * PROSE, and feeding them markup skews every signal (tag soup looks
+  * like high-punctuation low-stopword "junk", scripts dominate
+  * n-gram tables). This is the deterministic, zero-dependency
+  * extraction tier (C4's `clean` / jusText-lite): full DOM-aware
+  * boilerplate removal is a judgment call a deployment tunes; tag
+  * stripping is a FUNCTION, so it lives here as a codegen'd kernel.
+  *
+  * ==Extraction rules (deterministic, twin-replayable)==
+  *  1. `<script>`/`<style>` elements vanish WITH their content
+  *     (case-insensitive; unterminated ones vanish to EOF);
+  *  2. comments (`<!-- -->`) and all remaining tags (incl. `<!...>`
+  *     and `<?...?>` declarations) become one space — block/inline
+  *     distinctions collapse under rule 4 anyway;
+  *  3. character references decode: the five XML named entities +
+  *     `&nbsp;` (→ plain space) and decimal/hex numeric references;
+  *     an unrecognized or malformed `&...` run is kept literally
+  *     (crawl reality: bare `&` is everywhere);
+  *  4. whitespace runs collapse to a single space, ends trimmed.
+  *
+  * [[HtmlText.htmlTitle]] extracts the first `<title>` element's
+  * text through the same decode/collapse path — the one header
+  * field web curation keys on before any body processing. */
+case class HtmlText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"html_text requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_text"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlText.extract(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.HtmlText.extract($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HtmlText = copy(child = newChild)
+}
+
+object HtmlText {
+
+  /** Column API: extracted prose of an HTML string. */
+  def htmlText(html: Column): Column =
+    ColumnBridge.column(HtmlText(ColumnBridge.expression(html)))
+
+  /** Column API: the first `<title>` element's decoded text; null
+    * when absent. */
+  def htmlTitle(html: Column): Column =
+    ColumnBridge.column(HtmlTitle(ColumnBridge.expression(html)))
+
+  private def lowerAt(s: String, i: Int, lit: String): Boolean = {
+    if (i + lit.length > s.length) return false
+    var k = 0
+    while (k < lit.length) {
+      if (Character.toLowerCase(s.charAt(i + k)) != lit.charAt(k))
+        return false
+      k += 1
+    }
+    true
+  }
+
+  /** Index just past `</name ... >` starting the search at `i`;
+    * length when unterminated. */
+  private def closeOf(s: String, i: Int, name: String): Int = {
+    var j = i
+    while (j < s.length) {
+      if (s.charAt(j) == '<' && j + 1 < s.length &&
+          s.charAt(j + 1) == '/' && lowerAt(s, j + 2, name)) {
+        var k = j + 2 + name.length
+        while (k < s.length && s.charAt(k) != '>') k += 1
+        return math.min(k + 1, s.length)
+      }
+      j += 1
+    }
+    s.length
+  }
+
+  /** Decode a character reference starting at `i` (the `&`). Returns
+    * (decoded string or null when not a reference, index past it). */
+  private def entity(s: String, i: Int): (String, Int) = {
+    val named = Array(("amp;", "&"), ("lt;", "<"), ("gt;", ">"),
+                      ("quot;", "\""), ("apos;", "'"), ("nbsp;", " "))
+    var e = 0
+    while (e < named.length) {
+      if (lowerAt(s, i + 1, named(e)._1))
+        return (named(e)._2, i + 1 + named(e)._1.length)
+      e += 1
+    }
+    if (i + 2 < s.length && s.charAt(i + 1) == '#') {
+      val hex = s.charAt(i + 2) == 'x' || s.charAt(i + 2) == 'X'
+      var j = i + (if (hex) 3 else 2)
+      var cp = 0L
+      val start = j
+      while (j < s.length && cp <= 0x10FFFF && {
+        val c = s.charAt(j)
+        val d =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
+          else -1
+        if (d >= 0) { cp = cp * (if (hex) 16 else 10) + d; true }
+        else false
+      }) j += 1
+      if (j > start && j < s.length && s.charAt(j) == ';' &&
+          cp >= 32 && cp <= 0x10FFFF)
+        return (new String(Character.toChars(cp.toInt)), j + 1)
+    }
+    (null, i)
+  }
+
+  /** Shared interpreted/codegen kernel (public static for generated
+    * code). */
+  def extract(html: UTF8String): UTF8String = {
+    val s = html.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    def emit(str: String): Unit = {
+      var k = 0
+      while (k < str.length) {
+        val c = str.charAt(k)
+        if (Character.isWhitespace(c)) pendingSpace = true
+        else {
+          if (pendingSpace && sb.length > 0) sb.append(' ')
+          pendingSpace = false
+          sb.append(c)
+        }
+        k += 1
+      }
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        // element-name boundary: `<scripts>` is NOT a script element
+        def elem(name: String): Boolean = lowerAt(s, i + 1, name) && {
+          val after = i + 1 + name.length
+          after >= s.length || !Character.isLetterOrDigit(s.charAt(after))
+        }
+        if (elem("script")) { i = closeOf(s, i + 1, "script")
+                              pendingSpace = true }
+        else if (elem("style")) { i = closeOf(s, i + 1, "style")
+                                  pendingSpace = true }
+        else if (lowerAt(s, i + 1, "!--")) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) s.length else end + 3
+          pendingSpace = true
+        } else {
+          var j = i + 1
+          while (j < s.length && s.charAt(j) != '>') j += 1
+          i = math.min(j + 1, s.length)
+          pendingSpace = true
+        }
+      } else if (c == '&') {
+        val (dec, next) = entity(s, i)
+        if (dec != null) { emit(dec); i = next }
+        else { emit("&"); i += 1 }
+      } else {
+        emit(String.valueOf(c))
+        i += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Kernel for [[HtmlTitle]]: first `<title>`'s extracted text. */
+  def title(html: UTF8String): UTF8String = {
+    val s = html.toString
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '<' && lowerAt(s, i + 1, "title")) {
+        var j = i + 6
+        while (j < s.length && s.charAt(j) != '>') j += 1
+        if (j >= s.length) return null
+        val bodyStart = j + 1
+        var k = bodyStart
+        while (k < s.length &&
+               !(s.charAt(k) == '<' && k + 1 < s.length &&
+                 s.charAt(k + 1) == '/' && lowerAt(s, k + 2, "title")))
+          k += 1
+        return extract(UTF8String.fromString(s.substring(bodyStart, k)))
+      }
+      i += 1
+    }
+    null
+  }
+}
+
+case class HtmlTitle(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"html_title requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "html_title"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlText.title(input.asInstanceOf[UTF8String])
+
+  // defineCodeGen assumes the kernel never returns null for non-null
+  // input; a titleless document DOES yield null, so the generated
+  // code must propagate it into isNull explicitly
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.text.HtmlText.title($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HtmlTitle = copy(child = newChild)
+}

