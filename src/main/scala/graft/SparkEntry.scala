@@ -123,6 +123,7 @@ object SparkEntry {
     "q_fmp4_parse"              -> Corpus.fmp4Parse _,
     "q_image_embed"             -> Corpus.imageEmbed _,
     "q_warc_extract"            -> Corpus.warcExtract _,
+    "q_crawl_corpus"            -> Corpus.crawlCorpus _,
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,
@@ -1814,6 +1815,23 @@ object SparkEntry {
     // timescales keep the ms division exact), and the sample-table
     // census — sample i is 20 + i%7 bytes, so mdat bytes have the
     // closed form 20n + 21*(n//7) + r(r-1)/2, r = n%7; chunks of 4
+    // the crawl-to-corpus composition twin: only 200-status ids
+    // survive; canonical URL equals the planted URI (nothing to
+    // strip), domain is the uri's last two labels, text/title/chars
+    // constructed exactly as in q_warc_extract
+    "q_crawl_corpus" ->
+      """WITH p AS (
+           SELECT range AS id,
+             'Doc ' || range || ' H' || (range % 7) ||
+             ' alpha & beta ' || (range % 5) || ' tail!' AS text
+           FROM range(64) WHERE range % 10 <> 3)
+         SELECT 'http://site' || (id % 7) || '.example/p' || id
+                  AS canonical_url,
+                'site' || (id % 7) || '.example' AS domain,
+                'Doc ' || id AS title,
+                text,
+                CAST(length(text) AS BIGINT) AS n_chars
+         FROM p ORDER BY canonical_url""",
     // WARC + HTML twin: the oracle CONSTRUCTS every field from the id
     // arithmetic (uri/status/title/extracted text/body byte length) -
     // fully independent of the Spark side's container+markup parsing

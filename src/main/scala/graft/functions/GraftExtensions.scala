@@ -108,6 +108,19 @@ object GraftExtensions {
          "dense_scatter(entries, d) takes two arguments")
        DenseScatter(args.head, intLiteral("dense_scatter d", args(1)))
      }),
+    ("html_text",
+     new ExpressionInfo(classOf[graft.text.HtmlText].getName, "html_text"),
+     (args: Seq[Expression]) => {
+       require(args.length == 1, "html_text(html) takes one argument")
+       graft.text.HtmlText(args.head)
+     }),
+    ("html_title",
+     new ExpressionInfo(classOf[graft.text.HtmlTitle].getName,
+       "html_title"),
+     (args: Seq[Expression]) => {
+       require(args.length == 1, "html_title(html) takes one argument")
+       graft.text.HtmlTitle(args.head)
+     }),
     ("registrable_domain",
      new ExpressionInfo(classOf[graft.text.RegistrableDomain].getName,
        "registrable_domain"),

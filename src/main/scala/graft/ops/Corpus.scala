@@ -376,8 +376,7 @@ object Corpus {
     * record or an extractor that keeps one script hash-mismatches.
     * Shards are re-authored into a fresh temp dir per call
     * (deterministic content — idempotent by construction). */
-  def warcExtract(spark: SparkSession, dir: String): DataFrame = {
-    import graft.text.HtmlText
+  private def warcFixtureDir(spark: SparkSession): String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-warc")
     def html(id: Long): String =
       s"<html><head><title>Doc $id</title><style>p{color:red}</style>" +
@@ -396,7 +395,12 @@ object Corpus {
           (if (f % 2 == 1) ".gz" else "")),
         graft.sources.Warc.writeWarc(recs, gzipPerRecord = f % 2 == 1))
     }
-    graft.sources.Warc.readWarc(spark, tmp.toString)
+    tmp.toString
+  }
+
+  def warcExtract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.HtmlText
+    graft.sources.Warc.readWarc(spark, warcFixtureDir(spark))
       .filter(col("warc_type") === "response")
       .select(col("target_uri"),
               col("http_status"),
@@ -404,6 +408,20 @@ object Corpus {
               HtmlText.htmlText(col("body").cast("string")).as("text"),
               length(col("body")).cast("long").as("n_body_bytes"))
       .orderBy(col("target_uri"))
+  }
+
+  /** The crawl-to-corpus composition gate ([[graft.pipelines
+    * .WebCuration.fromWarc]]): the q_warc_extract shards flow
+    * through WARC walk → 200/text-html filter → HTML extraction →
+    * URL canonicalization → registrable domain in ONE declared
+    * query, its twin constructed from id arithmetic (404-status ids
+    * drop; everything else closed-form). */
+  def crawlCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = warcFixtureDir(spark)
+    graft.pipelines.WebCuration.fromWarc(spark, tmp)
+      .select(col("canonical_url"), col("domain"), col("title"),
+              col("text"), col("n_chars"))
+      .orderBy(col("canonical_url"))
   }
 
   /** The compressed-container ingest surface for

@@ -30,6 +30,31 @@ import graft.text.UrlOps
   *    `Splitting.mixToBudget`'s documented hazard + approx path. */
 object WebCuration {
 
+  /** Crawl shards → curation-ready corpus frame, the composition a
+    * from-the-crawl deployment starts with: WARC records
+    * ([[graft.sources.Warc.readWarc]]) → 200 `text/html` responses →
+    * HTML text + title ([[graft.text.HtmlText]]) → canonical URL +
+    * registrable domain ([[withUrlColumns]]). Output carries
+    * `(url, canonical_url, host, domain, title, text, n_chars)` —
+    * exactly the columns the blocklist/cap/dedup/quality stages key
+    * on. Everything here is per-record map work over the shard scan;
+    * the first shuffle belongs to whatever curation stage follows. */
+  def fromWarc(spark: org.apache.spark.sql.SparkSession,
+               path: String): DataFrame = {
+    import graft.text.HtmlText
+    val html = graft.sources.Warc.readWarc(spark, path)
+      .filter(col("warc_type") === "response" &&
+              col("http_status") === 200 &&
+              col("content_type").startsWith("text/html"))
+      .select(col("target_uri").as("url"),
+              col("body").cast("string").as("raw_html"))
+    withUrlColumns(html)
+      .withColumn("title", HtmlText.htmlTitle(col("raw_html")))
+      .withColumn("text", HtmlText.htmlText(col("raw_html")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("raw_html")
+  }
+
   /** Attach `canonical_url`, `host`, `domain` (map-only). */
   def withUrlColumns(docs: DataFrame, urlCol: String = "url"): DataFrame = {
     val host = UrlOps.canonicalHost(col(urlCol))
