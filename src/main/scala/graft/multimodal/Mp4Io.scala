@@ -104,6 +104,14 @@ object Mp4Io {
   private def find(bs: List[Box], tag: String): Option[Box] =
     bs.find(_.tag == tag)
 
+  /** A box whose payload is at least `n` bytes — every fixed-offset
+    * read below goes through this gate first, so a truncated-but-
+    * size-valid box (size field says 8, reader expects a version
+    * byte) quarantines as `ok = false` instead of throwing an
+    * ArrayIndexOutOfBoundsException out of the task. */
+  private def sized(b: Option[Box], n: Int): Option[Box] =
+    b.filter(x => x.end - x.start >= n)
+
   // ---- avcC → Annex-B → H264Io ------------------------------------
 
   /** Re-frame avcC's SPS/PPS blobs as Annex-B and decode geometry
@@ -159,13 +167,13 @@ object Mp4Io {
           .getOrElse(return Bad)
         val fragmented = find(moovKids, "mvex").isDefined
         // mvhd (version 0 or 1)
-        val mvhd = find(moovKids, "mvhd").getOrElse(return Bad)
+        val mvhd = sized(find(moovKids, "mvhd"), 20).getOrElse(return Bad)
         val mvhdV = bytes(mvhd.start) & 0xff
         val (timescale, durationUnits) =
           if (mvhdV == 0) (u32(bytes, mvhd.start + 12),
                            u32(bytes, mvhd.start + 16))
-          else if (mvhdV == 1) (u32(bytes, mvhd.start + 20),
-                                u64(bytes, mvhd.start + 24))
+          else if (mvhdV == 1 && mvhd.end - mvhd.start >= 32)
+            (u32(bytes, mvhd.start + 20), u64(bytes, mvhd.start + 24))
           else return Bad
         if (timescale <= 0) return Bad
         // single media track: trak → mdia → {mdhd, hdlr, minf → stbl}
@@ -175,13 +183,14 @@ object Mp4Io {
         val mdia = find(trakKids, "mdia").getOrElse(return Bad)
         val mdiaKids = boxes(bytes, mdia.start, mdia.end)
           .getOrElse(return Bad)
-        val mdhd = find(mdiaKids, "mdhd").getOrElse(return Bad)
+        val mdhd = sized(find(mdiaKids, "mdhd"), 20).getOrElse(return Bad)
         val mdhdV = bytes(mdhd.start) & 0xff
         val mediaDuration =
           if (mdhdV == 0) u32(bytes, mdhd.start + 16)
-          else if (mdhdV == 1) u64(bytes, mdhd.start + 24)
+          else if (mdhdV == 1 && mdhd.end - mdhd.start >= 32)
+            u64(bytes, mdhd.start + 24)
           else return Bad
-        val hdlr = find(mdiaKids, "hdlr").getOrElse(return Bad)
+        val hdlr = sized(find(mdiaKids, "hdlr"), 12).getOrElse(return Bad)
         val handler = fourcc(bytes, hdlr.start + 8)
         val minf = find(mdiaKids, "minf").getOrElse(return Bad)
         val stbl = find(boxes(bytes, minf.start, minf.end)
@@ -189,7 +198,7 @@ object Mp4Io {
         val stblKids = boxes(bytes, stbl.start, stbl.end)
           .getOrElse(return Bad)
         // stsd → avc1 → avcC → SPS geometry (checked vs avc1 fields)
-        val stsd = find(stblKids, "stsd").getOrElse(return Bad)
+        val stsd = sized(find(stblKids, "stsd"), 8).getOrElse(return Bad)
         if (u32(bytes, stsd.start + 4) < 1) return Bad
         val entry = boxes(bytes, stsd.start + 8, stsd.end)
           .getOrElse(return Bad).headOption.getOrElse(return Bad)
@@ -207,7 +216,7 @@ object Mp4Io {
                                 handler, sps)
         val mdat = find(rest, "mdat").getOrElse(return Bad)
         // stts: total samples + duration cross-check
-        val stts = find(stblKids, "stts").getOrElse(return Bad)
+        val stts = sized(find(stblKids, "stts"), 8).getOrElse(return Bad)
         val sttsN = u32(bytes, stts.start + 4).toInt
         if (stts.end - stts.start < 8 + 8L * sttsN) return Bad
         var sttsSamples = 0L; var sttsDuration = 0L
@@ -219,11 +228,13 @@ object Mp4Io {
           e += 1
         }
         if (sttsDuration != mediaDuration) return Bad
-        // stsz: per-sample sizes
-        val stsz = find(stblKids, "stsz").getOrElse(return Bad)
+        // stsz: per-sample sizes (a zero-sample video track is not a
+        // corpus asset — strict quarantine, and it would otherwise
+        // leave the first/last-offset sentinels in sampleSpan)
+        val stsz = sized(find(stblKids, "stsz"), 12).getOrElse(return Bad)
         val uniform = u32(bytes, stsz.start + 4)
         val nSamples = u32(bytes, stsz.start + 8)
-        if (nSamples != sttsSamples) return Bad
+        if (nSamples != sttsSamples || nSamples == 0L) return Bad
         val sizes: Long => Long =
           if (uniform != 0) _ => uniform
           else {
@@ -231,11 +242,11 @@ object Mp4Io {
             i => u32(bytes, stsz.start + 12 + 4 * i.toInt)
           }
         // stsc runs + stco offsets: prove every sample lands in mdat
-        val stsc = find(stblKids, "stsc").getOrElse(return Bad)
+        val stsc = sized(find(stblKids, "stsc"), 8).getOrElse(return Bad)
         val stscN = u32(bytes, stsc.start + 4).toInt
         if (stsc.end - stsc.start < 8 + 12L * stscN || stscN < 1)
           return Bad
-        val stco = find(stblKids, "stco").getOrElse(return Bad)
+        val stco = sized(find(stblKids, "stco"), 8).getOrElse(return Bad)
         val nChunks = u32(bytes, stco.start + 4).toInt
         if (stco.end - stco.start < 8 + 4L * nChunks || nChunks < 1)
           return Bad
@@ -292,9 +303,9 @@ object Mp4Io {
                              timescale: Long, handler: String,
                              sps: H264Io.Parsed): Parsed = {
     // strict: fragmented moov declares EMPTY tables
-    val stsz = find(stblKids, "stsz").getOrElse(return Bad)
+    val stsz = sized(find(stblKids, "stsz"), 12).getOrElse(return Bad)
     if (u32(bytes, stsz.start + 8) != 0L) return Bad
-    val stts = find(stblKids, "stts").getOrElse(return Bad)
+    val stts = sized(find(stblKids, "stts"), 8).getOrElse(return Bad)
     if (u32(bytes, stts.start + 4) != 0L) return Bad
     // collect (moof, following mdat) pairs in stream order
     val pairs = List.newBuilder[(Box, Box)]
@@ -316,17 +327,17 @@ object Mp4Io {
     for ((moof, mdat) <- frags) {
       val moofKids = boxes(bytes, moof.start, moof.end)
         .getOrElse(return Bad)
-      val mfhd = find(moofKids, "mfhd").getOrElse(return Bad)
+      val mfhd = sized(find(moofKids, "mfhd"), 8).getOrElse(return Bad)
       if (u32(bytes, mfhd.start + 4) != seq) return Bad
       seq += 1
       val traf = find(moofKids, "traf").getOrElse(return Bad)
       val trafKids = boxes(bytes, traf.start, traf.end)
         .getOrElse(return Bad)
-      val tfhd = find(trafKids, "tfhd").getOrElse(return Bad)
+      val tfhd = sized(find(trafKids, "tfhd"), 8).getOrElse(return Bad)
       val tfhdFlags = u32(bytes, tfhd.start) & 0xffffffL
       if ((tfhdFlags & 0x020000L) == 0L) return Bad // default-base-is-moof
       if (u32(bytes, tfhd.start + 4) != 1L) return Bad // track_id
-      val trun = find(trafKids, "trun").getOrElse(return Bad)
+      val trun = sized(find(trafKids, "trun"), 12).getOrElse(return Bad)
       val trunFlags = u32(bytes, trun.start) & 0xffffffL
       // strict authored profile: data-offset + per-sample duration
       // and size present (trex defaults carry no per-sample truth)

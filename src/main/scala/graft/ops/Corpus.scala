@@ -374,9 +374,12 @@ object Corpus {
     * uri/status/title/text/body-length from the id arithmetic — two
     * independent derivations, so a reader that mis-lengths one
     * record or an extractor that keeps one script hash-mismatches.
-    * Shards are re-authored into a fresh temp dir per call
-    * (deterministic content — idempotent by construction). */
-  private def warcFixtureDir(spark: SparkSession): String = {
+    * Shards are authored ONCE per JVM (the bucketedCache pattern):
+    * content is deterministic, and the bench/soak harnesses invoke
+    * the two consuming queries many times per session — a fresh dir
+    * per call would leak tmp space unboundedly on a long-lived
+    * host. */
+  private lazy val warcFixtureCached: String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-warc")
     def html(id: Long): String =
       s"<html><head><title>Doc $id</title><style>p{color:red}</style>" +
@@ -397,6 +400,9 @@ object Corpus {
     }
     tmp.toString
   }
+
+  private def warcFixtureDir(spark: SparkSession): String =
+    warcFixtureCached
 
   def warcExtract(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.HtmlText

@@ -463,6 +463,28 @@ object Pq {
       .write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
+  /** Fail fast on an index whose `codes/` is not the batch-partitioned
+    * layout (an index written by a pre-lifecycle build has part files
+    * directly under `codes/`): appending next to flat files makes the
+    * later partitioned read throw Spark's conflicting-directory-
+    * structures error at SEARCH time — the same loud-at-the-boundary
+    * contract as [[graft.dedup.DedupIndex]]'s key-format stamp. */
+  private def requireBatchLayout(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Unit = {
+    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(codes)) {
+      val flat = fs.listStatus(codes).filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("batch=") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      require(flat.isEmpty,
+        s"PQ index at $path has a pre-lifecycle flat codes/ layout " +
+        s"(found ${flat.map(_.getPath.getName).take(3).mkString(", ")}); " +
+        "rebuild it with writePqIndex before appending or searching")
+    }
+  }
+
   /** Land a new batch of vectors into an existing index: encode with
     * the STORED codebooks (no retrain — appended codes stay
     * comparable with every earlier batch under one ADC table) and
@@ -475,6 +497,7 @@ object Pq {
     require(batchTag.nonEmpty && batchTag != "b0" &&
             batchTag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"batchTag must be a fresh directory-safe tag, got '$batchTag'")
+    requireBatchLayout(batch.sparkSession, path)
     val model = readModel(batch.sparkSession, path)
     encodePq(batch, model, cVec, cId)
       .withColumnRenamed(cId, "neighbor_id")
@@ -490,6 +513,7 @@ object Pq {
                 removedIds: DataFrame, path: String, dst: String,
                 idCol: String = "vec_id"): Unit = {
     require(dst != path, "gc to a fresh directory, then swap")
+    requireBatchLayout(spark, path)
     val removed = removedIds.select(col(idCol).as("neighbor_id")).distinct()
     spark.read.parquet(s"$path/codes")
       .select(col("neighbor_id"), col("codes"))
@@ -520,6 +544,7 @@ object Pq {
   def searchPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     queries: DataFrame, k: Int, qId: String = "vec_id",
                     qVec: String = "embedding"): DataFrame = {
+    requireBatchLayout(spark, path)
     val model = readModel(spark, path)
     searchCodes(queries,
                 spark.read.parquet(s"$path/codes")

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.charset.StandardCharsets
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * `WARC-Target-URI`, `WARC-Date`, `Content-Length`), blank line,
   * exactly `Content-Length` payload bytes, blank separator — and
   * Common Crawl ships each record as its own concatenated-gzip
-  * member, which `GZIPInputStream` walks natively.
+  * member, which the explicit member walker in [[gunzip]] handles.
   *
   * ==What the reader emits==
   * One row per record: the WARC headers that matter for curation,
@@ -135,24 +135,82 @@ object Warc {
   private def b2(b: Array[Byte], i: Int): Boolean =
     b(i) == '\r' && b(i + 1) == '\n'
 
-  /** Gunzip (multi-member streams walk natively — the Common Crawl
-    * record-per-member layout); non-gzip bytes pass through. A
-    * TRUNCATED stream yields the bytes decompressed so far — the
-    * record walker then quarantines whatever record the cut lands in
-    * (never a task-killing throw for one bad shard). */
-  private[sources] def gunzip(bytes: Array[Byte]): Array[Byte] =
+  /** Gunzip a (possibly multi-member) stream — the Common Crawl
+    * record-per-member layout — returning `(bytes, clean)`. The
+    * member walk is explicit (header parse + `Inflater` + 8-byte
+    * trailer) because `GZIPInputStream` treats a CORRUPT next-member
+    * header as a clean end-of-stream: with it, one flipped byte at a
+    * member boundary would silently drop every later record with no
+    * quarantine row. Here any unconsumed tail — bad member header,
+    * mid-member corruption, missing trailer — yields the bytes
+    * decompressed so far and `clean = false`, which [[readWarc]]
+    * turns into an `invalid` marker row (never a task-killing throw
+    * for one bad shard). Non-gzip bytes pass through clean. */
+  private[sources] def gunzip(bytes: Array[Byte]): (Array[Byte], Boolean) = {
     if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f ||
-        (bytes(1) & 0xff) != 0x8b) bytes
-    else {
-      val out = new ByteArrayOutputStream(bytes.length * 4)
-      try {
-        val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+        (bytes(1) & 0xff) != 0x8b) return (bytes, true)
+    val out = new ByteArrayOutputStream(bytes.length * 4)
+    var i = 0
+    var clean = true
+    var halt = false
+    while (!halt && i < bytes.length) {
+      val h = gzipHeaderEnd(bytes, i)
+      if (h < 0) { clean = false; halt = true }
+      else {
+        val inf = new java.util.zip.Inflater(true) // raw deflate
+        inf.setInput(bytes, h, bytes.length - h)
         val buf = new Array[Byte](1 << 16)
-        var n = in.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-      } catch { case _: java.io.IOException => () }
-      out.toByteArray
+        try {
+          var n = inf.inflate(buf)
+          while (n > 0 || (!inf.finished() && !inf.needsInput())) {
+            out.write(buf, 0, n); n = inf.inflate(buf)
+          }
+          if (!inf.finished()) { clean = false; halt = true }
+          else {
+            val next = h + inf.getBytesRead.toInt + 8 // CRC32 + ISIZE
+            if (next > bytes.length) { clean = false; halt = true }
+            else i = next
+          }
+        } catch {
+          case _: java.util.zip.DataFormatException =>
+            clean = false; halt = true
+        } finally inf.end()
+      }
     }
+    (out.toByteArray, clean)
+  }
+
+  /** Index just past one gzip member header starting at `off`, or -1
+    * if the bytes there are not a valid header (RFC 1952: magic, CM=8,
+    * then optional FEXTRA/FNAME/FCOMMENT/FHCRC fields per FLG). */
+  private def gzipHeaderEnd(b: Array[Byte], off: Int): Int = {
+    if (off + 10 > b.length) return -1
+    if ((b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b ||
+        (b(off + 2) & 0xff) != 8) return -1
+    val flg = b(off + 3) & 0xff
+    var i = off + 10
+    if ((flg & 4) != 0) { // FEXTRA: u16le length
+      if (i + 2 > b.length) return -1
+      val xlen = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      i += 2 + xlen
+      if (i > b.length) return -1
+    }
+    if ((flg & 8) != 0) { // FNAME: NUL-terminated
+      while (i < b.length && b(i) != 0) i += 1
+      if (i >= b.length) return -1
+      i += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT: NUL-terminated
+      while (i < b.length && b(i) != 0) i += 1
+      if (i >= b.length) return -1
+      i += 1
+    }
+    if ((flg & 2) != 0) { // FHCRC
+      i += 2
+      if (i > b.length) return -1
+    }
+    i
+  }
 
   /** Read WARC shards (plain or gzip) → one row per record:
     * `(warc_file, warc_type, target_uri, warc_date, record_id,
@@ -163,7 +221,16 @@ object Warc {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, raw) =>
-        parseWarc(gunzip(raw)).map(r =>
+        val (bytes, clean) = gunzip(raw)
+        val recs = parseWarc(bytes)
+        // a gzip cut exactly at a record boundary parses clean —
+        // surface it as one quarantine row (mid-record cuts are
+        // already flagged by parseWarc; don't double-flag)
+        val all =
+          if (clean || recs.lastOption.exists(_.warcType == "invalid"))
+            recs
+          else recs :+ Record("invalid", null, null, null, 0, null, null)
+        all.map(r =>
           (p, r.warcType, r.targetUri, r.warcDate, r.recordId,
            r.httpStatus, r.contentType, r.body))
       }

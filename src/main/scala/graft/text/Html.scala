@@ -23,7 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     (case-insensitive; unterminated ones vanish to EOF);
   *  2. comments (`<!-- -->`) and all remaining tags (incl. `<!...>`
   *     and `<?...?>` declarations) become one space — block/inline
-  *     distinctions collapse under rule 4 anyway;
+  *     distinctions collapse under rule 4 anyway; a `<` NOT followed
+  *     by a letter, `/`, `!` or `?` is prose (the HTML5 data-state
+  *     rule — `i <3 u`, `x < y` survive extraction);
   *  3. character references decode: the five XML named entities +
   *     `&nbsp;` (→ plain space) and decimal/hex numeric references;
   *     an unrecognized or malformed `&...` run is kept literally
@@ -76,13 +78,19 @@ object HtmlText {
     true
   }
 
+  /** True when the char at `i` (if any) cannot extend an element
+    * name — so `</scripts>` never closes a `script` element. */
+  private def nameBoundary(s: String, i: Int): Boolean =
+    i >= s.length || !Character.isLetterOrDigit(s.charAt(i))
+
   /** Index just past `</name ... >` starting the search at `i`;
     * length when unterminated. */
   private def closeOf(s: String, i: Int, name: String): Int = {
     var j = i
     while (j < s.length) {
       if (s.charAt(j) == '<' && j + 1 < s.length &&
-          s.charAt(j + 1) == '/' && lowerAt(s, j + 2, name)) {
+          s.charAt(j + 1) == '/' && lowerAt(s, j + 2, name) &&
+          nameBoundary(s, j + 2 + name.length)) {
         var k = j + 2 + name.length
         while (k < s.length && s.charAt(k) != '>') k += 1
         return math.min(k + 1, s.length)
@@ -94,9 +102,14 @@ object HtmlText {
 
   /** Decode a character reference starting at `i` (the `&`). Returns
     * (decoded string or null when not a reference, index past it). */
+  // constant lookup table — hoisted out of entity(): it sits on the
+  // per-'&' hot path of a codegen'd kernel
+  private val NamedEntities =
+    Array(("amp;", "&"), ("lt;", "<"), ("gt;", ">"),
+          ("quot;", "\""), ("apos;", "'"), ("nbsp;", " "))
+
   private def entity(s: String, i: Int): (String, Int) = {
-    val named = Array(("amp;", "&"), ("lt;", "<"), ("gt;", ">"),
-                      ("quot;", "\""), ("apos;", "'"), ("nbsp;", " "))
+    val named = NamedEntities
     var e = 0
     while (e < named.length) {
       if (lowerAt(s, i + 1, named(e)._1))
@@ -145,9 +158,18 @@ object HtmlText {
         k += 1
       }
     }
+    // '<' opens a tag only before a letter, '/', '!' or '?' — the
+    // HTML5 data-state rule; a bare '<' before anything else ('i <3
+    // u', 'x < y') is PROSE, and eating to the next '>' (or EOF)
+    // would truncate real text
+    def tagOpener(at: Int): Boolean = at + 1 < s.length && {
+      val n = s.charAt(at + 1)
+      (n >= 'a' && n <= 'z') || (n >= 'A' && n <= 'Z') ||
+        n == '/' || n == '!' || n == '?'
+    }
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '<') {
+      if (c == '<' && tagOpener(i)) {
         // element-name boundary: `<scripts>` is NOT a script element
         def elem(name: String): Boolean = lowerAt(s, i + 1, name) && {
           val after = i + 1 + name.length
@@ -184,7 +206,10 @@ object HtmlText {
     val s = html.toString
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '<' && lowerAt(s, i + 1, "title")) {
+      // element-name boundary both ways: <titlebar> is not a title,
+      // and </titles> does not close one
+      if (s.charAt(i) == '<' && lowerAt(s, i + 1, "title") &&
+          nameBoundary(s, i + 6)) {
         var j = i + 6
         while (j < s.length && s.charAt(j) != '>') j += 1
         if (j >= s.length) return null
@@ -192,7 +217,8 @@ object HtmlText {
         var k = bodyStart
         while (k < s.length &&
                !(s.charAt(k) == '<' && k + 1 < s.length &&
-                 s.charAt(k + 1) == '/' && lowerAt(s, k + 2, "title")))
+                 s.charAt(k + 1) == '/' && lowerAt(s, k + 2, "title") &&
+                 nameBoundary(s, k + 7)))
           k += 1
         return extract(UTF8String.fromString(s.substring(bodyStart, k)))
       }

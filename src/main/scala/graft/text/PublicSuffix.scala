@@ -61,12 +61,16 @@ object PublicSuffix {
   }
 
   /** Shared interpreted/codegen kernel (public static for generated
-    * code): eTLD+1 of a host per the trimmed PSL. */
+    * code): eTLD+1 of a host per the trimmed PSL. Output is ALWAYS
+    * lowercased — including the bare-suffix and single-label early
+    * returns — so a raw (un-canonicalized) host column yields
+    * case-consistent grouping keys. */
   def registrable(host: UTF8String): UTF8String = {
     val h = host.toString.toLowerCase(java.util.Locale.ROOT)
+    val lowered = UTF8String.fromString(h)
     val labels = h.split('.')
     val n = labels.length
-    if (n <= 1) return host
+    if (n <= 1) return lowered
     // scan suffix lengths 1..n right-to-left, growing the candidate
     // string one label at a time; prev = candidate for length L-1
     // (the wildcard base a "*." rule needs)
@@ -84,7 +88,7 @@ object PublicSuffix {
       if (L <= n) cand = labels(n - L) + "." + cand
     }
     if (exceptionPub >= 0) pub = math.max(exceptionPub, 1)
-    if (n <= pub) host // bare public suffix: no registrant label
+    if (n <= pub) lowered // bare public suffix: no registrant label
     else {
       var i = n - pub - 1
       val sb = new java.lang.StringBuilder(labels(i))

@@ -204,6 +204,37 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("pre-lifecycle flat codes/ layout fails fast on append and search") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_flat").toString
+    try {
+      // author a legacy-shaped index: codes written FLAT (no batch=
+      // partition dirs) next to valid codebooks
+      val model = Pq.trainPq(emb, m = 8, kCodes = 16, seed = 42L)
+      Pq.encodePq(emb, model)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .write.mode("overwrite").parquet(s"$dir/idx/codes")
+      import spark.implicits._
+      (for {
+        j <- model.codebooks.indices
+        c <- model.codebooks(j).indices
+      } yield (j, c, model.codebooks(j)(c).toSeq))
+        .toDF("subspace", "code", "center")
+        .write.mode("overwrite").parquet(s"$dir/idx/codebooks")
+      val queries = emb.filter(col("vec_id") < 5)
+      val e1 = intercept[IllegalArgumentException] {
+        Pq.appendPqIndex(emb.filter(col("vec_id") < 3), s"$dir/idx", "b1")
+      }
+      assert(e1.getMessage.contains("flat codes/ layout"))
+      val e2 = intercept[IllegalArgumentException] {
+        Pq.searchPqIndex(spark, s"$dir/idx", queries, k = 3)
+      }
+      assert(e2.getMessage.contains("rebuild"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("index lifecycle: build+append equals full-corpus encode under " +
        "the shared codebooks; re-append is idempotent; gc removes ids") {
     val dir = java.nio.file.Files.createTempDirectory("pq_lifecycle")

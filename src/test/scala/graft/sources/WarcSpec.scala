@@ -67,6 +67,22 @@ class WarcSpec extends AnyFunSuite {
     assert(g.length == 1 && g.head.getString(1) == "invalid")
   }
 
+  test("corrupt header at a gzip member boundary leaves a quarantine row") {
+    // 3 records, one gzip member each; flip a magic byte in member 2's
+    // header: Java's GZIPInputStream would silently treat that as
+    // end-of-stream (dropping members 2-3 with no signal) — the
+    // explicit member walker must emit member 1 PLUS an invalid row.
+    val one = recs(1); val twoThree = recs(2)
+    val m1 = Warc.writeWarc(one, gzipPerRecord = true)
+    val m23 = Warc.writeWarc(twoThree, gzipPerRecord = true)
+    val joined = m1 ++ m23
+    joined(m1.length) = 0x00 // corrupt member 2's 0x1f magic
+    val rows = readDir("f.warc.gz" -> joined)
+    assert(rows.count(_.getString(1) == "invalid") == 1,
+      s"expected exactly one quarantine row, got: ${rows.map(_.getString(1))}")
+    assert(rows.count(_.getString(1) == "response") == one.length)
+  }
+
   test("truncated gzip member quarantines, does not throw") {
     val gz = Warc.writeWarc(recs(3), gzipPerRecord = true)
     val cut = gz.take(gz.length - 15)

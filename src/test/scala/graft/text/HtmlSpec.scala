@@ -39,6 +39,23 @@ class HtmlSpec extends AnyFunSuite {
     assert(text("<scripts>keep</scripts>") == "keep")
   }
 
+  test("bare '<' before a non-tag char is prose, not a tag opener") {
+    assert(text("<p>i <3 u</p>") == "i <3 u")
+    assert(text("when x < y the loop exits") == "when x < y the loop exits")
+    assert(text("a < b > c") == "a < b > c")
+    assert(text("trailing <") == "trailing <")
+    // tag openers still open: letter, '/', '!', '?'
+    assert(text("a<?php echo 1 ?>b") == "a b")
+    assert(text("<!DOCTYPE html>x") == "x")
+  }
+
+  test("title requires an element-name boundary") {
+    assert(title("<titlebar>Main Menu</titlebar><p>x</p>") == null)
+    assert(title("<titles>no</titles><title>yes</title>") == "yes")
+    // a </titles> inside a real title does not close it
+    assert(title("<title>a </titles> b</title>") == "a b")
+  }
+
   test("character references decode; malformed ampersands survive") {
     assert(text("a &amp; b &lt;c&gt; &quot;d&quot; &apos;e&apos;")
       == "a & b <c> \"d\" 'e'")

@@ -63,6 +63,16 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(domain("localhost") == "localhost")
   }
 
+  test("registrable domain: output is lowercased on every path") {
+    // general path lowercases; the bare-suffix and single-label early
+    // returns must too, or a raw host column splits one logical
+    // domain into case-variant grouping keys
+    assert(domain("WWW.Example.COM") == "example.com")
+    assert(domain("FOO.CK") == "foo.ck")       // bare *.ck suffix
+    assert(domain("CO.UK") == "co.uk")         // bare exact suffix
+    assert(domain("LOCALHOST") == "localhost") // single label
+  }
+
   test("registrable domain: PSL multi-label, wildcard, exception, private rules") {
     // prefecture suffixes: hokkaido.jp is a public suffix, so the
     // prefecture government's own host groups at pref.hokkaido.jp —
