@@ -122,6 +122,7 @@ object SparkEntry {
     "q_mp4_parse"               -> Corpus.mp4Parse _,
     "q_fmp4_parse"              -> Corpus.fmp4Parse _,
     "q_image_embed"             -> Corpus.imageEmbed _,
+    "q_audio_embed"             -> Corpus.audioEmbed _,
     "q_warc_extract"            -> Corpus.warcExtract _,
     "q_crawl_corpus"            -> Corpus.crawlCorpus _,
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,

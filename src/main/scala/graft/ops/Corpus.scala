@@ -365,6 +365,26 @@ object Corpus {
       .orderBy(col("asset_id"), col("dim"))
   }
 
+  /** REAL learned audio-embedding inference ([[graft.multimodal
+    * .AudioEmbed]]): an md5-derived 64×8 linear head over the
+    * time×frequency PCM energy grid of 256 executor-encoded WAVs,
+    * posexploded to long form. Seeded-float family like
+    * [[imageEmbed]]: no SQL twin (DCT/log double math), driver
+    * rows-check + committed sf-independent golden (GoldenSeededSpec)
+    * — pins the PCM-read→grid→GEMV composition bit-for-bit. */
+  def audioEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{AudioEmbed, Multimodal}
+    val w = graft.text.EmbedModel.collectMatrix(
+      graft.text.EmbedModel.syntheticWeightRows(
+        spark, AudioEmbed.FeatureDim, 8),
+      AudioEmbed.FeatureDim, 8)
+    AudioEmbed.embedAudio(Multimodal.syntheticAudioAssets(spark, 256),
+        w, dOut = 8)
+      .select(col("asset_id"),
+              posexplode(col("embedding")).as(Seq("dim", "v")))
+      .orderBy(col("asset_id"), col("dim"))
+  }
+
   /** WARC crawl ingestion + HTML extraction end to end
     * ([[graft.sources.Warc]] → [[graft.text.HtmlText]]): 4 authored
     * shards × 16 response records (odd shards in the Common Crawl

@@ -23,7 +23,7 @@ class GoldenSeededSpec extends AnyFunSuite {
     "q_dedup_minhash", "q_simhash_neardup", "q_embedding_neardup",
     "q_semantic_dedup", "q_ann_topk", "q_ivf_topk", "q_phash_neardup",
     "q_pq_topk", "q_ivfpq_residual",
-    "q_image_embed",
+    "q_image_embed", "q_audio_embed",
     // not seeded but equally un-oracle-able: deterministic merge
     // recursion with no SQL form
     "q_bpe_tokens")
