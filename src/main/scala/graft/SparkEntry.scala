@@ -130,6 +130,7 @@ object SparkEntry {
     "q_domain_cap"              -> Corpus.domainCap _,
     "q_url_dedup"               -> Corpus.urlDedup _,
     "q_domain_heavyhitters"     -> Corpus.domainHeavyHitters _,
+    "q_robots_filter"           -> Corpus.robotsFilter _,
     "q_hashed_embed_topk"       -> Corpus.hashedEmbedTopk _,
     "q_embed_infer"             -> Corpus.embedInfer _,
     "q_cluster_scan"            -> Corpus.clusterScan _,
@@ -2054,6 +2055,23 @@ object SparkEntry {
          SELECT domain, count(*) AS n FROM d GROUP BY 1
          HAVING count(*) >= (SELECT count(*) // 10 FROM d)
          ORDER BY domain""",
+    // robots.txt: the Spark side PARSES the authored bodies and
+    // glob-matches patterns (RFC 9309); the twin CONSTRUCTS the same
+    // decision table from the id arithmetic the fixture was planted
+    // with — host h = id%6, path variant v = (id/6)%5
+    "q_robots_filter" ->
+      """WITH d AS (SELECT range AS doc_id, range % 6 AS h,
+                           (range // 6) % 5 AS v
+                    FROM range(240))
+         SELECT doc_id, 's' || h || '.example' AS host,
+           CASE WHEN h = 0 THEN CASE WHEN v = 2 THEN 0 ELSE 1 END
+                WHEN h = 1 THEN CASE WHEN v = 4 THEN 0 ELSE 1 END
+                WHEN h = 2 THEN 1
+                WHEN h = 3 THEN 1
+                WHEN h = 4 THEN CASE WHEN v = 3 THEN 1 ELSE 0 END
+                ELSE CASE WHEN v IN (0, 3) THEN 0 ELSE 1 END
+           END AS allowed
+         FROM d ORDER BY doc_id""",
     // half-copy chimeras at id+200001 (first half of a % 40 == 0
     // benchmark doc + second half of the next doc) probe the 50% gate
     // from both sides; the flag is exact integer hits·100 > total·50

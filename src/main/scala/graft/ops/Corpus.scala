@@ -424,6 +424,50 @@ object Corpus {
   private def warcFixtureDir(spark: SparkSession): String =
     warcFixtureCached
 
+  /** robots.txt crawl-politeness filtering ([[graft.text.Robots]]):
+    * 240 planted URLs across 6 hosts × 5 path variants against 5
+    * authored robots bodies (one host has none) that exercise every
+    * matcher path — plain prefix, mid-pattern `*`, `$` anchor beating
+    * a shorter disallow, agent-specific group selection over a
+    * deny-all `*` group, empty-Disallow allow-all, deny-all with an
+    * allow carve-out, and the no-robots default. Spark PARSES bodies
+    * and MATCHES patterns; the oracle CONSTRUCTS the verdict from id
+    * arithmetic — two independent derivations of the decision
+    * table. */
+  def robotsFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val robots = Seq(
+      ("s0.example",
+       "User-agent: *\nDisallow: /private/\nAllow: /private/ok$\n"),
+      ("s1.example",
+       "User-agent: graftbot\nDisallow: /*/hidden\n\n" +
+       "User-agent: *\nDisallow: /\n"),
+      ("s2.example", "User-agent: *\nDisallow:\n"),
+      ("s4.example", "User-agent: *\nDisallow: /\nAllow: /public\n"),
+      ("s5.example",
+       "# blanket prefix block\nUser-agent: *\nDisallow: /p\n" +
+       "Allow: /private/\n")
+    ).toDF("host", "robots_txt")
+    val docs = spark.range(240)
+      .select(col("id").as("doc_id"),
+        concat(lit("https://s"), col("id") % 6, lit(".example"),
+          when((col("id") / 6).cast("long") % 5 === 0,
+               concat(lit("/p"), (col("id") / 30).cast("long")))
+          .when((col("id") / 6).cast("long") % 5 === 1, lit("/private/ok"))
+          .when((col("id") / 6).cast("long") % 5 === 2,
+               concat(lit("/private/doc"), (col("id") / 30).cast("long")))
+          .when((col("id") / 6).cast("long") % 5 === 3,
+               concat(lit("/public/a"), (col("id") / 30).cast("long")))
+          .otherwise(concat(lit("/a"), (col("id") / 30).cast("long"),
+                            lit("/hidden")))).as("url"))
+    graft.text.Robots.verdicts(docs, robots, "graftbot/1.0")
+      .select(col("doc_id"),
+              concat(lit("s"), col("doc_id") % 6, lit(".example"))
+                .as("host"),
+              col("robots_allowed").cast("long").as("allowed"))
+      .orderBy(col("doc_id"))
+  }
+
   def warcExtract(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.HtmlText
     graft.sources.Warc.readWarc(spark, warcFixtureDir(spark))

@@ -1,0 +1,125 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 9309 robots.txt parsing, pattern matching, group selection,
+  * and the corpus-side filter ([[Robots]]). */
+class RobotsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- matcher ----------------------------------------------------
+
+  test("matches: prefix, wildcard, anchor semantics") {
+    assert(Robots.matches("/private/", "/private/doc"))
+    assert(!Robots.matches("/private/", "/privateer"))
+    assert(Robots.matches("", "/anything")) // empty pattern: matches
+    assert(Robots.matches("/", "/"))
+    // '*' spans any run, including empty
+    assert(Robots.matches("/*/hidden", "/a/hidden"))
+    assert(Robots.matches("/*/hidden", "/a/b/hidden")) // greedy span
+    assert(!Robots.matches("/*/hidden", "/hidden"))
+    assert(Robots.matches("/docs/*.pdf", "/docs/a.pdf"))
+    assert(Robots.matches("/docs/*.pdf", "/docs/deep/a.pdfx")) // prefix
+    // '$' anchors to the END of the path
+    assert(Robots.matches("/docs/*.pdf$", "/docs/a.pdf"))
+    assert(!Robots.matches("/docs/*.pdf$", "/docs/a.pdfx"))
+    assert(Robots.matches("/private/ok$", "/private/ok"))
+    assert(!Robots.matches("/private/ok$", "/private/ok2"))
+    // multiple wildcards with backtracking
+    assert(Robots.matches("/a*b*c", "/axxbyybzc"))
+    assert(!Robots.matches("/a*b*c$", "/axxbyybz"))
+  }
+
+  // ---- parser -----------------------------------------------------
+
+  private val body =
+    """# site robots
+      |User-agent: bigbot
+      |User-Agent: graftbot
+      |Disallow: /private/
+      |allow: /private/ok$
+      |Crawl-delay: 10
+      |Disallow: /tmp*
+      |
+      |User-agent: *
+      |Disallow: /
+      |
+      |User-agent: graftbot-images
+      |Disallow: /img/
+      |""".stripMargin
+
+  test("parseRules: group selection by longest agent-token prefix") {
+    // product token 'graftbot/2.1' matches the graftbot group (8)
+    // over '*' (0); directive names are case-insensitive
+    val r = Robots.parseRules(body, "graftbot/2.1")
+    assert(r == Seq(Robots.Rule("/private/", false),
+                    Robots.Rule("/private/ok$", true),
+                    Robots.Rule("/tmp*", false)))
+    // a longer token wins: graftbot-images beats graftbot
+    val ri = Robots.parseRules(body, "graftbot-images/1.0")
+    assert(ri == Seq(Robots.Rule("/img/", false)))
+    // unknown crawler falls to the '*' group
+    assert(Robots.parseRules(body, "otherbot")
+      == Seq(Robots.Rule("/", false)))
+    // no matching group at all -> allow all (no rules)
+    assert(Robots.parseRules("User-agent: x\nDisallow: /", "y").isEmpty)
+    // empty rule values are ignored; rules before any group too
+    assert(Robots.parseRules(
+      "Disallow: /lost\nUser-agent: *\nDisallow:", "y").isEmpty)
+    assert(Robots.parseRules(null, "y").isEmpty)
+  }
+
+  test("parseRules: groups tying on specificity merge") {
+    val b = "User-agent: *\nDisallow: /a/\n\n" +
+            "User-agent: *\nDisallow: /b/\n"
+    assert(Robots.parseRules(b, "anybot")
+      == Seq(Robots.Rule("/a/", false), Robots.Rule("/b/", false)))
+  }
+
+  // ---- corpus filter ----------------------------------------------
+
+  test("verdicts: longest match wins, allow wins ties, defaults allow") {
+    val robots = Seq(
+      ("ex.org", "User-agent: *\nDisallow: /private/\nAllow: /private/ok$"),
+      ("deny.org", "User-agent: *\nDisallow: /\nAllow: /public"),
+      ("empty.org", "User-agent: *\nDisallow:")
+    ).toDF("host", "robots_txt")
+    val docs = Seq(
+      (1L, "https://ex.org/open/a"),
+      (2L, "https://ex.org/private/doc"),
+      (3L, "https://ex.org/private/ok"),      // anchored allow, longer
+      (4L, "https://ex.org/private/ok2"),     // anchor misses -> deny
+      (5L, "https://EX.ORG/private/x"),       // host match case-blind
+      (6L, "https://deny.org/anything"),
+      (7L, "https://deny.org/public/a"),
+      (8L, "https://empty.org/x"),            // empty Disallow
+      (9L, "https://norobots.org/x"),         // no robots row
+      (10L, "https://ex.org"),                // empty path -> "/"
+      (11L, null)
+    ).toDF("doc_id", "url")
+    val got = Robots.verdicts(docs, robots, "graftbot")
+      .select(col("doc_id"), col("robots_allowed"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+                   5L -> false, 6L -> false, 7L -> true, 8L -> true,
+                   9L -> true, 10L -> true, 11L -> true)
+    assert(got == want)
+    // the filter form drops exactly the disallowed rows
+    val kept = Robots.filterAllowed(docs, robots, "graftbot")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == want.filter(_._2).keySet)
+  }
+
+  test("robots_match agrees between interpreted and codegen eval") {
+    val cases = Seq(
+      ("/private/", "/private/doc"), ("/docs/*.pdf$", "/docs/a.pdf"),
+      ("/docs/*.pdf$", "/docs/a.pdfx"), ("/*/h", "/a/h"), ("", "/x"))
+    val df = cases.toDF("p", "s")
+      .select(col("p"), col("s"), Robots.robotsMatch(col("p"), col("s")).as("m"))
+    val got = df.collect().map(_.getBoolean(2)).toSeq
+    assert(got == cases.map { case (p, s) => Robots.matches(p, s) })
+  }
+}
