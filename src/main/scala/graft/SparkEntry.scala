@@ -131,6 +131,7 @@ object SparkEntry {
     "q_url_dedup"               -> Corpus.urlDedup _,
     "q_domain_heavyhitters"     -> Corpus.domainHeavyHitters _,
     "q_robots_filter"           -> Corpus.robotsFilter _,
+    "q_crawl_policy"            -> Corpus.crawlPolicy _,
     "q_hashed_embed_topk"       -> Corpus.hashedEmbedTopk _,
     "q_embed_infer"             -> Corpus.embedInfer _,
     "q_cluster_scan"            -> Corpus.clusterScan _,
@@ -2071,6 +2072,21 @@ object SparkEntry {
                 WHEN h = 4 THEN CASE WHEN v = 3 THEN 1 ELSE 0 END
                 ELSE CASE WHEN v IN (0, 3) THEN 0 ELSE 1 END
            END AS allowed
+         FROM d ORDER BY doc_id""",
+    // responsible-crawl composition: Spark walks the WARC container,
+    // extracts the meta-robots directive from the markup, and applies
+    // the hosts' robots.txt; the twin reconstructs all three flags
+    // from the planted arithmetic (h = id%5 host, id%2 odd path
+    // denied on hosts 0-1, id%4==1 declares noindex)
+    "q_crawl_policy" ->
+      """WITH d AS (SELECT range AS doc_id, range % 5 AS h,
+                           range % 2 AS o, range % 4 AS m
+                    FROM range(48))
+         SELECT doc_id, 'site' || h || '.example' AS host,
+           CASE WHEN h <= 1 AND o = 1 THEN 0 ELSE 1 END AS robots_ok,
+           CASE WHEN m = 1 THEN 1 ELSE 0 END AS noindex,
+           CASE WHEN (h <= 1 AND o = 1) OR m = 1 THEN 0 ELSE 1
+           END AS kept
          FROM d ORDER BY doc_id""",
     // half-copy chimeras at id+200001 (first half of a % 40 == 0
     // benchmark doc + second half of the next doc) probe the 50% gate

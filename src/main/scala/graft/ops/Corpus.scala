@@ -424,6 +424,73 @@ object Corpus {
   private def warcFixtureDir(spark: SparkSession): String =
     warcFixtureCached
 
+  /** Fixture for [[crawlPolicy]]: 2 WARC shards × 24 response
+    * records whose pages carry meta-robots variants by id arithmetic
+    * — `id%4==1` declares `noindex, nofollow`; `id%4==2` declares
+    * `index` through an attr-order/quoting-variant tag (content
+    * before name, unquoted name, uppercase ROBOTS); others declare
+    * none. Paths split even/odd (`/even/p{id}` vs `/odd/p{id}`) so a
+    * planted robots.txt set can deny a closed-form half. Authored
+    * once per JVM (the [[warcFixtureCached]] rationale). */
+  private lazy val policyFixtureCached: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-policy")
+    def html(id: Long): String = {
+      val meta =
+        if (id % 4 == 1) "<meta name=\"robots\" content=\"noindex, nofollow\">"
+        else if (id % 4 == 2) "<meta content='index' name=ROBOTS>"
+        else ""
+      s"<html><head><title>P $id</title>$meta</head>" +
+      s"<body><p>policy doc $id</p></body></html>"
+    }
+    (0 until 2).foreach { f =>
+      val recs = (0 until 24).map { r =>
+        val id = f * 24L + r
+        val oddEven = if (id % 2 == 0) "even" else "odd"
+        ("response", s"http://site${id % 5}.example/$oddEven/p$id",
+         "2024-01-01T00:00:00Z", s"<urn:uuid:p$id>",
+         s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n${html(id)}")
+      }
+      java.nio.file.Files.write(tmp.resolve(s"policy$f.warc"),
+        graft.sources.Warc.writeWarc(recs))
+    }
+    tmp.toString
+  }
+
+  /** The responsible-crawl policy composition: WARC walk →
+    * meta-robots extraction ([[graft.text.HtmlMetaRobots]]) +
+    * robots.txt verdicts ([[graft.text.Robots]]) → keep = allowed by
+    * the host's robots.txt AND not declaring `noindex`. Spark PARSES
+    * containers, markup, and robots bodies; the oracle CONSTRUCTS
+    * all three flags from the id arithmetic the fixture was planted
+    * with. */
+  def crawlPolicy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.{HtmlText, Robots}
+    val robots = Seq(
+      ("site0.example", "User-agent: *\nDisallow: /odd/\n"),
+      ("site1.example", "User-agent: *\nDisallow: /odd/\n"),
+      ("site2.example", "User-agent: *\nDisallow:\n"),
+      ("site3.example", "User-agent: *\nDisallow:\n")
+    ).toDF("host", "robots_txt")
+    val docs = graft.sources.Warc.readWarc(spark, policyFixtureCached)
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+      .select(
+        regexp_extract(col("target_uri"), "p(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        col("target_uri").as("url"),
+        HtmlText.htmlMetaRobots(col("body").cast("string")).as("meta"))
+      .withColumn("noindex",
+        coalesce(lower(col("meta")).contains("noindex"), lit(false)))
+    Robots.verdicts(docs, robots, "graftbot/1.0")
+      .select(col("doc_id"),
+              lower(parse_url(col("url"), lit("HOST"))).as("host"),
+              col("robots_allowed").cast("long").as("robots_ok"),
+              col("noindex").cast("long").as("noindex"),
+              (col("robots_allowed") && !col("noindex")).cast("long")
+                .as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** robots.txt crawl-politeness filtering ([[graft.text.Robots]]):
     * 240 planted URLs across 6 hosts × 5 path variants against 5
     * authored robots bodies (one host has none) that exercise every

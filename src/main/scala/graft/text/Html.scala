@@ -201,6 +201,67 @@ object HtmlText {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Value of attribute `key` inside one tag's text (`<meta ...>`),
+    * or null: handles `key="v"`, `key='v'`, bare `key=v`, any attr
+    * order, case-insensitive names. */
+  private def attrValue(tag: String, key: String): String = {
+    val t = tag
+    var i = 0
+    while (i < t.length) {
+      // attribute-name start: preceded by whitespace
+      if (Character.isWhitespace(t.charAt(i)) && lowerAt(t, i + 1, key)) {
+        var j = i + 1 + key.length
+        while (j < t.length && Character.isWhitespace(t.charAt(j))) j += 1
+        if (j < t.length && t.charAt(j) == '=') {
+          j += 1
+          while (j < t.length && Character.isWhitespace(t.charAt(j))) j += 1
+          if (j >= t.length) return null
+          val q = t.charAt(j)
+          if (q == '"' || q == '\'') {
+            val end = t.indexOf(q, j + 1)
+            return if (end < 0) null else t.substring(j + 1, end)
+          }
+          val start = j
+          while (j < t.length && !Character.isWhitespace(t.charAt(j)) &&
+                 t.charAt(j) != '>' && t.charAt(j) != '/') j += 1
+          return t.substring(start, j)
+        }
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** Kernel for [[HtmlMetaRobots]]: the `content` of the first
+    * `<meta name="robots">` element (any attr order/quoting), null
+    * when the document declares none. */
+  def metaRobots(html: UTF8String): UTF8String = {
+    val s = html.toString
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '<' && lowerAt(s, i + 1, "meta") &&
+          nameBoundary(s, i + 5)) {
+        var j = i + 5
+        while (j < s.length && s.charAt(j) != '>') j += 1
+        val tag = s.substring(i, math.min(j + 1, s.length))
+        val name = attrValue(tag, "name")
+        if (name != null &&
+            name.toLowerCase(java.util.Locale.ROOT) == "robots") {
+          val content = attrValue(tag, "content")
+          return if (content == null) null
+                 else UTF8String.fromString(content.trim)
+        }
+        i = j + 1
+      } else i += 1
+    }
+    null
+  }
+
+  /** Column API: `content` of the first robots meta tag; null when
+    * absent. */
+  def htmlMetaRobots(html: Column): Column =
+    ColumnBridge.column(HtmlMetaRobots(ColumnBridge.expression(html)))
+
   /** Kernel for [[HtmlTitle]]: first `<title>`'s extracted text. */
   def title(html: UTF8String): UTF8String = {
     val s = html.toString
@@ -226,6 +287,35 @@ object HtmlText {
     }
     null
   }
+}
+
+/** `html_meta_robots(html)` — the robots meta directive string
+  * (`noindex`, `nofollow`, …) a page declares, null when none: the
+  * in-document half of crawl politeness ([[graft.text.Robots]] is the
+  * robots.txt half). Null-propagating codegen like [[HtmlTitle]]. */
+case class HtmlMetaRobots(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"html_meta_robots requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "html_meta_robots"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlText.metaRobots(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.text.HtmlText.metaRobots($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HtmlMetaRobots = copy(child = newChild)
 }
 
 case class HtmlTitle(child: Expression) extends UnaryExpression {

@@ -74,6 +74,27 @@ class HtmlSpec extends AnyFunSuite {
     assert(title("<title>partial") == "partial")
   }
 
+  private def meta(html: String): String = {
+    val r = Seq(Tuple1(html)).toDF("h")
+      .select(HtmlText.htmlMetaRobots(col("h"))).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("meta robots: any attr order/quoting, first tag wins, null absent") {
+    assert(meta("""<meta name="robots" content="noindex, nofollow">""")
+      == "noindex, nofollow")
+    assert(meta("<meta content='index' name=ROBOTS>") == "index")
+    assert(meta("<META NAME=robots CONTENT=none >") == "none")
+    // other meta tags do not match; first robots tag wins
+    assert(meta("""<meta name="viewport" content="w=1">
+                   <meta name="robots" content="noarchive">
+                   <meta name="robots" content="all">""") == "noarchive")
+    assert(meta("<p>no meta</p>") == null)
+    assert(meta("<meta name=\"robots\">") == null) // no content attr
+    // a <metadata> element is not a meta tag
+    assert(meta("<metadata name='robots' content='x'></metadata>") == null)
+  }
+
   test("kernel matches interpreted eval under codegen") {
     val rows = Seq(
       "<p>a &amp; b</p><script>x</script>tail",
