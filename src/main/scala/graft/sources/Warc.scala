@@ -212,6 +212,20 @@ object Warc {
     i
   }
 
+  /** Records of one shard's raw (possibly gzipped) bytes — gunzip,
+    * record walk, and the boundary-cut quarantine marker in one call;
+    * shared by the batch reader and the streaming ingest
+    * ([[graft.streaming.CrawlIngest]]). A gzip cut exactly at a
+    * record boundary parses clean — surface it as one quarantine row
+    * (mid-record cuts are already flagged by [[parseWarc]]; don't
+    * double-flag). */
+  private[graft] def recordsOf(raw: Array[Byte]): Seq[Record] = {
+    val (bytes, clean) = gunzip(raw)
+    val recs = parseWarc(bytes)
+    if (clean || recs.lastOption.exists(_.warcType == "invalid")) recs
+    else recs :+ Record("invalid", null, null, null, 0, null, null)
+  }
+
   /** Read WARC shards (plain or gzip) → one row per record:
     * `(warc_file, warc_type, target_uri, warc_date, record_id,
     * http_status, content_type, body)`. */
@@ -221,16 +235,7 @@ object Warc {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, raw) =>
-        val (bytes, clean) = gunzip(raw)
-        val recs = parseWarc(bytes)
-        // a gzip cut exactly at a record boundary parses clean —
-        // surface it as one quarantine row (mid-record cuts are
-        // already flagged by parseWarc; don't double-flag)
-        val all =
-          if (clean || recs.lastOption.exists(_.warcType == "invalid"))
-            recs
-          else recs :+ Record("invalid", null, null, null, 0, null, null)
-        all.map(r =>
+        recordsOf(raw).map(r =>
           (p, r.warcType, r.targetUri, r.warcDate, r.recordId,
            r.httpStatus, r.contentType, r.body))
       }
