@@ -132,6 +132,7 @@ object SparkEntry {
     "q_domain_heavyhitters"     -> Corpus.domainHeavyHitters _,
     "q_robots_filter"           -> Corpus.robotsFilter _,
     "q_crawl_policy"            -> Corpus.crawlPolicy _,
+    "q_sitemap_parse"           -> Corpus.sitemapParse _,
     "q_hashed_embed_topk"       -> Corpus.hashedEmbedTopk _,
     "q_embed_infer"             -> Corpus.embedInfer _,
     "q_cluster_scan"            -> Corpus.clusterScan _,
@@ -2073,6 +2074,33 @@ object SparkEntry {
                 ELSE CASE WHEN v IN (0, 3) THEN 0 ELSE 1 END
            END AS allowed
          FROM d ORDER BY doc_id""",
+    // sitemap protocol: Spark walks the XML (incl. the gzipped form
+    // and entity decode); the twin constructs every entry from the
+    // planted id arithmetic
+    "q_sitemap_parse" ->
+      """WITH u AS (
+           SELECT 'url' AS kind,
+             'http://sm.example/p' || range ||
+               CASE WHEN range % 5 = 0 THEN '?a=1&b=2' ELSE '' END AS loc,
+             CASE WHEN range % 3 = 0
+                  THEN '2024-01-' || (10 + range % 19) END AS lastmod,
+             CASE WHEN range % 4 = 0 THEN 'daily'
+                  WHEN range % 4 = 2 THEN 'weekly' END AS changefreq,
+             CASE WHEN range % 2 = 0
+                  THEN '0.' || (range % 10) END AS priority
+           FROM range(20)
+           UNION ALL
+           SELECT 'url', 'http://sm.example/q' || range,
+                  NULL, NULL, NULL
+           FROM range(100, 115)
+           UNION ALL
+           SELECT 'sitemap',
+                  'http://sm.example/sitemap' || range || '.xml.gz',
+                  '2024-02-0' || (range + 1), NULL, NULL
+           FROM range(5)
+           UNION ALL
+           SELECT 'invalid', NULL, NULL, NULL, NULL)
+         SELECT * FROM u ORDER BY kind, loc""",
     // responsible-crawl composition: Spark walks the WARC container,
     // extracts the meta-robots directive from the markup, and applies
     // the hosts' robots.txt; the twin reconstructs all three flags

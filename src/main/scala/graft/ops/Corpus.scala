@@ -424,6 +424,49 @@ object Corpus {
   private def warcFixtureDir(spark: SparkSession): String =
     warcFixtureCached
 
+  /** Fixture for [[sitemapParse]]: a 20-entry urlset exercising
+    * optional fields and entity-encoded locs by id arithmetic, a
+    * gzipped 15-entry urlset (the protocol's standard large form), a
+    * 5-entry sitemapindex, and a garbage file that must quarantine.
+    * Authored once per JVM (the [[warcFixtureCached]] rationale). */
+  private lazy val sitemapFixtureCached: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sitemap")
+    import graft.sources.Sitemap
+    val urlset = Sitemap.writeUrlset((0 until 20).map { id =>
+      (s"http://sm.example/p$id" +
+         (if (id % 5 == 0) "?a=1&b=2" else ""),
+       if (id % 3 == 0) s"2024-01-${10 + id % 19}" else null,
+       if (id % 4 == 0) "daily" else if (id % 4 == 2) "weekly" else null,
+       if (id % 2 == 0) s"0.${id % 10}" else null)
+    })
+    java.nio.file.Files.write(tmp.resolve("a.xml"), urlset)
+    val big = Sitemap.writeUrlset((100 until 115).map { id =>
+      (s"http://sm.example/q$id", null, null, null)
+    })
+    val gz = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(gz)
+    g.write(big); g.close()
+    java.nio.file.Files.write(tmp.resolve("b.xml.gz"), gz.toByteArray)
+    java.nio.file.Files.write(tmp.resolve("idx.xml"),
+      Sitemap.writeIndex((0 until 5).map { k =>
+        (s"http://sm.example/sitemap$k.xml.gz", s"2024-02-0${k + 1}")
+      }))
+    java.nio.file.Files.write(tmp.resolve("junk.xml"),
+      "not a sitemap at all".getBytes("UTF-8"))
+    tmp.toString
+  }
+
+  /** Sitemap protocol parsing ([[graft.sources.Sitemap]]): urlset
+    * with optional-field and entity-decode coverage, a gzipped
+    * urlset, a sitemapindex, and a quarantined garbage file. Spark
+    * WALKS the XML; the oracle CONSTRUCTS every entry from the id
+    * arithmetic the fixture was planted with. */
+  def sitemapParse(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Sitemap.readSitemaps(spark, sitemapFixtureCached)
+      .select(col("kind"), col("loc"), col("lastmod"),
+              col("changefreq"), col("priority"))
+      .orderBy(col("kind"), col("loc"))
+
   /** Fixture for [[crawlPolicy]]: 2 WARC shards × 24 response
     * records whose pages carry meta-robots variants by id arithmetic
     * — `id%4==1` declares `noindex, nofollow`; `id%4==2` declares
