@@ -133,6 +133,7 @@ object SparkEntry {
     "q_robots_filter"           -> Corpus.robotsFilter _,
     "q_crawl_policy"            -> Corpus.crawlPolicy _,
     "q_sitemap_parse"           -> Corpus.sitemapParse _,
+    "q_crawl_frontier"          -> Corpus.crawlFrontier _,
     "q_hashed_embed_topk"       -> Corpus.hashedEmbedTopk _,
     "q_embed_infer"             -> Corpus.embedInfer _,
     "q_cluster_scan"            -> Corpus.clusterScan _,
@@ -2074,6 +2075,27 @@ object SparkEntry {
                 ELSE CASE WHEN v IN (0, 3) THEN 0 ELSE 1 END
            END AS allowed
          FROM d ORDER BY doc_id""",
+    // frontier scheduling: Spark parses robots (rules + crawl-delay),
+    // ranks per host by declared priority, and assigns polite fetch
+    // offsets; the twin reconstructs the plan from planted arithmetic
+    // (h = id%4 host, odd paths blocked on hosts 0-1, priority =
+    // id%10, delay 2000/1000/500/1000 ms)
+    "q_crawl_frontier" ->
+      """WITH e AS (SELECT range AS id, range % 4 AS h, range % 2 AS o,
+                           range % 10 AS p,
+             'http://f' || (range % 4) || '.example/' ||
+               CASE WHEN range % 2 = 0 THEN 'even' ELSE 'odd' END ||
+               '/p' || range AS loc
+           FROM range(120)),
+         a AS (SELECT * FROM e WHERE NOT (h <= 1 AND o = 1)),
+         r AS (SELECT h, loc, row_number() OVER
+                 (PARTITION BY h ORDER BY p DESC, loc) AS slot
+               FROM a)
+         SELECT 'f' || h || '.example' AS host, loc,
+           slot AS fetch_slot,
+           (slot - 1) * CASE h WHEN 0 THEN 2000 WHEN 2 THEN 500
+                               ELSE 1000 END AS fetch_offset_ms
+         FROM r ORDER BY host, fetch_slot""",
     // sitemap protocol: Spark walks the XML (incl. the gzipped form
     // and entity decode); the twin constructs every entry from the
     // planted id arithmetic

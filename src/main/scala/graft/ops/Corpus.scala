@@ -467,6 +467,30 @@ object Corpus {
               col("changefreq"), col("priority"))
       .orderBy(col("kind"), col("loc"))
 
+  /** Crawl-frontier scheduling ([[graft.pipelines.Frontier]]): 120
+    * planted sitemap locs over 4 hosts (odd paths robots-blocked on
+    * two of them), declared priorities, and per-host Crawl-delays
+    * (2 s / default / 0.5 s / no-robots default) → per-host fetch
+    * slots and polite fetch offsets. Spark parses robots, ranks, and
+    * schedules; the oracle reconstructs the plan from the planted
+    * arithmetic. */
+  def crawlFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val robots = Seq(
+      ("f0.example", "User-agent: *\nDisallow: /odd/\nCrawl-delay: 2\n"),
+      ("f1.example", "User-agent: *\nDisallow: /odd/\n"),
+      ("f2.example", "User-agent: *\nDisallow:\nCrawl-delay: 0.5\n")
+    ).toDF("host", "robots_txt")
+    val entries = spark.range(120)
+      .select(
+        concat(lit("http://f"), col("id") % 4, lit(".example/"),
+          when(col("id") % 2 === 0, lit("even")).otherwise(lit("odd")),
+          lit("/p"), col("id")).as("loc"),
+        concat(lit("0."), col("id") % 10).as("priority"))
+    graft.pipelines.Frontier.plan(entries, robots, "graftbot/1.0")
+      .orderBy(col("host"), col("fetch_slot"))
+  }
+
   /** Fixture for [[crawlPolicy]]: 2 WARC shards × 24 response
     * records whose pages carry meta-robots variants by id arithmetic
     * — `id%4==1` declares `noindex, nofollow`; `id%4==2` declares

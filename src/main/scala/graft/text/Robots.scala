@@ -85,13 +85,37 @@ object Robots {
     val a = agent.toLowerCase(Locale.ROOT)
     // collect groups: (agent tokens, rules)
     val groups = Seq.newBuilder[(Seq[String], Seq[Rule])]
+    selectedGroups(body, a).flatMap(_._1)
+  }
+
+  /** Crawl-delay (seconds) of the group selected for `agent` — the
+    * one widely-honored extension directive (Bing/Yandex; not RFC
+    * 9309, hence Option): None when the selected groups declare none
+    * or the value does not parse. Groups merging on a specificity
+    * tie take the MAXIMUM declared delay (the polite resolution). */
+  def crawlDelay(body: String, agent: String): Option[Double] = {
+    if (body == null) return None
+    val ds = selectedGroups(body, agent.toLowerCase(Locale.ROOT))
+      .flatMap(_._2)
+    if (ds.isEmpty) None else Some(ds.max)
+  }
+
+  /** The groups selected for lowercased product token `a`: their
+    * (rules, crawl-delay) contents, merged across a specificity
+    * tie. Shared by [[parseRules]] and [[crawlDelay]]. */
+  private def selectedGroups(body: String, a: String)
+      : Seq[(Seq[Rule], Option[Double])] = {
+    if (body == null) return Nil
+    val groups = Seq.newBuilder[(Seq[String], Seq[Rule], Option[Double])]
     var agents = Seq.newBuilder[String]
     var rules = Seq.newBuilder[Rule]
+    var delay: Option[Double] = None
     var inAgents = false
     var sawGroup = false
     def closeGroup(): Unit = {
-      if (sawGroup) groups += ((agents.result(), rules.result()))
+      if (sawGroup) groups += ((agents.result(), rules.result(), delay))
       agents = Seq.newBuilder[String]; rules = Seq.newBuilder[Rule]
+      delay = None
     }
     body.split("\n").foreach { raw =>
       val noComment = {
@@ -111,6 +135,10 @@ object Robots {
           case "allow" | "disallow" if sawGroup =>
             inAgents = false
             if (value.nonEmpty) rules += Rule(value, name == "allow")
+          case "crawl-delay" if sawGroup =>
+            inAgents = false
+            try delay = Some(value.toDouble)
+            catch { case _: NumberFormatException => () }
           case _ => inAgents = false // unknown directive: ignored
         }
       }
@@ -129,12 +157,12 @@ object Robots {
       }
       best
     }
-    val scored = all.map { case (ts, rs) => (spec(ts), rs) }
+    val scored = all.map { case (ts, rs, d) => (spec(ts), rs, d) }
       .filter(_._1 >= 0)
     if (scored.isEmpty) Nil
     else {
       val best = scored.map(_._1).max
-      scored.filter(_._1 == best).flatMap(_._2)
+      scored.filter(_._1 == best).map { case (_, rs, d) => (rs, d) }
     }
   }
 

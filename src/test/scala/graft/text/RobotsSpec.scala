@@ -72,6 +72,21 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.parseRules(null, "y").isEmpty)
   }
 
+  test("crawlDelay: selected group's value; merge takes the max") {
+    // the graftbot group declares Crawl-delay: 10
+    assert(Robots.crawlDelay(body, "graftbot/2.1").contains(10.0))
+    // the '*' group declares none
+    assert(Robots.crawlDelay(body, "otherbot").isEmpty)
+    // fractional values parse; tie-merged groups take the max
+    val b = "User-agent: *\nCrawl-delay: 0.5\n\n" +
+            "User-agent: *\nCrawl-delay: 2\n"
+    assert(Robots.crawlDelay(b, "any").contains(2.0))
+    // unparseable value is ignored
+    assert(Robots.crawlDelay(
+      "User-agent: *\nCrawl-delay: soon", "any").isEmpty)
+    assert(Robots.crawlDelay(null, "any").isEmpty)
+  }
+
   test("parseRules: groups tying on specificity merge") {
     val b = "User-agent: *\nDisallow: /a/\n\n" +
             "User-agent: *\nDisallow: /b/\n"
