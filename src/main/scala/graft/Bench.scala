@@ -147,26 +147,24 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
-    // WHOLE-BENCH retry (VERDICT r10 #2): the per-query outlier rerun
-    // fires seconds after the contaminated triple — same contention,
-    // same result (r10: 19 reruns fired, window still 2.49x). With the
-    // paired DuckDB denominator now in hand, the bench can adjudicate
-    // ITSELF: while the paired ratio still misses the gate, sweep the
-    // full query surface again (one timed pass per query, minutes of
-    // temporal distance from the first phase) and keep per-query
+    // WHOLE-BENCH adjudication sweeps (VERDICT r10 #2, de-biased per
+    // ADVICE r11): the per-query outlier rerun fires seconds after the
+    // contaminated triple — same contention, same result (r10: 19
+    // reruns fired, window still 2.49x). So the bench sweeps the full
+    // query surface again (one timed pass per query, minutes of
+    // temporal distance from the first phase) and keeps per-query
     // minima — a transient co-tenant window washes out; a genuine
-    // regression survives every sweep and reports honestly. Bounded
-    // at 2 sweeps (~1 min): the bench must terminate under any host.
+    // regression survives every sweep and reports honestly. The sweep
+    // count is FIXED (2, ~1 min each), not conditioned on the gate
+    // ratio: a retry-only-when-failing policy would bias the headline
+    // downward relative to first-pass-green windows. The first-sweep
+    // total is reported alongside the adjudicated one (aux line +
+    // side file) so both distributions stay visible.
+    val firstSweepTotal =
+      results.collect { case (_, v) if v > 0 => v }.sum
     var adjudicated = results
     var sweeps = 0
-    def pairedRatio(rs: Seq[(String, Double)]): Double = {
-      val p = rs.collect {
-        case (n, v) if v > 0 && duckPerQuery.getOrElse(n, -1.0) > 0 =>
-          (v, duckPerQuery(n))
-      }
-      if (p.isEmpty) 0.0 else p.map(_._1).sum / p.map(_._2).sum
-    }
-    while (sweeps < 2 && pairedRatio(adjudicated) > 1.9) {
+    while (sweeps < 2) {
       sweeps += 1
       adjudicated = adjudicated.map { case (name, v) =>
         if (v <= 0) name -> v
@@ -295,7 +293,7 @@ object Bench {
         java.nio.file.Path.of(".bench/bench_full.json"),
         s"""{"queries":$full,"duck":${duckPerQuery.map { case (k, v) =>
           "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
-        }.mkString("{", ",", "}")},"sf":"$sfDir","reruns":$reruns,"sweeps":$sweeps}""")
+        }.mkString("{", ",", "}")},"sf":"$sfDir","reruns":$reruns,"sweeps":$sweeps,"first_sweep_total":${"%.3f".formatLocal(java.util.Locale.ROOT, firstSweepTotal)}}""")
     } catch { case _: Throwable => () }
 
     val failed = (finalResults ++ pipeResults).collect { case (k, v) if v < 0 => k }
@@ -326,7 +324,7 @@ object Bench {
         s""","duck":${fmtTotal(duckPaired)},"ratio":${
           fmt(sparkPaired / duckPaired)}"""
       else ""
-    println(s"""{"aux":"pipelines","value":${fmtTotal(pipeResults.collect { case (_, v) if v > 0 => v }.sum)},"unit":"sec","pipelines":${obj(pipeResults)},"shuffle_partitions":$shufflePartitions,"reruns":$reruns,"sweeps":$sweeps,"duckdb_paired_total":${fmtTotal(duckPaired)},"sf":"$sfDir"}""")
+    println(s"""{"aux":"pipelines","value":${fmtTotal(pipeResults.collect { case (_, v) if v > 0 => v }.sum)},"unit":"sec","pipelines":${obj(pipeResults)},"shuffle_partitions":$shufflePartitions,"reruns":$reruns,"sweeps":$sweeps,"first_sweep_total":${fmtTotal(firstSweepTotal)},"duckdb_paired_total":${fmtTotal(duckPaired)},"sf":"$sfDir"}""")
     spark.stop()
     def contract(f: Double => String) =
       s"""{"metric":"total","value":${fmtTotal(total)},"unit":"sec","queries":${obj(finalResults, f)}$failedField$pairFields,"sf":"$sfShort"}"""

@@ -2246,7 +2246,8 @@ object SparkEntry {
                 FROM q JOIN tf t USING (bucket)
                 WHERE qid <> t.doc_id GROUP BY 1, 2),
          s AS (SELECT dt.qid, dt.nid,
-                 (dt.dot * dt.dot * 1048576) // (nq.n2 * nn.n2) AS score_q
+                 CAST((dt.dot * dt.dot * 1048576) // (nq.n2 * nn.n2)
+                   AS BIGINT) AS score_q
                FROM dt
                JOIN n nq ON nq.doc_id = dt.qid
                JOIN n nn ON nn.doc_id = dt.nid),
@@ -2442,8 +2443,8 @@ object SparkEntry {
     "q_bucketed_join" ->
       """SELECT o.o_orderstatus, l.l_returnflag, count(*) AS n,
                 CAST(sum(l.l_linenumber) AS BIGINT) AS sum_linenumber,
-                sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
-                  AS sum_price_cents
+                CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_price_cents
          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
   )

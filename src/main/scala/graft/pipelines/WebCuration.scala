@@ -129,20 +129,21 @@ object WebCuration {
       case Some(hh) =>
         val heavy = hh.select(col(domainCol)).collect()
           .map(_.getString(0)).toSeq
-        if (heavy.isEmpty)
-          docs.withColumn("domain_rank", lit(null).cast("int"))
-        else {
-          val light = docs
-            .filter(!col(domainCol).cast("string")
-                      .isInCollection(heavy) ||
-                    col(domainCol).isNull)
-            .withColumn("domain_rank", lit(null).cast("int"))
-          val capped = capPerDomain(
-            docs.filter(col(domainCol).cast("string")
-              .isInCollection(heavy)),
-            maxDocs, qualityCol, idCol, domainCol)
-          light.unionByName(capped)
-        }
+        // NULL domains (hostless/malformed URLs — common on real
+        // crawls) are invisible to the sketch (Misra–Gries never
+        // surfaces a null key) yet form one window partition that
+        // [[capPerDomain]] caps like any other domain — so they must
+        // ride the capped side unconditionally or the spec-pinned
+        // survivor-set parity breaks whenever null rows exceed the cap.
+        val isHeavy =
+          if (heavy.isEmpty) col(domainCol).isNull
+          else col(domainCol).isNull ||
+            col(domainCol).cast("string").isInCollection(heavy)
+        val light = docs.filter(!isHeavy)
+          .withColumn("domain_rank", lit(null).cast("int"))
+        val capped = capPerDomain(docs.filter(isHeavy),
+          maxDocs, qualityCol, idCol, domainCol)
+        light.unionByName(capped)
     }
   }
 

@@ -131,6 +131,14 @@ object HtmlText {
         if (d >= 0) { cp = cp * (if (hex) 16 else 10) + d; true }
         else false
       }) j += 1
+      // tab/LF/CR references ('&#9;' '&#10;' '&#13;') are legal and
+      // common whitespace spellings in crawled HTML — decode them to
+      // a space (they collapse under the whitespace rule anyway)
+      // instead of leaking literal entity syntax into the prose;
+      // other control codepoints stay rejected
+      if (j > start && j < s.length && s.charAt(j) == ';' &&
+          (cp == 9L || cp == 10L || cp == 13L))
+        return (" ", j + 1)
       if (j > start && j < s.length && s.charAt(j) == ';' &&
           cp >= 32 && cp <= 0x10FFFF)
         return (new String(Character.toChars(cp.toInt)), j + 1)

@@ -83,8 +83,6 @@ object Robots {
   def parseRules(body: String, agent: String): Seq[Rule] = {
     if (body == null) return Nil
     val a = agent.toLowerCase(Locale.ROOT)
-    // collect groups: (agent tokens, rules)
-    val groups = Seq.newBuilder[(Seq[String], Seq[Rule])]
     selectedGroups(body, a).flatMap(_._1)
   }
 
@@ -198,15 +196,27 @@ object Robots {
     * the `maxHosts` guard fails loudly (the PageRank
     * driver-edge-limit posture) instead of silently collecting an
     * unbounded frame; unbounded tables belong to the batch join
-    * spelling. */
+    * spelling. The guard is BYTE-bounded too (`maxBytes`, default
+    * 256 MiB of robots bodies): a million hosts × multi-KB bodies
+    * is GBs on the driver, and a row count alone would not see it —
+    * both bounds are checked in one pre-scan aggregate. */
   def compileRules(robots: DataFrame, agent: String,
                    hostCol: String = "host",
                    bodyCol: String = "robots_txt",
-                   maxHosts: Int = 1 << 20): Map[String, Seq[Rule]] = {
-    val n = robots.count()
+                   maxHosts: Int = 1 << 20,
+                   maxBytes: Long = 256L << 20): Map[String, Seq[Rule]] = {
+    val sz = robots.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(octet_length(col(bodyCol).cast("string"))),
+                 lit(0L)).as("bytes"))
+      .collect()(0)
+    val (n, bytes) = (sz.getLong(0), sz.getLong(1))
     require(n <= maxHosts,
       s"robots table has $n hosts > compileRules bound $maxHosts; " +
       "use the join spelling (Robots.verdicts) for unbounded tables")
+    require(bytes <= maxBytes,
+      s"robots bodies total $bytes bytes > compileRules bound " +
+      s"$maxBytes; use the join spelling (Robots.verdicts) instead")
     robots
       .select(col(hostCol).cast("string"), col(bodyCol).cast("string"))
       .collect()

@@ -83,6 +83,27 @@ class FrequentSpec extends AnyFunSuite {
     assert(got == full)
   }
 
+  test("over-cap NULL-domain mass is capped identically to the full window") {
+    // the sketch can never surface a null key, so the skewed spelling
+    // must route null-domain rows (hostless/malformed URLs) through
+    // the capped side unconditionally — 150 nulls > maxDocs = 100
+    val rows = Seq.fill(600)(Some("mega-a")) ++
+      Seq.fill(150)(Option.empty[String]) ++
+      (0 until 40).flatMap(i => Seq.fill(6)(Some(s"tail-$i")))
+    val df = rows.zipWithIndex
+      .map { case (d, i) => (i.toLong, d.orNull) }
+      .toDF("doc_id", "domain")
+      .withColumn("n_chars", col("doc_id") % 37)
+    val full = graft.pipelines.WebCuration
+      .capPerDomain(df, maxDocs = 100)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val skewedCap = graft.pipelines.WebCuration
+      .capPerDomainSkewed(df, maxDocs = 100, sketchSize = 64)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(skewedCap == full)
+    assert(skewedCap.size == 100 + 100 + 240) // both heavy sides capped
+  }
+
   test("null keys count toward n but never surface as heavy") {
     val df = (Seq.fill(50)(Some("big")) ++ Seq.fill(30)(None))
       .zipWithIndex.map { case (d, i) => (i.toLong, d.orNull) }

@@ -156,4 +156,23 @@ class CrawlIngestSpec extends AnyFunSuite {
     assert(joined == Map(1L -> true, 2L -> false, 3L -> true,
                          4L -> false, 5L -> true, 6L -> true))
   }
+
+  test("compileRules refuses loudly on both the host and BYTE bounds") {
+    val robotsDf = Seq(
+      ("a.example", "User-agent: *\nDisallow: /x\n" + ("#pad\n" * 40)),
+      ("b.example", "User-agent: *\nAllow: /")
+    ).toDF("host", "robots_txt")
+    val hostsErr = intercept[IllegalArgumentException] {
+      Robots.compileRules(robotsDf, "graftbot", maxHosts = 1)
+    }
+    assert(hostsErr.getMessage.contains("hosts"))
+    // row count (2) is under the host bound, but the padded bodies
+    // exceed a tiny byte budget — the byte guard must trip on its own
+    val bytesErr = intercept[IllegalArgumentException] {
+      Robots.compileRules(robotsDf, "graftbot", maxBytes = 64L)
+    }
+    assert(bytesErr.getMessage.contains("bytes"))
+    // within both bounds it still compiles
+    assert(Robots.compileRules(robotsDf, "graftbot").size == 2)
+  }
 }

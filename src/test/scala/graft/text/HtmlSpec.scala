@@ -63,6 +63,12 @@ class HtmlSpec extends AnyFunSuite {
     assert(text("bang&#33; hex&#x21;") == "bang! hex!")
     assert(text("AT&T r&d &broken") == "AT&T r&d &broken")
     assert(text("&#999999999999;") == "&#999999999999;") // out of range
+    // tab/LF/CR references are legal whitespace spellings: decode to a
+    // space and collapse, never leak entity syntax into the prose
+    assert(text("a&#10;b") == "a b")
+    assert(text("a&#9;&#13;&#10;b") == "a b")
+    assert(text("a &#x0A; b") == "a b")
+    assert(text("bell&#7;") == "bell&#7;") // other controls stay rejected
   }
 
   test("title: first title element, decoded; null when absent") {

@@ -20,7 +20,18 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
 for name, sql in sorted(oracle.items()):
     try:
-        want = con.execute(sql).df()
+        cur = con.execute(sql)
+        # HUGEINT guard: the driver's hasher canonicalizes DuckDB's
+        # int128 differently from Spark's int64, so a twin that types
+        # any column HUGEINT hash-fails even when values match (the
+        # r10/r11 q_bucketed_join / q_hashed_embed_topk failure class).
+        # Every integer aggregate must be CAST(... AS BIGINT).
+        huge = [d[0] for d in cur.description if str(d[1]).upper().startswith("HUGEINT")]
+        if huge:
+            print(f"FAIL {name}: HUGEINT column(s) {huge} — CAST the twin to BIGINT")
+            fail += 1
+            continue
+        want = cur.df()
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {e}")
         fail += 1
