@@ -134,6 +134,9 @@ object SparkEntry {
     "q_crawl_policy"            -> Corpus.crawlPolicy _,
     "q_sitemap_parse"           -> Corpus.sitemapParse _,
     "q_crawl_frontier"          -> Corpus.crawlFrontier _,
+    // round 12:
+    "q_main_content"            -> Corpus.mainContentExtract _,
+    "q_crawl_corpus_main"       -> Corpus.crawlCorpusMain _,
     "q_hashed_embed_topk"       -> Corpus.hashedEmbedTopk _,
     "q_embed_infer"             -> Corpus.embedInfer _,
     "q_cluster_scan"            -> Corpus.clusterScan _,
@@ -1824,6 +1827,47 @@ object SparkEntry {
     // survive; canonical URL equals the planted URI (nothing to
     // strip), domain is the uri's last two labels, text/title/chars
     // constructed exactly as in q_warc_extract
+    // block-classifier twins: the oracle CONSTRUCTS the surviving
+    // prose (promoted headline + two article paragraphs; every nav/
+    // aside/footer/Related string ABSENT) and the block census from
+    // the planted arithmetic — fully independent of the Spark side's
+    // segmentation and density classification
+    "q_main_content" ->
+      """WITH p AS (
+           SELECT range AS id,
+             'Story ' || (range % 7) ||
+             ' The main article body number ' || range ||
+             ' carries ' || (10 + range % 5) ||
+             ' deterministic words of plain prose for the classifier.' ||
+             ' Second paragraph of article ' || range ||
+             ' keeps a small link inside a sentence long enough to ' ||
+             'stay under the density bar.' AS main_text
+           FROM range(48))
+         SELECT id AS doc_id, main_text,
+                CAST(8 + CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END
+                       + CASE WHEN id % 4 = 1 THEN 2 ELSE 0 END
+                     AS BIGINT) AS n_blocks,
+                CAST(3 AS BIGINT) AS n_content,
+                CAST(1 AS BIGINT) AS n_promoted
+         FROM p ORDER BY doc_id""",
+    "q_crawl_corpus_main" ->
+      """WITH p AS (
+           SELECT range AS id,
+             'Story ' || (range % 7) ||
+             ' The main article body number ' || range ||
+             ' carries ' || (10 + range % 5) ||
+             ' deterministic words of plain prose for the classifier.' ||
+             ' Second paragraph of article ' || range ||
+             ' keeps a small link inside a sentence long enough to ' ||
+             'stay under the density bar.' AS text
+           FROM range(48) WHERE range % 10 <> 3)
+         SELECT 'http://site' || (id % 5) || '.example/art' || id
+                  AS canonical_url,
+                'site' || (id % 5) || '.example' AS domain,
+                'MC ' || id AS title,
+                text,
+                CAST(length(text) AS BIGINT) AS n_chars
+         FROM p ORDER BY canonical_url""",
     "q_crawl_corpus" ->
       """WITH p AS (
            SELECT range AS id,

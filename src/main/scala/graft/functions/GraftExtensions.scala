@@ -114,6 +114,18 @@ object GraftExtensions {
        require(args.length == 1, "html_text(html) takes one argument")
        graft.text.HtmlText(args.head)
      }),
+    ("html_main_content",
+     new ExpressionInfo(classOf[graft.text.HtmlMainContent].getName,
+       "html_main_content"),
+     (args: Seq[Expression]) => {
+       require(args.length == 1 || args.length == 3,
+         "html_main_content(html[, min_chars, link_density_pct])")
+       if (args.length == 1)
+         graft.text.HtmlMainContent(args.head, 25, 20)
+       else graft.text.HtmlMainContent(args.head,
+         intLiteral("html_main_content min_chars", args(1)),
+         intLiteral("html_main_content link_density_pct", args(2)))
+     }),
     ("html_title",
      new ExpressionInfo(classOf[graft.text.HtmlTitle].getName,
        "html_title"),

@@ -523,6 +523,96 @@ object Corpus {
     tmp.toString
   }
 
+  /** Fixture for [[mainContentExtract]] / [[crawlCorpusMain]]: 2 WARC
+    * shards × 24 pages, each carrying the canonical boilerplate
+    * anatomy by id arithmetic — a nav menu of link-only list items
+    * (one extra item when `id%3==0`), a short `<h1>` headline that
+    * must PROMOTE (its following paragraph is content), two long
+    * article paragraphs (the second holding a small inline link that
+    * stays under the density bar), a "Related" heading over a
+    * link-only div when `id%4==1` (a heading that must NOT promote),
+    * a link-only aside, and a short footer. `id%10==3` pages answer
+    * 404 (the corpus-composition drop case). Authored once per JVM
+    * (the [[warcFixtureCached]] rationale). */
+  private lazy val mainContentFixtureCached: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-maincontent")
+    def html(id: Long): String = {
+      val navExtra =
+        if (id % 3 == 0) "<li><a href=\"/d\">Archive</a></li>" else ""
+      val related =
+        if (id % 4 == 1)
+          "<h2>Related</h2><div><a href=\"/r1\">More one</a> " +
+            "<a href=\"/r2\">More two</a></div>"
+        else ""
+      s"<html><head><title>MC $id</title></head><body>" +
+        "<nav><ul><li><a href=\"/a\">Home</a></li>" +
+        s"<li><a href=\"/b\">About</a></li>$navExtra</ul></nav>" +
+        s"<h1>Story ${id % 7}</h1>" +
+        s"<p>The main article body number $id carries ${10 + id % 5} " +
+        "deterministic words of plain prose for the classifier.</p>" +
+        s"<p>Second paragraph of article $id keeps a " +
+        "<a href=\"/x\">small link</a> inside a sentence long enough " +
+        "to stay under the density bar.</p>" + related +
+        s"<aside><a href=\"/ad\">sponsor ${id % 3}</a></aside>" +
+        s"<footer>Copyright ${id % 10}</footer></body></html>"
+    }
+    (0 until 2).foreach { f =>
+      val recs = (0 until 24).map { r =>
+        val id = f * 24L + r
+        val status = if (id % 10 == 3) "404 Not Found" else "200 OK"
+        ("response", s"http://site${id % 5}.example/art$id",
+         "2024-01-01T00:00:00Z", s"<urn:uuid:mc$id>",
+         s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n\r\n${html(id)}")
+      }
+      java.nio.file.Files.write(tmp.resolve(s"mc$f.warc"),
+        graft.sources.Warc.writeWarc(recs))
+    }
+    tmp.toString
+  }
+
+  /** Block-level main-content extraction ([[graft.text.MainContent]],
+    * the jusText tier): Spark SEGMENTS and CLASSIFIES the planted
+    * pages (nav/aside/footer boilerplate, promoted headline, content
+    * paragraphs, non-promoting "Related" heading); the oracle
+    * CONSTRUCTS the surviving prose and the block census from the id
+    * arithmetic — an extractor that keeps one nav item or drops one
+    * headline hash-mismatches. 404 pages still extract here (the
+    * status gate belongs to [[crawlCorpusMain]]). */
+  def mainContentExtract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.MainContent
+    graft.sources.Warc.readWarc(spark, mainContentFixtureCached)
+      .filter(col("warc_type") === "response")
+      .withColumn("blocks",
+        MainContent.htmlBlockStats(col("body").cast("string")))
+      .select(
+        regexp_extract(col("target_uri"), "art(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        MainContent.htmlMainContent(col("body").cast("string"))
+          .as("main_text"),
+        size(col("blocks")).cast("long").as("n_blocks"),
+        size(filter(col("blocks"), b => b.getField("content")))
+          .cast("long").as("n_content"),
+        size(filter(col("blocks"),
+          b => b.getField("heading") && b.getField("content")))
+          .cast("long").as("n_promoted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The crawl-to-corpus composition with the boilerplate classifier
+    * swapped in ([[graft.pipelines.WebCuration.fromWarc]]
+    * `mainContentOnly = true`): same WARC shards as
+    * [[mainContentExtract]], 200-status gate applied, and the corpus
+    * `text` column now carries ONLY classified content — the twin's
+    * text is the planted article prose with every nav/aside/footer
+    * string absent. */
+  def crawlCorpusMain(spark: SparkSession, dir: String): DataFrame = {
+    graft.pipelines.WebCuration
+      .fromWarc(spark, mainContentFixtureCached, mainContentOnly = true)
+      .select(col("canonical_url"), col("domain"), col("title"),
+              col("text"), col("n_chars"))
+      .orderBy(col("canonical_url"))
+  }
+
   /** The responsible-crawl policy composition: WARC walk →
     * meta-robots extraction ([[graft.text.HtmlMetaRobots]]) +
     * robots.txt verdicts ([[graft.text.Robots]]) → keep = allowed by

@@ -38,19 +38,29 @@ object WebCuration {
     * `(url, canonical_url, host, domain, title, text, n_chars)` —
     * exactly the columns the blocklist/cap/dedup/quality stages key
     * on. Everything here is per-record map work over the shard scan;
-    * the first shuffle belongs to whatever curation stage follows. */
+    * the first shuffle belongs to whatever curation stage follows.
+    *
+    * `mainContentOnly = true` swaps the text stage from plain tag
+    * stripping ([[graft.text.HtmlText]], the C4-`clean` tier) to the
+    * block-level boilerplate classifier ([[graft.text.MainContent]],
+    * the jusText tier) — nav/footer/sidebar text never enters the
+    * corpus. Same per-record map shape either way. */
   def fromWarc(spark: org.apache.spark.sql.SparkSession,
-               path: String): DataFrame = {
-    import graft.text.HtmlText
+               path: String,
+               mainContentOnly: Boolean = false): DataFrame = {
+    import graft.text.{HtmlText, MainContent}
     val html = graft.sources.Warc.readWarc(spark, path)
       .filter(col("warc_type") === "response" &&
               col("http_status") === 200 &&
               col("content_type").startsWith("text/html"))
       .select(col("target_uri").as("url"),
               col("body").cast("string").as("raw_html"))
+    val textCol =
+      if (mainContentOnly) MainContent.htmlMainContent(col("raw_html"))
+      else HtmlText.htmlText(col("raw_html"))
     withUrlColumns(html)
       .withColumn("title", HtmlText.htmlTitle(col("raw_html")))
-      .withColumn("text", HtmlText.htmlText(col("raw_html")))
+      .withColumn("text", textCol)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("raw_html")
   }

@@ -67,7 +67,7 @@ object HtmlText {
   def htmlTitle(html: Column): Column =
     ColumnBridge.column(HtmlTitle(ColumnBridge.expression(html)))
 
-  private def lowerAt(s: String, i: Int, lit: String): Boolean = {
+  private[text] def lowerAt(s: String, i: Int, lit: String): Boolean = {
     if (i + lit.length > s.length) return false
     var k = 0
     while (k < lit.length) {
@@ -80,12 +80,12 @@ object HtmlText {
 
   /** True when the char at `i` (if any) cannot extend an element
     * name — so `</scripts>` never closes a `script` element. */
-  private def nameBoundary(s: String, i: Int): Boolean =
+  private[text] def nameBoundary(s: String, i: Int): Boolean =
     i >= s.length || !Character.isLetterOrDigit(s.charAt(i))
 
   /** Index just past `</name ... >` starting the search at `i`;
     * length when unterminated. */
-  private def closeOf(s: String, i: Int, name: String): Int = {
+  private[text] def closeOf(s: String, i: Int, name: String): Int = {
     var j = i
     while (j < s.length) {
       if (s.charAt(j) == '<' && j + 1 < s.length &&
@@ -108,7 +108,7 @@ object HtmlText {
     Array(("amp;", "&"), ("lt;", "<"), ("gt;", ">"),
           ("quot;", "\""), ("apos;", "'"), ("nbsp;", " "))
 
-  private def entity(s: String, i: Int): (String, Int) = {
+  private[text] def entity(s: String, i: Int): (String, Int) = {
     val named = NamedEntities
     var e = 0
     while (e < named.length) {
