@@ -137,6 +137,7 @@ object SparkEntry {
     // round 12:
     "q_main_content"            -> Corpus.mainContentExtract _,
     "q_crawl_corpus_main"       -> Corpus.crawlCorpusMain _,
+    "q_pdf_extract"             -> Corpus.pdfExtract _,
     "q_hashed_embed_topk"       -> Corpus.hashedEmbedTopk _,
     "q_embed_infer"             -> Corpus.embedInfer _,
     "q_cluster_scan"            -> Corpus.clusterScan _,
@@ -1850,6 +1851,51 @@ object SparkEntry {
                 CAST(3 AS BIGINT) AS n_content,
                 CAST(1 AS BIGINT) AS n_promoted
          FROM p ORDER BY doc_id""",
+    // PDF walker twin: the oracle CONSTRUCTS every document's page
+    // text (lines joined by \n across the page tree), show census,
+    // and quarantine disposition (encrypt / bad filter / truncation /
+    // junk) from the id arithmetic — independent of the Spark side's
+    // object-graph walk, FlateDecode, and operator replay
+    "q_pdf_extract" ->
+      """WITH d AS (SELECT range AS id FROM range(48)),
+         ln AS (SELECT d.id, p.range AS p, l.range AS l
+                FROM d, range(3) p, range(3) l
+                WHERE p.range < 1 + d.id % 3
+                  AND l.range < 2 + d.id % 2),
+         tx AS (SELECT id,
+                  string_agg('Page ' || p || ' line ' || l ||
+                             ' (doc ' || id || ')', chr(10)
+                             ORDER BY p, l) AS text,
+                  count(*) AS shows
+                FROM ln GROUP BY id),
+         okq AS (SELECT id AS asset_id,
+                  CASE WHEN id % 2 = 0 THEN '1.4' ELSE '1.7' END
+                    AS version,
+                  CAST(1 + id % 3 AS INT) AS n_pages, text,
+                  CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(shows AS BIGINT) AS n_shows,
+                  CAST(0 AS BIGINT) AS encrypted,
+                  CAST(1 AS BIGINT) AS ok,
+                  CAST(NULL AS VARCHAR) AS reason
+                 FROM tx),
+         badq AS (SELECT range AS asset_id,
+                  CASE WHEN range % 4 = 3 THEN NULL ELSE '1.4' END
+                    AS version,
+                  CAST(0 AS INT) AS n_pages,
+                  CAST(NULL AS VARCHAR) AS text,
+                  CAST(0 AS BIGINT) AS n_chars,
+                  CAST(0 AS BIGINT) AS n_shows,
+                  CAST(CASE WHEN range % 4 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS encrypted,
+                  CAST(0 AS BIGINT) AS ok,
+                  CASE CAST(range % 4 AS INT)
+                    WHEN 0 THEN 'encrypted document'
+                    WHEN 1 THEN 'unsupported filter /DCTDecode'
+                    WHEN 2 THEN 'unexpected end of data'
+                    ELSE 'missing %PDF- magic' END AS reason
+                  FROM range(48, 64))
+         SELECT * FROM okq UNION ALL SELECT * FROM badq
+         ORDER BY asset_id""",
     "q_crawl_corpus_main" ->
       """WITH p AS (
            SELECT range AS id,

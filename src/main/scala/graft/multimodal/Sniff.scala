@@ -57,9 +57,9 @@ import org.apache.spark.sql.functions._
   * Detected types cover exactly the containers the real kernels
   * decode or structurally parse: PNG / JPEG / BMP / GIF (image),
   * WAV / AIFF / AU / MP3 (audio), YUV4MPEG2 / H.264 Annex-B
-  * (video); anything else — truncated headers, declared sizes past
-  * EOF, junk with a 2-byte magic prefix — is `unknown`, the
-  * quarantine route. */
+  * (video), PDF (document — [[graft.sources.Pdf]]); anything else —
+  * truncated headers, declared sizes past EOF, junk with a 2-byte
+  * magic prefix — is `unknown`, the quarantine route. */
 object Sniff {
 
   private def startsWith(content: Column, bytes: Array[Byte],
@@ -90,6 +90,12 @@ object Sniff {
   def sniffModality(content: Column): Column = {
     val len = length(content)
     when(content.isNull, lit("unknown"))
+      // PDF: %PDF- + a digit.digit version ("%PDF-1.4" … "%PDF-2.0")
+      // — the document route ([[graft.sources.Pdf]] walks structure)
+      .when(startsWith(content, ascii("%PDF-")) &&
+            u8(content, 5) >= '1'.toLong && u8(content, 5) <= '9'.toLong &&
+            u8(content, 6) === '.'.toLong,
+            lit("application/pdf"))
       // PNG: \x89PNG\r\n\x1a\n + mandatory IHDR first chunk
       .when(startsWith(content, Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
                                       0x1a, 0x0a).map(_.toByte)) &&
@@ -171,13 +177,14 @@ object Sniff {
     assets.withColumn("detected", sniffModality(col(contentCol)))
 
   /** Route by sniffed KIND: adds `route` ∈ {image, audio, video,
-    * quarantine} — the dispatch column an ingest pipeline partitions
-    * by before handing each slice to its decoder. */
+    * document, quarantine} — the dispatch column an ingest pipeline
+    * partitions by before handing each slice to its decoder. */
   def route(assets: DataFrame, contentCol: String = "content"): DataFrame =
     detect(assets, contentCol)
       .withColumn("route",
         when(col("detected").startsWith("image/"), lit("image"))
           .when(col("detected").startsWith("audio/"), lit("audio"))
           .when(col("detected").startsWith("video/"), lit("video"))
+          .when(col("detected") === "application/pdf", lit("document"))
           .otherwise(lit("quarantine")))
 }

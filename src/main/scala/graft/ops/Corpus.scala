@@ -523,6 +523,55 @@ object Corpus {
     tmp.toString
   }
 
+  /** The PDF document surface for [[pdfExtract]]: 64 assets encoded
+    * on the executors ([[graft.sources.Pdf.encodePdf]] — complete
+    * object graph, page tree, content streams, xref). Ids 0–47 are
+    * real documents varying every encoder degree of freedom by id
+    * arithmetic — page count (`1 + id%3`), lines per page
+    * (`2 + id%2`), FlateDecode vs raw (`id%2`), kerned `TJ` arrays vs
+    * `Tj` (`id%4==1`), indirect `/Length` objects (`id%3==0`), and
+    * the version header. Ids 48–63 are the quarantine quadrant
+    * cycling by id%4: an `/Encrypt` trailer, a `/DCTDecode` content
+    * filter, a truncation mid-object-graph, and non-PDF bytes. */
+  private[graft] def pdfAssetSurface(spark: SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import graft.sources.Pdf
+    spark.range(64).as[Long].map { id =>
+      val content: Array[Byte] =
+        if (id >= 48) (id % 4) match {
+          case 0 => Pdf.encodePdf(Seq(Seq("secret")), encrypted = true)
+          case 1 => Pdf.encodePdf(Seq(Seq(s"bad $id")), badFilter = true)
+          case 2 => Pdf.encodePdf(Seq(Seq(s"cut $id"))).take(80)
+          case _ => s"NOT A PDF $id".getBytes("US-ASCII")
+        } else {
+          val nPages = 1 + (id % 3).toInt
+          val nLines = 2 + (id % 2).toInt
+          Pdf.encodePdf(
+            (0 until nPages).map(p =>
+              (0 until nLines).map(l => s"Page $p line $l (doc $id)")),
+            flate = id % 2 == 0, useTJ = id % 4 == 1,
+            indirectLength = id % 3 == 0,
+            version = if (id % 2 == 0) "1.4" else "1.7")
+        }
+      (id, content)
+    }.toDF("asset_id", "content")
+  }
+
+  /** PDF text extraction ([[graft.sources.Pdf]]): Spark WALKS the
+    * real object graph (trailer → catalog → page tree → content
+    * streams, FlateDecode, indirect lengths, `Tj`/`TJ` replay); the
+    * oracle CONSTRUCTS every page's text, the show census, and each
+    * quarantine disposition from the id arithmetic the surface was
+    * planted with. */
+  def pdfExtract(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Pdf.parsePdfs(pdfAssetSurface(spark))
+      .select(col("asset_id"), col("version"), col("n_pages"),
+              col("text"), col("n_chars"), col("n_shows"),
+              col("encrypted").cast("long").as("encrypted"),
+              col("ok").cast("long").as("ok"), col("reason"))
+      .orderBy(col("asset_id"))
+
   /** Fixture for [[mainContentExtract]] / [[crawlCorpusMain]]: 2 WARC
     * shards × 24 pages, each carrying the canonical boilerplate
     * anatomy by id arithmetic — a nav menu of link-only list items
