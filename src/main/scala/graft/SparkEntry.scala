@@ -138,6 +138,7 @@ object SparkEntry {
     "q_main_content"            -> Corpus.mainContentExtract _,
     "q_crawl_corpus_main"       -> Corpus.crawlCorpusMain _,
     "q_pdf_extract"             -> Corpus.pdfExtract _,
+    "q_recrawl_schedule"        -> Corpus.recrawlSchedule _,
     "q_hashed_embed_topk"       -> Corpus.hashedEmbedTopk _,
     "q_embed_infer"             -> Corpus.embedInfer _,
     "q_cluster_scan"            -> Corpus.clusterScan _,
@@ -2185,6 +2186,44 @@ object SparkEntry {
            slot AS fetch_slot,
            (slot - 1) * CASE h WHEN 0 THEN 2000 WHEN 2 THEN 500
                                ELSE 1000 END AS fetch_offset_ms
+         FROM r ORDER BY host, fetch_slot""",
+    // recrawl scheduling: the twin reconstructs staleness (epoch-hour
+    // arithmetic over the planted lastmod dates + the changefreq
+    // interval vocabulary, with the never-last / unknown-first
+    // sentinels) and the stale-first-within-priority-ties ranking
+    "q_recrawl_schedule" ->
+      """WITH e AS (
+           SELECT range AS id, range % 4 AS pr,
+             'r' || (range % 3) || '.example' AS host,
+             'http://r' || (range % 3) || '.example/keep/p' || range
+               AS loc,
+             CASE CAST(range % 6 AS INT)
+               WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 24
+               WHEN 3 THEN 168 WHEN 4 THEN 720 ELSE NULL END AS freq_h,
+             CASE WHEN range % 5 = 4 THEN NULL
+                  ELSE '2024-01-' ||
+                    lpad(CAST(range % 20 + 1 AS VARCHAR), 2, '0') END
+               AS lastmod
+           FROM range(96) WHERE range % 8 <> 7),
+         st AS (
+           SELECT id, host, loc, pr,
+             CAST(CASE WHEN freq_h IS NULL THEN -1000000
+                  WHEN lastmod IS NULL THEN 1000000
+                  ELSE (epoch(TIMESTAMP '2024-02-01') // 3600)
+                     - (epoch(CAST(lastmod AS TIMESTAMP)) // 3600)
+                     - freq_h END AS BIGINT) AS staleness_h
+           FROM e),
+         r AS (
+           SELECT host, loc, staleness_h,
+             row_number() OVER (PARTITION BY host
+               ORDER BY pr DESC, staleness_h DESC, loc ASC)
+               AS fetch_slot
+           FROM st)
+         SELECT host, loc, staleness_h, fetch_slot,
+           CAST((fetch_slot - 1) *
+             CASE host WHEN 'r0.example' THEN 2000
+                       WHEN 'r2.example' THEN 500
+                       ELSE 1000 END AS BIGINT) AS fetch_offset_ms
          FROM r ORDER BY host, fetch_slot""",
     // sitemap protocol: Spark walks the XML (incl. the gzipped form
     // and entity decode); the twin constructs every entry from the

@@ -488,6 +488,42 @@ object Corpus {
           lit("/p"), col("id")).as("loc"),
         concat(lit("0."), col("id") % 10).as("priority"))
     graft.pipelines.Frontier.plan(entries, robots, "graftbot/1.0")
+      .select(col("host"), col("loc"), col("fetch_slot"),
+              col("fetch_offset_ms"))
+      .orderBy(col("host"), col("fetch_slot"))
+  }
+
+  /** Recrawl scheduling ([[graft.pipelines.Frontier]] with `asOf`):
+    * 96 planted sitemap entries over 3 hosts with lastmod dates,
+    * the full changefreq vocabulary (incl. `never` → last and
+    * missing-lastmod → first), 4-level priority ties, per-host
+    * crawl-delays, and a robots-blocked `/skip/` slice. Spark
+    * computes staleness and ranks stale-first within priority ties;
+    * the oracle reconstructs the whole schedule from the planted
+    * arithmetic. */
+  def recrawlSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val robots = Seq(
+      ("r0.example", "User-agent: *\nDisallow: /skip/\nCrawl-delay: 2\n"),
+      ("r2.example", "User-agent: *\nDisallow: /skip/\nCrawl-delay: 0.5\n"),
+      ("r1.example", "User-agent: *\nDisallow: /skip/\n")
+    ).toDF("host", "robots_txt")
+    val entries = spark.range(96)
+      .select(
+        concat(lit("http://r"), col("id") % 3, lit(".example/"),
+          when(col("id") % 8 === 7, lit("skip")).otherwise(lit("keep")),
+          lit("/p"), col("id")).as("loc"),
+        concat(lit("0."), (col("id") % 4) * 2).as("priority"),
+        when(col("id") % 5 === 4, lit(null).cast("string"))
+          .otherwise(concat(lit("2024-01-"),
+            lpad((col("id") % 20 + 1).cast("string"), 2, "0")))
+          .as("lastmod"),
+        element_at(
+          array(lit("always"), lit("hourly"), lit("daily"),
+                lit("weekly"), lit("monthly"), lit("never")),
+          (col("id") % 6 + 1).cast("int")).as("changefreq"))
+    graft.pipelines.Frontier
+      .plan(entries, robots, "graftbot/1.0", asOf = "2024-02-01")
       .orderBy(col("host"), col("fetch_slot"))
   }
 

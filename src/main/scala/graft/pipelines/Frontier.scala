@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,17 +29,78 @@ import graft.text.Robots
   * of billions of locs schedules in one pass. */
 object Frontier {
 
-  /** Sitemap-entry frame `(loc [, priority])` + robots table →
-    * `(host, loc, fetch_slot, fetch_offset_ms)` for allowed locs. */
+  /** `changefreq` → recrawl interval in hours (sitemap protocol
+    * vocabulary); `never` maps to null (the archival marker — those
+    * entries sort LAST) and anything absent/unrecognized to the
+    * weekly default a polite crawler assumes. */
+  private def freqHours(cf: Column): Column = {
+    val f = lower(cf)
+    when(f === "always", lit(0L))
+      .when(f === "hourly", lit(1L))
+      .when(f === "daily", lit(24L))
+      .when(f === "weekly", lit(168L))
+      .when(f === "monthly", lit(720L))
+      .when(f === "yearly", lit(8760L))
+      .when(f === "never", lit(null).cast("long"))
+      .otherwise(lit(168L))
+  }
+
+  /** Staleness sentinels: unknown-lastmod entries crawl FIRST among
+    * priority ties (nothing is known about them), `never` entries
+    * crawl LAST. Real staleness values are hour-scale and nowhere
+    * near these bounds. */
+  private[pipelines] val UnknownStalenessH = 1000000L
+  private[pipelines] val NeverStalenessH = -1000000L
+
+  /** Sitemap-entry frame `(loc [, priority] [, lastmod, changefreq])`
+    * + robots table → `(host, loc, staleness_h, fetch_slot,
+    * fetch_offset_ms)` for allowed locs.
+    *
+    * When `asOf` is given (ISO date/datetime, the plan's "now") and
+    * the entries carry a `lastmodCol`, the sitemap's SCHEDULING half
+    * is wired in: each entry's staleness (hours past `lastmod` +
+    * its `changefreq` interval) breaks priority ties STALE-FIRST —
+    * the recrawl order the protocol's lastmod/changefreq fields
+    * exist to request. Without `asOf` the order is the declared
+    * priority alone (the discovery-crawl spelling), `staleness_h`
+    * is null, and the output shape is unchanged. */
   def plan(entries: DataFrame, robots: DataFrame, agent: String,
            defaultDelayMs: Long = 1000L,
            locCol: String = "loc",
-           priorityCol: String = "priority"): DataFrame = {
+           priorityCol: String = "priority",
+           asOf: String = null,
+           lastmodCol: String = "lastmod",
+           changefreqCol: String = "changefreq"): DataFrame = {
     val spark = entries.sparkSession
     import spark.implicits._
-    val withPrio =
+    val recrawl = asOf != null && entries.columns.contains(lastmodCol)
+    val withPrio0 =
       if (entries.columns.contains(priorityCol)) entries
       else entries.withColumn(priorityCol, lit(null).cast("string"))
+    val withPrio = {
+      val cf =
+        if (withPrio0.columns.contains(changefreqCol))
+          col(changefreqCol)
+        else lit(null).cast("string")
+      if (!recrawl)
+        withPrio0.withColumn("staleness_h", lit(null).cast("long"))
+      else {
+        val fh = freqHours(cf)
+        // try_: a malformed lastmod on a billion-loc frontier must
+        // degrade to the unknown-first sentinel, not kill the task
+        // (ANSI cast throws)
+        val lmH = floor(
+          unix_timestamp(try_to_timestamp(col(lastmodCol))) / 3600L)
+          .cast("long")
+        val asOfH = floor(
+          unix_timestamp(lit(asOf).cast("timestamp")) / 3600L)
+          .cast("long")
+        withPrio0.withColumn("staleness_h",
+          when(fh.isNull, lit(NeverStalenessH))
+            .when(lmH.isNull, lit(UnknownStalenessH))
+            .otherwise(asOfH - lmH - fh))
+      }
+    }
     val allowed = Robots
       .verdicts(withPrio, robots, agent, urlCol = locCol, idCol = locCol)
       .filter(col("robots_allowed"))
@@ -57,6 +118,7 @@ object Frontier {
       .toDF("host", "delay_ms")
     val w = Window.partitionBy(col("host"))
       .orderBy(coalesce(col(priorityCol).cast("double"), lit(0.5)).desc,
+               coalesce(col("staleness_h"), lit(0L)).desc,
                col(locCol).asc)
     allowed
       .join(broadcast(delays), Seq("host"), "left")
@@ -64,7 +126,7 @@ object Frontier {
       .withColumn("fetch_offset_ms",
         (col("fetch_slot") - 1).cast("long") *
           coalesce(col("delay_ms"), lit(defaultDelayMs)))
-      .select(col("host"), col(locCol).as("loc"), col("fetch_slot"),
-              col("fetch_offset_ms"))
+      .select(col("host"), col(locCol).as("loc"), col("staleness_h"),
+              col("fetch_slot"), col("fetch_offset_ms"))
   }
 }

@@ -23,7 +23,12 @@ class FrontierSpec extends AnyFunSuite {
       ("http://b.org/only", null), // null priority -> protocol 0.5
       ("http://c.org/free", "0.1") // no robots row: allowed, default delay
     ).toDF("loc", "priority")
-    val got = Frontier.plan(entries, robots, "graftbot")
+    val planned = Frontier.plan(entries, robots, "graftbot")
+    // discovery-crawl spelling: staleness is declared but null
+    assert(planned.columns.contains("staleness_h") &&
+           planned.filter(col("staleness_h").isNotNull).count() == 0)
+    val got = planned
+      .select("host", "loc", "fetch_slot", "fetch_offset_ms")
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
       .toSet
@@ -41,10 +46,59 @@ class FrontierSpec extends AnyFunSuite {
       Seq(Tuple1("http://d.org/b"), Tuple1("http://d.org/a"))
         .toDF("loc"),
       robots, "bot", defaultDelayMs = 250L)
+      .select("loc", "fetch_slot", "fetch_offset_ms")
       .collect()
-      .map(r => (r.getString(1), r.getInt(2), r.getLong(3))).toSet
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
     // equal default priorities -> loc ascending; default delay spaces
     assert(got == Set(("http://d.org/a", 1, 0L),
                       ("http://d.org/b", 2, 250L)))
+  }
+
+  test("recrawl plan: stale-first within priority ties; sentinels rank") {
+    val robots = Seq.empty[(String, String)].toDF("host", "robots_txt")
+    val entries = Seq(
+      // same priority: staleness decides — older lastmod = more stale
+      ("http://e.org/old",   "0.5", "2024-01-01", "daily"),
+      ("http://e.org/fresh", "0.5", "2024-01-30", "daily"),
+      // longer changefreq interval reduces staleness at equal lastmod
+      ("http://e.org/month", "0.5", "2024-01-01", "monthly"),
+      // priority beats any staleness
+      ("http://e.org/vip",   "0.9", "2024-01-31", "always"),
+      // unknown lastmod crawls first among its priority tie
+      ("http://e.org/mystery", "0.5", null, "weekly"),
+      // never entries crawl last
+      ("http://e.org/archive", "0.5", "2020-01-01", "never"),
+      // malformed lastmod degrades to unknown-first, never a throw
+      ("http://e.org/garbled", "0.5", "not-a-date", "daily")
+    ).toDF("loc", "priority", "lastmod", "changefreq")
+    val got = Frontier.plan(entries, robots, "bot", asOf = "2024-02-01")
+      .select("loc", "fetch_slot")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map(
+      "http://e.org/vip" -> 1,
+      // unknown-lastmod sentinel (1e6) outranks every real staleness;
+      // garbled lastmod joins it, loc ascending breaks their tie
+      "http://e.org/garbled" -> 2,
+      "http://e.org/mystery" -> 3,
+      "http://e.org/old" -> 4,    // 744 - 24 = 720h overdue
+      // fresh (48-24) and month (744-720) are both 24h overdue —
+      // the loc tie-break orders them
+      "http://e.org/fresh" -> 5,
+      "http://e.org/month" -> 6,
+      "http://e.org/archive" -> 7))
+  }
+
+  test("recrawl staleness values are exact epoch-hour arithmetic") {
+    val robots = Seq.empty[(String, String)].toDF("host", "robots_txt")
+    val entries = Seq(
+      ("http://f.org/a", "0.5", "2024-01-31", "daily"),   // 24 - 24 = 0
+      ("http://f.org/b", "0.5", "2024-01-31", "always"),  // 24 - 0
+      ("http://f.org/c", "0.5", "2024-01-01", "weekly")   // 744 - 168
+    ).toDF("loc", "priority", "lastmod", "changefreq")
+    val got = Frontier.plan(entries, robots, "bot", asOf = "2024-02-01")
+      .select("loc", "staleness_h")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("http://f.org/a" -> 0L, "http://f.org/b" -> 24L,
+                      "http://f.org/c" -> 576L))
   }
 }
