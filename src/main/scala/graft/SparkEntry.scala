@@ -139,6 +139,7 @@ object SparkEntry {
     "q_crawl_corpus_main"       -> Corpus.crawlCorpusMain _,
     "q_pdf_extract"             -> Corpus.pdfExtract _,
     "q_recrawl_schedule"        -> Corpus.recrawlSchedule _,
+    "q_warc_provenance"         -> Corpus.warcProvenance _,
     "q_hashed_embed_topk"       -> Corpus.hashedEmbedTopk _,
     "q_embed_infer"             -> Corpus.embedInfer _,
     "q_cluster_scan"            -> Corpus.clusterScan _,
@@ -1829,6 +1830,32 @@ object SparkEntry {
     // survive; canonical URL equals the planted URI (nothing to
     // strip), domain is the uri's last two labels, text/title/chars
     // constructed exactly as in q_warc_extract
+    // crawl-provenance twin: warcinfo warc-fields, request lines, and
+    // response rows all reconstructed from the planted arithmetic
+    "q_warc_provenance" ->
+      """WITH req AS (
+           SELECT range AS id, range // 12 AS shard,
+             'http://pv' || (range % 3) || '.example/p' || range AS uri
+           FROM range(24))
+         SELECT shard, warc_type, target_uri, software, is_part_of,
+                request_line, http_status FROM (
+           SELECT CAST(f.range AS BIGINT) AS shard,
+                  'warcinfo' AS warc_type,
+                  'http://prov.example/shard' || f.range AS target_uri,
+                  'graftbot/1.' || f.range AS software,
+                  'crawl-2024-' || f.range AS is_part_of,
+                  CAST(NULL AS VARCHAR) AS request_line,
+                  0 AS http_status
+           FROM range(2) f
+           UNION ALL
+           SELECT CAST(shard AS BIGINT), 'request', uri,
+                  NULL, NULL, 'GET /p' || id || ' HTTP/1.1', 0
+           FROM req
+           UNION ALL
+           SELECT CAST(shard AS BIGINT), 'response', uri,
+                  NULL, NULL, NULL, 200
+           FROM req)
+         ORDER BY shard, warc_type, target_uri""",
     // block-classifier twins: the oracle CONSTRUCTS the surviving
     // prose (promoted headline + two article paragraphs; every nav/
     // aside/footer/Related string ABSENT) and the block census from

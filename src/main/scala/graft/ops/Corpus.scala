@@ -698,6 +698,58 @@ object Corpus {
       .orderBy(col("canonical_url"))
   }
 
+  /** Fixture for [[warcProvenance]]: 2 shards (the second in the
+    * Common Crawl record-per-gzip-member layout), each led by a
+    * `warcinfo` record (software / isPartOf / format warc-fields)
+    * and carrying 12 request/response record pairs — the full audit
+    * shape a responsible crawler writes. Authored once per JVM (the
+    * [[warcFixtureCached]] rationale). */
+  private lazy val provenanceFixtureCached: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prov")
+    (0 until 2).foreach { f =>
+      val info = ("warcinfo", s"http://prov.example/shard$f",
+        "2024-03-01T00:00:00Z", s"<urn:uuid:info$f>",
+        s"software: graftbot/1.$f\r\nisPartOf: crawl-2024-$f\r\n" +
+          "format: WARC File Format 1.0\r\n")
+      val pairs = (0 until 12).flatMap { r =>
+        val id = f * 12L + r
+        val uri = s"http://pv${id % 3}.example/p$id"
+        Seq(
+          ("request", uri, "2024-03-01T00:00:00Z",
+           s"<urn:uuid:req$id>",
+           s"GET /p$id HTTP/1.1\r\nHost: pv${id % 3}.example\r\n" +
+             s"User-Agent: graftbot/1.$f\r\n\r\n"),
+          ("response", uri, "2024-03-01T00:00:00Z",
+           s"<urn:uuid:resp$id>",
+           "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+             s"<html><body><p>prov doc $id</p></body></html>"))
+      }
+      java.nio.file.Files.write(tmp.resolve(s"prov$f.warc" +
+          (if (f == 1) ".gz" else "")),
+        graft.sources.Warc.writeWarc(info +: pairs,
+          gzipPerRecord = f == 1))
+    }
+    tmp.toString
+  }
+
+  /** Crawl provenance ([[graft.sources.Warc]] non-response surface):
+    * `warcinfo` warc-fields (software / isPartOf) and `request`
+    * HTTP request lines exposed per record alongside the response
+    * rows — the audit trail of who crawled, as part of what, asking
+    * for what. Spark PARSES the container, the warc-fields block,
+    * and the request block; the oracle CONSTRUCTS all three record
+    * kinds from the id arithmetic. */
+  def warcProvenance(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Warc.readWarc(spark, provenanceFixtureCached)
+      .select(
+        regexp_extract(col("warc_file"), "prov(\\d+)\\.warc", 1)
+          .cast("long").as("shard"),
+        col("warc_type"), col("target_uri"),
+        element_at(col("warc_fields"), "software").as("software"),
+        element_at(col("warc_fields"), "ispartof").as("is_part_of"),
+        col("request_line"), col("http_status"))
+      .orderBy(col("shard"), col("warc_type"), col("target_uri"))
+
   /** The responsible-crawl policy composition: WARC walk →
     * meta-robots extraction ([[graft.text.HtmlMetaRobots]]) +
     * robots.txt verdicts ([[graft.text.Robots]]) → keep = allowed by

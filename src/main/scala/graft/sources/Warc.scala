@@ -40,11 +40,18 @@ object Warc {
 
   /** One parsed record. `httpStatus`/`contentType`/`body` are
     * populated for `response` records with a parseable HTTP block;
-    * `body` is null otherwise. */
+    * `body` is null otherwise. `warcFields` carries the parsed
+    * `application/warc-fields` block of `warcinfo`/`metadata`
+    * records (crawl provenance: software, isPartOf, operator …);
+    * `requestLine` carries a `request` record's HTTP request line —
+    * the audit trail of WHAT was asked for, the other half of a
+    * responsible-crawl story. */
   final case class Record(warcType: String, targetUri: String,
                           warcDate: String, recordId: String,
                           httpStatus: Int, contentType: String,
-                          body: Array[Byte])
+                          body: Array[Byte],
+                          warcFields: Map[String, String] = null,
+                          requestLine: String = null)
 
   private val Crlf = "\r\n"
 
@@ -104,6 +111,8 @@ object Warc {
             val wtype = h.getOrElse("warc-type", "unknown")
             var status = 0; var ctype: String = null
             var body: Array[Byte] = null
+            var fields: Map[String, String] = null
+            var reqLine: String = null
             if (wtype == "response")
               headerBlock(payload, 0, expectVersion = false) match {
                 case null => ()
@@ -117,11 +126,32 @@ object Warc {
                   body = java.util.Arrays.copyOfRange(
                     payload, hb, payload.length)
               }
+            else if (wtype == "request")
+              // the HTTP request line ("GET /path HTTP/1.1") is the
+              // provenance fact; request headers parse but stay
+              // internal (no curation stage keys on them yet)
+              headerBlock(payload, 0, expectVersion = false) match {
+                case null => ()
+                case (hh, _) => reqLine = hh.getOrElse("", null)
+              }
+            else if (wtype == "warcinfo" || wtype == "metadata")
+              // application/warc-fields: "Name: value" lines — the
+              // crawl's self-description (software, isPartOf, …)
+              fields = new String(payload, StandardCharsets.UTF_8)
+                .split("\r?\n").iterator
+                .flatMap { l =>
+                  val c = l.indexOf(':')
+                  if (c <= 0) None
+                  else Some(
+                    l.substring(0, c).trim
+                      .toLowerCase(java.util.Locale.ROOT) ->
+                      l.substring(c + 1).trim)
+                }.toMap
             out += Record(wtype,
               h.getOrElse("warc-target-uri", null),
               h.getOrElse("warc-date", null),
               h.getOrElse("warc-record-id", null),
-              status, ctype, body)
+              status, ctype, body, fields, reqLine)
             // past the payload and the \r\n\r\n record separator
             i = (bodyStart + len).toInt
             while (i + 1 < bytes.length &&
@@ -228,7 +258,7 @@ object Warc {
 
   /** Read WARC shards (plain or gzip) → one row per record:
     * `(warc_file, warc_type, target_uri, warc_date, record_id,
-    * http_status, content_type, body)`. */
+    * http_status, content_type, body, warc_fields, request_line)`. */
   def readWarc(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
@@ -237,10 +267,12 @@ object Warc {
       .flatMap { case (p, raw) =>
         recordsOf(raw).map(r =>
           (p, r.warcType, r.targetUri, r.warcDate, r.recordId,
-           r.httpStatus, r.contentType, r.body))
+           r.httpStatus, r.contentType, r.body, r.warcFields,
+           r.requestLine))
       }
       .toDF("warc_file", "warc_type", "target_uri", "warc_date",
-            "record_id", "http_status", "content_type", "body")
+            "record_id", "http_status", "content_type", "body",
+            "warc_fields", "request_line")
   }
 
   // ---- fixture writer (the encoder side of the same syntax) --------
@@ -261,8 +293,11 @@ object Warc {
         hdr.append("WARC-Target-URI: ").append(uri).append(Crlf)
       hdr.append("WARC-Date: ").append(date).append(Crlf)
         .append("WARC-Record-ID: ").append(rid).append(Crlf)
-        .append("Content-Type: application/http; msgtype=response")
-        .append(Crlf)
+        .append("Content-Type: ").append(wtype match {
+          case "warcinfo" | "metadata" => "application/warc-fields"
+          case "request" => "application/http; msgtype=request"
+          case _ => "application/http; msgtype=response"
+        }).append(Crlf)
         .append("Content-Length: ").append(payload.length).append(Crlf)
         .append(Crlf)
       rec.write(hdr.toString.getBytes(StandardCharsets.UTF_8))

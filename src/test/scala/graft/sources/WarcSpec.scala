@@ -53,6 +53,28 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("warcinfo fields and request lines surface as provenance columns") {
+    val bytes = Warc.writeWarc(Seq(
+      ("warcinfo", null, "2024-01-01T00:00:00Z", "<urn:uuid:i>",
+       "software: graftbot/2.0\r\nisPartOf: crawl-x\r\n" +
+         "robots: classic\r\nnot a field line\r\n"),
+      ("request", "http://ex.org/q", "2024-01-01T00:00:00Z",
+       "<urn:uuid:r>",
+       "GET /q?x=1 HTTP/1.1\r\nHost: ex.org\r\nUser-Agent: g\r\n\r\n"),
+      ("metadata", "http://ex.org/q", "2024-01-01T00:00:00Z",
+       "<urn:uuid:m>", "fetchTimeMs: 120\r\n")))
+    val rows = readDir("p.warc" -> bytes)
+      .map(r => r.getString(1) ->
+        (r.getAs[Map[String, String]]("warc_fields"),
+         r.getAs[String]("request_line"))).toMap
+    assert(rows("warcinfo")._1 == Map("software" -> "graftbot/2.0",
+      "ispartof" -> "crawl-x", "robots" -> "classic"))
+    assert(rows("warcinfo")._2 == null)
+    assert(rows("request")._1 == null)
+    assert(rows("request")._2 == "GET /q?x=1 HTTP/1.1")
+    assert(rows("metadata")._1 == Map("fetchtimems" -> "120"))
+  }
+
   test("a lying Content-Length quarantines the rest of the member") {
     val good = Warc.writeWarc(recs(2))
     val lying = new String(good, "ISO-8859-1")
