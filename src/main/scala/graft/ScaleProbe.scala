@@ -207,6 +207,92 @@ object ScaleProbe {
       }
       mediaProbe("h264_walk", bigH264,
         d => graft.multimodal.Multimodal.parseH264Streams(d))
+      // round 12: the crawl/document stack under the same growth gate.
+      // WARC container walk + HTML extraction: each blob is a 50-record
+      // shard (~15 KB), parse = record walk + html_text/html_title —
+      // map-shaped, growth must track the blob count
+      def bigWarc(n: Int): DataFrame = {
+        import spark.implicits._
+        spark.range(n).as[Long].map { id =>
+          val recs = (0 until 50).map { r =>
+            val d = id * 50L + r
+            ("response", s"http://w${d % 9}.example/p$d",
+             "2024-01-01T00:00:00Z", s"<urn:uuid:w$d>",
+             "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+               s"<html><head><title>W $d</title></head><body>" +
+               s"<p>alpha $d beta ${d % 7}</p></body></html>")
+          }
+          (id, graft.sources.Warc.writeWarc(recs))
+        }.toDF("asset_id", "content")
+      }
+      mediaProbe("warc_walk", bigWarc, { d =>
+        import spark.implicits._
+        val rows = d.select(col("asset_id"), col("content"))
+          .as[(Long, Array[Byte])]
+          .flatMap { case (id, raw) =>
+            graft.sources.Warc.recordsOf(raw).map(r =>
+              (id, r.targetUri, r.httpStatus,
+               new String(r.body, "UTF-8")))
+          }.toDF("shard", "uri", "status", "html")
+        rows.select(col("uri"),
+          graft.text.HtmlText.htmlTitle(col("html")).as("t"),
+          graft.text.HtmlText.htmlText(col("html")).as("x"))
+      })
+      // block-level main-content classification: same pages grown by
+      // count; the kernel is a codegen'd scalar, so the probe pins
+      // its per-row cost shape
+      def bigHtml(n: Int): DataFrame = {
+        import spark.implicits._
+        spark.range(n).as[Long].map { id =>
+          (id,
+           s"<nav><a href=/a>Home</a> <a href=/b>More $id</a></nav>" +
+             s"<h1>Story ${id % 7}</h1>" +
+             s"<p>The deterministic article body number $id carries " +
+             s"plenty of prose characters for the classifier run.</p>" +
+             s"<footer>Copyright ${id % 10}</footer>")
+        }.toDF("asset_id", "html")
+      }
+      mediaProbe("main_content", bigHtml, d =>
+        d.select(graft.text.MainContent.htmlMainContent(col("html"))
+          .as("t")))
+      // PDF object-graph walk + text replay over probe-sized docs
+      // (3 pages × 20 lines, FlateDecode)
+      def bigPdf(n: Int): DataFrame = {
+        import spark.implicits._
+        spark.range(n).as[Long].map { id =>
+          (id, graft.sources.Pdf.encodePdf(
+            (0 until 3).map(p => (0 until 20).map(l =>
+              s"Page $p line $l of probe document $id")),
+            flate = true, useTJ = id % 2 == 0))
+        }.toDF("asset_id", "content")
+      }
+      mediaProbe("pdf_walk", bigPdf,
+        d => graft.sources.Pdf.parsePdfs(d))
+      // robots.txt verdicts (the batch join spelling): URL count grows
+      // 10×, the 6-host robots table does not — the join is a
+      // broadcast against parsed-rule rows, so growth must track the
+      // URL side only
+      def bigUrls(n: Int): DataFrame = {
+        import spark.implicits._
+        spark.range(n).select(col("id").as("doc_id"),
+          concat(lit("https://s"), col("id") % 6, lit(".example/"),
+            when(col("id") % 3 === 0, lit("private/"))
+              .otherwise(lit("pub/")),
+            lit("a"), col("id")).as("url"))
+      }
+      {
+        import spark.implicits._
+        val robots = Seq(
+          ("s0.example", "User-agent: *\nDisallow: /private/\n"),
+          ("s1.example", "User-agent: *\nDisallow: /\nAllow: /pub\n"),
+          ("s2.example", "User-agent: *\nDisallow:\n"),
+          ("s3.example", "User-agent: *\nDisallow: /*/x$\n"),
+          ("s4.example", "User-agent: graftbot\nDisallow: /private/\n")
+        ).toDF("host", "robots_txt")
+        mediaProbe("robots_verdicts", bigUrls, d =>
+          graft.text.Robots.verdicts(d, robots, "graftbot/1.0")
+            .select(col("doc_id"), col("robots_allowed")))
+      }
     }
     if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("media")) {
       spark.stop(); return
