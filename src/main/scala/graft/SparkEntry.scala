@@ -140,6 +140,7 @@ object SparkEntry {
     "q_pdf_extract"             -> Corpus.pdfExtract _,
     "q_recrawl_schedule"        -> Corpus.recrawlSchedule _,
     "q_warc_provenance"         -> Corpus.warcProvenance _,
+    "q_document_ingest"         -> Corpus.documentIngest _,
     "q_hashed_embed_topk"       -> Corpus.hashedEmbedTopk _,
     "q_embed_infer"             -> Corpus.embedInfer _,
     "q_cluster_scan"            -> Corpus.clusterScan _,
@@ -1830,6 +1831,29 @@ object SparkEntry {
     // survive; canonical URL equals the planted URI (nothing to
     // strip), domain is the uri's last two labels, text/title/chars
     // constructed exactly as in q_warc_extract
+    // document-ingest twin: detected container, route, and per-format
+    // extracted text/title all from the id%4 arithmetic — incl. the
+    // encrypted PDF that routes to the document lane but fails decode
+    "q_document_ingest" ->
+      """SELECT range AS asset_id,
+           CASE CAST(range % 4 AS INT)
+             WHEN 0 THEN 'application/pdf' WHEN 1 THEN 'text/html'
+             WHEN 2 THEN 'unknown' ELSE 'application/pdf' END
+             AS detected,
+           CASE WHEN range % 4 = 2 THEN 'quarantine'
+                ELSE 'document' END AS route,
+           CASE WHEN range % 4 = 1 THEN 'D ' || range END AS title,
+           CASE CAST(range % 4 AS INT)
+             WHEN 0 THEN 'Ingest doc ' || range || ' line 0' ||
+                         chr(10) || 'Ingest doc ' || range || ' line 1'
+             WHEN 1 THEN 'D ' || range ||
+                         ' The ingested article body number ' || range ||
+                         ' carries plenty of prose characters for ' ||
+                         'curation.'
+             END AS text,
+           CAST(CASE WHEN range % 4 IN (0, 1) THEN 1 ELSE 0 END
+             AS BIGINT) AS ok
+         FROM range(72) ORDER BY asset_id""",
     // crawl-provenance twin: warcinfo warc-fields, request lines, and
     // response rows all reconstructed from the planted arithmetic
     "q_warc_provenance" ->

@@ -96,6 +96,12 @@ object Sniff {
             u8(content, 5) >= '1'.toLong && u8(content, 5) <= '9'.toLong &&
             u8(content, 6) === '.'.toLong,
             lit("application/pdf"))
+      // HTML: no magic number exists — the standard sniff (what
+      // `file(1)`/Tika do) is the DOCTYPE or root-element prefix
+      // after optional whitespace/BOM, over the leading bytes only
+      .when(lower(substring(content, 1, 256).cast("string"))
+              .rlike("^[\\s\\ufeff]*<(!doctype\\s+html|html[\\s>])"),
+            lit("text/html"))
       // PNG: \x89PNG\r\n\x1a\n + mandatory IHDR first chunk
       .when(startsWith(content, Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
                                       0x1a, 0x0a).map(_.toByte)) &&
@@ -185,6 +191,7 @@ object Sniff {
         when(col("detected").startsWith("image/"), lit("image"))
           .when(col("detected").startsWith("audio/"), lit("audio"))
           .when(col("detected").startsWith("video/"), lit("video"))
-          .when(col("detected") === "application/pdf", lit("document"))
+          .when(col("detected") === "application/pdf" ||
+                col("detected") === "text/html", lit("document"))
           .otherwise(lit("quarantine")))
 }

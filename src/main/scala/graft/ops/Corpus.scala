@@ -608,6 +608,63 @@ object Corpus {
               col("ok").cast("long").as("ok"), col("reason"))
       .orderBy(col("asset_id"))
 
+  /** The mixed DOCUMENT surface for [[documentIngest]]: 72 assets
+    * cycling by id%4 — a real PDF, an HTML page (DOCTYPE-prefixed,
+    * the no-magic-number sniff case), plain text (quarantine), and
+    * an ENCRYPTED PDF (routes to the document lane on magic, then
+    * quarantines at parse — routing and decoding are different
+    * verdicts, and the composition must keep them apart). */
+  private[graft] def documentAssetSurface(spark: SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import graft.sources.Pdf
+    spark.range(72).as[Long].map { id =>
+      val content: Array[Byte] = (id % 4) match {
+        case 0 => Pdf.encodePdf(Seq((0 until 2).map(l =>
+          s"Ingest doc $id line $l")), flate = id % 8 == 0)
+        case 1 =>
+          (s"<!DOCTYPE html><html><head><title>D $id</title></head>" +
+           s"<body><p>The ingested article body number $id carries " +
+           "plenty of prose characters for curation.</p></body></html>")
+            .getBytes("UTF-8")
+        case 2 => s"plain text asset $id with no container".getBytes("UTF-8")
+        case _ => Pdf.encodePdf(Seq(Seq(s"locked $id")), encrypted = true)
+      }
+      (id, content)
+    }.toDF("asset_id", "content")
+  }
+
+  /** The DOCUMENT ingest loop gated end to end (the text twin of
+    * [[ingestDecode]]): sniff → route → per-format extraction — PDFs
+    * through the [[graft.sources.Pdf]] walker, HTML through the
+    * codegen'd kernels — with quarantine rows carried and the
+    * encrypted-PDF case proving the route/decode separation. Spark
+    * sniffs REAL bytes and parses REAL containers; the oracle
+    * constructs every row from the id%4 arithmetic. */
+  def documentIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.HtmlText
+    val routed = graft.multimodal.Sniff.route(documentAssetSurface(spark))
+      .localCheckpoint(false)
+    val pdf = graft.sources.Pdf.parsePdfs(
+        routed.filter(col("detected") === "application/pdf"))
+      .select(col("asset_id"), lit("application/pdf").as("detected"),
+              lit("document").as("route"),
+              lit(null).cast("string").as("title"), col("text"),
+              col("ok").cast("long").as("ok"))
+    val htmlSlice = routed.filter(col("detected") === "text/html")
+      .select(col("asset_id"), col("detected"), col("route"),
+              HtmlText.htmlTitle(col("content").cast("string"))
+                .as("title"),
+              HtmlText.htmlText(col("content").cast("string")).as("text"),
+              lit(1L).as("ok"))
+    val quarantine = routed.filter(col("route") === "quarantine")
+      .select(col("asset_id"), col("detected"), col("route"),
+              lit(null).cast("string").as("title"),
+              lit(null).cast("string").as("text"), lit(0L).as("ok"))
+    pdf.unionByName(htmlSlice).unionByName(quarantine)
+      .orderBy(col("asset_id"))
+  }
+
   /** Fixture for [[mainContentExtract]] / [[crawlCorpusMain]]: 2 WARC
     * shards × 24 pages, each carrying the canonical boilerplate
     * anatomy by id arithmetic — a nav menu of link-only list items

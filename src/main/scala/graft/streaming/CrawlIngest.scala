@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.text.{HtmlText, Robots}
+import graft.text.{HtmlText, MainContent, Robots}
 
 /** Streaming CRAWL ingest (the WARC twin of [[MultimodalIngest]]):
   * crawl shards arrive as `(shard_id, content)` binary rows — the
@@ -40,10 +40,15 @@ object CrawlIngest {
   /** Walk + extract + policy-stamp a streaming (or batch) shard
     * frame: one row per WARC record with
     * `(shard_id, target_uri, http_status, title, meta_robots, text,
-    * disposition)`. */
+    * disposition)`. `mainContentOnly` swaps the text stage to the
+    * block-level boilerplate classifier ([[MainContent]]) — still a
+    * codegen'd map, so the stream plan shape is unchanged and the
+    * batch spelling (`WebCuration.fromWarc(mainContentOnly = true)`)
+    * stays the parity twin. */
   def ingest(shards: DataFrame, rules: Map[String, Seq[Robots.Rule]],
              idCol: String = "shard_id",
-             contentCol: String = "content"): DataFrame = {
+             contentCol: String = "content",
+             mainContentOnly: Boolean = false): DataFrame = {
     val spark = shards.sparkSession
     import spark.implicits._
     val records = shards
@@ -69,7 +74,9 @@ object CrawlIngest {
     records
       .withColumn("title", when(isPage, HtmlText.htmlTitle(html)))
       .withColumn("meta_robots", when(isPage, HtmlText.htmlMetaRobots(html)))
-      .withColumn("text", when(isPage, HtmlText.htmlText(html)))
+      .withColumn("text", when(isPage,
+        if (mainContentOnly) MainContent.htmlMainContent(html)
+        else HtmlText.htmlText(html)))
       .withColumn("robots_ok", Robots.allowedColumn(host, pathq, rules))
       .withColumn("noindex",
         coalesce(lower(col("meta_robots")).contains("noindex"), lit(false)))

@@ -133,6 +133,29 @@ class SniffSpec extends AnyFunSuite {
       == "quarantine")
   }
 
+  test("documents detect: PDF by magic, HTML by DOCTYPE/root prefix") {
+    assert(detectOne("%PDF-1.7\nrest".getBytes("US-ASCII"))
+      == "application/pdf")
+    assert(detectOne("%PDF-x.y".getBytes("US-ASCII")) == "unknown")
+    assert(detectOne("<!DOCTYPE html><html>".getBytes("UTF-8"))
+      == "text/html")
+    assert(detectOne("<html lang=\"en\">".getBytes("UTF-8"))
+      == "text/html")
+    // leading whitespace and BOM tolerated; case-insensitive
+    assert(detectOne("﻿  \n<HTML>".getBytes("UTF-8")) == "text/html")
+    assert(detectOne("  <!doctype HTML SYSTEM>".getBytes("UTF-8"))
+      == "text/html")
+    // an <htmlx> element or a stray tag is NOT an HTML document
+    assert(detectOne("<htmlx>".getBytes("UTF-8")) == "unknown")
+    assert(detectOne("<div>x</div>".getBytes("UTF-8")) == "unknown")
+    // both document kinds take the document route
+    val routed = Sniff.route(Seq(
+        (0L, "%PDF-1.4\nx".getBytes("US-ASCII")),
+        (1L, "<html>".getBytes("UTF-8"))).toDF("asset_id", "content"))
+      .select(col("route")).collect().map(_.getString(0)).toSeq
+    assert(routed == Seq("document", "document"))
+  }
+
   test("stateless sniffing lifts to Structured Streaming verbatim") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -157,6 +157,46 @@ class CrawlIngestSpec extends AnyFunSuite {
                          4L -> false, 5L -> true, 6L -> true))
   }
 
+  test("mainContentOnly strips boilerplate in the stream, batch-parity") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val article = "A long enough article paragraph with plenty of " +
+      "prose characters for the block classifier to keep."
+    def mcPage(id: Long): String =
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        s"<html><head><title>M$id</title></head><body>" +
+        "<nav><a href=/a>Home</a> <a href=/b>About</a></nav>" +
+        s"<h1>Head $id</h1><p>$article</p>" +
+        s"<footer>Copyright $id</footer></body></html>"
+    val bytes = Warc.writeWarc((0 until 4).map { id =>
+      ("response", s"http://c.example/m$id", "2024-01-01T00:00:00Z",
+       s"<urn:uuid:m$id>", mcPage(id))
+    })
+    val shards = Seq((0L, bytes)).toDF("shard_id", "content")
+    val batch = CrawlIngest.ingest(shards, rules, mainContentOnly = true)
+      .filter(col("disposition") === "kept")
+      .select(col("target_uri"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(batch.size == 4)
+    (0 until 4).foreach { id =>
+      // nav/footer gone; promoted heading + article survive
+      assert(batch(s"http://c.example/m$id") == s"Head $id $article")
+    }
+    // the stream spelling lands the identical text
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mc-ingest")
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = CrawlIngest.land(
+      CrawlIngest.ingest(in.toDF().toDF("shard_id", "content"), rules,
+                         mainContentOnly = true),
+      s"$tmp/out", s"$tmp/ckpt")
+    try { in.addData((0L, bytes)); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .filter(col("disposition") === "kept")
+      .select(col("target_uri"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("compileRules refuses loudly on both the host and BYTE bounds") {
     val robotsDf = Seq(
       ("a.example", "User-agent: *\nDisallow: /x\n" + ("#pad\n" * 40)),
