@@ -133,7 +133,11 @@ object Bench {
         pb.redirectError(ProcessBuilder.Redirect.DISCARD)
         pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
         val p = pb.start()
-        if (!p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
+        // 480 s: the 114-twin set runs ~160-220 s quiet but the r12
+        // in-bench run hit the old 300 s wall under self-contention
+        // (duck recorded 0.000); the wall only bounds a hung
+        // interpreter, so size it for the contended case
+        if (!p.waitFor(480, java.util.concurrent.TimeUnit.SECONDS)) {
           p.destroyForcibly(); Map.empty
         } else if (p.exitValue() != 0) Map.empty
         else {
