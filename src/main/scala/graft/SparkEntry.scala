@@ -125,6 +125,8 @@ object SparkEntry {
     "q_audio_embed"             -> Corpus.audioEmbed _,
     "q_warc_extract"            -> Corpus.warcExtract _,
     "q_crawl_corpus"            -> Corpus.crawlCorpus _,
+    "q_charset_decode"          -> Corpus.charsetDecode _,
+    "q_mojibake_fix"            -> Corpus.mojibakeFix _,
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,
@@ -1979,6 +1981,40 @@ object SparkEntry {
                 text,
                 CAST(length(text) AS BIGINT) AS n_chars
          FROM p ORDER BY canonical_url""",
+    // charset cascade twin: label AND decoded prose constructed from
+    // the id arithmetic the fixture's BYTES were planted with - a
+    // wrong cascade order (header vs meta vs BOM) or a wrong decoder
+    // (latin1 where cp1252 curly quotes live) both hash-mismatch
+    "q_charset_decode" ->
+      """WITH p AS (SELECT range AS id FROM range(48)),
+           t AS (SELECT id,
+             CASE id % 4
+               WHEN 0 THEN 'café ' || id || ' naïve'
+               WHEN 1 THEN 'résumé ' || id || ' “quoted”'
+               WHEN 2 THEN 'über ' || id || ' straße'
+               ELSE 'naïve café ' || id END AS text
+           FROM p)
+         SELECT 'http://cs.example/p' || id AS target_uri,
+                CASE WHEN id % 2 = 0 THEN 'utf-8'
+                     ELSE 'windows-1252' END AS charset,
+                text,
+                CAST(length(text) AS BIGINT) AS n_chars
+         FROM t ORDER BY target_uri""",
+    // mojibake twin: the oracle is the CLEAN text for every id (the
+    // repair restores even ids exactly and must leave odd ids
+    // untouched); was_broken pins which rows the repair changed
+    "q_mojibake_fix" ->
+      """WITH p AS (SELECT range AS id FROM range(60)),
+           t AS (SELECT id,
+             CASE id % 3
+               WHEN 0 THEN 'café ' || id || ' naïve'
+               WHEN 1 THEN 'déjà ' || id || ' – vu'
+               ELSE '“model ' || id || '” résumé' END AS text_fixed
+           FROM p)
+         SELECT id, text_fixed,
+                CAST(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                  AS was_broken
+         FROM t ORDER BY id""",
     // WARC + HTML twin: the oracle CONSTRUCTS every field from the id
     // arithmetic (uri/status/title/extracted text/body byte length) -
     // fully independent of the Spark side's container+markup parsing

@@ -2342,4 +2342,96 @@ object Corpus {
               Seq("text", "lang", "source", "n_chars"))
       .orderBy(col("doc_id"))
   }
+
+  /** Fixture for [[charsetDecode]]: 48 WARC response records whose
+    * BODY BYTES exercise the whole detection cascade by id % 4 —
+    * (0) UTF-8 declared by `<meta charset>`, (1) windows-1252 bytes
+    * under an `iso-8859-1` HTTP header while the meta tag LIES
+    * utf-8 (transport precedence), (2) UTF-8 BOM while the meta tag
+    * lies iso-8859-1 (BOM precedence), (3) unlabeled windows-1252
+    * (the strict-UTF-8-validation-fails fallback). Every class
+    * carries non-ASCII prose so a wrong decode cannot hash-match.
+    * Authored once per JVM (the [[warcFixtureCached]] rationale). */
+  private lazy val charsetFixtureCached: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-charset")
+    val Bom = Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte)
+    def http(contentType: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n\r\n")
+        .getBytes("US-ASCII") ++ body
+    val recs = (0 until 48).map { id =>
+      val (ct, body) = (id % 4) match {
+        case 0 => ("text/html",
+          (s"""<html><head><meta charset="utf-8"></head>""" +
+           s"<body><p>café $id naïve</p></body></html>")
+            .getBytes("UTF-8"))
+        case 1 => ("text/html; charset=iso-8859-1",
+          (s"""<html><head><meta charset="utf-8"></head><body>""" +
+           s"<p>résumé $id “quoted”</p></body></html>")
+            .getBytes("windows-1252"))
+        case 2 => ("text/html",
+          Bom ++
+          (s"""<html><head><meta charset="iso-8859-1"></head><body>""" +
+           s"<p>über $id straße</p></body></html>")
+            .getBytes("UTF-8"))
+        case _ => ("text/html",
+          (s"<html><body><p>naïve café $id</p></body></html>")
+            .getBytes("windows-1252"))
+      }
+      ("response", s"http://cs.example/p$id", "2024-01-01T00:00:00Z",
+       s"<urn:uuid:cs$id>", http(ct, body))
+    }
+    java.nio.file.Files.write(tmp.resolve("charset.warc"),
+      graft.sources.Warc.writeWarcRaw(recs))
+    tmp.toString
+  }
+
+  /** Charset-aware payload decoding ([[graft.text.CharsetSniff]]):
+    * the WARC charset fixture flows through sniff (BOM → HTTP header
+    * → meta prescan → UTF-8 validation → windows-1252 fallback) and
+    * decode, then HTML extraction. Spark DETECTS from the bytes; the
+    * oracle CONSTRUCTS the label and the decoded prose from the id
+    * arithmetic the fixture was planted with — a wrong cascade order
+    * or a wrong decoder both hash-mismatch. */
+  def charsetDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{CharsetSniff, HtmlText}
+    graft.sources.Warc.readWarc(spark, charsetFixtureCached)
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"),
+              CharsetSniff.sniffCharset(col("body"), col("content_type"))
+                .as("charset"),
+              HtmlText.htmlText(
+                CharsetSniff.decodePayload(col("body"), col("content_type")))
+                .as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .orderBy(col("target_uri"))
+  }
+
+  /** Mojibake repair ([[graft.text.CharsetSniff.fixMojibake]]): 60
+    * planted strings, even ids mangled through the UTF-8→cp1252
+    * mis-decode (ids % 10 == 6 TWICE), odd ids clean. The repair
+    * must restore every even id exactly AND leave every odd id
+    * untouched — the oracle constructs the clean text directly, so
+    * over- and under-repair both hash-mismatch. */
+  def mojibakeFix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.CharsetSniff
+    val rows = (0 until 60).map { id =>
+      val clean = (id % 3) match {
+        case 0 => s"café $id naïve"
+        case 1 => s"déjà $id – vu"
+        case _ => s"“model $id” résumé"
+      }
+      val input =
+        if (id % 2 == 0)
+          CharsetSniff.mangle(clean, rounds = if (id % 10 == 6) 2 else 1)
+        else clean
+      (id.toLong, input)
+    }
+    rows.toDF("id", "input")
+      .select(col("id"),
+              CharsetSniff.fixMojibake(col("input")).as("text_fixed"),
+              (CharsetSniff.fixMojibake(col("input")) =!= col("input"))
+                .cast("long").as("was_broken"))
+      .orderBy(col("id"))
+  }
 }

@@ -48,13 +48,23 @@ object WebCuration {
   def fromWarc(spark: org.apache.spark.sql.SparkSession,
                path: String,
                mainContentOnly: Boolean = false): DataFrame = {
-    import graft.text.{HtmlText, MainContent}
+    import graft.text.{CharsetSniff, HtmlText, MainContent}
+    // charset-aware byte→text boundary (NOT cast-as-UTF-8): the BOM →
+    // HTTP header → meta prescan → validation cascade of
+    // [[graft.text.CharsetSniff]]. A double-digit fraction of the
+    // real web is windows-1252/legacy-labeled; blind UTF-8 turns
+    // those pages into U+FFFD soup that poisons langID, quality,
+    // and dedup downstream. `charset` lands as a corpus provenance
+    // column (encoding mix is a standard crawl-health metric).
     val html = graft.sources.Warc.readWarc(spark, path)
       .filter(col("warc_type") === "response" &&
               col("http_status") === 200 &&
               col("content_type").startsWith("text/html"))
       .select(col("target_uri").as("url"),
-              col("body").cast("string").as("raw_html"))
+              CharsetSniff.sniffCharset(col("body"), col("content_type"))
+                .as("charset"),
+              CharsetSniff.decodePayload(col("body"), col("content_type"))
+                .as("raw_html"))
     val textCol =
       if (mainContentOnly) MainContent.htmlMainContent(col("raw_html"))
       else HtmlText.htmlText(col("raw_html"))

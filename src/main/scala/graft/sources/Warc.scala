@@ -280,11 +280,20 @@ object Warc {
   /** Serialize records into one WARC file's bytes; `gzipPerRecord`
     * writes the Common Crawl record-per-member layout. */
   def writeWarc(records: Seq[(String, String, String, String, String)],
-                gzipPerRecord: Boolean = false): Array[Byte] = {
-    // (warcType, uri, date, recordId, httpPayload-as-string)
+                gzipPerRecord: Boolean = false): Array[Byte] =
+    writeWarcRaw(records.map { case (t, u, d, r, http) =>
+      (t, u, d, r, http.getBytes(StandardCharsets.UTF_8))
+    }, gzipPerRecord)
+
+  /** Byte-payload spelling of [[writeWarc]] — the charset fixtures
+    * need HTTP bodies in encodings a String round-trip would
+    * destroy (windows-1252 bytes, BOMs, invalid UTF-8). */
+  def writeWarcRaw(
+      records: Seq[(String, String, String, String, Array[Byte])],
+      gzipPerRecord: Boolean = false): Array[Byte] = {
+    // (warcType, uri, date, recordId, httpPayload bytes)
     val out = new ByteArrayOutputStream()
-    records.foreach { case (wtype, uri, date, rid, http) =>
-      val payload = http.getBytes(StandardCharsets.UTF_8)
+    records.foreach { case (wtype, uri, date, rid, payload) =>
       val rec = new ByteArrayOutputStream()
       val hdr = new StringBuilder()
         .append("WARC/1.0").append(Crlf)

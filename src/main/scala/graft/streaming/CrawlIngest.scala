@@ -61,7 +61,11 @@ object CrawlIngest {
       }
       .toDF("shard_id", "warc_type", "target_uri", "http_status",
             "content_type", "body")
-    val html = col("body").cast("string")
+    // charset-aware byte→text boundary — same cascade as the batch
+    // twin (WebCuration.fromWarc), still a codegen'd map, so the
+    // stream plan shape and the stream≡batch parity both hold
+    val html = graft.text.CharsetSniff
+      .decodePayload(col("body"), col("content_type"))
     val isPage = col("warc_type") === "response" &&
       col("http_status") === 200 &&
       coalesce(col("content_type").contains("text/html"), lit(false))
