@@ -127,6 +127,9 @@ object SparkEntry {
     "q_crawl_corpus"            -> Corpus.crawlCorpus _,
     "q_charset_decode"          -> Corpus.charsetDecode _,
     "q_mojibake_fix"            -> Corpus.mojibakeFix _,
+    "q_link_extract"            -> Corpus.linkExtract _,
+    "q_link_graph"              -> Corpus.linkGraph _,
+    "q_frontier_expand"         -> Corpus.frontierExpand _,
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,
@@ -244,6 +247,61 @@ object SparkEntry {
       ("q_profile" -> profileOracle) +
       ("q_table_diff" -> tableDiffOracle) +
       ("q_triangles" -> trianglesOracle)
+
+  /** Shared CTE of the three link twins: every planted anchor of the
+    * 48 link-fixture pages (`Corpus.linkFixturePages`) as a row
+    * `(id, o, href, link_url, dst_host, anchor, nofollow)`, with the
+    * RESOLVED target constructed from the same id arithmetic the
+    * fixture plants — `o` is the anchor's document ordinal (o=5, the
+    * mailto link, never emits a row here but occupies a posexplode
+    * index slot on the Spark side). */
+  private val linkRowsCte: String =
+    """WITH p AS (SELECT range AS id FROM range(48)),
+       l AS (
+         SELECT id, 1 AS o,
+                'http://ext' || (id % 5) || '.example/hub' AS href,
+                'http://ext' || (id % 5) || '.example/hub' AS link_url,
+                'ext' || (id % 5) || '.example' AS dst_host,
+                'Ext ' || id AS anchor, 0 AS nofollow
+         FROM p
+         UNION ALL
+         SELECT id, 2,
+                'sub/r' || id || '?a=1&b=2',
+                CASE WHEN id % 6 = 0
+                  THEN 'http://b' || (id % 3) ||
+                       '.example/bdir/sub/r' || id || '?a=1&b=2'
+                  ELSE 'http://s' || (id % 4) ||
+                       '.example/dir/sub/r' || id || '?a=1&b=2' END,
+                CASE WHEN id % 6 = 0 THEN 'b' || (id % 3) || '.example'
+                     ELSE 's' || (id % 4) || '.example' END,
+                'Rel & ' || id, 0
+         FROM p
+         UNION ALL
+         SELECT id, 3,
+                '/root' || (id % 7),
+                CASE WHEN id % 6 = 0
+                  THEN 'http://b' || (id % 3) || '.example/root' || (id % 7)
+                  ELSE 'http://s' || (id % 4) || '.example/root' || (id % 7)
+                END,
+                CASE WHEN id % 6 = 0 THEN 'b' || (id % 3) || '.example'
+                     ELSE 's' || (id % 4) || '.example' END,
+                'Root ' || id, 1
+         FROM p
+         UNION ALL
+         SELECT id, 4,
+                '../up' || id,
+                'http://s' || (id % 4) || '.example/up' || id,
+                's' || (id % 4) || '.example',
+                'Up ' || id, 0
+         FROM p WHERE id % 3 = 1
+         UNION ALL
+         SELECT id, 6,
+                '//pr' || (id % 3) || '.example/z' || id,
+                'http://pr' || (id % 3) || '.example/z' || id,
+                'pr' || (id % 3) || '.example',
+                'PR ' || id, 0
+         FROM p WHERE id % 5 = 3
+       )"""
 
   /** DuckDB spelling of `uint32(md5(<expr>)[0,8 hex))` — the Horner
     * hex parse every planted fixture's twin uses, generated instead
@@ -2000,6 +2058,39 @@ object SparkEntry {
                 text,
                 CAST(length(text) AS BIGINT) AS n_chars
          FROM t ORDER BY target_uri""",
+    // link twins: one shared CTE spelling constructs every anchor's
+    // href, RESOLVED absolute target (base-href re-rooting included),
+    // dst host, anchor text, and nofollow flag from id arithmetic -
+    // fully independent of the tag parser and the RFC 3986 resolver.
+    // link_idx reproduces the posexplode slot the dropped mailto
+    // link leaves behind (o=5 never emits but occupies an index)
+    "q_link_extract" ->
+      s"""$linkRowsCte
+         SELECT id AS page_id,
+                CAST(CASE o WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 2
+                            WHEN 4 THEN 3
+                     ELSE 3 + CASE WHEN id % 3 = 1 THEN 1 ELSE 0 END
+                            + CASE WHEN id % 4 = 2 THEN 1 ELSE 0 END
+                     END AS BIGINT) AS link_idx,
+                href, link_url, anchor,
+                CAST(nofollow AS BIGINT) AS nofollow
+         FROM l ORDER BY page_id, link_idx""",
+    "q_link_graph" ->
+      s"""$linkRowsCte
+         SELECT 's' || (id % 4) || '.example' AS src_host, dst_host,
+                CAST(count(*) AS BIGINT) AS n_links,
+                CAST(sum(nofollow) AS BIGINT) AS n_nofollow
+         FROM l GROUP BY 1, 2 ORDER BY src_host, dst_host""",
+    "q_frontier_expand" ->
+      s"""$linkRowsCte
+         SELECT link_url AS url, dst_host AS host,
+                CAST(count(*) AS BIGINT) AS n_discoveries,
+                CAST(count(DISTINCT 's' || (id % 4) || '.example')
+                     AS BIGINT) AS n_src_hosts
+         FROM l
+         WHERE nofollow = 0 AND link_url NOT IN
+               ('http://ext0.example/hub', 'http://ext1.example/hub')
+         GROUP BY 1, 2 ORDER BY url""",
     // mojibake twin: the oracle is the CLEAN text for every id (the
     // repair restores even ids exactly and must leave odd ids
     // untouched); was_broken pins which rows the repair changed

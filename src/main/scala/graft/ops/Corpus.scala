@@ -2434,4 +2434,79 @@ object Corpus {
                 .cast("long").as("was_broken"))
       .orderBy(col("id"))
   }
+
+  /** Fixture for the link queries: 48 pages at
+    * `http://s{id%4}.example/dir/page{id}` whose anchors plant every
+    * extraction + resolution path by id arithmetic — a shared
+    * absolute "hub" target per ext host (so the frontier's
+    * distinct-nominating-hosts signal has mass), a relative href
+    * with an entity-encoded query, a root-relative `rel=nofollow`
+    * link, a dot-segment `../` ref (only on base-less pages: id%3==1
+    * excludes id%6==0), a mailto (occupies a posexplode slot, then
+    * the http-only filter drops it — the twin reproduces the index
+    * GAP), and a protocol-relative ref. Pages with id%6==0 carry a
+    * `<base href>` that re-roots relative resolution. */
+  private[graft] def linkFixturePages(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until 48).map { id =>
+      val sb = new StringBuilder("<html>")
+      if (id % 6 == 0)
+        sb ++= s"""<head><base href="http://b${id % 3}.example/bdir/"></head>"""
+      sb ++= "<body>"
+      sb ++= s"""<a href="http://ext${id % 5}.example/hub">Ext $id</a>"""
+      sb ++= s"""<a href="sub/r$id?a=1&amp;b=2">Rel &amp; $id</a>"""
+      sb ++= s"""<a href="/root${id % 7}" rel="nofollow">Root $id</a>"""
+      if (id % 3 == 1) sb ++= s"""<a href="../up$id">Up $id</a>"""
+      if (id % 4 == 2) sb ++= s"""<a href="mailto:m$id@ex.example">Mail $id</a>"""
+      if (id % 5 == 3) sb ++= s"""<a href="//pr${id % 3}.example/z$id">PR $id</a>"""
+      sb ++= "</body></html>"
+      (s"http://s${id % 4}.example/dir/page$id", sb.toString)
+    }
+    rows.toDF("url", "raw_html")
+  }
+
+  /** Link extraction + RFC 3986 resolution
+    * ([[graft.pipelines.LinkGraph.pageLinks]]): Spark PARSES tags,
+    * decodes entities, and RESOLVES refs (base-href-aware); the
+    * oracle CONSTRUCTS href/resolved-target/anchor/index from the id
+    * arithmetic — including the posexplode index gap the dropped
+    * mailto link leaves behind. */
+  def linkExtract(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.LinkGraph.pageLinks(linkFixturePages(spark))
+      .select(regexp_extract(col("src_url"), "page(\\d+)$", 1)
+                .cast("long").as("page_id"),
+              col("link_idx").cast("long").as("link_idx"),
+              col("href"), col("link_url"), col("anchor"),
+              col("nofollow").cast("long").as("nofollow"))
+      .orderBy(col("page_id"), col("link_idx"))
+
+  /** Host-level link graph ([[graft.pipelines.LinkGraph.hostGraph]])
+    * over the same planted pages: one aggregate from per-link rows
+    * to `(src_host, dst_host, n_links, n_nofollow)` edges — the
+    * frame the PageRank/centrality operators consume. */
+  def linkGraph(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.LinkGraph.hostGraph(
+      graft.pipelines.LinkGraph.pageLinks(linkFixturePages(spark)))
+      .select(col("src_host"), col("dst_host"),
+              col("n_links").cast("long").as("n_links"),
+              col("n_nofollow").cast("long").as("n_nofollow"))
+      .orderBy(col("src_host"), col("dst_host"))
+
+  /** Frontier expansion ([[graft.pipelines.Frontier.expand]]) — the
+    * discovery half of the crawl loop: planted links → canonical
+    * candidates, nofollow links don't nominate, two hub URLs sit in
+    * the `seen` set and must anti-join away, and the shared hub
+    * targets pin the distinct-nominating-hosts aggregation
+    * (10 discoveries × 4 hosts each). */
+  def frontierExpand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val links = graft.pipelines.LinkGraph.pageLinks(linkFixturePages(spark))
+    val seen = Seq("http://ext0.example/hub", "http://ext1.example/hub")
+      .toDF("url")
+    graft.pipelines.Frontier.expand(links, seen)
+      .select(col("url"), col("host"),
+              col("n_discoveries").cast("long").as("n_discoveries"),
+              col("n_src_hosts").cast("long").as("n_src_hosts"))
+      .orderBy(col("url"))
+  }
 }

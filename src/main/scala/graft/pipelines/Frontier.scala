@@ -129,4 +129,49 @@ object Frontier {
       .select(col("host"), col(locCol).as("loc"), col("staleness_h"),
               col("fetch_slot"), col("fetch_offset_ms"))
   }
+
+  /** Frontier EXPANSION — the discovery half of the crawl loop that
+    * [[plan]]'s sitemap half cannot see: links extracted from
+    * fetched pages ([[LinkGraph.pageLinks]] rows) become the next
+    * round's fetch candidates. Per candidate URL (canonical form —
+    * discovery must not re-queue `?b=2&a=1` next to `?a=1&b=2`):
+    *
+    *  - `nofollow` links don't nominate (the rel token is exactly
+    *    the publisher saying "don't treat this as an endorsement or
+    *    a crawl lead"), and candidates already in `seen` (prior
+    *    frontier + fetched set, canonical) anti-join away;
+    *  - `n_discoveries` = link count, `n_src_hosts` = DISTINCT
+    *    nominating hosts — the standard frontier-priority signal
+    *    (many independent hosts pointing at a URL outranks one host
+    *    linking it many times), ready to feed [[plan]]'s priority
+    *    column.
+    *
+    * ==Scale shape==
+    * One aggregate on the canonical URL (map-side combined; the
+    * distinct-host count is exact via the two-level groupBy) and one
+    * anti-join against `seen` — shuffle-partitioned on the same key,
+    * no window, no driver state. A billion-page round expands in two
+    * exchanges. */
+  def expand(links: DataFrame, seen: DataFrame,
+             seenUrlCol: String = "url"): DataFrame = {
+    val candidates = links
+      .filter(col("link_url").isNotNull && !col("nofollow"))
+      .select(graft.text.UrlOps.canonicalizeUrl(col("link_url"))
+                .as("url"),
+              col("src_host"))
+      .filter(col("url").isNotNull)
+    val seenCanon = seen.select(
+      graft.text.UrlOps.canonicalizeUrl(col(seenUrlCol)).as("url"))
+      .filter(col("url").isNotNull)
+    candidates
+      .join(seenCanon, Seq("url"), "left_anti")
+      .groupBy(col("url"), col("src_host"))
+      .agg(count(lit(1)).as("n_from_host"))
+      .groupBy(col("url"))
+      .agg(sum(col("n_from_host")).as("n_discoveries"),
+           count(lit(1)).as("n_src_hosts"))
+      .withColumn("host", lower(parse_url(col("url"), lit("HOST"))))
+      .select(col("url"), col("host"),
+              col("n_discoveries"), col("n_src_hosts"))
+  }
 }
