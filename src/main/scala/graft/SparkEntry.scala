@@ -130,6 +130,8 @@ object SparkEntry {
     "q_link_extract"            -> Corpus.linkExtract _,
     "q_link_graph"              -> Corpus.linkGraph _,
     "q_frontier_expand"         -> Corpus.frontierExpand _,
+    "q_warc_cdx"                -> Corpus.warcCdx _,
+    "q_cdx_dedup"               -> Corpus.cdxDedup _,
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,
@@ -302,6 +304,42 @@ object SparkEntry {
                 'PR ' || id, 0
          FROM p WHERE id % 5 = 3
        )"""
+
+  /** Shared CTE of the CDX twins: each planted record's body, its
+    * FULL serialized length (WARC header + HTTP block + body + the
+    * record separator, CRLF-exact against `Warc.writeWarc`'s
+    * encoder), and its byte offset as the running sum of preceding
+    * record lengths. */
+  private val cdxRowsCte: String =
+    """WITH p AS (SELECT range AS id FROM range(24)),
+       b AS (
+         SELECT id,
+                repeat('data' || (id % 8) || ' ', 1 + (id % 8) % 3)
+                  AS body
+         FROM p),
+       r0 AS (
+         SELECT id, body,
+                'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                'Content-Type: text/html' || chr(13) || chr(10) ||
+                chr(13) || chr(10) || body AS payload
+         FROM b),
+       r1 AS (
+         SELECT id, body,
+                CAST(length('WARC/1.0' ||
+                  'WARC-Type: response' ||
+                  'WARC-Target-URI: http://cdx.example/p' || id ||
+                  'WARC-Date: 2024-01-01T00:00:00Z' ||
+                  'WARC-Record-ID: <urn:uuid:cdx' || id || '>' ||
+                  'Content-Type: application/http; msgtype=response' ||
+                  'Content-Length: ' || length(payload))
+                  + 2 * 8 + length(payload) + 4 AS BIGINT) AS length
+         FROM r0),
+       r AS (
+         SELECT id, body, length,
+                CAST(COALESCE(SUM(length) OVER (ORDER BY id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS "offset"
+         FROM r1)"""
 
   /** DuckDB spelling of `uint32(md5(<expr>)[0,8 hex))` — the Horner
     * hex parse every planted fixture's twin uses, generated instead
@@ -2106,6 +2144,25 @@ object SparkEntry {
                 CAST(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
                   AS was_broken
          FROM t ORDER BY id""",
+    // CDX twins: the oracle RECONSTRUCTS each record's serialized
+    // bytes from the id arithmetic the fixture was planted with
+    // (header + HTTP block + body, CRLF-exact), window-sums lengths
+    // into offsets, and recomputes sha256 digests - byte-extent and
+    // digest facts derived with zero shared code with the walker
+    "q_warc_cdx" ->
+      s"""$cdxRowsCte
+         SELECT 'http://cdx.example/p' || id AS target_uri,
+                CAST(200 AS INT) AS http_status,
+                'text/html' AS mime,
+                sha256(body) AS digest, "offset", length
+         FROM r ORDER BY "offset"""",
+    "q_cdx_dedup" ->
+      s"""$cdxRowsCte
+         SELECT sha256(body) AS digest,
+                CAST(count(*) AS BIGINT) AS n_copies,
+                min("offset") AS first_offset,
+                min_by('http://cdx.example/p' || id, "offset") AS first_uri
+         FROM r GROUP BY 1 ORDER BY first_offset""",
     // WARC + HTML twin: the oracle CONSTRUCTS every field from the id
     // arithmetic (uri/status/title/extracted text/body byte length) -
     // fully independent of the Spark side's container+markup parsing

@@ -2435,6 +2435,56 @@ object Corpus {
       .orderBy(col("id"))
   }
 
+  /** Fixture for the CDX queries: one PLAIN-layout WARC shard of 24
+    * response records whose body text (and therefore record length,
+    * offset, and sha256 digest) is id arithmetic — bodies repeat by
+    * id%8, planting 8 digest classes of 3 records each for the dedup
+    * query. Plain layout because record byte offsets are then
+    * CLOSED-FORM (the twin reconstructs every record string and
+    * window-sums the lengths); compressed member extents are not
+    * SQL-replayable and carry spec coverage instead (WarcCdxSpec
+    * slice round-trip). */
+  private lazy val cdxFixtureCached: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdx")
+    val recs = (0 until 24).map { id =>
+      val body = ("data" + (id % 8) + " ") * (1 + (id % 8) % 3)
+      ("response", s"http://cdx.example/p$id", "2024-01-01T00:00:00Z",
+       s"<urn:uuid:cdx$id>",
+       s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body")
+    }
+    java.nio.file.Files.write(tmp.resolve("cdx.warc"),
+      graft.sources.Warc.writeWarc(recs))
+    tmp.toString
+  }
+
+  /** WARC CDX indexing ([[graft.sources.Warc.readCdx]]): record
+    * byte extents + content digests — the random-access/dedup index
+    * Common Crawl publishes beside its crawls. Spark WALKS the
+    * container measuring real offsets; the oracle RECONSTRUCTS every
+    * record's serialized form from the id arithmetic, window-sums
+    * the lengths into offsets, and recomputes the sha256 digests —
+    * a wrong walk, a wrong extent, or a wrong digest all
+    * hash-mismatch. */
+  def warcCdx(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Warc.readCdx(spark, cdxFixtureCached)
+      .select(col("target_uri"), col("http_status"),
+              col("content_type").as("mime"), col("digest"),
+              col("offset"), col("length"))
+      .orderBy(col("offset"))
+
+  /** Digest-level dedup over the CDX index — the cross-crawl "have I
+    * already stored this content?" pass (Common Crawl revisit
+    * semantics): group by sha256 digest, keep the FIRST stored copy
+    * (min offset), count the rest. */
+  def cdxDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Warc.readCdx(spark, cdxFixtureCached)
+      .filter(col("warc_type") === "response")
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies"),
+           min(col("offset")).as("first_offset"),
+           min_by(col("target_uri"), col("offset")).as("first_uri"))
+      .orderBy(col("first_offset"))
+
   /** Fixture for the link queries: 48 pages at
     * `http://s{id%4}.example/dir/page{id}` whose anchors plant every
     * extraction + resolution path by id arithmetic — a shared

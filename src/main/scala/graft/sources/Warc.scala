@@ -90,21 +90,33 @@ object Warc {
   }
 
   /** Walk the records of one (decompressed) WARC byte stream. */
-  def parseWarc(bytes: Array[Byte]): Seq[Record] = {
-    val out = Seq.newBuilder[Record]
+  def parseWarc(bytes: Array[Byte]): Seq[Record] =
+    parseWarcExtents(bytes).map(_._1)
+
+  /** [[parseWarc]] plus each record's byte EXTENT `(start, end)` in
+    * the stream (version line through the trailing record separator)
+    * — the indexing fact a CDX needs for range-request retrieval.
+    * The terminal `invalid` marker's extent covers the unparseable
+    * tail. */
+  private[sources] def parseWarcExtents(bytes: Array[Byte])
+      : Seq[(Record, Int, Int)] = {
+    val out = Seq.newBuilder[(Record, Int, Int)]
     var i = 0
     var dead = false
     while (!dead && i < bytes.length) {
+      val start = i
       headerBlock(bytes, i, expectVersion = true) match {
         case null => dead = true
-          out += Record("invalid", null, null, null, 0, null, null)
+          out += ((Record("invalid", null, null, null, 0, null, null),
+                   start, bytes.length))
         case (h, bodyStart) =>
           val len = try h.getOrElse("content-length", "-1").toLong
                     catch { case _: NumberFormatException => -1L }
           if (len < 0 || bodyStart + len > bytes.length) {
             dead = true
-            out += Record("invalid", h.getOrElse("warc-target-uri", null),
-                          null, null, 0, null, null)
+            out += ((Record("invalid", h.getOrElse("warc-target-uri", null),
+                            null, null, 0, null, null),
+                     start, bytes.length))
           } else {
             val payload = java.util.Arrays.copyOfRange(
               bytes, bodyStart, (bodyStart + len).toInt)
@@ -147,15 +159,15 @@ object Warc {
                       .toLowerCase(java.util.Locale.ROOT) ->
                       l.substring(c + 1).trim)
                 }.toMap
-            out += Record(wtype,
-              h.getOrElse("warc-target-uri", null),
-              h.getOrElse("warc-date", null),
-              h.getOrElse("warc-record-id", null),
-              status, ctype, body, fields, reqLine)
             // past the payload and the \r\n\r\n record separator
             i = (bodyStart + len).toInt
             while (i + 1 < bytes.length &&
                    b2(bytes, i)) i += 2
+            out += ((Record(wtype,
+              h.getOrElse("warc-target-uri", null),
+              h.getOrElse("warc-date", null),
+              h.getOrElse("warc-record-id", null),
+              status, ctype, body, fields, reqLine), start, i))
           }
       }
     }
@@ -179,35 +191,66 @@ object Warc {
   private[sources] def gunzip(bytes: Array[Byte]): (Array[Byte], Boolean) = {
     if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f ||
         (bytes(1) & 0xff) != 0x8b) return (bytes, true)
+    val walk = gzipMemberExtents(bytes)
     val out = new ByteArrayOutputStream(bytes.length * 4)
+    walk.members.foreach { case (_, _, m) => out.write(m) }
+    (out.toByteArray, walk.clean)
+  }
+
+  /** One gzip member walk: each member's compressed EXTENT `(offset,
+    * length)` in the file — the CDX retrieval fact for the Common
+    * Crawl record-per-member layout — plus its decompressed bytes.
+    * On corruption (`clean = false`) the partially-decompressed
+    * member (if any bytes inflated) is still included with its
+    * extent running to EOF, and `failedAt` marks where the walk
+    * died — the quarantine offset an index row carries. */
+  private[sources] final case class MemberWalk(
+      members: Seq[(Int, Int, Array[Byte])], clean: Boolean,
+      failedAt: Int)
+
+  private[sources] def gzipMemberExtents(bytes: Array[Byte]): MemberWalk = {
+    val out = Seq.newBuilder[(Int, Int, Array[Byte])]
     var i = 0
     var clean = true
     var halt = false
+    var failedAt = -1
     while (!halt && i < bytes.length) {
       val h = gzipHeaderEnd(bytes, i)
-      if (h < 0) { clean = false; halt = true }
+      if (h < 0) { clean = false; halt = true; failedAt = i }
       else {
         val inf = new java.util.zip.Inflater(true) // raw deflate
         inf.setInput(bytes, h, bytes.length - h)
+        val mem = new ByteArrayOutputStream(1 << 16)
         val buf = new Array[Byte](1 << 16)
+        var memOk = false
         try {
           var n = inf.inflate(buf)
           while (n > 0 || (!inf.finished() && !inf.needsInput())) {
-            out.write(buf, 0, n); n = inf.inflate(buf)
+            mem.write(buf, 0, n); n = inf.inflate(buf)
           }
-          if (!inf.finished()) { clean = false; halt = true }
+          if (!inf.finished()) { clean = false; halt = true; failedAt = i }
           else {
             val next = h + inf.getBytesRead.toInt + 8 // CRC32 + ISIZE
-            if (next > bytes.length) { clean = false; halt = true }
-            else i = next
+            if (next > bytes.length) {
+              clean = false; halt = true; failedAt = i
+            } else {
+              out += ((i, next - i, mem.toByteArray))
+              memOk = true
+              i = next
+            }
           }
         } catch {
           case _: java.util.zip.DataFormatException =>
-            clean = false; halt = true
+            clean = false; halt = true; failedAt = i
         } finally inf.end()
+        // a partially-inflated member still surfaces its bytes (the
+        // pre-refactor gunzip concatenated them — complete records
+        // inside a cut member stay readable) with an EOF-bound extent
+        if (!memOk && mem.size() > 0)
+          out += ((i, bytes.length - i, mem.toByteArray))
       }
     }
-    (out.toByteArray, clean)
+    MemberWalk(out.result(), clean, failedAt)
   }
 
   /** Index just past one gzip member header starting at `off`, or -1
@@ -273,6 +316,73 @@ object Warc {
       .toDF("warc_file", "warc_type", "target_uri", "warc_date",
             "record_id", "http_status", "content_type", "body",
             "warc_fields", "request_line")
+  }
+
+  // ---- CDX indexing ------------------------------------------------
+
+  /** One index row: the record, its byte extent in the FILE (the
+    * compressed member extent under the record-per-member gzip
+    * layout — the unit a ranged GET retrieves; the raw record extent
+    * for plain files), and the sha256 hex digest of the record's
+    * content (HTTP body for `response` records with a parsed block,
+    * whole payload-ish content otherwise; null when there is none). */
+  final case class IndexedRecord(record: Record, offset: Long,
+                                 length: Long, digest: String)
+
+  private def sha256Hex(b: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(b)
+    val sb = new java.lang.StringBuilder(64)
+    d.foreach(x => sb.append("%02x".format(x & 0xff)))
+    sb.toString
+  }
+
+  /** CDX rows of one shard's raw bytes. Gzip shards index by
+    * compressed MEMBER extent (a multi-record member repeats its
+    * extent per record — the member is the retrieval unit); plain
+    * shards by record extent. A corrupt gzip tail lands as one
+    * `invalid` row whose extent covers the unwalkable remainder —
+    * the index never silently shortens a file. */
+  private[graft] def indexRecords(raw: Array[Byte]): Seq[IndexedRecord] = {
+    def digestOf(r: Record): String =
+      if (r.body != null) sha256Hex(r.body) else null
+    if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+        (raw(1) & 0xff) == 0x8b) {
+      val walk = gzipMemberExtents(raw)
+      val rows = walk.members.flatMap { case (off, len, bytes) =>
+        parseWarc(bytes).map(r =>
+          IndexedRecord(r, off, len, digestOf(r)))
+      }
+      if (walk.clean) rows
+      else rows :+ IndexedRecord(
+        Record("invalid", null, null, null, 0, null, null),
+        math.max(walk.failedAt, 0),
+        raw.length - math.max(walk.failedAt, 0), null)
+    } else
+      parseWarcExtents(raw).map { case (r, start, end) =>
+        IndexedRecord(r, start, end - start, digestOf(r))
+      }
+  }
+
+  /** The CDX surface: one index row per record across WARC shards —
+    * `(warc_file, warc_type, target_uri, warc_date, http_status,
+    * content_type, digest, offset, length)`. Same `binaryFile`
+    * map-shape as [[readWarc]]; the output IS the random-access +
+    * digest-dedup index Common Crawl publishes beside its crawls
+    * (their CDXJ carries exactly these facts). Cross-crawl digest
+    * dedup = group this frame by `digest`. */
+  def readCdx(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, raw) =>
+        indexRecords(raw).map(ir =>
+          (p, ir.record.warcType, ir.record.targetUri, ir.record.warcDate,
+           ir.record.httpStatus, ir.record.contentType, ir.digest,
+           ir.offset, ir.length))
+      }
+      .toDF("warc_file", "warc_type", "target_uri", "warc_date",
+            "http_status", "content_type", "digest", "offset", "length")
   }
 
   // ---- fixture writer (the encoder side of the same syntax) --------
