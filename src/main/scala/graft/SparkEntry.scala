@@ -132,6 +132,12 @@ object SparkEntry {
     "q_frontier_expand"         -> Corpus.frontierExpand _,
     "q_warc_cdx"                -> Corpus.warcCdx _,
     "q_cdx_dedup"               -> Corpus.cdxDedup _,
+    "q_redirect_map"            -> Corpus.redirectMap _,
+    "q_redirect_chain"          -> Corpus.redirectChains _,
+    "q_canonical_dedup"         -> Corpus.canonicalDedup _,
+    "q_robots_sitemaps"         -> Corpus.robotsSitemaps _,
+    "q_feed_parse"              -> Corpus.feedParse _,
+    "q_xrobots_policy"          -> Corpus.xrobotsPolicy _,
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,
@@ -2144,6 +2150,153 @@ object SparkEntry {
                 CAST(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
                   AS was_broken
          FROM t ORDER BY id""",
+    // redirect twin: status/Location/RESOLVED target (relative and
+    // protocol-relative Locations are crawl reality) from id%5
+    "q_redirect_map" ->
+      """WITH p AS (SELECT range AS id FROM range(40))
+         SELECT 'http://h' || (id % 3) || '.example/orig' || id
+                  AS target_uri,
+                CAST(CASE id % 5 WHEN 1 THEN 301 WHEN 2 THEN 302
+                     WHEN 3 THEN 301 ELSE 200 END AS INT)
+                  AS http_status,
+                CASE id % 5
+                  WHEN 1 THEN '/moved' || id
+                  WHEN 2 THEN 'http://r.example/t' || id
+                  WHEN 3 THEN '//cdn' || (id % 2) || '.example/c' || id
+                  END AS location,
+                CASE id % 5
+                  WHEN 1 THEN 'http://h' || (id % 3) ||
+                              '.example/moved' || id
+                  WHEN 2 THEN 'http://r.example/t' || id
+                  WHEN 3 THEN 'http://cdn' || (id % 2) ||
+                              '.example/c' || id
+                  END AS redirect_target,
+                CAST(CASE WHEN id % 5 IN (1, 2, 3) THEN 1 ELSE 0 END
+                     AS BIGINT) AS is_redirect
+         FROM p ORDER BY target_uri""",
+    // redirect-chain twin: the SAME planted edges walked by a
+    // hop-bounded recursive CTE (the engine side pointer-doubles);
+    // cycle members never reach a terminal so the walk's bound
+    // exhausts and the left join nulls them
+    "q_redirect_chain" ->
+      """WITH RECURSIVE
+           chain AS (
+             SELECT 'http://ch.example/g' || g.range || '/h' || k.range
+                      AS src,
+                    'http://ch.example/g' || g.range || '/h' ||
+                      (k.range + 1) AS dst
+             FROM range(12) g, range(4) k
+             WHERE k.range <= g.range % 4),
+           cyc(src, dst) AS (VALUES
+             ('http://cy.example/self', 'http://cy.example/self'),
+             ('http://cy.example/a0', 'http://cy.example/a1'),
+             ('http://cy.example/a1', 'http://cy.example/a0'),
+             ('http://cy.example/b0', 'http://cy.example/b1'),
+             ('http://cy.example/b1', 'http://cy.example/b2'),
+             ('http://cy.example/b2', 'http://cy.example/b0'),
+             ('http://cy.example/tail', 'http://cy.example/b0')),
+           e AS (SELECT src, dst FROM chain
+                 UNION ALL SELECT src, dst FROM cyc),
+           walk AS (
+             SELECT src AS url, dst AS cur, 1 AS hops FROM e
+             UNION ALL
+             SELECT w.url, e.dst, w.hops + 1
+             FROM walk w JOIN e ON w.cur = e.src
+             WHERE w.hops < 16),
+           term AS (
+             SELECT w.url, w.cur AS final_url, w.hops
+             FROM walk w
+             WHERE w.cur NOT IN (SELECT src FROM e))
+         SELECT s.url,
+                t.final_url,
+                CAST(t.hops AS BIGINT) AS n_hops,
+                CAST(t.url IS NOT NULL AS BIGINT) AS resolved
+         FROM (SELECT DISTINCT src AS url FROM e) s
+         LEFT JOIN term t ON t.url = s.url
+         ORDER BY s.url""",
+    // canonical twin: the collapse groups land closed-form (id%3=2
+    // pages self-canonicalize; the rest share canon targets by id%5)
+    "q_canonical_dedup" ->
+      """WITH p AS (SELECT range AS id FROM range(48)),
+           t AS (SELECT id,
+             CASE WHEN id % 3 = 2 THEN 'http://cn.example/v' || id
+                  ELSE 'http://cn.example/canon' || (id % 5) END
+               AS canonical_target,
+             'http://cn.example/v' || id AS url
+           FROM p)
+         SELECT canonical_target,
+                CAST(count(*) AS BIGINT) AS n_pages,
+                min(url) AS kept_url
+         FROM t GROUP BY 1 ORDER BY canonical_target""",
+    // X-Robots-Tag twin: flags and the kept verdict from id%5 (and
+    // the id%10==1 `none` slot, which implies noindex+nofollow)
+    "q_xrobots_policy" ->
+      """WITH p AS (SELECT range AS id FROM range(40))
+         SELECT id AS doc_id,
+                CASE id % 5
+                  WHEN 1 THEN CASE WHEN id % 10 = 1 THEN 'none'
+                              ELSE 'noindex' END
+                  WHEN 2 THEN 'noarchive, nofollow'
+                  WHEN 3 THEN 'unavailable_after: 01 Jan 2030 00:00:00 GMT'
+                  END AS x_robots,
+                CAST(id % 5 = 1 AS BIGINT) AS h_noindex,
+                CAST(id % 5 = 2 OR id % 10 = 1 AS BIGINT) AS h_nofollow,
+                CAST(id % 5 = 4 AS BIGINT) AS meta_noindex,
+                CAST(id % 5 NOT IN (1, 4) AS BIGINT) AS kept
+         FROM p ORDER BY doc_id""",
+    // feed twin: RSS/Atom/gzipped-RSS/junk rows constructed from the
+    // planted id arithmetic (invalid rows all-null except format so
+    // tie order under the sort can't wobble the positional compare)
+    "q_feed_parse" ->
+      """WITH r1 AS (
+           SELECT 'rss' AS format,
+                  'http://fd.example/r' || id || '?a=1&b=' || id AS link,
+                  'Item ' || id AS title,
+                  CASE WHEN id % 2 = 0 THEN '2024-01-01T00:00:' ||
+                    lpad(CAST(id AS VARCHAR), 2, '0') || 'Z' END
+                    AS published,
+                  CASE WHEN id % 3 = 0 THEN 'guid-' || id END
+                    AS entry_id
+           FROM (SELECT range AS id FROM range(20))
+           WHERE id % 10 <> 7),
+         a1 AS (
+           SELECT 'atom' AS format,
+                  'http://fd.example/a' || id AS link,
+                  'Entry ' || id AS title,
+                  '2024-02-01T12:00:' ||
+                    lpad(CAST(id AS VARCHAR), 2, '0') || 'Z'
+                    AS published,
+                  'urn:e' || id AS entry_id
+           FROM (SELECT range AS id FROM range(15))),
+         r2 AS (
+           SELECT 'rss' AS format,
+                  'http://fd.example/z' || id AS link,
+                  'Zip ' || id AS title,
+                  NULL AS published, NULL AS entry_id
+           FROM (SELECT range AS id FROM range(10))),
+         inv AS (
+           SELECT 'invalid' AS format, NULL AS link, NULL AS title,
+                  NULL AS published, NULL AS entry_id
+           FROM range(3))
+         SELECT format, link, title, published, entry_id
+         FROM (SELECT * FROM r1 UNION ALL SELECT * FROM a1
+               UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM inv)
+         ORDER BY format, link""",
+    // robots-sitemap twin: the discovered URL list from id%3
+    "q_robots_sitemaps" ->
+      """WITH p AS (SELECT range AS id FROM range(12)),
+           l AS (
+             SELECT id, 'http://rs' || id || '.example/sitemap.xml'
+                      AS sitemap_url
+             FROM p WHERE id % 3 = 1
+             UNION ALL
+             SELECT id, 'http://rs' || id || '.example/a.xml'
+             FROM p WHERE id % 3 = 2
+             UNION ALL
+             SELECT id, 'http://rs' || id || '.example/b.xml'
+             FROM p WHERE id % 3 = 2)
+         SELECT 'rs' || id || '.example' AS host, sitemap_url
+         FROM l ORDER BY host, sitemap_url""",
     // CDX twins: the oracle RECONSTRUCTS each record's serialized
     // bytes from the id arithmetic the fixture was planted with
     // (header + HTTP block + body, CRLF-exact), window-sums lengths

@@ -2435,6 +2435,247 @@ object Corpus {
       .orderBy(col("id"))
   }
 
+  /** Fixture for [[redirectMap]]: 40 WARC responses by id%5 — 200s,
+    * 301s with RELATIVE Location (RFC 9110 allows it; resolution
+    * against the request URI is the crawler's job), 302s with
+    * absolute Location, 301s with protocol-relative Location, and
+    * 200s with no Location. */
+  private lazy val redirectFixtureCached: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-redirect")
+    val recs = (0 until 40).map { id =>
+      val http = (id % 5) match {
+        case 1 => s"HTTP/1.1 301 Moved Permanently\r\n" +
+          s"Location: /moved$id\r\nContent-Type: text/html\r\n\r\n"
+        case 2 => s"HTTP/1.1 302 Found\r\n" +
+          s"Location: http://r.example/t$id\r\n" +
+          s"Content-Type: text/html\r\n\r\n"
+        case 3 => s"HTTP/1.1 301 Moved Permanently\r\n" +
+          s"Location: //cdn${id % 2}.example/c$id\r\n" +
+          s"Content-Type: text/html\r\n\r\n"
+        case _ => s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          s"<p>ok $id</p>"
+      }
+      ("response", s"http://h${id % 3}.example/orig$id",
+       "2024-01-01T00:00:00Z", s"<urn:uuid:rd$id>", http)
+    }
+    java.nio.file.Files.write(tmp.resolve("redirect.warc"),
+      graft.sources.Warc.writeWarc(recs))
+    tmp.toString
+  }
+
+  /** HTTP redirect surface ([[graft.sources.Warc.readWarc]]'s
+    * `http_location` + [[graft.text.Links.resolveUrl]]): the 3xx
+    * Location header parsed from the HTTP block and RESOLVED against
+    * the request URI (relative and protocol-relative Locations are
+    * crawl reality). Redirect targets are discovery candidates the
+    * frontier consumes — without this surface a crawl loses every
+    * moved page. */
+  def redirectMap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Links
+    graft.sources.Warc.readWarc(spark, redirectFixtureCached)
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"), col("http_status"),
+              col("http_location").as("location"),
+              Links.resolveUrl(col("target_uri"), col("http_location"))
+                .as("redirect_target"),
+              (col("http_status") >= 300 && col("http_status") < 400 &&
+               col("http_location").isNotNull).cast("long")
+                .as("is_redirect"))
+      .orderBy(col("target_uri"))
+  }
+
+  /** Canonical-link dedup ([[graft.text.Links.htmlCanonical]]): 48
+    * pages where id%3 plants an absolute canonical, a RELATIVE
+    * canonical (resolves against the page URL), or none
+    * (self-canonical); pages sharing a canonical target collapse to
+    * one kept URL — the page's OWN dedup signal, applied before any
+    * content hashing. */
+  def canonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.Links
+    val pages = (0 until 48).map { id =>
+      val link = (id % 3) match {
+        case 0 =>
+          s"""<link rel="canonical" href="http://cn.example/canon${id % 5}">"""
+        case 1 => s"""<link rel="canonical" href="/canon${id % 5}">"""
+        case _ => ""
+      }
+      (s"http://cn.example/v$id",
+       s"<html><head>$link</head><body><p>page $id</p></body></html>")
+    }
+    pages.toDF("url", "raw_html")
+      .withColumn("canonical_target",
+        coalesce(
+          Links.resolveUrl(col("url"), Links.htmlCanonical(col("raw_html"))),
+          col("url")))
+      .groupBy(col("canonical_target"))
+      .agg(count(lit(1)).as("n_pages"),
+           min(col("url")).as("kept_url"))
+      .orderBy(col("canonical_target"))
+  }
+
+  /** robots.txt `Sitemap:` discovery
+    * ([[graft.text.Robots.sitemapDirectives]]): 12 planted robots
+    * bodies — no directive, one, or two (mixed directive-name case,
+    * one with a trailing comment); the discovered URLs are what the
+    * sitemap source then fetches. */
+  def robotsSitemaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val robots = (0 until 12).map { id =>
+      val extra = (id % 3) match {
+        case 0 => ""
+        case 1 => s"Sitemap: http://rs$id.example/sitemap.xml\n"
+        case _ => s"sitemap: http://rs$id.example/a.xml\n" +
+                  s"SITEMAP: http://rs$id.example/b.xml # crawl me\n"
+      }
+      (s"rs$id.example",
+       s"User-agent: *\nDisallow:\n$extra")
+    }
+    robots.toDF("host", "robots_txt")
+      .select(col("host"),
+              explode(graft.text.Robots.sitemapDirectives(col("robots_txt")))
+                .as("sitemap_url"))
+      .orderBy(col("host"), col("sitemap_url"))
+  }
+
+  /** Redirect-chain resolution
+    * ([[graft.pipelines.Redirects.resolveChains]]) over planted
+    * edges: 12 straight chains of length g%4+1 (every link of every
+    * chain is itself a source and must resolve to the SAME landing
+    * URL with its own exact hop count), plus the four cyclic shapes
+    * crawls hit — self-loop, 2-cycle, 3-cycle, and a tail ENTERING
+    * the 3-cycle — all of which must flag unresolved with null
+    * landing/hops. The pointer-doubling path is the one under test
+    * (4 sweeps at maxHops 16); the oracle walks the same edges with
+    * a hop-bounded recursive CTE — two independent derivations. */
+  def redirectChains(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chains = for {
+      g <- 0 until 12
+      k <- 0 to g % 4
+    } yield (s"http://ch.example/g$g/h$k",
+             s"http://ch.example/g$g/h${k + 1}")
+    val cycles = Seq(
+      "http://cy.example/self" -> "http://cy.example/self",
+      "http://cy.example/a0" -> "http://cy.example/a1",
+      "http://cy.example/a1" -> "http://cy.example/a0",
+      "http://cy.example/b0" -> "http://cy.example/b1",
+      "http://cy.example/b1" -> "http://cy.example/b2",
+      "http://cy.example/b2" -> "http://cy.example/b0",
+      "http://cy.example/tail" -> "http://cy.example/b0")
+    graft.pipelines.Redirects.resolveChains(
+      (chains ++ cycles).toDF("src_url", "dst_url"), maxHops = 16)
+      .orderBy(col("url"))
+  }
+
+  /** Fixture for [[xrobotsPolicy]]: 40 WARC responses planting the
+    * X-Robots-Tag anatomy by id%5 — absent; `noindex` (or bare
+    * `none`, which implies noindex+nofollow, on id%10==1);
+    * `noarchive, nofollow` (nofollow signals, page still indexable);
+    * `unavailable_after: <date>` (a directive-with-value DECOY whose
+    * colon-bearing token must not read as a bare directive); and a
+    * header-clean body carrying `<meta name=robots noindex>` (the
+    * meta channel the header complements). */
+  private lazy val xrobotsFixtureCached: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-xrobots")
+    val recs = (0 until 40).map { id =>
+      val xr = (id % 5) match {
+        case 1 => if (id % 10 == 1) "X-Robots-Tag: none\r\n"
+                  else "X-Robots-Tag: noindex\r\n"
+        case 2 => "X-Robots-Tag: noarchive, nofollow\r\n"
+        case 3 => "X-Robots-Tag: unavailable_after: 01 Jan 2030 00:00:00 GMT\r\n"
+        case _ => ""
+      }
+      val meta = if (id % 5 == 4)
+        """<meta name="robots" content="noindex">""" else ""
+      val http = s"HTTP/1.1 200 OK\r\n${xr}Content-Type: text/html\r\n\r\n" +
+        s"<html><head>$meta</head><body><p>doc $id</p></body></html>"
+      ("response", s"http://xr.example/p$id",
+       "2024-01-01T00:00:00Z", s"<urn:uuid:xr$id>", http)
+    }
+    java.nio.file.Files.write(tmp.resolve("xrobots.warc"),
+      graft.sources.Warc.writeWarc(recs))
+    tmp.toString
+  }
+
+  /** X-Robots-Tag policy composition ([[graft.text.Robots
+    * .xRobotsTokens]] over [[graft.sources.Warc.readWarc]]'s
+    * `http_headers` map): the HEADER robots channel — the only one
+    * that reaches non-HTML responses — composed with the meta tag;
+    * `none` implies noindex+nofollow, directive-with-value decoys
+    * don't fire, kept = no noindex on either channel. */
+  def xrobotsPolicy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{HtmlText, Robots}
+    val noindexTokens = array(lit("noindex"), lit("none"))
+    val nofollowTokens = array(lit("nofollow"), lit("none"))
+    graft.sources.Warc.readWarc(spark, xrobotsFixtureCached)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "p(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        col("http_headers").getItem("x-robots-tag").as("x_robots"),
+        Robots.xRobotsTokens(
+          col("http_headers").getItem("x-robots-tag")).as("tokens"),
+        HtmlText.htmlMetaRobots(col("body").cast("string")).as("meta"))
+      .select(col("doc_id"), col("x_robots"),
+        arrays_overlap(col("tokens"), noindexTokens).cast("long")
+          .as("h_noindex"),
+        arrays_overlap(col("tokens"), nofollowTokens).cast("long")
+          .as("h_nofollow"),
+        coalesce(lower(col("meta")).contains("noindex"), lit(false))
+          .cast("long").as("meta_noindex"))
+      .withColumn("kept",
+        (col("h_noindex") === 0 && col("meta_noindex") === 0)
+          .cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixture for [[feedParse]]: an RSS 2.0 channel of 20 items (two
+    * with EMPTY links — the protocol-malformed rows that must
+    * quarantine; entity-encoded `&` in every link; pubDate on evens,
+    * guid on %3s), an Atom feed of 15 entries (each led by a
+    * rel=self decoy link the parser must skip), a GZIPPED RSS of 10
+    * items, and a junk file. */
+  private lazy val feedFixtureCached: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-feed")
+    val rss1 = (0 until 20).map { id =>
+      (if (id % 10 == 7) "" else s"http://fd.example/r$id?a=1&b=$id",
+       s"Item $id",
+       if (id % 2 == 0) f"2024-01-01T00:00:$id%02dZ" else null,
+       if (id % 3 == 0) s"guid-$id" else null)
+    }
+    val atom = (0 until 15).map { id =>
+      (s"http://fd.example/a$id", s"Entry $id",
+       f"2024-02-01T12:00:$id%02dZ", s"urn:e$id")
+    }
+    val rss2 = (0 until 10).map { id =>
+      (s"http://fd.example/z$id", s"Zip $id", null, null)
+    }
+    java.nio.file.Files.write(tmp.resolve("main.rss.xml"),
+      graft.sources.Feed.writeRss(rss1))
+    java.nio.file.Files.write(tmp.resolve("blog.atom.xml"),
+      graft.sources.Feed.writeAtom(atom))
+    val gz = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(gz)
+    g.write(graft.sources.Feed.writeRss(rss2)); g.close()
+    java.nio.file.Files.write(tmp.resolve("zipped.rss.xml.gz"),
+      gz.toByteArray)
+    java.nio.file.Files.write(tmp.resolve("junk.bin"),
+      "this is not a feed".getBytes("UTF-8"))
+    tmp.toString
+  }
+
+  /** Web-feed discovery ([[graft.sources.Feed.readFeeds]]): RSS 2.0
+    * + Atom (RFC 4287) parsing — the freshness discovery channel
+    * beside links and sitemaps. Invalid rows (empty RSS links, the
+    * junk file) are all-null except `format`, so their tie order
+    * under the sort can't wobble the positional compare. */
+  def feedParse(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Feed.readFeeds(spark, feedFixtureCached)
+      .select(col("format"), col("link"), col("title"),
+              col("published"), col("entry_id"))
+      .orderBy(col("format"), col("link"))
+
   /** Fixture for the CDX queries: one PLAIN-layout WARC shard of 24
     * response records whose body text (and therefore record length,
     * offset, and sha256 digest) is id arithmetic — bodies repeat by

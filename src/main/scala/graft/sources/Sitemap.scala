@@ -72,7 +72,7 @@ object Sitemap {
   /** Index of `<name` (any namespace prefix ignored by matching the
     * local name after `<` or `<px:`) starting at `from`; -1 if
     * absent. Returns the index OF the '<'. */
-  private def findOpen(s: String, name: String, from: Int): Int = {
+  private[sources] def findOpen(s: String, name: String, from: Int): Int = {
     var i = from
     while (i >= 0) {
       i = s.indexOf('<', i)
@@ -97,7 +97,7 @@ object Sitemap {
 
   /** Text of the first `<name>...</name>` inside [from, to); null
     * when absent. */
-  private def childText(s: String, name: String, from: Int, to: Int)
+  private[sources] def childText(s: String, name: String, from: Int, to: Int)
       : String = {
     val open = findOpen(s, name, from)
     if (open < 0 || open >= to) return null
@@ -110,7 +110,7 @@ object Sitemap {
 
   /** End index (exclusive) of the entry block opened at `open`:
     * just past `</name ...>`, or -1 when unterminated. */
-  private def blockEnd(s: String, name: String, open: Int): Int = {
+  private[sources] def blockEnd(s: String, name: String, open: Int): Int = {
     var i = open
     while (i >= 0) {
       i = s.indexOf("</", i)

@@ -51,7 +51,9 @@ object Warc {
                           httpStatus: Int, contentType: String,
                           body: Array[Byte],
                           warcFields: Map[String, String] = null,
-                          requestLine: String = null)
+                          requestLine: String = null,
+                          httpLocation: String = null,
+                          httpHeaders: Map[String, String] = null)
 
   private val Crlf = "\r\n"
 
@@ -125,6 +127,8 @@ object Warc {
             var body: Array[Byte] = null
             var fields: Map[String, String] = null
             var reqLine: String = null
+            var location: String = null
+            var headers: Map[String, String] = null
             if (wtype == "response")
               headerBlock(payload, 0, expectVersion = false) match {
                 case null => ()
@@ -135,6 +139,15 @@ object Warc {
                     status = try parts(1).toInt
                              catch { case _: NumberFormatException => 0 }
                   ctype = hh.getOrElse("content-type", null)
+                  // the redirect fact: where a 3xx sends the crawler
+                  // (RFC 9110 Location may be RELATIVE - callers
+                  // resolve against the request URI)
+                  location = hh.getOrElse("location", null)
+                  // the FULL response header map (lowercased names,
+                  // repeats last-wins — declared semantics): the
+                  // general surface X-Robots-Tag / ETag /
+                  // Last-Modified / Cache-Control policies read
+                  headers = hh - ""
                   body = java.util.Arrays.copyOfRange(
                     payload, hb, payload.length)
               }
@@ -167,7 +180,8 @@ object Warc {
               h.getOrElse("warc-target-uri", null),
               h.getOrElse("warc-date", null),
               h.getOrElse("warc-record-id", null),
-              status, ctype, body, fields, reqLine), start, i))
+              status, ctype, body, fields, reqLine, location, headers),
+              start, i))
           }
       }
     }
@@ -301,7 +315,11 @@ object Warc {
 
   /** Read WARC shards (plain or gzip) → one row per record:
     * `(warc_file, warc_type, target_uri, warc_date, record_id,
-    * http_status, content_type, body, warc_fields, request_line)`. */
+    * http_status, content_type, body, warc_fields, request_line,
+    * http_location, http_headers)`. `http_headers` is the full
+    * response header map (lowercased names, repeats last-wins) —
+    * the general surface X-Robots-Tag / ETag / Last-Modified /
+    * Cache-Control policies read; null on non-response records. */
   def readWarc(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
@@ -311,11 +329,12 @@ object Warc {
         recordsOf(raw).map(r =>
           (p, r.warcType, r.targetUri, r.warcDate, r.recordId,
            r.httpStatus, r.contentType, r.body, r.warcFields,
-           r.requestLine))
+           r.requestLine, r.httpLocation, r.httpHeaders))
       }
       .toDF("warc_file", "warc_type", "target_uri", "warc_date",
             "record_id", "http_status", "content_type", "body",
-            "warc_fields", "request_line")
+            "warc_fields", "request_line", "http_location",
+            "http_headers")
   }
 
   // ---- CDX indexing ------------------------------------------------

@@ -70,6 +70,15 @@ object Links {
     ColumnBridge.column(ResolveUrl(
       ColumnBridge.expression(base), ColumnBridge.expression(ref)))
 
+  /** Column API: the first `<link rel="canonical" href>` value
+    * (entity-decoded, possibly relative — resolve against the page
+    * URL), or null. The canonical link is the page's OWN statement
+    * of its preferred URL — the dedup signal that collapses print
+    * views, tracking-parameter variants, and mirrored paths onto
+    * one identity before any content hashing runs. */
+  def htmlCanonical(html: Column): Column =
+    ColumnBridge.column(HtmlCanonical(ColumnBridge.expression(html)))
+
   val linkStruct: StructType = StructType(Seq(
     StructField("href", StringType, nullable = false),
     StructField("anchor", StringType, nullable = false),
@@ -206,6 +215,34 @@ object Links {
       } else i = lt + 1
     }
     new GenericArrayData(out.toArray[Any])
+  }
+
+  /** Kernel: the first `<link rel=canonical href>` (first wins — the
+    * search-engine convention for conflicting declarations), or
+    * null. */
+  def canonicalHref(html: UTF8String): UTF8String = {
+    val s = html.toString
+    var i = 0
+    while (i < s.length) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) return null
+      if (HtmlText.lowerAt(s, lt + 1, "link") &&
+          HtmlText.nameBoundary(s, lt + 5)) {
+        val gt = tagEnd(s, lt)
+        if (gt < 0) return null
+        val tag = s.substring(lt, gt)
+        val rel = attr(tag, "rel")
+        if (rel != null &&
+            rel.toLowerCase(Locale.ROOT).split("[ ,\t\n\r]+")
+              .contains("canonical")) {
+          val v = attr(tag, "href")
+          if (v != null && v.trim.nonEmpty)
+            return UTF8String.fromString(decodeEntities(v.trim))
+        }
+        i = gt + 1
+      } else i = lt + 1
+    }
+    null
   }
 
   /** Kernel: the first `<base href>` (WHATWG: first wins), or null. */
@@ -380,6 +417,36 @@ case class HtmlBaseHref(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression)
       : HtmlBaseHref = copy(child = newChild)
+}
+
+/** `html_canonical(html)` — first `<link rel=canonical href>`, or
+  * null. */
+case class HtmlCanonical(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"html_canonical requires string, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "html_canonical"
+
+  override def nullSafeEval(input: Any): Any =
+    Links.canonicalHref(input.asInstanceOf[UTF8String])
+
+  // a canonical-less document yields null — propagate into isNull
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.text.Links.canonicalHref($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HtmlCanonical = copy(child = newChild)
 }
 
 /** `resolve_url(base, ref)` — RFC 3986 resolution, fragment-free;

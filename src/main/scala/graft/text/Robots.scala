@@ -300,6 +300,44 @@ object Robots {
     verdicts(docs, robots, agent, urlCol, idCol)
       .filter(col("robots_allowed"))
       .drop("robots_allowed")
+
+  /** `Sitemap:` directive values of a robots body as an array —
+    * RFC 9309 §2.2.4's one standardized "other record": GLOBAL (not
+    * group-scoped, so this is line extraction, not group selection),
+    * case-insensitive directive name, `#` comments stripped, values
+    * are absolute URLs by spec and pass through verbatim. This is
+    * how a crawler DISCOVERS a site's sitemaps ([[graft.sources
+    * .Sitemap]] then parses them; [[graft.pipelines.Frontier.plan]]
+    * schedules the entries) — without it the sitemap stack only
+    * works on sitemaps someone already knew about. Pure builtin
+    * split/filter expressions: codegen'd, map-shaped, no UDF. */
+  /** X-Robots-Tag HTTP-header tokens — the header-level complement
+    * of the `<meta name=robots>` tag (it governs NON-HTML responses
+    * a meta tag can't reach: PDFs, images, feeds): lowercased,
+    * comma-split, trimmed. Directive-with-value forms
+    * (`unavailable_after: <date>`) stay one token and so can't fake
+    * a bare directive; callers test membership (`noindex`,
+    * `nofollow`) remembering `none` implies both (Google's
+    * documented semantics). Agent-scoped prefixes (`googlebot:
+    * noindex`) likewise stay inside their token — a generic pipeline
+    * honors only unscoped directives, the conservative reading.
+    * Pure builtin expressions: codegen'd, map-shaped. */
+  def xRobotsTokens(header: Column): Column =
+    filter(transform(split(lower(coalesce(header, lit(""))), ","),
+                     t => trim(t)),
+           t => length(t) > 0)
+
+  def sitemapDirectives(body: Column): Column = {
+    val lines = split(coalesce(body, lit("")), "\r?\n")
+    val vals = transform(lines, l => {
+      val noComment = regexp_replace(l, "#.*$", "")
+      when(lower(ltrim(noComment)).rlike("^sitemap\\s*:"),
+           trim(regexp_replace(ltrim(noComment),
+                               "(?i)^sitemap\\s*:", "")))
+        .otherwise(lit(null))
+    })
+    filter(vals, v => v.isNotNull && length(v) > 0)
+  }
 }
 
 /** `robots_allowed(host, pathq)` against a compiled host → rules map

@@ -105,6 +105,22 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.count(_.getString(1) == "response") == one.length)
   }
 
+  test("http_headers carries the full response header map, lowercased") {
+    val bytes = Warc.writeWarc(Seq(
+      ("response", "http://ex.org/h", "2024-01-01T00:00:00Z",
+       "<urn:uuid:h>",
+       "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+       "ETag: \"abc123\"\r\nX-Robots-Tag: noindex\r\n" +
+       "Last-Modified: Tue, 02 Jan 2024 00:00:00 GMT\r\n\r\n<p>x</p>")))
+    val row = readDir("h.warc" -> bytes).head
+    val hdrs = row.getMap[String, String](11)
+    assert(hdrs("etag") == "\"abc123\"")
+    assert(hdrs("x-robots-tag") == "noindex")
+    assert(hdrs("last-modified") == "Tue, 02 Jan 2024 00:00:00 GMT")
+    assert(hdrs("content-type") == "text/html")
+    assert(!hdrs.contains("")) // the status line stays out of the map
+  }
+
   test("truncated gzip member quarantines, does not throw") {
     val gz = Warc.writeWarc(recs(3), gzipPerRecord = true)
     val cut = gz.take(gz.length - 15)

@@ -107,6 +107,25 @@ class LinksSpec extends AnyFunSuite {
       == "http://x.example/p")
   }
 
+  private def canon(html: String): String = {
+    val r = Seq(Tuple1(html)).toDF("h")
+      .select(Links.htmlCanonical(col("h"))).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("canonical link: rel token match, first wins, absent → null") {
+    assert(canon("""<link rel="canonical" href="http://c.example/x">""")
+      == "http://c.example/x")
+    assert(canon("""<link href="/y" rel="alternate canonical">""") == "/y")
+    assert(canon("""<link rel=canonical href=/a><link rel=canonical href=/b>""")
+      == "/a")
+    assert(canon("""<link rel="stylesheet" href="s.css">""") == null)
+    assert(canon("""<link rel="canonicalish" href="/no">""") == null)
+    assert(canon("<p>no links</p>") == null)
+    assert(canon("""<link rel=canonical href="q?a=1&amp;b=2">""")
+      == "q?a=1&b=2")
+  }
+
   test("kernels run inside whole-stage codegen") {
     val df = spark.range(4).select(
       Links.resolveUrl(lit("http://a.example/d/"),

@@ -137,4 +137,45 @@ class RobotsSpec extends AnyFunSuite {
     val got = df.collect().map(_.getBoolean(2)).toSeq
     assert(got == cases.map { case (p, s) => Robots.matches(p, s) })
   }
+
+  test("X-Robots-Tag tokens: split/trim/lower, value-directives stay whole") {
+    import org.apache.spark.sql.functions.col
+    def toks(h: String): Seq[String] =
+      Seq(Tuple1(h)).toDF("h")
+        .select(Robots.xRobotsTokens(col("h"))).head().getSeq[String](0)
+    assert(toks("NOINDEX, noFollow") == Seq("noindex", "nofollow"))
+    assert(toks("noarchive,  nofollow") == Seq("noarchive", "nofollow"))
+    // directive-with-value keeps its colon inside one token — it
+    // must not read as a bare directive
+    assert(toks("unavailable_after: 01 Jan 2030 00:00:00 GMT") ==
+      Seq("unavailable_after: 01 jan 2030 00:00:00 gmt"))
+    // agent-scoped prefix stays inside its token too
+    assert(toks("googlebot: noindex") == Seq("googlebot: noindex"))
+    assert(toks(null) == Seq.empty)
+    assert(toks(" , ,") == Seq.empty)
+  }
+
+  test("Sitemap: directives extract globally, case- and comment-proof") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val body =
+      "User-agent: a\nDisallow: /\n" +
+      "Sitemap: http://h.example/s1.xml\n" +
+      "User-agent: *\nDisallow:\n" +
+      "sitemap: http://h.example/s2.xml # daily\n" +
+      "SiteMap:http://h.example/s3.xml\n" +
+      "# Sitemap: http://h.example/commented-out.xml\n" +
+      "Sitemap:\n" // empty value drops
+    val got = Seq(Tuple1(body)).toDF("b")
+      .select(explode(Robots.sitemapDirectives(col("b"))).as("u"))
+      .collect().map(_.getString(0)).toSeq
+    // GLOBAL extraction: s1 sits inside another agent's group and
+    // still surfaces (RFC 9309: sitemap is not group-scoped)
+    assert(got == Seq("http://h.example/s1.xml",
+                      "http://h.example/s2.xml",
+                      "http://h.example/s3.xml"))
+    val none = Seq(Tuple1("User-agent: *\nDisallow:\n")).toDF("b")
+      .select(Robots.sitemapDirectives(col("b")).as("u"))
+      .head().getSeq[String](0)
+    assert(none.isEmpty)
+  }
 }
