@@ -138,6 +138,8 @@ object SparkEntry {
     "q_robots_sitemaps"         -> Corpus.robotsSitemaps _,
     "q_feed_parse"              -> Corpus.feedParse _,
     "q_xrobots_policy"          -> Corpus.xrobotsPolicy _,
+    "q_surt_keys"               -> Corpus.surtKeys _,
+    "q_revisit_policy"          -> Corpus.revisitPolicy _,
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,
@@ -2228,6 +2230,44 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_pages,
                 min(url) AS kept_url
          FROM t GROUP BY 1 ORDER BY canonical_target""",
+    // revisit twin: validators and the fetch mode from id%4; ids
+    // 40-49 were never crawled so they fall back to a full fetch
+    "q_revisit_policy" ->
+      """WITH p AS (SELECT range AS id FROM range(50))
+         SELECT 'http://rv.example/p' || id AS url,
+                CASE WHEN id < 40 AND id % 4 <= 1
+                     THEN '"e' || id || '"' END AS if_none_match,
+                CASE WHEN id < 40 AND (id % 4 = 0 OR id % 4 = 2)
+                     THEN 'Mon, 01 Jan 2024 00:00:' ||
+                          lpad(CAST(id AS VARCHAR), 2, '0') || ' GMT'
+                     END AS if_modified_since,
+                CASE WHEN id < 40 AND id % 4 <> 3 THEN 'conditional'
+                     ELSE 'full' END AS revisit_mode
+         FROM p ORDER BY url""",
+    // SURT twin: key constructed per id slot (lowercase fold, www
+    // strip, reversed host labels, sorted query, root-path strip) —
+    // the engine side PARSES, the twin CONSTRUCTS
+    "q_surt_keys" ->
+      """WITH p AS (SELECT range AS id FROM range(60)),
+         t AS (
+           SELECT CASE id % 6
+                    WHEN 0 THEN 'http://www.alpha.example/p' || id
+                    WHEN 1 THEN 'https://beta.example/dir/p' || id ||
+                                '?B=2&a=1'
+                    WHEN 2 THEN 'http://news.beta.example/p' || id
+                    WHEN 3 THEN 'http://ALPHA.example/p' || id
+                    WHEN 4 THEN 'http://x.y.gamma.example/'
+                    END AS url,
+                  CASE id % 6
+                    WHEN 0 THEN 'example,alpha)/p' || id
+                    WHEN 1 THEN 'example,beta)/dir/p' || id ||
+                                '?a=1&b=2'
+                    WHEN 2 THEN 'example,beta,news)/p' || id
+                    WHEN 3 THEN 'example,alpha)/p' || id
+                    WHEN 4 THEN 'example,gamma,y,x)'
+                    END AS surt
+           FROM p WHERE id % 6 <> 5)
+         SELECT url, surt FROM t ORDER BY surt, url""",
     // X-Robots-Tag twin: flags and the kept verdict from id%5 (and
     // the id%10==1 `none` slot, which implies noindex+nofollow)
     "q_xrobots_policy" ->

@@ -1064,6 +1064,32 @@ object Corpus {
               col("host"), col("domain"))
       .orderBy(col("doc_id"))
 
+  /** SURT keys ([[graft.text.UrlOps.surtKey]]) over planted URLs:
+    * 60 ids cycle www-stripping, sortable query params, a subdomain,
+    * an uppercase host, a deep sub-sub host with a bare root path,
+    * and a malformed slot (null surt → filtered here; the null
+    * posture is UrlOpsSpec's). Sorted BY the surt key, so the oracle
+    * also re-derives the contiguity property: the output interleaves
+    * hosts of two domains and every domain's rows land adjacent. */
+  def surtKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urls = (0 until 60).flatMap { id =>
+      (id % 6) match {
+        case 0 => Some(s"http://www.alpha.example/p$id")
+        case 1 => Some(s"https://beta.example/dir/p$id?B=2&a=1")
+        case 2 => Some(s"http://news.beta.example/p$id")
+        case 3 => Some(s"http://ALPHA.example/p$id")
+        case 4 => Some("http://x.y.gamma.example/")
+        case _ => Some(s"not a url $id")
+      }
+    }
+    urls.toDF("url")
+      .select(col("url"),
+              graft.text.UrlOps.surtKey(col("url")).as("surt"))
+      .filter(col("surt").isNotNull)
+      .orderBy(col("surt"), col("url"))
+  }
+
   /** Domain-level curation end to end ([[graft.pipelines
     * .WebCuration]]): planted URLs → registrable domain → blocklist
     * drop (literal IN set, map-only) → top-2 per domain by
@@ -2628,6 +2654,41 @@ object Corpus {
         (col("h_noindex") === 0 && col("meta_noindex") === 0)
           .cast("long"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Fixture for [[revisitPolicy]]: 40 WARC responses planting the
+    * HTTP validator anatomy by id%4 — ETag+Last-Modified, ETag only,
+    * Last-Modified only, neither. */
+  private lazy val revisitFixtureCached: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-revisit")
+    val recs = (0 until 40).map { id =>
+      val etag = if (id % 4 <= 1) s"ETag: \"e$id\"\r\n" else ""
+      val lm = if (id % 4 == 0 || id % 4 == 2)
+        f"Last-Modified: Mon, 01 Jan 2024 00:00:$id%02d GMT\r\n" else ""
+      val http = s"HTTP/1.1 200 OK\r\n$etag${lm}Content-Type: " +
+        s"text/html\r\n\r\n<p>doc $id</p>"
+      ("response", s"http://rv.example/p$id",
+       "2024-01-01T00:00:00Z", s"<urn:uuid:rv$id>", http)
+    }
+    java.nio.file.Files.write(tmp.resolve("revisit.warc"),
+      graft.sources.Warc.writeWarc(recs))
+    tmp.toString
+  }
+
+  /** Conditional-revisit plan ([[graft.pipelines.Frontier
+    * .revisitPlan]]): the prior crawl's ETag/Last-Modified validators
+    * carry forward onto a 50-URL candidate list (40 crawled by id%4
+    * validator class + 10 never-crawled) — conditional GET where any
+    * validator exists, full fetch where none. */
+  def revisitPolicy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val prior = graft.sources.Warc.readWarc(spark, revisitFixtureCached)
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri").as("url"), col("http_headers"))
+    val candidates = (0 until 50).map(id => s"http://rv.example/p$id")
+      .toDF("url")
+    graft.pipelines.Frontier.revisitPlan(candidates, prior)
+      .orderBy(col("url"))
   }
 
   /** Fixture for [[feedParse]]: an RSS 2.0 channel of 20 items (two

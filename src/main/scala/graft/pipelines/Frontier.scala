@@ -174,4 +174,52 @@ object Frontier {
       .select(col("url"), col("host"),
               col("n_discoveries"), col("n_src_hosts"))
   }
+
+  /** Conditional-revisit plan — the bandwidth half of recrawl
+    * politeness: a recrawl that re-downloads unchanged bodies wastes
+    * the site's egress and the crawl's ingest; HTTP's validators
+    * (RFC 9110 §13.1) let a conditional GET come back `304 Not
+    * Modified` instead. For each candidate URL, carry forward the
+    * PRIOR crawl's validators: `if_none_match` from its `ETag`,
+    * `if_modified_since` from its `Last-Modified`; `revisit_mode` =
+    * `conditional` when either exists (servers must prefer
+    * If-None-Match when both ship — send both), else `full` (first
+    * contact or a validator-less server).
+    *
+    * One left equi-join of the candidate list against the prior
+    * crawl's (url → validators) projection — the prior frame carries
+    * two short strings per URL, never bodies; bucketed or
+    * co-partitioned crawl snapshots join exchange-free.
+    *
+    * @param candidates frame with a `url` column (a [[plan]] or
+    *                   [[expand]] output slice)
+    * @param prior      prior-crawl frame with `url` and an
+    *                   `http_headers` map column (the
+    *                   [[graft.sources.Warc.readWarc]] surface);
+    *                   duplicate prior fetches of a URL collapse to
+    *                   the max validator pair (deterministic, and
+    *                   lexicographically-later Last-Modified strings
+    *                   from the same server are later instants in
+    *                   the fixed-width IMF-fixdate format only —
+    *                   callers with mixed formats should pre-dedup
+    *                   by fetch time). */
+  def revisitPlan(candidates: DataFrame, prior: DataFrame): DataFrame = {
+    val validators = prior
+      .select(col("url"),
+              col("http_headers").getItem("etag").as("etag"),
+              col("http_headers").getItem("last-modified")
+                .as("last_modified"))
+      .filter(col("etag").isNotNull || col("last_modified").isNotNull)
+      .groupBy(col("url"))
+      .agg(max(col("etag")).as("if_none_match"),
+           max(col("last_modified")).as("if_modified_since"))
+    candidates
+      .join(validators, Seq("url"), "left")
+      .select(col("url"), col("if_none_match"),
+              col("if_modified_since"),
+              when(col("if_none_match").isNotNull ||
+                   col("if_modified_since").isNotNull,
+                   lit("conditional")).otherwise(lit("full"))
+                .as("revisit_mode"))
+  }
 }

@@ -100,4 +100,33 @@ object UrlOps {
       .when(n >= 2, concat_ws(".", slice(labels, -2, 2)))
       .otherwise(host)
   }
+
+  /** SURT key (Sort-friendly URI Reordering Transform) — the
+    * ordering Common Crawl / Wayback CDX indexes use: host labels
+    * REVERSED and comma-joined, a `)` separator, then path?query,
+    * everything lowercased; applied here over the canonical form
+    * above (www/trailing-slash/tracking-param/order noise already
+    * collapsed). Reversing the host puts the most-significant label
+    * first, so under a plain string sort EVERY domain — and every
+    * subdomain subtree — becomes ONE contiguous key range:
+    * `example,beta)` rows sit between `example,alpha)` and
+    * `example,beta,news)`, and a "all URLs of beta.example" lookup
+    * over a SURT-sorted (or SURT-range-partitioned) index is a range
+    * scan with file/partition pruning, never a full-index filter.
+    * That locality is the entire reason CDX files are SURT-sorted —
+    * and the property to ask for when laying a 100-TB URL index out
+    * on disk. Null (→ quarantine) for hostless/malformed input.
+    * Pure builtin expressions: codegen'd, map over the scan. */
+  def surtKey(url: Column): Column = {
+    // lowercase FIRST (Wayback's default canonicalizer does), so the
+    // query-param sort happens on the folded spelling
+    val u = lower(url)
+    val host = canonicalHost(u)
+    val q = canonicalQuery(u)
+    when(host.isNull || host === "", lit(null))
+      .otherwise(concat(
+        array_join(reverse(split(host, "\\.")), ","),
+        lit(")"), canonicalPath(u),
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
 }

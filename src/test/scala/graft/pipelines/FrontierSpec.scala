@@ -88,6 +88,33 @@ class FrontierSpec extends AnyFunSuite {
       "http://e.org/archive" -> 7))
   }
 
+  test("revisitPlan: validators carry forward; duplicates collapse; misses go full") {
+    val prior = Seq(
+      ("http://r.org/a", Map("etag" -> "\"e1\"",
+                             "last-modified" -> "Mon, 01 Jan 2024 00:00:01 GMT")),
+      // a re-fetch of the same URL with a later validator pair —
+      // must collapse to ONE row, max validators
+      ("http://r.org/a", Map("etag" -> "\"e2\"",
+                             "last-modified" -> "Mon, 01 Jan 2024 00:00:02 GMT")),
+      ("http://r.org/b", Map("etag" -> "\"eb\"")),
+      ("http://r.org/c", Map("content-type" -> "text/html")), // no validators
+      ("http://r.org/d", null.asInstanceOf[Map[String, String]])
+    ).toDF("url", "http_headers")
+    val candidates = Seq("http://r.org/a", "http://r.org/b",
+                         "http://r.org/c", "http://r.org/d",
+                         "http://r.org/new").toDF("url")
+    val got = Frontier.revisitPlan(candidates, prior).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(got.size == 5)
+    assert(got("http://r.org/a") ==
+      (("\"e2\"", "Mon, 01 Jan 2024 00:00:02 GMT", "conditional")))
+    assert(got("http://r.org/b") == (("\"eb\"", null, "conditional")))
+    assert(got("http://r.org/c") == ((null, null, "full")))
+    assert(got("http://r.org/d") == ((null, null, "full")))
+    assert(got("http://r.org/new") == ((null, null, "full")))
+  }
+
   test("recrawl staleness values are exact epoch-hour arithmetic") {
     val robots = Seq.empty[(String, String)].toDF("host", "robots_txt")
     val entries = Seq(

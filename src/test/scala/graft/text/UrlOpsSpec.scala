@@ -108,6 +108,43 @@ class UrlOpsSpec extends AnyFunSuite {
       .head().getString(0) == "pref.hokkaido.jp")
   }
 
+  private def surt(url: String): String = {
+    val r = Seq(Tuple1(url)).toDF("url")
+      .select(UrlOps.surtKey(col("url"))).head()
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("surt key: reversal, lowercase fold, www strip, query sort, null") {
+    assert(surt("http://news.beta.example/p?B=2&a=1") ==
+      "example,beta,news)/p?a=1&b=2")
+    assert(surt("HTTPS://WWW.Alpha.Example/Dir/") == "example,alpha)/dir")
+    assert(surt("http://x.example/a?utm_source=s&k=1") ==
+      "example,x)/a?k=1")
+    assert(surt("not a url") == null)
+    assert(surt(null) == null)
+  }
+
+  test("surt sort makes every domain and subdomain subtree contiguous") {
+    val urls = Seq(
+      "http://news.beta.example/2", "http://alpha.example/x",
+      "http://beta.example/1", "http://www.alpha.example/y",
+      "http://gamma.example/z", "http://beta.example/0")
+    val sorted = urls.map(u => (surt(u), u)).sortBy(_._1)
+    // every key sharing a domain prefix is adjacent after the sort
+    val prefixes = sorted.map(_._1.takeWhile(_ != ')'))
+    val runs = prefixes.foldLeft(List.empty[String]) {
+      case (acc, p) if acc.headOption.contains(p) => acc
+      case (acc, p) => p :: acc
+    }
+    assert(runs.length == runs.distinct.length,
+      s"a domain's rows split into non-adjacent runs: $sorted")
+    // and the beta subtree (beta + news.beta) is itself one range
+    assert(prefixes.filter(_.startsWith("example,beta")).length == 3)
+    val betaIdx = prefixes.zipWithIndex
+      .filter(_._1.startsWith("example,beta")).map(_._2)
+    assert(betaIdx == (betaIdx.min to betaIdx.max).toList)
+  }
+
   test("capPerDomain keeps best-k per domain deterministically") {
     val docs = Seq(
       (1L, "a.com", 100L), (2L, "a.com", 300L), (3L, "a.com", 200L),
