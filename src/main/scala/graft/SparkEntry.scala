@@ -140,6 +140,8 @@ object SparkEntry {
     "q_xrobots_policy"          -> Corpus.xrobotsPolicy _,
     "q_surt_keys"               -> Corpus.surtKeys _,
     "q_revisit_policy"          -> Corpus.revisitPolicy _,
+    "q_surt_scan"               -> Corpus.surtScan _,
+    "q_change_rate"             -> Corpus.changeRateQuery _,
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,
@@ -2230,6 +2232,59 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_pages,
                 min(url) AS kept_url
          FROM t GROUP BY 1 ORDER BY canonical_target""",
+    // change-rate twin: the same planted fetch history replayed
+    // through DuckDB's window lag + the declared floor-div estimate
+    "q_change_rate" ->
+      """WITH h AS (
+           SELECT 'http://cr.example/u' || g.range AS url,
+                  k.range * 10 AS fetch_t,
+                  CASE g.range % 4
+                    WHEN 0 THEN 'd'
+                    WHEN 1 THEN 'd' || k.range
+                    WHEN 2 THEN 'd' || (k.range // 2)
+                    ELSE 'd' || (k.range // 3) END AS digest
+           FROM range(30) g, range(5) k
+           WHERE k.range <= g.range % 5),
+         f AS (
+           SELECT url, fetch_t, digest,
+                  lag(digest) OVER (PARTITION BY url ORDER BY fetch_t)
+                    AS prev
+           FROM h),
+         a AS (
+           SELECT url,
+                  CAST(count(*) AS BIGINT) AS n_fetches,
+                  CAST(sum(CASE WHEN prev IS NOT NULL AND
+                                     prev <> digest
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_changes,
+                  CAST(max(fetch_t) - min(fetch_t) AS BIGINT)
+                    AS span_h
+           FROM f GROUP BY url)
+         SELECT url, n_fetches, n_changes, span_h,
+                CAST(CASE WHEN n_fetches = 1 THEN NULL
+                          WHEN n_changes = 0 THEN span_h
+                          ELSE greatest(1, span_h // n_changes)
+                     END AS BIGINT) AS interval_h
+         FROM a ORDER BY url""",
+    // SURT-scan twin: the beta.example subtree slice (exact host +
+    // news. subdomain + www.-folded spelling; the betax/beta-2
+    // prefix decoys excluded) constructed from id%8 — the engine
+    // side writes the range-sorted layout and range-scans it
+    "q_surt_scan" ->
+      """WITH p AS (SELECT range AS id FROM range(400)),
+         t AS (
+           SELECT 'http://beta.example/p' || id AS url,
+                  'example,beta)/p' || id AS surt
+           FROM p WHERE id % 8 = 1
+           UNION ALL
+           SELECT 'http://www.beta.example/p' || id,
+                  'example,beta)/p' || id
+           FROM p WHERE id % 8 = 6
+           UNION ALL
+           SELECT 'http://news.beta.example/p' || id,
+                  'example,beta,news)/p' || id
+           FROM p WHERE id % 8 = 2)
+         SELECT url, surt FROM t ORDER BY surt, url""",
     // revisit twin: validators and the fetch mode from id%4; ids
     // 40-49 were never crawled so they fall back to a full fetch
     "q_revisit_policy" ->

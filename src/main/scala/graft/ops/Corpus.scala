@@ -1090,6 +1090,71 @@ object Corpus {
       .orderBy(col("surt"), col("url"))
   }
 
+  /** Change-rate recrawl estimation ([[graft.pipelines.Frontier
+    * .changeRate]]) over a planted fetch history: 30 URLs, g%5+1
+    * fetches 10 hours apart, digest trajectories by g%4 — constant
+    * (never changed → interval = stability horizon), changes every
+    * fetch, every 2nd, every 3rd; single-fetch URLs yield null (no
+    * evidence). The oracle replays the same history through DuckDB's
+    * window lag — two engines, one declared recurrence. */
+  def changeRateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val history = for {
+      g <- 0 until 30
+      k <- 0 to g % 5
+    } yield {
+      val digest = (g % 4) match {
+        case 0 => "d"
+        case 1 => s"d$k"
+        case 2 => s"d${k / 2}"
+        case _ => s"d${k / 3}"
+      }
+      (s"http://cr.example/u$g", k * 10L, digest)
+    }
+    graft.pipelines.Frontier.changeRate(
+      history.toDF("url", "fetch_t", "digest"))
+      .orderBy(col("url"))
+  }
+
+  private val surtIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SURT-indexed layout + subtree lookup ([[graft.sources
+    * .UrlIndex]]): 400 planted URLs over 8 host shapes land in a
+    * SURT-range-sorted index (built once per JVM — the layout's
+    * usage shape; the bench times the read); the `beta.example`
+    * subtree lookup must capture the exact host, its `news.`
+    * subdomain, and the `www.`-folded spelling while EXCLUDING the
+    * `betax.example` and `beta-2.example` prefix decoys — the range
+    * arithmetic the layout's pruning rests on. Value preservation is
+    * the hash gate; the file-pruning proof is UrlIndexSpec's. */
+  def surtScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = surtIndexCache.computeIfAbsent(dir, { _ =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-surtidx").toString + "/urls"
+      val urls = (0 until 400).map { id =>
+        val host = (id % 8) match {
+          case 0 => "alpha.example"
+          case 1 => "beta.example"
+          case 2 => "news.beta.example"
+          case 3 => "betax.example"
+          case 4 => "beta-2.example"
+          case 5 => "gamma.example"
+          case 6 => "www.beta.example"
+          case _ => "x.y.gamma.example"
+        }
+        s"http://$host/p$id"
+      }
+      graft.sources.UrlIndex.writeSurtIndexed(
+        urls.toDF("url"), "url", p, numFiles = 8)
+      p
+    })
+    graft.sources.UrlIndex.lookupDomain(spark, path, "beta.example")
+      .select(col("url"), col("surt"))
+      .orderBy(col("surt"), col("url"))
+  }
+
   /** Domain-level curation end to end ([[graft.pipelines
     * .WebCuration]]): planted URLs → registrable domain → blocklist
     * drop (literal IN set, map-only) → top-2 per domain by

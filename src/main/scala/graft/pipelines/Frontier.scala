@@ -175,6 +175,46 @@ object Frontier {
               col("n_discoveries"), col("n_src_hosts"))
   }
 
+  /** Per-URL change-rate estimation — the EVIDENCE-driven recrawl
+    * signal ([[plan]]'s `changefreq` staleness uses what the site
+    * DECLARES; this uses what the crawler OBSERVED): from a fetch
+    * history `(url, fetch_t, digest)` (fetch_t in hours — the CDX
+    * surface provides all three), count digest transitions between
+    * consecutive fetches and estimate the revisit interval as the
+    * mean time between OBSERVED changes — the first-order version of
+    * the Cho–Garcia-Molina Poisson change-rate estimator, kept
+    * integer-exact (floor-div) so the schedule replays bit-for-bit
+    * across engines:
+    *
+    *  - `interval_h` = span ÷ changes (floored, min 1) when changes
+    *    were observed;
+    *  - = the full observed span when the URL NEVER changed (its
+    *    stability horizon — the crawler has no evidence it needs to
+    *    come back sooner);
+    *  - = null on a single fetch (no evidence at all; callers fall
+    *    back to the declared changefreq or the weekly default).
+    *
+    * One url-partitioned window (consecutive-fetch digest compare) +
+    * one aggregate — both keyed on url, the crawl's natural
+    * parallelism; no global sort, nothing on the driver. */
+  def changeRate(history: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("url")).orderBy(col("fetch_t"))
+    history
+      .withColumn("__prev", lag(col("digest"), 1).over(w))
+      .withColumn("__changed",
+        (col("__prev").isNotNull &&
+         col("__prev") =!= col("digest")).cast("long"))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_fetches"),
+           sum(col("__changed")).as("n_changes"),
+           (max(col("fetch_t")) - min(col("fetch_t"))).as("span_h"))
+      .withColumn("interval_h",
+        when(col("n_fetches") === 1, lit(null))
+          .when(col("n_changes") === 0, col("span_h"))
+          .otherwise(greatest(lit(1L),
+            expr("span_h div n_changes"))))
+  }
+
   /** Conditional-revisit plan — the bandwidth half of recrawl
     * politeness: a recrawl that re-downloads unchanged bodies wastes
     * the site's egress and the crawl's ingest; HTTP's validators

@@ -115,6 +115,28 @@ class FrontierSpec extends AnyFunSuite {
     assert(got("http://r.org/new") == ((null, null, "full")))
   }
 
+  test("changeRate: exact mean-time-between-changes; stability and no-evidence edges") {
+    val history = Seq(
+      // u1: 4 fetches over 30h, digest changes twice (t10, t30)
+      ("u1", 0L, "a"), ("u1", 10L, "b"), ("u1", 20L, "b"),
+      ("u1", 30L, "c"),
+      // u2: never changed over 40h -> interval = the observed span
+      ("u2", 0L, "x"), ("u2", 40L, "x"),
+      // u3: single fetch -> no evidence, null interval
+      ("u3", 5L, "y"),
+      // u4: changes EVERY fetch, 7h apart -> floor(14/2) = 7
+      ("u4", 0L, "p"), ("u4", 7L, "q"), ("u4", 14L, "r")
+    ).toDF("url", "fetch_t", "digest")
+    val got = Frontier.changeRate(history).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    assert(got("u1") == ((4L, 2L, 30L, 15L)))
+    assert(got("u2") == ((2L, 0L, 40L, 40L)))
+    assert(got("u3") == ((1L, 0L, 0L, null)))
+    assert(got("u4") == ((3L, 2L, 14L, 7L)))
+  }
+
   test("recrawl staleness values are exact epoch-hour arithmetic") {
     val robots = Seq.empty[(String, String)].toDF("host", "robots_txt")
     val entries = Seq(
