@@ -142,6 +142,7 @@ object SparkEntry {
     "q_revisit_policy"          -> Corpus.revisitPolicy _,
     "q_surt_scan"               -> Corpus.surtScan _,
     "q_change_rate"             -> Corpus.changeRateQuery _,
+    "q_hits"                    -> Corpus.hitsDocs _,
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,
@@ -256,6 +257,7 @@ object SparkEntry {
       ("q_incremental_dedup_index" ->
         baseOracleSql("q_incremental_dedup")) +
       ("q_pagerank" -> pageRankOracle(5)) +
+      ("q_hits" -> hitsOracle(3)) +
       ("q_profile" -> profileOracle) +
       ("q_table_diff" -> tableDiffOracle) +
       ("q_triangles" -> trianglesOracle)
@@ -384,6 +386,46 @@ object SparkEntry {
                (SELECT unnest(generate_series(0, 2)) AS j) j),
         edges AS (SELECT DISTINCT src, dst FROM cand
                   WHERE j < 1 + kk AND dst <> src)"""
+  }
+
+  /** `q_hits`'s twin: same planted graph, the integer fixed-point
+    * HITS recurrence UNROLLED `iters` times — same gather
+    * directions, same floor divisions, same MAX normalizer, same
+    * node universe as [[graft.graph.Hits.hitsScaled]]. Generated,
+    * not hand-written, so the iteration count provably matches. */
+  private def hitsOracle(iters: Int): String = {
+    val scale = 65536L
+    def norm(out: String, rawCte: String): String =
+      s"""$out AS (
+           SELECT ids.id,
+                  CAST(CASE WHEN m.mx IS NULL OR m.mx = 0 THEN 0
+                       ELSE (COALESCE(r.raw, 0) * $scale) // m.mx
+                       END AS BIGINT) AS score
+           FROM ids
+           LEFT JOIN $rawCte r USING (id)
+           CROSS JOIN (SELECT max(raw) AS mx FROM $rawCte) m)"""
+    val steps = (1 to iters).map { i =>
+      s"""a${i}r AS (
+            SELECT e.dst AS id, CAST(SUM(h.score) AS BIGINT) AS raw
+            FROM edges e JOIN h${i - 1} h ON h.id = e.src
+            GROUP BY e.dst),
+          ${norm(s"a$i", s"a${i}r")},
+          h${i}r AS (
+            SELECT e.src AS id, CAST(SUM(a.score) AS BIGINT) AS raw
+            FROM edges e JOIN a$i a ON a.id = e.dst
+            GROUP BY e.src),
+          ${norm(s"h$i", s"h${i}r")}"""
+    }.mkString(",\n")
+    s"""WITH $plantedEdgesCte,
+         ids AS (SELECT doc_id AS id FROM documents),
+         h0 AS (SELECT id, CAST($scale AS BIGINT) AS score FROM ids),
+         $steps
+         SELECT ids.id AS doc_id, h$iters.score AS hub,
+                a$iters.score AS auth
+         FROM ids
+         JOIN h$iters ON h$iters.id = ids.id
+         JOIN a$iters ON a$iters.id = ids.id
+         ORDER BY doc_id"""
   }
 
   /** `q_triangles`'s twin: same planted graph, undirected closure,

@@ -2267,6 +2267,24 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** HITS hubs & authorities over the same planted link graph
+    * ([[graft.graph.Hits.hitsScaled]], 3 iterations, integer
+    * fixed-point with MAX normalization): the complementary
+    * link-ranking pass — authority feeds quality priors, hub
+    * strength flags the directory pages whose outlinks are
+    * high-yield frontier candidates. The oracle unrolls the
+    * identical recurrence (same floor divisions, same max
+    * normalizer, same node universe), so drift in either gather
+    * direction or the normalization hash-mismatches. */
+  def hitsDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val n = d.count() // one bounded action: the planted graph's modulus
+    graft.graph.Hits.hitsScaled(
+        plantedEdges(d, n), d.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("hub"), col("auth"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Compaction as a declared query ([[graft.sources.Layout
     * .compact]]): land `events` partitioned by `event_type` in two
     * append batches (the many-small-files state a micro-batch sink
