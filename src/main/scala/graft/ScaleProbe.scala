@@ -293,6 +293,55 @@ object ScaleProbe {
           graft.text.Robots.verdicts(d, robots, "graftbot/1.0")
             .select(col("doc_id"), col("robots_allowed")))
       }
+      // round 12: redirect-chain resolution — pointer doubling is a
+      // FIXED number of self-joins (4 at maxHops 16) regardless of
+      // row count, so growth must track the frame size, never the
+      // hop structure. Each 7-id block plants a 6-hop chain plus a
+      // tail merging into it (max resolved hops 7, inside the bound).
+      def bigRedirects(n: Int): DataFrame =
+        spark.range(n).select(
+          concat(lit("http://r.example/u"), col("id")).as("src_url"),
+          when(pmod(col("id"), lit(7)) === 6,
+               concat(lit("http://r.example/u"), col("id") - 6))
+            .when(pmod(col("id"), lit(7)) < 5,
+                  concat(lit("http://r.example/u"), col("id") + 1))
+            .otherwise(concat(lit("http://r.example/t"), col("id")))
+            .as("dst_url"))
+      mediaProbe("redirect_chains", bigRedirects, d =>
+        graft.pipelines.Redirects.resolveChains(d, maxHops = 16))
+      // round 12: HITS — 3 fixed iterations over a 2-out-degree
+      // synthetic graph; each half-iteration is a |V|-side join + a
+      // map-side-combined groupBy + a scalar max, so growth must
+      // track |E| linearly
+      def bigGraph(n: Int): DataFrame = {
+        val half = spark.range(n).select(col("id").as("src"),
+          pmod(col("id") * 7 + 3, lit(n.toLong)).as("dst"))
+        half.union(spark.range(n).select(col("id").as("src"),
+          pmod(col("id") * 13 + 5, lit(n.toLong)).as("dst")))
+          .filter(col("src") =!= col("dst"))
+      }
+      {
+        def t(n: Int): Double = {
+          val edges = bigGraph(n).localCheckpoint(true)
+          val nodes = spark.range(n).toDF("id").localCheckpoint(true)
+          try {
+            val ts = Seq.fill(4)(timed(exec(
+              graft.graph.Hits.hitsScaled(edges, nodes, iters = 3))))
+            ts.map(math.abs).min
+          } finally { edges.unpersist(); nodes.unpersist(); () }
+        }
+        val b = t(6400); val s = t(64000)
+        println(f"""{"probe":"hits","assets_base":6400,"assets_10x":64000,"base_sec":$b%.3f,"scaled_sec":$s%.3f,"growth":${s / b}%.3f}""")
+      }
+      // round 12: change-rate estimation — one url-partitioned window
+      // + one aggregate; 5 fetches per url, url count grows 10×
+      def bigHistory(n: Int): DataFrame =
+        spark.range(n.toLong * 5).select(
+          concat(lit("http://cr.example/u"), col("id") / 5).as("url"),
+          (pmod(col("id"), lit(5)) * 10).as("fetch_t"),
+          concat(lit("d"), pmod(col("id"), lit(5)) / 2).as("digest"))
+      mediaProbe("change_rate", bigHistory, d =>
+        graft.pipelines.Frontier.changeRate(d))
     }
     if (sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("media")) {
       spark.stop(); return

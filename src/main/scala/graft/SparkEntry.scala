@@ -103,6 +103,8 @@ object SparkEntry {
     "q_pq_topk"                 -> Corpus.pqTopKQuery _,
     "q_ivfpq_residual"          -> Corpus.ivfPqResidualQuery _,
     "q_bpe_tokens"              -> Corpus.bpeTokens _,
+    // zlib-backed: no DuckDB deflate-length function exists → golden
+    "q_deflate_ratio"           -> Corpus.deflateRatioDocs _,
     // oracle-gated (SQL-expressible) — added with the seeded block in
     // round 5 part 2:
     "q_salted_pairs"            -> Relational.saltedPairsSampled _,

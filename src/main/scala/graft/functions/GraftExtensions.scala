@@ -50,6 +50,12 @@ object GraftExtensions {
        }
        Shingles(args.head, k)
      }),
+    ("deflate_ratio",
+     new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+     (args: Seq[Expression]) => {
+       require(args.length == 1, "deflate_ratio(text) takes one argument")
+       DeflateRatio(args.head)
+     }),
     ("dot_product",
      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
      (args: Seq[Expression]) => {

@@ -2267,6 +2267,20 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Compression-ratio quality signal ([[graft.functions
+    * .DeflateRatio]]) per document: integer fixed-point
+    * `len(deflate(text)) · 2²⁰ div len(text)` — templated spam
+    * compresses far below natural prose, binary junk barely at all,
+    * so both ratio tails flag junk. No SQL twin (DuckDB exposes no
+    * deflate-length function) → rows-only for the driver, pinned by
+    * the committed sf0.01 golden + DeflateRatioSpec. */
+  def deflateRatioDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              graft.functions.DeflateRatio.deflateRatio(col("text"))
+                .as("ratio_x2p20"))
+      .orderBy(col("doc_id"))
+
   /** HITS hubs & authorities over the same planted link graph
     * ([[graft.graph.Hits.hitsScaled]], 3 iterations, integer
     * fixed-point with MAX normalization): the complementary

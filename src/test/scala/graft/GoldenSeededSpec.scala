@@ -26,7 +26,9 @@ class GoldenSeededSpec extends AnyFunSuite {
     "q_image_embed", "q_audio_embed",
     // not seeded but equally un-oracle-able: deterministic merge
     // recursion with no SQL form
-    "q_bpe_tokens")
+    "q_bpe_tokens",
+    // deterministic zlib output with no DuckDB deflate function
+    "q_deflate_ratio")
 
   private val goldenDir = new java.io.File("src/test/resources/golden")
 
