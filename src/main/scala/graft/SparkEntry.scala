@@ -145,6 +145,7 @@ object SparkEntry {
     "q_surt_scan"               -> Corpus.surtScan _,
     "q_change_rate"             -> Corpus.changeRateQuery _,
     "q_hits"                    -> Corpus.hitsDocs _,
+    "q_page_identity"           -> Corpus.pageIdentity _,
     "q_ingest_decode_compressed" -> Corpus.ingestDecodeCompressed _,
     "q_url_canonicalize"        -> Corpus.urlCanonicalize _,
     "q_domain_cap"              -> Corpus.domainCap _,
@@ -2329,6 +2330,18 @@ object SparkEntry {
                   'example,beta,news)/p' || id
            FROM p WHERE id % 8 = 2)
          SELECT url, surt FROM t ORDER BY surt, url""",
+    // page-identity twin: every block of 4 collapses to its root —
+    // the oracle constructs the expected identity from id
+    // arithmetic; the engine PARSES canonical/Location/digest and
+    // runs connected components
+    "q_page_identity" ->
+      """WITH p AS (SELECT range AS id FROM range(60))
+         SELECT 'http://pi.example/p' ||
+                  lpad(CAST(id AS VARCHAR), 2, '0') AS url,
+                'http://pi.example/p' ||
+                  lpad(CAST(id - id % 4 AS VARCHAR), 2, '0')
+                  AS identity_url
+         FROM p ORDER BY url""",
     // revisit twin: validators and the fetch mode from id%4; ids
     // 40-49 were never crawled so they fall back to a full fetch
     "q_revisit_policy" ->

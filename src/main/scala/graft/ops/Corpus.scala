@@ -2267,6 +2267,50 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixture for [[pageIdentity]]: 60 WARC responses in blocks of 4
+    * — a root page, a page whose `<link rel=canonical>` points at
+    * the root, a 301 whose `Location` points at the root, and a page
+    * whose BODY BYTES equal the root's — so each block collapses to
+    * one identity through three DIFFERENT signals at once. URLs are
+    * zero-padded so the min-string identity equals the min-numeric
+    * one on both engines. */
+  private lazy val identityFixtureCached: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-identity")
+    def u(id: Int) = f"p$id%02d"
+    val recs = (0 until 60).map { id =>
+      val http = (id % 4) match {
+        case 1 =>
+          "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+            s"""<html><head><link rel="canonical" href="/${u(id - 1)}">""" +
+            s"</head><body>variant $id</body></html>"
+        case 2 =>
+          s"HTTP/1.1 301 Moved Permanently\r\nLocation: /${u(id - 2)}\r\n" +
+            "Content-Type: text/html\r\n\r\n"
+        case 3 =>
+          "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+            s"<html><body>root ${id - 3}</body></html>"
+        case _ =>
+          "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+            s"<html><body>root $id</body></html>"
+      }
+      ("response", s"http://pi.example/${u(id)}",
+       "2024-01-01T00:00:00Z", s"<urn:uuid:pi$id>", http)
+    }
+    java.nio.file.Files.write(tmp.resolve("identity.warc"),
+      graft.sources.Warc.writeWarc(recs))
+    tmp.toString
+  }
+
+  /** Page-identity resolution ([[graft.pipelines.WebCuration
+    * .resolvePageIdentity]]): canonical link + redirect Location +
+    * body digest UNIONED into one identity graph, connected
+    * components assigning every URL its cluster's min URL — the
+    * collapse no single signal sees. */
+  def pageIdentity(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.WebCuration.resolvePageIdentity(
+        graft.sources.Warc.readWarc(spark, identityFixtureCached))
+      .orderBy(col("url"))
+
   /** Compression-ratio quality signal ([[graft.functions
     * .DeflateRatio]]) per document: integer fixed-point
     * `len(deflate(text)) · 2²⁰ div len(text)` — templated spam

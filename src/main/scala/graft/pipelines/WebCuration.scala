@@ -200,4 +200,68 @@ object WebCuration {
       .filter(col("url_rank") === 1)
       .drop("url_rank")
   }
+
+  /** PAGE-IDENTITY resolution — the capstone composition of the
+    * crawl's three identity signals, each individually one edge
+    * kind:
+    *
+    *  1. the page's OWN declaration: `<link rel=canonical>` resolved
+    *     against the page URL ([[graft.text.Links.htmlCanonical]]);
+    *  2. the SERVER's declaration: a 3xx `Location` resolved against
+    *     the request URI (the `http_location` column);
+    *  3. the CONTENT's evidence: byte-identical bodies (sha-256
+    *     groups, each collapsed to a min-url star — |group| edges,
+    *     never pairs²).
+    *
+    * The union of the three edge sets is an undirected identity
+    * graph; its connected components ([[graft.dedup.Dedup
+    * .connectedComponents]], min-label) assign every URL ONE
+    * `identity_url` — so a print view that canonicalizes to a page
+    * that 301s to a page whose body equals a fourth page's all
+    * collapse together, which no single signal sees. Runs on the
+    * [[graft.sources.Warc.readWarc]] frame directly.
+    *
+    * ==Scale shape==
+    * Three map-shaped edge extractions (the digest one is one
+    * groupBy on the 32-byte hash, min-star edges out), then CC over
+    * an edge set that is a sliver of the corpus (only pages WITH a
+    * signal produce edges). Identity-less pages self-identify
+    * without ever entering the graph. */
+  def resolvePageIdentity(crawl: DataFrame): DataFrame = {
+    import graft.text.Links
+    val responses = crawl
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri").as("url"),
+              col("http_status"), col("http_location"),
+              col("body").cast("string").as("body_text"))
+    val canonicalEdges = responses
+      .filter(col("http_status") === 200)
+      .select(col("url").as("id_a"),
+              Links.resolveUrl(col("url"),
+                Links.htmlCanonical(col("body_text"))).as("id_b"))
+      .filter(col("id_b").isNotNull && col("id_a") =!= col("id_b"))
+    val redirectEdges = responses
+      .filter(col("http_status") >= 300 && col("http_status") < 400)
+      .select(col("url").as("id_a"),
+              Links.resolveUrl(col("url"), col("http_location"))
+                .as("id_b"))
+      .filter(col("id_b").isNotNull && col("id_a") =!= col("id_b"))
+    // digest groups → min-url star (|group| − 1 edges per group)
+    val digestEdges = responses
+      .filter(col("http_status") === 200 && length(col("body_text")) > 0)
+      .select(sha2(col("body_text"), 256).as("digest"), col("url"))
+      .withColumn("id_b", min(col("url")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))))
+      .filter(col("url") =!= col("id_b"))
+      .select(col("url").as("id_a"), col("id_b"))
+    val edges = canonicalEdges.union(redirectEdges).union(digestEdges)
+    val components = graft.dedup.Dedup.connectedComponents(edges)
+      .withColumnRenamed("id", "url")
+      .withColumnRenamed("component", "identity_url")
+    responses.select(col("url")).distinct()
+      .join(components, Seq("url"), "left")
+      .select(col("url"),
+              coalesce(col("identity_url"), col("url"))
+                .as("identity_url"))
+  }
 }

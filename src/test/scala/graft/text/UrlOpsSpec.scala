@@ -145,6 +145,33 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(betaIdx == (betaIdx.min to betaIdx.max).toList)
   }
 
+  test("resolvePageIdentity: a chain crossing all three signal kinds collapses") {
+    import graft.pipelines.WebCuration
+    def resp(url: String, status: Int, location: String,
+             body: String) =
+      ("response", url, status, location,
+       if (body == null) Array.empty[Byte] else body.getBytes("UTF-8"))
+    // d canonicalizes to c, c redirects to b, b's body equals a's:
+    // {a,b,c,d} is ONE identity although no single signal links d→a.
+    // e is signal-less and must self-identify.
+    val crawl = Seq(
+      resp("http://x.example/a", 200, null, "<p>shared body</p>"),
+      resp("http://x.example/b", 200, null, "<p>shared body</p>"),
+      resp("http://x.example/c", 301, "/b", null),
+      resp("http://x.example/d", 200, null,
+        """<html><head><link rel="canonical" href="/c"></head>
+          |<body>unique d</body></html>""".stripMargin),
+      resp("http://x.example/e", 200, null, "<p>loner</p>")
+    ).toDF("warc_type", "target_uri", "http_status", "http_location",
+           "body")
+    val got = WebCuration.resolvePageIdentity(crawl).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    for (u <- Seq("a", "b", "c", "d"))
+      assert(got(s"http://x.example/$u") == "http://x.example/a",
+        s"$u should collapse to a: $got")
+    assert(got("http://x.example/e") == "http://x.example/e")
+  }
+
   test("capPerDomain keeps best-k per domain deterministically") {
     val docs = Seq(
       (1L, "a.com", 100L), (2L, "a.com", 300L), (3L, "a.com", 200L),
