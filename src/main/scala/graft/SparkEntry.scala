@@ -139,6 +139,7 @@ object SparkEntry {
     "q_canonical_dedup"         -> Corpus.canonicalDedup _,
     "q_robots_sitemaps"         -> Corpus.robotsSitemaps _,
     "q_feed_parse"              -> Corpus.feedParse _,
+    "q_feed_ingest"             -> Corpus.feedIngest _,
     "q_xrobots_policy"          -> Corpus.xrobotsPolicy _,
     "q_surt_keys"               -> Corpus.surtKeys _,
     "q_revisit_policy"          -> Corpus.revisitPolicy _,
@@ -2434,6 +2435,33 @@ object SparkEntry {
          FROM (SELECT * FROM r1 UNION ALL SELECT * FROM a1
                UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM inv)
          ORDER BY format, link""",
+    // feed-ingest twin: dispositions + canonical candidates from the
+    // same planted arithmetic (gzipped-RSS /z links fall under the
+    // planted Disallow; invalid rows all-null except format +
+    // disposition so tie order can't wobble)
+    "q_feed_ingest" ->
+      """WITH k AS (
+           SELECT 'rss' AS format,
+                  'http://fd.example/r' || id || '?a=1&b=' || id AS link,
+                  'http://fd.example/r' || id || '?a=1&b=' || id
+                    AS candidate_url,
+                  'fd.example' AS host, 'kept' AS disposition
+           FROM (SELECT range AS id FROM range(20))
+           WHERE id % 10 <> 7
+           UNION ALL
+           SELECT 'atom', 'http://fd.example/a' || id,
+                  'http://fd.example/a' || id, 'fd.example', 'kept'
+           FROM (SELECT range AS id FROM range(15))
+           UNION ALL
+           SELECT 'rss', 'http://fd.example/z' || id,
+                  'http://fd.example/z' || id, 'fd.example',
+                  'robots_blocked'
+           FROM (SELECT range AS id FROM range(10))
+           UNION ALL
+           SELECT 'invalid', NULL, NULL, NULL, 'invalid'
+           FROM range(3))
+         SELECT format, link, candidate_url, host, disposition
+         FROM k ORDER BY disposition, link""",
     // robots-sitemap twin: the discovered URL list from id%3
     "q_robots_sitemaps" ->
       """WITH p AS (SELECT range AS id FROM range(12)),

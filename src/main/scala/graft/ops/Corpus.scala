@@ -2735,6 +2735,28 @@ object Corpus {
       .orderBy(col("url"))
   }
 
+  /** Feed-ingest composition ([[graft.streaming.FeedIngest.ingest]]
+    * in its batch spelling over the [[feedParse]] fixture): parse →
+    * canonicalize → compiled-robots stamp, the discovery pipeline's
+    * streaming stage run as a batch twin — gzipped-RSS links fall
+    * under the planted Disallow, empty-link/junk rows quarantine,
+    * the rest become frontier candidates. FeedIngestSpec proves the
+    * STREAM spelling lands the same rows; this oracle gates the
+    * values. */
+  def feedIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = graft.text.Robots.compileRules(
+      Seq(("fd.example", "User-agent: *\nDisallow: /z\n"))
+        .toDF("host", "robots_txt"),
+      "graftbot/1.0")
+    val feeds = spark.read.format("binaryFile").load(feedFixtureCached)
+      .select(lit(0L).as("feed_id"), col("content"))
+    graft.streaming.FeedIngest.ingest(feeds, rules)
+      .select(col("format"), col("link"), col("candidate_url"),
+              col("host"), col("disposition"))
+      .orderBy(col("disposition"), col("link"))
+  }
+
   /** Fixture for [[xrobotsPolicy]]: 40 WARC responses planting the
     * X-Robots-Tag anatomy by id%5 — absent; `noindex` (or bare
     * `none`, which implies noindex+nofollow, on id%10==1);

@@ -128,6 +128,20 @@ object Feed {
     out.result()
   }
 
+  /** Walk one feed FILE's bytes (plain or gzip) — the per-file unit
+    * [[readFeeds]] maps over `binaryFile` and
+    * [[graft.streaming.FeedIngest]] lifts to streams (the
+    * `Warc.recordsOf` posture: stateless, quarantines, never
+    * throws). A gzip tail that fails to decode cleanly appends one
+    * `invalid` row rather than silently shortening the file. */
+  def entriesOf(raw: Array[Byte]): Seq[Entry] = {
+    val (bytes, clean) = Warc.gunzip(raw)
+    val entries = parseFeed(new String(bytes, StandardCharsets.UTF_8))
+    if (clean || entries.lastOption.exists(_.format == "invalid"))
+      entries
+    else entries :+ Entry("invalid", null, null, null, null)
+  }
+
   /** Read feed files (plain or `.gz`) → one row per entry:
     * `(feed_file, format, link, title, published, entry_id)`. */
   def readFeeds(spark: SparkSession, path: String): DataFrame = {
@@ -136,15 +150,8 @@ object Feed {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, raw) =>
-        val (bytes, clean) = Warc.gunzip(raw)
-        val entries = parseFeed(
-          new String(bytes, StandardCharsets.UTF_8))
-        val all =
-          if (clean || entries.lastOption.exists(_.format == "invalid"))
-            entries
-          else entries :+ Entry("invalid", null, null, null, null)
-        all.map(e => (p, e.format, e.link, e.title, e.published,
-                      e.entryId))
+        entriesOf(raw).map(e => (p, e.format, e.link, e.title,
+                                 e.published, e.entryId))
       }
       .toDF("feed_file", "format", "link", "title", "published",
             "entry_id")
