@@ -140,6 +140,7 @@ object SparkEntry {
     "q_robots_sitemaps"         -> Corpus.robotsSitemaps _,
     "q_feed_parse"              -> Corpus.feedParse _,
     "q_feed_ingest"             -> Corpus.feedIngest _,
+    "q_feed_discovery"          -> Corpus.feedDiscovery _,
     "q_xrobots_policy"          -> Corpus.xrobotsPolicy _,
     "q_surt_keys"               -> Corpus.surtKeys _,
     "q_revisit_policy"          -> Corpus.revisitPolicy _,
@@ -2435,6 +2436,30 @@ object SparkEntry {
          FROM (SELECT * FROM r1 UNION ALL SELECT * FROM a1
                UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM inv)
          ORDER BY format, link""",
+    // feed-autodiscovery twin: the advertised feed URLs per id slot
+    // (resolved against the page URL; the hreflang alternate and
+    // stylesheet decoys never surface)
+    "q_feed_discovery" ->
+      """WITH p AS (SELECT range AS id FROM range(48)),
+         t AS (
+           SELECT 'http://fs.example/p' || id AS page_url,
+                  'http://fs.example/feed' || id || '.xml' AS feed_url
+           FROM p WHERE id % 4 = 0
+           UNION ALL
+           SELECT 'http://fs.example/p' || id,
+                  'http://fx' || (id % 3) || '.example/atom' || id ||
+                    '.xml'
+           FROM p WHERE id % 4 = 1
+           UNION ALL
+           SELECT 'http://fs.example/p' || id,
+                  'http://fs.example/a' || id || '.rss'
+           FROM p WHERE id % 4 = 2
+           UNION ALL
+           SELECT 'http://fs.example/p' || id,
+                  'http://fs.example/b' || id || '.atom'
+           FROM p WHERE id % 4 = 2)
+         SELECT page_url, feed_url FROM t
+         ORDER BY page_url, feed_url""",
     // feed-ingest twin: dispositions + canonical candidates from the
     // same planted arithmetic (gzipped-RSS /z links fall under the
     // planted Disallow; invalid rows all-null except format +

@@ -2735,6 +2735,42 @@ object Corpus {
       .orderBy(col("url"))
   }
 
+  /** Feed AUTODISCOVERY ([[graft.text.Links.htmlFeedLinks]]): 48
+    * pages planting the advertisement anatomy by id%4 — a relative
+    * RSS link (resolves against the page URL), an absolute Atom
+    * link beside a stylesheet decoy, BOTH with case-varied rel/type,
+    * and a page with only non-feed alternates (hreflang variant —
+    * no `type`, so not a feed) — the convention that finds the feed
+    * inputs nobody pre-registered. */
+  def feedDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.Links
+    val pages = (0 until 48).map { id =>
+      val head = (id % 4) match {
+        case 0 =>
+          s"""<link rel="alternate" type="application/rss+xml" href="/feed$id.xml">"""
+        case 1 =>
+          s"""<link rel="stylesheet" href="/s.css">""" +
+          s"""<link rel="alternate" type="application/atom+xml" href="http://fx${id % 3}.example/atom$id.xml">"""
+        case 2 =>
+          s"""<link rel="ALTERNATE" type="Application/RSS+xml" href="/a$id.rss">""" +
+          s"""<link rel="alternate" type="application/atom+xml" href="/b$id.atom">"""
+        case _ =>
+          s"""<link rel="alternate" hreflang="de" href="/de/p$id">""" +
+          s"""<link rel="canonical" href="/p$id">"""
+      }
+      (s"http://fs.example/p$id",
+       s"<html><head>$head</head><body>page $id</body></html>")
+    }
+    pages.toDF("page_url", "raw_html")
+      .select(col("page_url"),
+              explode(Links.htmlFeedLinks(col("raw_html"))).as("href"))
+      .select(col("page_url"),
+              Links.resolveUrl(col("page_url"), col("href"))
+                .as("feed_url"))
+      .orderBy(col("page_url"), col("feed_url"))
+  }
+
   /** Feed-ingest composition ([[graft.streaming.FeedIngest.ingest]]
     * in its batch spelling over the [[feedParse]] fixture): parse →
     * canonicalize → compiled-robots stamp, the discovery pipeline's

@@ -245,6 +245,52 @@ object Links {
     null
   }
 
+  /** Kernel: every `<link rel=alternate type=application/rss+xml|
+    * application/atom+xml href>` value in document order
+    * (entity-decoded, possibly relative — resolve against the page
+    * URL). Feed AUTODISCOVERY (the RSS-autodiscovery convention all
+    * browsers and crawlers honor): pages ADVERTISE their feeds in
+    * the head, and this is how a crawler finds the
+    * [[graft.sources.Feed]] inputs nobody pre-registered — the feed
+    * channel's analog of robots.txt `Sitemap:` discovery. The
+    * `type` attribute gates (a rel=alternate without it is a
+    * language/media variant, not a feed). */
+  def feedHrefs(html: UTF8String): GenericArrayData = {
+    val s = html.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    var done = false
+    while (!done && i < s.length) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) done = true
+      else if (HtmlText.lowerAt(s, lt + 1, "link") &&
+               HtmlText.nameBoundary(s, lt + 5)) {
+        val gt = tagEnd(s, lt)
+        if (gt < 0) done = true
+        else {
+          val tag = s.substring(lt, gt)
+          val rel = attr(tag, "rel")
+          val typ = attr(tag, "type")
+          if (rel != null && typ != null &&
+              rel.toLowerCase(Locale.ROOT).split("[ ,\t\n\r]+")
+                .contains("alternate") &&
+              (typ.trim.equalsIgnoreCase("application/rss+xml") ||
+               typ.trim.equalsIgnoreCase("application/atom+xml"))) {
+            val v = attr(tag, "href")
+            if (v != null && v.trim.nonEmpty)
+              out += UTF8String.fromString(decodeEntities(v.trim))
+          }
+          i = gt + 1
+        }
+      } else i = lt + 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Column API for [[feedHrefs]]. */
+  def htmlFeedLinks(html: Column): Column =
+    ColumnBridge.column(HtmlFeedLinks(ColumnBridge.expression(html)))
+
   /** Kernel: the first `<base href>` (WHATWG: first wins), or null. */
   def baseHref(html: UTF8String): UTF8String = {
     val s = html.toString
@@ -447,6 +493,32 @@ case class HtmlCanonical(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression)
       : HtmlCanonical = copy(child = newChild)
+}
+
+/** `html_feed_links(html)` — every rel=alternate RSS/Atom link href
+  * in document order (feed autodiscovery). */
+case class HtmlFeedLinks(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"html_feed_links requires string, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "html_feed_links"
+
+  override def nullSafeEval(input: Any): Any =
+    Links.feedHrefs(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.text.Links.feedHrefs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HtmlFeedLinks = copy(child = newChild)
 }
 
 /** `resolve_url(base, ref)` — RFC 3986 resolution, fragment-free;

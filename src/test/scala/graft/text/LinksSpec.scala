@@ -126,6 +126,33 @@ class LinksSpec extends AnyFunSuite {
       == "q?a=1&b=2")
   }
 
+  private def feeds(html: String): Seq[String] =
+    Seq(Tuple1(html)).toDF("h")
+      .select(Links.htmlFeedLinks(col("h")).as("f"))
+      .head().getSeq[String](0)
+
+  test("feed autodiscovery: type gates, rel tokens, decoys, order, entities") {
+    assert(feeds(
+      """<link rel="alternate" type="application/rss+xml" href="/f.xml">""")
+      == Seq("/f.xml"))
+    // both kinds, document order, case-insensitive type and rel
+    assert(feeds(
+      """<link rel="ALTERNATE" type="Application/Atom+XML" href="/a">
+        |<link rel="feed alternate" type="application/rss+xml" href="/r">"""
+        .stripMargin) == Seq("/a", "/r"))
+    // rel=alternate WITHOUT a feed type is a language/media variant
+    assert(feeds("""<link rel="alternate" hreflang="de" href="/de">""")
+      == Seq.empty)
+    assert(feeds("""<link rel="stylesheet" type="text/css" href="/s.css">""")
+      == Seq.empty)
+    assert(feeds("""<link type="application/rss+xml" href="/norel">""")
+      == Seq.empty)
+    assert(feeds(
+      """<link rel=alternate type=application/rss+xml href="f?a=1&amp;b=2">""")
+      == Seq("f?a=1&b=2"))
+    assert(feeds("<p>no links</p>") == Seq.empty)
+  }
+
   test("kernels run inside whole-stage codegen") {
     val df = spark.range(4).select(
       Links.resolveUrl(lit("http://a.example/d/"),
