@@ -72,4 +72,9 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"OK   {name} ({len(want)} rows)")
 print(f"\n{len(oracle) - fail}/{len(oracle)} passed")
+sys.stdout.flush()
+# close BEFORE interpreter teardown: duckdb's destructor racing module
+# unload can abort (exit 134) AFTER the verdict printed — a clean close
+# keeps the exit code meaningful
+con.close()
 sys.exit(1 if fail else 0)
