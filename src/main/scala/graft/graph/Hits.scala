@@ -93,4 +93,55 @@ object Hits {
       eByDst.unpersist(blocking = false)
     }
   }
+
+  /** Double-precision production spelling — identical plan shape
+    * (two persisted edge layouts, |V|-side joins, scalar max
+    * broadcast, lineage cut), scores as doubles with the same MAX
+    * normalization (`h⁰ = 1.0`). Use when exact cross-engine replay
+    * is not required; HitsSpec pins that it tracks the scaled
+    * spelling within the fixed-point grid. */
+  def hits(edges: DataFrame, nodes: DataFrame, iters: Int = 3,
+           srcCol: String = "src", dstCol: String = "dst",
+           idCol: String = "id"): DataFrame = {
+    require(iters >= 1, s"bad iters $iters")
+    val spark = edges.sparkSession
+    val shuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+                          col(dstCol).cast("long").as("dst"))
+    val eBySrc = e0.repartition(shuffle, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eByDst = e0.repartition(shuffle, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n0 = nodes.select(col(idCol).cast("long").as("id"))
+
+    def normalized(raw: DataFrame): DataFrame = {
+      val m = raw.agg(max(col("raw")).as("mx"))
+      n0.join(raw.withColumnRenamed("k", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("id"),
+          when(col("mx").isNull || col("mx") === 0.0, lit(0.0))
+            .otherwise(coalesce(col("raw"), lit(0.0)) / col("mx"))
+            .as("score"))
+    }
+
+    var hubs = n0.withColumn("score", lit(1.0))
+    var auths: DataFrame = null
+    try {
+      for (_ <- 0 until iters) {
+        val aRaw = eByDst
+          .join(hubs.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("k")).agg(sum(col("score")).as("raw"))
+        auths = normalized(aRaw).localCheckpoint()
+        val hRaw = eBySrc
+          .join(auths.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("k")).agg(sum(col("score")).as("raw"))
+        hubs = normalized(hRaw).localCheckpoint()
+      }
+      hubs.withColumnRenamed("score", "hub")
+        .join(auths.withColumnRenamed("score", "auth"), Seq("id"))
+    } finally {
+      eBySrc.unpersist(blocking = false)
+      eByDst.unpersist(blocking = false)
+    }
+  }
 }

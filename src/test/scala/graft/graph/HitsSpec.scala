@@ -47,6 +47,30 @@ class HitsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((0L, 0L)), 2L -> ((0L, 0L))))
   }
 
+  test("double spelling tracks the scaled spelling within the grid") {
+    val edges = (0L until 60L).map(i => i -> ((i * 11 + 2) % 60))
+      .filter { case (a, b) => a != b }
+    val nodes = (0L until 60L)
+    val scale = 1L << 20
+    val scaled = Hits.hitsScaled(edges.toDF("src", "dst"),
+        nodes.toDF("id"), iters = 3, scale = scale)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val dbl = Hits.hits(edges.toDF("src", "dst"), nodes.toDF("id"),
+        iters = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // per-iteration floor error is < 1/scale of the max-normalized
+    // value; after 3 iterations the drift stays well inside 1e-4
+    nodes.foreach { id =>
+      val (hs, as) = scaled(id); val (hd, ad) = dbl(id)
+      assert(math.abs(hs.toDouble / scale - hd) < 1e-4,
+        s"hub drift at $id: scaled=${hs.toDouble / scale} double=$hd")
+      assert(math.abs(as.toDouble / scale - ad) < 1e-4,
+        s"auth drift at $id: scaled=${as.toDouble / scale} double=$ad")
+    }
+  }
+
   test("scores are deterministic across partition layouts") {
     val edges = (0L until 40L).map(i => i -> ((i * 7 + 3) % 40))
       .filter { case (a, b) => a != b }
