@@ -68,6 +68,17 @@ object Frequent {
     override def outputEncoder: Encoder[Summary] = Encoders.product[Summary]
   }
 
+  /** The sketch as a `TypedColumn` — the STREAMING spelling's hook
+    * ([[graft.streaming.StreamingSketch]]): a global streaming
+    * aggregate whose buffer is this Summary is BOUNDED STATE by
+    * construction (≤ `sketchSize` counters however unbounded the
+    * stream), which is what makes a complete-mode heavy-key watch
+    * safe where a full `groupBy(key).count()` would grow without
+    * bound. */
+  def sketchColumn(sketchSize: Int)
+      : org.apache.spark.sql.TypedColumn[String, Summary] =
+    new MisraGries(sketchSize).toColumn
+
   /** The candidate phase alone: one pass, ≤ `sketchSize` survivors
     * plus the exact total row count. */
   private[graft] def candidates(df: DataFrame, keyCol: String,
