@@ -181,6 +181,8 @@ object SparkEntry {
     // round 10 part 4:
     "q_split_leakproof"         -> Corpus.splitLeakproof _,
     "q_split_leakage"           -> Corpus.splitLeakage _,
+    // round 13:
+    "q_gopher_filter"           -> Corpus.gopherFilter _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -3169,5 +3171,127 @@ object SparkEntry {
                   AS BIGINT) AS sum_price_cents
          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Gopher rule filter over the planted corpus (Corpus.gopherSql):
+    // signals replayed on raw whitespace words/lines, repetition
+    // signals on normalized tokens (the q_repetition_signals SQL
+    // shape), flags on the UNROUNDED values — single IEEE divisions,
+    // engine-portable — rounding only at the output edge.
+    "q_gopher_filter" ->
+      s"""WITH ${graft.ops.Corpus.gopherSql},
+         w AS (SELECT doc_id, text, lines,
+                 list_filter(
+                   string_split(replace(text, chr(10), ' '), ' '),
+                   x -> x <> '') AS words
+               FROM gdoc),
+         sig AS (SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(words, x -> length(x)))
+               AS DOUBLE) / len(words) AS mean_word_len,
+             ((length(text) - length(replace(text, '#', ''))) +
+              (length(text) - length(replace(text, '...', ''))) / 3 +
+              (length(text) - length(replace(text, '…', ''))))
+               / len(words) AS symbol_ratio,
+             CAST(len(list_filter(words,
+                 x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+               / len(words) AS alpha_frac,
+             CAST(len(list_filter(
+                 ['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(words, s))) AS BIGINT) AS n_stop,
+             CAST(len(list_filter(lines,
+                 l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'
+                   OR l LIKE '‣ %')) AS DOUBLE)
+               / len(lines) AS bullet_frac,
+             CAST(len(list_filter(lines,
+                 l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE)
+               / len(lines) AS ellipsis_frac
+           FROM w),
+         L AS (SELECT doc_id, unnest(lines) AS line FROM gdoc),
+         lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+                FROM L GROUP BY doc_id, line, length(line)),
+         la AS (SELECT doc_id,
+                  sum(c) - count(*) AS ndup, sum(c) AS nl,
+                  sum(c * len) AS tot, sum((c - 1) * len) AS dupch
+                FROM lc GROUP BY doc_id),
+         tok AS (SELECT doc_id,
+                   list_filter(string_split(lower(regexp_replace(text,
+                     '[^a-zA-Z0-9]', ' ', 'g')), ' '), x -> x <> '')
+                     AS toks
+                 FROM gdoc),
+         tn AS (SELECT doc_id, toks,
+                       length(array_to_string(toks, ' ')) AS nchars
+                FROM tok),
+         g2 AS (SELECT doc_id,
+                  array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+                FROM tn, LATERAL (SELECT unnest(generate_series(1,
+                           len(toks) - 1)) AS i)),
+         g3 AS (SELECT doc_id,
+                  array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+                FROM tn, LATERAL (SELECT unnest(generate_series(1,
+                           len(toks) - 2)) AS i)),
+         g4 AS (SELECT doc_id,
+                  array_to_string(list_slice(toks, i, i + 3), ' ') AS gram
+                FROM tn, LATERAL (SELECT unnest(generate_series(1,
+                           len(toks) - 3)) AS i)),
+         b2 AS (SELECT doc_id, max(c * length(gram)) AS b FROM
+                (SELECT doc_id, gram, count(*) AS c FROM g2
+                 GROUP BY doc_id, gram) GROUP BY doc_id),
+         b3 AS (SELECT doc_id, max(c * length(gram)) AS b FROM
+                (SELECT doc_id, gram, count(*) AS c FROM g3
+                 GROUP BY doc_id, gram) GROUP BY doc_id),
+         b4 AS (SELECT doc_id, max(c * length(gram)) AS b FROM
+                (SELECT doc_id, gram, count(*) AS c FROM g4
+                 GROUP BY doc_id, gram) GROUP BY doc_id),
+         rep AS (SELECT la.doc_id,
+                   ndup * 1.0 / nl AS dup_line_frac,
+                   dupch * 1.0 / tot AS dup_line_char_frac,
+                   least(coalesce(b2.b, 0) * 1.0 / nchars, 1.0) AS t2,
+                   least(coalesce(b3.b, 0) * 1.0 / nchars, 1.0) AS t3,
+                   least(coalesce(b4.b, 0) * 1.0 / nchars, 1.0) AS t4
+                 FROM la JOIN tn ON la.doc_id = tn.doc_id
+                 LEFT JOIN b2 ON la.doc_id = b2.doc_id
+                 LEFT JOIN b3 ON la.doc_id = b3.doc_id
+                 LEFT JOIN b4 ON la.doc_id = b4.doc_id),
+         fl AS (SELECT sig.*, rep.dup_line_frac, rep.t2,
+                  CAST(n_words BETWEEN 50 AND 100000 AS BIGINT)
+                    AS pass_word_count,
+                  CAST(mean_word_len BETWEEN 3 AND 10 AS BIGINT)
+                    AS pass_mean_word_len,
+                  CAST(symbol_ratio <= 0.1 AS BIGINT)
+                    AS pass_symbol_ratio,
+                  CAST(bullet_frac <= 0.9 AS BIGINT) AS pass_bullets,
+                  CAST(ellipsis_frac <= 0.3 AS BIGINT) AS pass_ellipsis,
+                  CAST(alpha_frac >= 0.8 AS BIGINT) AS pass_alpha_frac,
+                  CAST(n_stop >= 2 AS BIGINT) AS pass_stopwords,
+                  CAST(rep.dup_line_frac <= 0.30
+                       AND rep.dup_line_char_frac <= 0.20
+                       AND rep.t2 <= 0.20 AND rep.t3 <= 0.18
+                       AND rep.t4 <= 0.16 AS BIGINT) AS pass_repetition
+                FROM sig JOIN rep ON sig.doc_id = rep.doc_id)
+         SELECT doc_id, n_words,
+           round(mean_word_len + 0.000000001, 6) AS mean_word_len,
+           round(symbol_ratio + 0.000000001, 6) AS symbol_ratio,
+           round(alpha_frac + 0.000000001, 6) AS alpha_frac,
+           n_stop,
+           round(bullet_frac + 0.000000001, 6) AS bullet_frac,
+           round(ellipsis_frac + 0.000000001, 6) AS ellipsis_frac,
+           round(dup_line_frac + 0.000000001, 6) AS dup_line_frac,
+           round(t2 + 0.000000001, 6) AS top_2gram_cov,
+           pass_word_count, pass_mean_word_len, pass_symbol_ratio,
+           pass_bullets, pass_ellipsis, pass_alpha_frac,
+           pass_stopwords, pass_repetition,
+           CAST(pass_word_count * pass_mean_word_len *
+                pass_symbol_ratio * pass_bullets * pass_ellipsis *
+                pass_alpha_frac * pass_stopwords * pass_repetition
+             AS BIGINT) AS keep,
+           CASE WHEN pass_word_count = 0 THEN 'word_count'
+                WHEN pass_mean_word_len = 0 THEN 'mean_word_len'
+                WHEN pass_symbol_ratio = 0 THEN 'symbol_ratio'
+                WHEN pass_bullets = 0 THEN 'bullets'
+                WHEN pass_ellipsis = 0 THEN 'ellipsis'
+                WHEN pass_alpha_frac = 0 THEN 'alpha_frac'
+                WHEN pass_stopwords = 0 THEN 'stopwords'
+                WHEN pass_repetition = 0 THEN 'repetition'
+                ELSE NULL END AS drop_reason
+         FROM fl ORDER BY doc_id""",
   )
 }

@@ -2047,6 +2047,118 @@ object Corpus {
     d.select(col("doc_id"), concat_ws("\n", withBoiler).as("text"))
   }
 
+  /** The Gopher-filter test corpus: the lined corpus with one planted
+    * rule violation per id-arithmetic family, so every published rule
+    * fires non-vacuously at any SF ([[gopherSql]] is the engine twin):
+    *  - `%5`  — every line bullet-prefixed ("- ")    → bullets rule
+    *  - `%7`  — odd (1-based) lines end in " ..."    → ellipsis rule
+    *  - `%9`  — appended "# # # # # #" line          → symbol ratio
+    *  - `%11` — appended digit-word line             → alpha fraction
+    *  - `%3`  — appended stop-word line              → stopword PASSES
+    *  - `%23` — appended 24×"a" line                 → repetition
+    * Unplanted docs fail the stop-word rule (the soup vocabulary has
+    * only "the") and half fail the 50-word floor — both keep and every
+    * drop reason appear in the verdict. */
+  private[graft] def gopherDocs(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .select(col("doc_id"), transform(
+        sequence(lit(1),
+          greatest(ceil(size(col("__ws")).cast("double") / lit(6.0))
+                     .cast("int"), lit(1))),
+        i => concat_ws(" ", slice(col("__ws"), (i - 1) * 6 + 1, lit(6))))
+        .as("__l0"))
+    val id = col("doc_id")
+    val bullets = when(id % 5 === 0,
+      transform(col("__l0"), x => concat(lit("- "), x)))
+      .otherwise(col("__l0"))
+    val ell = when(id % 7 === 0,
+      transform(col("__l1"), (x, i) =>
+        when(i % 2 === 0, concat(x, lit(" ..."))).otherwise(x)))
+      .otherwise(col("__l1"))
+    def appended(on: Column, line: String): Column => Column =
+      prev => when(on, concat(prev, array(lit(line)))).otherwise(prev)
+    val planted = Seq(
+      appended(id % 9 === 0, GopherSymbolLine),
+      appended(id % 11 === 0, GopherDigitLine),
+      appended(id % 3 === 0, GopherStopLine),
+      appended(id % 23 === 0, GopherRepeatLine))
+      .foldLeft(col("__l2"): Column)((c, f) => f(c))
+    d.select(col("doc_id"), bullets.as("__l1"))
+      .select(col("doc_id"), ell.as("__l2"))
+      .select(col("doc_id"), concat_ws("\n", planted).as("text"))
+  }
+
+  private[graft] val GopherSymbolLine = "# # # # # #"
+  private[graft] val GopherDigitLine = "12345 67890 314 159 265 358"
+  private[graft] val GopherStopLine = "the of and that have with"
+  private[graft] val GopherRepeatLine = Seq.fill(24)("a").mkString(" ")
+
+  /** Gopher rule-based filtering as a declared query: the full
+    * published rule set ([[graft.text.Gopher]]) over the planted
+    * corpus; per-doc signals (rounded at the edge; flags computed on
+    * the unrounded values — IEEE division is engine-portable), one
+    * 0/1 flag per rule, the composite keep, and the first-failed-rule
+    * drop reason. Map-only: every signal rides the document scan. */
+  def gopherFilter(spark: SparkSession, dir: String): DataFrame = {
+    val v = graft.text.Gopher.verdict(gopherDocs(spark, dir))
+    v.select(
+      col("doc_id"),
+      col("n_words"),
+      round(col("mean_word_len") + lit(1e-9), 6).as("mean_word_len"),
+      round(col("symbol_ratio") + lit(1e-9), 6).as("symbol_ratio"),
+      round(col("alpha_frac") + lit(1e-9), 6).as("alpha_frac"),
+      col("n_stop"),
+      round(col("bullet_frac") + lit(1e-9), 6).as("bullet_frac"),
+      round(col("ellipsis_frac") + lit(1e-9), 6).as("ellipsis_frac"),
+      round(col("dup_line_frac") + lit(1e-9), 6).as("dup_line_frac"),
+      round(col("top_2gram_cov") + lit(1e-9), 6).as("top_2gram_cov"),
+      col("pass_word_count"), col("pass_mean_word_len"),
+      col("pass_symbol_ratio"), col("pass_bullets"),
+      col("pass_ellipsis"), col("pass_alpha_frac"),
+      col("pass_stopwords"), col("pass_repetition"),
+      col("keep"), col("drop_reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SQL fragment building the same planted corpus as [[gopherDocs]] —
+    * produces CTE `gdoc(doc_id, lines, text)`. */
+  private[graft] def gopherSql: String =
+    s"""gt AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+        gl0 AS (SELECT doc_id,
+                 list_transform(
+                   generate_series(1,
+                     greatest(CAST(ceil(len(ws) / 6.0) AS INT), 1)),
+                   i -> array_to_string(
+                          list_slice(ws, (i-1)*6 + 1, (i-1)*6 + 6), ' '))
+                   AS l0
+               FROM gt),
+        gl1 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+                 THEN list_transform(l0, x -> '- ' || x) ELSE l0 END AS l1
+               FROM gl0),
+        gl2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+                 THEN list_transform(generate_series(1, len(l1)),
+                   i -> CASE WHEN i % 2 = 1 THEN l1[i] || ' ...'
+                        ELSE l1[i] END)
+                 ELSE l1 END AS l2
+               FROM gl1),
+        gl3 AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+                 THEN list_append(l2, '$GopherSymbolLine') ELSE l2 END
+                 AS l3 FROM gl2),
+        gl4 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+                 THEN list_append(l3, '$GopherDigitLine') ELSE l3 END
+                 AS l4 FROM gl3),
+        gl5 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                 THEN list_append(l4, '$GopherStopLine') ELSE l4 END
+                 AS l5 FROM gl4),
+        gl6 AS (SELECT doc_id, CASE WHEN doc_id % 23 = 0
+                 THEN list_append(l5, '$GopherRepeatLine') ELSE l5 END
+                 AS lines FROM gl5),
+        gdoc AS (SELECT doc_id, lines,
+                   array_to_string(lines, chr(10)) AS text FROM gl6)"""
+
   /** SQL fragment building the same lined corpus as [[linedDocs]] —
     * interpolated into the oracle twins (single source of the planting
     * spelling). Produces CTE `lined(doc_id, lines)`. */
