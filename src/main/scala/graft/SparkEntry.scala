@@ -183,6 +183,9 @@ object SparkEntry {
     "q_split_leakage"           -> Corpus.splitLeakage _,
     // round 13:
     "q_gopher_filter"           -> Corpus.gopherFilter _,
+    "q_c4_lines"                -> Corpus.c4Lines _,
+    "q_c4_page"                 -> Corpus.c4Page _,
+    "q_c4_clean"                -> Corpus.c4Clean _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -3293,5 +3296,78 @@ object SparkEntry {
                 WHEN pass_repetition = 0 THEN 'repetition'
                 ELSE NULL END AS drop_reason
          FROM fl ORDER BY doc_id""",
+    // C4 line-level cleaning over the planted corpus (Corpus.c4Sql):
+    // the hash covers the rebuilt kept-line text byte-for-byte
+    "q_c4_lines" ->
+      s"""WITH ${graft.ops.Corpus.c4Sql}
+         SELECT doc_id, n_lines,
+                CAST(len(kept) AS BIGINT) AS n_kept,
+                ktext AS text
+         FROM c4kt ORDER BY doc_id""",
+    // C4 page policy: sentence floor on kept lines (one sentence per
+    // kept line on this corpus — every kept line ends in terminal
+    // punctuation and has no internal sentence break), raw-text
+    // bad-word/lorem/brace checks, first-failed reason
+    "q_c4_page" ->
+      s"""WITH ${graft.ops.Corpus.c4Sql},
+         pv AS (SELECT doc_id,
+             CAST(len(kept) AS BIGINT) AS n_sentences,
+             CAST(len(kept) >= 3 AS BIGINT) AS pass_sentences,
+             CAST(NOT regexp_matches(lower(text),
+               '\\b(porn|xxx|sex|viagra|casino|nude|erotic|escort)\\b')
+               AS BIGINT) AS pass_badwords,
+             CAST(NOT contains(lower(text), 'lorem ipsum') AS BIGINT)
+               AS pass_lorem_ipsum,
+             CAST(NOT contains(text, '{') AS BIGINT) AS pass_brace
+           FROM c4kt)
+         SELECT doc_id, n_sentences, pass_sentences, pass_badwords,
+           pass_lorem_ipsum, pass_brace,
+           CAST(pass_sentences * pass_badwords * pass_lorem_ipsum *
+                pass_brace AS BIGINT) AS keep,
+           CASE WHEN pass_sentences = 0 THEN 'sentences'
+                WHEN pass_badwords = 0 THEN 'badwords'
+                WHEN pass_lorem_ipsum = 0 THEN 'lorem_ipsum'
+                WHEN pass_brace = 0 THEN 'brace'
+                ELSE NULL END AS drop_reason
+         FROM pv ORDER BY doc_id""",
+    // the COMPOSED C4 pipeline: line filter → page policy →
+    // three-sentence span dedup (md5 over the U+0001-joined window,
+    // canonical = min(doc_id·10^6 + pos)); hash covers final text
+    "q_c4_clean" ->
+      s"""WITH ${graft.ops.Corpus.c4Sql},
+         kp AS (SELECT doc_id, kept FROM c4kt
+                WHERE len(kept) >= 3
+                  AND NOT regexp_matches(lower(text),
+                    '\\b(porn|xxx|sex|viagra|casino|nude|erotic|escort)\\b')
+                  AND NOT contains(lower(text), 'lorem ipsum')
+                  AND NOT contains(text, '{')),
+         sx AS (SELECT doc_id, i AS spos, kept[i] AS sent FROM kp,
+                LATERAL (SELECT unnest(generate_series(1, len(kept)))
+                         AS i)),
+         wn AS (SELECT doc_id, i AS pos,
+                  md5(kept[i] || chr(1) || kept[i+1] || chr(1) ||
+                      kept[i+2]) AS h,
+                  doc_id * 1000000 + i AS enc
+                FROM kp,
+                LATERAL (SELECT unnest(generate_series(1,
+                           len(kept) - 2)) AS i)),
+         cn AS (SELECT h, count(*) AS c, min(enc) AS k0 FROM wn
+                GROUP BY h),
+         dm AS (SELECT DISTINCT w.doc_id, p.spos
+                FROM wn w JOIN cn ON w.h = cn.h,
+                LATERAL (SELECT unnest([w.pos, w.pos + 1, w.pos + 2])
+                         AS spos) p
+                WHERE cn.c > 1 AND w.enc <> cn.k0),
+         fin AS (SELECT s.doc_id,
+                   string_agg(s.sent, ' ' ORDER BY s.spos) AS text,
+                   CAST(count(*) AS BIGINT) AS n_sent
+                 FROM sx s
+                 WHERE NOT EXISTS (SELECT 1 FROM dm
+                   WHERE dm.doc_id = s.doc_id AND dm.spos = s.spos)
+                 GROUP BY s.doc_id)
+         SELECT f.doc_id, f.text, f.n_sent,
+           CAST(len(kp.kept) - f.n_sent AS BIGINT) AS n_removed
+         FROM fin f JOIN kp ON f.doc_id = kp.doc_id
+         ORDER BY f.doc_id""",
   )
 }

@@ -2159,6 +2159,146 @@ object Corpus {
         gdoc AS (SELECT doc_id, lines,
                    array_to_string(lines, chr(10)) AS text FROM gl6)"""
 
+  // --- C4 cleaning ruleset (round 13) -----------------------------------
+
+  private[graft] val C4TinyLine = "tiny line here."
+  private[graft] val C4JsLine =
+    "please enable javascript to continue viewing."
+  private[graft] val C4BadLine =
+    "casino night winners collect big prizes."
+  private[graft] val C4LoremLine =
+    "lorem ipsum dolor sit amet consectetur."
+  private[graft] val C4BraceLine = "code sample { return value } here."
+  private[graft] val C4SharedLines = Seq(
+    "shared span sentence alpha beta gamma.",
+    "shared span sentence delta epsilon zeta.",
+    "shared span sentence eta theta iota.")
+
+  /** The C4-ruleset test corpus ([[c4Sql]] is the engine twin): the
+    * lined corpus where line i (1-based) gets a terminal period only
+    * when `(doc_id + i) % 4 != 0` (≈25% of lines fail the terminal-
+    * punctuation rule), plus one planted violation per id family:
+    * `%6` a 3-word line (min-words), `%9` a javascript line, `%13` a
+    * bad-word line (page drop), `%17` "lorem ipsum" (page drop),
+    * `%19` a "{" line (page drop), and `%10` a SHARED three-sentence
+    * block — the corpus-level three-sentence span every tenth doc
+    * duplicates, so [[graft.text.C4.spanDedup3]] fires. */
+  private[graft] def c4Docs(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .select(col("doc_id"), transform(
+        sequence(lit(1),
+          greatest(ceil(size(col("__ws")).cast("double") / lit(6.0))
+                     .cast("int"), lit(1))),
+        i => concat_ws(" ", slice(col("__ws"), (i - 1) * 6 + 1, lit(6))))
+        .as("__l0"))
+    val id = col("doc_id")
+    val punct = transform(col("__l0"), (x, i0) =>
+      when((id + i0 + 1) % 4 =!= 0, concat(x, lit("."))).otherwise(x))
+    def appended(on: Column, ls: Seq[String]): Column => Column =
+      prev => when(on, concat(prev, array(ls.map(lit): _*)))
+        .otherwise(prev)
+    val planted = Seq(
+      appended(id % 6 === 0, Seq(C4TinyLine)),
+      appended(id % 9 === 0, Seq(C4JsLine)),
+      appended(id % 13 === 0, Seq(C4BadLine)),
+      appended(id % 17 === 0, Seq(C4LoremLine)),
+      appended(id % 19 === 0, Seq(C4BraceLine)),
+      appended(id % 10 === 0, C4SharedLines))
+      .foldLeft(col("__l1"): Column)((c, f) => f(c))
+    d.select(col("doc_id"), punct.as("__l1"))
+      .select(col("doc_id"), concat_ws("\n", planted).as("text"))
+  }
+
+  /** C4 line-level cleaning as a declared query: kept-line rebuild
+    * plus counts; the hash gate covers the rebuilt text
+    * byte-for-byte. Map-only. */
+  def c4Lines(spark: SparkSession, dir: String): DataFrame =
+    graft.text.C4.cleanLines(c4Docs(spark, dir))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("text"))
+      .orderBy(col("doc_id"))
+
+  /** C4 page-level policy as a declared query: sentence floor on the
+    * line-filtered text, bad-word / lorem-ipsum / brace checks on the
+    * RAW text, first-failed drop reason. Map-only. */
+  def c4Page(spark: SparkSession, dir: String): DataFrame =
+    graft.text.C4.pageVerdict(
+      graft.text.C4.cleanLines(c4Docs(spark, dir)))
+      .select(col("doc_id"), col("n_sentences"),
+        col("pass_sentences"), col("pass_badwords"),
+        col("pass_lorem_ipsum"), col("pass_brace"),
+        col("keep"), col("drop_reason"))
+      .orderBy(col("doc_id"))
+
+  /** The COMPOSED C4 pipeline as a declared query: line filter → page
+    * policy → corpus-level three-sentence span dedup; the hash gate
+    * covers the final rebuilt text of every surviving page. */
+  def c4Clean(spark: SparkSession, dir: String): DataFrame = {
+    val c4 = graft.text.C4
+    val kept = c4.pageVerdict(c4.cleanLines(c4Docs(spark, dir)))
+      .filter(col("keep") === 1L)
+      .select(col("doc_id"), col("text"))
+    c4.spanDedup3(kept).orderBy(col("doc_id"))
+  }
+
+  /** SQL fragment building the same planted corpus as [[c4Docs]] plus
+    * the line-filter stage — produces CTEs `c4doc(doc_id, lines,
+    * text)` and `c4kt(doc_id, n_lines, kept, ktext, text)` (kept-line
+    * array, rebuilt text, raw text). */
+  private[graft] def c4Sql: String = {
+    val shared = C4SharedLines.map(s => s"'$s'").mkString(", ")
+    s"""c0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+        c1 AS (SELECT doc_id,
+                 list_transform(
+                   generate_series(1,
+                     greatest(CAST(ceil(len(ws) / 6.0) AS INT), 1)),
+                   i -> array_to_string(
+                          list_slice(ws, (i-1)*6 + 1, (i-1)*6 + 6), ' '))
+                   AS l0
+               FROM c0),
+        c2 AS (SELECT doc_id,
+                 list_transform(generate_series(1, len(l0)),
+                   i -> CASE WHEN (doc_id + i) % 4 <> 0
+                        THEN l0[i] || '.' ELSE l0[i] END) AS l1
+               FROM c1),
+        c3 AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0
+                 THEN list_append(l1, '$C4TinyLine') ELSE l1 END AS l2
+               FROM c2),
+        c4p AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+                 THEN list_append(l2, '$C4JsLine') ELSE l2 END AS l3
+               FROM c3),
+        c5 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+                 THEN list_append(l3, '$C4BadLine') ELSE l3 END AS l4
+               FROM c4p),
+        c6 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0
+                 THEN list_append(l4, '$C4LoremLine') ELSE l4 END AS l5
+               FROM c5),
+        c7 AS (SELECT doc_id, CASE WHEN doc_id % 19 = 0
+                 THEN list_append(l5, '$C4BraceLine') ELSE l5 END AS l6
+               FROM c6),
+        c8 AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0
+                 THEN list_concat(l6, [$shared]) ELSE l6 END AS lines
+               FROM c7),
+        c4doc AS (SELECT doc_id, lines,
+                    array_to_string(lines, chr(10)) AS text FROM c8),
+        c4k AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+                  list_filter(lines, l ->
+                    (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'
+                     OR l LIKE '%"')
+                    AND len(list_filter(string_split(l, ' '),
+                          x -> x <> '')) >= 5
+                    AND NOT regexp_matches(lower(l),
+                          '\\bjavascript\\b')) AS kept,
+                  text
+                FROM c4doc),
+        c4kt AS (SELECT doc_id, n_lines, kept,
+                   coalesce(array_to_string(kept, chr(10)), '')
+                     AS ktext, text
+                 FROM c4k)"""
+  }
+
   /** SQL fragment building the same lined corpus as [[linedDocs]] —
     * interpolated into the oracle twins (single source of the planting
     * spelling). Produces CTE `lined(doc_id, lines)`. */
