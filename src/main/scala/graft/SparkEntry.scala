@@ -186,6 +186,7 @@ object SparkEntry {
     "q_c4_lines"                -> Corpus.c4Lines _,
     "q_c4_page"                 -> Corpus.c4Page _,
     "q_c4_clean"                -> Corpus.c4Clean _,
+    "q_source_overlap"          -> Corpus.sourceOverlap _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -3369,5 +3370,50 @@ object SparkEntry {
            CAST(len(kp.kept) - f.n_sent AS BIGINT) AS n_removed
          FROM fin f JOIN kp ON f.doc_id = kp.doc_id
          ORDER BY f.doc_id""",
+    // bottom-64 KMV sketches per source over distinct 3-shingle md5s,
+    // then pairwise Jaccard/containment from the sketches alone —
+    // seed-free, so the twin replays the estimator exactly
+    "q_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws
+                    FROM documents),
+         sh AS (SELECT source,
+                  md5(array_to_string(list_slice(ws, i, i + 2), ' '))
+                    AS h
+                FROM w,
+                LATERAL (SELECT unnest(generate_series(1,
+                           greatest(len(ws) - 2, 1))) AS i)),
+         d AS (SELECT DISTINCT source, h FROM sh),
+         r AS (SELECT source, h, row_number() OVER
+                 (PARTITION BY source ORDER BY h) AS rn FROM d),
+         sk AS (SELECT source, list(h ORDER BY h) AS sketch
+                FROM r WHERE rn <= 64 GROUP BY source),
+         p AS (SELECT a.source AS src_a, b.source AS src_b,
+                      a.sketch AS sa, b.sketch AS sb
+               FROM sk a JOIN sk b ON a.source < b.source),
+         e AS (SELECT src_a, src_b, sa, sb,
+                 list_slice(list_sort(list_distinct(
+                   list_concat(sa, sb))), 1, 64) AS u
+               FROM p),
+         c AS (SELECT src_a, src_b,
+                 CAST(len(u) AS BIGINT) AS n_union,
+                 CAST(len(list_filter(u, h ->
+                   list_contains(sa, h) AND list_contains(sb, h)))
+                   AS BIGINT) AS n_common,
+                 CAST(len(list_filter(u, h -> list_contains(sa, h)))
+                   AS BIGINT) AS n_a,
+                 CAST(len(list_filter(u, h -> list_contains(sb, h)))
+                   AS BIGINT) AS n_b
+               FROM e)
+         SELECT src_a, src_b, n_union, n_common, n_a, n_b,
+           round(CASE WHEN n_union = 0 THEN 0.0
+                 ELSE CAST(n_common AS DOUBLE) / n_union END
+                 + 0.000000001, 6) AS j_est,
+           round(CASE WHEN n_a = 0 THEN 0.0
+                 ELSE CAST(n_common AS DOUBLE) / n_a END
+                 + 0.000000001, 6) AS c_ab,
+           round(CASE WHEN n_b = 0 THEN 0.0
+                 ELSE CAST(n_common AS DOUBLE) / n_b END
+                 + 0.000000001, 6) AS c_ba
+         FROM c ORDER BY src_a, src_b""",
   )
 }

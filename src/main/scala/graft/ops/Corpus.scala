@@ -2299,6 +2299,27 @@ object Corpus {
                  FROM c4k)"""
   }
 
+  /** Source-pair corpus-overlap matrix as a declared query: bottom-64
+    * KMV sketches over distinct 3-shingle md5s per source (the
+    * mergeable typed Aggregator — state ≤ 64 strings, map-side
+    * combined), then pairwise Jaccard/containment estimates from the
+    * sketches alone ([[graft.dedup.OverlapSketch]]). The estimator is
+    * seed-free and deterministic, so the DuckDB twin replays it
+    * exactly (row_number bottom-k + list ops) and the hash gate
+    * covers the production Aggregator end to end. The testdata
+    * sources overlap ORGANICALLY (shared soup vocabulary) — no
+    * planting needed for a non-vacuous matrix. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("source"), col("text"))
+    graft.dedup.OverlapSketch.sourceOverlap(d, k = 64)
+      .select(col("key_a").as("src_a"), col("key_b").as("src_b"),
+        col("n_union"), col("n_common"), col("n_a"), col("n_b"),
+        round(col("j_est") + lit(1e-9), 6).as("j_est"),
+        round(col("c_ab") + lit(1e-9), 6).as("c_ab"),
+        round(col("c_ba") + lit(1e-9), 6).as("c_ba"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** SQL fragment building the same lined corpus as [[linedDocs]] —
     * interpolated into the oracle twins (single source of the planting
     * spelling). Produces CTE `lined(doc_id, lines)`. */
