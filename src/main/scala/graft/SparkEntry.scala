@@ -187,6 +187,8 @@ object SparkEntry {
     "q_c4_page"                 -> Corpus.c4Page _,
     "q_c4_clean"                -> Corpus.c4Clean _,
     "q_source_overlap"          -> Corpus.sourceOverlap _,
+    "q_wet_extract"             -> Corpus.wetExtract _,
+    "q_wat_metadata"            -> Corpus.watMetadata _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -3415,5 +3417,31 @@ object SparkEntry {
                  ELSE CAST(n_common AS DOUBLE) / n_b END
                  + 0.000000001, 6) AS c_ba
          FROM c ORDER BY src_a, src_b""",
+    // WET conversion-record text surface (id-arithmetic twin of the
+    // authored fixture — the q_warc_extract pattern); the warcinfo
+    // header record must not leak a row
+    "q_wet_extract" ->
+      """WITH p AS (SELECT range AS id FROM range(20)),
+         t AS (SELECT id,
+                 'extracted text for page ' || id || ' alpha' ||
+                   (id % 5) ||
+                   repeat(' tail', CAST(id % 4 AS INT)) AS text
+               FROM p)
+         SELECT 'http://wet' || (id % 5) || '.example/p' || id
+                  AS target_uri,
+                text,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(6 + id % 4 AS BIGINT) AS n_tokens
+         FROM t ORDER BY target_uri""",
+    // WAT JSON-envelope extraction (title, link census) — the twin
+    // replays the id arithmetic the fixture's envelope was built from
+    "q_wat_metadata" ->
+      """WITH p AS (SELECT range AS id FROM range(20))
+         SELECT 'http://w' || (id % 5) || '.example/p' || id
+                  AS target_uri,
+                'Page ' || id AS title,
+                CAST(1 + id % 3 AS BIGINT) AS n_links,
+                'http://l0.example/x' || id AS first_link
+         FROM p ORDER BY target_uri""",
   )
 }

@@ -2299,6 +2299,90 @@ object Corpus {
                  FROM c4k)"""
   }
 
+  /** Fixture for [[wetExtract]]: two WET shards (one plain, one
+    * record-per-member gzip — both real Common Crawl layouts), each a
+    * `warcinfo` header record plus 10 `conversion` records whose
+    * text payload is id arithmetic. */
+  private lazy val wetFixtureCached: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wet")
+    def text(id: Long): String =
+      s"extracted text for page $id alpha${id % 5}" +
+        (" tail" * (id % 4).toInt)
+    (0 until 2).foreach { f =>
+      val recs = ("warcinfo", null,
+        "2024-03-01T00:00:00Z", s"<urn:uuid:info$f>",
+        "software: graft-wet 1.0\r\nisPartOf: graft-test\r\n") +:
+        (0 until 10).map { r =>
+          val id = f * 10L + r
+          ("conversion", s"http://wet${id % 5}.example/p$id",
+           "2024-03-01T00:00:00Z", s"<urn:uuid:wet$id>", text(id))
+        }
+      java.nio.file.Files.write(
+        tmp.resolve(s"shard$f.warc.wet" + (if (f == 1) ".gz" else "")),
+        graft.sources.Warc.writeWarc(recs, gzipPerRecord = f == 1))
+    }
+    tmp.toString
+  }
+
+  /** WET extraction as a declared query: the conversion-record text
+    * surface of [[graft.sources.Warc.readWet]], with char/token
+    * counts; the warcinfo record must NOT leak into the rows. */
+  def wetExtract(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Warc.readWet(spark, wetFixtureCached)
+      .select(col("target_uri"), col("text"),
+        length(col("text")).cast("long").as("n_chars"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy(col("target_uri"))
+
+  /** Fixture for [[watMetadata]]: one WAT shard — a `warcinfo`
+    * record plus 20 `metadata` records carrying the Common Crawl
+    * JSON envelope (header metadata + HTML title + links), built by
+    * id arithmetic. */
+  private lazy val watFixtureCached: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wat")
+    def envelope(id: Long): String = {
+      val links = (0 until (1 + (id % 3)).toInt).map { k =>
+        s"""{"url":"http://l$k.example/x$id","text":"L$id-$k"}"""
+      }.mkString(",")
+      s"""{"Envelope":{"WARC-Header-Metadata":{""" +
+        s""""WARC-Target-URI":"http://w${id % 5}.example/p$id",""" +
+        s""""WARC-Date":"2024-03-01T00:00:00Z"},""" +
+        s""""Payload-Metadata":{"HTTP-Response-Metadata":{""" +
+        s""""HTML-Metadata":{"Head":{"Title":"Page $id"},""" +
+        s""""Links":[$links]}}}}}"""
+    }
+    val recs = ("warcinfo", null,
+      "2024-03-01T00:00:00Z", "<urn:uuid:infowat>",
+      "software: graft-wat 1.0\r\n") +:
+      (0 until 20).map { id =>
+        ("metadata", s"http://w${id % 5}.example/p$id",
+         "2024-03-01T00:00:00Z", s"<urn:uuid:wat$id>",
+         envelope(id))
+      }
+    java.nio.file.Files.write(tmp.resolve("shard0.warc.wat"),
+      graft.sources.Warc.writeWarc(recs))
+    tmp.toString
+  }
+
+  /** WAT metadata extraction as a declared query: title, link count,
+    * and first link pulled from the JSON envelope with codegen'd
+    * `get_json_object` paths — no UDF, no schema pin on the
+    * version-skewed envelope. */
+  def watMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val html = "$['Envelope']['Payload-Metadata']" +
+      "['HTTP-Response-Metadata']['HTML-Metadata']"
+    graft.sources.Warc.readWat(spark, watFixtureCached)
+      .select(col("target_uri"),
+        get_json_object(col("json"), s"$html['Head']['Title']")
+          .as("title"),
+        json_array_length(
+          get_json_object(col("json"), s"$html['Links']"))
+          .cast("long").as("n_links"),
+        get_json_object(col("json"), s"$html['Links'][0]['url']")
+          .as("first_link"))
+      .orderBy(col("target_uri"))
+  }
+
   /** Source-pair corpus-overlap matrix as a declared query: bottom-64
     * KMV sketches over distinct 3-shingle md5s per source (the
     * mergeable typed Aggregator — state ≤ 64 strings, map-side

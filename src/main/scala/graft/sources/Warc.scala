@@ -159,19 +159,34 @@ object Warc {
                 case null => ()
                 case (hh, _) => reqLine = hh.getOrElse("", null)
               }
-            else if (wtype == "warcinfo" || wtype == "metadata")
-              // application/warc-fields: "Name: value" lines — the
-              // crawl's self-description (software, isPartOf, …)
-              fields = new String(payload, StandardCharsets.UTF_8)
-                .split("\r?\n").iterator
-                .flatMap { l =>
-                  val c = l.indexOf(':')
-                  if (c <= 0) None
-                  else Some(
-                    l.substring(0, c).trim
-                      .toLowerCase(java.util.Locale.ROOT) ->
-                      l.substring(c + 1).trim)
-                }.toMap
+            else if (wtype == "conversion") {
+              // WET (Common Crawl extracted text): the payload IS the
+              // text — no HTTP block; Content-Type is the WARC
+              // record's own header (text/plain)
+              body = payload
+              ctype = h.getOrElse("content-type", null)
+            } else if (wtype == "warcinfo" || wtype == "metadata") {
+              if (wtype == "metadata" && payload.length > 0 &&
+                  payload(0) == '{') {
+                // WAT (Common Crawl metadata): a JSON envelope, not
+                // warc-fields — surface the raw JSON for Spark-side
+                // get_json_object extraction
+                body = payload
+                ctype = h.getOrElse("content-type", null)
+              } else
+                // application/warc-fields: "Name: value" lines — the
+                // crawl's self-description (software, isPartOf, …)
+                fields = new String(payload, StandardCharsets.UTF_8)
+                  .split("\r?\n").iterator
+                  .flatMap { l =>
+                    val c = l.indexOf(':')
+                    if (c <= 0) None
+                    else Some(
+                      l.substring(0, c).trim
+                        .toLowerCase(java.util.Locale.ROOT) ->
+                        l.substring(c + 1).trim)
+                  }.toMap
+            }
             // past the payload and the \r\n\r\n record separator
             i = (bodyStart + len).toInt
             while (i + 1 < bytes.length &&
@@ -337,6 +352,32 @@ object Warc {
             "http_headers")
   }
 
+  /** Read WET shards (Common Crawl extracted-text sidecars: WARC
+    * files of `conversion` records whose payload is the page text) →
+    * `(warc_file, target_uri, warc_date, record_id, text)`. The same
+    * walker as [[readWarc]] — WET is WARC syntax — filtered to the
+    * conversion records, payload decoded as UTF-8 (the WET
+    * contract). Map-shaped per shard, like every source here. */
+  def readWet(spark: SparkSession, path: String): DataFrame =
+    readWarc(spark, path)
+      .filter(col("warc_type") === "conversion")
+      .select(col("warc_file"), col("target_uri"), col("warc_date"),
+        col("record_id"), decode(col("body"), "UTF-8").as("text"))
+
+  /** Read WAT shards (Common Crawl metadata sidecars: WARC files of
+    * `metadata` records carrying a JSON envelope) → `(warc_file,
+    * target_uri, warc_date, record_id, json)`. Field extraction is
+    * the caller's `get_json_object` over `json` — the envelope is
+    * deeply nested and version-skewed, so the source stays schema-
+    * free and extraction stays declarative (codegen'd JSON path
+    * evaluation, no UDF). */
+  def readWat(spark: SparkSession, path: String): DataFrame =
+    readWarc(spark, path)
+      .filter(col("warc_type") === "metadata" &&
+        col("content_type").contains("json"))
+      .select(col("warc_file"), col("target_uri"), col("warc_date"),
+        col("record_id"), decode(col("body"), "UTF-8").as("json"))
+
   // ---- CDX indexing ------------------------------------------------
 
   /** One index row: the record, its byte extent in the FILE (the
@@ -432,7 +473,10 @@ object Warc {
       hdr.append("WARC-Date: ").append(date).append(Crlf)
         .append("WARC-Record-ID: ").append(rid).append(Crlf)
         .append("Content-Type: ").append(wtype match {
+          case "metadata" if payload.length > 0 && payload(0) == '{' =>
+            "application/json"
           case "warcinfo" | "metadata" => "application/warc-fields"
+          case "conversion" => "text/plain"
           case "request" => "application/http; msgtype=request"
           case _ => "application/http; msgtype=response"
         }).append(Crlf)

@@ -121,6 +121,48 @@ class WarcSpec extends AnyFunSuite {
     assert(!hdrs.contains("")) // the status line stays out of the map
   }
 
+  test("WET conversion records surface their text payload") {
+    val bytes = Warc.writeWarc(Seq(
+      ("warcinfo", null, "2024-01-01T00:00:00Z", "<urn:uuid:i>",
+       "software: graft\r\n"),
+      ("conversion", "http://ex.org/a", "2024-01-01T00:00:00Z",
+       "<urn:uuid:c1>", "the extracted page text"),
+      ("conversion", "http://ex.org/b", "2024-01-01T00:00:00Z",
+       "<urn:uuid:c2>", "another page entirely")))
+    val tmp = java.nio.file.Files.createTempDirectory("wet_spec")
+    java.nio.file.Files.write(tmp.resolve("s.warc.wet"), bytes)
+    val rows = Warc.readWet(spark, tmp.toString)
+      .select("target_uri", "text")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map("http://ex.org/a" -> "the extracted page text",
+      "http://ex.org/b" -> "another page entirely"))
+    // the conversion record carries the WARC-level content type
+    val ct = Warc.readWarc(spark, tmp.toString)
+      .filter(col("warc_type") === "conversion")
+      .select("content_type").collect().map(_.getString(0)).toSet
+    assert(ct == Set("text/plain"))
+  }
+
+  test("WAT JSON metadata surfaces as raw json; warc-fields still parse") {
+    val bytes = Warc.writeWarc(Seq(
+      ("metadata", "http://ex.org/j", "2024-01-01T00:00:00Z",
+       "<urn:uuid:j>", """{"Envelope":{"k":"v"}}"""),
+      ("metadata", "http://ex.org/f", "2024-01-01T00:00:00Z",
+       "<urn:uuid:f>", "fetchTimeMs: 120\r\n")))
+    val tmp = java.nio.file.Files.createTempDirectory("wat_spec")
+    java.nio.file.Files.write(tmp.resolve("s.warc.wat"), bytes)
+    val wat = Warc.readWat(spark, tmp.toString).collect()
+    assert(wat.length == 1)
+    assert(get_json_object(lit("""{"Envelope":{"k":"v"}}"""),
+      "$['Envelope']['k']") != null) // path syntax sanity
+    assert(wat.head.getString(4) == """{"Envelope":{"k":"v"}}""")
+    // the warc-fields metadata record still parses to the fields map
+    val f = Warc.readWarc(spark, tmp.toString)
+      .filter(col("target_uri") === "http://ex.org/f")
+      .select("warc_fields").collect().head.getMap[String, String](0)
+    assert(f("fetchtimems") == "120")
+  }
+
   test("truncated gzip member quarantines, does not throw") {
     val gz = Warc.writeWarc(recs(3), gzipPerRecord = true)
     val cut = gz.take(gz.length - 15)
