@@ -189,6 +189,7 @@ object SparkEntry {
     "q_source_overlap"          -> Corpus.sourceOverlap _,
     "q_wet_extract"             -> Corpus.wetExtract _,
     "q_wat_metadata"            -> Corpus.watMetadata _,
+    "q_script_detect"           -> Corpus.scriptDetect _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -269,6 +270,7 @@ object SparkEntry {
       // path, so it shares q_incremental_dedup's oracle verbatim
       ("q_incremental_dedup_index" ->
         baseOracleSql("q_incremental_dedup")) +
+      ("q_script_detect" -> scriptDetectOracle) +
       ("q_pagerank" -> pageRankOracle(5)) +
       ("q_hits" -> hitsOracle(3)) +
       ("q_profile" -> profileOracle) +
@@ -474,6 +476,54 @@ object SparkEntry {
                    UNION ALL SELECT y FROM t)
          SELECT id AS doc_id, count(*) AS n_triangles
          FROM verts GROUP BY 1 ORDER BY 1"""
+
+  /** `q_script_detect`'s twin, generated from the SAME constants the
+    * Spark query plants with ([[Corpus.ScriptPlants]] /
+    * [[graft.text.Scripts.Ranges]]): per-range counts via
+    * regexp_extract_all, argmax dominance in Ranges order, the
+    * mixed-script flag on unrounded IEEE arithmetic. */
+  private def scriptDetectOracle: String = {
+    val ranges = graft.text.Scripts.Ranges.toMap
+    val appends = Corpus.ScriptPlants.map { case (m, s) =>
+      s"|| (CASE WHEN doc_id % $m = 0 THEN ' $s' ELSE '' END)"
+    }.mkString("\n           ")
+    val countCols = Corpus.ScriptSet.map { s =>
+      s"CAST(len(regexp_extract_all(text, '${ranges(s)}')) AS BIGINT)" +
+        s" AS n_$s"
+    }.mkString(",\n             ")
+    val total = Corpus.ScriptSet.map(s => s"n_$s").mkString(" + ")
+    val best = s"greatest(${Corpus.ScriptSet.map(s => s"n_$s")
+      .mkString(", ")})"
+    val domCase = Corpus.ScriptSet.init.map(s =>
+      s"WHEN n_$s = best THEN '$s'").mkString("\n                ")
+    s"""WITH s0 AS (SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN array_to_string(
+               list_transform(
+                 generate_series(1, CAST(1 + doc_id % 3 AS INT)),
+                 i -> '${Corpus.ScriptOverride}'), ' ')
+             ELSE text END AS t0
+           FROM documents),
+         sd AS (SELECT doc_id, t0
+           $appends
+           AS text FROM s0),
+         c AS (SELECT doc_id,
+             $countCols
+           FROM sd),
+         g AS (SELECT *, $total AS n_scripted, $best AS best FROM c)
+         SELECT doc_id,
+           ${Corpus.ScriptSet.map(s => s"n_$s").mkString(", ")},
+           n_scripted,
+           CASE WHEN n_scripted = 0 THEN 'none'
+                $domCase
+                ELSE '${Corpus.ScriptSet.last}' END AS dominant,
+           round(CASE WHEN n_scripted = 0 THEN 0.0
+                 ELSE CAST(best AS DOUBLE) / n_scripted END
+                 + 0.000000001, 6) AS dom_frac,
+           CAST(n_scripted > 0 AND
+                CAST(n_scripted - best AS DOUBLE) >
+                CAST(n_scripted AS DOUBLE) * 0.1 AS BIGINT) AS mixed
+         FROM g ORDER BY doc_id"""
+  }
 
   private def pageRankOracle(iters: Int): String = {
     val steps = (1 to iters).map { i =>

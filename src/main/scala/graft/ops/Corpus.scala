@@ -2383,6 +2383,54 @@ object Corpus {
       .orderBy(col("target_uri"))
   }
 
+  /** Per-script plants for [[scriptDetect]]: `(modulus, snippet)` —
+    * appended to `doc_id % modulus == 0` docs; `%13` docs are fully
+    * REWRITTEN in Cyrillic first (`ScriptOverride`, repeated
+    * `1 + id%3` times) so the dominant script flips for some docs,
+    * not just the counts. */
+  private[graft] val ScriptPlants: Seq[(Int, String)] = Seq(
+    3 -> "привет мир как дела сегодня",
+    5 -> "统计分析引擎测试文本",
+    7 -> "αλφα βητα γαμμα δελτα",
+    11 -> "مرحبا بالعالم اليوم",
+    17 -> "한국어 텍스트 예시",
+    19 -> "にほんごのてきすと")
+  private[graft] val ScriptOverride =
+    "русский текст документа целиком без латиницы"
+
+  private[graft] val ScriptSet: Seq[String] = Seq(
+    "latin", "cyrillic", "greek", "arabic", "cjk", "hangul", "kana")
+
+  /** Unicode-script profiling as a declared query
+    * ([[graft.text.Scripts]]): per-script character counts, the
+    * dominant script, its share, and the mixed-script flag over the
+    * planted multilingual corpus. Map-only — `regexp_count` per
+    * range, riding the scan. */
+  def scriptDetect(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val overridden = when(id % 13 === 0,
+      concat_ws(" ", array_repeat(lit(ScriptOverride),
+        (id % 3 + 1).cast("int"))))
+      .otherwise(col("text"))
+    val planted = ScriptPlants.foldLeft(overridden) {
+      case (t, (m, snippet)) =>
+        when(id % m === 0, concat(t, lit(" " + snippet))).otherwise(t)
+    }
+    val p = graft.text.Scripts.scriptProfile(col("text"), ScriptSet)
+    docs(spark, dir)
+      .select(id, planted.as("text"))
+      .select(id, p.as("p"),
+        graft.text.Scripts.mixedScript(col("text"),
+          scripts = ScriptSet).cast("long").as("mixed"))
+      .select((Seq(id) ++
+        ScriptSet.map(s => col(s"p.n_$s").as(s"n_$s")) ++
+        Seq(col("p.n_scripted").as("n_scripted"),
+          col("p.dominant").as("dominant"),
+          round(col("p.dom_frac") + lit(1e-9), 6).as("dom_frac"),
+          col("mixed"))): _*)
+      .orderBy(id)
+  }
+
   /** Source-pair corpus-overlap matrix as a declared query: bottom-64
     * KMV sketches over distinct 3-shingle md5s per source (the
     * mergeable typed Aggregator — state ≤ 64 strings, map-side
