@@ -190,6 +190,7 @@ object SparkEntry {
     "q_wet_extract"             -> Corpus.wetExtract _,
     "q_wat_metadata"            -> Corpus.watMetadata _,
     "q_script_detect"           -> Corpus.scriptDetect _,
+    "q_lm_tiers"                -> Corpus.lmTiers _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -3483,6 +3484,42 @@ object SparkEntry {
                 CAST(length(text) AS BIGINT) AS n_chars,
                 CAST(6 + id % 4 AS BIGINT) AS n_tokens
          FROM t ORDER BY target_uri""",
+    // CCNet terciles: q_select_top_quality's scored CTEs + two
+    // quantile_cont cutoffs; tier tags on unrounded IEEE values
+    "q_lm_tiers" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         raws AS (SELECT doc_id, ws[i] AS a,
+                         ws[i] || ' ' || ws[i+1] AS ab
+                  FROM t,
+                  LATERAL (SELECT unnest(generate_series(1,
+                             len(ws) - 1)) AS i)),
+         tgt AS (SELECT * FROM t WHERE doc_id % 4 = 0),
+         tbg AS (SELECT ab, count(*) AS cab FROM (
+                   SELECT ws[i] || ' ' || ws[i+1] AS ab FROM tgt,
+                   LATERAL (SELECT unnest(generate_series(1,
+                              len(ws) - 1)) AS i))
+                 GROUP BY ab),
+         tug AS (SELECT a, count(*) AS ca FROM
+                 (SELECT unnest(ws) AS a FROM tgt) GROUP BY a),
+         v AS (SELECT count(*) + 1 AS v FROM tug),
+         w AS (SELECT raws.doc_id,
+                 CAST(round((ln(coalesce(cab, 0) + 1.0) -
+                             ln(coalesce(ca, 0) + v.v))
+                            * 1048576.0) AS BIGINT) AS w
+               FROM raws LEFT JOIN tbg ON raws.ab = tbg.ab
+               LEFT JOIN tug ON raws.a = tug.a CROSS JOIN v),
+         scored AS (SELECT doc_id,
+                      CAST(sum(w) AS DOUBLE) / count(*) AS mean_ll
+                    FROM w GROUP BY doc_id),
+         thr AS (SELECT quantile_cont(mean_ll, 2.0 / 3.0) AS thi,
+                        quantile_cont(mean_ll, 1.0 / 3.0) AS tlo
+                 FROM scored)
+         SELECT doc_id, round(mean_ll + 0.000000001, 6) AS mean_ll,
+           CASE WHEN mean_ll >= thi THEN 'head'
+                WHEN mean_ll >= tlo THEN 'middle'
+                ELSE 'tail' END AS tier
+         FROM scored, thr ORDER BY doc_id""",
     // WAT JSON-envelope extraction (title, link census) — the twin
     // replays the id arithmetic the fixture's envelope was built from
     "q_wat_metadata" ->

@@ -1872,6 +1872,21 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet head/middle/tail tiers as a declared query: the %4 target
+    * LM of [[lmScore]], mean log-likelihood terciles via two exact
+    * distributed percentiles ([[graft.pipelines.NgramLm.tiers]]) —
+    * the bucketing CCNet publishes (head = most Wikipedia-like
+    * third). */
+  def lmTiers(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.pipelines.NgramLm
+      .tiers(d, d.filter(col("doc_id") % 4 === 0))
+      .select(col("doc_id"),
+        round(col("mean_ll") + lit(1e-9), 6).as("mean_ll"),
+        col("tier"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The corpus → training-sequences COMPOSITION as a declared query:
     * [[graft.pipelines.Curation.prepareTrainingData]] with default
     * config (curate → pack-and-chunk, no LM stage — selection is

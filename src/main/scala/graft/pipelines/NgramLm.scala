@@ -96,4 +96,36 @@ object NgramLm {
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("ll_q"))
   }
+
+  /** CCNet's head/middle/tail quality tiers (Wenzek et al. 2020 §4.3):
+    * tercile the corpus by mean log-likelihood under the target LM —
+    * `head` = most target-like third, `tail` = least. Returns
+    * (idCol, mean_ll, tier).
+    *
+    * The cutoffs are TWO exact distributed percentiles in one
+    * aggregate + a one-row crossJoin tag pass — no global sort, no
+    * single-partition window; at 100 TB swap `percentile` for
+    * `approx_percentile` exactly as [[Splitting
+    * .selectTopFractionApprox]] does (same ulp-at-the-boundary caveat
+    * as the Splitting scaladoc; the oracle hash gate verifies the
+    * clean-threshold case every round). */
+  def tiers(raw: DataFrame, target: DataFrame,
+            textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    // scores feed the threshold aggregate AND the tag pass — own the
+    // LM scoring once (narrow rows, |docs|-bounded)
+    val scored = score(raw, target, textCol, idCol)
+      .select(col(idCol),
+        (col("ll_q").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_ll"))
+      .localCheckpoint(false)
+    val thr = scored.agg(
+      percentile(col("mean_ll"), lit(2.0 / 3.0)).as("__thi"),
+      percentile(col("mean_ll"), lit(1.0 / 3.0)).as("__tlo"))
+    scored.crossJoin(thr)
+      .select(col(idCol), col("mean_ll"),
+        when(col("mean_ll") >= col("__thi"), "head")
+          .when(col("mean_ll") >= col("__tlo"), "middle")
+          .otherwise("tail").as("tier"))
+  }
 }

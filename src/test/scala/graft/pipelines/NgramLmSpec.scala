@@ -64,4 +64,42 @@ class NgramLmSpec extends AnyFunSuite {
       s"junk docs must score below the corpus mean ($junkMax >= $corpusMean)")
     scored.unpersist()
   }
+
+  test("tiers: terciles partition the corpus; head outranks tail") {
+    val d = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val t = NgramLm.tiers(d, d.filter(col("doc_id") % 4 === 0)).cache()
+    val n = t.count()
+    val byTier = t.groupBy("tier").count()
+      .as[(String, Long)].collect().toMap
+    assert(byTier.keySet == Set("head", "middle", "tail"))
+    // percentile cutoffs: each tier within ±2 of n/3 on distinct scores
+    byTier.values.foreach(c => assert(math.abs(c - n / 3.0) <= 2.0,
+      s"tier sizes $byTier for n=$n"))
+    val minHead = t.filter(col("tier") === "head")
+      .agg(min("mean_ll")).head().getDouble(0)
+    val maxTail = t.filter(col("tier") === "tail")
+      .agg(max("mean_ll")).head().getDouble(0)
+    assert(minHead > maxTail)
+    t.unpersist()
+  }
+
+  test("tiers: planted junk never reaches the head tier") {
+    // note: add-1 smoothing without backoff gives fully-OOV junk
+    // exactly -ln(V) per bigram, which can BEAT a real doc whose
+    // contexts are frequent but bigrams unseen (ln 1/(ca+V)) — the
+    // known add-one artifact — so junk lands in middle-or-tail, and
+    // the head tier (docs with actually-seen target bigrams) stays
+    // clean of it.
+    val d = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val junk = spark.range(900000, 900008).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 to 30).map(i =>
+        concat(lit(s"zz$i"), col("id"))): _*).as("text"))
+    val t = NgramLm.tiers(d.union(junk),
+      d.filter(col("doc_id") % 4 === 0))
+    val junkTiers = t.filter(col("doc_id") >= 900000)
+      .select("tier").as[String].collect().toSet
+    assert(!junkTiers.contains("head"), s"junk in head: $junkTiers")
+  }
 }
