@@ -41,4 +41,22 @@ object StreamingSketch {
       .select(col("n").as("n_rows"),
               explode(col("counters")).as(Seq("key", "lower_bound")))
   }
+
+  /** Streaming corpus-overlap sketches: the bottom-k KMV aggregate
+    * ([[graft.dedup.OverlapSketch.BottomK]]) maintained LIVE per
+    * source over an ingest stream — "how much does what is arriving
+    * overlap what we already hold" answered while the crawl runs, by
+    * pairing these sketches against the landed corpus's stored ones
+    * ([[graft.dedup.OverlapSketch.pairwiseEstimates]]). Same
+    * bounded-state argument as the heavy-key watch: the aggregate
+    * buffer is ≤ k strings PER SOURCE however unbounded the stream,
+    * and the merge is order-free, so complete-mode re-emission is
+    * safe and deterministic. Emits `(keyCol, sketch)`. */
+  def overlapSketchStream(rows: DataFrame, keyCol: String,
+                          hashCol: String, k: Int): DataFrame = {
+    val agg = org.apache.spark.sql.functions
+      .udaf(new graft.dedup.OverlapSketch.BottomK(k))
+    rows.groupBy(col(keyCol))
+      .agg(agg(col(hashCol)).getField("hashes").as("sketch"))
+  }
 }

@@ -42,6 +42,28 @@ class StreamingSketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bottom-k overlap sketch equals the batch sketch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val sk = StreamingSketch.overlapSketchStream(
+      in.toDF().toDF("src", "h"), "src", "h", k = 4)
+    val q = sk.writeStream.format("memory")
+      .queryName("overlap_watch").outputMode("complete").start()
+    def data(b: Int) = (0 until 10).flatMap(i =>
+      Seq("a" -> f"h${(i * 7 + b) % 13}%02d", "b" -> f"h${i + b * 3}%02d"))
+    try {
+      in.addData(data(0)); q.processAllAvailable()
+      in.addData(data(1)); q.processAllAvailable()
+      val streamed = spark.table("overlap_watch")
+        .as[(String, Seq[String])].collect().toMap
+      val batch = graft.dedup.OverlapSketch.sketchByKey(
+        (data(0) ++ data(1)).toDF("src", "h"), "src", "h", 4)
+        .as[(String, Seq[String])].collect().toMap
+      assert(streamed == batch)
+      assert(streamed.values.forall(s => s.size <= 4 && s == s.sorted))
+    } finally q.stop()
+  }
+
   test("stream candidates agree with the batch sketch's guarantee set") {
     val all = (batch(0) ++ batch(1)).toDF("key")
     val batchHeavy = graft.ops.Frequent
