@@ -39,7 +39,14 @@ object Curation {
       // (Gopher repetition signal, native kernel) exceeds this; 1.0 =
       // off (the gate is not even planned, keeping defaults
       // byte-stable AND kernel-pass-free)
-      maxDupLineFrac: Double = 1.0)
+      maxDupLineFrac: Double = 1.0,
+      // round-13 opt-in rule policies (defaults None keep every
+      // existing oracle byte-stable): C4 cleans LINES and drops pages
+      // BEFORE scoring (it rewrites text, so scoring/dedup must see
+      // the cleaned form); Gopher is a doc-level keep/drop after the
+      // heuristic filters.
+      c4: Option[graft.text.C4.Config] = None,
+      gopher: Option[graft.text.Gopher.Config] = None)
 
   /** Curate `docs` (needs `doc_id`, `text`). Output: surviving rows
     * with `detected` (language) and `quality` appended — plus
@@ -52,10 +59,20 @@ object Curation {
   def curate(docs: DataFrame, cfg: Config = Config(),
              model: Option[graft.ml.QualityModel.Fitted] = None)
       : DataFrame = {
-    val input =
+    val redacted =
       if (cfg.redactPii)
         docs.withColumn("text", Text.redactPii(col("text")))
       else docs
+    val input = cfg.c4 match {
+      case Some(c4cfg) =>
+        val c4 = graft.text.C4
+        c4.pageVerdict(c4.cleanLines(redacted, c4cfg), c4cfg)
+          .filter(col("keep") === 1L)
+          .drop("raw_text", "n_lines", "n_kept", "n_sentences",
+            "pass_sentences", "pass_badwords", "pass_lorem_ipsum",
+            "pass_brace", "keep", "drop_reason")
+      case None => redacted
+    }
     val scored = input
       .withColumn("toks", Text.tokenize(col("text")))
       .withColumn("detected",
@@ -67,11 +84,15 @@ object Curation {
       .filter(col("detected").isin(cfg.langs.toSeq: _*))
       .filter(col("quality") >= lit(cfg.minQuality))
       .filter(Text.urlCount(col("text")) <= lit(cfg.maxUrls))
-    val filtered =
+    val repFiltered =
       if (cfg.maxDupLineFrac < 1.0)
         heurFiltered.filter(
           Text.dupLineFrac(col("text")) <= lit(cfg.maxDupLineFrac))
       else heurFiltered
+    val filtered = cfg.gopher match {
+      case Some(gcfg) => graft.text.Gopher.filterDocs(repFiltered, gcfg)
+      case None => repFiltered
+    }
     val mlFiltered = model match {
       case Some(m) =>
         m.score(filtered).filter(col("ml_quality") >= lit(cfg.minMlQuality))

@@ -160,6 +160,49 @@ class CurationSpec extends AnyFunSuite {
     assert(ing.filter(col("doc_id") === 900001L).count() == 0)
   }
 
+  test("opt-in C4 stage: pages drop on policy, scoring sees cleaned text") {
+    import graft.text.C4
+    // survivors' soup lines never end in terminal punct → C4's line
+    // filter would empty them; give every line a period, then plant
+    // one badword page and one all-short-line page
+    val lined = docs.select(col("doc_id"),
+      concat(regexp_replace(col("text"), lit(" "), lit(".\n"))
+        , lit(".")).as("text"))
+    val planted = lined.withColumn("text",
+      when(col("doc_id") === 7L,
+        concat(col("text"), lit("\nvisit the casino bonus page now.")))
+        .otherwise(col("text")))
+    val cfg = Curation.Config(c4 = Some(C4.Config(minWordsPerLine = 1)),
+      minQuality = 0.0)
+    val out = Curation.curate(planted, cfg)
+    assert(out.filter(col("doc_id") === 7L).count() == 0,
+      "the badword page must drop")
+    // with the default five-word floor every one-word line dies and
+    // every page fails the sentence floor → empty output
+    val strict = Curation.curate(planted,
+      Curation.Config(c4 = Some(C4.Config()), minQuality = 0.0))
+    assert(strict.count() == 0)
+  }
+
+  test("opt-in Gopher stage: the word-count floor prunes short docs") {
+    import graft.text.Gopher
+    // neutralize the stop-word rule (soup lacks 2 stop words) and the
+    // repetition gates irrelevant here; keep the 50-word floor
+    val cfg = Curation.Config(gopher = Some(Gopher.Config(
+      minStopHits = 0L)))
+    val out = Curation.curate(docs, cfg)
+    val base = Curation.curate(docs)
+    // NOT a subset check: gopher prunes BEFORE near-dup dedup, so a
+    // cluster whose canonical it removes elects a different keeper
+    // than the base run — set membership legitimately shifts. The
+    // stage's own contract: every survivor clears the 50-word floor,
+    // and the floor prunes (short docs exist in this corpus).
+    assert(out.filter(size(split(col("text"), " ")) < 50).count() == 0)
+    assert(out.count() < base.count(), "the floor must prune something")
+    assert(base.filter(size(split(col("text"), " ")) < 50).count() > 0,
+      "vacuous fixture: base run must carry sub-50-word docs")
+  }
+
   test("prepareTrainingData: curate → LM-select → pack composition") {
     val full = Curation.prepareTrainingData(docs).cache()
     val curated = Curation.curate(docs)
