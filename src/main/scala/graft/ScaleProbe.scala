@@ -128,7 +128,19 @@ object ScaleProbe {
                   // a doc_id-only projection — watch it; production
                   // is the shard-local writeShards path)
                   "q_split_leakproof", "q_split_leakage",
-                  "q_epoch_shuffle")
+                  "q_epoch_shuffle",
+                  // round 13: the rule filters and the script profile
+                  // are pure map passes (growth must track the scan);
+                  // the composed C4 clean adds the window-hash groupBy
+                  // + anti-join + rebuild (sentence count is the 10×
+                  // part); source overlap's shingle stream is the 10×
+                  // part while the sketch exchange stays O(sources×k);
+                  // LM tiers = the LM pass + one two-percentile
+                  // aggregate. q_wet_extract / q_wat_metadata are
+                  // omitted: fixed authored fixtures, no testdata
+                  // (the q_sniff_route rationale)
+                  "q_gopher_filter", "q_c4_lines", "q_c4_clean",
+                  "q_source_overlap", "q_script_detect", "q_lm_tiers")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -351,8 +363,16 @@ object ScaleProbe {
 
     // min-of-2 passes (1 for the quadratic-semantics query at scale):
     // min is the contention-robust statistic for a RATIO probe — any
-    // noise only inflates a pass, never deflates it
-    def run(dir: String): Seq[(String, Double)] = Heavy.map { name =>
+    // noise only inflates a pass, never deflates it.
+    // SPARK_GRAFT_PROBE_QUERIES=q_a,q_b probes only that subset (the
+    // iteration aid for a round's NEW queries; the driver-run default
+    // stays the full Heavy list).
+    val probeSet: Seq[String] =
+      sys.env.get("SPARK_GRAFT_PROBE_QUERIES") match {
+        case Some(s) => Heavy.filter(s.split(',').toSet)
+        case None => Heavy
+      }
+    def run(dir: String): Seq[(String, Double)] = probeSet.map { name =>
       val fn = SparkEntry.queries(name)
       val passes = if (name == "q_self_join_pairs" && dir == dst) 1 else 2
       val ts = Seq.fill(passes)(timed(exec(fn(spark, dir))))
