@@ -171,8 +171,9 @@ object ScaleProbe {
     // growth must track the asset count, nothing else. Assets are
     // materialized eagerly (localCheckpoint) before timing so the
     // probe isolates the walk from the authoring map.
-    // SPARK_GRAFT_PROBE_ONLY=media runs just this block.
-    {
+    // SPARK_GRAFT_PROBE_ONLY=media runs just this block;
+    // SPARK_GRAFT_PROBE_QUERIES skips it (query-subset iteration).
+    if (!sys.env.contains("SPARK_GRAFT_PROBE_QUERIES")) {
       def mediaProbe(name: String, mk: Int => DataFrame,
                      parse: DataFrame => DataFrame): Unit = {
         def t(n: Int): Double = {

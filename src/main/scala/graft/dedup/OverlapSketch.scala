@@ -175,4 +175,56 @@ object OverlapSketch {
     pairwiseEstimates(
       sketchByKey(shingleHashes(docs, keyCol, textCol), keyCol, "h", k),
       keyCol, k)
+
+  // ---- persisted-sketch lifecycle -----------------------------------
+
+  /** Persist sketches (one tiny row per key: the sketch array plus
+    * `k` stamped for read-time validation). The whole point of a
+    * sketch registry: the 100-TB corpus is scanned ONCE per source,
+    * ever — every future overlap question runs against these rows. */
+  def saveSketches(sketches: DataFrame, path: String, k: Int): Unit =
+    sketches.withColumn("k", lit(k))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a sketch registry, refusing loudly on a `k` mismatch — an
+    * estimate mixing sketch resolutions is silently wrong, never
+    * approximately right. */
+  def loadSketches(spark: org.apache.spark.sql.SparkSession,
+                   path: String, k: Int): DataFrame = {
+    val df = spark.read.parquet(path)
+    val ks = df.select(col("k")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    require(ks == Seq(k),
+      s"sketch registry at $path was built with k=${ks.mkString(",")}" +
+        s", caller asked for k=$k — rebuild or re-request")
+    df.drop("k")
+  }
+
+  /** Overlap of a NEW corpus against every stored source: sketch the
+    * incoming docs (one scan), union with the registry, estimate
+    * pairwise, keep only pairs touching an incoming key — the landed
+    * corpus is never rescanned. Incoming keys must not collide with
+    * stored ones (checked). The key list is collected to the driver:
+    * it is |new sources| strings — sketch-registry-sized by
+    * construction, never corpus-sized. */
+  def overlapAgainst(docs: DataFrame, registryPath: String,
+                     k: Int = 64, keyCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val stored = loadSketches(spark, registryPath, k)
+    val fresh =
+      sketchByKey(shingleHashes(docs, keyCol, textCol), keyCol, "h", k)
+        .localCheckpoint(false)
+    val freshKeys = fresh.select(col(keyCol))
+      .collect().map(_.getString(0)).toSeq
+    val clash = freshKeys.toSet
+    val collisions = stored.select(col(keyCol))
+      .filter(col(keyCol).isInCollection(clash)).limit(1).count()
+    require(collisions == 0,
+      s"incoming $keyCol values collide with the stored registry — " +
+        "disambiguate keys before estimating")
+    pairwiseEstimates(fresh.unionByName(stored), keyCol, k)
+      .filter(col("key_a").isInCollection(freshKeys) ||
+        col("key_b").isInCollection(freshKeys))
+  }
 }

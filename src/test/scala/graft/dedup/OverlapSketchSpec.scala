@@ -104,6 +104,40 @@ class OverlapSketchSpec extends AnyFunSuite {
     assert(out._1 == 1.0 && out._2 < 1.0)
   }
 
+  test("persisted registry: save, load, estimate against — no rescan") {
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+      .select(col("source"), col("text"))
+    val k = 32
+    val sk = OverlapSketch.sketchByKey(
+      OverlapSketch.shingleHashes(docs, "source"), "source", "h", k)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sketchreg").toString + "/reg"
+    OverlapSketch.saveSketches(sk, path, k)
+    // wrong-k load refuses loudly
+    intercept[IllegalArgumentException] {
+      OverlapSketch.loadSketches(spark, path, 64)
+    }
+    // a NEW source that is a copy of src0's docs must show high
+    // containment against stored src0 and appear only in new-vs-stored
+    // pairs
+    val incoming = docs.filter(col("source") === "src0")
+      .select(lit("newsrc").as("source"), col("text"))
+    val est = OverlapSketch.overlapAgainst(incoming, path, k).cache()
+    val keys = est.select("key_a", "key_b")
+      .as[(String, String)].collect()
+    assert(keys.forall(p => p._1 == "newsrc" || p._2 == "newsrc"))
+    assert(keys.length == 20) // one pair per stored source
+    val vsSrc0 = est.filter(col("key_a") === "newsrc" &&
+      col("key_b") === "src0").select("j_est").as[Double].head()
+    assert(vsSrc0 == 1.0, s"identical content must estimate J=1: $vsSrc0")
+    // key collision with the registry refuses loudly
+    intercept[IllegalArgumentException] {
+      OverlapSketch.overlapAgainst(
+        docs.filter(col("source") === "src1"), path, k)
+    }
+    est.unpersist()
+  }
+
   test("disjoint sources estimate zero overlap") {
     val docs = Seq(
       ("a", "one two three four five six seven eight"),
