@@ -191,6 +191,7 @@ object SparkEntry {
     "q_wat_metadata"            -> Corpus.watMetadata _,
     "q_script_detect"           -> Corpus.scriptDetect _,
     "q_lm_tiers"                -> Corpus.lmTiers _,
+    "q_calibration_bins"        -> Corpus.calibrationBins _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -3468,6 +3469,22 @@ object SparkEntry {
                  ELSE CAST(n_common AS DOUBLE) / n_b END
                  + 0.000000001, 6) AS c_ba
          FROM c ORDER BY src_a, src_b""",
+    // calibration bins over a dyadic-grid deterministic scoring:
+    // exact double sums (k/128 terms), single final divisions
+    "q_calibration_bins" ->
+      """WITH s AS (SELECT doc_id,
+             CAST(doc_id % 128 AS DOUBLE) / 128.0 AS score,
+             CASE WHEN (doc_id * 7919) % 128 < doc_id % 128
+                  THEN 1 ELSE 0 END AS label
+           FROM documents),
+         b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9)
+                 AS bin, score, label FROM s)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           round(sum(score) / count(*) + 0.000000001, 6) AS mean_score,
+           round(CAST(sum(label) AS DOUBLE) / count(*) + 0.000000001, 6)
+             AS pos_rate
+         FROM b GROUP BY bin ORDER BY bin""",
     // WET conversion-record text surface (id-arithmetic twin of the
     // authored fixture — the q_warc_extract pattern); the warcinfo
     // header record must not leak a row

@@ -30,6 +30,46 @@ import org.apache.spark.sql.functions._
   */
 object BinaryMetricsDF {
 
+  /** Reliability (calibration) bins — the audit a probability-
+    * emitting quality filter needs before its scores gate a corpus:
+    * "of the docs scored ~0.8, are ~80% actually positive?" Scores
+    * in [0,1] land in `nBins` equal-width bins (left-closed;
+    * score = 1.0 joins the top bin); per bin: row count, positive
+    * count, mean score, and the empirical positive rate. The gap
+    * between the last two columns IS the calibration error —
+    * `Σ n/N · |rate − mean_score|` is ECE, computable from these rows
+    * with one more aggregate ([[eceFromBins]]).
+    *
+    * One map (bin assignment) + one groupBy(bin) — no window, no
+    * driver collect; integer sums plus two final divisions, so the
+    * declared query's twin replays it exactly. NULL and out-of-range
+    * scores are EXCLUDED (a probability outside [0,1] is a caller
+    * bug a calibration table must not silently absorb — callers
+    * clamp upstream if they mean to). */
+  def calibrationBins(df: DataFrame, scoreCol: String,
+                      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    val s = col(scoreCol).cast("double")
+    df.select(s.as("s"), col(labelCol).cast("long").as("l"))
+      .filter(col("s").isNotNull && col("s") >= 0.0 && col("s") <= 1.0)
+      .withColumn("bin",
+        least(floor(col("s") * nBins).cast("long"), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l")).as("n_pos"),
+        (sum(col("s")) / count(lit(1))).as("mean_score"),
+        (sum(col("l")).cast("double") / count(lit(1)))
+          .as("pos_rate"))
+  }
+
+  /** Expected calibration error from [[calibrationBins]] rows: the
+    * bin-weighted mean |pos_rate − mean_score|. */
+  def eceFromBins(bins: DataFrame): DataFrame =
+    bins.agg(
+      (sum(abs(col("pos_rate") - col("mean_score")) * col("n")) /
+        sum(col("n"))).as("ece"),
+      sum(col("n")).as("n_total"))
+
   /** One-row (auc, pos, neg) for a frame carrying a numeric score and
     * a 0/1 label. NULL scores are EXCLUDED — a null has no rank, and
     * silently ordering it below every real score would skew the

@@ -1872,6 +1872,28 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Classifier calibration bins as a declared query: a DETERMINISTIC
+    * (score, label) pairing from id arithmetic — scores on the dyadic
+    * `k/128` grid so double partial sums are EXACT and order-free
+    * (the hash-gate requirement; arbitrary float scores would sum
+    * with sub-ulp order dependence), labels correlated with the score
+    * so the reliability table is non-trivially calibrated. Gates the
+    * binning + rate math ([[graft.ml.BinaryMetricsDF
+    * .calibrationBins]]); ECE on top is spec-pinned (a 10-row double
+    * sum has no order-free spelling). */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val scored = docs(spark, dir).select(id,
+      ((id % 128).cast("double") / lit(128.0)).as("score"),
+      ((id * 7919) % 128 < id % 128).cast("long").as("label"))
+    graft.ml.BinaryMetricsDF
+      .calibrationBins(scored, "score", "label", nBins = 10)
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("mean_score") + lit(1e-9), 6).as("mean_score"),
+        round(col("pos_rate") + lit(1e-9), 6).as("pos_rate"))
+      .orderBy(col("bin"))
+  }
+
   /** CCNet head/middle/tail tiers as a declared query: the %4 target
     * LM of [[lmScore]], mean log-likelihood terciles via two exact
     * distributed percentiles ([[graft.pipelines.NgramLm.tiers]]) —

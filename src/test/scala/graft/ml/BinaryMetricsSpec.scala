@@ -64,4 +64,46 @@ class BinaryMetricsSpec extends AnyFunSuite {
     assert(math.abs(ours - mllib) < 1e-9,
       s"rank-sum $ours != mllib trapezoid $mllib")
   }
+
+  test("calibrationBins: hand-computed bins, edge scores, exclusions") {
+    val df = Seq(
+      (0.05, 1L), (0.08, 0L),            // bin 0: n=2, pos=1
+      (0.55, 1L), (0.58, 1L), (0.50, 0L),// bin 5: n=3, pos=2
+      (1.00, 1L),                        // score 1.0 → top bin 9
+      (-0.1, 1L), (1.5, 0L),             // out of range: excluded
+      (Double.NaN, 1L)                   // NaN is not in [0,1]: excluded
+    ).toDF("score", "label")
+    val bins = BinaryMetricsDF.calibrationBins(df, "score", "label", 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(bins.keySet == Set(0L, 5L, 9L))
+    assert(bins(0L)._1 == 2L && bins(0L)._2 == 1L)
+    assert(math.abs(bins(0L)._3 - 0.065) < 1e-12)
+    assert(bins(0L)._4 == 0.5)
+    assert(bins(5L)._1 == 3L && bins(5L)._2 == 2L)
+    assert(math.abs(bins(5L)._3 - (0.55 + 0.58 + 0.50) / 3) < 1e-12)
+    assert(math.abs(bins(5L)._4 - 2.0 / 3.0) < 1e-12)
+    assert(bins(9L) == ((1L, 1L, 1.0, 1.0)))
+  }
+
+  test("eceFromBins: perfectly calibrated → 0; known gap weighted") {
+    import org.apache.spark.sql.functions._
+    // two bins: (n=3, rate 1/3 vs mean .25) and (n=1, rate 1 vs .75)
+    val df = Seq(
+      (0.25, 1L), (0.25, 0L), (0.25, 0L),
+      (0.75, 1L)).toDF("score", "label")
+    val e = BinaryMetricsDF.eceFromBins(
+      BinaryMetricsDF.calibrationBins(df, "score", "label", 4))
+      .select("ece", "n_total").as[(Double, Long)].head()
+    val want = (3.0 * math.abs(1.0 / 3 - 0.25) +
+      1.0 * math.abs(1.0 - 0.75)) / 4.0
+    assert(math.abs(e._1 - want) < 1e-12 && e._2 == 4L)
+    // perfectly calibrated synthetic: rate == mean score in every bin
+    val perfect = Seq((0.5, 1L), (0.5, 0L)).toDF("score", "label")
+    val e2 = BinaryMetricsDF.eceFromBins(
+      BinaryMetricsDF.calibrationBins(perfect, "score", "label", 2))
+      .select("ece").as[Double].head()
+    assert(e2 == 0.0)
+  }
 }
