@@ -192,6 +192,7 @@ object SparkEntry {
     "q_script_detect"           -> Corpus.scriptDetect _,
     "q_lm_tiers"                -> Corpus.lmTiers _,
     "q_calibration_bins"        -> Corpus.calibrationBins _,
+    "q_mix_temperature"         -> Corpus.mixTemperature _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -3469,6 +3470,25 @@ object SparkEntry {
                  ELSE CAST(n_common AS DOUBLE) / n_b END
                  + 0.000000001, 6) AS c_ba
          FROM c ORDER BY src_a, src_b""",
+    // temperature mixture: sqrt weights (IEEE-correctly-rounded in
+    // both engines) recomputed in SQL, then q_mix_budget's window cut
+    "q_mix_temperature" ->
+      """WITH m AS (SELECT source, sum(n_chars) AS mass
+                    FROM documents GROUP BY source),
+         w AS (SELECT source, sqrt(CAST(mass AS DOUBLE)) AS w FROM m),
+         tw AS (SELECT sum(w) AS ws FROM w),
+         b AS (SELECT source,
+                 CAST(floor(w / ws * 20000) AS BIGINT) AS budget
+               FROM w, tw),
+         r AS (SELECT d.doc_id, d.source, d.n_chars,
+                 sum(d.n_chars) OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 b.budget
+               FROM documents d JOIN b USING (source))
+         SELECT doc_id, source, n_chars FROM r WHERE cum <= budget
+         ORDER BY doc_id""",
     // calibration bins over a dyadic-grid deterministic scoring:
     // exact double sums (k/128 terms), single final divisions
     "q_calibration_bins" ->

@@ -151,6 +151,20 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Temperature-flattened mixture as a declared query: per-source
+    * masses → wᵢ = √massᵢ (α = 0.5 — sqrt is IEEE-correctly-rounded
+    * in every engine, so the twin recomputes the weight math exactly)
+    * → the same md5-permutation prefix cut as [[mixBudget]]. The
+    * low-mass sources gain share vs their natural proportion — the
+    * XLM-R/mT5 upsampling recipe. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.Splitting.mixToBudgetTemperature(
+        Tables.documents(spark, dir),
+        sourceCol = "source", tokensCol = "n_chars", idCol = "doc_id",
+        alpha = 0.5, totalBudget = 20000L)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** FRACTION-threshold decontamination ([[Dedup.contaminationFraction]],
     * GPT-3 App. C semantic) with planted HALF-COPIES so the threshold
     * genuinely separates: every benchmark doc with id % 40 == 0 gets a

@@ -250,6 +250,45 @@ object Splitting {
       s -> math.floor(w / wSum * totalBudget).toLong }
   }
 
+  /** Temperature-flattened mixture weights (Conneau et al. 2020 §3.1
+    * — XLM-R's multilingual sampling, mT5's recipe): sample
+    * probability qᵢ ∝ pᵢ^α with pᵢ = massᵢ/Σmass. Mixture weights are
+    * scale-free (every consumer normalizes), so wᵢ = massᵢ^α
+    * directly. α = 1 keeps natural proportions; α → 0 flattens toward
+    * uniform — the standard low-resource-source boost. Returned as a
+    * key-SORTED map so downstream double sums ([[sourceBudgets]]) run
+    * in a deterministic order. */
+  def temperatureWeights(masses: Map[String, Long], alpha: Double)
+      : Map[String, Double] = {
+    require(masses.nonEmpty, "mixture masses must be non-empty")
+    require(masses.values.forall(_ > 0L),
+      s"source masses must be positive: $masses")
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperature exponent must be in (0,1]: $alpha")
+    scala.collection.immutable.SortedMap[String, Double]() ++
+      masses.map { case (s, m) => s -> math.pow(m.toDouble, alpha) }
+  }
+
+  /** [[mixToBudget]] with temperature-derived weights: one
+    * |sources|-row mass aggregate (collected — a mixture recipe is
+    * tens of rows, never data-scale), wᵢ = massᵢ^α, then the same
+    * md5-permutation prefix cut. With α = 0.5 the weight math is
+    * `sqrt` — correctly rounded by IEEE 754 in every engine — so the
+    * oracle twin recomputes it exactly; general α uses `pow`, whose
+    * last-ulp behavior is libm-specific (the floor(wᵢ/Σw·B) budget
+    * would flip only if the true value sat within ~1e-12 of an
+    * integer — the hash gate would surface it). */
+  def mixToBudgetTemperature(df: DataFrame, sourceCol: String,
+                             tokensCol: String, idCol: String,
+                             alpha: Double, totalBudget: Long)
+      : DataFrame = {
+    val masses = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol)).cast("long").as("__mass"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    mixToBudget(df, sourceCol, tokensCol, idCol,
+      temperatureWeights(masses, alpha), totalBudget)
+  }
+
   /** Token-budget mixture composition — the "fill the training mix"
     * step of a Pile/DoReMi-shaped recipe: given per-source weights and
     * a total token budget, keep documents from each source — in the

@@ -217,4 +217,55 @@ class SplittingSpec extends AnyFunSuite {
     assert(safe.agg(sum(col("n_pairs"))).as[Long].head() == 60L)
     assert(naive.agg(sum(col("n_pairs"))).as[Long].head() == 60L)
   }
+
+  test("temperatureWeights: alpha=1 natural, lower alpha boosts the " +
+      "low-mass source, bad inputs refuse") {
+    val masses = Map("big" -> 9000000L, "small" -> 10000L)
+    def share(alpha: Double): Double = {
+      val w = Splitting.temperatureWeights(masses, alpha)
+      w("small") / (w("small") + w("big"))
+    }
+    // α=1 reproduces the natural proportion exactly
+    assert(math.abs(share(1.0) - 10000.0 / 9010000.0) < 1e-15)
+    // flattening is monotone: smaller α → bigger low-resource share
+    assert(share(0.7) > share(1.0) && share(0.3) > share(0.7))
+    // α=0.5 is sqrt: hand-check
+    val w = Splitting.temperatureWeights(masses, 0.5)
+    assert(w("big") == 3000.0 && w("small") == 100.0)
+    intercept[IllegalArgumentException] {
+      Splitting.temperatureWeights(masses, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Splitting.temperatureWeights(Map("z" -> 0L), 0.5)
+    }
+  }
+
+  test("mixToBudgetTemperature: per-source token mass within budget, " +
+      "low-mass sources oversampled vs natural share") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val out = Splitting.mixToBudgetTemperature(
+      docs, "source", "n_chars", "doc_id",
+      alpha = 0.5, totalBudget = 5000L).cache()
+    // each source's kept token mass fits its sqrt-share budget
+    val masses = docs.groupBy("source").agg(sum("n_chars").as("m"))
+      .as[(String, Long)].collect().toMap
+    val wsum = masses.keys.toSeq.sorted
+      .map(s => math.sqrt(masses(s).toDouble)).sum
+    val kept = out.groupBy("source").agg(sum("n_chars").as("k"))
+      .as[(String, Long)].collect().toMap
+    kept.foreach { case (s, k) =>
+      val budget = math.floor(math.sqrt(masses(s).toDouble)
+        / wsum * 5000L).toLong
+      assert(k <= budget, s"$s kept $k > budget $budget")
+    }
+    // determinism: the kept doc set is stable across runs
+    val again = Splitting.mixToBudgetTemperature(
+      docs, "source", "n_chars", "doc_id", 0.5, 5000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again ==
+      out.select("doc_id").as[Long].collect().toSet)
+    out.unpersist()
+  }
 }
