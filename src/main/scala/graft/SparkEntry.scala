@@ -193,6 +193,7 @@ object SparkEntry {
     "q_lm_tiers"                -> Corpus.lmTiers _,
     "q_calibration_bins"        -> Corpus.calibrationBins _,
     "q_mix_temperature"         -> Corpus.mixTemperature _,
+    "q_threshold_sweep"         -> Corpus.thresholdSweep _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -3470,6 +3471,36 @@ object SparkEntry {
                  ELSE CAST(n_common AS DOUBLE) / n_b END
                  + 0.000000001, 6) AS c_ba
          FROM c ORDER BY src_a, src_b""",
+    // threshold sweep over the calibration scoring: integer counts
+    // per cutoff (cross join of the tiny threshold table), single
+    // final divisions
+    "q_threshold_sweep" ->
+      """WITH s AS (SELECT doc_id,
+             CAST(doc_id % 128 AS DOUBLE) / 128.0 AS score,
+             CASE WHEN (doc_id * 7919) % 128 < doc_id % 128
+                  THEN 1 ELSE 0 END AS label
+           FROM documents),
+         t(th) AS (VALUES (0.0), (0.1), (0.2), (0.3), (0.4), (0.5),
+                          (0.6), (0.7), (0.8), (0.9)),
+         p AS (SELECT CAST(sum(label) AS BIGINT) AS pos,
+                      CAST(count(*) AS BIGINT) AS total FROM s),
+         a AS (SELECT th,
+                 CAST(sum(CASE WHEN score >= th THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept,
+                 CAST(sum(CASE WHEN score >= th THEN label ELSE 0 END)
+                   AS BIGINT) AS n_tp
+               FROM t, s GROUP BY th)
+         SELECT round(th + 0.000000001, 6) AS threshold, n_kept, n_tp,
+           round(CASE WHEN n_kept = 0 THEN 0.0
+                 ELSE CAST(n_tp AS DOUBLE) / n_kept END
+                 + 0.000000001, 6) AS precision,
+           round(CASE WHEN pos = 0 THEN 0.0
+                 ELSE CAST(n_tp AS DOUBLE) / pos END
+                 + 0.000000001, 6) AS recall,
+           round(CASE WHEN total = 0 THEN 0.0
+                 ELSE CAST(n_kept AS DOUBLE) / total END
+                 + 0.000000001, 6) AS keep_frac
+         FROM a, p ORDER BY threshold""",
     // temperature mixture: sqrt weights (IEEE-correctly-rounded in
     // both engines) recomputed in SQL, then q_mix_budget's window cut
     "q_mix_temperature" ->

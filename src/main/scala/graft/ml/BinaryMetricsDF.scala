@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -60,6 +60,42 @@ object BinaryMetricsDF {
         (sum(col("s")) / count(lit(1))).as("mean_score"),
         (sum(col("l")).cast("double") / count(lit(1)))
           .as("pos_rate"))
+  }
+
+  /** Threshold sweep — the operating-point table for choosing a
+    * quality filter's cutoff: one row per candidate threshold with
+    * the kept count, true positives, precision, recall, and the kept
+    * FRACTION (what a corpus budget actually buys at that cutoff).
+    * ONE pass over the data: every threshold is a conditional sum in
+    * a single aggregate (map-side combined, single-row shuffle), then
+    * the row explodes to the per-threshold table — never T scans.
+    * NULL scores are excluded ([[aucROC]]'s rationale); precision is
+    * 0.0 at thresholds keeping nothing. */
+  def thresholdSweep(df: DataFrame, scoreCol: String, labelCol: String,
+                     thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val s = col("s"); val l = col("l")
+    val base = df.select(col(scoreCol).cast("double").as("s"),
+      col(labelCol).cast("long").as("l"))
+      .filter(s.isNotNull)
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(sum(when(s >= t, 1L).otherwise(0L)).as(s"__k$i"),
+        sum(when(s >= t && l === 1L, 1L).otherwise(0L)).as(s"__t$i"))
+    } ++ Seq(sum(l).as("__pos"), count(lit(1)).as("__n"))
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val rows = array(thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"__k$i").as("n_kept"),
+        col(s"__t$i").as("n_tp"))
+    }: _*)
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+    one.select(explode(rows).as("r"), col("__pos"), col("__n"))
+      .select(col("r.threshold").as("threshold"),
+        col("r.n_kept").as("n_kept"), col("r.n_tp").as("n_tp"),
+        ratio(col("r.n_tp"), col("r.n_kept")).as("precision"),
+        ratio(col("r.n_tp"), col("__pos")).as("recall"),
+        ratio(col("r.n_kept"), col("__n")).as("keep_frac"))
   }
 
   /** Expected calibration error from [[calibrationBins]] rows: the

@@ -1908,6 +1908,26 @@ object Corpus {
       .orderBy(col("bin"))
   }
 
+  /** Threshold sweep as a declared query: the [[calibrationBins]]
+    * deterministic (score, label) pairing swept over ten cutoffs —
+    * the operating-point table (precision/recall/keep-fraction per
+    * threshold) that picks a quality filter's cutoff. All counts are
+    * integer sums; ratios are single divisions. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val scored = docs(spark, dir).select(id,
+      ((id % 128).cast("double") / lit(128.0)).as("score"),
+      ((id * 7919) % 128 < id % 128).cast("long").as("label"))
+    graft.ml.BinaryMetricsDF.thresholdSweep(scored, "score", "label",
+        thresholds = (0 until 10).map(_ / 10.0))
+      .select(round(col("threshold") + lit(1e-9), 6).as("threshold"),
+        col("n_kept"), col("n_tp"),
+        round(col("precision") + lit(1e-9), 6).as("precision"),
+        round(col("recall") + lit(1e-9), 6).as("recall"),
+        round(col("keep_frac") + lit(1e-9), 6).as("keep_frac"))
+      .orderBy(col("threshold"))
+  }
+
   /** CCNet head/middle/tail tiers as a declared query: the %4 target
     * LM of [[lmScore]], mean log-likelihood terciles via two exact
     * distributed percentiles ([[graft.pipelines.NgramLm.tiers]]) —

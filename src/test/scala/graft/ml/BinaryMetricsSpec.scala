@@ -87,6 +87,25 @@ class BinaryMetricsSpec extends AnyFunSuite {
     assert(bins(9L) == ((1L, 1L, 1.0, 1.0)))
   }
 
+  test("thresholdSweep: hand-computed operating points, one pass") {
+    val df = Seq(
+      (0.9, 1L), (0.8, 1L), (0.7, 0L), (0.4, 1L), (0.2, 0L))
+      .toDF("score", "label")
+    val pts = BinaryMetricsDF
+      .thresholdSweep(df, "score", "label", Seq(0.0, 0.5, 0.95))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // t=0: keep all 5, tp=3 → precision .6, recall 1, keep 1
+    assert(pts(0.0) == ((5L, 3L, 0.6, 1.0, 1.0)))
+    // t=0.5: keep 3 (.9,.8,.7), tp=2 → p=2/3, r=2/3, keep .6
+    assert(pts(0.5)._1 == 3L && pts(0.5)._2 == 2L)
+    assert(math.abs(pts(0.5)._3 - 2.0 / 3) < 1e-12)
+    assert(math.abs(pts(0.5)._4 - 2.0 / 3) < 1e-12)
+    // t=0.95: keeps nothing → precision defined as 0.0
+    assert(pts(0.95) == ((0L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("eceFromBins: perfectly calibrated → 0; known gap weighted") {
     import org.apache.spark.sql.functions._
     // two bins: (n=3, rate 1/3 vs mean .25) and (n=1, rate 1 vs .75)
