@@ -194,6 +194,7 @@ object SparkEntry {
     "q_calibration_bins"        -> Corpus.calibrationBins _,
     "q_mix_temperature"         -> Corpus.mixTemperature _,
     "q_threshold_sweep"         -> Corpus.thresholdSweep _,
+    "q_dup_histogram"           -> Corpus.dupHistogram _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -3471,6 +3472,27 @@ object SparkEntry {
                  ELSE CAST(n_common AS DOUBLE) / n_b END
                  + 0.000000001, 6) AS c_ba
          FROM c ORDER BY src_a, src_b""",
+    // duplication histogram: three planted clone families → exact
+    // clusters of size 1/2/3/4; all-integer output
+    "q_dup_histogram" ->
+      """WITH planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents
+           WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 300000, text FROM documents
+           WHERE doc_id % 15 = 0
+           UNION ALL
+           SELECT doc_id + 310000, text FROM documents
+           WHERE doc_id % 15 = 0),
+         g AS (SELECT sha256(text) AS h, count(*) AS n_copies
+               FROM planted GROUP BY 1)
+         SELECT CAST(n_copies AS BIGINT) AS n_copies,
+                CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(sum(n_copies) AS BIGINT) AS n_docs,
+                CAST(sum(n_copies - 1) AS BIGINT) AS n_excess
+         FROM g GROUP BY n_copies ORDER BY n_copies""",
     // threshold sweep over the calibration scoring: integer counts
     // per cutoff (cross join of the tiny threshold table), single
     // final divisions

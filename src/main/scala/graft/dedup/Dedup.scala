@@ -39,6 +39,38 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"),
            count(lit(1)).as("n_copies"))
 
+  /** Corpus duplication report, the histogram form: one row per exact
+    * cluster SIZE with the group count, total docs, and excess
+    * (beyond-first) copies — the standard corpus-health table a dedup
+    * pass is judged by ("how much of the crawl is copies, and in what
+    * shape: many pairs or a few megaclusters"). Two map-side-combined
+    * aggregates (hash groups, then size groups) — nothing leaves the
+    * executors but the ≤|distinct sizes| histogram rows. */
+  def duplicationHistogram(docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame =
+    exactGroups(docs, textCol, idCol)
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n_copies")).cast("long").as("n_docs"),
+        sum(col("n_copies") - 1L).cast("long").as("n_excess"))
+
+  /** The one-row rate summary over [[duplicationHistogram]]:
+    * `(n_docs, n_distinct, n_excess, dup_frac)` with dup_frac =
+    * excess/total — the headline number. */
+  def duplicationRate(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    duplicationHistogram(docs, textCol, idCol)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).cast("long")
+             .as("n_docs"),
+        coalesce(sum(col("n_groups")), lit(0L)).cast("long")
+          .as("n_distinct"),
+        coalesce(sum(col("n_excess")), lit(0L)).cast("long")
+          .as("n_excess"))
+      .select(col("n_docs"), col("n_distinct"), col("n_excess"),
+        when(col("n_docs") === 0L, lit(0.0))
+          .otherwise(col("n_excess").cast("double") /
+            col("n_docs").cast("double")).as("dup_frac"))
+
   /** Normalized-content dedup key: SHA-256 of the case-folded,
     * [[graft.text.Text.normalizeText]]-canonicalized text. Two raw
     * variants that differ only in Unicode composition form, control

@@ -33,6 +33,23 @@ object Corpus {
       .orderBy(col("keep_id"))
   }
 
+  /** Duplication histogram as a declared query: the corpus-health
+    * table over a corpus planted with THREE clone families (every
+    * 10th doc once more, every 15th doc twice more — %30 docs
+    * therefore land in size-4 clusters), so sizes 1/2/3/4 all appear
+    * ([[graft.dedup.Dedup.duplicationHistogram]]). */
+  def dupHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val c1 = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val c2 = d.filter(col("doc_id") % 15 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+    val c3 = d.filter(col("doc_id") % 15 === 0)
+      .select((col("doc_id") + 310000).as("doc_id"), col("text"))
+    Dedup.duplicationHistogram(d.union(c1).union(c2).union(c3))
+      .orderBy(col("n_copies"))
+  }
+
   /** Normalization-aware dedup (DD16) over a corpus with planted DIRTY
     * clones: every 10th doc re-appears under id+100000 with whitespace
     * padding, a tab, and the text uppercased — byte-distinct (invisible
