@@ -120,19 +120,45 @@ object Gopher {
         .as("ellipsis_frac"))
   }
 
+  /** [[signalsFromParts]]'s struct built from the native
+    * [[graft.functions.GopherStats]] kernel row (two codegen'd char
+    * walks instead of ~8 interpreted array walks — the production
+    * path; GopherSpec pins the two bit-for-bit). The symbol numerator
+    * is bit-equal to the composed form because every term is integral
+    * (the `/3` there divides an exact multiple of 3). */
+  def signalsFromKernel(k: Column): Column = {
+    val nW = k.getField("n_words")
+    val nL = k.getField("n_lines")
+    val safeW = when(nW === 0L, lit(1L)).otherwise(nW)
+    val safeL = when(nL === 0L, lit(1L)).otherwise(nL)
+    struct(
+      nW.as("n_words"),
+      (k.getField("sum_word_len").cast("double") /
+        safeW.cast("double")).as("mean_word_len"),
+      ((k.getField("n_hash") + k.getField("n_ell3") +
+        k.getField("n_ellchar")).cast("double") / safeW.cast("double"))
+        .as("symbol_ratio"),
+      (k.getField("alpha_words").cast("double") / safeW.cast("double"))
+        .as("alpha_frac"),
+      k.getField("stop_hits").as("n_stop"),
+      (k.getField("bullet_lines").cast("double") / safeL.cast("double"))
+        .as("bullet_frac"),
+      (k.getField("ellipsis_lines").cast("double") /
+        safeL.cast("double")).as("ellipsis_frac"))
+  }
+
   /** Verdict frame: input columns plus the signal columns, one 0/1
     * `pass_*` flag per rule, the composite `keep`, and `drop_reason`
     * (first failed rule in the order below; null when kept). Signals
     * are emitted UNROUNDED — callers snapshotting them for an
     * engine-portable gate round at the edge (the `q_gopher_filter`
-    * spelling). */
+    * spelling). Signal counting runs the native kernel. */
   def verdict(docs: DataFrame, cfg: Config = Config(),
               textCol: String = "text"): DataFrame = {
     val staged = docs
-      .withColumn("__g_words", rawWords(col(textCol)))
-      .withColumn("__g_lines", Text.docLines(col(textCol)))
-      .withColumn("__g_sig",
-        signalsFromParts(col(textCol), col("__g_words"), col("__g_lines")))
+      .withColumn("__g_k", graft.functions.GopherStats
+        .gopherStats(col(textCol), StopList))
+      .withColumn("__g_sig", signalsFromKernel(col("__g_k")))
       .withColumn("__g_rep", Text.repetitionSignals(col(textCol)))
     val s = col("__g_sig")
     val r = col("__g_rep")
@@ -173,7 +199,7 @@ object Gopher {
       .withColumn("top_2gram_cov", r.getField("top_2gram_cov"))
       .withColumn("keep", keep.cast("long"))
       .withColumn("drop_reason", reason)
-      .drop("__g_words", "__g_lines", "__g_sig", "__g_rep")
+      .drop("__g_k", "__g_sig", "__g_rep")
   }
 
   /** The filter itself: survivors of [[verdict]] with the bookkeeping

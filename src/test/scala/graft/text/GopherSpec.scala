@@ -103,6 +103,37 @@ class GopherSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("kernel signals == composed-HOF signals bit-for-bit") {
+    // hostile battery: unicode words/bullets/ellipses, tabs, CRLF,
+    // dot runs, supplementary-plane chars, empty-ish lines, plus the
+    // real corpus
+    val crafted = Seq(
+      "",
+      "   ",
+      "the of and that have with to be",
+      "• bullet line here\n- another one\n* third 😀 line",
+      "ends with ellipsis ...\nends with … char\n.... four dots",
+      "df#df ## #\t#x\f.y\r\nz",
+      "привет мир\nтекст … с многоточием ...",
+      "a\n\n\n  b  \n - nospacebullet\n-  doublespace",
+      "😀😀 emoji words 𝔘𝔫𝔦 sup-plane\nshort.",
+      "word. .. ... .... ..... ...... . ")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    import spark.implicits._
+    val craftedDf = crafted.toDF("doc_id", "text")
+    val corpus = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    Seq(craftedDf, corpus).foreach { df =>
+      val both = df.select(
+        Gopher.signalsFromKernel(graft.functions.GopherStats
+          .gopherStats(col("text"), Gopher.StopList)).as("k"),
+        Gopher.signalsFromParts(col("text"), Gopher.rawWords(col("text")),
+          graft.text.Text.docLines(col("text"))).as("h"))
+      val diff = both.filter(not(col("k") <=> col("h"))).count()
+      assert(diff == 0L, s"kernel/HOF divergence on $diff rows")
+    }
+  }
+
   test("boundary: symbol ratio exactly 0.1 passes (rule is <=)") {
     // 54 plain words + 6 hashes = 60 words, 6 symbols → exactly 0.1
     val words = Seq("the", "of") ++ (1 to 52).map(i => s"tok${i}word")
