@@ -45,10 +45,23 @@ object CurationStream {
              watermark: String = "1 hour",
              model: Option[graft.ml.QualityModel.Fitted] = None)
       : DataFrame = {
-    val input =
+    val redacted =
       if (cfg.redactPii)
         stream.withColumn("text", Text.redactPii(col("text")))
       else stream
+    // C4 line cleaning + page policy (round 13): pure per-row Column
+    // work — lifts to the stream verbatim, same placement as the
+    // batch curate (BEFORE scoring: downstream must see cleaned text)
+    val input = cfg.c4 match {
+      case Some(c4cfg) =>
+        val c4 = graft.text.C4
+        c4.pageVerdict(c4.cleanLines(redacted, c4cfg), c4cfg)
+          .filter(col("keep") === 1L)
+          .drop("raw_text", "n_lines", "n_kept", "n_sentences",
+            "pass_sentences", "pass_badwords", "pass_lorem_ipsum",
+            "pass_brace", "keep", "drop_reason")
+      case None => redacted
+    }
     val scored = input
       .withColumn("toks", Text.tokenize(col("text")))
       .withColumn("detected",
@@ -62,11 +75,18 @@ object CurationStream {
       .filter(Text.urlCount(col("text")) <= lit(cfg.maxUrls))
     // repetition gate (stateless — lifts to the stream verbatim; the
     // cheap lines-only slice, not the full six-signal kernel)
-    val filtered =
+    val repFiltered =
       if (cfg.maxDupLineFrac < 1.0)
         heurFiltered.filter(
           Text.dupLineFrac(col("text")) <= lit(cfg.maxDupLineFrac))
       else heurFiltered
+    // Gopher rule filter (round 13): per-row signals + flags, no
+    // state — the batch stage verbatim, same placement
+    val filtered = cfg.gopher match {
+      case Some(gcfg) =>
+        graft.text.Gopher.filterDocs(repFiltered, gcfg)
+      case None => repFiltered
+    }
     val gated = model match {
       case Some(m) =>
         m.score(filtered).filter(col("ml_quality") >= lit(cfg.minMlQuality))

@@ -201,6 +201,45 @@ class CurationStreamSpec extends AnyFunSuite {
       s"at compaction time, distinct docs survive; got $ids")
   }
 
+  test("streaming ingest honors the C4 and Gopher opt-in stages") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "event_time")
+    // C4-survivable english: every line terminal-punctuated, >=3
+    // sentences, >=5 words each, per-line-unique words (a repeated
+    // phrase would trip Gopher's top-n-gram gate — it did, in this
+    // test's first draft)
+    val clean = (1 to 10).map(i =>
+      s"the token$i alpha$i beta$i gamma$i delta$i today$i.")
+      .mkString("\n")
+    val badword = clean + "\nvisit the casino bonus page now."
+    val cfg = Curation.Config(langs = Set("en"), minQuality = 0.0,
+      c4 = Some(graft.text.C4.Config()),
+      gopher = Some(graft.text.Gopher.Config(
+        minWords = 30L, minStopHits = 1L)))
+    val out = CurationStream.ingest(stream, cfg, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("c4_ingest")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, clean, ts("10:00:00")),
+        (2L, badword, ts("10:00:10")),       // C4 page drop
+        (3L, "too short doc here.", ts("10:00:20"))) // C4 sentence floor
+      q.processAllAvailable()
+      val ids = spark.table("c4_ingest").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L), s"got $ids")
+      // the streamed survivor set equals the batch curate's on the
+      // same rows and config (parity — both run the same stages)
+      val batch = Curation.curate(
+        Seq((1L, clean), (2L, badword), (3L, "too short doc here."))
+          .toDF("doc_id", "text"), cfg)
+        .select("doc_id").as[Long].collect().toSet
+      assert(batch == ids)
+    } finally q.stop()
+  }
+
   test("batch twin: ingest filter+dedup counts agree with the funnel report") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("text"))
