@@ -195,6 +195,7 @@ object SparkEntry {
     "q_mix_temperature"         -> Corpus.mixTemperature _,
     "q_threshold_sweep"         -> Corpus.thresholdSweep _,
     "q_dup_histogram"           -> Corpus.dupHistogram _,
+    "q_drift_psi"               -> Corpus.driftPsi _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -3472,6 +3473,43 @@ object SparkEntry {
                  ELSE CAST(n_common AS DOUBLE) / n_b END
                  + 0.000000001, 6) AS c_ba
          FROM c ORDER BY src_a, src_b""",
+    // PSI drift: reference-decile bins (quantile_cont twin), Laplace
+    // shares, per-bin contribution quantized on the 2^20 grid
+    "q_drift_psi" ->
+      """WITH ref AS (SELECT CAST(n_chars AS DOUBLE) AS v
+                      FROM documents),
+         cur AS (SELECT CAST(n_chars + (doc_id % 5) * 40 AS DOUBLE)
+                   AS v FROM documents),
+         e AS (SELECT [quantile_cont(v, 0.1), quantile_cont(v, 0.2),
+                       quantile_cont(v, 0.3), quantile_cont(v, 0.4),
+                       quantile_cont(v, 0.5), quantile_cont(v, 0.6),
+                       quantile_cont(v, 0.7), quantile_cont(v, 0.8),
+                       quantile_cont(v, 0.9)] AS edges FROM ref),
+         rc AS (SELECT CAST(len(list_filter(e.edges, x -> v > x)) + 1
+                  AS BIGINT) AS bin, count(*) AS c
+                FROM ref, e GROUP BY 1),
+         cc AS (SELECT CAST(len(list_filter(e.edges, x -> v > x)) + 1
+                  AS BIGINT) AS bin, count(*) AS c
+                FROM cur, e GROUP BY 1),
+         bins AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+                    AS bin),
+         j AS (SELECT b.bin,
+                 CAST(coalesce(rc.c, 0) AS BIGINT) AS c_ref,
+                 CAST(coalesce(cc.c, 0) AS BIGINT) AS c_cur
+               FROM bins b LEFT JOIN rc ON b.bin = rc.bin
+               LEFT JOIN cc ON b.bin = cc.bin),
+         t AS (SELECT CAST(sum(c_ref) AS BIGINT) AS nr,
+                      CAST(sum(c_cur) AS BIGINT) AS nc FROM j),
+         pq AS (SELECT bin, c_ref, c_cur,
+                  CAST(c_ref + 1 AS DOUBLE) /
+                    CAST(nr + 10 AS DOUBLE) AS p,
+                  CAST(c_cur + 1 AS DOUBLE) /
+                    CAST(nc + 10 AS DOUBLE) AS q
+                FROM j, t)
+         SELECT bin, c_ref, c_cur,
+           CAST(round(((p - q) * ln(p / q)) * 1048576.0) AS BIGINT)
+             AS psi_q
+         FROM pq ORDER BY bin""",
     // duplication histogram: three planted clone families → exact
     // clusters of size 1/2/3/4; all-integer output
     "q_dup_histogram" ->

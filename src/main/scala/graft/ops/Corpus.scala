@@ -1925,6 +1925,23 @@ object Corpus {
       .orderBy(col("bin"))
   }
 
+  /** PSI distribution drift as a declared query: reference = the
+    * corpus length distribution, current = the same lengths shifted
+    * by id arithmetic (`+ (id%5)·40` — a deterministic upward drift),
+    * binned by the reference deciles ([[graft.ops.Drift.psiBins]]).
+    * Counts are integers; each bin's (p−q)·ln(p/q) contribution is
+    * quantized on the 2^20 grid (the NgramLm posture), so the whole
+    * table hash-gates. */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val ref = d.select(col("n_chars").cast("double").as("v"))
+    val cur = d.select((col("n_chars") + (col("doc_id") % 5) * 40)
+      .cast("double").as("v"))
+    graft.ops.Drift.psiBins(ref, cur, "v", nBins = 10)
+      .orderBy(col("bin"))
+  }
+
   /** Threshold sweep as a declared query: the [[calibrationBins]]
     * deterministic (score, label) pairing swept over ten cutoffs —
     * the operating-point table (precision/recall/keep-fraction per
