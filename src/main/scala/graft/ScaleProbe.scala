@@ -140,7 +140,11 @@ object ScaleProbe {
                   // omitted: fixed authored fixtures, no testdata
                   // (the q_sniff_route rationale)
                   "q_gopher_filter", "q_c4_lines", "q_c4_clean",
-                  "q_source_overlap", "q_script_detect", "q_lm_tiers")
+                  "q_source_overlap", "q_script_detect", "q_lm_tiers",
+                  // round-13 part 2: PSI drift (one ref percentile
+                  // aggregate + two broadcast-edge histograms — both
+                  // snapshots are the 10× part)
+                  "q_drift_psi")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
