@@ -196,6 +196,8 @@ object SparkEntry {
     "q_threshold_sweep"         -> Corpus.thresholdSweep _,
     "q_dup_histogram"           -> Corpus.dupHistogram _,
     "q_drift_psi"               -> Corpus.driftPsi _,
+    "q_novelty_rate"            -> Corpus.noveltyRate _,
+    "q_source_report"           -> Corpus.sourceReport _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -3510,6 +3512,79 @@ object SparkEntry {
            CAST(round(((p - q) * ln(p / q)) * 1048576.0) AS BIGINT)
              AS psi_q
          FROM pq ORDER BY bin""",
+    // snapshot novelty: distinct-hash anti-join; the %3 docs are
+    // verbatim re-fetches, the rest prefixed (new content)
+    "q_novelty_rate" ->
+      """WITH cur AS (SELECT CASE WHEN doc_id % 3 = 0 THEN text
+                 ELSE 'refreshed page ' || doc_id || ' ' || text END
+                 AS text FROM documents),
+         r AS (SELECT DISTINCT sha256(text) AS h FROM documents),
+         c AS (SELECT DISTINCT sha256(text) AS h FROM cur),
+         nv AS (SELECT count(*) AS n_novel FROM c
+                WHERE h NOT IN (SELECT h FROM r)),
+         t AS (SELECT count(*) AS n_cur FROM c)
+         SELECT CAST(n_cur AS BIGINT) AS n_cur,
+                CAST(n_novel AS BIGINT) AS n_novel,
+                round(CASE WHEN n_cur = 0 THEN 0.0
+                      ELSE CAST(n_novel AS DOUBLE) / n_cur END
+                      + 0.000000001, 6) AS novelty
+         FROM t, nv""",
+    // per-source league table: counts + integer-grid quality sums
+    // (quantize THEN sum keeps the mean order-free); the lang and
+    // quality CTEs are the proven q_curation fragments
+    "q_source_report" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents),
+         s AS (SELECT doc_id, len(toks) AS n,
+           len(list_filter(toks, x -> x IN ('the','and','of','to','in',
+             'is','that','it','for','with','was','his','are','not',
+             'this','but'))) AS h_en,
+           len(list_filter(toks, x -> x IN ('der','die','das','und',
+             'ist','nicht','ein','eine','mit','auf','für','von','sich',
+             'dem','den','zu'))) AS h_de,
+           len(list_filter(toks, x -> x IN ('el','la','los','las','de',
+             'que','y','en','un','una','por','con','para','es','su',
+             'del'))) AS h_es,
+           len(list_filter(toks, x -> x IN ('le','la','les','de','des',
+             'et','est','un','une','dans','pour','que','qui','sur',
+             'pas','au'))) AS h_fr
+           FROM tok),
+         l AS (SELECT doc_id,
+           CASE WHEN n = 0 OR greatest(h_en, h_de, h_es, h_fr) = 0
+                  THEN 'und'
+                WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                WHEN h_de = greatest(h_de, h_es, h_fr) THEN 'de'
+                WHEN h_es = greatest(h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS detected
+           FROM s),
+         qf AS (SELECT d.doc_id,
+                 len(tok.toks) AS n_tokens,
+                 len(list_distinct(tok.toks)) AS n_distinct,
+                 length(d.text) AS nch,
+                 length(d.text) - length(regexp_replace(d.text,
+                   '[[:punct:]]', '', 'g')) AS n_punct
+               FROM documents d JOIN tok ON d.doc_id = tok.doc_id),
+         qs AS (SELECT doc_id,
+           CAST(round(round(least(
+             (CASE WHEN n_tokens BETWEEN 5 AND 100000
+                   THEN 1.0 ELSE 0.0 END) *
+             (0.4 * (1.0 - least(CAST(n_punct AS DOUBLE) / nch * 4.0,
+                                 1.0)) +
+              0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens) + 0.2),
+             1.0), 6) * 1000000.0) AS BIGINT) AS q_q
+           FROM qf)
+         SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT sha256(d.text)) AS BIGINT) AS n_distinct,
+           CAST(sum(qs.q_q) AS BIGINT) AS sum_quality_q,
+           round(CAST(sum(qs.q_q) AS DOUBLE) / 1000000.0 / count(*)
+                 + 0.000000001, 6) AS mean_quality,
+           round(CAST(sum(CASE WHEN l.detected = 'en' THEN 1 ELSE 0
+                 END) AS DOUBLE) / count(*) + 0.000000001, 6) AS en_frac
+         FROM documents d JOIN l ON d.doc_id = l.doc_id
+         JOIN qs ON d.doc_id = qs.doc_id
+         GROUP BY d.source ORDER BY d.source""",
     // duplication histogram: three planted clone families → exact
     // clusters of size 1/2/3/4; all-integer output
     "q_dup_histogram" ->

@@ -1942,6 +1942,55 @@ object Corpus {
       .orderBy(col("bin"))
   }
 
+  /** Snapshot novelty as a declared query: reference = the corpus,
+    * current = a deterministic blend (every doc with `id%3==0` is a
+    * verbatim re-fetch of the reference doc, the rest are prefixed —
+    * new content), so the novelty fraction is exactly the non-%3
+    * share of distinct texts ([[graft.ops.Drift.noveltyRate]]). */
+  def noveltyRate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val cur = d.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(lit("refreshed page "), col("doc_id"),
+          lit(" "), col("text"))).as("text"))
+    graft.ops.Drift.noveltyRate(d, cur)
+      .select(col("n_cur"), col("n_novel"),
+        round(col("novelty") + lit(1e-9), 6).as("novelty"))
+  }
+
+  /** Per-source quality LEAGUE TABLE as a declared query — the
+    * one-report composition a multi-source corpus review starts
+    * from: per source, doc count, token mass, distinct-text count
+    * (dup pressure), mean quality on the 10^6 integer grid (sums of
+    * arbitrary doubles are partition-order-dependent; quantize THEN
+    * sum — the DSIR trick — keeps the mean hash-stable), and the
+    * English share. One groupBy over the scan. */
+  def sourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("text"), col("n_chars"))
+      .withColumn("__toks", Text.tokenize(col("text")))
+      .withColumn("__q_q",
+        round(Text.qualityScoreFromTokens(col("__toks"), col("text"))
+          * lit(1000000.0)).cast("long"))
+      .withColumn("__en",
+        (Text.langIdFromTokens(col("__toks"), col("text")) === "en")
+          .cast("long"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        countDistinct(sha2(col("text"), 256)).as("n_distinct"),
+        sum(col("__q_q")).as("sum_quality_q"),
+        sum(col("__en")).as("n_en"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("n_distinct"), col("sum_quality_q"),
+        round((col("sum_quality_q").cast("double") / lit(1000000.0)) /
+          col("n_docs").cast("double") + lit(1e-9), 6)
+          .as("mean_quality"),
+        round(col("n_en").cast("double") / col("n_docs").cast("double")
+          + lit(1e-9), 6).as("en_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Threshold sweep as a declared query: the [[calibrationBins]]
     * deterministic (score, label) pairing swept over ten cutoffs —
     * the operating-point table (precision/recall/keep-fraction per

@@ -75,4 +75,31 @@ object Drift {
     bins.agg(coalesce(sum(col("psi_q")), lit(0L)).as("psi_q"))
       .select(col("psi_q"),
         (col("psi_q").cast("double") / lit(Scale.toDouble)).as("psi"))
+
+  /** Snapshot NOVELTY — drift's companion question: not "did the
+    * shape change" but "how much of what arrived is actually new
+    * content". One row: current-snapshot distinct content hashes,
+    * how many are unseen in the reference, and the novelty fraction.
+    * A crawl whose novelty rate collapses is re-fetching the same
+    * web; one whose rate spikes found (or got spammed by) a new
+    * content region.
+    *
+    * Plan: two distinct-hash aggregates + one left-anti join on the
+    * 32-byte key — each side map-side-combines to its distinct set
+    * before anything shuffles; at 100 TB the reference side is the
+    * landed corpus's ALREADY-STORED hash column, not a rescan. */
+  def noveltyRate(ref: DataFrame, cur: DataFrame,
+                  textCol: String = "text"): DataFrame = {
+    def hashes(df: DataFrame) =
+      df.select(sha2(col(textCol), 256).as("__h")).distinct()
+    val r = hashes(ref)
+    val c = hashes(cur)
+    val novel = c.join(r, Seq("__h"), "left_anti")
+    c.agg(count(lit(1)).as("n_cur")).crossJoin(
+        novel.agg(count(lit(1)).as("n_novel")))
+      .select(col("n_cur"), col("n_novel"),
+        when(col("n_cur") === 0L, lit(0.0))
+          .otherwise(col("n_novel").cast("double") /
+            col("n_cur").cast("double")).as("novelty"))
+  }
 }

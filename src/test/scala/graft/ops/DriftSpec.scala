@@ -52,6 +52,25 @@ class DriftSpec extends AnyFunSuite {
     assert(bins(0)._4 == want1 && bins(1)._4 == want2)
   }
 
+  test("noveltyRate: hand-computed blend, identical and disjoint edges") {
+    val ref = Seq("a text", "b text", "c text").toDF("text")
+    // current: a re-fetch of 'a text', a dup pair of new content, one
+    // more new doc → 3 distinct, 2 novel
+    val cur = Seq("a text", "new one", "new one", "new two").toDF("text")
+    val r = Drift.noveltyRate(ref, cur)
+      .select("n_cur", "n_novel", "novelty")
+      .as[(Long, Long, Double)].head()
+    assert(r == ((3L, 2L, 2.0 / 3.0)))
+    // identical snapshot → zero novelty
+    val same = Drift.noveltyRate(ref, ref)
+      .select("novelty").as[Double].head()
+    assert(same == 0.0)
+    // fully disjoint → 1.0
+    val disj = Drift.noveltyRate(ref, Seq("x", "y").toDF("text"))
+      .select("novelty").as[Double].head()
+    assert(disj == 1.0)
+  }
+
   test("every row lands in exactly one bin (counts conserve)") {
     val ref = (1 to 357).map(i => (i * 13 % 101).toDouble).toDF("v")
     val cur = (1 to 222).map(i => (i * 7 % 97).toDouble).toDF("v")
