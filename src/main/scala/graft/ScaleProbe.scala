@@ -143,8 +143,11 @@ object ScaleProbe {
                   "q_source_overlap", "q_script_detect", "q_lm_tiers",
                   // round-13 part 2: PSI drift (one ref percentile
                   // aggregate + two broadcast-edge histograms — both
-                  // snapshots are the 10× part)
-                  "q_drift_psi")
+                  // snapshots are the 10× part), snapshot novelty
+                  // (two distinct-hash exchanges + the anti-join),
+                  // and the per-source league table (one groupBy
+                  // with map-side-combined integer sums)
+                  "q_drift_psi", "q_novelty_rate", "q_source_report")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
