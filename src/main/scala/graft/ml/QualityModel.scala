@@ -114,4 +114,71 @@ object QualityModel {
       .setRawPredictionCol("__q_raw")
     Fitted(fitted, textCol)
   }
+
+  // ---- hashed-n-gram (fastText-style) variant ------------------------
+
+  /** The heavier public filter shape the scaladoc above names: token
+    * uni+bigrams hashed into a `numFeatures`-wide sparse vector
+    * (HashingTF — the fastText trick: no vocabulary state, the model
+    * is ONE weight vector), logistic regression on top. Catches
+    * lexical signal the 9 flat features cannot (which WORDS mark
+    * trusted text), at the cost of a `numFeatures`-sized broadcast at
+    * scoring time. Scoring stays one map pass — featurize + dot —
+    * exactly the 100-TB keep/drop shape. */
+  final case class FittedHashed(model: LogisticRegressionModel,
+                                textCol: String, numFeatures: Int) {
+    def score(docs: DataFrame): DataFrame = {
+      requireNoReserved(docs, extra = Seq("ml_quality"))
+      val p1: Column = vector_to_array(col("__q_prob")).getItem(1)
+      model.transform(hashedFeatures(docs, textCol, numFeatures))
+        .withColumn("ml_quality", p1)
+        .drop("__q_features", "__q_prob", "__q_pred", "__q_raw")
+    }
+  }
+
+  /** Uni+bigram hashed term-frequency features: one tokenize, one
+    * bigram zip, one HashingTF — all map work. */
+  private def hashedFeatures(docs: DataFrame, textCol: String,
+                             numFeatures: Int): DataFrame = {
+    requireNoReserved(docs)
+    import org.apache.spark.ml.feature.HashingTF
+    import org.apache.spark.sql.functions.{concat_ws => cws}
+    val toks = col("__q_toks")
+    // bigrams via two aligned slices (NOT zip_with over the raw token
+    // array — its null padding would duplicate the last unigram)
+    val nb = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), nb),
+      slice(toks, lit(2), nb), (a, b) => cws(" ", a, b))
+    val withGrams = docs
+      .withColumn("__q_toks", Text.tokenize(col(textCol)))
+      .withColumn("__q_grams", concat(toks, bigrams))
+      .drop("__q_toks")
+    new HashingTF().setInputCol("__q_grams")
+      .setOutputCol("__q_features").setNumFeatures(numFeatures)
+      .transform(withGrams)
+      .drop("__q_grams")
+  }
+
+  /** [[fit]]'s hashed-feature sibling. Same determinism posture
+    * (fixed inputs + partitioning → one L-BFGS trajectory); the
+    * default width keeps the broadcast model at 2^18 doubles
+    * (~2 MB). */
+  def fitHashed(trusted: DataFrame, raw: DataFrame,
+                textCol: String = "text", numFeatures: Int = 1 << 18,
+                maxIter: Int = 50, regParam: Double = 0.01)
+      : FittedHashed = {
+    val train = hashedFeatures(
+      trusted.select(col(textCol)).withColumn("label", lit(1.0))
+        .unionByName(raw.select(col(textCol))
+          .withColumn("label", lit(0.0))),
+      textCol, numFeatures)
+    val lr = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("__q_features").setLabelCol("label")
+    val fitted = lr.fit(train)
+      .setProbabilityCol("__q_prob")
+      .setPredictionCol("__q_pred")
+      .setRawPredictionCol("__q_raw")
+    FittedHashed(fitted, textCol, numFeatures)
+  }
 }

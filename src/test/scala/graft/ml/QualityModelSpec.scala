@@ -84,4 +84,34 @@ class QualityModelSpec extends AnyFunSuite {
       model.score(withOut)
     }.getMessage.contains("ml_quality"))
   }
+
+  test("hashed-n-gram variant: lexical signal the flat features miss") {
+    import spark.implicits._
+    // two classes with IDENTICAL shape features (length, diversity,
+    // punctuation) but disjoint VOCABULARY — only a lexical model can
+    // separate them
+    def corpus(prefix: String) = (1 to 120).map { i =>
+      (i.toLong, (0 until 12).map(j =>
+        s"$prefix${(i * 7 + j * 13) % 40}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val good = corpus("fine")
+    val bad = corpus("junk")
+    val m = QualityModel.fitHashed(good.limit(80), bad.limit(80),
+      numFeatures = 1 << 14, maxIter = 30)
+    val heldGood = m.score(good.filter(col("doc_id") > 80))
+      .agg(min("ml_quality")).head().getDouble(0)
+    val heldBad = m.score(bad.filter(col("doc_id") > 80))
+      .agg(max("ml_quality")).head().getDouble(0)
+    assert(heldGood > 0.8 && heldBad < 0.2,
+      s"hashed model failed to separate: good>=$heldGood bad<=$heldBad")
+    // output schema: input + ml_quality, no leaked temp columns
+    val cols = m.score(good.limit(2)).columns.toSet
+    assert(cols == Set("doc_id", "text", "ml_quality"))
+    // deterministic for a fixed model
+    val a = m.score(good).select("doc_id", "ml_quality")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = m.score(good).select("doc_id", "ml_quality")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
 }
