@@ -39,8 +39,12 @@ object Drift {
               nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"PSI needs at least 2 bins: $nBins")
     val v = col(valueCol).cast("double")
+    // one-row edge frame, materialized once — it feeds BOTH snapshot
+    // histograms, and without the checkpoint each crossJoin would
+    // re-run the reference percentile scan
     val edges = ref.agg(array((1 until nBins).map(i =>
       percentile(v, lit(i.toDouble / nBins))): _*).as("__edges"))
+      .localCheckpoint(false)
     def binned(df: DataFrame, cnt: String): DataFrame =
       df.select(v.as("__v")).crossJoin(edges)
         .select((size(filter(col("__edges"), e => col("__v") > e)) + 1)
