@@ -198,6 +198,7 @@ object SparkEntry {
     "q_drift_psi"               -> Corpus.driftPsi _,
     "q_novelty_rate"            -> Corpus.noveltyRate _,
     "q_source_report"           -> Corpus.sourceReport _,
+    "q_lang_script_audit"       -> Corpus.langScriptAudit _,
   )
 
   /** Seeded LSH twins over testdata ratings with planted clone users
@@ -279,6 +280,7 @@ object SparkEntry {
       ("q_incremental_dedup_index" ->
         baseOracleSql("q_incremental_dedup")) +
       ("q_script_detect" -> scriptDetectOracle) +
+      ("q_lang_script_audit" -> langScriptAuditOracle) +
       ("q_pagerank" -> pageRankOracle(5)) +
       ("q_hits" -> hitsOracle(3)) +
       ("q_profile" -> profileOracle) +
@@ -531,6 +533,74 @@ object SparkEntry {
                 CAST(n_scripted - best AS DOUBLE) >
                 CAST(n_scripted AS DOUBLE) * 0.1 AS BIGINT) AS mixed
          FROM g ORDER BY doc_id"""
+  }
+
+  /** `q_lang_script_audit`'s twin: the q_curation language CTE over
+    * the Cyrillic-block-planted corpus, script counts from the same
+    * [[graft.text.Scripts.Ranges]], the agreement CASE mirroring
+    * [[graft.text.Scripts.langScriptAgree]]'s rule order. */
+  private def langScriptAuditOracle: String = {
+    val ranges = graft.text.Scripts.Ranges.toMap
+    val countCols = Corpus.ScriptSet.map { s =>
+      s"CAST(len(regexp_extract_all(text, '${ranges(s)}')) AS BIGINT)" +
+        s" AS n_$s"
+    }.mkString(",\n             ")
+    val total = Corpus.ScriptSet.map(s => s"n_$s").mkString(" + ")
+    val best = s"greatest(${Corpus.ScriptSet.map(s => s"n_$s")
+      .mkString(", ")})"
+    val domCase = Corpus.ScriptSet.init.map(s =>
+      s"WHEN n_$s = best THEN '$s'").mkString("\n                ")
+    s"""WITH pl AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 1 THEN text || ' ' ||
+               array_to_string(list_transform(
+                 generate_series(1,
+                   CAST(ceil(n_chars / 40.0) AS INT) + 1),
+                 i -> '${Corpus.ScriptAuditBlock}'), ' ')
+             ELSE text END AS text
+           FROM documents),
+         t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+               FROM pl),
+         s AS (SELECT doc_id, len(toks) AS n,
+           len(list_filter(toks, x -> x IN ('the','and','of','to','in',
+             'is','that','it','for','with','was','his','are','not',
+             'this','but'))) AS h_en,
+           len(list_filter(toks, x -> x IN ('der','die','das','und',
+             'ist','nicht','ein','eine','mit','auf','für','von','sich',
+             'dem','den','zu'))) AS h_de,
+           len(list_filter(toks, x -> x IN ('el','la','los','las','de',
+             'que','y','en','un','una','por','con','para','es','su',
+             'del'))) AS h_es,
+           len(list_filter(toks, x -> x IN ('le','la','les','de','des',
+             'et','est','un','une','dans','pour','que','qui','sur',
+             'pas','au'))) AS h_fr
+           FROM t),
+         l AS (SELECT doc_id,
+           CASE WHEN n = 0 OR greatest(h_en, h_de, h_es, h_fr) = 0
+                  THEN 'und'
+                WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                WHEN h_de = greatest(h_de, h_es, h_fr) THEN 'de'
+                WHEN h_es = greatest(h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS detected
+           FROM s),
+         c AS (SELECT doc_id,
+             $countCols
+           FROM t),
+         g AS (SELECT c.*, $total AS tot, $best AS best FROM c),
+         d AS (SELECT doc_id,
+           CASE WHEN tot = 0 THEN 'none'
+                $domCase
+                ELSE '${Corpus.ScriptSet.last}' END AS dominant
+           FROM g)
+         SELECT l.doc_id, l.detected, d.dominant,
+           CAST(CASE WHEN l.detected = 'und' THEN 1
+                WHEN d.dominant = 'none' THEN 1
+                WHEN l.detected IN ('en','de','es','fr')
+                  THEN CASE WHEN d.dominant = 'latin' THEN 1 ELSE 0 END
+                WHEN l.detected = 'zh'
+                  THEN CASE WHEN d.dominant = 'cjk' THEN 1 ELSE 0 END
+                ELSE 1 END AS BIGINT) AS agree
+         FROM l JOIN d ON l.doc_id = d.doc_id
+         ORDER BY l.doc_id"""
   }
 
   private def pageRankOracle(iters: Int): String = {

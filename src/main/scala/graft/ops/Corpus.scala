@@ -2585,6 +2585,38 @@ object Corpus {
       .orderBy(id)
   }
 
+  private[graft] val ScriptAuditBlock =
+    "русский блок достаточно длинный чтобы доминировать"
+
+  /** Language↔script agreement audit as a declared query: every
+    * `%4==1` doc keeps its English soup (detected language
+    * UNCHANGED — stopword hits survive appended text) but gains a
+    * Cyrillic block repeated until it dominates the character mass —
+    * the "lang=en but the page is Cyrillic" mislabel/mojibake/spam
+    * case ([[graft.text.Scripts.langScriptAgree]]). Map-only. */
+  def langScriptAudit(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val reps = ceil(col("n_chars").cast("double") / lit(40.0))
+      .cast("int") + 1
+    val planted = docs(spark, dir)
+      .join(Tables.documents(spark, dir).select(id, col("n_chars")),
+        "doc_id")
+      .select(id, when(id % 4 === 1,
+        concat(col("text"), lit(" "),
+          concat_ws(" ", array_repeat(lit(ScriptAuditBlock), reps))))
+        .otherwise(col("text")).as("text"))
+    val toks = Text.tokenize(col("text"))
+    val p = graft.text.Scripts.scriptProfile(col("text"), ScriptSet)
+    planted
+      .select(id,
+        Text.langIdFromTokens(toks, col("text")).as("detected"),
+        p.getField("dominant").as("dominant"))
+      .withColumn("agree", graft.text.Scripts
+        .langScriptAgree(col("detected"), col("dominant"))
+        .cast("long"))
+      .orderBy(id)
+  }
+
   /** Source-pair corpus-overlap matrix as a declared query: bottom-64
     * KMV sketches over distinct 3-shingle md5s per source (the
     * mergeable typed Aggregator — state ≤ 64 strings, map-side

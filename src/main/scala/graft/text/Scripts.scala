@@ -64,6 +64,27 @@ object Scripts {
     struct(fields: _*)
   }
 
+  /** Expected dominant script per detected language — the audit
+    * table behind [[langScriptAgree]]. */
+  val ExpectedScript: Map[String, String] = Map(
+    "en" -> "latin", "de" -> "latin", "es" -> "latin",
+    "fr" -> "latin", "zh" -> "cjk")
+
+  /** The language↔script AGREEMENT audit: a page whose detected
+    * language expects one script but whose characters are dominated
+    * by another is mislabeled, mojibake, or spam ("lang=en but the
+    * page is Cyrillic"). Agrees vacuously when the language is
+    * unknown ("und"), the page has no scripted characters ("none"),
+    * or the language has no expectation registered. */
+  def langScriptAgree(detected: Column, dominant: Column): Column = {
+    val expected = ExpectedScript.foldLeft(lit(null).cast("string")) {
+      case (acc, (lang, script)) =>
+        when(detected === lang, lit(script)).otherwise(acc)
+    }
+    detected === "und" || dominant === "none" ||
+      expected.isNull || expected === dominant
+  }
+
   /** Mixed-script flag: a second script carries more than `minFrac`
     * of the scripted characters — the homoglyph-spoofing / mojibake /
     * spam signal. */

@@ -57,6 +57,26 @@ class ScriptsSpec extends AnyFunSuite {
     assert(!mixed(""))
   }
 
+  test("langScriptAgree: the mislabel audit rule table") {
+    val cases = Seq(
+      ("en", "latin", true),
+      ("en", "cyrillic", false),   // the "lang=en, Cyrillic page" case
+      ("zh", "cjk", true),
+      ("zh", "latin", false),
+      ("und", "cyrillic", true),   // unknown language agrees vacuously
+      ("en", "none", true),        // unscripted page agrees vacuously
+      ("ja", "kana", true))        // no expectation registered → agree
+    val df = cases.map(c => (c._1, c._2)).toDF("detected", "dominant")
+      .withColumn("agree",
+        Scripts.langScriptAgree(col("detected"), col("dominant")))
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2))
+      .toMap
+    cases.foreach { c =>
+      assert(got((c._1, c._2)) == c._3, s"case $c")
+    }
+  }
+
   test("unknown script names refuse loudly") {
     intercept[IllegalArgumentException] {
       Scripts.scriptCount(col("text"), "klingon")
