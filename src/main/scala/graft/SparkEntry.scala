@@ -3330,7 +3330,8 @@ object SparkEntry {
                / len(words) AS alpha_frac,
              CAST(len(list_filter(
                  ['the','be','to','of','and','that','have','with'],
-                 s -> list_contains(words, s))) AS BIGINT) AS n_stop,
+                 s -> list_contains(list_transform(words,
+                        x -> lower(x)), s))) AS BIGINT) AS n_stop,
              CAST(len(list_filter(lines,
                  l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'
                    OR l LIKE '‣ %')) AS DOUBLE)

@@ -32,8 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    CODE POINTS (UTF8String/regex char semantics);
   *  - alphabetic = contains ≥1 `\p{L}` code point
   *    (`Character.isLetter`);
-  *  - stop hits = |distinct words ∩ stop list| (the
-  *    `array_intersect` count — a seen-bit per stop word);
+  *  - stop hits = |distinct CASE-FOLDED words ∩ stop list| (the
+  *    `array_intersect`-over-`lower(word)` count — a seen-bit per
+  *    stop word; folding is Locale.ROOT `toLowerCase`, identical to
+  *    Spark/DuckDB `lower` on the ASCII stop lists);
   *  - lines split on '\n', trimmed of SPACES only (Spark `trim`
   *    semantics), empties dropped; bullet prefixes "- ", "* ",
   *    "• ", "‣ "; ellipsis suffixes "..." and "…";
@@ -112,13 +114,17 @@ object GopherStats {
     def endWord(endExcl: Int): Unit = {
       nWords += 1; sumLen += wordLen
       if (wordHasAlpha) alphaWords += 1
-      // stop words are short — compare only plausible lengths
+      // stop words are short — compare only plausible lengths; the
+      // probe is CASE-FOLDED (sentence-initial "The"/"With" count —
+      // the published Gopher rule is on word identity, not surface
+      // case; composed form and oracle twin lower() identically)
       val wl = endExcl - wordStart
       if (wl <= maxStopLen) {
+        val w = s.substring(wordStart, endExcl)
+          .toLowerCase(java.util.Locale.ROOT)
         var k = 0
         while (k < stops.length) {
-          if ((stopMask & (1 << k)) == 0 && stops(k).length == wl &&
-              s.regionMatches(wordStart, stops(k), 0, wl))
+          if ((stopMask & (1 << k)) == 0 && stops(k) == w)
             stopMask |= 1 << k
           k += 1
         }

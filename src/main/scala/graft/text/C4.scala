@@ -51,6 +51,23 @@ object C4 {
       minSentences: Int = 3,
       badWords: Seq[String] = DefaultBadWords)
 
+  // cleanLines/pageVerdict write these via withColumn — a caller column
+  // of the same name would be silently overwritten, so refuse loudly
+  // (the QualityModel.requireNoReserved posture)
+  private val CleanReserved =
+    Seq("raw_text", "n_lines", "n_kept", "__c4_lines", "__c4_kept")
+  private val VerdictReserved =
+    Seq("n_sentences", "keep", "drop_reason") ++
+      Seq("sentences", "badwords", "lorem_ipsum", "brace").map("pass_" + _)
+
+  private def requireNoReserved(docs: DataFrame, reserved: Seq[String],
+                                op: String): Unit = {
+    val clash = docs.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"C4.$op reserves column name(s) ${clash.mkString(", ")} — " +
+        "rename them on the input; the operator overwrites these names")
+  }
+
   private val Terminal = Seq(".", "!", "?", "\"")
 
   /** Line-keep predicate on a TRIMMED line: terminal punctuation,
@@ -64,9 +81,14 @@ object C4 {
     terminal && enough && noJs
   }
 
-  /** Word-boundary bad-word hit on the raw page text (lowercased). */
+  /** Word-boundary bad-word hit on the raw page text (lowercased).
+    * Each word is regex-quoted (`\Q…\E`) — production lists contain
+    * regex metacharacters ("a.b", "c++") that must match literally,
+    * not as patterns. */
   def badWordHit(text: Column, words: Seq[String]): Column =
-    lower(text).rlike("\\b(" + words.mkString("|") + ")\\b")
+    lower(text).rlike(
+      "\\b(" + words.map(java.util.regex.Pattern.quote).mkString("|") +
+        ")\\b")
 
   /** Sentences of a cleaned page: split after terminal punctuation at
     * whitespace, trimmed, empties dropped. On line-structured pages
@@ -80,6 +102,7 @@ object C4 {
     * preserved in `raw_text` for the page-level raw checks. */
   def cleanLines(docs: DataFrame, cfg: Config = Config(),
                  textCol: String = "text"): DataFrame = {
+    requireNoReserved(docs, CleanReserved, "cleanLines")
     val lines = Text.docLines(col(textCol))
     val kept = filter(lines, l => lineKeep(l, cfg.minWordsPerLine))
     docs
@@ -98,6 +121,7 @@ object C4 {
     * published order (sentences, badwords, lorem_ipsum, brace). */
   def pageVerdict(cleaned: DataFrame, cfg: Config = Config(),
                   textCol: String = "text"): DataFrame = {
+    requireNoReserved(cleaned, VerdictReserved, "pageVerdict")
     val nSent = size(sentences(col(textCol))).cast("long")
     val rules: Seq[(String, Column)] = Seq(
       "sentences" -> (nSent >= cfg.minSentences),
@@ -129,10 +153,25 @@ object C4 {
     * is picked by the encoded key `idCol · 10^6 + position` (engine-
     * portable single-column min; positions ≥ 10^6 — a million-sentence
     * page — would only perturb WHICH occurrence survives, never the
-    * dedup set). Documents whose every sentence is removed drop out
-    * of the result entirely. */
+    * dedup set). The id column must be an integral type with
+    * |id| < 2^63/10^6 ≈ 9.2·10^12 (validated loudly — a string id
+    * would null the encoding and silently no-op the dedup; an
+    * overflowing id could let both occurrences of a window survive).
+    * Documents with NO sentences at all (empty/whitespace-only text)
+    * pass through untouched with empty text and n_sent = 0; documents
+    * whose every sentence is removed BY THE DEDUP drop out of the
+    * result entirely (documented behavior). */
   def spanDedup3(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"spanDedup3 requires an integral id column ('$idCol' is " +
+          s"${other.catalogString}): the canonical-occurrence key is " +
+          "id*10^6+pos, which a non-integral id would null out, " +
+          "silently disabling the dedup")
+    }
     val sents = docs
       .select(col(idCol).as("id"), sentences(col(textCol)).as("__s"))
       .localCheckpoint(false)
@@ -162,14 +201,22 @@ object C4 {
     val flat = sents.select(col("id"),
       posexplode(col("__s")).as(Seq("p0", "sent")))
       .select(col("id"), (col("p0") + 1).as("spos"), col("sent"))
-    flat.join(doomed, Seq("id", "spos"), "left_anti")
+    val rebuilt = flat.join(doomed, Seq("id", "spos"), "left_anti")
       .groupBy(col("id"))
       .agg(
         concat_ws(" ", array_sort(collect_list(struct(col("spos"),
           col("sent")))).getField("sent")).as("__text"),
         count(lit(1)).as("n_sent"))
-      .join(sents.select(col("id"), size(col("__s")).as("__n0")), "id")
-      .select(col("id").as(idCol), col("__text").as(textCol),
-        col("n_sent"), (col("__n0") - col("n_sent")).as("n_removed"))
+    // left join from the input ids: a doc with zero sentences (empty /
+    // whitespace-only text) produced no flat rows but was never touched
+    // by the dedup — pass it through; a doc whose every sentence was
+    // REMOVED (n0 > 0, no surviving rows) drops, as documented
+    sents.select(col("id"), size(col("__s")).as("__n0"))
+      .join(rebuilt, Seq("id"), "left")
+      .filter(col("__n0") === 0 || col("n_sent").isNotNull)
+      .select(col("id").as(idCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        coalesce(col("n_sent"), lit(0L)).as("n_sent"),
+        (col("__n0") - coalesce(col("n_sent"), lit(0L))).as("n_removed"))
   }
 }

@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   *  - fraction of lines ending with an ellipsis ≤ 0.3
   *  - fraction of words with ≥1 alphabetic character ≥ 0.8
   *  - ≥ 2 distinct hits from the 8-word stop list {the, be, to, of,
-  *    and, that, have, with}
+  *    and, that, have, with} — matched case-insensitively
+  *    (sentence-initial "The"/"With" count toward the floor)
   *  - repetition gates from [[Text.repetitionSignals]] (the native
   *    kernel): dup_line_frac ≤ 0.30, dup_line_char_frac ≤ 0.20,
   *    top_{2,3,4}gram_cov ≤ {0.20, 0.18, 0.16}. Gopher also gates
@@ -65,6 +66,19 @@ object Gopher {
   val StopList: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  // verdict() writes these via withColumn — a caller column of the
+  // same name would be silently overwritten and filterDocs would then
+  // drop it, so refuse loudly (the QualityModel.requireNoReserved
+  // posture; ditto C4.cleanLines/pageVerdict)
+  private[text] val Reserved: Seq[String] = Seq(
+    "n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
+    "n_stop", "bullet_frac", "ellipsis_frac", "dup_line_frac",
+    "top_2gram_cov", "keep", "drop_reason",
+    "__g_k", "__g_sig", "__g_rep") ++
+    Seq("word_count", "mean_word_len", "symbol_ratio", "bullets",
+      "ellipsis", "alpha_frac", "stopwords", "repetition")
+      .map("pass_" + _)
+
   private val BulletPrefixes = Seq("- ", "* ", "• ", "‣ ")
 
   /** Raw whitespace words of a document (newlines folded to spaces,
@@ -98,8 +112,8 @@ object Gopher {
     val alphaWords =
       size(filter(words, w => w.rlike("\\p{L}"))).cast("long")
     val stopHits =
-      size(array_intersect(words, array(StopList.map(lit): _*)))
-        .cast("long")
+      size(array_intersect(transform(words, w => lower(w)),
+        array(StopList.map(lit): _*))).cast("long")
     val bulletLines = size(filter(lines, l =>
       BulletPrefixes.map(p => l.startsWith(p))
         .reduce((a, b) => a || b))).cast("long")
@@ -155,6 +169,11 @@ object Gopher {
     * spelling). Signal counting runs the native kernel. */
   def verdict(docs: DataFrame, cfg: Config = Config(),
               textCol: String = "text"): DataFrame = {
+    val clash = docs.columns.toSeq.intersect(Reserved)
+    require(clash.isEmpty,
+      s"Gopher.verdict reserves column name(s) ${clash.mkString(", ")}" +
+        " — rename them on the input; verdict overwrites and " +
+        "filterDocs drops these names")
     val staged = docs
       .withColumn("__g_k", graft.functions.GopherStats
         .gopherStats(col(textCol), StopList))

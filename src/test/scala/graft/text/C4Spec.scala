@@ -117,4 +117,45 @@ class C4Spec extends AnyFunSuite {
     val n = df.select(size(C4.sentences(col("text")))).as[Int].head()
     assert(n == 3)
   }
+
+  test("badword with regex metacharacters matches literally") {
+    val df = Seq(
+      (1L, "the acb token must not match a dot pattern."),
+      (2L, "the a.b token is the literal bad word.")).toDF("doc_id", "text")
+    // unquoted, 'a.b' would match 'acb' too; quoted it matches only
+    // the literal — and 'c++' must not throw at pattern compile
+    val hits = df.select(col("doc_id"),
+      C4.badWordHit(col("text"), Seq("a.b", "c++")).as("hit"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(hits == Map(1L -> false, 2L -> true))
+  }
+
+  test("spanDedup3 refuses a non-integral id column loudly") {
+    val df = Seq(("a", "one two three four five six."))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](C4.spanDedup3(df))
+    assert(e.getMessage.contains("integral id column"))
+  }
+
+  test("spanDedup3 passes empty/whitespace-only docs through untouched") {
+    val docs = Seq(
+      (1L, "a real sentence with enough words here."),
+      (2L, ""),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = C4.spanDedup3(docs)
+      .select("doc_id", "text", "n_sent", "n_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out(1) == ((2L, "", 0L, 0L)))
+    assert(out(2) == ((3L, "", 0L, 0L)))
+  }
+
+  test("cleanLines/pageVerdict refuse reserved caller columns") {
+    val clash1 = Seq((1L, "t", "x")).toDF("doc_id", "text", "raw_text")
+    val e1 = intercept[IllegalArgumentException](C4.cleanLines(clash1))
+    assert(e1.getMessage.contains("raw_text"))
+    val clash2 = Seq((1L, "t", 1L)).toDF("doc_id", "text", "keep")
+    val e2 = intercept[IllegalArgumentException](C4.pageVerdict(clash2))
+    assert(e2.getMessage.contains("keep"))
+  }
 }

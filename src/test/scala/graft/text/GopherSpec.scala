@@ -143,4 +143,31 @@ class GopherSpec extends AnyFunSuite {
     assert(v.getDouble(7) == 0.1)
     assert(v.getString(2) != "symbol_ratio")
   }
+
+  test("stop-word check is case-insensitive: capitalized prose counts") {
+    // 'The'/'With' sentence-initial forms must count toward the
+    // >=2-distinct floor (the published rule is on word identity)
+    val t = (1 to 13).map(i =>
+      s"The quick brown foxes jump With style over fence$i.")
+      .mkString("\n")
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, t)).toDF("doc_id", "text")
+    val v = Gopher.verdict(df)
+      .select("n_stop", "pass_stopwords").collect().head
+    assert(v.getLong(0) == 2L)
+    assert(v.getLong(1) == 1L)
+    // composed form agrees with the kernel on mixed-case text
+    val both = df.select(
+      Gopher.signalsFromKernel(graft.functions.GopherStats
+        .gopherStats(col("text"), Gopher.StopList)).as("k"),
+      Gopher.signalsFromParts(col("text"), Gopher.rawWords(col("text")),
+        graft.text.Text.docLines(col("text"))).as("h"))
+    assert(both.filter(not(col("k") <=> col("h"))).count() == 0L)
+  }
+
+  test("verdict refuses reserved caller columns loudly") {
+    val df = Seq((1L, "text", 7L)).toDF("doc_id", "text", "n_words")
+    val e = intercept[IllegalArgumentException](Gopher.verdict(df))
+    assert(e.getMessage.contains("n_words"))
+  }
 }
