@@ -52,6 +52,7 @@ object SparkEntry {
     "q_doc_fingerprint"         -> Corpus.docFingerprint _,
     "q_json_extract"            -> Corpus.jsonExtract _,
     "q_lang_facets"             -> Corpus.langFacets _,
+    "q_lang_facets_detected"    -> Corpus.langFacetsDetected _,
     "q_text_quality"            -> Corpus.textQuality _,
     "q_lang_id"                 -> Corpus.langId _,
     "q_vocab_topk"              -> ((s, d) => Corpus.vocabTopK(s, d)),
@@ -487,6 +488,69 @@ object SparkEntry {
          SELECT id AS doc_id, count(*) AS n_triangles
          FROM verts GROUP BY 1 ORDER BY 1"""
 
+  /** The language-detection CTE pair, GENERATED from
+    * [[graft.functions.LangHits.Profiles]] and the char-class rules
+    * in [[graft.text.Text]] (single source of truth with
+    * `Text.langIdFromTokens` — round 13's four hand-inlined copies of
+    * the 4-language CTE could never have stayed in sync with a
+    * 16-profile ladder). Emits `s AS (…hit counts…), l AS (doc_id,
+    * detected)`; `src` must provide `(doc_id, text, toks)`. The
+    * hangul/kana/CJK ratios go through CAST(… AS DOUBLE) so the
+    * division is IEEE like Spark's, and the argmax ladder uses the
+    * shrinking-greatest spelling (first listed language wins ties). */
+  private def langCteSql(src: String = "t"): String = {
+    val profs = graft.functions.LangHits.Profiles
+    val langs = profs.map(_._1)
+    val hitCols = profs.map { case (lang, ws) =>
+      s"len(list_filter(toks, x -> x IN (" +
+        ws.map(w => s"'$w'").mkString(",") + s"))) AS h_$lang"
+    }.mkString(",\n           ")
+    def gt(i: Int) =
+      if (i == langs.size - 1) s"h_${langs(i)}"
+      else s"greatest(${langs.drop(i).map(l => s"h_$l").mkString(", ")})"
+    val ladder = (0 until langs.size - 1).map { i =>
+      s"WHEN h_${langs(i)} = ${gt(i)} THEN '${langs(i)}'"
+    }.mkString("\n                ")
+    val ranges = graft.text.Scripts.Ranges.toMap
+    def cc(script: String) =
+      s"len(regexp_extract_all(text, '${ranges(script)}'))"
+    import graft.text.Text.{CjkMinRatio, HangulMinRatio, KanaMinRatio}
+    s"""s AS (SELECT doc_id, len(toks) AS n,
+           length(text) AS nch,
+           ${cc("hangul")} AS c_hang,
+           ${cc("kana")} AS c_kana,
+           ${cc("cjk")} AS c_cjk,
+           $hitCols
+           FROM $src),
+         l AS (SELECT doc_id,
+           CASE WHEN nch > 0 AND CAST(c_hang AS DOUBLE) / nch
+                  > $HangulMinRatio THEN 'ko'
+                WHEN nch > 0 AND CAST(c_kana AS DOUBLE) / nch
+                  > $KanaMinRatio THEN 'ja'
+                WHEN nch > 0 AND CAST(c_cjk AS DOUBLE) / nch
+                  > $CjkMinRatio THEN 'zh'
+                WHEN n = 0 OR ${gt(0)} = 0 THEN 'und'
+                $ladder
+                ELSE '${langs.last}' END AS detected
+           FROM s)"""
+  }
+
+  /** The multilingual-plant CASE, generated from
+    * [[Corpus.LangPlants]]: `doc_id % 24 ∈ [0, 19)` overrides the text
+    * with snippet k repeated `1 + doc_id % 3` times; other residues
+    * keep `ELSE $keep`. */
+  private def langPlantSql(keep: String = "text"): String = {
+    def rep(s: String) =
+      "array_to_string(list_transform(generate_series(1, " +
+        s"CAST(1 + doc_id % 3 AS INT)), i -> '$s'), ' ')"
+    val whens = Corpus.LangPlants.zipWithIndex.map { case ((_, s), i) =>
+      s"WHEN $i THEN ${rep(s)}"
+    }.mkString("\n             ")
+    s"""CASE CAST(doc_id % 24 AS INT)
+             $whens
+             ELSE $keep END"""
+  }
+
   /** `q_script_detect`'s twin, generated from the SAME constants the
     * Spark query plants with ([[Corpus.ScriptPlants]] /
     * [[graft.text.Scripts.Ranges]]): per-range counts via
@@ -535,10 +599,13 @@ object SparkEntry {
          FROM g ORDER BY doc_id"""
   }
 
-  /** `q_lang_script_audit`'s twin: the q_curation language CTE over
-    * the Cyrillic-block-planted corpus, script counts from the same
-    * [[graft.text.Scripts.Ranges]], the agreement CASE mirroring
-    * [[graft.text.Scripts.langScriptAgree]]'s rule order. */
+  /** `q_lang_script_audit`'s twin: the GENERATED language CTE over
+    * the multilingual-planted corpus (agreement cases from
+    * [[Corpus.LangPlants]]; the remaining soup docs with `%4 == 1`
+    * keep their English stopwords but gain a dominating Cyrillic
+    * block — the mislabel/mojibake case), script counts from the same
+    * [[graft.text.Scripts.Ranges]], and the agreement CASE generated
+    * from [[graft.text.Scripts.ExpectedScript]]. */
   private def langScriptAuditOracle: String = {
     val ranges = graft.text.Scripts.Ranges.toMap
     val countCols = Corpus.ScriptSet.map { s =>
@@ -550,38 +617,24 @@ object SparkEntry {
       .mkString(", ")})"
     val domCase = Corpus.ScriptSet.init.map(s =>
       s"WHEN n_$s = best THEN '$s'").mkString("\n                ")
+    val agreeCase = graft.text.Scripts.ExpectedScript.toSeq
+      .sortBy(_._1).map { case (lang, scripts) =>
+        s"WHEN l.detected = '$lang' THEN CASE WHEN d.dominant IN (" +
+          scripts.map(s => s"'$s'").mkString(",") +
+          ") THEN 1 ELSE 0 END"
+      }.mkString("\n                ")
+    val cyrAppend = "text || ' ' || array_to_string(list_transform(" +
+      "generate_series(1, CAST(ceil(n_chars / 40.0) AS INT) + 1), " +
+      s"i -> '${Corpus.ScriptAuditBlock}'), ' ')"
     s"""WITH pl AS (SELECT doc_id,
-             CASE WHEN doc_id % 4 = 1 THEN text || ' ' ||
-               array_to_string(list_transform(
-                 generate_series(1,
-                   CAST(ceil(n_chars / 40.0) AS INT) + 1),
-                 i -> '${Corpus.ScriptAuditBlock}'), ' ')
+             CASE WHEN doc_id % 24 < ${Corpus.LangPlants.size}
+                    THEN ${langPlantSql("text")}
+                  WHEN doc_id % 4 = 1 THEN $cyrAppend
              ELSE text END AS text
            FROM documents),
          t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                FROM pl),
-         s AS (SELECT doc_id, len(toks) AS n,
-           len(list_filter(toks, x -> x IN ('the','and','of','to','in',
-             'is','that','it','for','with','was','his','are','not',
-             'this','but'))) AS h_en,
-           len(list_filter(toks, x -> x IN ('der','die','das','und',
-             'ist','nicht','ein','eine','mit','auf','für','von','sich',
-             'dem','den','zu'))) AS h_de,
-           len(list_filter(toks, x -> x IN ('el','la','los','las','de',
-             'que','y','en','un','una','por','con','para','es','su',
-             'del'))) AS h_es,
-           len(list_filter(toks, x -> x IN ('le','la','les','de','des',
-             'et','est','un','une','dans','pour','que','qui','sur',
-             'pas','au'))) AS h_fr
-           FROM t),
-         l AS (SELECT doc_id,
-           CASE WHEN n = 0 OR greatest(h_en, h_de, h_es, h_fr) = 0
-                  THEN 'und'
-                WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
-                WHEN h_de = greatest(h_de, h_es, h_fr) THEN 'de'
-                WHEN h_es = greatest(h_es, h_fr) THEN 'es'
-                ELSE 'fr' END AS detected
-           FROM s),
+         ${langCteSql("t")},
          c AS (SELECT doc_id,
              $countCols
            FROM t),
@@ -594,10 +647,7 @@ object SparkEntry {
          SELECT l.doc_id, l.detected, d.dominant,
            CAST(CASE WHEN l.detected = 'und' THEN 1
                 WHEN d.dominant = 'none' THEN 1
-                WHEN l.detected IN ('en','de','es','fr')
-                  THEN CASE WHEN d.dominant = 'latin' THEN 1 ELSE 0 END
-                WHEN l.detected = 'zh'
-                  THEN CASE WHEN d.dominant = 'cjk' THEN 1 ELSE 0 END
+                $agreeCase
                 ELSE 1 END AS BIGINT) AS agree
          FROM l JOIN d ON l.doc_id = d.doc_id
          ORDER BY l.doc_id"""
@@ -1699,31 +1749,10 @@ object SparkEntry {
     // q_dedup_exact, and q_dedup_near oracle fragments over the same
     // corpus (no planting, no mixture) — one hash gate for the funnel
     "q_curation" ->
-      """WITH RECURSIVE
+      raw"""WITH RECURSIVE
          t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                FROM documents),
-         s AS (SELECT doc_id, len(toks) AS n,
-           len(list_filter(toks, x -> x IN ('the','and','of','to','in',
-             'is','that','it','for','with','was','his','are','not',
-             'this','but'))) AS h_en,
-           len(list_filter(toks, x -> x IN ('der','die','das','und',
-             'ist','nicht','ein','eine','mit','auf','für','von','sich',
-             'dem','den','zu'))) AS h_de,
-           len(list_filter(toks, x -> x IN ('el','la','los','las','de',
-             'que','y','en','un','una','por','con','para','es','su',
-             'del'))) AS h_es,
-           len(list_filter(toks, x -> x IN ('le','la','les','de','des',
-             'et','est','un','une','dans','pour','que','qui','sur',
-             'pas','au'))) AS h_fr
-           FROM t),
-         l AS (SELECT doc_id,
-           CASE WHEN n = 0 OR greatest(h_en, h_de, h_es, h_fr) = 0
-                  THEN 'und'
-                WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
-                WHEN h_de = greatest(h_de, h_es, h_fr) THEN 'de'
-                WHEN h_es = greatest(h_es, h_fr) THEN 'es'
-                ELSE 'fr' END AS detected
-           FROM s),
+         ${langCteSql("t")},
          qf AS (SELECT doc_id,
                  len(toks) AS n_tokens,
                  len(list_distinct(toks)) AS n_distinct,
@@ -1796,31 +1825,31 @@ object SparkEntry {
                 count(*) AS occurrences
          FROM w GROUP BY word
          ORDER BY df DESC, occurrences DESC, word LIMIT 25""",
+    // multilingual: doc_id % 24 < 19 overrides the soup with a planted
+    // snippet per detectable language (LangPlants), the rest stay
+    // organic; the 16-profile + char-rule ladder is generated from the
+    // same constants as Text.langIdFromTokens
     "q_lang_id" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-                    FROM documents),
-         s AS (SELECT doc_id, len(toks) AS n,
-           len(list_filter(toks, x -> x IN ('the','and','of','to','in',
-             'is','that','it','for','with','was','his','are','not',
-             'this','but'))) AS h_en,
-           len(list_filter(toks, x -> x IN ('der','die','das','und',
-             'ist','nicht','ein','eine','mit','auf','für','von','sich',
-             'dem','den','zu'))) AS h_de,
-           len(list_filter(toks, x -> x IN ('el','la','los','las','de',
-             'que','y','en','un','una','por','con','para','es','su',
-             'del'))) AS h_es,
-           len(list_filter(toks, x -> x IN ('le','la','les','de','des',
-             'et','est','un','une','dans','pour','que','qui','sur',
-             'pas','au'))) AS h_fr
-           FROM t)
-         SELECT doc_id,
-           CASE WHEN n = 0 OR greatest(h_en, h_de, h_es, h_fr) = 0
-                  THEN 'und'
-                WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
-                WHEN h_de = greatest(h_de, h_es, h_fr) THEN 'de'
-                WHEN h_es = greatest(h_es, h_fr) THEN 'es'
-                ELSE 'fr' END AS detected
-         FROM s ORDER BY doc_id""",
+      raw"""WITH pl AS (SELECT doc_id, ${langPlantSql()} AS text
+                      FROM documents),
+         t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+               FROM pl),
+         ${langCteSql("t")}
+         SELECT doc_id, detected
+         FROM l ORDER BY doc_id""",
+    // detected-language facets over the same planted multilingual
+    // corpus — the partition/mixture profile a multilingual crawl
+    // starts from
+    "q_lang_facets_detected" ->
+      raw"""WITH pl AS (SELECT doc_id, ${langPlantSql()} AS text
+                      FROM documents),
+         t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+               FROM pl),
+         ${langCteSql("t")}
+         SELECT l.detected, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(length(t.text)) AS BIGINT) AS total_chars
+         FROM l JOIN t ON l.doc_id = t.doc_id
+         GROUP BY l.detected ORDER BY l.detected""",
     "q_text_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                     FROM documents),
@@ -3604,30 +3633,10 @@ object SparkEntry {
     // (quantize THEN sum keeps the mean order-free); the lang and
     // quality CTEs are the proven q_curation fragments
     "q_source_report" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+      raw"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ')
+                        AS toks
                       FROM documents),
-         s AS (SELECT doc_id, len(toks) AS n,
-           len(list_filter(toks, x -> x IN ('the','and','of','to','in',
-             'is','that','it','for','with','was','his','are','not',
-             'this','but'))) AS h_en,
-           len(list_filter(toks, x -> x IN ('der','die','das','und',
-             'ist','nicht','ein','eine','mit','auf','für','von','sich',
-             'dem','den','zu'))) AS h_de,
-           len(list_filter(toks, x -> x IN ('el','la','los','las','de',
-             'que','y','en','un','una','por','con','para','es','su',
-             'del'))) AS h_es,
-           len(list_filter(toks, x -> x IN ('le','la','les','de','des',
-             'et','est','un','une','dans','pour','que','qui','sur',
-             'pas','au'))) AS h_fr
-           FROM tok),
-         l AS (SELECT doc_id,
-           CASE WHEN n = 0 OR greatest(h_en, h_de, h_es, h_fr) = 0
-                  THEN 'und'
-                WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
-                WHEN h_de = greatest(h_de, h_es, h_fr) THEN 'de'
-                WHEN h_es = greatest(h_es, h_fr) THEN 'es'
-                ELSE 'fr' END AS detected
-           FROM s),
+         ${langCteSql("tok")},
          qf AS (SELECT d.doc_id,
                  len(tok.toks) AS n_tokens,
                  len(list_distinct(tok.toks)) AS n_distinct,

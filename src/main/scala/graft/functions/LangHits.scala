@@ -51,8 +51,17 @@ case class LangHits(child: Expression) extends UnaryExpression {
 
 object LangHits {
 
-  /** Language profiles — the single source of truth (graft.text mirrors
-    * the same lists in its SQL-oracle twins; keep in sync). */
+  /** Language profiles — the single source of truth (the SQL-oracle
+    * twins are GENERATED from these lists; `SparkEntry.langCteSql`).
+    * 16 function words per language, all lowercase, chosen to be
+    * distinctive under the shared-denominator argmax (e.g. Polish
+    * drops its single-letter clitics `i/w/z` — capital-I English
+    * prose tokenizes to `i` and would leak into the Polish score).
+    * Scripts that don't space-separate (zh/ja) or that a char-class
+    * rule identifies more reliably (ko) are handled by the
+    * kana/hangul/CJK ratio ladder in `Text.langIdFromTokens`, not by
+    * a profile. Order matters: argmax ties break to the FIRST listed
+    * language. */
   val Profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it",
                 "for", "with", "was", "his", "are", "not", "this", "but"),
@@ -61,7 +70,40 @@ object LangHits {
     "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en",
                 "un", "una", "por", "con", "para", "es", "su", "del"),
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un",
-                "une", "dans", "pour", "que", "qui", "sur", "pas", "au"))
+                "une", "dans", "pour", "que", "qui", "sur", "pas", "au"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "он", "как", "это",
+                "но", "по", "из", "у", "за", "от", "так", "же"),
+    "uk" -> Seq("і", "в", "не", "на", "що", "він", "як", "це",
+                "але", "по", "з", "у", "за", "від", "так", "ми"),
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "هذا", "التي",
+                "الذي", "مع", "كان", "لم", "ما", "هو", "كل", "بعد"),
+    "fa" -> Seq("در", "به", "از", "که", "را", "با", "این", "است",
+                "برای", "آن", "خود", "تا", "می", "بر", "هم", "نیز"),
+    "he" -> Seq("של", "את", "על", "הוא", "היא", "זה", "עם", "לא",
+                "אני", "מה", "יש", "כל", "גם", "אבל", "או", "אם"),
+    "hi" -> Seq("के", "में", "की", "है", "को", "से", "का", "पर",
+                "यह", "और", "हैं", "था", "कि", "जो", "ने", "एक"),
+    "el" -> Seq("και", "το", "η", "ο", "να", "του", "με", "τα",
+                "που", "από", "για", "την", "στο", "δεν", "είναι", "τη"),
+    "tr" -> Seq("ve", "bir", "bu", "için", "ile", "ne", "ben", "çok",
+                "ama", "gibi", "daha", "var", "yok", "sen", "biz", "ki"),
+    "pt" -> Seq("não", "com", "uma", "os", "em", "mais", "como", "mas",
+                "foi", "são", "ele", "ela", "seu", "também", "já", "isso"),
+    "it" -> Seq("il", "lo", "gli", "le", "di", "che", "è", "per",
+                "non", "una", "sono", "ma", "si", "come", "più", "anche"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "dat", "niet", "op",
+                "te", "zijn", "met", "voor", "maar", "ook", "naar", "bij"),
+    "pl" -> Seq("nie", "się", "jest", "jak", "ale", "tak", "przez",
+                "być", "przy", "już", "bardzo", "może", "tylko", "czy",
+                "gdy", "oraz"))
+
+  /** The original four Latin-web profiles. Quality-feature scoring
+    * ([[graft.text.Text.qualityFeaturesFromTokens]]'s any-language
+    * stopword ratio and the ML quality features built on it) stays
+    * pinned to this core set: the feature is tuned for the Latin-web
+    * corpus and widening its vocabulary with every new langID profile
+    * would silently shift every trained model and quality oracle. */
+  val CoreProfiles: Seq[(String, Seq[String])] = Profiles.take(4)
 
   val OutputType: StructType = StructType(
     StructField("n", IntegerType, nullable = false) +:

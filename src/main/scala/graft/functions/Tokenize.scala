@@ -10,16 +10,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native normalizing tokenizer: maximal runs of Unicode
-  * letters/decimal digits, lowercased — byte-identical to the
-  * composed form it replaces,
-  * `filter(split(lower(regexp_replace(text, "[^\p{L}\p{Nd}]+", " ")),
-  * " "), t => t =!= "")`, which pays a full regex REPLACE building a
-  * new string, a second lowercased copy, a split array with empty
-  * entries, and an interpreted HOF filter per row.
+  * letters/decimal digits/combining marks, lowercased —
+  * byte-identical to the composed form it replaces,
+  * `filter(split(lower(regexp_replace(text, "[^\p{L}\p{M}\p{Nd}]+",
+  * " ")), " "), t => t =!= "")`, which pays a full regex REPLACE
+  * building a new string, a second lowercased copy, a split array
+  * with empty entries, and an interpreted HOF filter per row.
+  *
+  * Combining marks (`\p{M}` = Mn/Mc/Me) are run members: splitting at
+  * marks would shred exactly the scripts a multilingual corpus needs
+  * tokenized — Devanagari vowel signs (के → क + U+0947), Arabic
+  * harakat, Hebrew niqqud all attach to the word they modify. On
+  * mark-free text (all of ASCII/Latin/Cyrillic/CJK prose) this is the
+  * identical function to the pre-round-14 letter/digit-only form.
   *
   * Equivalence notes (why one code-point walk is the same function):
-  * Java's `\p{L}` is exactly `Character.isLetter` (Lu/Ll/Lt/Lm/Lo)
-  * and `\p{Nd}` exactly `Character.isDigit`, both per code point;
+  * Java's `\p{L}` is exactly `Character.isLetter` (Lu/Ll/Lt/Lm/Lo),
+  * `\p{Nd}` exactly `Character.isDigit`, and `\p{M}` exactly
+  * `Character.getType ∈ {Mn, Mc, Me}`, all per code point;
   * runs-then-lowercase equals lowercase-then-split because
   * lowercasing never maps an alphanumeric across the separator
   * boundary and Java's only context-sensitive mapping (final sigma)
@@ -66,7 +74,7 @@ object Tokenize {
     while (i < n) {
       val cp = s.codePointAt(i)
       val w = Character.charCount(cp)
-      if (Character.isLetter(cp) || Character.isDigit(cp)) {
+      if (Character.isLetter(cp) || Character.isDigit(cp) || isMark(cp)) {
         if (start < 0) start = i
       } else if (start >= 0) {
         out.add(UTF8String.fromString(lower(s.substring(start, i))))
@@ -77,6 +85,14 @@ object Tokenize {
     if (start >= 0)
       out.add(UTF8String.fromString(lower(s.substring(start, n))))
     new GenericArrayData(out.toArray)
+  }
+
+  /** `\p{M}` per code point: Mn / Mc / Me. */
+  private def isMark(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.NON_SPACING_MARK ||
+      t == Character.COMBINING_SPACING_MARK ||
+      t == Character.ENCLOSING_MARK
   }
 
   /** Mirror of `UTF8String.toLowerCase`'s two paths: all-ASCII tokens

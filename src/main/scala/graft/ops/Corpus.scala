@@ -1570,12 +1570,16 @@ object Corpus {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Per-document heuristic language ID (graft.text stopword profiles;
-    * the oracle inlines the same lists — with a shared denominator the
-    * ratio argmax reduces to integer hit-count comparisons, so the SQL
-    * twin is float-free). */
+  /** Per-document heuristic language ID over the multilingual-planted
+    * corpus ([[LangPlants]] — 19 languages across 9 scripts; the
+    * oracle is GENERATED from the same profile/threshold constants.
+    * With a shared denominator the ratio argmax reduces to integer
+    * hit-count comparisons; the char-class rules are single-division
+    * IEEE compares, engine-portable unrounded). */
   def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
+      .select(col("doc_id"),
+              plantMultilingual(col("doc_id"), col("text")).as("text"))
       // tokens materialized once — the langId expression tree references
       // them ~12x and HOFs re-evaluate per reference (Text.langId doc)
       .select(col("doc_id"), col("text"),
@@ -1584,6 +1588,23 @@ object Corpus {
               Text.langIdFromTokens(col("toks"), col("text"))
                 .as("detected"))
       .orderBy(col("doc_id"))
+
+  /** Detected-language facets over the same planted multilingual
+    * corpus — docs + chars per detected language, the
+    * partition/mixture profile a multilingual crawl starts from
+    * (what SP11's temperature mixture consumes). One map pass + one
+    * 19-group aggregate. */
+  def langFacetsDetected(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+              plantMultilingual(col("doc_id"), col("text")).as("text"))
+      .select(col("text"), Text.tokenize(col("text")).as("toks"))
+      .select(Text.langIdFromTokens(col("toks"), col("text"))
+                .as("detected"),
+              length(col("text")).cast("long").as("nch"))
+      .groupBy(col("detected"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nch")).as("total_chars"))
+      .orderBy(col("detected"))
 
   /** Per-document quality score (graft.text heuristics; the oracle
     * replicates the exact formula over string_split — tokenize is
@@ -2548,12 +2569,75 @@ object Corpus {
     7 -> "αλφα βητα γαμμα δελτα",
     11 -> "مرحبا بالعالم اليوم",
     17 -> "한국어 텍스트 예시",
-    19 -> "にほんごのてきすと")
+    19 -> "にほんごのてきすと",
+    23 -> "שלום לכולם בעולם הזה",
+    29 -> "नमस्ते दुनिया के लोग आज")
   private[graft] val ScriptOverride =
     "русский текст документа целиком без латиницы"
 
-  private[graft] val ScriptSet: Seq[String] = Seq(
-    "latin", "cyrillic", "greek", "arabic", "cjk", "hangul", "kana")
+  /** All nine census scripts, in [[graft.text.Scripts.Ranges]]
+    * (dominance-tie) order. */
+  private[graft] val ScriptSet: Seq[String] =
+    graft.text.Scripts.Ranges.map(_._1)
+
+  /** Planted multilingual snippets — one per detectable language.
+    * The profile languages get lowercase prose rich in their OWN
+    * stopword profile (and strictly outscoring every other profile);
+    * zh/ja/ko are script text the char-class rules identify. doc_id %
+    * 24 ∈ [0, 19) picks the snippet, repeated `1 + doc_id % 3` times;
+    * residues 19–23 keep the organic soup ([[SparkEntry]] generates
+    * the DuckDB spelling from the same constant). Words are chosen
+    * mark/ZWNJ-safe so `Text.tokenize` ≡ `string_split` on the
+    * planted text. */
+  private[graft] val LangPlants: Seq[(String, String)] = Seq(
+    "en" -> ("the cat and the dog of this house are not in that " +
+      "tree but it was his to keep"),
+    "de" -> ("der hund und die katze ist nicht ein tier mit dem " +
+      "mann auf dem weg zu haus"),
+    "es" -> ("el perro y la casa de los vecinos es una cosa que " +
+      "anda con su madre para el patio del pueblo"),
+    "fr" -> ("le chien et la maison des enfants est dans une rue " +
+      "qui est sur le pont pour que pas au jour"),
+    "ru" -> ("и вот он сказал что это не так как мы думали но по " +
+      "правде из всех у нас за окном от них же"),
+    "uk" -> ("і ось він сказав що це не так як ми думали але з " +
+      "усіх у нас за вікном від них по правді"),
+    "ar" -> ("هذا هو البيت الذي كان فيه كل من في المدينة مع أن ما " +
+      "بعد اليوم إلى الغد عن التي لم تكن على الأرض"),
+    "fa" -> ("در این خانه که با آن مرد از شهر به اینجا آمد است " +
+      "برای خود تا می بر هم نیز باشد را"),
+    "he" -> ("זה הוא הבית של האיש עם כל מה שיש בו גם אני לא יודע " +
+      "אם או אבל על זה היא"),
+    "hi" -> ("यह घर है और उस का एक आदमी जो पर से को में था कि ने " +
+      "की के हैं"),
+    "el" -> ("και το σπίτι η γυναίκα ο άντρας να πει του παιδιού " +
+      "με τα άλλα που ξέρει από εδώ για την πόλη στο δρόμο δεν " +
+      "είναι τη νύχτα"),
+    "tr" -> ("ve bir ev bu adam için ile ne ben çok ama gibi daha " +
+      "var yok sen biz ki burada"),
+    "pt" -> ("não com uma casa os homens em cidade mais como mas " +
+      "foi são ele ela seu também já isso"),
+    "it" -> ("il cane lo zio gli amici le case di che è per non " +
+      "una sono ma si come più anche qui"),
+    "nl" -> ("de man het huis een vrouw van dat niet op te zijn " +
+      "met voor maar ook naar bij hier"),
+    "pl" -> ("nie się jest jak ale tak przez być przy już bardzo " +
+      "może tylko czy gdy oraz dom tutaj"),
+    "zh" -> "统计分析引擎正在处理中文文本数据并生成结果报告",
+    "ja" -> "にほんごのぶんしょうはかなもじでかかれています",
+    "ko" -> "한국어 문장은 한글로 작성되어 있습니다")
+
+  /** The Spark spelling of [[LangPlants]]' planting CASE (the oracle
+    * twin is generated from the same constant): override when
+    * `id % 24 < 19`, else `keep`. */
+  private def plantMultilingual(id: Column, keep: Column): Column = {
+    val reps = (id % 3 + 1).cast("int")
+    def rep(s: String) = concat_ws(" ", array_repeat(lit(s), reps))
+    LangPlants.zipWithIndex.tail.foldLeft(
+      when(id % 24 === 0, rep(LangPlants.head._2))) {
+      case (acc, ((_, s), i)) => acc.when(id % 24 === i, rep(s))
+    }.otherwise(keep)
+  }
 
   /** Unicode-script profiling as a declared query
     * ([[graft.text.Scripts]]): per-script character counts, the
@@ -2588,23 +2672,29 @@ object Corpus {
   private[graft] val ScriptAuditBlock =
     "русский блок достаточно длинный чтобы доминировать"
 
-  /** Language↔script agreement audit as a declared query: every
-    * `%4==1` doc keeps its English soup (detected language
-    * UNCHANGED — stopword hits survive appended text) but gains a
-    * Cyrillic block repeated until it dominates the character mass —
-    * the "lang=en but the page is Cyrillic" mislabel/mojibake/spam
-    * case ([[graft.text.Scripts.langScriptAgree]]). Map-only. */
+  /** Language↔script agreement audit as a declared query. Two plant
+    * families over the soup corpus: `%24 < 19` docs are OVERRIDDEN
+    * with a [[LangPlants]] snippet (agreement cases across all nine
+    * scripts — ru↔cyrillic, ar/fa↔arabic, he↔hebrew, hi↔devanagari,
+    * el↔greek, ko↔hangul, ja↔kana, zh↔cjk, Latin languages↔latin);
+    * among the remaining soup docs, `%4 == 1` keeps its English
+    * stopwords (detected language UNCHANGED — hits survive appended
+    * text) but gains a Cyrillic block repeated until it dominates the
+    * character mass — the "lang=en but the page is Cyrillic"
+    * mislabel/mojibake/spam case
+    * ([[graft.text.Scripts.langScriptAgree]]). Map-only. */
   def langScriptAudit(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val reps = ceil(col("n_chars").cast("double") / lit(40.0))
       .cast("int") + 1
+    val cyrAppended = when(id % 4 === 1,
+      concat(col("text"), lit(" "),
+        concat_ws(" ", array_repeat(lit(ScriptAuditBlock), reps))))
+      .otherwise(col("text"))
     val planted = docs(spark, dir)
       .join(Tables.documents(spark, dir).select(id, col("n_chars")),
         "doc_id")
-      .select(id, when(id % 4 === 1,
-        concat(col("text"), lit(" "),
-          concat_ws(" ", array_repeat(lit(ScriptAuditBlock), reps))))
-        .otherwise(col("text")).as("text"))
+      .select(id, plantMultilingual(id, cyrAppended).as("text"))
     val toks = Text.tokenize(col("text"))
     val p = graft.text.Scripts.scriptProfile(col("text"), ScriptSet)
     planted

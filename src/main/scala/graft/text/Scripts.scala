@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * signal), and does the declared language match the script it is
   * written in (a "lang=en but the page is Cyrillic" audit).
   *
-  * Counting is `regexp_count` over contiguous code-point ranges —
-  * codegen'd, zero-allocation, one pass per script over the row; the
-  * whole profile rides the document scan ([[Text.cjkRatio]]'s
-  * pattern, generalized). Ranges cover each script's core block —
-  * the dominant-script decision needs the bulk of the mass, not
+  * Counting runs the native [[graft.functions.ScriptHits]] kernel —
+  * ONE codegen'd code-point walk per row emitting every script count
+  * (the composed form paid nine `regexp_count` passes, re-referenced
+  * by the profile's argmax tree; see the kernel scaladoc for the
+  * measured cost). [[scriptCount]] keeps the `regexp_count` spelling
+  * as the documented reference form — the SQL oracle twins count the
+  * same regex classes. Ranges cover each script's core block — the
+  * dominant-script decision needs the bulk of the mass, not
   * exhaustive block coverage (documented deviation from full Unicode
   * Script= property semantics, which regex character classes cannot
   * express portably across engines).
@@ -23,7 +26,9 @@ import org.apache.spark.sql.functions._
 object Scripts {
 
   /** Core block per script, in DOMINANCE-TIE order (first listed
-    * wins). Latin includes the Latin-1/Extended letter supplements. */
+    * wins). Latin includes the Latin-1/Extended letter supplements.
+    * The [[graft.functions.ScriptHits]] kernel mirrors these ranges
+    * verbatim (KernelsSpec pins the two). */
   val Ranges: Seq[(String, String)] = Seq(
     "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
     "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
@@ -35,7 +40,9 @@ object Scripts {
     "hangul" -> "[\\x{AC00}-\\x{D7AF}]",
     "kana" -> "[\\x{3040}-\\x{30FF}]")
 
-  /** Per-script character count. */
+  /** Per-script character count — the composed `regexp_count`
+    * reference form (the oracle-twin spelling; hot paths ride
+    * [[scriptProfile]]'s kernel instead). */
   def scriptCount(text: Column, script: String): Column = {
     val range = Ranges.toMap.getOrElse(script,
       throw new IllegalArgumentException(
@@ -47,10 +54,11 @@ object Scripts {
     * dom_frac)`: per-script counts, their total, the argmax script
     * ("none" when no scripted character occurs; ties break to the
     * [[Ranges]] order), and the dominant share of scripted
-    * characters. */
+    * characters. One kernel pass; the rest is scalar integer math. */
   def scriptProfile(text: Column,
                     scripts: Seq[String] = Ranges.map(_._1)): Column = {
-    val counts = scripts.map(s => s -> scriptCount(text, s))
+    val k = graft.functions.ScriptHits.scriptHits(text)
+    val counts = scripts.map(s => s -> k.getField(s"n_$s"))
     val total = counts.map(_._2).reduce(_ + _)
     val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
     val dominant = counts.foldLeft(when(total === 0L, lit("none"))) {
@@ -64,11 +72,22 @@ object Scripts {
     struct(fields: _*)
   }
 
-  /** Expected dominant script per detected language — the audit
-    * table behind [[langScriptAgree]]. */
-  val ExpectedScript: Map[String, String] = Map(
-    "en" -> "latin", "de" -> "latin", "es" -> "latin",
-    "fr" -> "latin", "zh" -> "cjk")
+  /** Expected dominant script(s) per detected language — the audit
+    * table behind [[langScriptAgree]]. Multi-valued where a language
+    * legitimately writes in more than one block (Japanese prose is
+    * kana + kanji, so either may dominate). */
+  val ExpectedScript: Map[String, Seq[String]] = Map(
+    "en" -> Seq("latin"), "de" -> Seq("latin"), "es" -> Seq("latin"),
+    "fr" -> Seq("latin"), "tr" -> Seq("latin"), "pt" -> Seq("latin"),
+    "it" -> Seq("latin"), "nl" -> Seq("latin"), "pl" -> Seq("latin"),
+    "ru" -> Seq("cyrillic"), "uk" -> Seq("cyrillic"),
+    "el" -> Seq("greek"),
+    "ar" -> Seq("arabic"), "fa" -> Seq("arabic"),
+    "he" -> Seq("hebrew"),
+    "hi" -> Seq("devanagari"),
+    "zh" -> Seq("cjk"),
+    "ko" -> Seq("hangul"),
+    "ja" -> Seq("kana", "cjk"))
 
   /** The language↔script AGREEMENT audit: a page whose detected
     * language expects one script but whose characters are dominated
@@ -77,12 +96,12 @@ object Scripts {
     * unknown ("und"), the page has no scripted characters ("none"),
     * or the language has no expectation registered. */
   def langScriptAgree(detected: Column, dominant: Column): Column = {
-    val expected = ExpectedScript.foldLeft(lit(null).cast("string")) {
-      case (acc, (lang, script)) =>
-        when(detected === lang, lit(script)).otherwise(acc)
+    val expectedOk = ExpectedScript.foldLeft(lit(null).cast("boolean")) {
+      case (acc, (lang, scripts)) =>
+        when(detected === lang, dominant.isin(scripts: _*)).otherwise(acc)
     }
     detected === "und" || dominant === "none" ||
-      expected.isNull || expected === dominant
+      expectedOk.isNull || expectedOk
   }
 
   /** Mixed-script flag: a second script carries more than `minFrac`
@@ -90,7 +109,8 @@ object Scripts {
     * spam signal. */
   def mixedScript(text: Column, minFrac: Double = 0.10,
                   scripts: Seq[String] = Ranges.map(_._1)): Column = {
-    val counts = scripts.map(s => scriptCount(text, s))
+    val k = graft.functions.ScriptHits.scriptHits(text)
+    val counts = scripts.map(s => k.getField(s"n_$s"))
     val total = counts.reduce(_ + _)
     val best = counts.reduce((a, b) => greatest(a, b))
     (total > 0L) && ((total - best).cast("double") >

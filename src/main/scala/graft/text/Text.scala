@@ -53,11 +53,17 @@ object Text {
 
   // --- language ID -------------------------------------------------------
 
-  /** Tiny built-in stopword profiles — sourced from the native
+  /** Stopword profiles for language ID — sourced from the native
     * [[graft.functions.LangHits]] kernel (single source of truth; the
-    * SQL-oracle twins inline the same lists). */
+    * SQL-oracle twins are GENERATED from the same lists). */
   private val Stopwords: Seq[(String, Seq[String])] =
     graft.functions.LangHits.Profiles
+
+  /** Quality features use the pinned CORE (Latin-web) profile union —
+    * see [[graft.functions.LangHits.CoreProfiles]] for why widening
+    * the langID surface must not shift quality scores. */
+  private val QualityStopwords: Seq[(String, Seq[String])] =
+    graft.functions.LangHits.CoreProfiles
 
   /** Fraction of characters in the CJK unified ideograph block.
     * Counted with `regexp_count` — same value as the old
@@ -75,10 +81,21 @@ object Text {
                    .cast("double") / size(tokens).cast("double"))
   }
 
-  /** Heuristic language ID: CJK character ratio decides "zh"; otherwise
-    * argmax of stopword-profile hit counts (shared denominator, so the
-    * hit-ratio argmax reduces to integer comparisons; first-listed
-    * language wins ties — deterministic); "und" when nothing scores. */
+  /** Character-class thresholds for the script-rule languages —
+    * shared with the generated SQL twins (`SparkEntry.langCteSql`).
+    * Order: hangul decides "ko" first (Korean hanja is rare), kana
+    * decides "ja" before the CJK rule (Japanese prose mixes kana and
+    * kanji — ≥5% kana is a reliable floor), then CJK decides "zh". */
+  val HangulMinRatio = 0.1
+  val KanaMinRatio = 0.05
+  val CjkMinRatio = 0.2
+
+  /** Heuristic language ID: hangul/kana/CJK character ratios decide
+    * ko/ja/zh (in that order); otherwise argmax of stopword-profile
+    * hit counts across the 16 built-in profiles (shared denominator,
+    * so the hit-ratio argmax reduces to integer comparisons;
+    * first-listed language wins ties — deterministic); "und" when
+    * nothing scores. */
   def langId(text: Column): Column = langIdFromTokens(tokenize(text), text)
 
   /** [[langId]] over an already-materialized token column. The hit
@@ -86,7 +103,8 @@ object Text {
     * ONE codegen'd pass over the tokens (the composed per-language HOF
     * filters re-ran interpreted on every reference in the argmax tree:
     * ~24 token scans per row, measured as the heaviest declared query
-    * before the swap). */
+    * before the swap) — and the char-class ratios from the one-pass
+    * [[graft.functions.ScriptHits]] census. */
   def langIdFromTokens(toks: Column, text: Column): Column = {
     val h = graft.functions.LangHits.langHits(toks)
     val scores = Stopwords.map { case (lang, _) =>
@@ -96,7 +114,15 @@ object Text {
     val argmax = scores.foldLeft(when(best === 0, lit("und"))) {
       case (acc, (lang, s)) => acc.when(s === best, lang)
     }.otherwise(Stopwords.last._1)
-    when(cjkRatio(text) > 0.2, "zh").otherwise(argmax)
+    val k = graft.functions.ScriptHits.scriptHits(text)
+    val nch = k.getField("n_chars")
+    def ratio(field: String): Column =
+      when(nch === 0L, lit(0.0))
+        .otherwise(k.getField(field).cast("double") / nch.cast("double"))
+    when(ratio("n_hangul") > HangulMinRatio, "ko")
+      .when(ratio("n_kana") > KanaMinRatio, "ja")
+      .when(ratio("n_cjk") > CjkMinRatio, "zh")
+      .otherwise(argmax)
   }
 
   // --- quality -----------------------------------------------------------
@@ -115,7 +141,7 @@ object Text {
     * see its scaladoc); the ratio arithmetic here is byte-identical
     * to the original HOF/regex spelling and to the SQL-oracle twins. */
   def qualityFeaturesFromTokens(toks: Column, text: Column): Column = {
-    val allStops = Stopwords.flatMap(_._2).distinct
+    val allStops = QualityStopwords.flatMap(_._2).distinct
     val s = graft.functions.QualityStats.stats(toks, text, allStops)
     val nTok = s.getField("n_tokens")
     val nCh = s.getField("n_chars")

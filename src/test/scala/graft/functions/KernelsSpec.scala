@@ -128,6 +128,34 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("ScriptHits kernel == the regexp_count composed form per script") {
+    // random mixed-script strings: snippets from every census block,
+    // plus digits/punct/supplementary chars that match no range
+    val pieces = Seq(
+      "abc", "ÀÉñç", "ďøß", "привет", "αβγδ", "مرحبا", "שלום",
+      "नमस्ते", "中文字", "한글", "かなカナ", "123", "!!?.", "×÷",
+      "😀", " ", "\n")
+    val cases = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(12))(pieces(rnd.nextInt(pieces.size)))
+        .mkString("")) ++ Seq("", "a", "の")
+    val k = ScriptHits.scriptHits(col("text"))
+    val cols = col("text") +: length(col("text")).cast("long")
+      .as("len") +: k.getField("n_chars").as("k_chars") +:
+      graft.text.Scripts.Ranges.flatMap { case (name, range) =>
+        Seq(k.getField(s"n_$name").as(s"k_$name"),
+          regexp_count(col("text"), lit(range)).cast("long")
+            .as(s"r_$name"))
+      }
+    cases.toDF("text").select(cols: _*).collect().foreach { r =>
+      assert(r.getAs[Long]("k_chars") == r.getAs[Long]("len"),
+        s"n_chars != length() on ${r.getString(0)}")
+      graft.text.Scripts.Ranges.foreach { case (name, _) =>
+        assert(r.getAs[Long](s"k_$name") == r.getAs[Long](s"r_$name"),
+          s"$name diverges on ${r.getString(0)}")
+      }
+    }
+  }
+
   test("Exact sumCents/avgFromCents is exact at extreme counts") {
     // 2dp values whose float sum drifts: many 0.01-grid values
     val n = 200000

@@ -57,6 +57,13 @@ class ScriptsSpec extends AnyFunSuite {
     assert(!mixed(""))
   }
 
+  test("per-script counts: hebrew and devanagari ranges") {
+    val r = profile("שלום नमस्ते")
+    assert(r.getAs[Long]("n_hebrew") == 4L)
+    assert(r.getAs[Long]("n_devanagari") == 6L)
+    assert(r.getAs[String]("dominant") == "devanagari")
+  }
+
   test("langScriptAgree: the mislabel audit rule table") {
     val cases = Seq(
       ("en", "latin", true),
@@ -65,7 +72,21 @@ class ScriptsSpec extends AnyFunSuite {
       ("zh", "latin", false),
       ("und", "cyrillic", true),   // unknown language agrees vacuously
       ("en", "none", true),        // unscripted page agrees vacuously
-      ("ja", "kana", true))        // no expectation registered → agree
+      ("ja", "kana", true),        // multi-valued expectation: kana…
+      ("ja", "cjk", true),         // …or kanji may dominate Japanese
+      ("ja", "latin", false),
+      ("ru", "cyrillic", true),
+      ("uk", "cyrillic", true),
+      ("ru", "latin", false),
+      ("hi", "devanagari", true),
+      ("he", "hebrew", true),
+      ("he", "arabic", false),
+      ("fa", "arabic", true),
+      ("el", "greek", true),
+      ("ko", "hangul", true),
+      ("ko", "cjk", false),
+      ("pl", "latin", true),
+      ("xx", "latin", true))       // unregistered language → vacuous
     val df = cases.map(c => (c._1, c._2)).toDF("detected", "dominant")
       .withColumn("agree",
         Scripts.langScriptAgree(col("detected"), col("dominant")))

@@ -69,6 +69,30 @@ class TextSpec extends AnyFunSuite {
     assert(lid("") == "und")
   }
 
+  test("langId: the multilingual profiles and char-class rules") {
+    def lid(s: String) = one(Text.langId(col("t")), s).getString(0)
+    graft.ops.Corpus.LangPlants.foreach { case (lang, snippet) =>
+      assert(lid(snippet) == lang, s"plant '$lang' mis-detected")
+    }
+    // kana identifies Japanese even with a kanji majority
+    assert(lid("日本語の文章は漢字とかなで書かれています") == "ja")
+    // hangul decides before anything else
+    assert(lid("한국어 문서 입니다") == "ko")
+  }
+
+  test("tokenize keeps combining marks inside tokens") {
+    // Devanagari vowel signs (Mn/Mc) must not split the word: के is
+    // क + U+0947, की is क + U+0940
+    val toks = one(Text.tokenize(col("t")), "के घर की").getSeq[String](0)
+    assert(toks == Seq("के", "घर", "की"))
+    // Arabic with a haraka
+    val ar = one(Text.tokenize(col("t")), "كَتب").getSeq[String](0)
+    assert(ar == Seq("كَتب"))
+    // mark-free text unchanged vs the letter/digit-only form
+    assert(one(Text.tokenize(col("t")), "Hello, World!").getSeq[String](0)
+      == Seq("hello", "world"))
+  }
+
   test("quality features and score: sane ranges, junk scores low") {
     val f = one(Text.qualityFeatures(col("t")),
       "a clean readable sentence with several distinct words")
