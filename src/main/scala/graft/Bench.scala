@@ -121,26 +121,43 @@ object Bench {
     // denominator and a contended window can never be read as a
     // regression against a quiet-host pin. Tool/interpreter missing →
     // fields omitted, bench never crashes.
+    // The failure MODE is part of the contract line (`duck_status`):
+    // VERDICT r13 #2 — the driver window shipped duckdb_paired_total
+    // 0.000 with the reason discarded, leaving the 2x gate checkable
+    // only from builder-side pins. Every exit path now names itself.
+    var duckStatus = "ok"
     val duckPerQuery: Map[String, Double] = try {
-      if (!new java.io.File("tools/bench_oracle.py").exists()) Map.empty
-      else {
+      if (!new java.io.File("tools/bench_oracle.py").exists()) {
+        duckStatus = "tool_missing"; Map.empty
+      } else {
         val tmp = java.nio.file.Files.createTempDirectory("graft-duck")
         val oj = tmp.resolve("oracle_sql.json")
         java.nio.file.Files.writeString(oj, Verify.oracleJson)
         val outJson = tmp.resolve("duck.json")
+        val errFile = tmp.resolve("duck.err").toFile
         val pb = new ProcessBuilder("python3", "tools/bench_oracle.py",
           sfDir, oj.toString, outJson.toString)
-        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(ProcessBuilder.Redirect.to(errFile))
         pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
         val p = pb.start()
-        // 480 s: the 114-twin set runs ~160-220 s quiet but the r12
-        // in-bench run hit the old 300 s wall under self-contention
-        // (duck recorded 0.000); the wall only bounds a hung
-        // interpreter, so size it for the contended case
-        if (!p.waitFor(480, java.util.concurrent.TimeUnit.SECONDS)) {
-          p.destroyForcibly(); Map.empty
-        } else if (p.exitValue() != 0) Map.empty
-        else {
+        // 900 s wall: the twin set runs ~160-220 s quiet, but BOTH the
+        // r12 (300 s) and r13 (480 s) driver windows were contended
+        // enough to hit the wall and zero the denominator; the wall
+        // only bounds a hung interpreter, so size it far above the
+        // contended case
+        if (!p.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)) {
+          p.destroyForcibly(); duckStatus = "timeout_900s"; Map.empty
+        } else if (p.exitValue() != 0) {
+          val err = try {
+            scala.util.Using.resource(
+              scala.io.Source.fromFile(errFile))(
+              _.getLines().take(1).mkString).take(120)
+          } catch { case _: Throwable => "" }
+          duckStatus = (s"exit_${p.exitValue()}" +
+            (if (err.nonEmpty) s": $err" else ""))
+            .replaceAll("[\"\\\\]", "'")
+          Map.empty
+        } else {
           val n = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(outJson.toFile).path("queries")
           val b = Map.newBuilder[String, Double]
@@ -149,7 +166,11 @@ object Bench {
           b.result()
         }
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case t: Throwable =>
+      duckStatus = ("spawn_failed: " + String.valueOf(t.getMessage))
+        .replaceAll("[\"\\\\]", "'").take(120)
+      Map.empty
+    }
 
     // WHOLE-BENCH adjudication sweeps (VERDICT r10 #2, de-biased per
     // ADVICE r11): the per-query outlier rerun fires seconds after the
@@ -323,12 +344,14 @@ object Bench {
     }
     val sparkPaired = paired.map(_._1).sum
     val duckPaired = paired.map(_._2).sum
+    // a missing denominator must be LOUD in the line the driver parses,
+    // not a silent 0.000 (VERDICT r13 #2)
     val pairFields =
       if (duckPaired > 0)
         s""","duck":${fmtTotal(duckPaired)},"ratio":${
           fmt(sparkPaired / duckPaired)}"""
-      else ""
-    println(s"""{"aux":"pipelines","value":${fmtTotal(pipeResults.collect { case (_, v) if v > 0 => v }.sum)},"unit":"sec","pipelines":${obj(pipeResults)},"shuffle_partitions":$shufflePartitions,"reruns":$reruns,"sweeps":$sweeps,"first_sweep_total":${fmtTotal(firstSweepTotal)},"duckdb_paired_total":${fmtTotal(duckPaired)},"sf":"$sfDir"}""")
+      else s""","duck_status":"$duckStatus""""
+    println(s"""{"aux":"pipelines","value":${fmtTotal(pipeResults.collect { case (_, v) if v > 0 => v }.sum)},"unit":"sec","pipelines":${obj(pipeResults)},"shuffle_partitions":$shufflePartitions,"reruns":$reruns,"sweeps":$sweeps,"first_sweep_total":${fmtTotal(firstSweepTotal)},"duckdb_paired_total":${fmtTotal(duckPaired)},"duck_status":"$duckStatus","sf":"$sfDir"}""")
     spark.stop()
     def contract(f: Double => String) =
       s"""{"metric":"total","value":${fmtTotal(total)},"unit":"sec","queries":${obj(finalResults, f)}$failedField$pairFields,"sf":"$sfShort"}"""

@@ -165,6 +165,8 @@ object SparkEntry {
     "q_recrawl_schedule"        -> Corpus.recrawlSchedule _,
     "q_warc_provenance"         -> Corpus.warcProvenance _,
     "q_document_ingest"         -> Corpus.documentIngest _,
+    "q_docx_extract"            -> Corpus.docxExtract _,
+    "q_epub_extract"            -> Corpus.epubExtract _,
     "q_hashed_embed_topk"       -> Corpus.hashedEmbedTopk _,
     "q_embed_infer"             -> Corpus.embedInfer _,
     "q_cluster_scan"            -> Corpus.clusterScan _,
@@ -2156,24 +2158,78 @@ object SparkEntry {
     // encrypted PDF that routes to the document lane but fails decode
     "q_document_ingest" ->
       """SELECT range AS asset_id,
-           CASE CAST(range % 4 AS INT)
+           CASE CAST(range % 6 AS INT)
              WHEN 0 THEN 'application/pdf' WHEN 1 THEN 'text/html'
-             WHEN 2 THEN 'unknown' ELSE 'application/pdf' END
+             WHEN 2 THEN 'unknown' WHEN 3 THEN 'application/pdf'
+             WHEN 4 THEN 'application/vnd.openxmlformats-' ||
+                         'officedocument.wordprocessingml.document'
+             ELSE 'application/epub+zip' END
              AS detected,
-           CASE WHEN range % 4 = 2 THEN 'quarantine'
+           CASE WHEN range % 6 = 2 THEN 'quarantine'
                 ELSE 'document' END AS route,
-           CASE WHEN range % 4 = 1 THEN 'D ' || range END AS title,
-           CASE CAST(range % 4 AS INT)
+           CASE CAST(range % 6 AS INT)
+             WHEN 1 THEN 'D ' || range
+             WHEN 4 THEN 'W ' || range
+             WHEN 5 THEN 'E ' || range END AS title,
+           CASE CAST(range % 6 AS INT)
              WHEN 0 THEN 'Ingest doc ' || range || ' line 0' ||
                          chr(10) || 'Ingest doc ' || range || ' line 1'
              WHEN 1 THEN 'D ' || range ||
                          ' The ingested article body number ' || range ||
                          ' carries plenty of prose characters for ' ||
                          'curation.'
+             WHEN 4 THEN 'Word doc ' || range || ' para 0' || chr(10) ||
+                         'Word doc ' || range || ' para 1'
+             WHEN 5 THEN 'E ' || range || ' book ' || range ||
+                         ' body words'
              END AS text,
-           CAST(CASE WHEN range % 4 IN (0, 1) THEN 1 ELSE 0 END
+           CAST(CASE WHEN range % 6 IN (0, 1, 4, 5) THEN 1 ELSE 0 END
              AS BIGINT) AS ok
          FROM range(72) ORDER BY asset_id""",
+    // DOCX walk twin: title/text/census reconstructed from the id
+    // arithmetic the authored zip fixtures plant; id%8==7 is a
+    // non-DOCX zip that fails at parse with the named reason
+    "q_docx_extract" ->
+      """WITH t AS (SELECT range AS id,
+           array_to_string(list_transform(
+             generate_series(0, CAST(range % 3 AS INT)),
+             p -> 'word doc ' || range || ' para ' || p || ' text'),
+             chr(10)) AS txt
+           FROM range(48))
+         SELECT id AS asset_id,
+           CASE WHEN id % 8 = 7 THEN NULL ELSE 'W ' || id END AS title,
+           CASE WHEN id % 8 = 7 THEN NULL ELSE txt END AS text,
+           CAST(CASE WHEN id % 8 = 7 THEN 0 ELSE 1 + id % 3 END
+             AS BIGINT) AS n_paragraphs,
+           CAST(CASE WHEN id % 8 = 7 THEN 0 ELSE length(txt) END
+             AS BIGINT) AS n_chars,
+           CAST(CASE WHEN id % 8 = 7 THEN 0 ELSE 1 END AS BIGINT) AS ok,
+           CASE WHEN id % 8 = 7 THEN 'missing_content_types' END
+             AS reason
+         FROM t ORDER BY asset_id""",
+    // EPUB walk twin: spine-ordered chapter text through the HTML
+    // extractor (title + space-joined paragraph prose per chapter,
+    // chapters double-newline-joined); id%8==7 is a zip with no OCF
+    // mimetype
+    "q_epub_extract" ->
+      """WITH t AS (SELECT range AS id,
+           array_to_string(list_transform(
+             generate_series(0, CAST(range % 2 AS INT)),
+             c -> 'E ' || range || ' book ' || range || ' chapter ' ||
+                  c || ' para 0 words book ' || range ||
+                  ' chapter ' || c || ' para 1 words'),
+             chr(10) || chr(10)) AS txt
+           FROM range(48))
+         SELECT id AS asset_id,
+           CASE WHEN id % 8 = 7 THEN NULL ELSE 'E ' || id END AS title,
+           CASE WHEN id % 8 = 7 THEN NULL ELSE txt END AS text,
+           CAST(CASE WHEN id % 8 = 7 THEN 0 ELSE 1 + id % 2 END
+             AS BIGINT) AS n_chapters,
+           CAST(CASE WHEN id % 8 = 7 THEN 0 ELSE length(txt) END
+             AS BIGINT) AS n_chars,
+           CAST(CASE WHEN id % 8 = 7 THEN 0 ELSE 1 END AS BIGINT) AS ok,
+           CASE WHEN id % 8 = 7 THEN 'bad_mimetype' END AS reason
+         FROM t ORDER BY asset_id""",
     // crawl-provenance twin: warcinfo warc-fields, request lines, and
     // response rows all reconstructed from the planted arithmetic
     "q_warc_provenance" ->

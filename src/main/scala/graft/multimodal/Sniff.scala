@@ -81,6 +81,11 @@ object Sniff {
            hex(substring(content, off + 1 + i, 1))): _*),
          16, 10).cast("long")
 
+  /** Little-endian unsigned 16-bit field at byte offset `off`. */
+  private def leU16(content: Column, off: Int): Column =
+    conv(concat(hex(substring(content, off + 2, 1)),
+           hex(substring(content, off + 1, 1))), 16, 10).cast("long")
+
   /** Unsigned byte value at offset `off` (0-based), nullable long. */
   private def u8(content: Column, off: Int): Column =
     conv(hex(substring(content, off + 1, 1)), 16, 10).cast("long")
@@ -164,6 +169,28 @@ object Sniff {
             shiftright(u8(content, 2), 4) =!= 15L &&
             shiftright(u8(content, 2), 2).bitwiseAND(lit(3L)) =!= 3L,
             lit("audio/mp3"))
+      // ZIP (PK\x03\x04): discriminated by the FIRST local-file-header
+      // entry name (filename length at offset 26 LE, name at 30) —
+      // EPUB's OCF spec REQUIRES `mimetype` first (stored), and every
+      // mainstream OOXML writer leads with `[Content_Types].xml`.
+      // A zip-with-neither is `application/zip` → quarantine (sniff
+      // depth limit, documented: a shuffled-entry OOXML file re-routes
+      // only at parse time). EPUB additionally checks the mimetype
+      // CONTENT when the extra field is empty (the spec's layout).
+      .when(startsWith(content, Array[Byte](0x50, 0x4b, 0x03, 0x04)) &&
+            leU16(content, 26) === 8L &&
+            startsWith(content, ascii("mimetype"), offset = 30) &&
+            (leU16(content, 28) =!= 0L ||
+             startsWith(content, ascii("application/epub+zip"),
+               offset = 38)),
+            lit("application/epub+zip"))
+      .when(startsWith(content, Array[Byte](0x50, 0x4b, 0x03, 0x04)) &&
+            leU16(content, 26) === 19L &&
+            startsWith(content, ascii("[Content_Types].xml"), offset = 30),
+            lit("application/vnd.openxmlformats-officedocument" +
+              ".wordprocessingml.document"))
+      .when(startsWith(content, Array[Byte](0x50, 0x4b, 0x03, 0x04)),
+            lit("application/zip"))
       // H.264 Annex-B: a leading 4- or 3-byte start code, clear
       // forbidden_zero_bit, and a NAL type a real stream leads with
       .when((startsWith(content, Array[Byte](0, 0, 0, 1)) &&
@@ -192,6 +219,9 @@ object Sniff {
           .when(col("detected").startsWith("audio/"), lit("audio"))
           .when(col("detected").startsWith("video/"), lit("video"))
           .when(col("detected") === "application/pdf" ||
-                col("detected") === "text/html", lit("document"))
+                col("detected") === "text/html" ||
+                col("detected") === "application/epub+zip" ||
+                col("detected").startsWith(
+                  "application/vnd.openxmlformats"), lit("document"))
           .otherwise(lit("quarantine")))
 }

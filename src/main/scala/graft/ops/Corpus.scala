@@ -640,17 +640,19 @@ object Corpus {
       .orderBy(col("asset_id"))
 
   /** The mixed DOCUMENT surface for [[documentIngest]]: 72 assets
-    * cycling by id%4 — a real PDF, an HTML page (DOCTYPE-prefixed,
-    * the no-magic-number sniff case), plain text (quarantine), and
-    * an ENCRYPTED PDF (routes to the document lane on magic, then
+    * cycling by id%6 — a real PDF, an HTML page (DOCTYPE-prefixed,
+    * the no-magic-number sniff case), plain text (quarantine), an
+    * ENCRYPTED PDF (routes to the document lane on magic, then
     * quarantines at parse — routing and decoding are different
-    * verdicts, and the composition must keep them apart). */
+    * verdicts, and the composition must keep them apart), a real
+    * DOCX, and a real EPUB (both zip containers — the round-14
+    * office/ebook family, [[graft.sources.Docx]]). */
   private[graft] def documentAssetSurface(spark: SparkSession)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    import graft.sources.Pdf
+    import graft.sources.{Docx, Pdf}
     spark.range(72).as[Long].map { id =>
-      val content: Array[Byte] = (id % 4) match {
+      val content: Array[Byte] = (id % 6) match {
         case 0 => Pdf.encodePdf(Seq((0 until 2).map(l =>
           s"Ingest doc $id line $l")), flate = id % 8 == 0)
         case 1 =>
@@ -659,7 +661,11 @@ object Corpus {
            "plenty of prose characters for curation.</p></body></html>")
             .getBytes("UTF-8")
         case 2 => s"plain text asset $id with no container".getBytes("UTF-8")
-        case _ => Pdf.encodePdf(Seq(Seq(s"locked $id")), encrypted = true)
+        case 3 => Pdf.encodePdf(Seq(Seq(s"locked $id")), encrypted = true)
+        case 4 => Docx.encodeDocx(s"W $id",
+          (0 until 2).map(p => s"Word doc $id para $p"))
+        case _ => Docx.encodeEpub(s"E $id",
+          Seq(("ch0.xhtml", Seq(s"book $id body words"))))
       }
       (id, content)
     }.toDF("asset_id", "content")
@@ -688,11 +694,74 @@ object Corpus {
                 .as("title"),
               HtmlText.htmlText(col("content").cast("string")).as("text"),
               lit(1L).as("ok"))
+    val docx = graft.sources.Docx.parseDocxAssets(
+        routed.filter(col("detected")
+          .startsWith("application/vnd.openxmlformats")))
+      .select(col("asset_id"),
+              lit("application/vnd.openxmlformats-officedocument" +
+                ".wordprocessingml.document").as("detected"),
+              lit("document").as("route"),
+              col("title"), col("text"), col("ok").cast("long").as("ok"))
+    val epub = graft.sources.Docx.parseEpubAssets(
+        routed.filter(col("detected") === "application/epub+zip"))
+      .select(col("asset_id"),
+              lit("application/epub+zip").as("detected"),
+              lit("document").as("route"),
+              col("title"), col("text"), col("ok").cast("long").as("ok"))
     val quarantine = routed.filter(col("route") === "quarantine")
       .select(col("asset_id"), col("detected"), col("route"),
               lit(null).cast("string").as("title"),
               lit(null).cast("string").as("text"), lit(0L).as("ok"))
-    pdf.unionByName(htmlSlice).unionByName(quarantine)
+    pdf.unionByName(htmlSlice).unionByName(docx).unionByName(epub)
+      .unionByName(quarantine)
+      .orderBy(col("asset_id"))
+  }
+
+  /** DOCX extraction gated end to end over an authored 48-asset
+    * surface ([[graft.sources.Docx.encodeDocx]] — real zip, deflated
+    * entries, WordprocessingML body): Spark walks REAL containers;
+    * the oracle constructs title/text/paragraph census from the id
+    * arithmetic. `id % 8 == 7` plants a zip that is NOT a DOCX (an
+    * EPUB container) — the quarantine-at-parse case. */
+  def docxExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Docx
+    val surface = spark.range(48).as[Long].map { id =>
+      val bytes =
+        if (id % 8 == 7) Docx.encodeEpub(s"not a docx $id",
+          Seq(("ch0.xhtml", Seq("wrong container"))))
+        else Docx.encodeDocx(s"W $id", (0 to (id % 3).toInt).map(p =>
+          s"word doc $id para $p text"))
+      (id, bytes)
+    }.toDF("asset_id", "content")
+    Docx.parseDocxAssets(surface)
+      .select(col("asset_id"), col("title"), col("text"),
+              col("n_paragraphs"), col("n_chars"),
+              col("ok").cast("long").as("ok"), col("reason"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** EPUB extraction gated end to end over an authored 48-asset
+    * surface ([[graft.sources.Docx.encodeEpub]] — OCF stored
+    * mimetype, container.xml → OPF → spine-ordered XHTML chapters):
+    * `id % 8 == 7` plants a zip with no OCF mimetype (a DOCX) — the
+    * quarantine-at-parse case. */
+  def epubExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.Docx
+    val surface = spark.range(48).as[Long].map { id =>
+      val bytes =
+        if (id % 8 == 7) Docx.encodeDocx(s"not an epub $id",
+          Seq("wrong container"))
+        else Docx.encodeEpub(s"E $id", (0 to (id % 2).toInt).map(c =>
+          (s"ch$c.xhtml", Seq(s"book $id chapter $c para 0 words",
+            s"book $id chapter $c para 1 words"))))
+      (id, bytes)
+    }.toDF("asset_id", "content")
+    Docx.parseEpubAssets(surface)
+      .select(col("asset_id"), col("title"), col("text"),
+              col("n_chapters"), col("n_chars"),
+              col("ok").cast("long").as("ok"), col("reason"))
       .orderBy(col("asset_id"))
   }
 
