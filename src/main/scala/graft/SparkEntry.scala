@@ -104,6 +104,7 @@ object SparkEntry {
     "q_pq_topk"                 -> Corpus.pqTopKQuery _,
     "q_ivfpq_residual"          -> Corpus.ivfPqResidualQuery _,
     "q_bpe_tokens"              -> Corpus.bpeTokens _,
+    "q_unigram_tokens"          -> Corpus.unigramTokens _,
     // zlib-backed: no DuckDB deflate-length function exists → golden
     "q_deflate_ratio"           -> Corpus.deflateRatioDocs _,
     // oracle-gated (SQL-expressible) — added with the seeded block in

@@ -1831,6 +1831,26 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram-LM (SentencePiece-shape) token counts (TX31): train a
+    * 300-piece unigram model on THIS corpus's word-frequency
+    * dictionary (the same one-aggregate + driver-bounded trainer
+    * shape as [[bpeTokens]] — [[graft.text.Unigram]]), then count
+    * each doc's Viterbi pieces next to its whole-word and BPE-ish
+    * counts. Deterministic (StrictMath.log over exact longs,
+    * logp→length→lexicographic tie ladder), but the lattice
+    * recursion has no SQL form → rows-only driver check + committed
+    * sf0.01 golden. */
+  def unigramTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val model = graft.text.Unigram.learn(
+      graft.text.Bpe.wordCounts(d), vocabSize = 300)
+    d.select(col("doc_id"),
+             graft.text.Unigram.unigramTokenCount(col("text"), model)
+               .as("n_unigram_tokens"),
+             graft.text.Text.tokenCount(col("text")).as("n_word_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   def vocabTopK(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
     val words = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))

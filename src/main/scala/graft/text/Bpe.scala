@@ -161,10 +161,12 @@ object Bpe {
   }
 
   /** Mirror of [[Text.tokenize]]'s Column semantics in plain Scala —
-    * the encode UDF must see exactly the words training counted. */
+    * the encode UDF must see exactly the words training counted
+    * (`\p{M}` kept inside runs since the round-14 multilingual
+    * tokenizer change). */
   private[text] def tokenizeString(text: String): Array[String] =
     text.toLowerCase
-      .replaceAll("[^\\p{L}\\p{Nd}]+", " ")
+      .replaceAll("[^\\p{L}\\p{M}\\p{Nd}]+", " ")
       .split(" ")
       .filter(_.nonEmpty)
 
