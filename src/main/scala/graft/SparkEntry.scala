@@ -96,6 +96,8 @@ object SparkEntry {
     "q_dedup_minhash"           -> Corpus.dedupMinhash _,
     "q_simhash_neardup"         -> Corpus.dedupSimhash _,
     "q_phash_neardup"           -> Corpus.phashNeardup _,
+    "q_audio_fingerprint"       -> Corpus.audioFingerprintDedup _,
+    "q_video_framedup"          -> Corpus.videoFrameDedup _,
     "q_minhash_twins"           -> (minhashTwins _),
     "q_als_recommend"           -> (alsRecommend _),
     "q_semantic_dedup"          -> Corpus.semanticDedupMarked _,

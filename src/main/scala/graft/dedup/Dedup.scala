@@ -230,6 +230,86 @@ object Dedup {
     bandedHammingPairs(signed, maxHamming, bands)
   }
 
+  /** Near-duplicate AUDIO pairs by spectral fingerprint (DD18): decode
+    * the real PCM ([[graft.multimodal.MediaPhash.audioFingerprint64]]
+    * — Haitsma–Kalker band-energy delta bits over a 9×9 log-energy
+    * grid), then the same banded Hamming join as SimHash/image-pHash.
+    * Re-renders of the same signal (gain change, 8↔16-bit
+    * requantization) land within a few bits; undecodable assets are
+    * quarantined (dropped from pairing). Scale: the fingerprint is a
+    * map-shaped kernel pass (PCM never shuffles); pairing ships one
+    * long per asset per band. */
+  def audioFingerprintNearDuplicates(assets: DataFrame,
+                                     idCol: String = "asset_id",
+                                     contentCol: String = "content",
+                                     maxHamming: Int = 6,
+                                     bands: Int = 8): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val signed = graft.multimodal.MediaKernel.runKernel(
+        assets.select(col(idCol).as("asset_id"),
+                      col(contentCol).as("content")),
+        graft.multimodal.MediaPhash.audioHasherFactory, batchSize = 64)
+      .select(col("_1").as("id"), col("_2").as("sig"))
+      .filter(col("sig").isNotNull)
+    bandedHammingPairs(signed, maxHamming, bands)
+  }
+
+  /** Near-duplicate VIDEO pairs by sampled-frame pHash (DD19): every
+    * `everyNth` frame's REAL luma plane is DCT-pHashed
+    * ([[graft.multimodal.MediaPhash.lumaPhash64]]), frame hashes pair
+    * through the banded Hamming join, and a video pair survives when
+    * ≥ `minMatchingFrames` DISTINCT sampled frames of the lower-id
+    * video match within `maxHamming` bits — re-encodes and mild
+    * requantizations of the same footage share most sampled frames;
+    * unrelated footage shares none. Output: `(id_a, id_b,
+    * n_matching_frames)`.
+    *
+    * Scale: hashing is map-shaped (planes never shuffle — one long
+    * per sampled frame leaves the kernel); the pairing join fans out
+    * per matching frame-hash band, grouped straight back down to one
+    * row per video pair. */
+  def videoFrameNearDuplicates(assets: DataFrame,
+                               idCol: String = "asset_id",
+                               contentCol: String = "content",
+                               everyNth: Int = 2, maxFrames: Int = 16,
+                               maxHamming: Int = 3, bands: Int = 4,
+                               minMatchingFrames: Long = 3L): DataFrame = {
+    require(maxHamming < bands,
+      s"band join is only complete for hamming < bands ($maxHamming >= $bands)")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val frames = graft.multimodal.MediaKernel.runKernel(
+        assets.select(col(idCol).as("asset_id"),
+                      col(contentCol).as("content")),
+        graft.multimodal.MediaPhash.frameHashFactory(everyNth, maxFrames),
+        batchSize = 16)
+      .select(col("_1").as("id"), explode(col("_2")).as("f"))
+      .select(col("id"), col("f._1").as("fidx"), col("f._2").as("sig"))
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val banded = frames.select(col("id"), col("fidx"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "band_bits")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val framePairs = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_bits") === col("b.band_bits") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.fidx").as("fidx_a"), col("b.fidx").as("fidx_b"),
+              bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
+                .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= lit(maxHamming))
+    framePairs
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("fidx_a")).as("n_matching_frames"))
+      .filter(col("n_matching_frames") >= lit(minMatchingFrames))
+  }
+
   /** EXACT n-gram Jaccard pairs via a shingle equi-join:
     * |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. Output:
     * (id_a, id_b, n_common, jaccard), jaccard ≥ minJaccard.

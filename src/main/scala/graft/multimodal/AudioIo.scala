@@ -91,4 +91,58 @@ object AudioIo {
     finally stream.close()
     out.toByteArray
   }
+
+  /** Deterministic MELODY fixture: the clip is split into
+    * `notesHz.size` equal note segments, each a single sine at that
+    * note's frequency, rendered at `bits` ∈ {8, 16} and `amplitude` ∈
+    * (0, 1] — the fixture writer behind the audio-fingerprint dedup
+    * plants, where the SAME melody re-rendered at a different depth
+    * or gain must land within a few fingerprint bits while different
+    * melodies land far apart. A melody (not a stationary mixture) on
+    * purpose: a Haitsma–Kalker fingerprint is the sign of TIME deltas
+    * of band energies, which a stationary signal leaves at numeric
+    * noise — the degenerate fixture two different mixtures can
+    * collide on. `StrictMath.sin` keeps the PCM bit-deterministic
+    * across JVMs. */
+  def encodeToneWav(nFrames: Int, sampleRateHz: Int, bits: Int,
+                    amplitude: Double, notesHz: Seq[Double],
+                    seed: Long): Array[Byte] = {
+    require(nFrames > 0 && sampleRateHz > 0, "bad tone shape")
+    require(bits == 8 || bits == 16, s"bits must be 8 or 16, got $bits")
+    require(amplitude > 0 && amplitude <= 1.0, s"bad amplitude $amplitude")
+    require(notesHz.nonEmpty, "need at least one note")
+    val phase =
+      ((graft.functions.SimHash64.fnv1a64(Array(
+        seed.toByte, (seed >> 8).toByte)) & 0xffffL)
+        .toDouble / 65536.0) * 2.0 * StrictMath.PI
+    val bytesPerFrame = bits / 8
+    val pcm = new Array[Byte](nFrames * bytesPerFrame)
+    val n = notesHz.size
+    var f = 0
+    while (f < nFrames) {
+      val note = math.min(((f.toLong * n) / nFrames).toInt, n - 1)
+      val v = amplitude * StrictMath.sin(
+        2.0 * StrictMath.PI * notesHz(note) * f / sampleRateHz + phase)
+      if (bits == 16) {
+        val q = math.max(-32768, math.min(32767,
+          math.round(v * 32767.0))).toInt
+        pcm(f * 2) = (q & 0xff).toByte
+        pcm(f * 2 + 1) = ((q >> 8) & 0xff).toByte
+      } else {
+        // 8-bit WAV is UNSIGNED PCM
+        val q = math.max(0, math.min(255,
+          math.round(v * 127.0) + 128)).toInt
+        pcm(f) = q.toByte
+      }
+      f += 1
+    }
+    val fmt = new AudioFormat(sampleRateHz.toFloat, bits, 1,
+                              bits == 16, false)
+    val stream = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    try AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    finally stream.close()
+    out.toByteArray
+  }
 }

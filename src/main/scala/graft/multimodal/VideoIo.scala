@@ -46,8 +46,9 @@ object VideoIo {
     * facts a spec or SQL oracle can recompute independently. */
   final case class Frame(frameIdx: Int, byteOff: Long, lumaSum: Long)
 
-  private final case class Parsed(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
-                                  cs: String, frameOffsets: Array[Long])
+  private[multimodal] final case class Parsed(
+      w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+      cs: String, frameOffsets: Array[Long])
 
   /** Luma-plane bytes per frame (= sampler read span). */
   private def lumaSize(w: Int, h: Int): Int = w * h
@@ -69,7 +70,11 @@ object VideoIo {
 
   /** Single-pass demux: header facts + the payload offset of every
     * frame. None ⇔ the stream is malformed anywhere (header, marker,
-    * colorspace, or truncation). */
+    * colorspace, or truncation). Package-visible so the frame-hash
+    * sampler ([[MediaPhash]]) rides the same walk. */
+  private[multimodal] def parseY4m(bytes: Array[Byte]): Option[Parsed] =
+    parse(bytes)
+
   private def parse(bytes: Array[Byte]): Option[Parsed] = {
     val hEnd = newlineAt(bytes, 0, 512)
     if (hEnd < 0) return None
@@ -200,6 +205,67 @@ object VideoIo {
         while (x < width) {
           out.write((((7 * seed + 13 * f + 3 * x + 5 * y) % 256 + 256)
             % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      var c = lumaSize(width, height)
+      while (c < fsize) { out.write(128); c += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic TEXTURED Y4M fixture: luma is a per-video random
+    * 4×4-block texture (fnv1a64 over (seed, frame, block)) — unlike
+    * [[encodeY4m]]'s linear ramp (which every video shares up to a
+    * constant shift, useless for perceptual separation), textures
+    * from different seeds are uncorrelated, so frame pHashes land
+    * ~32 bits apart across videos and identical within one.
+    * `quantBits` < 8 requantizes the luma (keep the high bits,
+    * mid-step fill) — the "re-encode at lower depth" clone for the
+    * video near-dup plants. Chroma neutral 128. */
+  def encodeY4mTextured(width: Int, height: Int, fpsNum: Int,
+                        fpsDen: Int, nFrames: Int, seed: Long,
+                        quantBits: Int = 8,
+                        colorspace: String = "420jpeg"): Array[Byte] = {
+    require(quantBits >= 1 && quantBits <= 8, s"bad quantBits $quantBits")
+    require(colorspace != "420jpeg" || (width % 2 == 0 && height % 2 == 0),
+      s"420jpeg needs even dims, got ${width}x$height")
+    val fsize = frameSize(colorspace, width, height)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unsupported colorspace $colorspace"))
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val header =
+      s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C$colorspace\n"
+        .getBytes(ascii)
+    val marker = "FRAME\n".getBytes(ascii)
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + nFrames * (marker.length + fsize))
+    out.write(header)
+    val drop = 8 - quantBits
+    var f = 0
+    while (f < nFrames) {
+      out.write(marker)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val h = graft.functions.SimHash64.fnv1a64(Array(
+            seed.toByte, (seed >> 8).toByte, (seed >> 16).toByte,
+            f.toByte, (x / 4).toByte, (y / 4).toByte))
+          // raw FNV bytes are NOT usable here: for 6-byte inputs the
+          // low byte is a weak mod-256 lattice (whole frames repeated
+          // across (seed+20, frame+4) deltas) and the high bytes are
+          // near-constant (diffusion climbs only ~9 bits per multiply)
+          // — run the murmur3 fmix64 finalizer for full avalanche
+          var z = h
+          z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+          z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+          z ^= z >>> 33
+          var v = (z & 0xffL).toInt
+          if (drop > 0) v = ((v >> drop) << drop) | (1 << (drop - 1))
+          out.write(v)
           x += 1
         }
         y += 1

@@ -1639,6 +1639,57 @@ object Corpus {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Per-id six-note melody on a chromatic scale over 220 Hz — the
+    * audio-fingerprint plant ([[audioFingerprintDedup]]). */
+  private def melody(id: Long): Seq[Double] =
+    Seq.tabulate(6) { k =>
+      220.0 * StrictMath.pow(2.0,
+        (((id * 5 + k * 7 + (id % 11) * k) % 24).toDouble) / 12.0)
+    }
+
+  /** Audio-fingerprint near-dup (DD18) as a declared query: 48
+    * distinct six-note melodies (16-bit WAV); every `%6==0` asset is
+    * RE-RENDERED at 8-bit depth and 0.72 gain — the transcode clone
+    * the band-energy delta fingerprint must recover. PCM is not
+    * SQL-expressible → rows-only driver check + committed sf0.01
+    * golden ([[graft.dedup.Dedup.audioFingerprintNearDuplicates]]). */
+  def audioFingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.AudioIo
+    val base = spark.range(48).as[Long].map { id =>
+      (id, AudioIo.encodeToneWav(8192, 8000, bits = 16,
+        amplitude = 0.9, notesHz = melody(id), seed = id))
+    }.toDF("asset_id", "content")
+    val twins = spark.range(48).as[Long].filter(_ % 6 == 0).map { id =>
+      (id + 1000L, AudioIo.encodeToneWav(8192, 8000, bits = 8,
+        amplitude = 0.72, notesHz = melody(id), seed = id))
+    }.toDF("asset_id", "content")
+    graft.dedup.Dedup.audioFingerprintNearDuplicates(base.union(twins))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Video sampled-frame pHash near-dup (DD19) as a declared query:
+    * 24 textured Y4M clips (64×48, 12 frames); every `%6==0` clip is
+    * RE-ENCODED at 6-bit luma depth — the requantized clone whose
+    * sampled frames must still match within the Hamming budget.
+    * Pixels are not SQL-expressible → rows-only driver check +
+    * committed sf0.01 golden
+    * ([[graft.dedup.Dedup.videoFrameNearDuplicates]]). */
+  def videoFrameDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.VideoIo
+    val base = spark.range(24).as[Long].map { id =>
+      (id, VideoIo.encodeY4mTextured(64, 48, 25, 1, nFrames = 12,
+        seed = 1000L + id))
+    }.toDF("asset_id", "content")
+    val twins = spark.range(24).as[Long].filter(_ % 6 == 0).map { id =>
+      (id + 1000L, VideoIo.encodeY4mTextured(64, 48, 25, 1, nFrames = 12,
+        seed = 1000L + id, quantBits = 6))
+    }.toDF("asset_id", "content")
+    graft.dedup.Dedup.videoFrameNearDuplicates(base.union(twins))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Per-document heuristic language ID over the multilingual-planted
     * corpus ([[LangPlants]] — 19 languages across 9 scripts; the
     * oracle is GENERATED from the same profile/threshold constants.

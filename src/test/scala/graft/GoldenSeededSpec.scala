@@ -24,6 +24,7 @@ class GoldenSeededSpec extends AnyFunSuite {
     "q_semantic_dedup", "q_ann_topk", "q_ivf_topk", "q_phash_neardup",
     "q_pq_topk", "q_ivfpq_residual",
     "q_image_embed", "q_audio_embed",
+    "q_audio_fingerprint", "q_video_framedup",
     // not seeded but equally un-oracle-able: deterministic merge /
     // lattice recursions with no SQL form
     "q_bpe_tokens", "q_unigram_tokens",
