@@ -120,6 +120,61 @@ object CurationStream {
       .outputMode("append")
       .start()
 
+  /** Per-window NOVELTY of the accepted stream against the LANDED
+    * corpus — the streaming face of [[graft.ops.Drift.noveltyRate]]
+    * (round-13's batch monitoring family wired into the 24/7 ingest,
+    * VERDICT r13 #7): per tumbling window, accepted rows, how many
+    * carry a content hash unseen in `refHashes`, and the novelty
+    * fraction. A crawl whose per-window novelty collapses is
+    * re-fetching the same web live, not at the next compaction.
+    *
+    * `refHashes` is a STATIC one-column frame of the landed corpus's
+    * sha2-256 hex hashes — at scale the ALREADY-STORED hash column of
+    * the landing, never a text rescan; the stream-static left join
+    * re-reads it per micro-batch, so keep it a compact parquet/Delta
+    * column. `accepted` is [[ingest]]'s output (already exact-deduped
+    * within the watermark horizon, so window counts are DISTINCT
+    * contents — the same distinctness [[graft.ops.Drift.noveltyRate]]
+    * computes; CurationStreamSpec pins stream ≡ batch on identical
+    * data). The novelty division is the same single IEEE division as
+    * the batch operator.
+    *
+    * No `withWatermark` here ON PURPOSE: [[ingest]]'s output already
+    * carries the dedup watermark, and redefining a watermark
+    * downstream of a stateful operator is disallowed — the window
+    * aggregation rides the inherited one. */
+  def noveltyStats(accepted: DataFrame, refHashes: DataFrame,
+                   width: String = "1 hour"): DataFrame = {
+    require(refHashes.columns.length == 1,
+      s"refHashes must be one hash column, got " +
+        refHashes.columns.mkString(", "))
+    val ref = refHashes
+      .select(col(refHashes.columns.head).as("__ref_h")).distinct()
+    accepted
+      .withColumn("__h", sha2(col("text"), 256))
+      .join(ref, col("__h") === col("__ref_h"), "left_outer")
+      .groupBy(window(col("event_time"), width))
+      .agg(count(lit(1)).as("n_cur"),
+           sum(when(col("__ref_h").isNull, 1L).otherwise(0L))
+             .as("n_novel"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start_s"),
+              col("n_cur"), col("n_novel"),
+              when(col("n_cur") === 0L, lit(0.0))
+                .otherwise(col("n_novel").cast("double") /
+                  col("n_cur").cast("double")).as("novelty"))
+  }
+
+  /** PSI snapshot at COMPACTION — the other half of the monitoring
+    * wiring: compaction is batch (the lambda split), so the landed
+    * files run the batch [[graft.ops.Drift.psiBins]] verbatim against
+    * the reference snapshot's signal column. Thin by design: the
+    * value IS that stream-landed data and batch data flow through the
+    * SAME PSI kernel (one implementation, one oracle —
+    * `q_drift_psi`). */
+  def compactionPsi(ref: DataFrame, landed: DataFrame, valueCol: String,
+                    nBins: Int = 10): DataFrame =
+    graft.ops.Drift.psiBins(ref, landed, valueCol, nBins)
+
   /** Ingest-health counters over the accepted stream: per tumbling
     * window, accepted docs and mean quality by detected language —
     * the dashboard aggregation downstream of [[ingest]]. */

@@ -253,4 +253,83 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(streamed == funnel("exact_dedup"),
       s"ingest-as-batch $streamed != funnel ${funnel("exact_dedup")}")
   }
+
+  test("noveltyStats: stream-computed window equals the batch " +
+       "Drift.noveltyRate on identical data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the q_novelty_rate planting: %3==0 docs re-fetch the reference
+    // verbatim, the rest arrive as new (prefixed) content
+    val ref = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).limit(60)
+      .localCheckpoint(false)
+    val cur = ref.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(lit("refreshed page "), col("doc_id"),
+          lit(" "), col("text"))).as("text"))
+      .localCheckpoint(false)
+    val batch = graft.ops.Drift.noveltyRate(ref, cur)
+      .select("n_cur", "n_novel", "novelty")
+      .as[(Long, Long, Double)].head()
+
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "event_time")
+    // the accepted-stream contract: exact-deduped within the
+    // watermark horizon (what ingest guarantees) — so per-window
+    // counts are DISTINCT contents like the batch operator's
+    val accepted = stream
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("content_hash"))
+      .drop("content_hash")
+    val out = CurationStream.noveltyStats(accepted,
+      ref.select(sha2(col("text"), 256).as("h")), width = "1 hour")
+    val q = out.writeStream.format("memory").queryName("novelty_stream")
+      .outputMode("complete").start()
+    try {
+      val rows = cur.as[(Long, String)].collect()
+        .map { case (id, t) => (id, t, ts("10:00:01")) }
+      mem.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("novelty_stream")
+        .select("n_cur", "n_novel", "novelty")
+        .as[(Long, Long, Double)].collect()
+      assert(got.length == 1, s"expected one window, got ${got.length}")
+      assert(got.head == batch,
+        s"stream ${got.head} != batch $batch")
+    } finally q.stop()
+  }
+
+  test("compactionPsi: PSI over stream-landed files equals the batch " +
+       "psiBins on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("n_chars")).limit(80)
+      .localCheckpoint(false)
+    val ref = base.select(col("n_chars").cast("double").as("v"))
+    // the q_drift_psi planting: shifted current snapshot
+    val curBatch = base
+      .select((col("n_chars") + (col("doc_id") % 5) * 40)
+        .cast("double").as("v"))
+      .localCheckpoint(false)
+    val batchBins = graft.ops.Drift.psiBins(ref, curBatch, "v")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-psi-land")
+    val mem = MemoryStream[(Double, Timestamp)]
+    val stream = mem.toDF().toDF("v", "event_time")
+    val q = CurationStream.land(stream, s"$tmp/data", s"$tmp/ckpt",
+      partitionCols = Nil)
+    try {
+      mem.addData(curBatch.as[Double].collect().toSeq
+        .map(v => (v, ts("10:00:01"))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(s"$tmp/data").select("v")
+    val streamBins = CurationStream.compactionPsi(ref, landed, "v")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamBins == batchBins,
+      s"landed-PSI $streamBins != batch $batchBins")
+  }
 }
