@@ -2790,16 +2790,29 @@ object Corpus {
       concat_ws(" ", array_repeat(lit(ScriptOverride),
         (id % 3 + 1).cast("int"))))
       .otherwise(col("text"))
-    val planted = ScriptPlants.foldLeft(overridden) {
-      case (t, (m, snippet)) =>
-        when(id % m === 0, concat(t, lit(" " + snippet))).otherwise(t)
-    }
-    val p = graft.text.Scripts.scriptProfile(col("text"), ScriptSet)
+    // LINEAR concat of per-plant suffixes — the old foldLeft nested
+    // the accumulated expression in BOTH branches of every when,
+    // doubling the tree per plant (2^8 copies of the base text at 8
+    // plants: codegen blows the size limits and even the interpreted
+    // CASE walk is exponential). Same values, same order, and the
+    // same spelling as the generated twin's `|| CASE ... END` chain.
+    val planted = concat(overridden +: ScriptPlants.map {
+      case (m, snippet) =>
+        when(id % m === 0, lit(" " + snippet)).otherwise(lit(""))
+    }: _*)
+    // the kernel is STAGED as its own projection so every profile
+    // field is a cheap attribute extract (Scripts.scriptProfile doc —
+    // the struct-of-kernel-references form re-ran the walk per field
+    // when codegen fell back on the planted CASE tree)
+    val k = col("__k")
     docs(spark, dir)
       .select(id, planted.as("text"))
-      .select(id, p.as("p"),
-        graft.text.Scripts.mixedScript(col("text"),
-          scripts = ScriptSet).cast("long").as("mixed"))
+      .select(id, graft.functions.ScriptHits.scriptHits(col("text"))
+        .as("__k"))
+      .select(id,
+        graft.text.Scripts.profileFromKernel(k, ScriptSet).as("p"),
+        graft.text.Scripts.mixedFromKernel(k, scripts = ScriptSet)
+          .cast("long").as("mixed"))
       .select((Seq(id) ++
         ScriptSet.map(s => col(s"p.n_$s").as(s"n_$s")) ++
         Seq(col("p.n_scripted").as("n_scripted"),
@@ -2835,12 +2848,16 @@ object Corpus {
       .join(Tables.documents(spark, dir).select(id, col("n_chars")),
         "doc_id")
       .select(id, plantMultilingual(id, cyrAppended).as("text"))
-    val toks = Text.tokenize(col("text"))
-    val p = graft.text.Scripts.scriptProfile(col("text"), ScriptSet)
+    // kernel staged (scriptDetect rationale); langID is the one-call
+    // native kernel
     planted
+      .select(id, col("text"),
+        graft.functions.ScriptHits.scriptHits(col("text")).as("__k"))
       .select(id,
-        Text.langIdFromTokens(toks, col("text")).as("detected"),
-        p.getField("dominant").as("dominant"))
+        Text.langIdFromTokens(Text.tokenize(col("text")), col("text"))
+          .as("detected"),
+        graft.text.Scripts.profileFromKernel(col("__k"), ScriptSet)
+          .getField("dominant").as("dominant"))
       .withColumn("agree", graft.text.Scripts
         .langScriptAgree(col("detected"), col("dominant"))
         .cast("long"))

@@ -54,10 +54,27 @@ object Scripts {
     * dom_frac)`: per-script counts, their total, the argmax script
     * ("none" when no scripted character occurs; ties break to the
     * [[Ranges]] order), and the dominant share of scripted
-    * characters. One kernel pass; the rest is scalar integer math. */
+    * characters. One kernel pass; the rest is scalar integer math.
+    *
+    * Hot paths should STAGE the kernel first (alias
+    * `ScriptHits.scriptHits(text)` in its own projection) and build
+    * the profile from the attribute via [[profileFromKernel]]: this
+    * form re-references the kernel expression per field, which is
+    * free only while codegen CSE holds — planted queries with big
+    * CASE trees fall back to interpreted evaluation where each
+    * reference re-runs the walk (q_script_detect 1.03 → 2.80 s in
+    * the first round-14 window). */
   def scriptProfile(text: Column,
-                    scripts: Seq[String] = Ranges.map(_._1)): Column = {
-    val k = graft.functions.ScriptHits.scriptHits(text)
+                    scripts: Seq[String] = Ranges.map(_._1)): Column =
+    profileFromKernel(graft.functions.ScriptHits.scriptHits(text),
+      scripts)
+
+  /** [[scriptProfile]] over an already-STAGED kernel column (an
+    * attribute from a previous projection — every field extract is
+    * cheap, no re-evaluation risk). */
+  def profileFromKernel(k: Column,
+                        scripts: Seq[String] = Ranges.map(_._1))
+      : Column = {
     val counts = scripts.map(s => s -> k.getField(s"n_$s"))
     val total = counts.map(_._2).reduce(_ + _)
     val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
@@ -108,8 +125,13 @@ object Scripts {
     * of the scripted characters — the homoglyph-spoofing / mojibake /
     * spam signal. */
   def mixedScript(text: Column, minFrac: Double = 0.10,
-                  scripts: Seq[String] = Ranges.map(_._1)): Column = {
-    val k = graft.functions.ScriptHits.scriptHits(text)
+                  scripts: Seq[String] = Ranges.map(_._1)): Column =
+    mixedFromKernel(graft.functions.ScriptHits.scriptHits(text),
+      minFrac, scripts)
+
+  /** [[mixedScript]] over an already-staged kernel column. */
+  def mixedFromKernel(k: Column, minFrac: Double = 0.10,
+                      scripts: Seq[String] = Ranges.map(_._1)): Column = {
     val counts = scripts.map(s => k.getField(s"n_$s"))
     val total = counts.reduce(_ + _)
     val best = counts.reduce((a, b) => greatest(a, b))

@@ -82,13 +82,14 @@ object Text {
   }
 
   /** Character-class thresholds for the script-rule languages —
-    * shared with the generated SQL twins (`SparkEntry.langCteSql`).
+    * aliases of the [[graft.functions.LangId]] kernel's constants
+    * (the single source the generated SQL twins interpolate).
     * Order: hangul decides "ko" first (Korean hanja is rare), kana
     * decides "ja" before the CJK rule (Japanese prose mixes kana and
     * kanji — ≥5% kana is a reliable floor), then CJK decides "zh". */
-  val HangulMinRatio = 0.1
-  val KanaMinRatio = 0.05
-  val CjkMinRatio = 0.2
+  val HangulMinRatio: Double = graft.functions.LangId.HangulMinRatio
+  val KanaMinRatio: Double = graft.functions.LangId.KanaMinRatio
+  val CjkMinRatio: Double = graft.functions.LangId.CjkMinRatio
 
   /** Heuristic language ID: hangul/kana/CJK character ratios decide
     * ko/ja/zh (in that order); otherwise argmax of stopword-profile
@@ -98,14 +99,21 @@ object Text {
     * nothing scores. */
   def langId(text: Column): Column = langIdFromTokens(tokenize(text), text)
 
-  /** [[langId]] over an already-materialized token column. The hit
-    * counts come from the native [[graft.functions.LangHits]] kernel —
-    * ONE codegen'd pass over the tokens (the composed per-language HOF
-    * filters re-ran interpreted on every reference in the argmax tree:
-    * ~24 token scans per row, measured as the heaviest declared query
-    * before the swap) — and the char-class ratios from the one-pass
-    * [[graft.functions.ScriptHits]] census. */
-  def langIdFromTokens(toks: Column, text: Column): Column = {
+  /** [[langId]] over an already-materialized token column — ONE call
+    * into the native [[graft.functions.LangId]] kernel (one map probe
+    * per token + one char walk). The composed 16-profile argmax
+    * ladder referenced the hit struct ~150 times and blew past the
+    * codegen size limits in planted queries, falling back to
+    * interpreted per-reference re-evaluation (q_lang_id 0.48 → 7.26 s
+    * before this kernel; see the kernel scaladoc). */
+  def langIdFromTokens(toks: Column, text: Column): Column =
+    graft.functions.LangId.langId(toks, text)
+
+  /** The composed reference ladder ([[graft.functions.LangHits]]
+    * struct + greatest/CASE argmax + [[graft.functions.ScriptHits]]
+    * char ratios) — kept as the spec-pinned reference form for the
+    * [[graft.functions.LangId]] kernel (KernelsSpec equivalence). */
+  private[graft] def langIdComposed(toks: Column, text: Column): Column = {
     val h = graft.functions.LangHits.langHits(toks)
     val scores = Stopwords.map { case (lang, _) =>
       lang -> h.getField(s"h_$lang")

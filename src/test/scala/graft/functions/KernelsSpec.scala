@@ -128,6 +128,32 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("LangId kernel == the composed 16-profile ladder") {
+    import graft.text.Text
+    // random token soups over the union vocabulary (collisions across
+    // profiles included — 'de' is es/fr/nl), the 19 planted texts, and
+    // char-rule scripts
+    val vocab = LangHits.Profiles.flatMap(_._2) ++ Seq("zz", "qq", "xx")
+    val soups = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")) ++
+      graft.ops.Corpus.LangPlants.map(_._2) ++
+      Seq("", "   ", "日本語のかな混じり文", "한국어 문장",
+        "中文内容测试")
+    val rows = soups.toDF("text")
+      .select(col("text"),
+        Text.langIdFromTokens(Text.tokenize(col("text")), col("text"))
+          .as("kernel"),
+        Text.langIdComposed(Text.tokenize(col("text")), col("text"))
+          .as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"kernel=${r.getString(1)} composed=${r.getString(2)} " +
+          s"text=${r.getString(0).take(60)}")
+    }
+  }
+
   test("ScriptHits kernel == the regexp_count composed form per script") {
     // random mixed-script strings: snippets from every census block,
     // plus digits/punct/supplementary chars that match no range
