@@ -147,7 +147,20 @@ object ScaleProbe {
                   // (two distinct-hash exchanges + the anti-join),
                   // and the per-source league table (one groupBy
                   // with map-side-combined integer sums)
-                  "q_drift_psi", "q_novelty_rate", "q_source_report")
+                  "q_drift_psi", "q_novelty_rate", "q_source_report",
+                  // round 14: multilingual langID (one LangId kernel
+                  // call per row — pure map over the planted scan),
+                  // the detected-language facet (map + 20-group agg),
+                  // the 9-script agreement audit (LangId + staged
+                  // ScriptHits census, map-only), and the unigram
+                  // tokenizer (the BPE shape: one corpus count
+                  // aggregate feeds a driver-bounded trainer, encode
+                  // is the memoized-UDF map). q_docx_extract /
+                  // q_epub_extract / q_audio_fingerprint /
+                  // q_video_framedup are omitted: fixed authored
+                  // fixtures (the q_sniff_route rationale)
+                  "q_lang_id", "q_lang_facets_detected",
+                  "q_lang_script_audit", "q_unigram_tokens")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
