@@ -74,6 +74,26 @@ object GraftExtensions {
        require(args.length == 1, "lang_hits(tokens) takes one argument")
        LangHits(args.head)
      }),
+    ("lang_id",
+     new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+     (args: Seq[Expression]) => {
+       require(args.length == 2,
+         "lang_id(tokens, text) takes two arguments")
+       LangId(args(0), args(1))
+     }),
+    ("script_hits",
+     new ExpressionInfo(classOf[ScriptHits].getName, "script_hits"),
+     (args: Seq[Expression]) => {
+       require(args.length == 1, "script_hits(text) takes one argument")
+       ScriptHits(args.head)
+     }),
+    ("gopher_stats",
+     new ExpressionInfo(classOf[GopherStats].getName, "gopher_stats"),
+     (args: Seq[Expression]) => {
+       require(args.length == 1,
+         "gopher_stats(text) takes one argument (built-in stop list)")
+       GopherStats(args.head, graft.text.Gopher.StopList)
+     }),
     ("nfc_normalize",
      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
      (args: Seq[Expression]) => {

@@ -22,6 +22,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[String](1) == Seq("a b", "b c", "c d"))
   }
 
+  test("SQL callers can use lang_id, script_hits, gopher_stats") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq(("и вот он сказал что это не так как мы думали",
+         "и вот он сказал что это не так как мы думали"))
+      .toDF("text", "raw").createOrReplaceTempView("graft_ext_lang")
+    val row = spark.sql(
+      """SELECT lang_id(tokenize(text), text) AS lang,
+                script_hits(text).n_cyrillic AS n_cyr,
+                gopher_stats(text).n_words AS n_words
+         FROM graft_ext_lang""").head()
+    assert(row.getString(0) == "ru")
+    assert(row.getLong(1) > 0L)
+    assert(row.getLong(2) == 11L)
+  }
+
   test("SQL callers can use repetition_stats after registration") {
     import spark.implicits._
     GraftExtensions.register(spark)
