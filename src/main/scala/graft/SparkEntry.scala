@@ -197,6 +197,7 @@ object SparkEntry {
     "q_wat_metadata"            -> Corpus.watMetadata _,
     "q_script_detect"           -> Corpus.scriptDetect _,
     "q_lm_tiers"                -> Corpus.lmTiers _,
+    "q_lm_tiers_lang"           -> Corpus.lmTiersByLanguage _,
     "q_calibration_bins"        -> Corpus.calibrationBins _,
     "q_mix_temperature"         -> Corpus.mixTemperature _,
     "q_threshold_sweep"         -> Corpus.thresholdSweep _,
@@ -3862,6 +3863,53 @@ object SparkEntry {
                 WHEN mean_ll >= tlo THEN 'middle'
                 ELSE 'tail' END AS tier
          FROM scored, thr ORDER BY doc_id""",
+    // per-language CCNet tiers: the q_lm_tiers LM CTEs over the
+    // planted multilingual corpus + the generated language CTE +
+    // per-language quantile_cont cutoffs
+    "q_lm_tiers_lang" ->
+      raw"""WITH pl AS (SELECT doc_id, ${langPlantSql()} AS text
+                      FROM documents),
+         t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+                      string_split(text, ' ') AS ws
+               FROM pl),
+         ${langCteSql("t")},
+         raws AS (SELECT doc_id, ws[i] AS a,
+                         ws[i] || ' ' || ws[i+1] AS ab
+                  FROM t,
+                  LATERAL (SELECT unnest(generate_series(1,
+                             len(ws) - 1)) AS i)),
+         tgt AS (SELECT * FROM t WHERE doc_id % 4 = 0),
+         tbg AS (SELECT ab, count(*) AS cab FROM (
+                   SELECT ws[i] || ' ' || ws[i+1] AS ab FROM tgt,
+                   LATERAL (SELECT unnest(generate_series(1,
+                              len(ws) - 1)) AS i))
+                 GROUP BY ab),
+         tug AS (SELECT a, count(*) AS ca FROM
+                 (SELECT unnest(ws) AS a FROM tgt) GROUP BY a),
+         v AS (SELECT count(*) + 1 AS v FROM tug),
+         w AS (SELECT raws.doc_id,
+                 CAST(round((ln(coalesce(cab, 0) + 1.0) -
+                             ln(coalesce(ca, 0) + v.v))
+                            * 1048576.0) AS BIGINT) AS w
+               FROM raws LEFT JOIN tbg ON raws.ab = tbg.ab
+               LEFT JOIN tug ON raws.a = tug.a CROSS JOIN v),
+         scored AS (SELECT doc_id,
+                      CAST(sum(w) AS DOUBLE) / count(*) AS mean_ll
+                    FROM w GROUP BY doc_id),
+         sl AS (SELECT scored.doc_id, l.detected AS lang,
+                       scored.mean_ll
+                FROM scored JOIN l ON scored.doc_id = l.doc_id),
+         thr AS (SELECT lang,
+                        quantile_cont(mean_ll, 2.0 / 3.0) AS thi,
+                        quantile_cont(mean_ll, 1.0 / 3.0) AS tlo
+                 FROM sl GROUP BY lang)
+         SELECT sl.doc_id, sl.lang,
+           round(sl.mean_ll + 0.000000001, 6) AS mean_ll,
+           CASE WHEN sl.mean_ll >= thr.thi THEN 'head'
+                WHEN sl.mean_ll >= thr.tlo THEN 'middle'
+                ELSE 'tail' END AS tier
+         FROM sl JOIN thr ON sl.lang = thr.lang
+         ORDER BY sl.doc_id""",
     // WAT JSON-envelope extraction (title, link census) — the twin
     // replays the id arithmetic the fixture's envelope was built from
     "q_wat_metadata" ->

