@@ -2158,8 +2158,10 @@ object SparkEntry {
     // strip), domain is the uri's last two labels, text/title/chars
     // constructed exactly as in q_warc_extract
     // document-ingest twin: detected container, route, and per-format
-    // extracted text/title all from the id%4 arithmetic — incl. the
-    // encrypted PDF that routes to the document lane but fails decode
+    // extracted text/title all from the id%6 arithmetic (the six-way
+    // asset cycle: PDF, HTML, raw text, encrypted PDF, DOCX, EPUB) —
+    // incl. the encrypted PDF that routes to the document lane but
+    // fails decode
     "q_document_ingest" ->
       """SELECT range AS asset_id,
            CASE CAST(range % 6 AS INT)

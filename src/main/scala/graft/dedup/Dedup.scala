@@ -259,11 +259,13 @@ object Dedup {
     * `everyNth` frame's REAL luma plane is DCT-pHashed
     * ([[graft.multimodal.MediaPhash.lumaPhash64]]), frame hashes pair
     * through the banded Hamming join, and a video pair survives when
-    * ≥ `minMatchingFrames` DISTINCT sampled frames of the lower-id
-    * video match within `maxHamming` bits — re-encodes and mild
-    * requantizations of the same footage share most sampled frames;
-    * unrelated footage shares none. Output: `(id_a, id_b,
-    * n_matching_frames)`.
+    * ≥ `minMatchingFrames` DISTINCT sampled frames of EACH side match
+    * within `maxHamming` bits (the min of the two per-side distinct
+    * counts — a static clip whose every frame matches one frame of
+    * another video shares ONE frame of content, not many, and must
+    * not qualify) — re-encodes and mild requantizations of the same
+    * footage share most sampled frames; unrelated footage shares
+    * none. Output: `(id_a, id_b, n_matching_frames)`.
     *
     * Scale: hashing is map-shaped (planes never shuffle — one long
     * per sampled frame leaves the kernel); the pairing join fans out
@@ -306,7 +308,8 @@ object Dedup {
       .filter(col("hamming") <= lit(maxHamming))
     framePairs
       .groupBy(col("id_a"), col("id_b"))
-      .agg(countDistinct(col("fidx_a")).as("n_matching_frames"))
+      .agg(least(countDistinct(col("fidx_a")), countDistinct(col("fidx_b")))
+        .as("n_matching_frames"))
       .filter(col("n_matching_frames") >= lit(minMatchingFrames))
   }
 

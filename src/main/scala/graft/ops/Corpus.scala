@@ -677,7 +677,9 @@ object Corpus {
     * codegen'd kernels — with quarantine rows carried and the
     * encrypted-PDF case proving the route/decode separation. Spark
     * sniffs REAL bytes and parses REAL containers; the oracle
-    * constructs every row from the id%4 arithmetic. */
+    * constructs every row from the id%6 arithmetic (the six-way
+    * [[documentAssetSurface]] cycle: PDF, HTML, raw text, encrypted
+    * PDF, DOCX, EPUB). */
   def documentIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.HtmlText
     val routed = graft.multimodal.Sniff.route(documentAssetSurface(spark))

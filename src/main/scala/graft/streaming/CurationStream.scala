@@ -43,7 +43,8 @@ object CurationStream {
     * independently-computed `exact_dedup` stage. */
   def ingest(stream: DataFrame, cfg: Curation.Config = Curation.Config(),
              watermark: String = "1 hour",
-             model: Option[graft.ml.QualityModel.Fitted] = None)
+             model: Option[graft.ml.QualityModel.Fitted] = None,
+             keepHash: Boolean = false)
       : DataFrame = {
     val redacted =
       if (cfg.redactPii)
@@ -98,7 +99,10 @@ object CurationStream {
         hashed.withWatermark("event_time", watermark)
           .dropDuplicatesWithinWatermark(Seq("content_hash"))
       else hashed.dropDuplicates(Seq("content_hash"))
-    deduped.drop("content_hash")
+    // keepHash: retain the dedup's content hash so downstream
+    // monitoring ([[noveltyStats]] hashCol) and the landed corpus's
+    // reference column reuse it instead of re-hashing every text
+    if (keepHash) deduped else deduped.drop("content_hash")
   }
 
   /** Land the accepted stream as facet-partitioned parquet — the file
@@ -144,14 +148,18 @@ object CurationStream {
     * downstream of a stateful operator is disallowed — the window
     * aggregation rides the inherited one. */
   def noveltyStats(accepted: DataFrame, refHashes: DataFrame,
-                   width: String = "1 hour"): DataFrame = {
+                   width: String = "1 hour",
+                   hashCol: Option[String] = None): DataFrame = {
     require(refHashes.columns.length == 1,
       s"refHashes must be one hash column, got " +
         refHashes.columns.mkString(", "))
     val ref = refHashes
       .select(col(refHashes.columns.head).as("__ref_h")).distinct()
+    // hashCol: reuse the content hash ingest(keepHash = true) already
+    // computed for dedup instead of re-hashing every text per
+    // micro-batch; the fallback recompute is the identical sha2-256
     accepted
-      .withColumn("__h", sha2(col("text"), 256))
+      .withColumn("__h", hashCol.fold(sha2(col("text"), 256))(col))
       .join(ref, col("__h") === col("__ref_h"), "left_outer")
       .groupBy(window(col("event_time"), width))
       .agg(count(lit(1)).as("n_cur"),

@@ -154,9 +154,11 @@ object C4 {
     * portable single-column min; positions ≥ 10^6 — a million-sentence
     * page — would only perturb WHICH occurrence survives, never the
     * dedup set). The id column must be an integral type with
-    * |id| < 2^63/10^6 ≈ 9.2·10^12 (validated loudly — a string id
-    * would null the encoding and silently no-op the dedup; an
-    * overflowing id could let both occurrences of a window survive).
+    * |id| < 2^63/10^6 ≈ 9.2·10^12 — BOTH validated loudly: the type
+    * at plan time (a string id would null the encoding and silently
+    * no-op the dedup) and the magnitude per-row at runtime via a
+    * raise_error guard on the encoding (an overflowing id could let
+    * both occurrences of a window survive).
     * Documents with NO sentences at all (empty/whitespace-only text)
     * pass through untouched with empty text and n_sent = 0; documents
     * whose every sentence is removed BY THE DEDUP drop out of the
@@ -188,8 +190,18 @@ object C4 {
     // duplicated windows and their canonical occurrence: the count is
     // map-side combinable; min over the encoded (id, pos) key picks
     // the smallest occurrence
+    // runtime magnitude guard: ids at or past 2^63/10^6 would overflow
+    // the id*10^6+pos key and could let both occurrences of a window
+    // survive — fail the job loudly instead (one comparison per window
+    // row; the raise_error branch is never taken on valid data)
+    val idBound = Long.MaxValue / 1000000L
     val winsE = wins.withColumn("enc",
-      col("id") * lit(1000000L) + col("pos"))
+      when(col("id") >= lit(idBound) || col("id") <= lit(-idBound),
+        raise_error(concat(
+          lit(s"spanDedup3: |$idCol| must be < $idBound so the " +
+            "id*10^6+pos canonical-occurrence key cannot overflow; got "),
+          col("id").cast("string"))))
+        .otherwise(col("id") * lit(1000000L) + col("pos")))
     val canon = winsE.groupBy(col("h"))
       .agg(count(lit(1)).as("c"), min(col("enc")).as("k0"))
       .filter(col("c") > 1)

@@ -97,10 +97,12 @@ object Unigram {
           .sortBy { case (s, c) => (-c, s) }.take(seedSize).toMap
         top ++ chars.map(c => c -> subCounts(c))
       }
-    // ---- hard EM rounds: Viterbi count → re-estimate → prune
+    // ---- hard EM rounds: Viterbi count → re-estimate → prune.
+    // `emRounds` is the EXACT number of Viterbi-count/prune passes
+    // (the first pass runs against the raw seed model).
     var counts: Map[String, Long] = seeded
     var round = 0
-    while (round <= emRounds) {
+    while (round < emRounds) {
       val model = toModel(counts)
       val used = mutable.HashMap.empty[String, Long]
       dict.foreach { case (w, c) =>
