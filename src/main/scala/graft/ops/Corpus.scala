@@ -1711,6 +1711,39 @@ object Corpus {
                 .as("detected"))
       .orderBy(col("doc_id"))
 
+  /** The TRAINED language classifier over the same planted
+    * multilingual corpus ([[graft.ml.LangModel]] — hashed char-n-gram
+    * multinomial logistic, the fastText/CLD3 shape): fit on the
+    * built-in deterministic training corpus, score every planted doc,
+    * and carry the heuristic ladder's verdict alongside for the
+    * agreement audit. Float probabilities inside → golden posture
+    * (sf0.01 golden pins strings only: doc_id, detected, predicted,
+    * agree — no L-BFGS float reaches the comparator). LangModelSpec
+    * pins ≥ 95% plant agreement and the kanji-only-ja fix. On the
+    * committed golden, every disagreement is ladder-`und` → model-`en`
+    * on the organic English word-soup docs: rows where the ladder has
+    * NO stopword hit and gives up while the hashed n-grams still carry
+    * evidence — the model strictly extending the ladder, not
+    * contradicting it. */
+  def langIdModel(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.ml.LangModel.fit(
+      graft.ml.LangModel.trainingCorpus(spark))
+    val planted = docs(spark, dir)
+      .select(col("doc_id"),
+              plantMultilingual(col("doc_id"), col("text")).as("text"))
+      .select(col("doc_id"), col("text"),
+              Text.tokenize(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"),
+              Text.langIdFromTokens(col("toks"), col("text"))
+                .as("detected"))
+    model.score(planted)
+      .select(col("doc_id"), col("detected"),
+              col("lang_pred").as("predicted"),
+              (col("detected") === col("lang_pred")).cast("long")
+                .as("agree"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Detected-language facets over the same planted multilingual
     * corpus — docs + chars per detected language, the
     * partition/mixture profile a multilingual crawl starts from

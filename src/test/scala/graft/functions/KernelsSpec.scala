@@ -182,6 +182,40 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("CharNgrams expression matches a pure-Scala reference " +
+    "(incl. astral-plane code points)") {
+    def reference(s: String, nMin: Int, nMax: Int,
+                  maxChars: Int): Seq[String] = {
+      val cps = s.codePoints().toArray.take(maxChars)
+        .map(Character.toChars(_).mkString)
+      (nMin to nMax).flatMap(n => cps.sliding(n).filter(_.length == n)
+        .map(_.mkString))
+    }
+    val astral = "a😀b😁c"  // a😀b😁c
+    val cases = Seq.fill(150)(
+      Seq.fill(rnd.nextInt(40))(
+        if (rnd.nextBoolean()) ('a' + rnd.nextInt(26)).toChar.toString
+        else new String(Character.toChars(0x10000 + rnd.nextInt(0x100))))
+        .mkString) ++ Seq("", "x", astral, "日本語の文書")
+    for ((nMin, nMax, mc) <- Seq((1, 3, 300), (2, 2, 5), (1, 4, 10))) {
+      val got = cases.toDF("t")
+        .select(CharNgrams.charNgrams(col("t"), nMin, nMax, mc).as("g"))
+        .collect().map(_.getSeq[String](0).toSeq)
+      cases.zip(got).foreach { case (in, out) =>
+        assert(out == reference(in, nMin, nMax, mc),
+          s"nMin=$nMin nMax=$nMax maxChars=$mc input=$in")
+      }
+    }
+    // never splits a surrogate pair: every output n-gram is valid UTF-16
+    val grams = Seq(astral).toDF("t")
+      .select(CharNgrams.charNgrams(col("t"), 1, 3, 300).as("g"))
+      .head().getSeq[String](0)
+    grams.foreach { g =>
+      assert(!Character.isLowSurrogate(g.charAt(0)) &&
+        !Character.isHighSurrogate(g.charAt(g.length - 1)), s"split: $g")
+    }
+  }
+
   test("Exact sumCents/avgFromCents is exact at extreme counts") {
     // 2dp values whose float sum drifts: many 0.01-grid values
     val n = 200000

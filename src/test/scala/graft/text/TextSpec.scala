@@ -80,6 +80,26 @@ class TextSpec extends AnyFunSuite {
     assert(lid("한국어 문서 입니다") == "ko")
   }
 
+  test("langId ladder: DOCUMENTED limitations the trained classifier " +
+    "(graft.ml.LangModel) exists to fix") {
+    def lid(s: String) = one(Text.langId(col("t")), s).getString(0)
+    // 1. kanji-only Japanese (kana <= 5%): only the CJK char-class
+    //    rule fires, so the ladder says zh. The char census cannot
+    //    know WHICH ideographs are Japanese usage — that is lexical
+    //    evidence, the LangModel hashed-n-gram signal.
+    //    LangModelSpec pins the model detecting ja on this fixture.
+    assert(lid("東京大学日本語教育研究所") == "zh")
+    // 2. Latin-brand-heavy Arabic (mixed-direction): enough Arabic
+    //    function words still win the argmax — the ladder handles
+    //    this one — but drop below the profile floor and it
+    //    degrades to whichever Latin profile the brand words hit.
+    assert(lid("هذا التقرير من Google Cloud Platform عن الأداء") == "ar")
+    assert(lid("Google Cloud Platform und Amazon Web Services تقرير") == "de")
+    // 3. sub-threshold short doc: no stopword hits, no script rule ->
+    //    und; a trained model still has char-n-gram evidence.
+    assert(lid("zebra quokka") == "und")
+  }
+
   test("tokenize keeps combining marks inside tokens") {
     // Devanagari vowel signs (Mn/Mc) must not split the word: के is
     // क + U+0947, की is क + U+0940
