@@ -183,6 +183,8 @@ object SparkEntry {
     "q_triangles"               -> Corpus.triangleDocs _,
     "q_event_transitions"       -> Corpus.eventTransitions _,
     "q_compact_scan"            -> Corpus.compactScan _,
+    // round 15: manifest-snapshot table — time travel under compaction
+    "q_snapshot_read"           -> Corpus.snapshotRead _,
     "q_pivot_events"            -> Stats.pivotEventCounts _,
     "q_char_deciles"            -> Stats.charDeciles _,
     "q_bucketed_join"           -> Corpus.bucketedJoin _,
@@ -3354,6 +3356,21 @@ object SparkEntry {
          SELECT from_type, to_type, count(*) AS n
          FROM p WHERE to_type IS NOT NULL
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // snapshot time travel must be value-exact: Spark aggregates the
+    // two PRE-compaction manifest versions read AFTER the compaction
+    // commit (v1 = even doc_ids, v2 = both appends); the oracle
+    // replays the same slices straight off the raw documents table
+    "q_snapshot_read" ->
+      """WITH slices AS (
+           SELECT 1 AS snap, doc_id, text FROM documents
+           WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT 2 AS snap, doc_id, text FROM documents)
+         SELECT CAST(snap AS BIGINT) AS snap,
+                CAST(doc_id % 8 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars
+         FROM slices GROUP BY 1, 2 ORDER BY 1, 2""",
     // the compacted rewrite must be value-preserving: the oracle
     // answers the same type-sliced aggregate from the RAW table
     "q_compact_scan" ->

@@ -22,6 +22,35 @@ object Corpus {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(col("doc_id"), col("text"))
 
+  /** Snapshot-isolated table reads through the manifest layer
+    * ([[graft.sources.Snapshot]]): build a snapshot table from the
+    * documents corpus in two appends (evens, then odds), COMPACT it,
+    * and aggregate the two PRE-compaction snapshots read AFTER the
+    * compaction commit — the hash gate proves time travel returns
+    * exactly the rows each version committed (v1 = evens, v2 = all),
+    * untouched by the rewrite underneath. The oracle replays the same
+    * two slices straight off the parquet source. The table lives in a
+    * fresh temp dir per call (left for the OS; a few hundred KB at
+    * sf0.01) because the returned frame lazily reads its files. */
+  def snapshotRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapq").toString + "/t"
+    val d = docs(spark, dir)
+    Snapshot.append(d.filter(col("doc_id") % 2 === 0), table) // v1
+    Snapshot.append(d.filter(col("doc_id") % 2 === 1), table) // v2
+    Snapshot.compact(spark, table)                            // v3
+    val v1 = Snapshot.read(spark, table, Some(1L))
+      .withColumn("snap", lit(1L))
+    val v2 = Snapshot.read(spark, table, Some(2L))
+      .withColumn("snap", lit(2L))
+    v1.unionByName(v2)
+      .groupBy(col("snap"), (col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(length(col("text")).cast("long")).as("total_chars"))
+      .orderBy(col("snap"), col("bucket"))
+  }
+
   /** Exact dedup over a corpus with planted exact clones (every 10th doc
     * re-appears under id+100000): content-hash groups with canonical id
     * and copy count. */
