@@ -40,8 +40,15 @@ object Bpe {
     * (token concatenation → word boundaries) unambiguous. */
   val EndOfWord = "</w>"
 
-  /** Learned merge table, in learning order; rank = position. */
-  final case class BpeModel(merges: Vector[(String, String)]) {
+  /** Learned merge table, in learning order; rank = position.
+    * `alphabet` is the training dictionary's code-point inventory:
+    * characters outside it encode as [[ByteFallback]] byte pieces
+    * (total encodability — no out-of-vocabulary symbol ever reaches a
+    * token→id map). An empty alphabet disables the fallback (raw
+    * unknown characters pass through as their own symbols — the
+    * pre-round-15 behavior, kept for closed-form specs). */
+  final case class BpeModel(merges: Vector[(String, String)],
+                            alphabet: Set[String] = Set.empty) {
     @transient lazy val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
   }
@@ -76,10 +83,13 @@ object Bpe {
   private[text] def learnFromDict(dict: Array[(String, Long)],
                                   numMerges: Int,
                                   minPairCount: Long): BpeModel = {
-    // each word as its current symbol sequence (chars + EndOfWord)
+    // each word as its current symbol sequence (code points +
+    // EndOfWord — code points, never UTF-16 chars: an astral-plane
+    // character must be one symbol, not two broken surrogate halves)
     val words = dict.map { case (w, c) =>
-      (w.toCharArray.map(_.toString) :+ EndOfWord, c)
+      (codePointSyms(w) :+ EndOfWord, c)
     }
+    val alphabet = dict.iterator.flatMap(w => codePointSyms(w._1)).toSet
     val merges = Vector.newBuilder[(String, String)]
     var done = false
     var it = 0
@@ -112,7 +122,20 @@ object Bpe {
         }
       }
     }
-    BpeModel(merges.result())
+    BpeModel(merges.result(), alphabet)
+  }
+
+  /** Code-point symbol sequence of a word (surrogate-pair safe). */
+  private[text] def codePointSyms(w: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
   }
 
   private def mergePair(syms: Array[String],
@@ -134,11 +157,20 @@ object Bpe {
 
   /** Encode one word with the learned ranks: repeatedly merge the
     * lowest-rank adjacent pair present (the standard BPE apply loop —
-    * greedy on LEARNING order, not position). */
+    * greedy on LEARNING order, not position). With a non-empty
+    * `alphabet`, code points outside it become [[ByteFallback]] byte
+    * pieces BEFORE merging (they can never merge — no learned pair
+    * names a byte piece — so every output symbol is in-vocabulary). */
   private[text] def encodeWord(word: String,
-                               ranks: Map[(String, String), Int])
+                               ranks: Map[(String, String), Int],
+                               alphabet: Set[String] = Set.empty)
       : Array[String] = {
-    var syms = word.toCharArray.map(_.toString) :+ EndOfWord
+    val base =
+      if (alphabet.isEmpty) codePointSyms(word)
+      else codePointSyms(word).flatMap { s =>
+        if (alphabet.contains(s)) Array(s) else ByteFallback.pieces(s)
+      }
+    var syms = base :+ EndOfWord
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue
@@ -177,7 +209,7 @@ object Bpe {
     * Zipfian word distribution — each distinct word in a partition is
     * encoded once, not once per occurrence. */
   def bpeTokens(text: Column, model: BpeModel): Column = {
-    val f = udf(new MemoizedEncoder(model.ranks))
+    val f = udf(new MemoizedEncoder(model.ranks, model.alphabet))
     f(text)
   }
 
@@ -194,7 +226,8 @@ object Bpe {
     * zero-merge closed form. Bounded at 100k entries: beyond that the
     * map stops growing (hit rate is already captured; a pathological
     * partition of unique words must not balloon task memory). */
-  private final class MemoizedEncoder(ranks: Map[(String, String), Int])
+  private final class MemoizedEncoder(ranks: Map[(String, String), Int],
+                                      alphabet: Set[String])
       extends (String => Array[String]) with Serializable {
     @transient private lazy val memo =
       new java.util.HashMap[String, Array[String]]()
@@ -203,7 +236,7 @@ object Bpe {
       else tokenizeString(s).flatMap { w =>
         var v = memo.get(w)
         if (v == null) {
-          v = encodeWord(w, ranks)
+          v = encodeWord(w, ranks, alphabet)
           if (memo.size < 100000) memo.put(w, v)
         }
         v

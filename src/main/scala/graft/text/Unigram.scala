@@ -211,7 +211,14 @@ object Unigram {
       else Bpe.tokenizeString(s).flatMap { w =>
         var v = memo.get(w)
         if (v == null) {
-          v = viterbi(w, logp, maxLen).toArray
+          // byte fallback (SentencePiece byte_fallback): a Viterbi
+          // piece outside the vocabulary (the unknown-single-code-
+          // point fallback) expands to its UTF-8 byte pieces — total
+          // encodability, no out-of-vocabulary symbol downstream
+          v = viterbi(w, logp, maxLen).iterator.flatMap { p =>
+            if (logp.contains(p)) Iterator.single(p)
+            else ByteFallback.pieces(p).iterator
+          }.toArray
           if (memo.size < 100000) memo.put(w, v)
         }
         v

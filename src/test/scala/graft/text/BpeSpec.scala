@@ -31,7 +31,8 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("encodeWord: tokens concatenate back to the word + end marker, " +
-       "unseen characters survive as singletons") {
+       "unseen characters survive as singletons (no alphabet) or byte " +
+       "pieces (model alphabet)") {
     val model = Bpe.learnFromDict(sennrich, numMerges = 10,
                                   minPairCount = 2L)
     for (w <- Seq("low", "lower", "newest", "widest", "lowest", "zzz")) {
@@ -44,6 +45,38 @@ class BpeSpec extends AnyFunSuite {
     val toks = Bpe.encodeWord("lowest", model.ranks)
     assert(toks.contains("est" + Bpe.EndOfWord) ||
            toks.mkString.endsWith("est" + Bpe.EndOfWord))
+    // with the model's alphabet, out-of-alphabet characters become
+    // byte pieces ('z' never occurs in the Sennrich dict) — and the
+    // decode inverse recovers the word exactly
+    val fb = Bpe.encodeWord("oz", model.ranks, model.alphabet)
+    assert(fb.toSeq == Seq("o", "<0x7A>", Bpe.EndOfWord))
+    assert(ByteFallback.decode(fb.toSeq) == "oz" + Bpe.EndOfWord)
+  }
+
+  test("byte fallback: arbitrary unicode (incl. astral plane) " +
+       "round-trips, every output symbol is in-vocabulary") {
+    val model = Bpe.learnFromDict(sennrich, numMerges = 10,
+                                  minPairCount = 2L)
+    val vocab: Set[String] = model.alphabet ++
+      ByteFallback.Inventory ++ Seq(Bpe.EndOfWord) ++
+      model.merges.map { case (a, b) => a + b }
+    val rnd = new scala.util.Random(20260815)
+    def randWord(): String = (0 until 1 + rnd.nextInt(12)).map { _ =>
+      rnd.nextInt(4) match {
+        case 0 => ('a' + rnd.nextInt(26)).toChar.toString
+        case 1 => "äöüßéñ漢字한".charAt(rnd.nextInt(9)).toString
+        case 2 => new String(Character.toChars(0x1F600 + rnd.nextInt(80)))
+        case _ => new String(Character.toChars(0x0915 + rnd.nextInt(32)))
+      }
+    }.mkString
+    (0 until 300).foreach { _ =>
+      val w = randWord()
+      val toks = Bpe.encodeWord(w, model.ranks, model.alphabet)
+      toks.foreach(t => assert(vocab.contains(t),
+        s"out-of-vocabulary symbol '$t' for word '$w'"))
+      assert(ByteFallback.decode(toks.toSeq) == w + Bpe.EndOfWord,
+        s"round-trip failed for '$w': ${toks.toSeq}")
+    }
   }
 
   test("more merges never increase the token count; zero merges = " +

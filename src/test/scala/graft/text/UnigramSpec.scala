@@ -57,6 +57,40 @@ class UnigramSpec extends AnyFunSuite {
     assert("helowrd".forall(c => m1.logp.contains(c.toString)))
   }
 
+  test("byte fallback: arbitrary unicode (incl. astral plane) " +
+       "round-trips through the spark surface, every piece " +
+       "in-vocabulary") {
+    import spark.implicits._
+    val dict = Array(("hello", 50L), ("help", 30L), ("world", 20L))
+    val model = Unigram.learnFromDict(dict, vocabSize = 20,
+      maxPieceLen = 4, emRounds = 2, seedSize = 200)
+    val rnd = new scala.util.Random(20260815)
+    def randText(): String = (0 until 1 + rnd.nextInt(4)).map { _ =>
+      (0 until 1 + rnd.nextInt(8)).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => ('a' + rnd.nextInt(26)).toChar.toString
+          case 1 => "äöüßéñ漢字한".charAt(rnd.nextInt(9)).toString
+          case 2 => new String(Character.toChars(0x1F600 + rnd.nextInt(80)))
+          case _ => new String(Character.toChars(0x0915 + rnd.nextInt(32)))
+        }
+      }.mkString
+    }.mkString(" ")
+    val texts = Seq.fill(150)(randText()) :+ "hello 😀😀 world"
+    val got = texts.toDF("text")
+      .select(col("text"),
+        Unigram.unigramTokens(col("text"), model).as("pieces"))
+      .as[(String, Seq[String])].collect()
+    got.foreach { case (text, pieces) =>
+      pieces.foreach(p => assert(
+        model.logp.contains(p) || ByteFallback.isBytePiece(p),
+        s"out-of-vocabulary piece '$p' for '$text'"))
+      // decode inverse: pieces reassemble the tokenized text exactly
+      val expected = Bpe.tokenizeString(text).mkString
+      assert(ByteFallback.decode(pieces) == expected,
+        s"round-trip failed for '$text': $pieces")
+    }
+  }
+
   test("spark surface: piece counts bounded by chars and words") {
     val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
       .select(col("doc_id"), col("text")).limit(60)
