@@ -305,6 +305,27 @@ object Bench {
             f: Double => String = fmt): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
+    // CONTENTION SELF-ANNOTATION (VERDICT r14 #5): after every
+    // adjudication pass (outlier re-runs + two whole-surface sweeps),
+    // any query STILL past 1.5x its committed pin (+0.25 s sub-100ms
+    // floor) is named in the contract line with its ratio-vs-pin — a
+    // contended window now lists its own victims instead of leaving
+    // the adjudication to the next round's verdict. Capped at 8 names
+    // (ratio-descending; the rest roll up into a count) so the field
+    // can never blow the driver's ~1900-char tail window; the full
+    // list lands in .bench/bench_full.json.
+    val contended = finalResults.collect {
+      case (n, v) if v > 0 && pin.get(n).exists(p => v > 1.5 * p + 0.25) =>
+        n -> (v / math.max(pin(n), 1e-9))
+    }.sortBy(-_._2)
+    val contendedField =
+      if (contended.isEmpty) ""
+      else {
+        val top = contended.take(8).map { case (n, r) =>
+          "\"" + n + "\":" + fmt(r) }.mkString("{", ",", "}")
+        s""","contended":$top,"contended_n":${contended.size}"""
+      }
+
     // Complete per-query detail as a SIDE FILE: the printed contract
     // line degrades to heavy-queries-only past ~95 queries (driver
     // tail-window bound), which left BENCH_PIN refreshes without a
@@ -318,6 +339,8 @@ object Bench {
         java.nio.file.Path.of(".bench/bench_full.json"),
         s"""{"queries":$full,"duck":${duckPerQuery.map { case (k, v) =>
           "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+        }.mkString("{", ",", "}")},"contended":${contended.map { case (k, v) =>
+          "\"" + k + "\":" + "%.2f".formatLocal(java.util.Locale.ROOT, v)
         }.mkString("{", ",", "}")},"sf":"$sfDir","reruns":$reruns,"sweeps":$sweeps,"first_sweep_total":${"%.3f".formatLocal(java.util.Locale.ROOT, firstSweepTotal)}}""")
     } catch { case _: Throwable => () }
 
@@ -354,7 +377,7 @@ object Bench {
     println(s"""{"aux":"pipelines","value":${fmtTotal(pipeResults.collect { case (_, v) if v > 0 => v }.sum)},"unit":"sec","pipelines":${obj(pipeResults)},"shuffle_partitions":$shufflePartitions,"reruns":$reruns,"sweeps":$sweeps,"first_sweep_total":${fmtTotal(firstSweepTotal)},"duckdb_paired_total":${fmtTotal(duckPaired)},"duck_status":"$duckStatus","sf":"$sfDir"}""")
     spark.stop()
     def contract(f: Double => String) =
-      s"""{"metric":"total","value":${fmtTotal(total)},"unit":"sec","queries":${obj(finalResults, f)}$failedField$pairFields,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${fmtTotal(total)},"unit":"sec","queries":${obj(finalResults, f)}$failedField$pairFields$contendedField,"sf":"$sfShort"}"""
     // the driver's tail window is ~2000 chars incl. sbt's trailer; a
     // line past ~1900 chars silently yields parsed:null driver-side —
     // degrade per-query precision to 0.1 s before letting that happen
@@ -373,7 +396,7 @@ object Bench {
         s""","others":{"n":${light.size},"total":${
           fmtTotal(light.map(_._2).sum)}}"""
       s"""{"metric":"total","value":${fmtTotal(total)},"unit":"sec","queries":${
-        obj(heavy, fmt)}$othersField$failedField$pairFields,"sf":"$sfShort"}"""
+        obj(heavy, fmt)}$othersField$failedField$pairFields$contendedField,"sf":"$sfShort"}"""
     }
     val line2 = contract(fmt)
     val line1 = if (line2.length <= 1880) line2 else contract(fmtN(1))
