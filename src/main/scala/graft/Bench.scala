@@ -252,6 +252,16 @@ object Bench {
           Curation.funnel(docsDf.select(
             org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text"))): Unit),
+        // trained langID end to end: fit the hashed char-n-gram
+        // multinomial model on the built-in corpus, score every doc
+        // (the golden q_lang_id_model path — fit is the dominant cost
+        // at sf0.1; scoring is one map pass)
+        "pipeline_lang_model" -> (() => {
+          val m = graft.ml.LangModel.fit(
+            graft.ml.LangModel.trainingCorpus(spark))
+          exec(m.score(docsDf.select(col("doc_id"), col("text")))
+            .select(col("doc_id"), col("lang_pred"), col("lang_conf")))
+        }),
         // streaming throughput: the events table replayed as a file
         // stream through the watermarked tumbling aggregation — the
         // measured time is ingest + stateful agg for the whole SF

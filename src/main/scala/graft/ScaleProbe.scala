@@ -160,7 +160,15 @@ object ScaleProbe {
                   // q_video_framedup are omitted: fixed authored
                   // fixtures (the q_sniff_route rationale)
                   "q_lang_id", "q_lang_facets_detected",
-                  "q_lang_script_audit", "q_unigram_tokens")
+                  "q_lang_script_audit", "q_unigram_tokens",
+                  // round 15: the trained langID (fit is constant —
+                  // the built-in corpus doesn't grow with the data;
+                  // scoring is one hashed-n-gram map pass, the 10×
+                  // part) and the snapshot read-path (two appends +
+                  // compact + two pinned reads — every stage scans
+                  // the doc corpus, so growth must track the scan;
+                  // the manifest work is O(files), constant here)
+                  "q_lang_id_model", "q_snapshot_read")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

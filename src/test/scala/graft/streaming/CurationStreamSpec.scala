@@ -254,6 +254,43 @@ class CurationStreamSpec extends AnyFunSuite {
       s"ingest-as-batch $streamed != funnel ${funnel("exact_dedup")}")
   }
 
+  test("noveltyStats hashCol: reusing ingest(keepHash)'s content_hash " +
+       "equals the recompute path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).limit(40)
+      .localCheckpoint(false)
+    val refHashes = ref.select(sha2(col("text"), 256).as("h"))
+      .localCheckpoint(false)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "event_time")
+    // keepHash retains the dedup hash on ingest's output…
+    val accepted = CurationStream.ingest(stream,
+      graft.pipelines.Curation.Config(langs = Set("en", "und"),
+        minQuality = 0.0, maxUrls = 1000), keepHash = true)
+    assert(accepted.columns.contains("content_hash"))
+    // …and noveltyStats reuses it instead of re-hashing every text
+    val out = CurationStream.noveltyStats(accepted, refHashes,
+      width = "1 hour", hashCol = Some("content_hash"))
+    val q = out.writeStream.format("memory").queryName("novelty_hashcol")
+      .outputMode("complete").start()
+    try {
+      val rows = ref.as[(Long, String)].collect()
+        .map { case (id, t) => (id, t, ts("10:00:01")) }
+      mem.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("novelty_hashcol")
+        .select("n_cur", "n_novel").as[(Long, Long)].collect()
+      assert(got.length == 1)
+      // every row re-fetches the reference verbatim -> zero novelty,
+      // proving the reused hash column carries the same sha2-256 the
+      // fallback recompute would produce
+      assert(got.head._1 > 0 && got.head._2 == 0L,
+        s"expected (n>0, 0 novel), got ${got.head}")
+    } finally q.stop()
+  }
+
   test("noveltyStats: stream-computed window equals the batch " +
        "Drift.noveltyRate on identical data") {
     import spark.implicits._
