@@ -49,9 +49,14 @@ object Snapshot {
     * table directory is relocatable as a unit). */
   final case class FileEntry(path: String, bytes: Long)
 
-  /** One committed version: `files` IS the table at `version`. */
+  /** One committed version: `files` IS the table at `version`.
+    * `tag` is the writer's idempotence token (empty when unused): a
+    * replayed commit carrying a tag some committed manifest already
+    * holds is a DUPLICATE and must be skipped — the foreachBatch
+    * at-least-once contract ([[append]] with `tag = Some(batchId)`). */
   final case class Manifest(version: Long, parent: Long, action: String,
-                            rows: Long, files: Seq[FileEntry])
+                            rows: Long, files: Seq[FileEntry],
+                            tag: String = "")
 
   private val SnapDir = "_snapshots"
   private val MaxRetries = 20
@@ -61,17 +66,47 @@ object Snapshot {
   /** Append `df` as a new snapshot; returns the committed version.
     * Stages data files once, then CAS-commits (retrying against newer
     * parents if another writer wins the version race — staged files
-    * are never re-written). */
-  def append(df: DataFrame, table: String): Long = {
+    * are never re-written).
+    *
+    * `tag` makes the append IDEMPOTENT for at-least-once writers
+    * (Structured Streaming `foreachBatch` replays a batch after a
+    * crash): when some committed manifest already carries the tag,
+    * the replay is a duplicate — nothing is committed and the
+    * existing version is returned. The tag check rides the same
+    * commit race as the version CAS (a lost race re-reads the chain,
+    * so two replayers of the same batch cannot both land). */
+  def append(df: DataFrame, table: String,
+             tag: Option[String] = None): Long = {
     val spark = df.sparkSession
+    tag.flatMap(t => findTag(spark, table, t)) match {
+      case Some(v) => return v // replayed batch: already committed
+      case None => ()
+    }
     val staged = stage(spark, df, table)
     val stagedRows = spark.read.parquet(stageDirPath(table, staged): _*)
       .count()
     commitRetrying(spark, table) { parent =>
+      tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
+        throw new DuplicateTag(v) } // raced replayer landed it first
       Manifest(parent.version + 1, parent.version, "append",
-        parent.rows + stagedRows, parent.files ++ staged)
+        parent.rows + stagedRows, parent.files ++ staged,
+        tag.getOrElse(""))
+    } match {
+      case Right(v) => v
+      case Left(v) => v // duplicate detected mid-retry
     }
   }
+
+  /** Committed version carrying `tag`, if any (scans the retained
+    * manifest chain — O(versions), driver-side, tiny files). */
+  private def findTag(spark: SparkSession, table: String,
+                      t: String): Option[Long] =
+    listVersions(spark, table).sorted.reverseIterator
+      .flatMap(v => readManifest(spark, table, v))
+      .collectFirst { case m if m.tag == t => m.version }
+
+  private final class DuplicateTag(val version: Long)
+      extends RuntimeException
 
   /** Replace the table contents with `df` (a new snapshot whose file
     * list is only the staged files — prior versions stay readable
@@ -84,7 +119,7 @@ object Snapshot {
     commitRetrying(spark, table) { parent =>
       Manifest(parent.version + 1, parent.version, "overwrite",
         stagedRows, staged)
-    }
+    }.merge
   }
 
   /** Compact the CURRENT snapshot to `ceil(bytes/targetFileBytes)`
@@ -117,7 +152,7 @@ object Snapshot {
           "compaction; rerun compact against the new snapshot")
       Manifest(parent.version + 1, parent.version, "compact",
         base.rows, staged)
-    }
+    }.merge
   }
 
   // ---- read paths ------------------------------------------------------
@@ -140,12 +175,12 @@ object Snapshot {
   }
 
   /** All committed versions, oldest first: (version, action, files,
-    * rows). */
+    * rows, tag). */
   def versions(spark: SparkSession, table: String)
-      : Seq[(Long, String, Int, Long)] =
+      : Seq[(Long, String, Int, Long, String)] =
     listVersions(spark, table).sorted.flatMap(v =>
       readManifest(spark, table, v))
-      .map(m => (m.version, m.action, m.files.size, m.rows))
+      .map(m => (m.version, m.action, m.files.size, m.rows, m.tag))
 
   def latestVersion(spark: SparkSession, table: String): Option[Long] = {
     val vs = listVersions(spark, table)
@@ -228,15 +263,20 @@ object Snapshot {
 
   /** Optimistic-concurrency commit: build the manifest against the
     * current parent, CAS-claim `v(parent+1)`; on a lost race re-read
-    * the parent and retry (bounded). */
+    * the parent and retry (bounded). Right(v) = this writer committed
+    * v; Left(v) = the builder detected its work already landed as v
+    * (the [[DuplicateTag]] idempotence path). */
   private def commitRetrying(spark: SparkSession, table: String)
-                            (build: Manifest => Manifest): Long = {
+                            (build: Manifest => Manifest)
+      : Either[Long, Long] = {
     var attempt = 0
     while (attempt < MaxRetries) {
       val parent = currentManifest(spark, table)
         .getOrElse(Manifest(0L, -1L, "init", 0L, Nil))
-      val next = build(parent)
-      if (claim(spark, table, next)) return next.version
+      val next =
+        try build(parent)
+        catch { case d: DuplicateTag => return Left(d.version) }
+      if (claim(spark, table, next)) return Right(next.version)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -326,6 +366,7 @@ object Snapshot {
     root.put("parent", m.parent)
     root.put("action", m.action)
     root.put("rows", m.rows)
+    root.put("tag", m.tag)
     val arr = root.putArray("files")
     m.files.foreach { f =>
       val o = arr.addObject()
@@ -346,7 +387,8 @@ object Snapshot {
     }
     Manifest(root.get("version").asLong(), root.get("parent").asLong(),
       root.get("action").asText(), root.get("rows").asLong(),
-      files.toSeq)
+      files.toSeq,
+      Option(root.get("tag")).map(_.asText()).getOrElse(""))
   }
 
   private def stageDirPath(table: String,

@@ -124,6 +124,34 @@ object CurationStream {
       .outputMode("append")
       .start()
 
+  /** Land the accepted stream as SNAPSHOT COMMITS
+    * ([[graft.sources.Snapshot]]) — the landing that closes the file
+    * sink's operational gap at 100 TB: every micro-batch is one
+    * atomic manifest commit, so a reader resolving the table mid-write
+    * sees a complete version (never a half-landed batch), compaction
+    * of the landed table runs UNDER live readers
+    * (`Snapshot.compact` = another commit, the reader's pinned
+    * manifest untouched), and retention is `Snapshot.expire` instead
+    * of directory surgery.
+    *
+    * Exactly-once: `foreachBatch` is at-least-once, so each commit
+    * carries `tag = "batch-<id>"` — a crash-replayed batch finds its
+    * tag already committed and lands NOTHING (SnapshotStreamSpec
+    * replays a batch to prove it). The checkpoint still owns the
+    * dedup watermark state; the tag owns commit idempotence. */
+  def landSnapshot(accepted: DataFrame, table: String,
+                   checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    accepted.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Snapshot.append(batch, table,
+            tag = Some(s"batch-$batchId")): Unit
+      }
+      .outputMode("append")
+      .start()
+
   /** Per-window NOVELTY of the accepted stream against the LANDED
     * corpus — the streaming face of [[graft.ops.Drift.noveltyRate]]
     * (round-13's batch monitoring family wired into the 24/7 ingest,
