@@ -46,7 +46,15 @@ object Curation {
       // the cleaned form); Gopher is a doc-level keep/drop after the
       // heuristic filters.
       c4: Option[graft.text.C4.Config] = None,
-      gopher: Option[graft.text.Gopher.Config] = None)
+      gopher: Option[graft.text.Gopher.Config] = None,
+      // round-15 opt-in: the TRAINED language classifier
+      // (graft.ml.LangModel) replaces the heuristic ladder as the
+      // source of `detected` — arbitrarily many languages, the
+      // kanji-only-ja fix; predictions under `langModelMinConf`
+      // degrade to "und" (allow-list them explicitly if wanted).
+      // Default None keeps every existing oracle byte-stable.
+      langModel: Option[graft.ml.LangModel.FittedLang] = None,
+      langModelMinConf: Double = 0.5)
 
   /** Curate `docs` (needs `doc_id`, `text`). Output: surviving rows
     * with `detected` (language) and `quality` appended — plus
@@ -73,13 +81,23 @@ object Curation {
             "pass_brace", "keep", "drop_reason")
       case None => redacted
     }
-    val scored = input
+    val scored0 = input
       .withColumn("toks", Text.tokenize(col("text")))
-      .withColumn("detected",
-        Text.langIdFromTokens(col("toks"), col("text")))
       .withColumn("quality",
         Text.qualityScoreFromTokens(col("toks"), col("text")))
-      .drop("toks")
+    // `detected`: the heuristic ladder by default; the trained
+    // classifier when supplied (both are map projections — the swap
+    // changes no plan shape)
+    val scored = cfg.langModel match {
+      case Some(lm) =>
+        lm.score(scored0, cfg.langModelMinConf)
+          .withColumn("detected", col("lang_pred"))
+          .drop("lang_pred", "lang_conf", "toks")
+      case None => scored0
+        .withColumn("detected",
+          Text.langIdFromTokens(col("toks"), col("text")))
+        .drop("toks")
+    }
     val heurFiltered = scored
       .filter(col("detected").isin(cfg.langs.toSeq: _*))
       .filter(col("quality") >= lit(cfg.minQuality))
@@ -226,13 +244,24 @@ object Curation {
       if (cfg.redactPii)
         docs.withColumn("text", Text.redactPii(col("text")))
       else docs
-    val base = model match {
+    val base0 = model match {
       case Some(m) => m.score(input)
       case None    => input
     }
+    // langModel opt-in mirrors curate: `detected` comes from the
+    // trained classifier so the funnel's lang stage counts what
+    // curate actually filtered
+    val base = cfg.langModel match {
+      case Some(lm) => lm.score(base0, cfg.langModelMinConf)
+        .withColumnRenamed("lang_pred", "__detected")
+        .drop("lang_conf")
+      case None => base0
+    }
     val toks = Text.tokenize(col("text"))
-    val langOk = Text.langIdFromTokens(toks, col("text"))
-      .isin(cfg.langs.toSeq: _*)
+    val langOk = (cfg.langModel match {
+      case Some(_) => col("__detected")
+      case None    => Text.langIdFromTokens(toks, col("text"))
+    }).isin(cfg.langs.toSeq: _*)
     val heurOk = langOk &&
       Text.qualityScoreFromTokens(toks, col("text")) >= lit(cfg.minQuality) &&
       Text.urlCount(col("text")) <= lit(cfg.maxUrls)

@@ -63,13 +63,23 @@ object CurationStream {
             "pass_brace", "keep", "drop_reason")
       case None => redacted
     }
-    val scored = input
+    // langModel opt-in (the curate wiring): model scoring is a map
+    // projection (HashingTF + one broadcast weight matrix), so it
+    // lifts to the stream verbatim
+    val scored0 = input
       .withColumn("toks", Text.tokenize(col("text")))
-      .withColumn("detected",
-        Text.langIdFromTokens(col("toks"), col("text")))
       .withColumn("quality",
         Text.qualityScoreFromTokens(col("toks"), col("text")))
-      .drop("toks")
+    val scored = cfg.langModel match {
+      case Some(lm) =>
+        lm.score(scored0, cfg.langModelMinConf)
+          .withColumn("detected", col("lang_pred"))
+          .drop("lang_pred", "lang_conf", "toks")
+      case None => scored0
+        .withColumn("detected",
+          Text.langIdFromTokens(col("toks"), col("text")))
+        .drop("toks")
+    }
     val heurFiltered = scored
       .filter(col("detected").isin(cfg.langs.toSeq: _*))
       .filter(col("quality") >= lit(cfg.minQuality))

@@ -74,6 +74,40 @@ class LangModelSpec extends AnyFunSuite {
     assert(fitted.model.coefficientMatrix == again.model.coefficientMatrix)
   }
 
+  test("curation opt-in: the trained model rescues kanji-only ja docs " +
+    "the ladder mislabels zh; funnel's lang stage agrees") {
+    import graft.pipelines.Curation
+    val docs = (0L until 20L).map { i =>
+      if (i % 4 == 0)
+        (i, s"東京大学日本語教育研究所年次報告書概要 $i")
+      else
+        (i, s"the cat and the dog of this house are not in that tree $i")
+    }.toDF("doc_id", "text")
+    // near-dup off (the en rows differ only by number) and quality
+    // floor off: this case isolates the LANGUAGE stage
+    val base = Curation.Config(langs = Set("en", "ja"),
+      minQuality = 0.0, maxUrls = 1000, nearDupJaccard = 1.01)
+    val ladder = Curation.curate(docs, base)
+    assert(ladder.filter(col("detected") === "ja").count() == 0,
+      "ladder unexpectedly detected ja on kanji-only text")
+    assert(ladder.count() == 15) // the 5 ja docs dropped as zh
+    val withModel = base.copy(langModel = Some(fitted),
+      langModelMinConf = 0.0)
+    val modeled = Curation.curate(docs, withModel)
+    assert(modeled.count() == 20)
+    assert(modeled.filter(col("detected") === "ja").count() == 5)
+    // funnel parity: the lang stage counts what curate filtered
+    val funnelLang = Curation.funnelFrame(docs, withModel)
+      .select("lang").head().getLong(0)
+    assert(funnelLang == 20L)
+    val funnelLadder = Curation.funnelFrame(docs, base)
+      .select("lang").head().getLong(0)
+    assert(funnelLadder == 15L)
+    // and the streaming ingest takes the same opt-in (batch mode)
+    val streamed = graft.streaming.CurationStream.ingest(docs, withModel)
+    assert(streamed.count() == 20)
+  }
+
   test("minConf floor: gibberish degrades to und, clean text does not") {
     val docs = Seq("the cat and the dog of this house are not in that tree")
       .toDF("text")
