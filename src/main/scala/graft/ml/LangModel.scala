@@ -125,6 +125,43 @@ object LangModel {
       textCol)
   }
 
+  // ---- persistence ----------------------------------------------------
+
+  /** Persist a fitted classifier: the Spark-ML model directory plus a
+    * `lang_model.json` sidecar with the labels and featurization
+    * params — train once, ship the directory, score anywhere (the
+    * EmbedModel checkpoint posture). */
+  def save(fitted: FittedLang, path: String): Unit = {
+    fitted.model.write.overwrite().save(s"$path/model")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    val arr = root.putArray("labels")
+    fitted.labels.foreach(arr.add)
+    root.put("numFeatures", fitted.numFeatures)
+    root.put("nMin", fitted.nMin)
+    root.put("nMax", fitted.nMax)
+    root.put("maxChars", fitted.maxChars)
+    root.put("textCol", fitted.textCol)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/lang_model.json"),
+      om.writeValueAsString(root).getBytes("UTF-8"))
+  }
+
+  def load(spark: SparkSession, path: String): FittedLang = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(new java.io.File(s"$path/lang_model.json"))
+    val labels = scala.collection.mutable.ArrayBuffer.empty[String]
+    root.get("labels").elements()
+      .forEachRemaining(n => labels += n.asText())
+    FittedLang(
+      LogisticRegressionModel.load(s"$path/model"),
+      labels.toIndexedSeq,
+      root.get("numFeatures").asInt(), root.get("nMin").asInt(),
+      root.get("nMax").asInt(), root.get("maxChars").asInt(),
+      root.get("textCol").asText())
+  }
+
   // ---- built-in training corpus --------------------------------------
 
   /** Additional per-language snippets beyond the planted corpus —

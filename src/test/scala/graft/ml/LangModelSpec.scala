@@ -108,6 +108,24 @@ class LangModelSpec extends AnyFunSuite {
     assert(streamed.count() == 20)
   }
 
+  test("save/load round-trips the fitted classifier exactly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-langmodel").toString
+    LangModel.save(fitted, dir)
+    val loaded = LangModel.load(spark, dir)
+    assert(loaded.labels == fitted.labels)
+    assert(loaded.numFeatures == fitted.numFeatures)
+    val probe = Seq(
+      "the cat sat on the mat near the house",
+      "東京大学日本語教育研究所",
+      "der hund und die katze").toDF("text")
+    val a = fitted.score(probe).select("text", "lang_pred", "lang_conf")
+      .collect().map(_.toString).sorted.toSeq
+    val b = loaded.score(probe).select("text", "lang_pred", "lang_conf")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("minConf floor: gibberish degrades to und, clean text does not") {
     val docs = Seq("the cat and the dog of this house are not in that tree")
       .toDF("text")
