@@ -97,6 +97,39 @@ object Snapshot {
     }
   }
 
+  /** [[append]] with a Hive-partitioned staging layout
+    * (`data/<uuid>/k=v/part-*.parquet`): the partition columns stay
+    * DIRECTORY-ENCODED inside each commit's staging dir, and
+    * [[read]] recovers them via `basePath`, so a facet-filtered scan
+    * of a snapshot table is PARTITION-PRUNED exactly like a
+    * [[Layout.writePartitioned]] directory — the isolation layer
+    * costs none of the read-side pruning (SnapshotSpec proves
+    * `partitionFilters` bind on a filtered snapshot read). Keep
+    * partition columns at directory-count sanity (the Layout
+    * contract: hundreds-to-thousands of values, never ids). */
+  def appendPartitioned(df: DataFrame, table: String,
+                        partitionCols: Seq[String],
+                        tag: Option[String] = None): Long = {
+    require(partitionCols.nonEmpty, "use append for unpartitioned data")
+    val spark = df.sparkSession
+    tag.flatMap(t => findTag(spark, table, t)) match {
+      case Some(v) => return v
+      case None => ()
+    }
+    val staged = stage(spark, df, table, partitionCols)
+    val stagedRows = readFiles(spark, table, staged).count()
+    commitRetrying(spark, table) { parent =>
+      tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
+        throw new DuplicateTag(v) }
+      Manifest(parent.version + 1, parent.version, "append",
+        parent.rows + stagedRows, parent.files ++ staged,
+        tag.getOrElse(""))
+    } match {
+      case Right(v) => v
+      case Left(v) => v
+    }
+  }
+
   /** Committed version carrying `tag`, if any (scans the retained
     * manifest chain — O(versions), driver-side, tiny files). */
   private def findTag(spark: SparkSession, table: String,
@@ -139,10 +172,14 @@ object Snapshot {
     val totalBytes = base.files.map(_.bytes).sum
     val nf = math.max(1L, (totalBytes + targetFileBytes - 1)
       / targetFileBytes).toInt
-    val src = spark.read.parquet(stageDirPath(table, base.files): _*)
-    val staged = stage(spark, src.coalesce(nf), table)
-    val rewrittenRows = spark.read
-      .parquet(stageDirPath(table, staged): _*).count()
+    // a partitioned table's rewrite preserves its layout: partition
+    // columns are recovered from the manifest's own k=v path segments
+    // (coalesce bounds files per WRITE, so each partition dir gets at
+    // most nf files — the writePartitionedCompact shape)
+    val pCols = partitionColsOf(base.files)
+    val src = readFiles(spark, table, base.files)
+    val staged = stage(spark, src.coalesce(nf), table, pCols)
+    val rewrittenRows = readFiles(spark, table, staged).count()
     require(rewrittenRows == base.rows,
       s"compact row mismatch: snapshot=${base.rows} " +
         s"rewritten=$rewrittenRows — nothing committed")
@@ -171,7 +208,27 @@ object Snapshot {
     }
     if (m.files.isEmpty)
       throw new NoSuchElementException(s"snapshot v${m.version} is empty")
-    spark.read.parquet(stageDirPath(table, m.files): _*)
+    readFiles(spark, table, m.files)
+  }
+
+  /** Plan a frame over an explicit manifest file list. Partitioned
+    * layouts ([[appendPartitioned]]) need one `basePath` per COMMIT
+    * (Spark's partition discovery refuses multiple roots under a
+    * single basePath), so files group by their `data/<uuid>` staging
+    * root, each group reads with its own basePath (partition columns
+    * parse from the k=v dirs, pruning binds per group), and groups
+    * union. Commit-count is bounded by compaction cadence — a
+    * compacted snapshot is ONE group. Keep ONE layout per table (all
+    * commits partitioned by the same columns, or none) — Spark
+    * rejects mixed specs at union time, loudly. */
+  private def readFiles(spark: SparkSession, table: String,
+                        files: Seq[FileEntry]): DataFrame = {
+    val byCommit = files.groupBy(f =>
+      f.path.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
+    byCommit.map { case (root, fs) =>
+      spark.read.option("basePath", s"$table/$root")
+        .parquet(stageDirPath(table, fs): _*)
+    }.reduce(_ unionByName _)
   }
 
   /** All committed versions, oldest first: (version, action, files,
@@ -239,23 +296,30 @@ object Snapshot {
 
   // ---- commit protocol internals ----------------------------------------
 
-  /** Write `df` into a fresh `data/<uuid>/` staging dir; returns the
-    * table-relative entries. Staged files are invisible until a
-    * manifest referencing them is claimed. */
-  private def stage(spark: SparkSession, df: DataFrame,
-                    table: String): Seq[FileEntry] = {
+  /** Write `df` into a fresh `data/<uuid>/` staging dir (optionally
+    * Hive-partitioned inside it); returns the table-relative entries.
+    * Staged files are invisible until a manifest referencing them is
+    * claimed. */
+  private def stage(spark: SparkSession, df: DataFrame, table: String,
+                    partitionCols: Seq[String] = Nil): Seq[FileEntry] = {
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"data/$commitId"
     val dst = s"$table/$rel"
-    df.write.mode("errorifexists").parquet(dst)
+    val writer = df.write.mode("errorifexists")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(dst)
     val fs = hadoopFs(spark, table)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dst), false)
+    val dstUri = new org.apache.hadoop.fs.Path(dst).toUri.getPath
+      .stripSuffix("/")
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dst), true)
     val entries = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith("."))
-        entries += FileEntry(s"$rel/$name", f.getLen)
+      val sub = f.getPath.toUri.getPath.stripPrefix(dstUri)
+        .stripPrefix("/")
+      val isData = !sub.split('/').exists(s =>
+        s.startsWith("_") || s.startsWith("."))
+      if (isData) entries += FileEntry(s"$rel/$sub", f.getLen)
     }
     require(entries.nonEmpty, s"staging wrote no data files under $dst")
     entries.sortBy(_.path).toSeq
@@ -394,6 +458,15 @@ object Snapshot {
   private def stageDirPath(table: String,
                            files: Seq[FileEntry]): Seq[String] =
     files.map(f => s"$table/${f.path}")
+
+  /** Partition columns of a (consistently laid-out) snapshot, read
+    * off the manifest's own `k=v` path segments:
+    * `data/<uuid>/k1=v1/.../file`. Empty for flat tables. */
+  private def partitionColsOf(files: Seq[FileEntry]): Seq[String] =
+    files.headOption.map { f =>
+      f.path.split('/').drop(2).dropRight(1)
+        .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
+    }.getOrElse(Nil)
 
   private def hadoopFs(spark: SparkSession,
                        path: String): org.apache.hadoop.fs.FileSystem =

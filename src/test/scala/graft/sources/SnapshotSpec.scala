@@ -139,6 +139,46 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, t, Some(1L)).count() == 50)
   }
 
+  test("partitioned snapshots: partition pruning binds through the " +
+    "manifest read; compaction preserves the layout") {
+    val t = freshTable()
+    def facetBatch(from: Int, until: Int) =
+      (from until until).map(i =>
+        (i.toLong, s"doc $i", if (i % 3 == 0) "en" else "de"))
+        .toDF("id", "text", "lang")
+    val v1 = Snapshot.appendPartitioned(facetBatch(0, 60), t, Seq("lang"))
+    Snapshot.appendPartitioned(facetBatch(60, 90), t, Seq("lang"))
+    assert(v1 == 1L)
+    val full = Snapshot.read(spark, t)
+    // partition column recovered from the staged k=v directories
+    assert(full.columns.contains("lang"))
+    assert(full.count() == 90)
+    val en = full.filter(col("lang") === "en")
+    assert(en.count() == 30)
+    // the filtered snapshot read is PARTITION-PRUNED — the whole
+    // point of the partitioned staging layout
+    assert(Layout.isPartitionPruned(en),
+      "snapshot read planned a full scan for a partition predicate:\n" +
+        en.queryExecution.executedPlan)
+    // a pinned pre-compaction reader + the layout surviving compaction
+    val pinned = Snapshot.read(spark, t, Some(2L))
+    val cv = Snapshot.compact(spark, t)
+    assert(pinned.filter(col("lang") === "de").count() == 60)
+    val post = Snapshot.read(spark, t, Some(cv))
+    assert(post.count() == 90)
+    val postEn = post.filter(col("lang") === "en")
+    assert(postEn.count() == 30)
+    assert(Layout.isPartitionPruned(postEn),
+      "compaction lost the partition layout")
+    // replay idempotence composes with the partitioned path too
+    val v4 = Snapshot.appendPartitioned(facetBatch(90, 100), t,
+      Seq("lang"), tag = Some("b-1"))
+    val v5 = Snapshot.appendPartitioned(facetBatch(90, 100), t,
+      Seq("lang"), tag = Some("b-1"))
+    assert(v4 == v5)
+    assert(Snapshot.read(spark, t).count() == 100)
+  }
+
   test("compact aborts cleanly when the table advanced underneath it") {
     // the documented non-goal: compact verifies its parent is still
     // current at commit time; a mid-flight append makes it abort with
