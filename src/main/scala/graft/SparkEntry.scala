@@ -183,8 +183,11 @@ object SparkEntry {
     "q_triangles"               -> Corpus.triangleDocs _,
     "q_event_transitions"       -> Corpus.eventTransitions _,
     "q_compact_scan"            -> Corpus.compactScan _,
-    // round 15: manifest-snapshot table — time travel under compaction
+    // round 15: manifest-snapshot table — time travel under compaction,
+    // stats-index data skipping, copy-on-write merge
     "q_snapshot_read"           -> Corpus.snapshotRead _,
+    "q_snapshot_skip"           -> Corpus.snapshotSkip _,
+    "q_snapshot_merge"          -> Corpus.snapshotMerge _,
     "q_pivot_events"            -> Stats.pivotEventCounts _,
     "q_char_deciles"            -> Stats.charDeciles _,
     "q_bucketed_join"           -> Corpus.bucketedJoin _,
@@ -3371,6 +3374,38 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(length(text)) AS BIGINT) AS total_chars
          FROM slices GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the data-skipped range read must be exact: the oracle is the
+    // plain BETWEEN aggregate off the raw table (the Spark side
+    // additionally REQUIREs files were pruned); bounds derive from
+    // max(o_orderkey) on both sides, so the twin is SF-independent
+    "q_snapshot_skip" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+         SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+         FROM orders, m
+         WHERE o_orderkey BETWEEN m.q + 1 AND 2 * m.q
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // merge = upsert: the oracle builds the same merged state with
+    // CASE (updates) + UNION ALL (inserts) off the raw table; the
+    // cents idiom is the established cross-engine-stable spelling
+    "q_snapshot_merge" ->
+      """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+         base AS (
+           SELECT o_orderkey AS k, o_orderstatus AS s,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS p
+           FROM orders),
+         merged AS (
+           SELECT k, s,
+                  CASE WHEN k % 10 = 3 THEN p + 1000000 ELSE p END AS p
+           FROM base
+           UNION ALL
+           SELECT k + 10 * m.mx, s, p FROM base, m WHERE k % 997 = 0)
+         SELECT s AS o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(p) AS BIGINT) AS sum_price_cents,
+                CAST(sum(k) AS BIGINT) AS sum_key
+         FROM merged GROUP BY s ORDER BY s""",
     // the compacted rewrite must be value-preserving: the oracle
     // answers the same type-sliced aggregate from the RAW table
     "q_compact_scan" ->

@@ -51,6 +51,82 @@ object Corpus {
       .orderBy(col("snap"), col("bucket"))
   }
 
+  /** Manifest DATA SKIPPING as a declared query
+    * ([[graft.sources.Snapshot.readWhere]]): the orders table lands in
+    * a snapshot as four KEY-SORTED appends (each `coalesce(1)` — four
+    * files with disjoint `o_orderkey` ranges and per-file min/max
+    * recorded in the manifest), then a quartile key-range read answers
+    * through the stats index. The query itself asserts files were
+    * PRUNED (kept < total — the scale contract, not just the values),
+    * and the hash gate proves the pruned read is exact: the oracle is
+    * the plain `BETWEEN` aggregate off the raw table. Bounds derive
+    * from `max(o_orderkey)` so the query is scale-factor-independent. */
+  def snapshotSkip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapskip").toString + "/t"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val q = mx / 4
+    Snapshot.append(o.filter(col("o_orderkey") <= q).coalesce(1),
+      table, statsCols = Seq("o_orderkey"))
+    Snapshot.append(o.filter(col("o_orderkey") > q &&
+      col("o_orderkey") <= 2 * q).coalesce(1),
+      table, statsCols = Seq("o_orderkey"))
+    Snapshot.append(o.filter(col("o_orderkey") > 2 * q &&
+      col("o_orderkey") <= 3 * q).coalesce(1),
+      table, statsCols = Seq("o_orderkey"))
+    Snapshot.append(o.filter(col("o_orderkey") > 3 * q).coalesce(1),
+      table, statsCols = Seq("o_orderkey"))
+    val (total, kept) = Snapshot.pruneCount(spark, table,
+      "o_orderkey", q + 1, 2 * q)
+    require(kept < total,
+      s"data skipping planned $kept of $total files — no pruning")
+    Snapshot.readWhere(spark, table, "o_orderkey", q + 1, 2 * q)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Snapshot MERGE (copy-on-write upsert) as a declared query
+    * ([[graft.sources.Snapshot.merge]]): orders land in two key-sorted
+    * files; the source UPDATES every `o_orderkey % 10 == 3` row's
+    * price (+1 000 000 cents) and INSERTS a shifted copy of every
+    * `% 997 == 0` row under key `k + 10·max`. The final snapshot's
+    * per-status aggregate must hash-match the oracle building the same
+    * merged state with CASE + UNION off the raw table — update
+    * semantics, insert semantics, and untouched-row preservation in
+    * one gate. The price idiom (`round(price·100)` cents as BIGINT)
+    * is the established cross-engine-stable spelling. */
+  def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapmerge").toString + "/t"
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    val mx = base.agg(max(col("o_orderkey"))).head().getLong(0)
+    val half = mx / 2
+    Snapshot.append(base.filter(col("o_orderkey") <= half).coalesce(1),
+      table, statsCols = Seq("o_orderkey"))
+    Snapshot.append(base.filter(col("o_orderkey") > half).coalesce(1),
+      table, statsCols = Seq("o_orderkey"))
+    val updates = base.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("price_cents", col("price_cents") + 1000000L)
+    val inserts = base.filter(col("o_orderkey") % 997 === 0)
+      .select((col("o_orderkey") + 10L * mx).as("o_orderkey"),
+        col("o_orderstatus"), col("price_cents"))
+    Snapshot.merge(updates.unionByName(inserts), table, "o_orderkey")
+    Snapshot.read(spark, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("price_cents")).as("sum_price_cents"),
+           sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Exact dedup over a corpus with planted exact clones (every 10th doc
     * re-appears under id+100000): content-hash groups with canonical id
     * and copy count. */

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max, min, unix_micros}
+import org.apache.spark.sql.types._
 
 /** Snapshot-isolated table commits — the manifest-based layout
   * (Iceberg-shape, public architecture) that closes [[Layout.compact]]'s
@@ -45,9 +47,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Snapshot {
 
+  /** Per-file column statistics: `min`/`max` in a TYPED string
+    * serialization chosen so the comparison that reads them back is
+    * exact — integral and timestamp values as decimal longs
+    * (timestamps as microseconds since epoch), floating point through
+    * `Double.toString` round-trip, dates as `yyyy-MM-dd` (lexicographic
+    * = chronological), strings as themselves. A column whose file
+    * slice is entirely null records no stats (absent key), which every
+    * pruning decision treats as "must keep" — conservative, never
+    * wrong. */
+  final case class ColStats(min: String, max: String, typ: String)
+
   /** One data file of a snapshot; `path` is table-root-relative (the
-    * table directory is relocatable as a unit). */
-  final case class FileEntry(path: String, bytes: Long)
+    * table directory is relocatable as a unit). `stats` carries the
+    * per-file min/max of the columns the writer asked to track
+    * ([[append]]'s `statsCols`) — the manifest-level DATA-SKIPPING
+    * index ([[readWhere]]) and the file pruner for [[merge]]. Empty
+    * for untracked tables (all reads then plan every file, exactly
+    * the pre-stats behavior). */
+  final case class FileEntry(path: String, bytes: Long,
+                             stats: Map[String, ColStats] = Map.empty)
 
   /** One committed version: `files` IS the table at `version`.
     * `tag` is the writer's idempotence token (empty when unused): a
@@ -74,15 +93,24 @@ object Snapshot {
     * the replay is a duplicate — nothing is committed and the
     * existing version is returned. The tag check rides the same
     * commit race as the version CAS (a lost race re-reads the chain,
-    * so two replayers of the same batch cannot both land). */
+    * so two replayers of the same batch cannot both land).
+    *
+    * `statsCols` asks the writer to record per-file min/max for those
+    * columns in the manifest (one narrow aggregate over the freshly
+    * staged files — the only data this commit wrote): the
+    * DATA-SKIPPING index that lets [[readWhere]] plan a selective read
+    * over only the files whose range can match, and [[merge]] rewrite
+    * only the files whose key range overlaps its source. */
   def append(df: DataFrame, table: String,
-             tag: Option[String] = None): Long = {
+             tag: Option[String] = None,
+             statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     tag.flatMap(t => findTag(spark, table, t)) match {
       case Some(v) => return v // replayed batch: already committed
       case None => ()
     }
-    val staged = stage(spark, df, table)
+    val staged = withStats(spark, table,
+      stage(spark, df, table), statsCols)
     val stagedRows = spark.read.parquet(stageDirPath(table, staged): _*)
       .count()
     commitRetrying(spark, table) { parent =>
@@ -109,14 +137,16 @@ object Snapshot {
     * contract: hundreds-to-thousands of values, never ids). */
   def appendPartitioned(df: DataFrame, table: String,
                         partitionCols: Seq[String],
-                        tag: Option[String] = None): Long = {
+                        tag: Option[String] = None,
+                        statsCols: Seq[String] = Nil): Long = {
     require(partitionCols.nonEmpty, "use append for unpartitioned data")
     val spark = df.sparkSession
     tag.flatMap(t => findTag(spark, table, t)) match {
       case Some(v) => return v
       case None => ()
     }
-    val staged = stage(spark, df, table, partitionCols)
+    val staged = withStats(spark, table,
+      stage(spark, df, table, partitionCols), statsCols)
     val stagedRows = readFiles(spark, table, staged).count()
     commitRetrying(spark, table) { parent =>
       tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
@@ -144,9 +174,11 @@ object Snapshot {
   /** Replace the table contents with `df` (a new snapshot whose file
     * list is only the staged files — prior versions stay readable
     * until [[expire]]). */
-  def overwrite(df: DataFrame, table: String): Long = {
+  def overwrite(df: DataFrame, table: String,
+                statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
-    val staged = stage(spark, df, table)
+    val staged = withStats(spark, table,
+      stage(spark, df, table), statsCols)
     val stagedRows = spark.read.parquet(stageDirPath(table, staged): _*)
       .count()
     commitRetrying(spark, table) { parent =>
@@ -178,7 +210,11 @@ object Snapshot {
     // most nf files — the writePartitionedCompact shape)
     val pCols = partitionColsOf(base.files)
     val src = readFiles(spark, table, base.files)
-    val staged = stage(spark, src.coalesce(nf), table, pCols)
+    // the rewrite keeps the table's stats coverage: whatever columns
+    // the parent tracked are re-gathered over the rewritten files
+    val staged = withStats(spark, table,
+      stage(spark, src.coalesce(nf), table, pCols),
+      statsColsOf(base.files))
     val rewrittenRows = readFiles(spark, table, staged).count()
     require(rewrittenRows == base.rows,
       s"compact row mismatch: snapshot=${base.rows} " +
@@ -192,6 +228,82 @@ object Snapshot {
     }.merge
   }
 
+  /** MERGE (upsert) `source` into the table by `key`, COPY-ON-WRITE:
+    * a target row whose key appears in `source` is replaced by the
+    * source row; source rows with unseen keys are inserted. Only the
+    * files that actually CONTAIN a matched key are rewritten — every
+    * other file carries over into the new manifest untouched (no data
+    * movement), which is what makes point-wise upserts affordable on a
+    * 100 TB table: cost scales with the files hit, not the table.
+    *
+    * File-hit detection is two-staged, both stages cheap:
+    *  1. manifest stats on `key` (when tracked) drop files whose key
+    *     range cannot intersect the source's — pure driver math;
+    *  2. a key-column-only scan of the survivors (columnar: one column
+    *     off disk) semi-joined with the source keys names the files
+    *     that truly contain a match.
+    *
+    * `source` must carry the table's schema and DISTINCT keys (two
+    * source rows for one key would make the upsert order-dependent —
+    * rejected loudly). Like [[compact]], the commit aborts if another
+    * writer advanced the table mid-flight (the rewrite no longer
+    * represents its parent); rerun against the new snapshot. Returns
+    * the committed version (the current one when `source` is empty). */
+  def merge(source: DataFrame, table: String, key: String): Long = {
+    val spark = source.sparkSession
+    val base = currentManifest(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    require(base.files.nonEmpty, s"empty table $table")
+    val srcRows = source.count()
+    if (srcRows == 0L) return base.version
+    require(source.select(col(key)).distinct().count() == srcRows,
+      s"merge source carries duplicate '$key' values — upsert would be " +
+        "order-dependent; dedup the source first")
+    // stage 1: manifest stats drop files outside the source key range
+    val keyTyp = base.files.flatMap(_.stats.get(key)).headOption.map(_.typ)
+    val candidates = keyTyp match {
+      case Some(typ) =>
+        val b = source.agg(min(col(key)), max(col(key))).head()
+        val lo = reprOf(typ, b.get(0))
+        val hi = reprOf(typ, b.get(1))
+        base.files.filter(f => f.stats.get(key).forall(s =>
+          cmp(s.typ, s.max, lo) >= 0 && cmp(s.typ, s.min, hi) <= 0))
+      case None => base.files
+    }
+    // stage 2: which candidate files truly contain a matched key
+    val srcKeys = source.select(col(key).as("__merge_key"))
+    val touchedPaths: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readFilesWithPath(spark, table, candidates, Seq(key))
+        .join(srcKeys, col(key) === col("__merge_key"), "left_semi")
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet // bounded by file count
+    val touched = candidates.filter(e =>
+      touchedPaths.exists(p => p.endsWith("/" + e.path)))
+    val touchedSet = touched.map(_.path).toSet
+    val carried = base.files.filterNot(f => touchedSet.contains(f.path))
+    // the rewrite: surviving rows of the hit files + ALL source rows
+    // (replacements and inserts land together in the new files)
+    val newData = (if (touched.isEmpty) source
+                   else readFiles(spark, table, touched)
+                     .join(source.select(col(key)), Seq(key), "left_anti")
+                     .unionByName(source))
+    val pCols = partitionColsOf(base.files)
+    val staged = withStats(spark, table,
+      stage(spark, newData, table, pCols), statsColsOf(base.files))
+    val stagedRows = readFiles(spark, table, staged).count()
+    val touchedRows =
+      if (touched.isEmpty) 0L
+      else readFiles(spark, table, touched).count()
+    commitRetrying(spark, table) { parent =>
+      require(parent.version == base.version,
+        s"table advanced v${base.version} -> v${parent.version} during " +
+          "merge; rerun merge against the new snapshot")
+      Manifest(parent.version + 1, parent.version, "merge",
+        base.rows - touchedRows + stagedRows, carried ++ staged)
+    }.merge
+  }
+
   // ---- read paths ------------------------------------------------------
 
   /** The table at `version` (default: latest committed). The returned
@@ -199,17 +311,71 @@ object Snapshot {
     * pinned snapshot; later commits cannot change what it reads. */
   def read(spark: SparkSession, table: String,
            version: Option[Long] = None): DataFrame = {
-    val m = version match {
-      case Some(v) => readManifest(spark, table, v).getOrElse(
-        throw new NoSuchElementException(s"no snapshot v$v in $table " +
-          "(expired or never committed)"))
-      case None => currentManifest(spark, table).getOrElse(
-        throw new NoSuchElementException(s"no committed snapshot in $table"))
-    }
+    val m = manifestAt(spark, table, version)
     if (m.files.isEmpty)
       throw new NoSuchElementException(s"snapshot v${m.version} is empty")
     readFiles(spark, table, m.files)
   }
+
+  /** A RANGE-SELECTIVE read (`lower ≤ column ≤ upper`, both bounds
+    * inclusive) that DATA-SKIPS at the manifest: files whose recorded
+    * min/max cannot intersect the range are dropped from the plan
+    * before Spark ever lists them — the driver-side pruning that makes
+    * a selective read of a 100 TB table cost its selectivity, not its
+    * size (on top of it, parquet footer pruning inside the surviving
+    * files behaves as usual). Files without stats on `column` are kept
+    * (conservative), so the result is EXACT for any stats coverage:
+    * the residual `BETWEEN` filter is always applied. Bounds take
+    * natural Scala/Java values (numbers; `yyyy-MM-dd` strings or
+    * `java.sql.Date`; `java.sql.Timestamp`/`Instant`). */
+  def readWhere(spark: SparkSession, table: String, column: String,
+                lower: Any, upper: Any,
+                version: Option[Long] = None): DataFrame = {
+    val m = manifestAt(spark, table, version)
+    if (m.files.isEmpty)
+      throw new NoSuchElementException(s"snapshot v${m.version} is empty")
+    val kept = keptByRange(m.files, column, lower, upper)
+    val residual: Column =
+      col(column) >= lit(lower) && col(column) <= lit(upper)
+    if (kept.isEmpty)
+      // every file provably out of range: an empty frame with the
+      // table schema (Catalyst folds the scan away under filter-false)
+      readFiles(spark, table, m.files).filter(lit(false))
+    else readFiles(spark, table, kept).filter(residual)
+  }
+
+  /** (files in the snapshot, files a [[readWhere]] with these bounds
+    * would plan) — the observable data-skipping contract, for specs
+    * and capacity math. */
+  def pruneCount(spark: SparkSession, table: String, column: String,
+                 lower: Any, upper: Any,
+                 version: Option[Long] = None): (Int, Int) = {
+    val m = manifestAt(spark, table, version)
+    (m.files.size, keptByRange(m.files, column, lower, upper).size)
+  }
+
+  private def manifestAt(spark: SparkSession, table: String,
+                         version: Option[Long]): Manifest = version match {
+    case Some(v) => readManifest(spark, table, v).getOrElse(
+      throw new NoSuchElementException(s"no snapshot v$v in $table " +
+        "(expired or never committed)"))
+    case None => currentManifest(spark, table).getOrElse(
+      throw new NoSuchElementException(s"no committed snapshot in $table"))
+  }
+
+  /** Files whose stats ADMIT the inclusive range (plus every file
+    * without stats on the column — "can't prove absent" keeps). */
+  private def keptByRange(files: Seq[FileEntry], column: String,
+                          lower: Any, upper: Any): Seq[FileEntry] =
+    files.filter { f =>
+      f.stats.get(column) match {
+        case None => true
+        case Some(s) =>
+          val lo = reprOf(s.typ, lower)
+          val hi = reprOf(s.typ, upper)
+          cmp(s.typ, s.max, lo) >= 0 && cmp(s.typ, s.min, hi) <= 0
+      }
+    }
 
   /** Plan a frame over an explicit manifest file list. Partitioned
     * layouts ([[appendPartitioned]]) need one `basePath` per COMMIT
@@ -228,6 +394,24 @@ object Snapshot {
     byCommit.map { case (root, fs) =>
       spark.read.option("basePath", s"$table/$root")
         .parquet(stageDirPath(table, fs): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[readFiles]] narrowed to `cols` plus the provenance column
+    * `__file` (the absolute file path). `_metadata` only resolves on a
+    * bare file relation — it must be projected per commit group BEFORE
+    * the union, so this cannot be spelled as a select on
+    * [[readFiles]]'s result. */
+  private def readFilesWithPath(spark: SparkSession, table: String,
+                                files: Seq[FileEntry],
+                                cols: Seq[String]): DataFrame = {
+    val byCommit = files.groupBy(f =>
+      f.path.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
+    byCommit.map { case (root, fs) =>
+      spark.read.option("basePath", s"$table/$root")
+        .parquet(stageDirPath(table, fs): _*)
+        .select(col("_metadata.file_path").as("__file") +:
+          cols.map(col): _*)
     }.reduce(_ unionByName _)
   }
 
@@ -381,6 +565,109 @@ object Snapshot {
     won
   }
 
+  // ---- per-file column stats ---------------------------------------------
+
+  /** Gather per-file min/max for `statsCols` over freshly staged
+    * entries (ONE narrow aggregate over only the data this commit
+    * wrote — never the table) and attach them. No-op for empty
+    * `statsCols`. Unsupported column types are rejected loudly —
+    * silent stat-less columns would silently disable skipping. */
+  private def withStats(spark: SparkSession, table: String,
+                        entries: Seq[FileEntry],
+                        statsCols: Seq[String]): Seq[FileEntry] = {
+    if (statsCols.isEmpty) return entries
+    val df = readFiles(spark, table, entries)
+    val schema = df.schema
+    val typed: Seq[(String, String)] = statsCols.map { c =>
+      val field = schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"stats column '$c' not in table schema " +
+            schema.fieldNames.mkString("[", ", ", "]")))
+      val typ = statTyp(field.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"stats unsupported for '$c': ${field.dataType.simpleString} " +
+            "(supported: integral, float/double, decimal, string, " +
+            "date, timestamp)"))
+      (c, typ)
+    }
+    val aggs = typed.flatMap { case (c, t) =>
+      Seq(statRepr(min(col(c)), t), statRepr(max(col(c)), t)) }
+    val rows = readFilesWithPath(spark, table, entries, typed.map(_._1))
+      .groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per staged file — bounded by the commit
+    val byEntry = entries.map { e =>
+      val hit = rows.find(r => r.getString(0).endsWith("/" + e.path))
+      hit match {
+        case None => e // zero-row file: no group, keep stat-less
+        case Some(r) =>
+          val stats = typed.zipWithIndex.flatMap { case ((c, t), i) =>
+            val mn = r.getString(1 + 2 * i)
+            val mx = r.getString(2 + 2 * i)
+            if (mn == null || mx == null) None // all-null slice
+            else Some(c -> ColStats(mn, mx, t))
+          }.toMap
+          e.copy(stats = stats)
+      }
+    }
+    byEntry
+  }
+
+  /** The stats coverage of an existing snapshot — the columns a
+    * rewrite ([[compact]], [[merge]]) must keep tracking. */
+  private def statsColsOf(files: Seq[FileEntry]): Seq[String] =
+    files.flatMap(_.stats.keys).distinct.sorted
+
+  /** Serialized-stat type tag for a column, or None if unsupported. */
+  private def statTyp(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("long")
+    case FloatType | DoubleType => Some("double")
+    case _: DecimalType => Some("decimal")
+    case StringType => Some("string")
+    case DateType => Some("date")
+    case TimestampType => Some("timestamp")
+    case _ => None
+  }
+
+  /** The column expression that serializes a min/max into its typed
+    * string form (see [[ColStats]]). */
+  private def statRepr(c: Column, typ: String): Column = typ match {
+    case "long" => c.cast("long").cast("string")
+    case "double" => c.cast("double").cast("string")
+    case "timestamp" => unix_micros(c).cast("string")
+    case _ => c.cast("string") // decimal, string, date (yyyy-MM-dd)
+  }
+
+  /** A query bound in the same serialized form as the stored stats. */
+  private def reprOf(typ: String, v: Any): String = (typ, v) match {
+    case (_, null) => throw new IllegalArgumentException(
+      s"null bound for a $typ stats comparison")
+    case ("long", n: Number) => n.longValue.toString
+    case ("double", n: Number) => n.doubleValue.toString
+    case ("decimal", n: java.math.BigDecimal) => n.toPlainString
+    case ("decimal", n: BigDecimal) => n.bigDecimal.toPlainString
+    case ("decimal", n: Number) =>
+      new java.math.BigDecimal(n.toString).toPlainString
+    case ("string", s: String) => s
+    case ("date", s: String) => s
+    case ("date", d: java.sql.Date) => d.toString
+    case ("date", d: java.time.LocalDate) => d.toString
+    case ("timestamp", t: java.sql.Timestamp) =>
+      (t.getTime * 1000L + (t.getNanos % 1000000) / 1000L).toString
+    case ("timestamp", i: java.time.Instant) =>
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    case (t, other) => throw new IllegalArgumentException(
+      s"unsupported bound ${other.getClass.getSimpleName} for $t stats")
+  }
+
+  /** Exact typed comparison of two serialized stat values. */
+  private def cmp(typ: String, a: String, b: String): Int = typ match {
+    case "long" | "timestamp" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "decimal" => BigDecimal(a).compare(BigDecimal(b))
+    case _ => a.compareTo(b) // string; date as yyyy-MM-dd
+  }
+
   // ---- manifest io -------------------------------------------------------
 
   private def manifestName(v: Long): String = f"v$v%012d.json"
@@ -436,6 +723,15 @@ object Snapshot {
       val o = arr.addObject()
       o.put("path", f.path)
       o.put("bytes", f.bytes)
+      if (f.stats.nonEmpty) {
+        val st = o.putObject("stats")
+        f.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
+          val so = st.putObject(c)
+          so.put("min", s.min)
+          so.put("max", s.max)
+          so.put("typ", s.typ)
+        }
+      }
     }
     om.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
@@ -447,7 +743,19 @@ object Snapshot {
     val it = root.get("files").elements()
     while (it.hasNext) {
       val o = it.next()
-      files += FileEntry(o.get("path").asText(), o.get("bytes").asLong())
+      val stats = Option(o.get("stats")).map { st =>
+        val b = Map.newBuilder[String, ColStats]
+        val names = st.fieldNames()
+        while (names.hasNext) {
+          val c = names.next()
+          val so = st.get(c)
+          b += c -> ColStats(so.get("min").asText(),
+            so.get("max").asText(), so.get("typ").asText())
+        }
+        b.result()
+      }.getOrElse(Map.empty[String, ColStats])
+      files += FileEntry(o.get("path").asText(), o.get("bytes").asLong(),
+        stats)
     }
     Manifest(root.get("version").asLong(), root.get("parent").asLong(),
       root.get("action").asText(), root.get("rows").asLong(),

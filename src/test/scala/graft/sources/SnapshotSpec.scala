@@ -179,6 +179,128 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, t).count() == 100)
   }
 
+  test("file stats: readWhere data-skips at the manifest and stays " +
+    "exact; stats survive the JSON round trip and compaction") {
+    val t = freshTable()
+    // four key-sorted appends → four files with disjoint id ranges
+    (0 until 4).foreach(k =>
+      Snapshot.append(batch(k * 100, k * 100 + 100).coalesce(1), t,
+        statsCols = Seq("id", "text")))
+    val (total, kept) = Snapshot.pruneCount(spark, t, "id", 150L, 250L)
+    assert(total == 4 && kept == 2,
+      s"expected 2 of 4 files kept for [150,250], got $kept of $total")
+    // the pruned read answers exactly the unpruned filter
+    val pruned = Snapshot.readWhere(spark, t, "id", 150L, 250L)
+    val full = Snapshot.read(spark, t)
+      .filter(col("id") >= 150 && col("id") <= 250)
+    assert(pruned.count() == 101)
+    assert(pruned.agg(sum("id")).head().getLong(0) ==
+      full.agg(sum("id")).head().getLong(0))
+    // a point lookup plans ONE file
+    assert(Snapshot.pruneCount(spark, t, "id", 42L, 42L) == ((4, 1)))
+    assert(Snapshot.readWhere(spark, t, "id", 42L, 42L).count() == 1)
+    // string stats prune too (every batch's text is "doc <id>")
+    val (_, keptS) = Snapshot.pruneCount(spark, t, "text", "doc 0", "doc 1")
+    assert(keptS < 4)
+    // provably-empty range: zero files planned, empty frame, schema kept
+    val (_, kept0) = Snapshot.pruneCount(spark, t, "id", 5000L, 6000L)
+    assert(kept0 == 0)
+    val empty = Snapshot.readWhere(spark, t, "id", 5000L, 6000L)
+    assert(empty.columns.toSeq == Seq("id", "text") && empty.count() == 0)
+    // compaction re-gathers stats over the rewritten files: the
+    // out-of-range probe still proves skipping works post-rewrite
+    Snapshot.compact(spark, t)
+    val (totalC, keptC) = Snapshot.pruneCount(spark, t, "id", 5000L, 6000L)
+    assert(keptC == 0, s"compacted files lost stats: kept $keptC/$totalC")
+    assert(Snapshot.readWhere(spark, t, "id", 150L, 250L).count() == 101)
+  }
+
+  test("a stats-less table never prunes but readWhere stays exact") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 50), t) // no statsCols
+    val (total, kept) = Snapshot.pruneCount(spark, t, "id", 10L, 19L)
+    assert(total == kept, "files without stats must be kept")
+    assert(Snapshot.readWhere(spark, t, "id", 10L, 19L).count() == 10)
+  }
+
+  test("merge: copy-on-write upsert rewrites only the files that " +
+    "contain a matched key; pinned versions see pre-merge data") {
+    val t = freshTable()
+    (0 until 4).foreach(k =>
+      Snapshot.append(batch(k * 100, k * 100 + 100).coalesce(1), t,
+        statsCols = Seq("id")))
+    val preVersion = Snapshot.latestVersion(spark, t).get
+    val preFiles = Snapshot
+      .readManifest(spark, t, preVersion).get.files.map(_.path).toSet
+    // updates hit ONLY the first file's range; plus two inserts
+    val source = Seq((5L, "updated 5"), (17L, "updated 17"),
+      (9999L, "insert 9999"), (10000L, "insert 10000"))
+      .toDF("id", "text")
+    val mv = Snapshot.merge(source, t, "id")
+    assert(mv == preVersion + 1)
+    val post = Snapshot.readManifest(spark, t, mv).get
+    assert(post.action == "merge")
+    assert(post.rows == 400L + 2L, s"row accounting: ${post.rows}")
+    // exactly one pre-merge file was rewritten; the other three carried
+    val carried = post.files.map(_.path).toSet.intersect(preFiles)
+    assert(carried.size == 3,
+      s"expected 3 untouched files carried, got ${carried.size}")
+    // merged state: updates landed, inserts landed, rest untouched
+    val cur = Snapshot.read(spark, t)
+    assert(cur.filter(col("id") === 5).head().getString(1) == "updated 5")
+    assert(cur.filter(col("id") === 17).head().getString(1) == "updated 17")
+    assert(cur.filter(col("id") === 9999).count() == 1)
+    assert(cur.filter(col("id") === 123).head().getString(1) == "doc 123")
+    assert(cur.count() == 402)
+    // the pinned pre-merge snapshot is untouched
+    val pinned = Snapshot.read(spark, t, Some(preVersion))
+    assert(pinned.filter(col("id") === 5).head().getString(1) == "doc 5")
+    assert(pinned.count() == 400)
+    // stats coverage survived the merge: the rewritten+insert file has
+    // id stats, so an out-of-range probe still prunes everything
+    val (_, kept0) = Snapshot.pruneCount(spark, t, "id", 50000L, 60000L)
+    assert(kept0 == 0, "merge output files lost their stats")
+    // a second merge whose keys miss every file range is a pure
+    // insert: all files carry over, none rewritten
+    val pre2 = Snapshot.readManifest(spark, t, mv).get.files.map(_.path)
+    val mv2 = Snapshot.merge(
+      Seq((70000L, "pure insert")).toDF("id", "text"), t, "id")
+    val post2 = Snapshot.readManifest(spark, t, mv2).get
+    assert(pre2.forall(post2.files.map(_.path).contains),
+      "a no-match merge rewrote existing files")
+    assert(post2.rows == 403L)
+  }
+
+  test("merge rejects a source with duplicate keys; empty source is " +
+    "a no-op returning the current version") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 10), t)
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "text")
+    intercept[IllegalArgumentException] { Snapshot.merge(dup, t, "id") }
+    val v = Snapshot.merge(batch(0, 0), t, "id")
+    assert(v == Snapshot.latestVersion(spark, t).get)
+    assert(Snapshot.read(spark, t).count() == 10)
+  }
+
+  test("merge on a partitioned table preserves the layout") {
+    val t = freshTable()
+    def facetBatch(from: Int, until: Int) =
+      (from until until).map(i =>
+        (i.toLong, s"doc $i", if (i % 2 == 0) "en" else "de"))
+        .toDF("id", "text", "lang")
+    Snapshot.appendPartitioned(facetBatch(0, 40), t, Seq("lang"),
+      statsCols = Seq("id"))
+    Snapshot.merge(
+      Seq((0L, "updated", "en"), (100L, "inserted", "de"))
+        .toDF("id", "text", "lang"), t, "id")
+    val cur = Snapshot.read(spark, t)
+    assert(cur.count() == 41)
+    assert(cur.filter(col("id") === 0).head().getString(1) == "updated")
+    val en = cur.filter(col("lang") === "de")
+    assert(Layout.isPartitionPruned(en),
+      "merge broke the partitioned layout")
+  }
+
   test("compact aborts cleanly when the table advanced underneath it") {
     // the documented non-goal: compact verifies its parent is still
     // current at commit time; a mid-flight append makes it abort with
