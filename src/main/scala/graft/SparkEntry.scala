@@ -68,6 +68,9 @@ object SparkEntry {
     "q_asof_join"               -> Corpus.asofJoin _,
     "q_range_join"              -> Corpus.rangeJoinFollowers _,
     "q_tfidf_topterms"          -> ((s, d) => Corpus.tfidfTopTerms(s, d)),
+    // round 15: lexical retrieval — BM25 + RRF hybrid fusion
+    "q_bm25_topk"               -> Corpus.bm25Topk _,
+    "q_hybrid_rrf"              -> Corpus.hybridRrf _,
     "q_content_filters"         -> Corpus.contentFilters _,
     "q_pii_redact"              -> Corpus.piiRedact _,
     "q_normalize_text"          -> Corpus.normalizeTextQuery _,
@@ -1378,6 +1381,112 @@ object SparkEntry {
                 round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)
                       + 0.000000001, 6) AS tfidf
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // BM25: the Robertson idf and saturation spelling replayed in
+    // SQL with IDENTICAL double arithmetic (1.2 + 1.0 spelled as the
+    // sum so both engines round the same literals); each term's
+    // contribution rounds to micro-units BEFORE the sum, so the score
+    // is an order-free integer aggregate on both engines
+    "q_bm25_topk" ->
+      """WITH q(query_id, qtext) AS (VALUES
+             (1, 'hash merge fast scan'),
+             (2, 'slow batch table value'),
+             (3, 'key row part agg')),
+         qt AS (SELECT DISTINCT query_id, word FROM (
+             SELECT query_id, unnest(string_split(qtext, ' ')) AS word
+             FROM q)),
+         w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         len AS (SELECT doc_id, count(*) AS len FROM w GROUP BY 1),
+         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         g AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT count(*) FROM w) * 1.0 /
+                        (SELECT count(*) FROM documents) AS avgdl),
+         term AS (
+           SELECT qt.query_id, tf.doc_id,
+                  CAST(round(1000000.0 *
+                    ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5)) *
+                    (tf.tf * (1.2 + 1.0)) /
+                    (tf.tf + 1.2 * (0.25 + 0.75 * len.len / g.avgdl)))
+                    AS BIGINT) AS term_micro
+           FROM qt JOIN tf USING (word) JOIN df USING (word)
+                JOIN len ON len.doc_id = tf.doc_id CROSS JOIN g),
+         s AS (SELECT query_id, doc_id, sum(term_micro) AS score_micro
+               FROM term GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score_micro,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_micro DESC, doc_id) AS rank FROM s)
+         SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+                score_micro
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // RRF hybrid: BM25 (k=10) + raw word-space sparse cosine (k=10,
+    // the established (dot^2 * 2^20) div (n2q * n2d) integer grid)
+    // fused with round(1e6/(60+rank)) integer contributions
+    "q_hybrid_rrf" ->
+      """WITH q(query_id, qtext) AS (VALUES
+             (1, 'hash merge fast scan'),
+             (2, 'slow batch table value'),
+             (3, 'key row part agg')),
+         qt AS (SELECT DISTINCT query_id, word FROM (
+             SELECT query_id, unnest(string_split(qtext, ' ')) AS word
+             FROM q)),
+         w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         len AS (SELECT doc_id, count(*) AS len FROM w GROUP BY 1),
+         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         g AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT count(*) FROM w) * 1.0 /
+                        (SELECT count(*) FROM documents) AS avgdl),
+         term AS (
+           SELECT qt.query_id, tf.doc_id,
+                  CAST(round(1000000.0 *
+                    ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5)) *
+                    (tf.tf * (1.2 + 1.0)) /
+                    (tf.tf + 1.2 * (0.25 + 0.75 * len.len / g.avgdl)))
+                    AS BIGINT) AS term_micro
+           FROM qt JOIN tf USING (word) JOIN df USING (word)
+                JOIN len ON len.doc_id = tf.doc_id CROSS JOIN g),
+         s AS (SELECT query_id, doc_id, sum(term_micro) AS score_micro
+               FROM term GROUP BY 1, 2),
+         bmr AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_micro DESC, doc_id) AS rank FROM s),
+         bm AS (SELECT query_id, doc_id, rank FROM bmr WHERE rank <= 10),
+         qtf AS (SELECT query_id, word, count(*) AS qtf FROM (
+             SELECT query_id, unnest(string_split(qtext, ' ')) AS word
+             FROM q) GROUP BY 1, 2),
+         qn2 AS (SELECT query_id, sum(qtf * qtf) AS qn2
+                 FROM qtf GROUP BY 1),
+         n2 AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
+         dotx AS (SELECT qtf.query_id, tf.doc_id,
+                    sum(qtf.qtf * tf.tf) AS dot
+                  FROM qtf JOIN tf USING (word) GROUP BY 1, 2),
+         cs AS (SELECT d.query_id, d.doc_id,
+                  CAST((d.dot * d.dot * 1048576) // (q2.qn2 * n2.n2)
+                    AS BIGINT) AS score_q
+                FROM dotx d JOIN qn2 q2 USING (query_id)
+                     JOIN n2 ON n2.doc_id = d.doc_id),
+         cr AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_q DESC, doc_id) AS rank FROM cs),
+         co AS (SELECT query_id, doc_id, rank FROM cr WHERE rank <= 10),
+         contrib AS (
+           SELECT query_id, doc_id,
+                  CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS m
+           FROM bm
+           UNION ALL
+           SELECT query_id, doc_id,
+                  CAST(round(1000000.0 / (60 + rank)) AS BIGINT)
+           FROM co),
+         f AS (SELECT query_id, doc_id, sum(m) AS rrf_micro
+               FROM contrib GROUP BY 1, 2),
+         fr AS (SELECT query_id, doc_id, rrf_micro,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_micro DESC, doc_id) AS rank FROM f)
+         SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+                rrf_micro
+         FROM fr WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_pii_redact" ->
       """WITH planted AS (SELECT doc_id,
              text || CASE WHEN doc_id % 7 = 0

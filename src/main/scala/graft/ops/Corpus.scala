@@ -2091,6 +2091,42 @@ object Corpus {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** The fixed literal query set for the lexical-retrieval oracles —
+    * corpus-vocabulary words so every query matches many documents
+    * (the twins repeat the same VALUES list). */
+  private def retrievalQueries(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1L, "hash merge fast scan"),
+        (2L, "slow batch table value"),
+        (3L, "key row part agg")).toDF("query_id", "qtext")
+  }
+
+  /** BM25 top-k retrieval ([[graft.similarity.Lexical.bm25TopK]])
+    * over the documents corpus with three fixed corpus-vocabulary
+    * queries. Integer-grid scores (per-term micro contributions
+    * summed as longs) make rank AND value hash-gateable — the twin
+    * replays the exact Robertson idf / saturation spelling in SQL. */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.Lexical.bm25TopK(
+        docs(spark, dir), retrievalQueries(spark), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Hybrid retrieval: BM25 fused with the raw word-space sparse
+    * cosine by reciprocal-rank fusion
+    * ([[graft.similarity.Lexical.rrfFuse]], Cormack et al. 2009) —
+    * two heterogeneous lexical rankers, k=10 each, fused to a final
+    * top-5. All three stages are integer-exact, so the whole fusion
+    * hash-gates against the CTE replay. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val q = retrievalQueries(spark)
+    graft.similarity.Lexical.rrfFuse(
+        Seq(graft.similarity.Lexical.bm25TopK(d, q, k = 10),
+            graft.similarity.Lexical.wordCosineTopK(d, q, k = 10)),
+        k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Content filters: URL/email mention counts + distinct-bigram
     * repetition ratio per document — the C4/Gopher-style cleaning
     * signals. URLs/emails are PLANTED on every 7th doc (identically in
