@@ -110,6 +110,7 @@ object SparkEntry {
     "q_ivfpq_residual"          -> Corpus.ivfPqResidualQuery _,
     "q_bpe_tokens"              -> Corpus.bpeTokens _,
     "q_unigram_tokens"          -> Corpus.unigramTokens _,
+    "q_wordpiece_tokens"        -> Corpus.wordpieceTokens _,
     // trained langID: L-BFGS floats inside → golden, no SQL oracle
     "q_lang_id_model"           -> Corpus.langIdModel _,
     // zlib-backed: no DuckDB deflate-length function exists → golden

@@ -2042,6 +2042,26 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** WordPiece (BERT-family) tokenizer over the corpus — the third
+    * tokenizer family next to BPE and unigram-LM, same golden
+    * posture (the likelihood-merge recursion has no SQL form): learn
+    * a 55-piece vocabulary from the shared word dictionary — small
+    * enough that the corpus's words genuinely SPLIT into subword
+    * pieces (at 300 the 31-word synthetic vocabulary would memorize
+    * whole words and the pin would only prove 1 word = 1 piece) —
+    * and emit per-doc piece counts beside the whitespace-word count. */
+  def wordpieceTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val model = graft.text.WordPiece.learn(
+      graft.text.Bpe.wordCounts(d), vocabSize = 55)
+    d.select(col("doc_id"),
+             graft.text.WordPiece
+               .wordpieceTokenCount(col("text"), model)
+               .as("n_wordpiece_tokens"),
+             graft.text.Text.tokenCount(col("text")).as("n_word_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   def vocabTopK(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
     val words = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))

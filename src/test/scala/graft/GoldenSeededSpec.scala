@@ -27,7 +27,8 @@ class GoldenSeededSpec extends AnyFunSuite {
     "q_audio_fingerprint", "q_video_framedup",
     // not seeded but equally un-oracle-able: deterministic merge /
     // lattice recursions with no SQL form
-    "q_bpe_tokens", "q_unigram_tokens", "q_lang_id_model",
+    "q_bpe_tokens", "q_unigram_tokens", "q_wordpiece_tokens",
+    "q_lang_id_model",
     // deterministic zlib output with no DuckDB deflate function
     "q_deflate_ratio")
 
