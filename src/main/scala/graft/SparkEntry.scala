@@ -192,6 +192,7 @@ object SparkEntry {
     "q_snapshot_read"           -> Corpus.snapshotRead _,
     "q_snapshot_skip"           -> Corpus.snapshotSkip _,
     "q_snapshot_merge"          -> Corpus.snapshotMerge _,
+    "q_snapshot_delete"         -> Corpus.snapshotDelete _,
     "q_pivot_events"            -> Stats.pivotEventCounts _,
     "q_char_deciles"            -> Stats.charDeciles _,
     "q_bucketed_join"           -> Corpus.bucketedJoin _,
@@ -3516,6 +3517,17 @@ object SparkEntry {
                 CAST(sum(p) AS BIGINT) AS sum_price_cents,
                 CAST(sum(k) AS BIGINT) AS sum_key
          FROM merged GROUP BY s ORDER BY s""",
+    // the range delete must be exact: the oracle keeps NOT BETWEEN
+    // (the Spark side additionally REQUIREs the second-quartile file
+    // dropped wholesale — zero data movement)
+    "q_snapshot_delete" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+         SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+         FROM orders, m
+         WHERE o_orderkey NOT BETWEEN m.q + 1 AND 2 * m.q
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // the compacted rewrite must be value-preserving: the oracle
     // answers the same type-sliced aggregate from the RAW table
     "q_compact_scan" ->

@@ -127,6 +127,47 @@ object Corpus {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Snapshot RANGE DELETE as a declared query
+    * ([[graft.sources.Snapshot.deleteRange]]): orders land as four
+    * key-sorted files; deleting the second quartile must drop that
+    * file WHOLESALE (the query asserts the post-delete manifest is a
+    * strict subset of the pre-delete one — zero data movement, the
+    * retention-expiry contract at 100 TB), and the surviving state
+    * must hash-match the oracle's `NOT BETWEEN` aggregate. */
+  def snapshotDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapdel").toString + "/t"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val q = mx / 4
+    Snapshot.append(o.filter(col("o_orderkey") <= q).coalesce(1),
+      table, statsCols = Seq("o_orderkey"))
+    Snapshot.append(o.filter(col("o_orderkey") > q &&
+      col("o_orderkey") <= 2 * q).coalesce(1),
+      table, statsCols = Seq("o_orderkey"))
+    Snapshot.append(o.filter(col("o_orderkey") > 2 * q &&
+      col("o_orderkey") <= 3 * q).coalesce(1),
+      table, statsCols = Seq("o_orderkey"))
+    Snapshot.append(o.filter(col("o_orderkey") > 3 * q).coalesce(1),
+      table, statsCols = Seq("o_orderkey"))
+    val pre = Snapshot.readManifest(spark, table, 4L).get.files
+      .map(_.path).toSet
+    val v = Snapshot.deleteRange(spark, table, "o_orderkey",
+      q + 1, 2 * q)
+    val post = Snapshot.readManifest(spark, table, v).get.files
+      .map(_.path).toSet
+    require(post.subsetOf(pre) && post.size == pre.size - 1,
+      s"quartile delete was not a wholesale file drop: " +
+        s"${pre.size} -> ${post.size} files, staged ${post.diff(pre)}")
+    Snapshot.read(spark, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Exact dedup over a corpus with planted exact clones (every 10th doc
     * re-appears under id+100000): content-hash groups with canonical id
     * and copy count. */

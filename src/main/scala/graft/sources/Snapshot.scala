@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, max, min, unix_micros}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, max,
+  min, unix_micros}
 import org.apache.spark.sql.types._
 
 /** Snapshot-isolated table commits — the manifest-based layout
@@ -55,8 +56,16 @@ object Snapshot {
     * = chronological), strings as themselves. A column whose file
     * slice is entirely null records no stats (absent key), which every
     * pruning decision treats as "must keep" — conservative, never
-    * wrong. */
-  final case class ColStats(min: String, max: String, typ: String)
+    * wrong.
+    *
+    * `nulls` is the file's null count for the column (-1 = unknown,
+    * for manifests written before the field existed). min/max ignore
+    * nulls, so any WHOLESALE decision about a file — [[deleteRange]]
+    * dropping a file its stats prove fully inside the range — must
+    * also prove `nulls == 0`: a null row matches no range predicate
+    * and must survive the delete (the Iceberg null-count lesson). */
+  final case class ColStats(min: String, max: String, typ: String,
+                            nulls: Long = -1L)
 
   /** One data file of a snapshot; `path` is table-root-relative (the
     * table directory is relocatable as a unit). `stats` carries the
@@ -302,6 +311,159 @@ object Snapshot {
       Manifest(parent.version + 1, parent.version, "merge",
         base.rows - touchedRows + stagedRows, carried ++ staged)
     }.merge
+  }
+
+  /** Row-level RANGE DELETE (`lower ≤ column ≤ upper`, inclusive),
+    * copy-on-write — the retention-expiry / right-to-erasure shape.
+    * The manifest stats triage every file into three classes:
+    *
+    *  - provably DISJOINT from the range → carried by reference;
+    *  - provably fully INSIDE the range AND null-free on the column
+    *    (`nulls == 0` — min/max ignore nulls, and a null row matches
+    *    no range predicate, so it must survive) → dropped WHOLESALE,
+    *    zero data movement — at 100 TB, expiring a month of
+    *    time-partitioned data is pure manifest surgery;
+    *  - overlapping, stat-less, or null-carrying → rewritten with the
+    *    keep filter.
+    *
+    * The keep filter is null-safe (`NOT coalesce(between, false)`):
+    * rows where the column IS NULL are kept, the SQL DELETE contract.
+    * Commits like [[compact]] (aborts if the table advanced). Returns
+    * the committed version. */
+  def deleteRange(spark: SparkSession, table: String, column: String,
+                  lower: Any, upper: Any): Long = {
+    val base = currentManifest(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    require(base.files.nonEmpty, s"empty table $table")
+    val (inRange, disjoint) = base.files.partition { f =>
+      f.stats.get(column) match {
+        case None => true // unknown: must inspect
+        case Some(s) =>
+          val lo = reprOf(s.typ, lower)
+          val hi = reprOf(s.typ, upper)
+          cmp(s.typ, s.max, lo) >= 0 && cmp(s.typ, s.min, hi) <= 0
+      }
+    }
+    val (dropped, rewrite) = inRange.partition { f =>
+      f.stats.get(column) match {
+        case Some(s) if s.nulls == 0L =>
+          val lo = reprOf(s.typ, lower)
+          val hi = reprOf(s.typ, upper)
+          cmp(s.typ, s.min, lo) >= 0 && cmp(s.typ, s.max, hi) <= 0
+        case _ => false // stat-less or null-carrying: rewrite
+      }
+    }
+    val cond = col(column) >= lit(lower) && col(column) <= lit(upper)
+    deleteCommit(spark, table, base, disjoint, dropped, rewrite, cond)
+  }
+
+  /** Row-level DELETE by an arbitrary predicate, copy-on-write: one
+    * predicate-column scan names the files that contain a matching
+    * row (columnar — only the referenced columns leave disk); only
+    * those are rewritten with the null-safe keep filter, everything
+    * else carries by reference. No wholesale file drops here — an
+    * arbitrary `Column` can't be proven against min/max stats; use
+    * [[deleteRange]] when the predicate is a range on a tracked
+    * column. Returns the committed version. */
+  def deleteWhere(spark: SparkSession, table: String,
+                  cond: Column): Long = {
+    val base = currentManifest(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    require(base.files.nonEmpty, s"empty table $table")
+    val hit: Set[String] =
+      readFilesAllWithPath(spark, table, base.files)
+        .filter(coalesce(cond, lit(false)))
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
+    val rewrite = base.files.filter(e =>
+      hit.exists(p => p.endsWith("/" + e.path)))
+    val rewriteSet = rewrite.map(_.path).toSet
+    val carried = base.files.filterNot(f => rewriteSet.contains(f.path))
+    deleteCommit(spark, table, base, carried, Nil, rewrite, cond)
+  }
+
+  /** Shared delete tail: stage the null-safe-kept rows of the rewrite
+    * files, account rows (wholesale drops counted off their footers —
+    * a metadata read, no data scan), commit `carried ++ staged` with
+    * the parent-unchanged guard. */
+  private def deleteCommit(spark: SparkSession, table: String,
+                           base: Manifest, carried: Seq[FileEntry],
+                           dropped: Seq[FileEntry],
+                           rewrite: Seq[FileEntry], cond: Column): Long = {
+    if (dropped.isEmpty && rewrite.isEmpty)
+      return base.version // nothing can match: no-op, nothing committed
+    val pCols = partitionColsOf(base.files)
+    val keep = !coalesce(cond, lit(false)) // NULL never deletes
+    val (staged, stagedRows, rewriteRows) =
+      if (rewrite.isEmpty) (Nil: Seq[FileEntry], 0L, 0L)
+      else {
+        val src = readFiles(spark, table, rewrite)
+        val kept = src.filter(keep)
+        val keptCount = kept.count()
+        val st =
+          if (keptCount == 0L) Nil // every row deleted: stage nothing
+          else withStats(spark, table, stage(spark, kept, table, pCols),
+            statsColsOf(base.files))
+        (st, keptCount, src.count())
+      }
+    val droppedRows =
+      if (dropped.isEmpty) 0L
+      else readFiles(spark, table, dropped).count()
+    commitRetrying(spark, table) { parent =>
+      require(parent.version == base.version,
+        s"table advanced v${base.version} -> v${parent.version} during " +
+          "delete; rerun against the new snapshot")
+      Manifest(parent.version + 1, parent.version, "delete",
+        base.rows - droppedRows - (rewriteRows - stagedRows),
+        carried ++ staged)
+    }.merge
+  }
+
+  /** Incremental consumption: the rows appended AFTER `sinceVersion`,
+    * read straight off the file-list DIFF of the two manifests — the
+    * cheap CDC a downstream pipeline polls ("give me what landed since
+    * my last run") with no flag columns and no data rewritten. Sound
+    * only while the interval is append-only, so any rewriting action
+    * ([[compact]], [[overwrite]], [[merge]], delete) in
+    * `(sinceVersion, current]` throws loudly — after a rewrite, file
+    * identity no longer means row identity; re-baseline on the new
+    * snapshot instead of silently double-reading rewritten rows. */
+  def readAppendsSince(spark: SparkSession, table: String,
+                       sinceVersion: Long): DataFrame = {
+    val from = readManifest(spark, table, sinceVersion).getOrElse(
+      throw new NoSuchElementException(
+        s"no snapshot v$sinceVersion in $table (expired or never " +
+          "committed)"))
+    val cur = currentManifest(spark, table).getOrElse(
+      throw new NoSuchElementException(s"no committed snapshot in $table"))
+    val chain = listVersions(spark, table).sorted
+      .filter(v => v > sinceVersion && v <= cur.version)
+      .flatMap(v => readManifest(spark, table, v))
+    chain.find(_.action != "append").foreach { m =>
+      throw new IllegalStateException(
+        s"v${m.version} is a '${m.action}' — the interval " +
+          s"($sinceVersion, ${cur.version}] is not append-only; " +
+          "re-baseline the consumer on the current snapshot")
+    }
+    val known = from.files.map(_.path).toSet
+    val fresh = cur.files.filterNot(f => known.contains(f.path))
+    if (fresh.isEmpty)
+      readFiles(spark, table, cur.files).filter(lit(false))
+    else readFiles(spark, table, fresh)
+  }
+
+  /** [[readFilesWithPath]] carrying EVERY table column (for predicate
+    * scans whose referenced columns aren't statically known). */
+  private def readFilesAllWithPath(spark: SparkSession, table: String,
+                                   files: Seq[FileEntry]): DataFrame = {
+    val byCommit = files.groupBy(f =>
+      f.path.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
+    byCommit.map { case (root, fs) =>
+      val df = spark.read.option("basePath", s"$table/$root")
+        .parquet(stageDirPath(table, fs): _*)
+      df.select(col("_metadata.file_path").as("__file") +:
+        df.columns.toSeq.map(col): _*)
+    }.reduce(_ unionByName _)
   }
 
   // ---- read paths ------------------------------------------------------
@@ -591,7 +753,8 @@ object Snapshot {
       (c, typ)
     }
     val aggs = typed.flatMap { case (c, t) =>
-      Seq(statRepr(min(col(c)), t), statRepr(max(col(c)), t)) }
+      Seq(statRepr(min(col(c)), t), statRepr(max(col(c)), t),
+        (count(lit(1)) - count(col(c))).as(s"__nulls_$c")) }
     val rows = readFilesWithPath(spark, table, entries, typed.map(_._1))
       .groupBy(col("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -602,10 +765,11 @@ object Snapshot {
         case None => e // zero-row file: no group, keep stat-less
         case Some(r) =>
           val stats = typed.zipWithIndex.flatMap { case ((c, t), i) =>
-            val mn = r.getString(1 + 2 * i)
-            val mx = r.getString(2 + 2 * i)
+            val mn = r.getString(1 + 3 * i)
+            val mx = r.getString(2 + 3 * i)
+            val nulls = r.getLong(3 + 3 * i)
             if (mn == null || mx == null) None // all-null slice
-            else Some(c -> ColStats(mn, mx, t))
+            else Some(c -> ColStats(mn, mx, t, nulls))
           }.toMap
           e.copy(stats = stats)
       }
@@ -692,8 +856,11 @@ object Snapshot {
     latestVersion(spark, table).flatMap(v =>
       readManifest(spark, table, v))
 
-  private[sources] def readManifest(spark: SparkSession, table: String,
-                                    v: Long): Option[Manifest] = {
+  /** The committed manifest at `v`, if retained — the user-facing
+    * metadata surface (file accounting, stats inspection, wholesale-
+    * delete proofs). */
+  def readManifest(spark: SparkSession, table: String,
+                   v: Long): Option[Manifest] = {
     val fs = hadoopFs(spark, table)
     val p = manifestPath(table, v)
     if (!fs.exists(p)) return None
@@ -730,6 +897,7 @@ object Snapshot {
           so.put("min", s.min)
           so.put("max", s.max)
           so.put("typ", s.typ)
+          so.put("nulls", s.nulls)
         }
       }
     }
@@ -750,7 +918,8 @@ object Snapshot {
           val c = names.next()
           val so = st.get(c)
           b += c -> ColStats(so.get("min").asText(),
-            so.get("max").asText(), so.get("typ").asText())
+            so.get("max").asText(), so.get("typ").asText(),
+            Option(so.get("nulls")).map(_.asLong()).getOrElse(-1L))
         }
         b.result()
       }.getOrElse(Map.empty[String, ColStats])

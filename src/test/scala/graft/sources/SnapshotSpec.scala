@@ -301,6 +301,95 @@ class SnapshotSpec extends AnyFunSuite {
       "merge broke the partitioned layout")
   }
 
+  test("deleteRange: a file provably inside the range drops " +
+    "wholesale; overlapping files rewrite; null rows survive") {
+    val t = freshTable()
+    (0 until 4).foreach(k =>
+      Snapshot.append(batch(k * 100, k * 100 + 100).coalesce(1), t,
+        statsCols = Seq("id")))
+    val preFiles = Snapshot
+      .readManifest(spark, t, 4L).get.files.map(_.path).toSet
+    // [100, 299] covers file 2 fully (drop) and file 3 fully... no:
+    // files are [0,99][100,199][200,299][300,399] -> 100..299 covers
+    // files 2 and 3 wholesale; 0 rewrites needed
+    val v = Snapshot.deleteRange(spark, t, "id", 100L, 299L)
+    val post = Snapshot.readManifest(spark, t, v).get
+    assert(post.action == "delete" && post.rows == 200L)
+    assert(post.files.map(_.path).toSet.subsetOf(preFiles),
+      "a pure wholesale delete must stage nothing")
+    assert(post.files.size == 2)
+    assert(Snapshot.read(spark, t).count() == 200)
+    // partial overlap rewrites: [350, 1000] hits file 4 only, halfway
+    val v2 = Snapshot.deleteRange(spark, t, "id", 350L, 1000L)
+    val post2 = Snapshot.readManifest(spark, t, v2).get
+    assert(post2.rows == 150L)
+    assert(Snapshot.read(spark, t)
+      .agg(max("id")).head().getLong(0) == 349L)
+    // null rows survive a range delete even when the file's non-null
+    // range sits fully inside the deleted range
+    val t2 = freshTable()
+    val withNull = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "c"))
+      .toDF("id", "text")
+    Snapshot.append(withNull.coalesce(1), t2, statsCols = Seq("id"))
+    Snapshot.deleteRange(spark, t2, "id", 0L, 10L)
+    val left = Snapshot.read(spark, t2).collect()
+    assert(left.length == 1 && left.head.isNullAt(0) &&
+      left.head.getString(1) == "c",
+      s"null row did not survive: ${left.mkString(",")}")
+  }
+
+  test("deleteRange out of every file's range is a no-op; deleting " +
+    "everything leaves an empty (loudly unreadable) snapshot") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 50).coalesce(1), t, statsCols = Seq("id"))
+    val v0 = Snapshot.latestVersion(spark, t).get
+    assert(Snapshot.deleteRange(spark, t, "id", 900L, 999L) == v0,
+      "out-of-range delete must commit nothing")
+    val v = Snapshot.deleteRange(spark, t, "id", 0L, 49L)
+    assert(Snapshot.readManifest(spark, t, v).get.rows == 0L)
+    intercept[NoSuchElementException] { Snapshot.read(spark, t) }
+  }
+
+  test("deleteWhere: only files containing a predicate match are " +
+    "rewritten; the keep filter is null-safe") {
+    val t = freshTable()
+    (0 until 3).foreach(k =>
+      Snapshot.append(batch(k * 10, k * 10 + 10).coalesce(1), t))
+    val preFiles = Snapshot
+      .readManifest(spark, t, 3L).get.files.map(_.path).toSet
+    // 'doc 25' lives only in the third file
+    val v = Snapshot.deleteWhere(spark, t, col("text") === "doc 25")
+    val post = Snapshot.readManifest(spark, t, v).get
+    assert(post.rows == 29L)
+    assert(post.files.map(_.path).toSet.intersect(preFiles).size == 2,
+      "untouched files must carry by reference")
+    assert(Snapshot.read(spark, t)
+      .filter(col("text") === "doc 25").count() == 0)
+    assert(Snapshot.read(spark, t).count() == 29)
+  }
+
+  test("readAppendsSince: the file-diff CDC over an append-only " +
+    "interval; rewriting actions poison the interval loudly") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 10), t)   // v1
+    Snapshot.append(batch(10, 25), t)  // v2
+    Snapshot.append(batch(25, 30), t)  // v3
+    val inc = Snapshot.readAppendsSince(spark, t, 1L)
+    assert(inc.count() == 20)
+    assert(inc.agg(min("id")).head().getLong(0) == 10L)
+    // fully caught up: empty frame, schema intact
+    val none = Snapshot.readAppendsSince(spark, t, 3L)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "text"))
+    // a compaction in the interval breaks file identity = row identity
+    Snapshot.compact(spark, t) // v4
+    intercept[IllegalStateException] {
+      Snapshot.readAppendsSince(spark, t, 2L).count()
+    }
+    // re-baselined on the compacted snapshot, appends flow again
+    Snapshot.append(batch(30, 33), t) // v5
+    assert(Snapshot.readAppendsSince(spark, t, 4L).count() == 3)
+  }
+
   test("compact aborts cleanly when the table advanced underneath it") {
     // the documented non-goal: compact verifies its parent is still
     // current at commit time; a mid-flight append makes it abort with
