@@ -168,7 +168,19 @@ object ScaleProbe {
                   // compact + two pinned reads — every stage scans
                   // the doc corpus, so growth must track the scan;
                   // the manifest work is O(files), constant here)
-                  "q_lang_id_model", "q_snapshot_read")
+                  "q_lang_id_model", "q_snapshot_read",
+                  // round 15 part 2: the lakehouse writes (skip /
+                  // merge / delete all scan + stage the corpus, so
+                  // growth tracks the scan; manifest + stats work is
+                  // O(files), constant here), BM25 (one tokenize
+                  // pass + postings aggregates — the 10× part — then
+                  // df-bounded query joins), the RRF hybrid (two
+                  // rankers over the same postings shape), and the
+                  // WordPiece tokenizer (the BPE probe shape: corpus
+                  // count aggregate + memoized-UDF encode map)
+                  "q_snapshot_skip", "q_snapshot_merge",
+                  "q_snapshot_delete", "q_bm25_topk", "q_hybrid_rrf",
+                  "q_wordpiece_tokens")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -150,14 +150,18 @@ object CurationStream {
     * replays a batch to prove it). The checkpoint still owns the
     * dedup watermark state; the tag owns commit idempotence. */
   def landSnapshot(accepted: DataFrame, table: String,
-                   checkpoint: String)
+                   checkpoint: String,
+                   statsCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     accepted.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
+          // statsCols flow through so the landed table carries the
+          // manifest stats index from birth (readWhere/merge/delete
+          // prune without a backfill pass)
           graft.sources.Snapshot.append(batch, table,
-            tag = Some(s"batch-$batchId")): Unit
+            tag = Some(s"batch-$batchId"), statsCols = statsCols): Unit
       }
       .outputMode("append")
       .start()

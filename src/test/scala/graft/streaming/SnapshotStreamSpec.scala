@@ -39,6 +39,31 @@ class SnapshotStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("statsCols flow through the streaming landing: the landed " +
+    "table data-skips from birth") {
+    implicit val sqlCtx = spark.sqlContext
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("graft-snapstream-ck2").toString
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = CurationStream.landSnapshot(stream, t, ckpt,
+      statsCols = Seq("doc_id"))
+    try {
+      mem.addData((0L until 40L).map(i => (i, s"doc $i")): _*)
+      q.processAllAvailable()
+      mem.addData((1000L until 1040L).map(i => (i, s"doc $i")): _*)
+      q.processAllAvailable()
+      // two landed commits with disjoint id ranges: a range read of
+      // the second batch must prune the first batch's files
+      val (total, kept) = Snapshot.pruneCount(spark, t, "doc_id",
+        1000L, 1039L)
+      assert(kept < total,
+        s"streamed stats did not prune: kept $kept of $total")
+      assert(Snapshot.readWhere(spark, t, "doc_id", 1000L, 1039L)
+        .count() == 40)
+    } finally q.stop()
+  }
+
   test("a crash-replayed batch lands nothing (tag idempotence)") {
     val t = freshTable()
     val batch = (0L until 25L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
