@@ -2178,15 +2178,10 @@ object Corpus {
     * two heterogeneous lexical rankers, k=10 each, fused to a final
     * top-5. All three stages are integer-exact, so the whole fusion
     * hash-gates against the CTE replay. */
-  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val q = retrievalQueries(spark)
-    graft.similarity.Lexical.rrfFuse(
-        Seq(graft.similarity.Lexical.bm25TopK(d, q, k = 10),
-            graft.similarity.Lexical.wordCosineTopK(d, q, k = 10)),
-        k = 5)
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.Lexical.hybridTopK(
+        docs(spark, dir), retrievalQueries(spark), k = 5, kEach = 10)
       .orderBy(col("query_id"), col("rank"))
-  }
 
   /** Content filters: URL/email mention counts + distinct-bigram
     * repetition ratio per document — the C4/Gopher-style cleaning

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,52 +25,50 @@ import org.apache.spark.sql.functions._
   * ties break on ascending item id.
   *
   * ==Scale shape==
-  * `tf`/`df`/`len` are one tokenize pass + two narrow aggregates
-  * keyed on (doc, term) / term — the inverted-index build, linear in
-  * corpus tokens. Scoring joins the (small) query term set against
-  * the postings ON TERM — a broadcast hash join once the query side
-  * is collected under a documented bound — so cost scales with the
-  * postings of the QUERIED terms, not the corpus. The final top-k is
-  * a per-query window over candidate docs only. At 100 TB the
-  * inverted index is built once and persisted (the
+  * EVERYTHING derives from one (doc, term, tf) postings frame — one
+  * tokenize pass + one narrow aggregate keyed on (doc, term), the
+  * inverted-index build, linear in corpus tokens. Document lengths,
+  * document frequencies, and the cosine norms are all aggregates OF
+  * the postings, never a second corpus scan. Scoring joins the
+  * (small) query term set against the postings ON TERM — a broadcast
+  * hash join — so per-query cost scales with the postings of the
+  * QUERIED terms, not the corpus. The final top-k is a per-query
+  * window over candidate docs only. [[hybridTopK]] checkpoints the
+  * shared postings so its two rankers pay the tokenize once. At
+  * 100 TB the postings frame is built once and persisted (the
   * [[graft.dedup.DedupIndex]] posting-table pattern applies
   * verbatim); per-query cost is then df-bounded.
   */
 object Lexical {
 
-  /** BM25 top-k: for each query row, the `k` best-scoring documents.
-    *
-    * `docs`: (`idCol`, `textCol`); `queries`: (`queryIdCol`,
-    * `queryTextCol`). Tokenization is the corpus contract's
-    * single-space split (the [[graft.ops.Corpus]] twin spelling).
-    * Repeated query terms count once (DISTINCT query-term semantics —
-    * the common web-query shape; document tf is what BM25's
-    * saturation curve is for). Documents sharing no term with a query
-    * simply never become candidates (score would be 0).
-    *
-    * Output: (query_id, rank, doc_id, score_micro) where
-    * `score_micro` = Σ_terms round(10⁶ · idf·tf·(k1+1) /
-    * (tf + k1·(1−b+b·len/avgdl))) — the integer-grid BM25 score. */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
-               k1: Double = 1.2, b: Double = 0.75,
-               idCol: String = "doc_id", textCol: String = "text",
-               queryIdCol: String = "query_id",
-               queryTextCol: String = "qtext"): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
-    val words = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("word"))
-    val tf = words.groupBy(col("doc_id"), col("word"))
+  /** The shared inverted-index shape: (doc_id, word, tf) under the
+    * corpus contract's single-space split (the [[graft.ops.Corpus]]
+    * twin spelling). */
+  private def tfPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-    val len = words.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
-    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    // one-row globals: N docs and average doc length (in tokens,
-    // over ALL docs — the denominator both engines can spell alike)
-    val g = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(words.agg(count(lit(1)).as("tot")))
-      .withColumn("avgdl", col("tot") * lit(1.0) / col("n"))
-    val qterms = queries.select(col(queryIdCol).as("query_id"),
+
+  /** DISTINCT query terms (the common web-query shape; document tf is
+    * what BM25's saturation curve is for). */
+  private def queryTerms(queries: DataFrame, queryIdCol: String,
+                         queryTextCol: String): DataFrame =
+    queries.select(col(queryIdCol).as("query_id"),
         explode(split(col(queryTextCol), " ")).as("word"))
       .distinct()
+
+  /** BM25 ranking from a postings frame: doc length = Σtf per doc and
+    * corpus token count = Σtf — aggregates of the postings, never a
+    * second corpus scan. `nDocs` is a one-row frame with column `n`. */
+  private def bm25Ranked(tf: DataFrame, nDocs: DataFrame,
+                         qterms: DataFrame, k: Int,
+                         k1: Double, b: Double): DataFrame = {
+    val len = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val g = nDocs.crossJoin(tf.agg(sum(col("tf")).as("tot")))
+      .withColumn("avgdl", col("tot") * lit(1.0) / col("n"))
     val term = broadcast(qterms)
       .join(tf, Seq("word")) // inverted-index probe: df-bounded
       .join(df, Seq("word"))
@@ -94,28 +92,14 @@ object Lexical {
         col("score_micro"))
   }
 
-  /** Raw word-space sparse-cosine top-k — the un-weighted lexical
-    * ranker (term-frequency vectors, no idf, no length prior): the
-    * natural SECOND opinion to fuse with [[bm25TopK]], cheap because
-    * it shares the same (doc, word, tf) postings shape. Integer
+  /** Word-space tf-cosine ranking from a postings frame. Integer
     * score: `(dot² · 2²⁰) div (n2_q · n2_d)` — the established
     * monotone-in-cosine exact grid
     * ([[graft.text.TextVectors.topKBySparseCosine]] contract). */
-  def wordCosineTopK(docs: DataFrame, queries: DataFrame, k: Int,
-                     idCol: String = "doc_id", textCol: String = "text",
-                     queryIdCol: String = "query_id",
-                     queryTextCol: String = "qtext"): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
-    val tf = docs.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
+  private def cosineRanked(tf: DataFrame, qtf: DataFrame,
+                           k: Int): DataFrame = {
     val n2 = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
-    val qtf = queries.select(col(queryIdCol).as("query_id"),
-        explode(split(col(queryTextCol), " ")).as("word"))
-      .groupBy(col("query_id"), col("word"))
-      .agg(count(lit(1)).as("qtf"))
     val qn2 = qtf.groupBy(col("query_id"))
       .agg(sum(col("qtf") * col("qtf")).as("qn2"))
     val dot = broadcast(qtf).join(tf, Seq("word"))
@@ -132,6 +116,72 @@ object Lexical {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_q"))
+  }
+
+  /** Query term frequencies for the cosine ranker (tf semantics, NOT
+    * distinct — a cosine weights repeats). */
+  private def queryTf(queries: DataFrame, queryIdCol: String,
+                      queryTextCol: String): DataFrame =
+    queries.select(col(queryIdCol).as("query_id"),
+        explode(split(col(queryTextCol), " ")).as("word"))
+      .groupBy(col("query_id"), col("word"))
+      .agg(count(lit(1)).as("qtf"))
+
+  /** BM25 top-k: for each query row, the `k` best-scoring documents.
+    *
+    * `docs`: (`idCol`, `textCol`); `queries`: (`queryIdCol`,
+    * `queryTextCol`). Documents sharing no term with a query simply
+    * never become candidates (score would be 0).
+    *
+    * Output: (query_id, rank, doc_id, score_micro) where
+    * `score_micro` = Σ_terms round(10⁶ · idf·tf·(k1+1) /
+    * (tf + k1·(1−b+b·len/avgdl))) — the integer-grid BM25 score. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text",
+               queryIdCol: String = "query_id",
+               queryTextCol: String = "qtext"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    bm25Ranked(tfPostings(docs, idCol, textCol),
+      docs.agg(count(lit(1)).as("n")),
+      queryTerms(queries, queryIdCol, queryTextCol), k, k1, b)
+  }
+
+  /** Raw word-space sparse-cosine top-k — the un-weighted lexical
+    * ranker (term-frequency vectors, no idf, no length prior): the
+    * natural SECOND opinion to fuse with [[bm25TopK]], cheap because
+    * it shares the same (doc, word, tf) postings shape. */
+  def wordCosineTopK(docs: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     queryIdCol: String = "query_id",
+                     queryTextCol: String = "qtext"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    cosineRanked(tfPostings(docs, idCol, textCol),
+      queryTf(queries, queryIdCol, queryTextCol), k)
+  }
+
+  /** The BM25 + word-cosine hybrid in one call, RRF-fused
+    * ([[rrfFuse]]): both rankers are branches of ONE fused plan over
+    * the IDENTICAL postings subtree, so Spark's ReuseExchange
+    * deduplicates the tokenize+aggregate shuffle across them — the
+    * corpus is read once with no materialization step (an eager
+    * checkpoint here measured SLOWER than the reuse: the exchange is
+    * already shared). `kEach` is each ranker's candidate depth, `k`
+    * the fused cut. */
+  def hybridTopK(docs: DataFrame, queries: DataFrame, k: Int,
+                 kEach: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                 kRrf: Int = 60,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 queryIdCol: String = "query_id",
+                 queryTextCol: String = "qtext"): DataFrame = {
+    require(k > 0 && kEach > 0)
+    val tf = tfPostings(docs, idCol, textCol)
+    rrfFuse(Seq(
+        bm25Ranked(tf, docs.agg(count(lit(1)).as("n")),
+          queryTerms(queries, queryIdCol, queryTextCol), kEach, k1, b),
+        cosineRanked(tf, queryTf(queries, queryIdCol, queryTextCol),
+          kEach)),
+      k, kRrf)
   }
 
   /** Reciprocal-rank fusion: merge any number of (query_id, doc_id,

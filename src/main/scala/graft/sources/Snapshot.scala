@@ -1,8 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, max,
-  min, unix_micros}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, min}
 import org.apache.spark.sql.types._
 
 /** Snapshot-isolated table commits — the manifest-based layout
@@ -118,10 +117,8 @@ object Snapshot {
       case Some(v) => return v // replayed batch: already committed
       case None => ()
     }
-    val staged = withStats(spark, table,
+    val (staged, stagedRows) = withStatsAndRows(spark, table,
       stage(spark, df, table), statsCols)
-    val stagedRows = spark.read.parquet(stageDirPath(table, staged): _*)
-      .count()
     commitRetrying(spark, table) { parent =>
       tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
         throw new DuplicateTag(v) } // raced replayer landed it first
@@ -154,9 +151,8 @@ object Snapshot {
       case Some(v) => return v
       case None => ()
     }
-    val staged = withStats(spark, table,
+    val (staged, stagedRows) = withStatsAndRows(spark, table,
       stage(spark, df, table, partitionCols), statsCols)
-    val stagedRows = readFiles(spark, table, staged).count()
     commitRetrying(spark, table) { parent =>
       tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
         throw new DuplicateTag(v) }
@@ -186,10 +182,8 @@ object Snapshot {
   def overwrite(df: DataFrame, table: String,
                 statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
-    val staged = withStats(spark, table,
+    val (staged, stagedRows) = withStatsAndRows(spark, table,
       stage(spark, df, table), statsCols)
-    val stagedRows = spark.read.parquet(stageDirPath(table, staged): _*)
-      .count()
     commitRetrying(spark, table) { parent =>
       Manifest(parent.version + 1, parent.version, "overwrite",
         stagedRows, staged)
@@ -221,10 +215,9 @@ object Snapshot {
     val src = readFiles(spark, table, base.files)
     // the rewrite keeps the table's stats coverage: whatever columns
     // the parent tracked are re-gathered over the rewritten files
-    val staged = withStats(spark, table,
+    val (staged, rewrittenRows) = withStatsAndRows(spark, table,
       stage(spark, src.coalesce(nf), table, pCols),
       statsColsOf(base.files))
-    val rewrittenRows = readFiles(spark, table, staged).count()
     require(rewrittenRows == base.rows,
       s"compact row mismatch: snapshot=${base.rows} " +
         s"rewritten=$rewrittenRows — nothing committed")
@@ -298,9 +291,8 @@ object Snapshot {
                      .join(source.select(col(key)), Seq(key), "left_anti")
                      .unionByName(source))
     val pCols = partitionColsOf(base.files)
-    val staged = withStats(spark, table,
+    val (staged, stagedRows) = withStatsAndRows(spark, table,
       stage(spark, newData, table, pCols), statsColsOf(base.files))
-    val stagedRows = readFiles(spark, table, staged).count()
     val touchedRows =
       if (touched.isEmpty) 0L
       else readFiles(spark, table, touched).count()
@@ -730,51 +722,188 @@ object Snapshot {
   // ---- per-file column stats ---------------------------------------------
 
   /** Gather per-file min/max for `statsCols` over freshly staged
-    * entries (ONE narrow aggregate over only the data this commit
-    * wrote — never the table) and attach them. No-op for empty
-    * `statsCols`. Unsupported column types are rejected loudly —
-    * silent stat-less columns would silently disable skipping. */
+    * entries and attach them. No-op for empty `statsCols`.
+    * Unsupported column types are rejected loudly — silent stat-less
+    * columns would silently disable skipping. */
   private def withStats(spark: SparkSession, table: String,
                         entries: Seq[FileEntry],
-                        statsCols: Seq[String]): Seq[FileEntry] = {
-    if (statsCols.isEmpty) return entries
-    val df = readFiles(spark, table, entries)
-    val schema = df.schema
-    val typed: Seq[(String, String)] = statsCols.map { c =>
-      val field = schema.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"stats column '$c' not in table schema " +
-            schema.fieldNames.mkString("[", ", ", "]")))
-      val typ = statTyp(field.dataType).getOrElse(
-        throw new IllegalArgumentException(
-          s"stats unsupported for '$c': ${field.dataType.simpleString} " +
-            "(supported: integral, float/double, decimal, string, " +
-            "date, timestamp)"))
-      (c, typ)
-    }
-    val aggs = typed.flatMap { case (c, t) =>
-      Seq(statRepr(min(col(c)), t), statRepr(max(col(c)), t),
-        (count(lit(1)) - count(col(c))).as(s"__nulls_$c")) }
-    val rows = readFilesWithPath(spark, table, entries, typed.map(_._1))
-      .groupBy(col("__file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect() // one row per staged file — bounded by the commit
-    val byEntry = entries.map { e =>
-      val hit = rows.find(r => r.getString(0).endsWith("/" + e.path))
-      hit match {
-        case None => e // zero-row file: no group, keep stat-less
-        case Some(r) =>
-          val stats = typed.zipWithIndex.flatMap { case ((c, t), i) =>
-            val mn = r.getString(1 + 3 * i)
-            val mx = r.getString(2 + 3 * i)
-            val nulls = r.getLong(3 + 3 * i)
-            if (mn == null || mx == null) None // all-null slice
-            else Some(c -> ColStats(mn, mx, t, nulls))
+                        statsCols: Seq[String]): Seq[FileEntry] =
+    withStatsAndRows(spark, table, entries, statsCols)._1
+
+  /** Stats AND the staged row count, both read off the PARQUET
+    * FOOTERS of the freshly staged files — no Spark job at all (the
+    * Iceberg approach): the writer already computed per-row-group
+    * min/max/null-count/row-count; a commit just collects them. Cost
+    * is one driver-side footer read per staged file, O(files in THIS
+    * commit).
+    *
+    * Footer stats are BOUNDS, not necessarily exact values (parquet
+    * may truncate long binary stats — the truncated min is still a
+    * lower bound, the increment-truncated max an upper bound), and
+    * every consumer here only needs bounds: [[readWhere]] keeps a
+    * superset and re-filters, [[merge]] over-candidates then key-scans,
+    * and [[deleteRange]]'s wholesale drop demands containment, which
+    * wider bounds can only make harder. Absent footer stats (NaN
+    * floats, too-large binaries, INT96 timestamps, all-null chunks)
+    * leave the column stat-less — conservative, never wrong.
+    * Partition columns never appear in the file body; their stats are
+    * the constant `k=v` value from the staging path. */
+  private def withStatsAndRows(spark: SparkSession, table: String,
+                               entries: Seq[FileEntry],
+                               statsCols: Seq[String])
+      : (Seq[FileEntry], Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val typed: Seq[(String, String)] =
+      if (statsCols.isEmpty) Nil
+      else {
+        val schema = readFiles(spark, table, entries).schema // footers
+        statsCols.map { c =>
+          val field = schema.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"stats column '$c' not in table schema " +
+                schema.fieldNames.mkString("[", ", ", "]")))
+          val typ = statTyp(field.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"stats unsupported for '$c': " +
+                s"${field.dataType.simpleString} (supported: integral, " +
+                "float/double, string, date, timestamp)"))
+          (c, typ)
+        }
+      }
+    var totalRows = 0L
+    val out = entries.map { e =>
+      val p = new org.apache.hadoop.fs.Path(s"$table/${e.path}")
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        var rows = 0L
+        val it = blocks.iterator()
+        while (it.hasNext) rows += it.next().getRowCount
+        totalRows += rows
+        if (typed.isEmpty || rows == 0L) e
+        else {
+          val stats = typed.flatMap { case (c, t) =>
+            partitionPathValue(e.path, c) match {
+              case Some(v) =>
+                pathStat(v, t, rows).map(s => c -> s)
+              case None =>
+                footerColStats(blocks, c, t).map(s => c -> s)
+            }
           }.toMap
           e.copy(stats = stats)
+        }
+      } finally reader.close()
+    }
+    (out, totalRows)
+  }
+
+  /** The `k=v` value a staging path carries for a partition column
+    * (`data/<uuid>/k=v/.../file`), if any. */
+  private def partitionPathValue(path: String,
+                                 c: String): Option[String] =
+    path.split('/').drop(2).dropRight(1)
+      .find(_.startsWith(c + "="))
+      .map(_.substring(c.length + 1))
+
+  /** Constant stats for a partition column: min = max = the directory
+    * value, zero nulls (a Hive null partition spells
+    * `__HIVE_DEFAULT_PARTITION__`, which returns absent instead). */
+  private def pathStat(v: String, typ: String,
+                       rows: Long): Option[ColStats] = {
+    if (v == "__HIVE_DEFAULT_PARTITION__") return None
+    val repr = typ match {
+      case "long" => scala.util.Try(v.toLong.toString).toOption
+      case "double" => scala.util.Try(v.toDouble.toString).toOption
+      case "string" | "date" => Some(v)
+      case _ => None // timestamp partition dirs: not worth the parse
+    }
+    repr.map(r => ColStats(r, r, typ, 0L))
+  }
+
+  /** Merge a column's statistics across a file's row groups into one
+    * ColStats, or None when any chunk lacks usable values (absent
+    * stats, unexpected physical type) — conservative. */
+  private def footerColStats(
+      blocks: java.util.List[
+        org.apache.parquet.hadoop.metadata.BlockMetaData],
+      c: String, typ: String): Option[ColStats] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    var mn: String = null
+    var mx: String = null
+    var nulls = 0L
+    var nullsKnown = true
+    val bit = blocks.iterator()
+    while (bit.hasNext) {
+      val block = bit.next()
+      val chunk = {
+        var found: org.apache.parquet.hadoop.metadata
+          .ColumnChunkMetaData = null
+        val cit = block.getColumns.iterator()
+        while (found == null && cit.hasNext) {
+          val cc = cit.next()
+          if (cc.getPath.toDotString == c) found = cc
+        }
+        found
+      }
+      if (chunk == null) return None // column absent from the file
+      val st = chunk.getStatistics
+      if (st == null || st.isEmpty) return None // writer omitted stats
+      if (st.getNumNulls < 0) nullsKnown = false
+      else nulls += st.getNumNulls
+      if (st.hasNonNullValue) {
+        val pt = chunk.getPrimitiveType
+        val reprs: Option[(String, String)] =
+          (pt.getPrimitiveTypeName, typ) match {
+            case (INT32, "long") | (INT64, "long") =>
+              Some((st.genericGetMin.toString, st.genericGetMax.toString))
+            case (INT32, "date") =>
+              def d(x: Any) = java.time.LocalDate
+                .ofEpochDay(x.asInstanceOf[Number].longValue).toString
+              Some((d(st.genericGetMin), d(st.genericGetMax)))
+            case (INT64, "timestamp") =>
+              val unit = pt.getLogicalTypeAnnotation match {
+                case ts: LogicalTypeAnnotation
+                    .TimestampLogicalTypeAnnotation => Some(ts.getUnit)
+                case _ => None
+              }
+              def micros(x: Any): Option[String] = {
+                val v = x.asInstanceOf[Number].longValue
+                unit match {
+                  case Some(LogicalTypeAnnotation.TimeUnit.MICROS) =>
+                    Some(v.toString)
+                  case Some(LogicalTypeAnnotation.TimeUnit.MILLIS) =>
+                    Some((v * 1000L).toString)
+                  case _ => None // NANOS would overflow; INT96 never here
+                }
+              }
+              for (a <- micros(st.genericGetMin);
+                   b <- micros(st.genericGetMax)) yield (a, b)
+            case (FLOAT, "double") | (DOUBLE, "double") =>
+              val a = st.genericGetMin.asInstanceOf[Number].doubleValue
+              val b = st.genericGetMax.asInstanceOf[Number].doubleValue
+              if (a.isNaN || b.isNaN) None // NaN poisons float stats
+              else Some((a.toString, b.toString))
+            case (BINARY, "string") =>
+              Some((st.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8,
+                st.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8))
+            case _ => None // INT96 timestamps, mismatched physicals
+          }
+        reprs match {
+          case None => return None
+          case Some((a, b)) =>
+            if (mn == null || cmp(typ, a, mn) < 0) mn = a
+            if (mx == null || cmp(typ, b, mx) > 0) mx = b
+        }
       }
     }
-    byEntry
+    if (mn == null || mx == null) None // every chunk all-null
+    else Some(ColStats(mn, mx, typ, if (nullsKnown) nulls else -1L))
   }
 
   /** The stats coverage of an existing snapshot — the columns a
@@ -786,20 +915,10 @@ object Snapshot {
   private def statTyp(dt: DataType): Option[String] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some("long")
     case FloatType | DoubleType => Some("double")
-    case _: DecimalType => Some("decimal")
     case StringType => Some("string")
     case DateType => Some("date")
     case TimestampType => Some("timestamp")
     case _ => None
-  }
-
-  /** The column expression that serializes a min/max into its typed
-    * string form (see [[ColStats]]). */
-  private def statRepr(c: Column, typ: String): Column = typ match {
-    case "long" => c.cast("long").cast("string")
-    case "double" => c.cast("double").cast("string")
-    case "timestamp" => unix_micros(c).cast("string")
-    case _ => c.cast("string") // decimal, string, date (yyyy-MM-dd)
   }
 
   /** A query bound in the same serialized form as the stored stats. */
@@ -808,10 +927,6 @@ object Snapshot {
       s"null bound for a $typ stats comparison")
     case ("long", n: Number) => n.longValue.toString
     case ("double", n: Number) => n.doubleValue.toString
-    case ("decimal", n: java.math.BigDecimal) => n.toPlainString
-    case ("decimal", n: BigDecimal) => n.bigDecimal.toPlainString
-    case ("decimal", n: Number) =>
-      new java.math.BigDecimal(n.toString).toPlainString
     case ("string", s: String) => s
     case ("date", s: String) => s
     case ("date", d: java.sql.Date) => d.toString
@@ -824,12 +939,20 @@ object Snapshot {
       s"unsupported bound ${other.getClass.getSimpleName} for $t stats")
   }
 
-  /** Exact typed comparison of two serialized stat values. */
+  /** Exact typed comparison of two serialized stat values. Strings
+    * compare in UNSIGNED UTF-8 BYTE order — the order parquet's UTF8
+    * statistics are computed under (also code-point order), which
+    * `String.compareTo`'s UTF-16 order is NOT for supplementary
+    * characters; the comparator must match the stats writer or
+    * pruning bounds silently invert on astral-plane text. */
   private def cmp(typ: String, a: String, b: String): Int = typ match {
     case "long" | "timestamp" => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case "decimal" => BigDecimal(a).compare(BigDecimal(b))
-    case _ => a.compareTo(b) // string; date as yyyy-MM-dd
+    case "date" => a.compareTo(b) // yyyy-MM-dd: lexicographic = time
+    case _ =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   // ---- manifest io -------------------------------------------------------
