@@ -179,8 +179,8 @@ object ScaleProbe {
                   // WordPiece tokenizer (the BPE probe shape: corpus
                   // count aggregate + memoized-UDF encode map)
                   "q_snapshot_skip", "q_snapshot_merge",
-                  "q_snapshot_delete", "q_bm25_topk", "q_hybrid_rrf",
-                  "q_wordpiece_tokens")
+                  "q_snapshot_delete", "q_bm25_topk", "q_bm25_index",
+                  "q_hybrid_rrf", "q_wordpiece_tokens")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -70,6 +70,7 @@ object SparkEntry {
     "q_tfidf_topterms"          -> ((s, d) => Corpus.tfidfTopTerms(s, d)),
     // round 15: lexical retrieval — BM25 + RRF hybrid fusion
     "q_bm25_topk"               -> Corpus.bm25Topk _,
+    "q_bm25_index"              -> Corpus.bm25Index _,
     "q_hybrid_rrf"              -> Corpus.hybridRrf _,
     "q_content_filters"         -> Corpus.contentFilters _,
     "q_pii_redact"              -> Corpus.piiRedact _,
@@ -287,6 +288,43 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** The BM25 twin, shared by `q_bm25_topk` (in-memory) and
+    * `q_bm25_index` (persisted postings) — one spelling, two engine
+    * paths gated against it. */
+  private val bm25Sql: String =
+    """WITH q(query_id, qtext) AS (VALUES
+             (1, 'hash merge fast scan'),
+             (2, 'slow batch table value'),
+             (3, 'key row part agg')),
+         qt AS (SELECT DISTINCT query_id, word FROM (
+             SELECT query_id, unnest(string_split(qtext, ' ')) AS word
+             FROM q)),
+         w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         len AS (SELECT doc_id, count(*) AS len FROM w GROUP BY 1),
+         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         g AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT count(*) FROM w) * 1.0 /
+                        (SELECT count(*) FROM documents) AS avgdl),
+         term AS (
+           SELECT qt.query_id, tf.doc_id,
+                  CAST(round(1000000.0 *
+                    ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5)) *
+                    (tf.tf * (1.2 + 1.0)) /
+                    (tf.tf + 1.2 * (0.25 + 0.75 * len.len / g.avgdl)))
+                    AS BIGINT) AS term_micro
+           FROM qt JOIN tf USING (word) JOIN df USING (word)
+                JOIN len ON len.doc_id = tf.doc_id CROSS JOIN g),
+         s AS (SELECT query_id, doc_id, sum(term_micro) AS score_micro
+               FROM term GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score_micro,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_micro DESC, doc_id) AS rank FROM s)
+         SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+                score_micro
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
   lazy val oracleSql: Map[String, String] =
     baseOracleSql +
       ("q_funnel" -> funnelOracle(baseOracleSql("q_curation"))) +
@@ -1388,39 +1426,11 @@ object SparkEntry {
     // sum so both engines round the same literals); each term's
     // contribution rounds to micro-units BEFORE the sum, so the score
     // is an order-free integer aggregate on both engines
-    "q_bm25_topk" ->
-      """WITH q(query_id, qtext) AS (VALUES
-             (1, 'hash merge fast scan'),
-             (2, 'slow batch table value'),
-             (3, 'key row part agg')),
-         qt AS (SELECT DISTINCT query_id, word FROM (
-             SELECT query_id, unnest(string_split(qtext, ' ')) AS word
-             FROM q)),
-         w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-               FROM documents),
-         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
-         len AS (SELECT doc_id, count(*) AS len FROM w GROUP BY 1),
-         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-         g AS (SELECT (SELECT count(*) FROM documents) AS n,
-                      (SELECT count(*) FROM w) * 1.0 /
-                        (SELECT count(*) FROM documents) AS avgdl),
-         term AS (
-           SELECT qt.query_id, tf.doc_id,
-                  CAST(round(1000000.0 *
-                    ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5)) *
-                    (tf.tf * (1.2 + 1.0)) /
-                    (tf.tf + 1.2 * (0.25 + 0.75 * len.len / g.avgdl)))
-                    AS BIGINT) AS term_micro
-           FROM qt JOIN tf USING (word) JOIN df USING (word)
-                JOIN len ON len.doc_id = tf.doc_id CROSS JOIN g),
-         s AS (SELECT query_id, doc_id, sum(term_micro) AS score_micro
-               FROM term GROUP BY 1, 2),
-         r AS (SELECT query_id, doc_id, score_micro,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY score_micro DESC, doc_id) AS rank FROM s)
-         SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
-                score_micro
-         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_bm25_topk" -> bm25Sql,
+    // the SAME twin gates the PERSISTED-index path: searchBm25 over
+    // the stored postings must answer exactly what the in-memory
+    // build answers — the hash gate IS the parity proof
+    "q_bm25_index" -> bm25Sql,
     // RRF hybrid: BM25 (k=10) + raw word-space sparse cosine (k=10,
     // the established (dot^2 * 2^20) div (n2q * n2d) integer grid)
     // fused with round(1e6/(60+rank)) integer contributions

@@ -2172,6 +2172,23 @@ object Corpus {
         docs(spark, dir), retrievalQueries(spark), k = 5)
       .orderBy(col("query_id"), col("rank"))
 
+  /** BM25 answered from the PERSISTED index
+    * ([[graft.similarity.LexicalIndex]]): the corpus lands in the
+    * posting/doclen/meta layout in two batches, then the query scores
+    * off the STORED postings (the corpus text is never re-read). The
+    * oracle is the same BM25 CTE as `q_bm25_topk` — the hash gate IS
+    * the index/in-memory parity proof, end to end through DuckDB. */
+  def bm25Index(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.LexicalIndex
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-q").toString
+    val d = docs(spark, dir)
+    LexicalIndex.build(d.filter(col("doc_id") % 2 === 0), path)
+    LexicalIndex.append(d.filter(col("doc_id") % 2 === 1), path, "b1")
+    LexicalIndex.searchBm25(spark, path, retrievalQueries(spark), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Hybrid retrieval: BM25 fused with the raw word-space sparse
     * cosine by reciprocal-rank fusion
     * ([[graft.similarity.Lexical.rrfFuse]], Cormack et al. 2009) —

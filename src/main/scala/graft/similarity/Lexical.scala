@@ -44,8 +44,8 @@ object Lexical {
   /** The shared inverted-index shape: (doc_id, word, tf) under the
     * corpus contract's single-space split (the [[graft.ops.Corpus]]
     * twin spelling). */
-  private def tfPostings(docs: DataFrame, idCol: String,
-                         textCol: String): DataFrame =
+  private[similarity] def tfPostings(docs: DataFrame, idCol: String,
+                                     textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("word"))
       .groupBy(col("doc_id"), col("word"))
@@ -53,8 +53,9 @@ object Lexical {
 
   /** DISTINCT query terms (the common web-query shape; document tf is
     * what BM25's saturation curve is for). */
-  private def queryTerms(queries: DataFrame, queryIdCol: String,
-                         queryTextCol: String): DataFrame =
+  private[similarity] def queryTerms(queries: DataFrame,
+                                     queryIdCol: String,
+                                     queryTextCol: String): DataFrame =
     queries.select(col(queryIdCol).as("query_id"),
         explode(split(col(queryTextCol), " ")).as("word"))
       .distinct()
@@ -69,8 +70,23 @@ object Lexical {
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val g = nDocs.crossJoin(tf.agg(sum(col("tf")).as("tot")))
       .withColumn("avgdl", col("tot") * lit(1.0) / col("n"))
-    val term = broadcast(qterms)
+    val cand = broadcast(qterms)
       .join(tf, Seq("word")) // inverted-index probe: df-bounded
+    bm25RankFromParts(cand, df, len, g, k, k1, b)
+  }
+
+  /** The BM25 scoring + ranking tail, shared verbatim by the
+    * in-memory path ([[bm25Ranked]]) and the persisted index
+    * ([[LexicalIndex.searchBm25]]) — ONE spelling of the score, so
+    * the two paths cannot drift. `cand`: (query_id, word, doc_id,
+    * tf); `df`: (word, df); `len`: (doc_id, len); `g`: one row of
+    * (n, avgdl). */
+  private[similarity] def bm25RankFromParts(cand: DataFrame,
+                                            df: DataFrame,
+                                            len: DataFrame, g: DataFrame,
+                                            k: Int, k1: Double,
+                                            b: Double): DataFrame = {
+    val term = cand
       .join(df, Seq("word"))
       .join(len, Seq("doc_id"))
       .crossJoin(broadcast(g))

@@ -1,0 +1,91 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTENT BM25 inverted index — the materialized form of
+  * [[Lexical.bm25TopK]]'s postings build, on the
+  * [[graft.dedup.DedupIndex]] lifecycle pattern: a continuously
+  * growing corpus builds the index ONCE, appends each landed batch,
+  * and every query scores against the stored postings without
+  * touching the corpus again. At 100 TB this is the difference
+  * between a per-query corpus tokenize (re-reading everything) and a
+  * word-keyed posting probe.
+  *
+  * Layout under `path` (plain parquet; a deployment buckets
+  * `postings` by `word` for partition-pruned probes —
+  * [[graft.sources.Bucketing]]):
+  *  - `postings/batch=<tag>/`  (word, doc_id, tf)
+  *  - `doclen/batch=<tag>/`    (doc_id, len) — the length prior; kept
+  *                  separate because a query's candidate lookup must
+  *                  not pay a postings re-aggregation by doc
+  *  - `meta/batch=<tag>/`      one row (n_docs) — the corpus size per
+  *                  batch, SUMMED at query time; counted off the
+  *                  batch frame itself so null-text docs (no tokens,
+  *                  no doclen row) still count, exactly as the
+  *                  in-memory path's `docs.count()` does
+  *
+  * Batch-scoped partition directories with per-directory OVERWRITE
+  * make appends idempotent under at-least-once retries (the
+  * DedupIndex/foreachBatch contract): a re-run replaces its own
+  * files, never duplicates postings.
+  *
+  * ==Exact parity==
+  * [[searchBm25]] returns byte-identical rankings to
+  * [[Lexical.bm25TopK]] over the union of all landed batches
+  * (spec-pinned): both paths score through the SAME
+  * [[Lexical.bm25RankFromParts]] spelling; df/len/N/avgdl are
+  * aggregates the index stores losslessly. Document ids must be
+  * unique across batches — the caller's contract, as in DedupIndex.
+  */
+object LexicalIndex {
+
+  /** Build the index at `path` from a corpus frame. */
+  def build(docs: DataFrame, path: String,
+            textCol: String = "text", idCol: String = "doc_id"): Unit =
+    append(docs, path, "base", textCol, idCol)
+
+  /** Land one batch's postings under `batch=<tag>` (idempotent:
+    * re-running a tag overwrites its own directories). */
+  def append(batch: DataFrame, path: String, batchTag: String,
+             textCol: String = "text",
+             idCol: String = "doc_id"): Unit = {
+    require(batchTag.nonEmpty &&
+      batchTag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"batchTag must be directory-safe, got '$batchTag'")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val tf = Lexical.tfPostings(batch, idCol, textCol)
+    tf.write.mode("overwrite").parquet(s"$path/postings/batch=$batchTag")
+    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+      .write.mode("overwrite").parquet(s"$path/doclen/batch=$batchTag")
+    Seq(batch.count()).toDF("n_docs")
+      .write.mode("overwrite").parquet(s"$path/meta/batch=$batchTag")
+  }
+
+  /** BM25 top-k against the stored postings. The probe reads only the
+    * posting rows of the QUERY's words (one broadcast semi-join on
+    * `word` — with word-bucketed postings this is partition-pruned),
+    * plus the doclen/meta tables for the global priors; the corpus
+    * text is never read. */
+  def searchBm25(spark: SparkSession, path: String, queries: DataFrame,
+                 k: Int, k1: Double = 1.2, b: Double = 0.75,
+                 queryIdCol: String = "query_id",
+                 queryTextCol: String = "qtext"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val qterms = Lexical.queryTerms(queries, queryIdCol, queryTextCol)
+    val qwords = qterms.select(col("word")).distinct()
+    val rel = spark.read.parquet(s"$path/postings")
+      .select(col("word"), col("doc_id"), col("tf"))
+      .join(broadcast(qwords), Seq("word")) // the df-bounded probe
+    val df = rel.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val len = spark.read.parquet(s"$path/doclen")
+      .select(col("doc_id"), col("len"))
+    val g = spark.read.parquet(s"$path/meta")
+      .agg(sum(col("n_docs")).as("n"))
+      .crossJoin(len.agg(sum(col("len")).as("tot")))
+      .withColumn("avgdl", col("tot") * lit(1.0) / col("n"))
+    val cand = broadcast(qterms).join(rel, Seq("word"))
+    Lexical.bm25RankFromParts(cand, df, len, g, k, k1, b)
+  }
+}

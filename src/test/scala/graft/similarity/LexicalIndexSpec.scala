@@ -1,0 +1,59 @@
+package graft.similarity
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted BM25 index: exact parity with the in-memory path,
+  * multi-batch composition, append idempotence. */
+class LexicalIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(from: Int, until: Int) =
+    (from until until).map { i =>
+      val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+      (i.toLong, (0 to i % 7).map(j => words((i + j) % 5)).mkString(" "))
+    }.toDF("doc_id", "text")
+
+  private val queries = Seq((1L, "alpha gamma"), (2L, "delta"))
+    .toDF("query_id", "qtext")
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("searchBm25 over a built index is byte-identical to the " +
+    "in-memory bm25TopK") {
+    val path = Files.createTempDirectory("graft-lexidx").toString
+    val docs = corpus(0, 60)
+    LexicalIndex.build(docs, path)
+    val fromIndex = LexicalIndex.searchBm25(spark, path, queries, k = 7)
+    val inMemory = Lexical.bm25TopK(docs, queries, k = 7)
+    assert(canon(fromIndex) == canon(inMemory))
+  }
+
+  test("multi-batch index equals the whole-corpus index; appends are " +
+    "tag-idempotent") {
+    val path = Files.createTempDirectory("graft-lexidx2").toString
+    LexicalIndex.build(corpus(0, 30), path)
+    LexicalIndex.append(corpus(30, 60), path, "b1")
+    LexicalIndex.append(corpus(60, 80), path, "b2")
+    // an at-least-once retry of b2 replaces its own files
+    LexicalIndex.append(corpus(60, 80), path, "b2")
+    val fromIndex = LexicalIndex.searchBm25(spark, path, queries, k = 7)
+    val inMemory = Lexical.bm25TopK(corpus(0, 80), queries, k = 7)
+    assert(canon(fromIndex) == canon(inMemory))
+  }
+
+  test("null-text docs count toward N in both paths (the avgdl/idf " +
+    "denominator parity edge)") {
+    val path = Files.createTempDirectory("graft-lexidx3").toString
+    val docs = corpus(0, 20).unionByName(
+      Seq((900L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    LexicalIndex.build(docs, path)
+    val fromIndex = LexicalIndex.searchBm25(spark, path, queries, k = 5)
+    val inMemory = Lexical.bm25TopK(docs, queries, k = 5)
+    assert(canon(fromIndex) == canon(inMemory))
+  }
+}
