@@ -179,7 +179,8 @@ object ScaleProbe {
                   // WordPiece tokenizer (the BPE probe shape: corpus
                   // count aggregate + memoized-UDF encode map)
                   "q_snapshot_skip", "q_snapshot_merge",
-                  "q_snapshot_delete", "q_bm25_topk", "q_bm25_index",
+                  "q_snapshot_delete", "q_snapshot_incremental",
+                  "q_bm25_topk", "q_bm25_index",
                   "q_hybrid_rrf", "q_wordpiece_tokens")
 
   def main(args: Array[String]): Unit = {
@@ -520,8 +521,24 @@ object ScaleProbe {
       emb.repartition(16).write.mode("overwrite")
         .parquet(s"$dst/embeddings.parquet")
     }
+    // orders joined in round 15 — same backfill treatment as embeddings
+    val ordDir = new java.io.File(s"$dst/orders.parquet")
+    def generateOrders(): Unit = {
+      // offset keys keep o_orderkey unique across replicas, which the
+      // snapshot queries' key-sliced appends and merge-source
+      // distinctness require
+      val orders = Tables.orders(spark, src).crossJoin(reps)
+        .withColumn("o_orderkey",
+          col("o_orderkey") + col("rep") * lit(docOff))
+        .drop("rep")
+      orders.repartition(16).write.mode("overwrite")
+        .parquet(s"$dst/orders.parquet")
+    }
     if (marker.exists()) {
-      if (!embDir.exists()) { generateEmbeddings(); Tables.invalidate(dst) }
+      var invalidated = false
+      if (!embDir.exists()) { generateEmbeddings(); invalidated = true }
+      if (!ordDir.exists()) { generateOrders(); invalidated = true }
+      if (invalidated) Tables.invalidate(dst)
       return
     }
 
@@ -561,6 +578,7 @@ object ScaleProbe {
       .drop("rep")
     events.repartition(16).write.mode("overwrite")
       .parquet(s"$dst/events.parquet")
+    generateOrders()
     generateEmbeddings()
     // the overwrites above invalidate any memoized relations under dst
     Tables.invalidate(dst)

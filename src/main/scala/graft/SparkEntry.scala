@@ -194,6 +194,7 @@ object SparkEntry {
     "q_snapshot_skip"           -> Corpus.snapshotSkip _,
     "q_snapshot_merge"          -> Corpus.snapshotMerge _,
     "q_snapshot_delete"         -> Corpus.snapshotDelete _,
+    "q_snapshot_incremental"    -> Corpus.snapshotIncremental _,
     "q_pivot_events"            -> Stats.pivotEventCounts _,
     "q_char_deciles"            -> Stats.charDeciles _,
     "q_bucketed_join"           -> Corpus.bucketedJoin _,
@@ -3538,6 +3539,15 @@ object SparkEntry {
          FROM orders, m
          WHERE o_orderkey NOT BETWEEN m.q + 1 AND 2 * m.q
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // the CDC read must be exactly the appended rows: the oracle
+    // replays the second append's slice off the raw table
+    "q_snapshot_incremental" ->
+      """SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                CAST(sum(doc_id) AS BIGINT) AS sum_id
+         FROM documents WHERE doc_id % 2 = 1
+         GROUP BY 1 ORDER BY 1""",
     // the compacted rewrite must be value-preserving: the oracle
     // answers the same type-sliced aggregate from the RAW table
     "q_compact_scan" ->

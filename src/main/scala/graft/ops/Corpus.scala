@@ -168,6 +168,28 @@ object Corpus {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Incremental snapshot consumption as a declared query
+    * ([[graft.sources.Snapshot.readAppendsSince]]): documents land in
+    * two appends (evens then odds); a consumer baselined at v1 reads
+    * ONLY v2's rows off the manifest file-diff — no flag columns, no
+    * rewrite. The oracle replays the odd slice straight off the raw
+    * table, so the hash gate proves the CDC read is exactly the
+    * appended rows, nothing more, nothing less. */
+  def snapshotIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapinc").toString + "/t"
+    val d = docs(spark, dir)
+    Snapshot.append(d.filter(col("doc_id") % 2 === 0), table) // v1
+    Snapshot.append(d.filter(col("doc_id") % 2 === 1), table) // v2
+    Snapshot.readAppendsSince(spark, table, 1L)
+      .groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(length(col("text")).cast("long")).as("total_chars"),
+           sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("bucket"))
+  }
+
   /** Exact dedup over a corpus with planted exact clones (every 10th doc
     * re-appears under id+100000): content-hash groups with canonical id
     * and copy count. */
