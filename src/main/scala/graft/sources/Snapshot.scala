@@ -199,7 +199,25 @@ object Snapshot {
     * is unchanged in content; against a changed parent it aborts
     * (the rewrite no longer represents the table) — rerun it. */
   def compact(spark: SparkSession, table: String,
-              targetFileBytes: Long = 128L << 20): Long = {
+              targetFileBytes: Long = 128L << 20): Long =
+    compactClustered(spark, table, Nil, targetFileBytes)
+
+  /** [[compact]] that additionally CLUSTERS the rewrite on
+    * `clusterCols` (range-partition + sort within files): after many
+    * interleaved appends every file's key range spans the table and
+    * the stats index ([[readWhere]]) can prune nothing — a clustered
+    * compaction re-establishes file-level locality, so range reads
+    * drop back to O(selectivity) files. This is the lakehouse
+    * `OPTIMIZE ... ZORDER`/`sortBy` maintenance pass expressed as
+    * just another snapshot commit (pinned readers unaffected, same
+    * row-count verification, same abort-if-advanced contract). Track
+    * the cluster column in `statsCols` at append time or the pruning
+    * the clustering buys has no index to bind to. For range locality
+    * on several columns at once, pre-compute [[Layout]]'s Z-order
+    * key and cluster on that. */
+  def compactClustered(spark: SparkSession, table: String,
+                       clusterCols: Seq[String],
+                       targetFileBytes: Long = 128L << 20): Long = {
     require(targetFileBytes > 0)
     val base = currentManifest(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
@@ -213,10 +231,14 @@ object Snapshot {
     // most nf files — the writePartitionedCompact shape)
     val pCols = partitionColsOf(base.files)
     val src = readFiles(spark, table, base.files)
+    val rewrite =
+      if (clusterCols.isEmpty) src.coalesce(nf)
+      else src.repartitionByRange(nf, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
     // the rewrite keeps the table's stats coverage: whatever columns
     // the parent tracked are re-gathered over the rewritten files
     val (staged, rewrittenRows) = withStatsAndRows(spark, table,
-      stage(spark, src.coalesce(nf), table, pCols),
+      stage(spark, rewrite, table, pCols),
       statsColsOf(base.files))
     require(rewrittenRows == base.rows,
       s"compact row mismatch: snapshot=${base.rows} " +

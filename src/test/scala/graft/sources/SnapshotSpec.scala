@@ -390,6 +390,34 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.readAppendsSince(spark, t, 4L).count() == 3)
   }
 
+  test("clustered compaction restores the data skipping that " +
+    "interleaved appends destroyed; plain compaction cannot") {
+    val t = freshTable()
+    // four interleaved appends: every file spans the whole key range,
+    // so the stats index can prune nothing
+    (0 until 4).foreach(k => Snapshot.append(
+      batch(0, 400).filter(col("id") % 4 === k).coalesce(1), t,
+      statsCols = Seq("id")))
+    val (t0, k0) = Snapshot.pruneCount(spark, t, "id", 100L, 120L)
+    assert(k0 == t0, "interleaved appends should admit no pruning")
+    val bytes = Snapshot.readManifest(spark, t, 4L).get
+      .files.map(_.bytes).sum
+    val target = math.max(1L, bytes / 4)
+    // control: a plain compaction keeps the interleaving
+    Snapshot.compact(spark, t, target)
+    val (t1, k1) = Snapshot.pruneCount(spark, t, "id", 100L, 120L)
+    assert(k1 == t1, "plain compaction cannot create locality")
+    // the maintenance pass: range-clustered rewrite on the key
+    Snapshot.compactClustered(spark, t, Seq("id"), target)
+    val (t2, k2) = Snapshot.pruneCount(spark, t, "id", 100L, 120L)
+    assert(t2 > 1, s"need multiple output files for the contrast: $t2")
+    assert(k2 < t2,
+      s"clustered compaction did not restore pruning: kept $k2 of $t2")
+    // and it is still a value-preserving compaction
+    assert(Snapshot.readWhere(spark, t, "id", 100L, 120L).count() == 21)
+    assert(Snapshot.read(spark, t).count() == 400)
+  }
+
   test("compact aborts cleanly when the table advanced underneath it") {
     // the documented non-goal: compact verifies its parent is still
     // current at commit time; a mid-flight append makes it abort with
