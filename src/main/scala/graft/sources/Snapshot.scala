@@ -80,10 +80,13 @@ object Snapshot {
     * `tag` is the writer's idempotence token (empty when unused): a
     * replayed commit carrying a tag some committed manifest already
     * holds is a DUPLICATE and must be skipped — the foreachBatch
-    * at-least-once contract ([[append]] with `tag = Some(batchId)`). */
+    * at-least-once contract ([[append]] with `tag = Some(batchId)`).
+    * `atMicros` is the commit wall-clock (epoch micros, stamped at
+    * claim time; 0 in manifests written before the field existed) —
+    * the [[readAsOf]] time-travel axis. */
   final case class Manifest(version: Long, parent: Long, action: String,
                             rows: Long, files: Seq[FileEntry],
-                            tag: String = "")
+                            tag: String = "", atMicros: Long = 0L)
 
   private val SnapDir = "_snapshots"
   private val MaxRetries = 20
@@ -122,6 +125,7 @@ object Snapshot {
     commitRetrying(spark, table) { parent =>
       tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
         throw new DuplicateTag(v) } // raced replayer landed it first
+      requireSameLayout(parent, Nil)
       Manifest(parent.version + 1, parent.version, "append",
         parent.rows + stagedRows, parent.files ++ staged,
         tag.getOrElse(""))
@@ -156,6 +160,7 @@ object Snapshot {
     commitRetrying(spark, table) { parent =>
       tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
         throw new DuplicateTag(v) }
+      requireSameLayout(parent, partitionCols)
       Manifest(parent.version + 1, parent.version, "append",
         parent.rows + stagedRows, parent.files ++ staged,
         tag.getOrElse(""))
@@ -477,7 +482,7 @@ object Snapshot {
         .parquet(stageDirPath(table, fs): _*)
       df.select(col("_metadata.file_path").as("__file") +:
         df.columns.toSeq.map(col): _*)
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // ---- read paths ------------------------------------------------------
@@ -520,6 +525,26 @@ object Snapshot {
     else readFiles(spark, table, kept).filter(residual)
   }
 
+  /** TIME TRAVEL BY TIMESTAMP: the table as of wall-clock `tsMicros`
+    * (epoch micros) — the latest committed version whose commit stamp
+    * is ≤ the asked time. Resolution is by MAX VERSION among
+    * qualifying manifests, so a clock-skewed later commit (NTP step
+    * between writers) is included rather than silently hiding newer
+    * data — commit ORDER is the truth, the timestamp is the index.
+    * Throws when the asked time predates every retained commit
+    * (including pre-timestamp manifests, whose stamp is 0). */
+  def readAsOf(spark: SparkSession, table: String,
+               tsMicros: Long): DataFrame = {
+    val qualifying = listVersions(spark, table).sorted
+      .flatMap(v => readManifest(spark, table, v))
+      .filter(m => m.atMicros > 0L && m.atMicros <= tsMicros)
+    if (qualifying.isEmpty)
+      throw new NoSuchElementException(
+        s"no snapshot in $table committed at or before $tsMicros " +
+          "(expired, never committed, or a pre-timestamp manifest)")
+    read(spark, table, Some(qualifying.map(_.version).max))
+  }
+
   /** (files in the snapshot, files a [[readWhere]] with these bounds
     * would plan) — the observable data-skipping contract, for specs
     * and capacity math. */
@@ -560,9 +585,15 @@ object Snapshot {
     * root, each group reads with its own basePath (partition columns
     * parse from the k=v dirs, pruning binds per group), and groups
     * union. Commit-count is bounded by compaction cadence — a
-    * compacted snapshot is ONE group. Keep ONE layout per table (all
-    * commits partitioned by the same columns, or none) — Spark
-    * rejects mixed specs at union time, loudly. */
+    * compacted snapshot is ONE group.
+    *
+    * The union allows MISSING columns (ADDITIVE schema evolution: a
+    * commit may introduce new columns; rows from earlier commits read
+    * them as null — the Iceberg add-column semantic). The one-layout
+    * rule (same partition columns on every commit, or none) is
+    * enforced LOUDLY at append time, where the writer can fix it —
+    * with permissive unions a read-side mismatch would otherwise
+    * null-fill silently. */
   private def readFiles(spark: SparkSession, table: String,
                         files: Seq[FileEntry]): DataFrame = {
     val byCommit = files.groupBy(f =>
@@ -570,7 +601,20 @@ object Snapshot {
     byCommit.map { case (root, fs) =>
       spark.read.option("basePath", s"$table/$root")
         .parquet(stageDirPath(table, fs): _*)
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The append-time loudness behind [[readFiles]]'s permissive
+    * union: a new commit's partition layout must match the table's. */
+  private def requireSameLayout(parent: Manifest,
+                                partitionCols: Seq[String]): Unit = {
+    if (parent.files.isEmpty) return
+    val existing = partitionColsOf(parent.files)
+    require(existing == partitionCols,
+      s"partition layout mismatch: table is " +
+        s"${if (existing.isEmpty) "unpartitioned" else existing.mkString("[", ",", "]")}, " +
+        s"append is ${if (partitionCols.isEmpty) "unpartitioned" else partitionCols.mkString("[", ",", "]")} " +
+        "— one layout per table (compact to change it)")
   }
 
   /** [[readFiles]] narrowed to `cols` plus the provenance column
@@ -697,8 +741,10 @@ object Snapshot {
     while (attempt < MaxRetries) {
       val parent = currentManifest(spark, table)
         .getOrElse(Manifest(0L, -1L, "init", 0L, Nil))
+      val now = java.time.Instant.now()
       val next =
-        try build(parent)
+        try build(parent).copy(atMicros =
+          now.getEpochSecond * 1000000L + now.getNano / 1000L)
         catch { case d: DuplicateTag => return Left(d.version) }
       if (claim(spark, table, next)) return Right(next.version)
       attempt += 1
@@ -1030,6 +1076,7 @@ object Snapshot {
     root.put("action", m.action)
     root.put("rows", m.rows)
     root.put("tag", m.tag)
+    root.put("atMicros", m.atMicros)
     val arr = root.putArray("files")
     m.files.foreach { f =>
       val o = arr.addObject()
@@ -1074,7 +1121,8 @@ object Snapshot {
     Manifest(root.get("version").asLong(), root.get("parent").asLong(),
       root.get("action").asText(), root.get("rows").asLong(),
       files.toSeq,
-      Option(root.get("tag")).map(_.asText()).getOrElse(""))
+      Option(root.get("tag")).map(_.asText()).getOrElse(""),
+      Option(root.get("atMicros")).map(_.asLong()).getOrElse(0L))
   }
 
   private def stageDirPath(table: String,

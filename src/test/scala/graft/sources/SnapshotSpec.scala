@@ -418,6 +418,59 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, t).count() == 400)
   }
 
+  test("readAsOf: time travel by commit timestamp; pre-window times " +
+    "fail loudly") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 10), t) // v1
+    val at1 = Snapshot.readManifest(spark, t, 1L).get.atMicros
+    assert(at1 > 0L, "commit was not timestamped")
+    Snapshot.append(batch(10, 30), t) // v2
+    val at2 = Snapshot.readManifest(spark, t, 2L).get.atMicros
+    assert(at2 >= at1)
+    assert(Snapshot.readAsOf(spark, t, at1).count() == 10)
+    assert(Snapshot.readAsOf(spark, t, at2).count() == 30)
+    assert(Snapshot.readAsOf(spark, t, at2 + 1000000L).count() == 30)
+    intercept[NoSuchElementException] {
+      Snapshot.readAsOf(spark, t, at1 - 1L)
+    }
+  }
+
+  test("additive schema evolution: a commit may introduce columns; " +
+    "earlier rows read them as null") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 10), t)
+    Snapshot.append(
+      (10 until 20).map(i => (i.toLong, s"doc $i", s"en"))
+        .toDF("id", "text", "lang"), t)
+    val cur = Snapshot.read(spark, t)
+    assert(cur.columns.toSeq == Seq("id", "text", "lang"))
+    assert(cur.count() == 20)
+    assert(cur.filter(col("lang").isNull).count() == 10,
+      "pre-evolution rows must read the new column as null")
+    assert(cur.filter(col("lang") === "en").count() == 10)
+    // and the evolved table still compacts (one rewrite, one schema)
+    Snapshot.compact(spark, t)
+    assert(Snapshot.read(spark, t).count() == 20)
+  }
+
+  test("layout mismatch is loud at APPEND time, not a silent " +
+    "read-side null-fill") {
+    val t = freshTable()
+    Snapshot.appendPartitioned(
+      (0 until 10).map(i => (i.toLong, s"doc $i", "en"))
+        .toDF("id", "text", "lang"), t, Seq("lang"))
+    intercept[IllegalArgumentException] {
+      Snapshot.append(batch(10, 20), t) // unpartitioned into partitioned
+    }
+    val t2 = freshTable()
+    Snapshot.append(batch(0, 10), t2)
+    intercept[IllegalArgumentException] {
+      Snapshot.appendPartitioned(
+        (10 until 20).map(i => (i.toLong, s"doc $i", "en"))
+          .toDF("id", "text", "lang"), t2, Seq("lang"))
+    }
+  }
+
   test("compact aborts cleanly when the table advanced underneath it") {
     // the documented non-goal: compact verifies its parent is still
     // current at commit time; a mid-flight append makes it abort with
