@@ -180,6 +180,7 @@ object ScaleProbe {
                   // count aggregate + memoized-UDF encode map)
                   "q_snapshot_skip", "q_snapshot_merge",
                   "q_snapshot_delete", "q_snapshot_incremental",
+                  "q_snapshot_asof",
                   "q_bm25_topk", "q_bm25_index",
                   "q_hybrid_rrf", "q_wordpiece_tokens")
 

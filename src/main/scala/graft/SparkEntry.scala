@@ -195,6 +195,7 @@ object SparkEntry {
     "q_snapshot_merge"          -> Corpus.snapshotMerge _,
     "q_snapshot_delete"         -> Corpus.snapshotDelete _,
     "q_snapshot_incremental"    -> Corpus.snapshotIncremental _,
+    "q_snapshot_asof"           -> Corpus.snapshotAsOf _,
     "q_pivot_events"            -> Stats.pivotEventCounts _,
     "q_char_deciles"            -> Stats.charDeciles _,
     "q_bucketed_join"           -> Corpus.bucketedJoin _,
@@ -3539,6 +3540,20 @@ object SparkEntry {
          FROM orders, m
          WHERE o_orderkey NOT BETWEEN m.q + 1 AND 2 * m.q
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // time travel by TIMESTAMP must resolve the same states the
+    // version axis does: the oracle replays the two slices (the
+    // q_snapshot_read twin, reached through readAsOf)
+    "q_snapshot_asof" ->
+      """WITH slices AS (
+           SELECT 1 AS snap, doc_id, text FROM documents
+           WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT 2 AS snap, doc_id, text FROM documents)
+         SELECT CAST(snap AS BIGINT) AS snap,
+                CAST(doc_id % 8 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars
+         FROM slices GROUP BY 1, 2 ORDER BY 1, 2""",
     // the CDC read must be exactly the appended rows: the oracle
     // replays the second append's slice off the raw table
     "q_snapshot_incremental" ->

@@ -190,6 +190,39 @@ object Corpus {
       .orderBy(col("bucket"))
   }
 
+  /** Time travel BY TIMESTAMP as a declared query
+    * ([[graft.sources.Snapshot.readAsOf]]): documents land in two
+    * appends; the query reads the table as of EACH commit's own
+    * wall-clock stamp (taken from the manifests, so the query is
+    * deterministic even though the clock is not) and aggregates both
+    * states side by side — v1 must be the even slice, the post-v2
+    * state the whole corpus, exactly [[snapshotRead]]'s contract
+    * through the timestamp axis instead of the version axis. */
+  def snapshotAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapasof").toString + "/t"
+    val d = docs(spark, dir)
+    Snapshot.append(d.filter(col("doc_id") % 2 === 0), table) // v1
+    Snapshot.append(d.filter(col("doc_id") % 2 === 1), table) // v2
+    val at1 = Snapshot.readManifest(spark, table, 1L).get.atMicros
+    val at2 = Snapshot.readManifest(spark, table, 2L).get.atMicros
+    // two commits in the same MICROSECOND would make readAsOf(at1)
+    // resolve v2 — fail loudly instead of hash-mismatching (a parquet
+    // write takes milliseconds; this cannot happen outside a clock
+    // step, and a clock step deserves a loud failure)
+    require(at2 > at1, s"commit stamps not increasing: $at1 -> $at2")
+    val v1 = Snapshot.readAsOf(spark, table, at1)
+      .withColumn("snap", lit(1L))
+    val v2 = Snapshot.readAsOf(spark, table, at2)
+      .withColumn("snap", lit(2L))
+    v1.unionByName(v2)
+      .groupBy(col("snap"), (col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(length(col("text")).cast("long")).as("total_chars"))
+      .orderBy(col("snap"), col("bucket"))
+  }
+
   /** Exact dedup over a corpus with planted exact clones (every 10th doc
     * re-appears under id+100000): content-hash groups with canonical id
     * and copy count. */

@@ -698,6 +698,22 @@ object Snapshot {
     (drop.size, removed)
   }
 
+  /** Retention by TIME — the production spelling of [[expire]]:
+    * drop every manifest committed before `tsMicros` (keeping at
+    * least `minKeepLast` newest regardless, so a quiet table never
+    * expires itself empty), then sweep unreferenced files as
+    * [[expire]] does. Manifests from before the timestamp field
+    * (stamp 0) count as older-than-everything. */
+  def expireOlderThan(spark: SparkSession, table: String,
+                      tsMicros: Long,
+                      minKeepLast: Int = 1): (Int, Int) = {
+    require(minKeepLast >= 1)
+    val recent = listVersions(spark, table).sorted
+      .flatMap(v => readManifest(spark, table, v))
+      .count(_.atMicros >= tsMicros)
+    expire(spark, table, keepLast = math.max(minKeepLast, recent))
+  }
+
   // ---- commit protocol internals ----------------------------------------
 
   /** Write `df` into a fresh `data/<uuid>/` staging dir (optionally

@@ -471,6 +471,25 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("expireOlderThan: time-based retention drops pre-cutoff " +
+    "manifests but never empties a quiet table") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 10), t)  // v1
+    Snapshot.append(batch(10, 20), t) // v2
+    val at2 = Snapshot.readManifest(spark, t, 2L).get.atMicros
+    Snapshot.append(batch(20, 30), t) // v3
+    val (dropped, _) = Snapshot.expireOlderThan(spark, t, at2)
+    assert(dropped == 1, s"expected v1 dropped, got $dropped")
+    intercept[NoSuchElementException] { Snapshot.read(spark, t, Some(1L)) }
+    assert(Snapshot.read(spark, t, Some(2L)).count() == 20)
+    assert(Snapshot.read(spark, t).count() == 30)
+    // a cutoff in the future keeps minKeepLast, never zero
+    val (dropped2, _) = Snapshot.expireOlderThan(spark, t,
+      Long.MaxValue, minKeepLast = 1)
+    assert(dropped2 == 1) // v2 dropped, v3 kept
+    assert(Snapshot.read(spark, t).count() == 30)
+  }
+
   test("compact aborts cleanly when the table advanced underneath it") {
     // the documented non-goal: compact verifies its parent is still
     // current at commit time; a mid-flight append makes it abort with
