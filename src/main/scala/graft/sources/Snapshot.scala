@@ -664,6 +664,10 @@ object Snapshot {
     drop.foreach(v => fs.delete(manifestPath(table, v), false))
     val live: Set[String] = keep.flatMap(v =>
       readManifest(spark, table, v)).flatMap(_.files.map(_.path)).toSet
+    // group files referenced by a RETAINED manifest survive the
+    // _snapshots sweep (the manifest-list layer's metadata liveness)
+    val liveGroups: Set[String] =
+      keep.flatMap(v => groupNamesOf(fs, table, v)).toSet
     val root = new org.apache.hadoop.fs.Path(table)
     val rootUri = root.toUri.getPath.stripSuffix("/")
     var removed = 0
@@ -677,11 +681,14 @@ object Snapshot {
       val isMeta = f.getPath.getName.startsWith("_") ||
         f.getPath.getName.startsWith(".")
       if (rel.startsWith(SnapDir + "/")) {
-        // under _snapshots only retained vN.json names survive; a
-        // .tmp-* scratch body from a crashed claim is swept here
+        // under _snapshots, retained vN.json names and their group
+        // files survive; dropped manifests' groups, orphan groups
+        // from lost races, and .tmp-* scratch bodies are swept here
         val isLiveManifest =
           keep.exists(v => rel == s"$SnapDir/${manifestName(v)}")
-        if (!isLiveManifest) doomed += f.getPath
+        val isLiveGroup =
+          liveGroups.contains(rel.stripPrefix(SnapDir + "/"))
+        if (!isLiveManifest && !isLiveGroup) doomed += f.getPath
       } else if (!isMeta && !live.contains(rel)) {
         // a DATA file no surviving manifest references: compacted-away
         // or a crash orphan (write markers like _SUCCESS are left
@@ -779,28 +786,83 @@ object Snapshot {
                     m: Manifest): Boolean = {
     val fs = hadoopFs(spark, table)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$table/$SnapDir"))
+    // MANIFEST SPLITTING (the Iceberg manifest-list move): the file
+    // list lands as content-addressed per-commit GROUP files; the
+    // version manifest only lists their names. An append therefore
+    // writes O(new files) of metadata — every carried group already
+    // exists under its content hash and is reused by name — where the
+    // inline spelling rewrote the ENTIRE table list (~80 MB at 800 K
+    // files) on every commit. A lost CAS race leaves the same groups
+    // on disk for the retry to reuse (content-addressed = idempotent);
+    // groups no retained manifest references are swept by [[expire]].
+    val groupNames = writeGroups(fs, table, m.files)
     val scratch = new org.apache.hadoop.fs.Path(
       s"$table/$SnapDir/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(scratch, false)
-    try out.write(toJson(m).getBytes("UTF-8")) finally out.close()
-    val dst = manifestPath(table, m.version)
-    val won =
-      if ("file" == dst.toUri.getScheme ||
-          fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-          fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
-        // local FS: java renameTo REPLACES an existing destination, so
-        // rename cannot be the CAS — hard-link is (atomic EEXIST)
-        val src = java.nio.file.Paths.get(scratch.toUri.getPath)
-        val d = java.nio.file.Paths.get(dst.toUri.getPath)
-        try { java.nio.file.Files.createLink(d, src); true }
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else {
-        !fs.exists(dst) && fs.rename(scratch, dst)
-      }
+    try out.write(toJson(m, groupNames).getBytes("UTF-8"))
+    finally out.close()
+    val won = atomicBind(fs, scratch, manifestPath(table, m.version))
     fs.delete(scratch, false)
     won
+  }
+
+  /** Bind `dst` to `scratch`'s content atomically, failing (false) if
+    * `dst` already exists: hard-link on local filesystems (POSIX
+    * link(2) atomic EEXIST — java renameTo would REPLACE),
+    * rename-without-replace under HDFS semantics. */
+  private def atomicBind(fs: org.apache.hadoop.fs.FileSystem,
+                         scratch: org.apache.hadoop.fs.Path,
+                         dst: org.apache.hadoop.fs.Path): Boolean =
+    if ("file" == dst.toUri.getScheme ||
+        fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+        fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
+      val src = java.nio.file.Paths.get(scratch.toUri.getPath)
+      val d = java.nio.file.Paths.get(dst.toUri.getPath)
+      try { java.nio.file.Files.createLink(d, src); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      !fs.exists(dst) && fs.rename(scratch, dst)
+    }
+
+  /** Write (or reuse) one content-addressed group file per commit
+    * root, preserving first-appearance order; returns the ordered
+    * group names. A group's name is the sha-256 of its canonical
+    * content, so identical lists — a carried group, a lost-race retry
+    * — resolve to the SAME file and only genuinely new groups write.
+    * The write itself goes through scratch + atomic bind: a reader
+    * can never observe a torn group body. */
+  private def writeGroups(fs: org.apache.hadoop.fs.FileSystem,
+                          table: String,
+                          files: Seq[FileEntry]): Seq[String] = {
+    val order = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[FileEntry]]
+    files.foreach { f =>
+      val root = f.path.split('/').take(2).mkString("/")
+      order.getOrElseUpdate(root,
+        scala.collection.mutable.ArrayBuffer.empty) += f
+    }
+    order.values.map { group =>
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = om.createArrayNode()
+      group.foreach(f => fileToJson(arr.addObject(), f))
+      val body = om.writerWithDefaultPrettyPrinter()
+        .writeValueAsString(arr).getBytes("UTF-8")
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(body).map("%02x".format(_)).mkString.take(32)
+      val name = s"g-$sha.json"
+      val dst = new org.apache.hadoop.fs.Path(s"$table/$SnapDir/$name")
+      if (!fs.exists(dst)) {
+        val scratch = new org.apache.hadoop.fs.Path(
+          s"$table/$SnapDir/.tmp-${java.util.UUID.randomUUID()}")
+        val out = fs.create(scratch, false)
+        try out.write(body) finally out.close()
+        atomicBind(fs, scratch, dst) // loser = identical content, fine
+        fs.delete(scratch, false)
+      }
+      name
+    }.toSeq
   }
 
   // ---- per-file column stats ---------------------------------------------
@@ -1065,26 +1127,90 @@ object Snapshot {
 
   /** The committed manifest at `v`, if retained — the user-facing
     * metadata surface (file accounting, stats inspection, wholesale-
-    * delete proofs). */
+    * delete proofs). File lists resolve through the manifest's group
+    * references ([[writeGroups]]); legacy inline-`files` manifests
+    * still load. */
   def readManifest(spark: SparkSession, table: String,
                    v: Long): Option[Manifest] = {
     val fs = hadoopFs(spark, table)
     val p = manifestPath(table, v)
     if (!fs.exists(p)) return None
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(readFully(fs, p), "UTF-8"))
+    val files: Seq[FileEntry] =
+      if (root.has("files")) filesFromJson(root.get("files")) // legacy
+      else {
+        val b = Seq.newBuilder[FileEntry]
+        root.get("groups").elements().forEachRemaining { g =>
+          b ++= readGroup(fs, table, g.asText())
+        }
+        b.result()
+      }
+    Some(Manifest(root.get("version").asLong(),
+      root.get("parent").asLong(),
+      root.get("action").asText(), root.get("rows").asLong(),
+      files,
+      Option(root.get("tag")).map(_.asText()).getOrElse(""),
+      Option(root.get("atMicros")).map(_.asLong()).getOrElse(0L)))
+  }
+
+  /** The group names a retained manifest references (the [[expire]]
+    * survival set); empty for legacy inline manifests. */
+  private def groupNamesOf(
+      fs: org.apache.hadoop.fs.FileSystem, table: String,
+      v: Long): Seq[String] = {
+    val p = manifestPath(table, v)
+    if (!fs.exists(p)) return Nil
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(readFully(fs, p), "UTF-8"))
+    if (!root.has("groups")) return Nil
+    val b = Seq.newBuilder[String]
+    root.get("groups").elements().forEachRemaining(g => b += g.asText())
+    b.result()
+  }
+
+  /** Bounded per-JVM cache of group files: groups are IMMUTABLE and
+    * content-addressed, so a cached parse can never be stale — and
+    * the manifest-chain walks ([[findTag]], [[readAsOf]], versions)
+    * would otherwise re-read every group per manifest. */
+  private val groupCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[FileEntry]](64, 0.75f,
+        true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[FileEntry]]): Boolean =
+          size() > 1024
+      })
+
+  private def readGroup(fs: org.apache.hadoop.fs.FileSystem,
+                        table: String, name: String): Seq[FileEntry] = {
+    val p = new org.apache.hadoop.fs.Path(s"$table/$SnapDir/$name")
+    val key = p.toUri.toString
+    val cached = groupCache.get(key)
+    if (cached != null) return cached
+    val arr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(readFully(fs, p), "UTF-8"))
+    val files = filesFromJson(arr)
+    groupCache.put(key, files)
+    files
+  }
+
+  private def readFully(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Array[Byte] = {
     val in = fs.open(p)
-    val bytes = try {
+    try {
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)
       var n = in.read(chunk)
       while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
       buf.toByteArray
     } finally in.close()
-    Some(fromJson(new String(bytes, "UTF-8")))
   }
 
-  /** Manifest JSON via the Jackson on Spark's own classpath — no new
-    * dependency, real escaping (no hand-rolled string concat). */
-  private def toJson(m: Manifest): String = {
+  /** Manifest JSON (Jackson on Spark's own classpath — real escaping,
+    * no hand-rolled concat): header fields + the ordered group-name
+    * list; the file lists themselves live in the group files. */
+  private def toJson(m: Manifest, groupNames: Seq[String]): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
     root.put("version", m.version)
@@ -1093,30 +1219,32 @@ object Snapshot {
     root.put("rows", m.rows)
     root.put("tag", m.tag)
     root.put("atMicros", m.atMicros)
-    val arr = root.putArray("files")
-    m.files.foreach { f =>
-      val o = arr.addObject()
-      o.put("path", f.path)
-      o.put("bytes", f.bytes)
-      if (f.stats.nonEmpty) {
-        val st = o.putObject("stats")
-        f.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
-          val so = st.putObject(c)
-          so.put("min", s.min)
-          so.put("max", s.max)
-          so.put("typ", s.typ)
-          so.put("nulls", s.nulls)
-        }
-      }
-    }
+    val arr = root.putArray("groups")
+    groupNames.foreach(arr.add)
     om.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
-  private def fromJson(s: String): Manifest = {
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = om.readTree(s)
+  private def fileToJson(
+      o: com.fasterxml.jackson.databind.node.ObjectNode,
+      f: FileEntry): Unit = {
+    o.put("path", f.path)
+    o.put("bytes", f.bytes)
+    if (f.stats.nonEmpty) {
+      val st = o.putObject("stats")
+      f.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
+        val so = st.putObject(c)
+        so.put("min", s.min)
+        so.put("max", s.max)
+        so.put("typ", s.typ)
+        so.put("nulls", s.nulls)
+      }
+    }
+  }
+
+  private def filesFromJson(
+      node: com.fasterxml.jackson.databind.JsonNode): Seq[FileEntry] = {
     val files = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
-    val it = root.get("files").elements()
+    val it = node.elements()
     while (it.hasNext) {
       val o = it.next()
       val stats = Option(o.get("stats")).map { st =>
@@ -1134,11 +1262,7 @@ object Snapshot {
       files += FileEntry(o.get("path").asText(), o.get("bytes").asLong(),
         stats)
     }
-    Manifest(root.get("version").asLong(), root.get("parent").asLong(),
-      root.get("action").asText(), root.get("rows").asLong(),
-      files.toSeq,
-      Option(root.get("tag")).map(_.asText()).getOrElse(""),
-      Option(root.get("atMicros")).map(_.asLong()).getOrElse(0L))
+    files.toSeq
   }
 
   private def stageDirPath(table: String,

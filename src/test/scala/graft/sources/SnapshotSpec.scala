@@ -490,6 +490,52 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, t).count() == 30)
   }
 
+  test("manifest splitting: appends write O(new) metadata — carried " +
+    "groups are reused by content hash, never rewritten") {
+    val t = freshTable()
+    (0 until 5).foreach(k => Snapshot.append(batch(k * 10, k * 10 + 10), t))
+    def groupFiles() = new java.io.File(s"$t/_snapshots").listFiles()
+      .map(_.getName).filter(_.startsWith("g-")).toSet
+    val after5 = groupFiles()
+    // one group per commit: 5 commits -> 5 group files, NOT 1+2+3+4+5
+    // (a per-version copy of the full list would betray O(table) work)
+    assert(after5.size == 5,
+      s"expected 5 content-addressed groups, got ${after5.size}")
+    // the sixth append adds exactly ONE group; the carried five reuse
+    Snapshot.append(batch(50, 60), t)
+    val after6 = groupFiles()
+    assert(after6.size == 6 && after5.subsetOf(after6),
+      "append rewrote carried groups instead of reusing them")
+    assert(Snapshot.read(spark, t).count() == 60)
+    // expire sweeps the groups only dropped manifests referenced
+    Snapshot.compact(spark, t) // v7: one fresh group
+    Snapshot.expire(spark, t, keepLast = 1)
+    val afterExpire = groupFiles()
+    assert(afterExpire.size == 1,
+      s"expire left ${afterExpire.size} groups for a 1-group manifest")
+    assert(Snapshot.read(spark, t).count() == 60)
+  }
+
+  test("legacy inline-files manifests still load") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 7), t)
+    // rewrite v1 in the pre-split inline format by hand
+    val m = Snapshot.readManifest(spark, t, 1L).get
+    val inline = new StringBuilder
+    inline ++= s"""{"version":1,"parent":0,"action":"append","rows":7,"""
+    inline ++= s""""tag":"","atMicros":${m.atMicros},"files":["""
+    inline ++= m.files.map(f =>
+      s"""{"path":"${f.path}","bytes":${f.bytes}}""").mkString(",")
+    inline ++= "]}"
+    val p = java.nio.file.Paths.get(
+      s"$t/_snapshots/v${"%012d".format(1)}.json")
+    java.nio.file.Files.delete(p)
+    java.nio.file.Files.write(p, inline.toString.getBytes("UTF-8"))
+    val loaded = Snapshot.readManifest(spark, t, 1L).get
+    assert(loaded.files.map(_.path) == m.files.map(_.path))
+    assert(Snapshot.read(spark, t).count() == 7)
+  }
+
   test("compact aborts cleanly when the table advanced underneath it") {
     // the documented non-goal: compact verifies its parent is still
     // current at commit time; a mid-flight append makes it abort with
