@@ -365,11 +365,19 @@ object Snapshot {
     }
     val (dropped, rewrite) = inRange.partition { f =>
       f.stats.get(column) match {
-        case Some(s) if s.nulls == 0L =>
+        // floating-point columns NEVER wholesale-drop: parquet float
+        // stats may silently ignore NaN values, and a NaN row matches
+        // no range predicate, so it must survive the delete — only
+        // the rewrite path (whose null-safe keep filter NaN also
+        // passes, NaN failing every bounded BETWEEN) can guarantee
+        // that. Range READS stay stats-pruned for doubles: a pruned
+        // read only needs "no row MATCHES in this file", which holds
+        // for NaN under any bounded range.
+        case Some(s) if s.nulls == 0L && s.typ != "double" =>
           val lo = reprOf(s.typ, lower)
           val hi = reprOf(s.typ, upper)
           cmp(s.typ, s.min, lo) >= 0 && cmp(s.typ, s.max, hi) <= 0
-        case _ => false // stat-less or null-carrying: rewrite
+        case _ => false // stat-less, null-carrying, or float: rewrite
       }
     }
     val cond = col(column) >= lit(lower) && col(column) <= lit(upper)
@@ -1072,7 +1080,11 @@ object Snapshot {
     case (_, null) => throw new IllegalArgumentException(
       s"null bound for a $typ stats comparison")
     case ("long", n: Number) => n.longValue.toString
-    case ("double", n: Number) => n.doubleValue.toString
+    case ("double", n: Number) =>
+      val d = n.doubleValue
+      require(!d.isNaN, "NaN is not an orderable stats bound — " +
+        "NaN rows match no range; filter them explicitly")
+      d.toString
     case ("string", s: String) => s
     case ("date", s: String) => s
     case ("date", d: java.sql.Date) => d.toString

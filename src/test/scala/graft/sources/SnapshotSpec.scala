@@ -536,6 +536,88 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, t).count() == 7)
   }
 
+  test("footer stats across physical types: dates prune with string " +
+    "and java.sql.Date bounds; NaN floats stay conservatively " +
+    "stat-less; exactness never depends on stats") {
+    // dates: INT32 epoch-day footers -> yyyy-MM-dd reprs
+    val t = freshTable()
+    def dayBatch(from: Int, until: Int) =
+      (from until until).map(i =>
+        (i.toLong, java.sql.Date.valueOf(
+          java.time.LocalDate.of(2026, 1, 1).plusDays(i.toLong))))
+        .toDF("id", "day")
+    (0 until 4).foreach(k =>
+      Snapshot.append(dayBatch(k * 30, k * 30 + 30).coalesce(1), t,
+        statsCols = Seq("day")))
+    val (total, kept) = Snapshot.pruneCount(spark, t, "day",
+      "2026-02-01", "2026-02-10")
+    assert(total == 4 && kept == 1,
+      s"date pruning failed: kept $kept of $total")
+    val viaString = Snapshot.readWhere(spark, t, "day",
+      "2026-02-01", "2026-02-10")
+    assert(viaString.count() == 10)
+    val viaDate = Snapshot.readWhere(spark, t, "day",
+      java.sql.Date.valueOf("2026-02-01"),
+      java.sql.Date.valueOf("2026-02-10"))
+    assert(viaDate.count() == 10)
+
+    // doubles: FLOAT/DOUBLE footers; a NaN-carrying file must stay
+    // stat-less (parquet float stats are unreliable under NaN) and
+    // therefore always planned — exactness over eagerness
+    val t2 = freshTable()
+    Snapshot.append(Seq((1L, 0.5), (2L, 1.5)).toDF("id", "x")
+      .coalesce(1), t2, statsCols = Seq("x"))
+    Snapshot.append(Seq((3L, 10.5), (4L, 11.5)).toDF("id", "x")
+      .coalesce(1), t2, statsCols = Seq("x"))
+    Snapshot.append(Seq((5L, 100.5), (6L, Double.NaN)).toDF("id", "x")
+      .coalesce(1), t2, statsCols = Seq("x"))
+    val (t2total, t2kept) = Snapshot.pruneCount(spark, t2, "x", 0.0, 2.0)
+    assert(t2total == 3 && t2kept <= 2,
+      s"double pruning failed: kept $t2kept of $t2total")
+    assert(t2kept >= 1, "the in-range file must be kept")
+    assert(Snapshot.readWhere(spark, t2, "x", 0.0, 2.0).count() == 2)
+    // the NaN hazard: parquet float stats may silently IGNORE NaN
+    // values (the file's recorded max can be 100.5 while a NaN row
+    // sits beside it), so a range delete covering the file's recorded
+    // range must REWRITE, never wholesale-drop — the NaN row matches
+    // no range predicate and has to survive
+    val v = Snapshot.deleteRange(spark, t2, "x", 100.0, 101.0)
+    assert(Snapshot.readManifest(spark, t2, v).get.rows == 5L)
+    val left = Snapshot.read(spark, t2).collect()
+    assert(left.count(r => r.getDouble(1).isNaN) == 1,
+      "the NaN row did not survive a covering range delete")
+    assert(!left.map(_.getDouble(1)).contains(100.5))
+    // NaN is rejected as a bound outright
+    intercept[IllegalArgumentException] {
+      Snapshot.readWhere(spark, t2, "x", Double.NaN, 1.0).count()
+    }
+
+    // timestamps: stats presence depends on the session's parquet
+    // timestamp physical type (INT96 writes no usable stats; INT64
+    // micros/millis do) — pin whichever this session produces, and
+    // exactness regardless
+    val t3 = freshTable()
+    def tsBatch(from: Int, until: Int) =
+      (from until until).map(i =>
+        (i.toLong, java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2026, 3, 1, 0, 0)
+            .plusMinutes(i.toLong))))
+        .toDF("id", "at")
+    (0 until 3).foreach(k =>
+      Snapshot.append(tsBatch(k * 60, k * 60 + 60).coalesce(1), t3,
+        statsCols = Seq("at")))
+    val hasTsStats = Snapshot.readManifest(spark, t3, 1L).get
+      .files.head.stats.contains("at")
+    val lo = java.sql.Timestamp.valueOf("2026-03-01 01:00:00")
+    val hi = java.sql.Timestamp.valueOf("2026-03-01 01:59:00")
+    val (t3total, t3kept) = Snapshot.pruneCount(spark, t3, "at", lo, hi)
+    if (hasTsStats)
+      assert(t3kept == 1, s"timestamp pruning failed: $t3kept/$t3total")
+    else
+      assert(t3kept == t3total, "stat-less files must all be kept")
+    assert(Snapshot.readWhere(spark, t3, "at", lo, hi).count() == 60)
+  }
+
   test("compact aborts cleanly when the table advanced underneath it") {
     // the documented non-goal: compact verifies its parent is still
     // current at commit time; a mid-flight append makes it abort with
