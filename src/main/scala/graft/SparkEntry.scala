@@ -318,7 +318,8 @@ object SparkEntry {
                     AS BIGINT) AS term_micro
            FROM qt JOIN tf USING (word) JOIN df USING (word)
                 JOIN len ON len.doc_id = tf.doc_id CROSS JOIN g),
-         s AS (SELECT query_id, doc_id, sum(term_micro) AS score_micro
+         s AS (SELECT query_id, doc_id,
+                 CAST(sum(term_micro) AS BIGINT) AS score_micro
                FROM term GROUP BY 1, 2),
          r AS (SELECT query_id, doc_id, score_micro,
                  row_number() OVER (PARTITION BY query_id
@@ -1461,7 +1462,8 @@ object SparkEntry {
                     AS BIGINT) AS term_micro
            FROM qt JOIN tf USING (word) JOIN df USING (word)
                 JOIN len ON len.doc_id = tf.doc_id CROSS JOIN g),
-         s AS (SELECT query_id, doc_id, sum(term_micro) AS score_micro
+         s AS (SELECT query_id, doc_id,
+                 CAST(sum(term_micro) AS BIGINT) AS score_micro
                FROM term GROUP BY 1, 2),
          bmr AS (SELECT query_id, doc_id,
                   row_number() OVER (PARTITION BY query_id
@@ -1493,7 +1495,8 @@ object SparkEntry {
            SELECT query_id, doc_id,
                   CAST(round(1000000.0 / (60 + rank)) AS BIGINT)
            FROM co),
-         f AS (SELECT query_id, doc_id, sum(m) AS rrf_micro
+         f AS (SELECT query_id, doc_id,
+                 CAST(sum(m) AS BIGINT) AS rrf_micro
                FROM contrib GROUP BY 1, 2),
          fr AS (SELECT query_id, doc_id, rrf_micro,
                   row_number() OVER (PARTITION BY query_id

@@ -11,6 +11,29 @@ import pandas as pd
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
+
+def hugeint_cols(con, sql):
+    """Columns DESCRIBE types as int128. MUST use DESCRIBE, not
+    cursor.description — duckdb-python 1.0.0 reports 'NUMBER' there
+    for every numeric type, which made the r15 guard dead code."""
+    desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    return [d[0] for d in desc
+            if "HUGEINT" in str(d[1]).upper() or "INT128" in str(d[1]).upper()]
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+    # Regression for the exact r15 miss: an uncast sum(BIGINT) twin
+    # (DuckDB widens to HUGEINT) must trip the guard; the cast form
+    # must not.
+    c = duckdb.connect()
+    bad = "WITH t(x) AS (VALUES (CAST(1 AS BIGINT))) SELECT sum(x) AS s FROM t"
+    good = "WITH t(x) AS (VALUES (CAST(1 AS BIGINT))) SELECT CAST(sum(x) AS BIGINT) AS s FROM t"
+    assert hugeint_cols(c, bad) == ["s"], "guard missed sum(BIGINT) -> HUGEINT"
+    assert hugeint_cols(c, good) == [], "guard false-positive on cast twin"
+    print("selftest OK: HUGEINT guard trips on uncast sum(BIGINT)")
+    c.close()
+    sys.exit(0)
+
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = p.split("/")[-1].replace(".parquet", "")
@@ -20,18 +43,22 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
 for name, sql in sorted(oracle.items()):
     try:
-        cur = con.execute(sql)
         # HUGEINT guard: the driver's hasher canonicalizes DuckDB's
         # int128 differently from Spark's int64, so a twin that types
         # any column HUGEINT hash-fails even when values match (the
-        # r10/r11 q_bucketed_join / q_hashed_embed_topk failure class).
-        # Every integer aggregate must be CAST(... AS BIGINT).
-        huge = [d[0] for d in cur.description if str(d[1]).upper().startswith("HUGEINT")]
+        # r10/r11 q_bucketed_join / r15 q_bm25_* failure class). Every
+        # integer aggregate must be CAST(... AS BIGINT). cursor
+        # .description is useless for this under duckdb-python 1.0.0
+        # (every numeric reports the generic 'NUMBER'), so key the
+        # guard on DESCRIBE's column_type output, which DOES say
+        # HUGEINT — r15 shipped three hash failures because the old
+        # description-based guard was dead code.
+        huge = hugeint_cols(con, sql)
         if huge:
             print(f"FAIL {name}: HUGEINT column(s) {huge} — CAST the twin to BIGINT")
             fail += 1
             continue
-        want = cur.df()
+        want = con.execute(sql).df()
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {e}")
         fail += 1
