@@ -22,6 +22,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    denominator too, not as a Spark regression.
   */
 object Bench {
+  /** Hand-off from the `pipeline_lang_model_fit` line to the `_score`
+    * line (pipelines run sequentially in declaration order). */
+  private var benchLangModel: graft.ml.LangModel.FittedLang = _
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -252,13 +256,18 @@ object Bench {
           Curation.funnel(docsDf.select(
             org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("text"))): Unit),
-        // trained langID end to end: fit the hashed char-n-gram
-        // multinomial model on the built-in corpus, score every doc
-        // (the golden q_lang_id_model path — fit is the dominant cost
-        // at sf0.1; scoring is one map pass)
-        "pipeline_lang_model" -> (() => {
-          val m = graft.ml.LangModel.fit(
+        // trained langID, split into its two real costs: FIT is a
+        // train-once artifact (save/load exists — a deployment never
+        // pays it per query), SCORE is the per-corpus map pass the
+        // scaladoc promises. Timing them together buried a 14 s
+        // L-BFGS fit in what read as a scoring line.
+        "pipeline_lang_model_fit" -> (() => {
+          benchLangModel = graft.ml.LangModel.fit(
             graft.ml.LangModel.trainingCorpus(spark))
+        }),
+        "pipeline_lang_model_score" -> (() => {
+          val m = benchLangModel
+          require(m != null, "fit line did not run first")
           exec(m.score(docsDf.select(col("doc_id"), col("text")))
             .select(col("doc_id"), col("lang_pred"), col("lang_conf")))
         }),

@@ -72,6 +72,7 @@ object SparkEntry {
     "q_bm25_topk"               -> Corpus.bm25Topk _,
     "q_bm25_index"              -> Corpus.bm25Index _,
     "q_hybrid_rrf"              -> Corpus.hybridRrf _,
+    "q_hybrid_rrf_index"        -> Corpus.hybridRrfIndex _,
     "q_content_filters"         -> Corpus.contentFilters _,
     "q_pii_redact"              -> Corpus.piiRedact _,
     "q_normalize_text"          -> Corpus.normalizeTextQuery _,
@@ -194,7 +195,10 @@ object SparkEntry {
     "q_snapshot_skip"           -> Corpus.snapshotSkip _,
     "q_snapshot_merge"          -> Corpus.snapshotMerge _,
     "q_snapshot_delete"         -> Corpus.snapshotDelete _,
+    "q_snapshot_delete_mor"     -> Corpus.snapshotDeleteMor _,
     "q_snapshot_incremental"    -> Corpus.snapshotIncremental _,
+    "q_snapshot_cdc"            -> Corpus.snapshotCdc _,
+    "q_snapshot_rename"         -> Corpus.snapshotRename _,
     "q_snapshot_asof"           -> Corpus.snapshotAsOf _,
     "q_pivot_events"            -> Stats.pivotEventCounts _,
     "q_char_deciles"            -> Stats.charDeciles _,
@@ -327,6 +331,77 @@ object SparkEntry {
          SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
                 score_micro
          FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** The hybrid-RRF twin, shared by `q_hybrid_rrf` (in-memory fused
+    * plan) and `q_hybrid_rrf_index` (persisted postings + stored doc
+    * norms) — one spelling, two engine paths gated against it. */
+  private val hybridRrfSql: String =
+    """WITH q(query_id, qtext) AS (VALUES
+             (1, 'hash merge fast scan'),
+             (2, 'slow batch table value'),
+             (3, 'key row part agg')),
+         qt AS (SELECT DISTINCT query_id, word FROM (
+             SELECT query_id, unnest(string_split(qtext, ' ')) AS word
+             FROM q)),
+         w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         len AS (SELECT doc_id, count(*) AS len FROM w GROUP BY 1),
+         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         g AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT count(*) FROM w) * 1.0 /
+                        (SELECT count(*) FROM documents) AS avgdl),
+         term AS (
+           SELECT qt.query_id, tf.doc_id,
+                  CAST(round(1000000.0 *
+                    ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5)) *
+                    (tf.tf * (1.2 + 1.0)) /
+                    (tf.tf + 1.2 * (0.25 + 0.75 * len.len / g.avgdl)))
+                    AS BIGINT) AS term_micro
+           FROM qt JOIN tf USING (word) JOIN df USING (word)
+                JOIN len ON len.doc_id = tf.doc_id CROSS JOIN g),
+         s AS (SELECT query_id, doc_id,
+                 CAST(sum(term_micro) AS BIGINT) AS score_micro
+               FROM term GROUP BY 1, 2),
+         bmr AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_micro DESC, doc_id) AS rank FROM s),
+         bm AS (SELECT query_id, doc_id, rank FROM bmr WHERE rank <= 10),
+         qtf AS (SELECT query_id, word, count(*) AS qtf FROM (
+             SELECT query_id, unnest(string_split(qtext, ' ')) AS word
+             FROM q) GROUP BY 1, 2),
+         qn2 AS (SELECT query_id, sum(qtf * qtf) AS qn2
+                 FROM qtf GROUP BY 1),
+         n2 AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
+         dotx AS (SELECT qtf.query_id, tf.doc_id,
+                    sum(qtf.qtf * tf.tf) AS dot
+                  FROM qtf JOIN tf USING (word) GROUP BY 1, 2),
+         cs AS (SELECT d.query_id, d.doc_id,
+                  CAST((d.dot * d.dot * 1048576) // (q2.qn2 * n2.n2)
+                    AS BIGINT) AS score_q
+                FROM dotx d JOIN qn2 q2 USING (query_id)
+                     JOIN n2 ON n2.doc_id = d.doc_id),
+         cr AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_q DESC, doc_id) AS rank FROM cs),
+         co AS (SELECT query_id, doc_id, rank FROM cr WHERE rank <= 10),
+         contrib AS (
+           SELECT query_id, doc_id,
+                  CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS m
+           FROM bm
+           UNION ALL
+           SELECT query_id, doc_id,
+                  CAST(round(1000000.0 / (60 + rank)) AS BIGINT)
+           FROM co),
+         f AS (SELECT query_id, doc_id,
+                 CAST(sum(m) AS BIGINT) AS rrf_micro
+               FROM contrib GROUP BY 1, 2),
+         fr AS (SELECT query_id, doc_id, rrf_micro,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_micro DESC, doc_id) AS rank FROM f)
+         SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+                rrf_micro
+         FROM fr WHERE rank <= 5 ORDER BY query_id, rank"""
 
   lazy val oracleSql: Map[String, String] =
     baseOracleSql +
@@ -1437,73 +1512,8 @@ object SparkEntry {
     // RRF hybrid: BM25 (k=10) + raw word-space sparse cosine (k=10,
     // the established (dot^2 * 2^20) div (n2q * n2d) integer grid)
     // fused with round(1e6/(60+rank)) integer contributions
-    "q_hybrid_rrf" ->
-      """WITH q(query_id, qtext) AS (VALUES
-             (1, 'hash merge fast scan'),
-             (2, 'slow batch table value'),
-             (3, 'key row part agg')),
-         qt AS (SELECT DISTINCT query_id, word FROM (
-             SELECT query_id, unnest(string_split(qtext, ' ')) AS word
-             FROM q)),
-         w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-               FROM documents),
-         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
-         len AS (SELECT doc_id, count(*) AS len FROM w GROUP BY 1),
-         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-         g AS (SELECT (SELECT count(*) FROM documents) AS n,
-                      (SELECT count(*) FROM w) * 1.0 /
-                        (SELECT count(*) FROM documents) AS avgdl),
-         term AS (
-           SELECT qt.query_id, tf.doc_id,
-                  CAST(round(1000000.0 *
-                    ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5)) *
-                    (tf.tf * (1.2 + 1.0)) /
-                    (tf.tf + 1.2 * (0.25 + 0.75 * len.len / g.avgdl)))
-                    AS BIGINT) AS term_micro
-           FROM qt JOIN tf USING (word) JOIN df USING (word)
-                JOIN len ON len.doc_id = tf.doc_id CROSS JOIN g),
-         s AS (SELECT query_id, doc_id,
-                 CAST(sum(term_micro) AS BIGINT) AS score_micro
-               FROM term GROUP BY 1, 2),
-         bmr AS (SELECT query_id, doc_id,
-                  row_number() OVER (PARTITION BY query_id
-                    ORDER BY score_micro DESC, doc_id) AS rank FROM s),
-         bm AS (SELECT query_id, doc_id, rank FROM bmr WHERE rank <= 10),
-         qtf AS (SELECT query_id, word, count(*) AS qtf FROM (
-             SELECT query_id, unnest(string_split(qtext, ' ')) AS word
-             FROM q) GROUP BY 1, 2),
-         qn2 AS (SELECT query_id, sum(qtf * qtf) AS qn2
-                 FROM qtf GROUP BY 1),
-         n2 AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
-         dotx AS (SELECT qtf.query_id, tf.doc_id,
-                    sum(qtf.qtf * tf.tf) AS dot
-                  FROM qtf JOIN tf USING (word) GROUP BY 1, 2),
-         cs AS (SELECT d.query_id, d.doc_id,
-                  CAST((d.dot * d.dot * 1048576) // (q2.qn2 * n2.n2)
-                    AS BIGINT) AS score_q
-                FROM dotx d JOIN qn2 q2 USING (query_id)
-                     JOIN n2 ON n2.doc_id = d.doc_id),
-         cr AS (SELECT query_id, doc_id,
-                  row_number() OVER (PARTITION BY query_id
-                    ORDER BY score_q DESC, doc_id) AS rank FROM cs),
-         co AS (SELECT query_id, doc_id, rank FROM cr WHERE rank <= 10),
-         contrib AS (
-           SELECT query_id, doc_id,
-                  CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS m
-           FROM bm
-           UNION ALL
-           SELECT query_id, doc_id,
-                  CAST(round(1000000.0 / (60 + rank)) AS BIGINT)
-           FROM co),
-         f AS (SELECT query_id, doc_id,
-                 CAST(sum(m) AS BIGINT) AS rrf_micro
-               FROM contrib GROUP BY 1, 2),
-         fr AS (SELECT query_id, doc_id, rrf_micro,
-                  row_number() OVER (PARTITION BY query_id
-                    ORDER BY rrf_micro DESC, doc_id) AS rank FROM f)
-         SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
-                rrf_micro
-         FROM fr WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_hybrid_rrf" -> hybridRrfSql,
+    "q_hybrid_rrf_index" -> hybridRrfSql,
     "q_pii_redact" ->
       """WITH planted AS (SELECT doc_id,
              text || CASE WHEN doc_id % 7 = 0
@@ -3543,6 +3553,23 @@ object SparkEntry {
          FROM orders, m
          WHERE o_orderkey NOT BETWEEN m.q + 1 AND 2 * m.q
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // merge-on-read delete twin: the same NOT-BETWEEN aggregate,
+    // answered twice — once through the read-side residual ('mor'),
+    // once after compaction folded it into data files ('folded');
+    // both phases must hash-match the raw-table answer
+    "q_snapshot_delete_mor" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+         dead AS (SELECT q // 2 + 1 AS lo, q + q // 2 AS hi FROM m),
+         base AS (
+           SELECT o_orderstatus,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+           FROM orders, dead
+           WHERE o_orderkey NOT BETWEEN dead.lo AND dead.hi
+           GROUP BY o_orderstatus)
+         SELECT phase, o_orderstatus, n, sum_key
+         FROM base CROSS JOIN (VALUES ('mor'), ('folded')) p(phase)
+         ORDER BY phase, o_orderstatus""",
     // time travel by TIMESTAMP must resolve the same states the
     // version axis does: the oracle replays the two slices (the
     // q_snapshot_read twin, reached through readAsOf)
@@ -3566,6 +3593,39 @@ object SparkEntry {
                 CAST(sum(doc_id) AS BIGINT) AS sum_id
          FROM documents WHERE doc_id % 2 = 1
          GROUP BY 1 ORDER BY 1""",
+    // schema evolution twin: the raw table aggregated under the
+    // FINAL names/types, answered twice — 'mapped' (old files
+    // name/type-mapped at scan) and 'folded' (post-compaction)
+    "q_snapshot_rename" ->
+      """WITH base AS (
+           SELECT o_orderstatus AS status,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+                  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+           FROM orders GROUP BY 1)
+         SELECT phase, status, n, sum_cust, sum_key
+         FROM base CROSS JOIN (VALUES ('folded'), ('mapped')) p(phase)
+         ORDER BY phase, status""",
+    // CDC across rewrites: baseline = evens; current = evens+odds
+    // minus the MoR-deleted [mx/4, mx/2] range; the net diff is odds
+    // outside the range (insert) + evens inside it (delete); the
+    // intervening compaction must contribute nothing
+    "q_snapshot_cdc" ->
+      """WITH m AS (SELECT max(doc_id) // 4 AS lo,
+                           max(doc_id) // 2 AS hi FROM documents),
+         changes AS (
+           SELECT 'insert' AS _change, doc_id, text
+           FROM documents, m
+           WHERE doc_id % 2 = 1 AND doc_id NOT BETWEEN m.lo AND m.hi
+           UNION ALL
+           SELECT 'delete' AS _change, doc_id, text
+           FROM documents, m
+           WHERE doc_id % 2 = 0 AND doc_id BETWEEN m.lo AND m.hi)
+         SELECT _change, CAST(doc_id % 8 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars
+         FROM changes GROUP BY 1, 2 ORDER BY 1, 2""",
     // the compacted rewrite must be value-preserving: the oracle
     // answers the same type-sliced aggregate from the RAW table
     "q_compact_scan" ->

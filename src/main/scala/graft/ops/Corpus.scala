@@ -168,6 +168,61 @@ object Corpus {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** MERGE-ON-READ row deletion as a declared query
+    * ([[graft.sources.Snapshot.deleteRangeMor]]): orders land as four
+    * key-ranged files, then a range straddling two file boundaries is
+    * deleted merge-on-read. The query itself asserts the delete
+    * commit REWROTE ZERO DATA FILES (the file list is byte-identical
+    * across the commit — the at-scale contract: a retention pass is
+    * one manifest write), and the hash gate proves the read-side
+    * residual is exact: the oracle is the plain `NOT BETWEEN`
+    * aggregate off the raw table. The follow-up compaction folds the
+    * pending delete and must re-answer the same aggregate. */
+  def snapshotDeleteMor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapdelmor").toString + "/t"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val q = mx / 4
+    (0 until 4).foreach { k =>
+      val loK = k * q
+      val hiF: Column =
+        if (k == 0) col("o_orderkey") <= q // keys start at 0
+        else if (k == 3) col("o_orderkey") > loK
+        else col("o_orderkey") > loK && col("o_orderkey") <= loK + q
+      Snapshot.append(o.filter(hiF).coalesce(1), table,
+        statsCols = Seq("o_orderkey"))
+    }
+    // the deleted range straddles the file-1/file-2 boundary: neither
+    // file is provably contained, so no wholesale drop is available —
+    // copy-on-write would rewrite both; merge-on-read writes NOTHING
+    val lo = q / 2 + 1
+    val hi = q + q / 2
+    val pre = Snapshot.readManifest(spark, table, 4L).get.files
+      .map(f => (f.path, f.bytes))
+    val v = Snapshot.deleteRangeMor(spark, table, "o_orderkey", lo, hi)
+    val m = Snapshot.readManifest(spark, table, v).get
+    val post = m.files.map(f => (f.path, f.bytes))
+    require(m.action == "delete-mor" && post == pre,
+      s"merge-on-read delete touched data files: ${pre.size} -> " +
+        s"${post.size}")
+    require(m.rangeDeletes.nonEmpty, "no residual recorded")
+    val agg = (df: DataFrame) => df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+    val live = agg(Snapshot.read(spark, table))
+    // folding the delete at compaction must preserve the answer
+    Snapshot.compact(spark, table)
+    val folded = agg(Snapshot.read(spark, table))
+    live.withColumn("phase", lit("mor"))
+      .unionByName(folded.withColumn("phase", lit("folded")))
+      .orderBy(col("phase"), col("o_orderstatus"))
+      .select(col("phase"), col("o_orderstatus"), col("n"),
+              col("sum_key"))
+  }
+
   /** Incremental snapshot consumption as a declared query
     * ([[graft.sources.Snapshot.readAppendsSince]]): documents land in
     * two appends (evens then odds); a consumer baselined at v1 reads
@@ -188,6 +243,83 @@ object Corpus {
            sum(length(col("text")).cast("long")).as("total_chars"),
            sum(col("doc_id")).as("sum_id"))
       .orderBy(col("bucket"))
+  }
+
+  /** NON-ADDITIVE schema evolution as a declared query
+    * ([[graft.sources.Snapshot.renameColumn]] /
+    * [[graft.sources.Snapshot.widenColumn]]): half the orders land
+    * with an INT customer column, the column WIDENS to long and the
+    * status column RENAMES — both metadata-only commits, asserted
+    * in-query to have touched zero data files — then the second half
+    * lands under the evolved schema. The read must serve ONE schema
+    * (old files mapped at scan), and after compaction folds the
+    * changes into real files the same aggregate must re-answer — the
+    * oracle replays both phases from the raw table under the final
+    * names. */
+  def snapshotRename(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapren").toString + "/t"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    Snapshot.append(
+      o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_custkey", col("o_custkey").cast("int")), table)
+    val files1 = Snapshot.readManifest(spark, table, 1L).get.files
+      .map(f => (f.path, f.bytes))
+    Snapshot.widenColumn(spark, table, "o_custkey", "long")   // v2
+    Snapshot.renameColumn(spark, table, "o_orderstatus", "status") // v3
+    val m3 = Snapshot.readManifest(spark, table, 3L).get
+    require(m3.files.map(f => (f.path, f.bytes)) == files1,
+      "schema evolution touched data files")
+    Snapshot.append(
+      o.filter(col("o_orderkey") % 2 === 1)
+        .withColumnRenamed("o_orderstatus", "status"), table) // v4
+    val agg = (df: DataFrame) => df
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_custkey")).as("sum_cust"),
+           sum(col("o_orderkey")).as("sum_key"))
+    val mapped = agg(Snapshot.read(spark, table))
+    Snapshot.compact(spark, table)                            // v5: fold
+    val folded = agg(Snapshot.read(spark, table))
+    mapped.withColumn("phase", lit("mapped"))
+      .unionByName(folded.withColumn("phase", lit("folded")))
+      .orderBy(col("phase"), col("status"))
+      .select(col("phase"), col("status"), col("n"), col("sum_cust"),
+              col("sum_key"))
+  }
+
+  /** Row-level CDC ACROSS REWRITES as a declared query
+    * ([[graft.sources.Snapshot.readChangesSince]]): documents land as
+    * evens (v1), the table COMPACTS (v2 — the rewrite that poisons
+    * file-identity CDC), odds land (v3), then a doc_id range is
+    * deleted merge-on-read (v4). A consumer baselined at v1 asks for
+    * changes: the fingerprint multiset diff must emit exactly the
+    * odds outside the deleted range as `insert` and the evens inside
+    * it as `delete` — the compaction contributes NOTHING. The oracle
+    * replays both slices off the raw table, so the hash gate proves
+    * the diff is exact row-level CDC, rewrites notwithstanding. */
+  def snapshotCdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapcdc").toString + "/t"
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+    val lo = mx / 4
+    val hi = mx / 2
+    Snapshot.append(d.filter(col("doc_id") % 2 === 0), table,
+      statsCols = Seq("doc_id"))                        // v1: evens
+    Snapshot.compact(spark, table)                      // v2: rewrite
+    Snapshot.append(d.filter(col("doc_id") % 2 === 1), table,
+      statsCols = Seq("doc_id"))                        // v3: odds
+    Snapshot.deleteRangeMor(spark, table, "doc_id", lo, hi) // v4
+    Snapshot.readChangesSince(spark, table, 1L)
+      .groupBy(col("_change"), (col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("doc_id")).as("sum_id"),
+           sum(length(col("text")).cast("long")).as("total_chars"))
+      .orderBy(col("_change"), col("bucket"))
   }
 
   /** Time travel BY TIMESTAMP as a declared query
@@ -2254,6 +2386,25 @@ object Corpus {
     graft.similarity.Lexical.hybridTopK(
         docs(spark, dir), retrievalQueries(spark), k = 5, kEach = 10)
       .orderBy(col("query_id"), col("rank"))
+
+  /** Hybrid retrieval answered from the PERSISTED index
+    * ([[graft.similarity.LexicalIndex.searchHybrid]]): both rankers
+    * probe the stored postings of the query's words, the cosine doc
+    * norms come off the index's stored `n2` column, and the fusion is
+    * the same RRF. The oracle is `q_hybrid_rrf`'s CTE verbatim — the
+    * hash gate IS the index/in-memory parity proof (the
+    * `q_incremental_dedup_index` byte-parity pattern). */
+  def hybridRrfIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.LexicalIndex
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-lexidx-h").toString
+    val d = docs(spark, dir)
+    LexicalIndex.build(d.filter(col("doc_id") % 2 === 0), path)
+    LexicalIndex.append(d.filter(col("doc_id") % 2 === 1), path, "b1")
+    LexicalIndex.searchHybrid(spark, path, retrievalQueries(spark),
+        k = 5, kEach = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** Content filters: URL/email mention counts + distinct-bigram
     * repetition ratio per document — the C4/Gopher-style cleaning

@@ -116,11 +116,24 @@ object Lexical {
                            k: Int): DataFrame = {
     val n2 = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
-    val qn2 = qtf.groupBy(col("query_id"))
-      .agg(sum(col("qtf") * col("qtf")).as("qn2"))
     val dot = broadcast(qtf).join(tf, Seq("word"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("qtf") * col("tf")).as("dot"))
+    cosineRankFromParts(dot, qtf, n2, k)
+  }
+
+  /** The cosine scoring + ranking tail, shared verbatim by the
+    * in-memory path ([[cosineRanked]]) and the persisted index
+    * ([[LexicalIndex.searchHybrid]]) — one spelling, no drift.
+    * `dot`: (query_id, doc_id, dot); `qtf`: (query_id, word, qtf);
+    * `n2`: (doc_id, n2) — the STORED doc norms (Σtf² over ALL the
+    * doc's words, not just the probed ones). */
+  private[similarity] def cosineRankFromParts(dot: DataFrame,
+                                              qtf: DataFrame,
+                                              n2: DataFrame,
+                                              k: Int): DataFrame = {
+    val qn2 = qtf.groupBy(col("query_id"))
+      .agg(sum(col("qtf") * col("qtf")).as("qn2"))
     val scored = dot
       .join(broadcast(qn2), Seq("query_id"))
       .join(n2, Seq("doc_id"))
@@ -136,7 +149,8 @@ object Lexical {
 
   /** Query term frequencies for the cosine ranker (tf semantics, NOT
     * distinct — a cosine weights repeats). */
-  private def queryTf(queries: DataFrame, queryIdCol: String,
+  private[similarity] def queryTf(queries: DataFrame,
+                      queryIdCol: String,
                       queryTextCol: String): DataFrame =
     queries.select(col(queryIdCol).as("query_id"),
         explode(split(col(queryTextCol), " ")).as("word"))

@@ -57,7 +57,11 @@ object LexicalIndex {
     import spark.implicits._
     val tf = Lexical.tfPostings(batch, idCol, textCol)
     tf.write.mode("overwrite").parquet(s"$path/postings/batch=$batchTag")
-    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    // len feeds the BM25 prior; n2 (Σtf², the full-document norm) is
+    // stored so the cosine side of a HYBRID probe never has to
+    // re-aggregate the whole postings table at query time
+    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"),
+        sum(col("tf") * col("tf")).as("n2"))
       .write.mode("overwrite").parquet(s"$path/doclen/batch=$batchTag")
     Seq(batch.count()).toDF("n_docs")
       .write.mode("overwrite").parquet(s"$path/meta/batch=$batchTag")
@@ -87,5 +91,46 @@ object LexicalIndex {
       .withColumn("avgdl", col("tot") * lit(1.0) / col("n"))
     val cand = broadcast(qterms).join(rel, Seq("word"))
     Lexical.bm25RankFromParts(cand, df, len, g, k, k1, b)
+  }
+
+  /** HYBRID (BM25 + word-cosine, RRF-fused) top-k against the stored
+    * index — the at-scale spelling of [[Lexical.hybridTopK]]: both
+    * rankers probe the SAME stored posting rows of the query's words
+    * (one df-bounded join, shared by plan reuse), the cosine doc
+    * norms come from the `doclen` table's stored `n2` (written at
+    * append time — no full-postings aggregate at query time), and
+    * the fusion is [[Lexical.rrfFuse]] verbatim. Byte-identical to
+    * the in-memory hybrid over the same corpus (spec-pinned).
+    * Indexes built before the `n2` column must be rebuilt. */
+  def searchHybrid(spark: SparkSession, path: String,
+                   queries: DataFrame, k: Int, kEach: Int = 10,
+                   k1: Double = 1.2, b: Double = 0.75, kRrf: Int = 60,
+                   queryIdCol: String = "query_id",
+                   queryTextCol: String = "qtext"): DataFrame = {
+    require(k > 0 && kEach > 0)
+    val qterms = Lexical.queryTerms(queries, queryIdCol, queryTextCol)
+    val qwords = qterms.select(col("word")).distinct()
+    val rel = spark.read.parquet(s"$path/postings")
+      .select(col("word"), col("doc_id"), col("tf"))
+      .join(broadcast(qwords), Seq("word")) // the df-bounded probe
+    val df = rel.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val doclen = spark.read.parquet(s"$path/doclen")
+    require(doclen.columns.contains("n2"),
+      s"index at $path predates stored doc norms — rebuild it " +
+        "(LexicalIndex.build) to enable hybrid search")
+    val len = doclen.select(col("doc_id"), col("len"))
+    val g = spark.read.parquet(s"$path/meta")
+      .agg(sum(col("n_docs")).as("n"))
+      .crossJoin(len.agg(sum(col("len")).as("tot")))
+      .withColumn("avgdl", col("tot") * lit(1.0) / col("n"))
+    val bmCand = broadcast(qterms).join(rel, Seq("word"))
+    val bm = Lexical.bm25RankFromParts(bmCand, df, len, g, kEach, k1, b)
+    val qtf = Lexical.queryTf(queries, queryIdCol, queryTextCol)
+    val dot = broadcast(qtf).join(rel, Seq("word"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("qtf") * col("tf")).as("dot"))
+    val cos = Lexical.cosineRankFromParts(dot, qtf,
+      doclen.select(col("doc_id"), col("n2")), kEach)
+    Lexical.rrfFuse(Seq(bm, cos), k, kRrf)
   }
 }

@@ -74,7 +74,40 @@ object Snapshot {
     * for untracked tables (all reads then plan every file, exactly
     * the pre-stats behavior). */
   final case class FileEntry(path: String, bytes: Long,
-                             stats: Map[String, ColStats] = Map.empty)
+                             stats: Map[String, ColStats] = Map.empty,
+                             seq: Long = 0L)
+
+  /** A MERGE-ON-READ range delete: rows of the tracked `column` in
+    * `[lo, hi]` (typed-string reprs, [[ColStats]] serialization) are
+    * dead — applied as a residual `NOT BETWEEN` filter at read time,
+    * folded into data files only at compaction. `seq` is the delete's
+    * commit version: it applies ONLY to data files staged by earlier
+    * commits (`file.seq < seq`, the Iceberg sequence-number rule), so
+    * rows (re-)inserted after the delete are never retro-deleted. */
+  final case class RangeDelete(column: String, lo: String, hi: String,
+                               typ: String, seq: Long)
+
+  /** A MERGE-ON-READ equality delete: a parquet directory under the
+    * table (`dir` is table-root-relative) holding the KEY TUPLES of
+    * dead rows over columns `cols` — applied as an anti-join at read
+    * time (the Iceberg v2 equality-delete file shape). Same `seq`
+    * applicability rule as [[RangeDelete]]. */
+  final case class EqDelete(dir: String, bytes: Long, rows: Long,
+                            cols: Seq[String], seq: Long)
+
+  /** A NON-ADDITIVE schema change, applied at READ to files staged
+    * before it (`file.seq < seq` — the same sequencing as deletes)
+    * and folded into data files at compaction:
+    *  - `rename`: column `from` reads as `to`;
+    *  - `widen`: column `from` casts to `typ` (`long` or `double` —
+    *    int→long / float→double, the safe widenings);
+    *  - `drop`: column `from` disappears from reads.
+    * Files staged AFTER the change already carry the new shape and
+    * are untouched — reusing a renamed-away or dropped name later
+    * creates a genuinely new column (the Iceberg field-id semantic,
+    * expressed through commit sequence instead of ids). */
+  final case class SchemaChange(kind: String, from: String, to: String,
+                                typ: String, seq: Long)
 
   /** One committed version: `files` IS the table at `version`.
     * `tag` is the writer's idempotence token (empty when unused): a
@@ -86,7 +119,13 @@ object Snapshot {
     * the [[readAsOf]] time-travel axis. */
   final case class Manifest(version: Long, parent: Long, action: String,
                             rows: Long, files: Seq[FileEntry],
-                            tag: String = "", atMicros: Long = 0L)
+                            tag: String = "", atMicros: Long = 0L,
+                            rangeDeletes: Seq[RangeDelete] = Nil,
+                            eqDeletes: Seq[EqDelete] = Nil,
+                            schemaChanges: Seq[SchemaChange] = Nil) {
+    def hasDeletes: Boolean = rangeDeletes.nonEmpty || eqDeletes.nonEmpty
+    def needsMapping: Boolean = hasDeletes || schemaChanges.nonEmpty
+  }
 
   private val SnapDir = "_snapshots"
   private val MaxRetries = 20
@@ -127,8 +166,11 @@ object Snapshot {
         throw new DuplicateTag(v) } // raced replayer landed it first
       requireSameLayout(parent, Nil)
       Manifest(parent.version + 1, parent.version, "append",
-        parent.rows + stagedRows, parent.files ++ staged,
-        tag.getOrElse(""))
+        parent.rows + stagedRows,
+        parent.files ++ staged.map(_.copy(seq = parent.version + 1)),
+        tag.getOrElse(""),
+        rangeDeletes = parent.rangeDeletes, eqDeletes = parent.eqDeletes,
+        schemaChanges = parent.schemaChanges)
     } match {
       case Right(v) => v
       case Left(v) => v // duplicate detected mid-retry
@@ -162,8 +204,11 @@ object Snapshot {
         throw new DuplicateTag(v) }
       requireSameLayout(parent, partitionCols)
       Manifest(parent.version + 1, parent.version, "append",
-        parent.rows + stagedRows, parent.files ++ staged,
-        tag.getOrElse(""))
+        parent.rows + stagedRows,
+        parent.files ++ staged.map(_.copy(seq = parent.version + 1)),
+        tag.getOrElse(""),
+        rangeDeletes = parent.rangeDeletes, eqDeletes = parent.eqDeletes,
+        schemaChanges = parent.schemaChanges)
     } match {
       case Right(v) => v
       case Left(v) => v
@@ -191,7 +236,7 @@ object Snapshot {
       stage(spark, df, table), statsCols)
     commitRetrying(spark, table) { parent =>
       Manifest(parent.version + 1, parent.version, "overwrite",
-        stagedRows, staged)
+        stagedRows, staged.map(_.copy(seq = parent.version + 1)))
     }.merge
   }
 
@@ -235,7 +280,9 @@ object Snapshot {
     // (coalesce bounds files per WRITE, so each partition dir gets at
     // most nf files — the writePartitionedCompact shape)
     val pCols = partitionColsOf(base.files)
-    val src = readFiles(spark, table, base.files)
+    // the rewrite reads LIVE rows: pending merge-on-read deletes fold
+    // into the new files here and the committed manifest is clean
+    val src = readLive(spark, table, base, base.files)
     val rewrite =
       if (clusterCols.isEmpty) src.coalesce(nf)
       else src.repartitionByRange(nf, clusterCols.map(col): _*)
@@ -244,7 +291,7 @@ object Snapshot {
     // the parent tracked are re-gathered over the rewritten files
     val (staged, rewrittenRows) = withStatsAndRows(spark, table,
       stage(spark, rewrite, table, pCols),
-      statsColsOf(base.files))
+      currentStatsColsOf(base))
     require(rewrittenRows == base.rows,
       s"compact row mismatch: snapshot=${base.rows} " +
         s"rewritten=$rewrittenRows — nothing committed")
@@ -253,7 +300,7 @@ object Snapshot {
         s"table advanced v${base.version} -> v${parent.version} during " +
           "compaction; rerun compact against the new snapshot")
       Manifest(parent.version + 1, parent.version, "compact",
-        base.rows, staged)
+        base.rows, staged.map(_.copy(seq = parent.version + 1)))
     }.merge
   }
 
@@ -314,21 +361,24 @@ object Snapshot {
     // the rewrite: surviving rows of the hit files + ALL source rows
     // (replacements and inserts land together in the new files)
     val newData = (if (touched.isEmpty) source
-                   else readFiles(spark, table, touched)
+                   else readLive(spark, table, base, touched)
                      .join(source.select(col(key)), Seq(key), "left_anti")
                      .unionByName(source))
     val pCols = partitionColsOf(base.files)
     val (staged, stagedRows) = withStatsAndRows(spark, table,
-      stage(spark, newData, table, pCols), statsColsOf(base.files))
+      stage(spark, newData, table, pCols), currentStatsColsOf(base))
     val touchedRows =
       if (touched.isEmpty) 0L
-      else readFiles(spark, table, touched).count()
+      else readLive(spark, table, base, touched).count()
     commitRetrying(spark, table) { parent =>
       require(parent.version == base.version,
         s"table advanced v${base.version} -> v${parent.version} during " +
           "merge; rerun merge against the new snapshot")
       Manifest(parent.version + 1, parent.version, "merge",
-        base.rows - touchedRows + stagedRows, carried ++ staged)
+        base.rows - touchedRows + stagedRows,
+        carried ++ staged.map(_.copy(seq = parent.version + 1)),
+        rangeDeletes = base.rangeDeletes, eqDeletes = base.eqDeletes,
+        schemaChanges = base.schemaChanges)
     }.merge
   }
 
@@ -424,26 +474,348 @@ object Snapshot {
     val (staged, stagedRows, rewriteRows) =
       if (rewrite.isEmpty) (Nil: Seq[FileEntry], 0L, 0L)
       else {
-        val src = readFiles(spark, table, rewrite)
+        val src = readLive(spark, table, base, rewrite)
         val kept = src.filter(keep)
         val keptCount = kept.count()
         val st =
           if (keptCount == 0L) Nil // every row deleted: stage nothing
           else withStats(spark, table, stage(spark, kept, table, pCols),
-            statsColsOf(base.files))
+            currentStatsColsOf(base))
         (st, keptCount, src.count())
       }
     val droppedRows =
       if (dropped.isEmpty) 0L
-      else readFiles(spark, table, dropped).count()
+      else readLive(spark, table, base, dropped).count()
     commitRetrying(spark, table) { parent =>
       require(parent.version == base.version,
         s"table advanced v${base.version} -> v${parent.version} during " +
           "delete; rerun against the new snapshot")
       Manifest(parent.version + 1, parent.version, "delete",
         base.rows - droppedRows - (rewriteRows - stagedRows),
-        carried ++ staged)
+        carried ++ staged.map(_.copy(seq = parent.version + 1)),
+        rangeDeletes = base.rangeDeletes, eqDeletes = base.eqDeletes,
+        schemaChanges = base.schemaChanges)
     }.merge
+  }
+
+  // ---- merge-on-read deletes --------------------------------------------
+
+  /** Row-level RANGE DELETE, MERGE-ON-READ — the at-scale spelling of
+    * [[deleteRange]]: the commit REWRITES ZERO DATA FILES. Files whose
+    * stats prove them fully inside the range (and null-free,
+    * non-float — [[deleteRange]]'s wholesale rules) leave the manifest
+    * outright (pure metadata surgery); files that merely OVERLAP the
+    * range stay, and a [[RangeDelete]] entry makes every subsequent
+    * read apply the `NOT BETWEEN` residual. A daily retention pass
+    * over a 100 TB table is then one manifest write, not a rewrite of
+    * every boundary file; [[compact]]/[[compactClustered]] fold the
+    * pending deletes into data files when maintenance runs.
+    *
+    * Row accounting stays EXACT via one column-pruned COUNT over only
+    * the affected files (a read, never a write). Same
+    * abort-if-advanced contract as [[deleteRange]]. */
+  def deleteRangeMor(spark: SparkSession, table: String, column: String,
+                     lower: Any, upper: Any): Long = {
+    val base = currentManifest(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    require(base.files.nonEmpty, s"empty table $table")
+    val (inRange, _) = base.files.partition { f =>
+      f.stats.get(column) match {
+        case None => true
+        case Some(s) =>
+          val lo = reprOf(s.typ, lower)
+          val hi = reprOf(s.typ, upper)
+          cmp(s.typ, s.max, lo) >= 0 && cmp(s.typ, s.min, hi) <= 0
+      }
+    }
+    if (inRange.isEmpty) return base.version // provably nothing matches
+    val (dropped, overlapping) = inRange.partition { f =>
+      f.stats.get(column) match {
+        case Some(s) if s.nulls == 0L && s.typ != "double" =>
+          val lo = reprOf(s.typ, lower)
+          val hi = reprOf(s.typ, upper)
+          cmp(s.typ, s.min, lo) >= 0 && cmp(s.typ, s.max, hi) <= 0
+        case _ => false
+      }
+    }
+    val typ = {
+      val fromStats = base.files.flatMap(_.stats.get(column))
+        .headOption.map(_.typ)
+      fromStats.getOrElse {
+        val field = readFiles(spark, table, base.files).schema
+          .find(_.name == column).getOrElse(throw new
+            IllegalArgumentException(s"no column '$column' in $table"))
+        statTyp(field.dataType).getOrElse(throw new
+          IllegalArgumentException(
+            s"range delete unsupported for '$column': ${field.dataType}"))
+      }
+    }
+    val cond = col(column) >= lit(lower) && col(column) <= lit(upper)
+    val deadDropped =
+      if (dropped.isEmpty) 0L
+      else readLive(spark, table, base, dropped).count()
+    val deadOverlap =
+      if (overlapping.isEmpty) 0L
+      else readLive(spark, table, base, overlapping)
+        .filter(coalesce(cond, lit(false))).count()
+    if (deadDropped + deadOverlap == 0L && dropped.isEmpty)
+      return base.version // nothing matches: no-op, nothing committed
+    val droppedSet = dropped.map(_.path).toSet
+    commitRetrying(spark, table) { parent =>
+      require(parent.version == base.version,
+        s"table advanced v${base.version} -> v${parent.version} during " +
+          "delete; rerun against the new snapshot")
+      val v = parent.version + 1
+      val newRange =
+        if (deadOverlap > 0L)
+          Seq(RangeDelete(column, reprOf(typ, lower), reprOf(typ, upper),
+            typ, v))
+        else Nil // overlap was a stats over-approximation: no residual
+      Manifest(v, parent.version, "delete-mor",
+        base.rows - deadDropped - deadOverlap,
+        base.files.filterNot(f => droppedSet.contains(f.path)),
+        rangeDeletes = base.rangeDeletes ++ newRange,
+        eqDeletes = base.eqDeletes,
+        schemaChanges = base.schemaChanges)
+    }.merge
+  }
+
+  /** Row-level DELETE BY KEY, MERGE-ON-READ (the Iceberg v2
+    * equality-delete shape): `keys` — one row per dead key over any
+    * subset of table columns — lands as a small parquet directory
+    * under the table, the manifest records it as an [[EqDelete]], and
+    * every subsequent read anti-joins it away. ZERO data files are
+    * rewritten; the right-to-erasure pass over a 100 TB table costs
+    * one key-file write plus one narrow accounting scan.
+    * [[compact]] folds pending key deletes into data; [[expire]]
+    * sweeps the key files once no retained manifest references them.
+    *
+    * Rows whose key columns are NULL never match (anti-join equality
+    * semantics — the SQL DELETE contract). Returns the current
+    * version unchanged when no live row matches. */
+  def deleteKeysMor(keys: DataFrame, table: String): Long = {
+    val spark = keys.sparkSession
+    val base = currentManifest(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    require(base.files.nonEmpty, s"empty table $table")
+    val cols = keys.columns.toSeq
+    require(cols.nonEmpty, "empty key frame")
+    val distinctKeys = keys.distinct()
+    val dead = readLive(spark, table, base, base.files)
+      .select(cols.map(col): _*)
+      .join(distinctKeys, cols, "left_semi").count()
+    if (dead == 0L) return base.version
+    val rel = s"deletes/${java.util.UUID.randomUUID()}"
+    distinctKeys.write.mode("errorifexists").parquet(s"$table/$rel")
+    val fs = hadoopFs(spark, table)
+    var bytes = 0L
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$table/$rel"),
+      true)
+    while (it.hasNext) bytes += it.next().getLen
+    val nKeys = distinctKeys.count()
+    commitRetrying(spark, table) { parent =>
+      require(parent.version == base.version,
+        s"table advanced v${base.version} -> v${parent.version} during " +
+          "delete; rerun against the new snapshot")
+      val v = parent.version + 1
+      Manifest(v, parent.version, "delete-mor", base.rows - dead,
+        base.files,
+        rangeDeletes = base.rangeDeletes,
+        eqDeletes = base.eqDeletes :+
+          EqDelete(rel, bytes, nKeys, cols, v),
+        schemaChanges = base.schemaChanges)
+    }.merge
+  }
+
+  // ---- non-additive schema evolution ------------------------------------
+
+  /** RENAME a column — a METADATA-ONLY commit (action `schema`): no
+    * data file is touched; reads map the old name to the new one for
+    * files staged before the rename ([[SchemaChange]] sequencing),
+    * and [[compact]] folds the mapping into real files. Pending
+    * merge-on-read delete entries on the renamed column are REKEYED
+    * in the new manifest so read-side delete filters always reference
+    * post-rename names. Partition columns cannot be renamed (their
+    * name is baked into the directory layout — compact into a new
+    * layout instead). Reusing `from` in a later append creates a NEW
+    * column: old files' data stays under `to`. */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Long = {
+    val base = currentManifest(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    require(base.files.nonEmpty, s"empty table $table")
+    require(from != to, "rename to the same name is a no-op")
+    require(!partitionColsOf(base.files).contains(from),
+      s"'$from' is a partition column — its name is the directory " +
+        "layout; rewrite via compact instead")
+    val cur = readLive(spark, table, base, base.files).columns.toSeq
+    require(cur.contains(from), s"no column '$from' in $table " +
+      cur.mkString("[", ", ", "]"))
+    require(!cur.contains(to), s"column '$to' already exists in $table")
+    commitRetrying(spark, table) { parent =>
+      require(parent.version == base.version,
+        s"table advanced v${base.version} -> v${parent.version} during " +
+          "rename; rerun against the new snapshot")
+      val v = parent.version + 1
+      Manifest(v, parent.version, "schema", base.rows, base.files,
+        rangeDeletes = base.rangeDeletes.map(d =>
+          if (d.column == from) d.copy(column = to) else d),
+        eqDeletes = base.eqDeletes.map(d =>
+          d.copy(cols = d.cols.map(c => if (c == from) to else c))),
+        schemaChanges = base.schemaChanges :+
+          SchemaChange("rename", from, to, "", v))
+    }.merge
+  }
+
+  /** WIDEN a column's type (`int→long` family → `"long"`,
+    * `float→double` → `"double"`) — metadata-only like
+    * [[renameColumn]]: old files cast at read, compaction folds.
+    * Appends after the widen should write the widened type; narrower
+    * appends still read correctly through Spark's union coercion. */
+  def widenColumn(spark: SparkSession, table: String,
+                  column: String, toTyp: String): Long = {
+    require(toTyp == "long" || toTyp == "double",
+      s"widen target must be 'long' or 'double', got '$toTyp'")
+    val base = currentManifest(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    require(base.files.nonEmpty, s"empty table $table")
+    val schema = readLive(spark, table, base, base.files).schema
+    val field = schema.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no column '$column' in " +
+        schema.fieldNames.mkString("[", ", ", "]")))
+    val ok = (field.dataType, toTyp) match {
+      case (ByteType | ShortType | IntegerType | LongType, "long") => true
+      case (FloatType | DoubleType, "double") => true
+      case _ => false
+    }
+    require(ok, s"cannot widen ${field.dataType} to $toTyp — only " +
+      "int-family to long and float-family to double are lossless")
+    commitRetrying(spark, table) { parent =>
+      require(parent.version == base.version,
+        s"table advanced v${base.version} -> v${parent.version} during " +
+          "widen; rerun against the new snapshot")
+      val v = parent.version + 1
+      Manifest(v, parent.version, "schema", base.rows, base.files,
+        rangeDeletes = base.rangeDeletes,
+        eqDeletes = base.eqDeletes,
+        schemaChanges = base.schemaChanges :+
+          SchemaChange("widen", column, column, toTyp, v))
+    }.merge
+  }
+
+  /** DROP a column — metadata-only: reads of pre-drop files project
+    * it away; compaction folds the removal into real files (after
+    * which [[expire]] reclaims the old files and the bytes are
+    * truly gone). Pending equality deletes keyed on the column block
+    * the drop (they could no longer be applied) — compact first.
+    * Partition columns cannot drop (directory layout). */
+  def dropColumn(spark: SparkSession, table: String,
+                 column: String): Long = {
+    val base = currentManifest(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    require(base.files.nonEmpty, s"empty table $table")
+    require(!partitionColsOf(base.files).contains(column),
+      s"'$column' is a partition column — rewrite via compact instead")
+    require(!base.eqDeletes.exists(_.cols.contains(column)) &&
+      !base.rangeDeletes.exists(_.column == column),
+      s"pending merge-on-read deletes reference '$column' — compact " +
+        "to fold them before dropping the column")
+    val cur = readLive(spark, table, base, base.files).columns.toSeq
+    require(cur.contains(column), s"no column '$column' in $table " +
+      cur.mkString("[", ", ", "]"))
+    require(cur.size > 1, s"cannot drop the only column of $table")
+    commitRetrying(spark, table) { parent =>
+      require(parent.version == base.version,
+        s"table advanced v${base.version} -> v${parent.version} during " +
+          "drop; rerun against the new snapshot")
+      val v = parent.version + 1
+      Manifest(v, parent.version, "schema", base.rows, base.files,
+        rangeDeletes = base.rangeDeletes,
+        eqDeletes = base.eqDeletes,
+        schemaChanges = base.schemaChanges :+
+          SchemaChange("drop", column, "", "", v))
+    }.merge
+  }
+
+  /** The typed literal a stored stat/delete repr deserializes to —
+    * the exact inverse of [[reprOf]]. */
+  private def reprToLit(typ: String, repr: String): Column = typ match {
+    case "long" => lit(repr.toLong)
+    case "double" => lit(repr.toDouble)
+    case "string" => lit(repr)
+    case "date" => lit(java.sql.Date.valueOf(repr))
+    case "timestamp" =>
+      val us = repr.toLong
+      lit(java.time.Instant.ofEpochSecond(us / 1000000L,
+        (us % 1000000L) * 1000L))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported repr type $other")
+  }
+
+  /** The LIVE rows of `files` under manifest `m`: [[readFiles]] with
+    * `m`'s pending merge-on-read deletes applied. A delete applies to
+    * a file iff the file was staged by an EARLIER commit
+    * (`file.seq < delete.seq`), so files are grouped by which deletes
+    * reach them — the group count is bounded by the number of pending
+    * deletes (small by construction: compaction folds them), never by
+    * the file count. Range deletes become residual `NOT BETWEEN`
+    * filters (codegen'd, no shuffle); equality deletes become
+    * anti-joins against the key files (AQE broadcasts the small
+    * side). Tables with no pending deletes pass through untouched —
+    * the plan is identical to the pre-MoR one. */
+  private def readLive(spark: SparkSession, table: String, m: Manifest,
+                       files: Seq[FileEntry]): DataFrame = {
+    if (!m.needsMapping || files.isEmpty)
+      return readFiles(spark, table, files)
+    val seqs = (m.rangeDeletes.map(_.seq) ++ m.eqDeletes.map(_.seq) ++
+        m.schemaChanges.map(_.seq))
+      .distinct.sorted
+    val buckets = files.groupBy { f =>
+      val i = seqs.indexWhere(_ > f.seq)
+      if (i < 0) seqs.length else i
+    }
+    buckets.toSeq.sortBy(_._1).map { case (idx, fs) =>
+      var df = readFiles(spark, table, fs)
+      if (idx < seqs.length) {
+        val applicable = seqs.drop(idx).toSet
+        // schema changes FIRST (in commit order): delete entries are
+        // rekeyed to post-change names when the change commits
+        // ([[renameColumn]]), so the delete filters below always see
+        // the mapped frame
+        m.schemaChanges.filter(c => applicable.contains(c.seq))
+          .sortBy(_.seq).foreach { c =>
+            c.kind match {
+              case "rename" =>
+                if (df.columns.contains(c.from))
+                  df = df.withColumnRenamed(c.from, c.to)
+              case "widen" =>
+                if (df.columns.contains(c.from))
+                  df = df.withColumn(c.from, col(c.from).cast(
+                    if (c.typ == "double") DoubleType else LongType))
+              case "drop" =>
+                if (df.columns.contains(c.from)) df = df.drop(c.from)
+              case other => throw new IllegalStateException(
+                s"unknown schema change kind '$other' in manifest")
+            }
+          }
+        m.rangeDeletes.filter(d => applicable.contains(d.seq))
+          .foreach { d =>
+            df = df.filter(!coalesce(
+              col(d.column) >= reprToLit(d.typ, d.lo) &&
+                col(d.column) <= reprToLit(d.typ, d.hi), lit(false)))
+          }
+        m.eqDeletes.filter(d => applicable.contains(d.seq))
+          .groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
+          .foreach { case (cols, ds) =>
+            val keys = ds.map(d =>
+                spark.read.parquet(s"$table/${d.dir}"))
+              .reduce(_ unionByName _)
+              .select(cols.map(col): _*).distinct()
+            df = df.join(keys, cols, "left_anti")
+          }
+      }
+      df
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Incremental consumption: the rows appended AFTER `sinceVersion`,
@@ -479,6 +851,73 @@ object Snapshot {
     else readFiles(spark, table, fresh)
   }
 
+  /** Row-level CDC that SURVIVES REWRITES — the consumer-facing
+    * superset of [[readAppendsSince]]: every table row plus a
+    * `_change` column (`insert` / `delete`) describing the NET
+    * change from `sinceVersion` to the current snapshot.
+    *
+    * Two regimes, picked automatically:
+    *  - APPEND-ONLY interval → the free path: the manifest file diff
+    *    ([[readAppendsSince]]), every row an `insert`, no shuffle, no
+    *    old-snapshot read.
+    *  - Any rewrite in the interval (compact / merge / delete /
+    *    overwrite) → a FINGERPRINT MULTISET DIFF: both snapshots
+    *    group by a full-row md5 ([[graft.ops.Diff.rowFingerprint]])
+    *    with counts, and the count delta per fingerprint emits that
+    *    many `insert` (current side) or `delete` (base side) copies.
+    *    Multiset semantics make a value-preserving compaction diff
+    *    EMPTY — downstream incremental consumers ride through
+    *    maintenance instead of re-baselining (the r15 gap where any
+    *    compaction poisoned every consumer).
+    *
+    * Cost of the rewrite path is two snapshot scans plus one shuffle
+    * on 16-byte keys — the honest lower bound for row-level diff
+    * without persistent row ids; the append-only fast path keeps the
+    * common poll cheap. Columns added by the interval (additive
+    * evolution) read as null on the base side, so a row that merely
+    * gained a null column does NOT churn. */
+  def readChangesSince(spark: SparkSession, table: String,
+                       sinceVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{abs, count => fCount,
+      explode, first, lit => fLit, sequence, struct, when}
+    val cur = currentManifest(spark, table).getOrElse(
+      throw new NoSuchElementException(s"no committed snapshot in $table"))
+    val appendOnly = listVersions(spark, table).sorted
+      .filter(v => v > sinceVersion && v <= cur.version)
+      .flatMap(v => readManifest(spark, table, v))
+      .forall(_.action == "append")
+    if (appendOnly)
+      return readAppendsSince(spark, table, sinceVersion)
+        .withColumn("_change", fLit("insert"))
+    val after = read(spark, table, Some(cur.version))
+    val cols = after.columns.toSeq
+    val beforeRaw = read(spark, table, Some(sinceVersion))
+    val before = cols.foldLeft(beforeRaw) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, fLit(null))
+    }.select(cols.map(col): _*)
+    val fp = graft.ops.Diff.rowFingerprint(cols)
+    def counted(df: DataFrame, n: String) = df
+      .groupBy(fp.as("__fp"))
+      .agg(fCount(fLit(1)).as(n), first(struct(cols.map(col): _*))
+        .as("__row_" + n))
+    val joined = counted(before, "cb").join(counted(after, "ca"),
+      Seq("__fp"), "full_outer")
+      .select(
+        coalesce(col("ca"), fLit(0L)).minus(
+          coalesce(col("cb"), fLit(0L))).as("__delta"),
+        col("__row_ca"), col("__row_cb"))
+      .filter(col("__delta") =!= 0L)
+    val side = when(col("__delta") > 0L, col("__row_ca"))
+      .otherwise(col("__row_cb"))
+    joined
+      .select(side.as("__row"), col("__delta"),
+        explode(sequence(fLit(1L), abs(col("__delta")))).as("__k"))
+      .select(cols.map(c => col("__row." + c)) :+
+        when(col("__delta") > 0L, fLit("insert"))
+          .otherwise(fLit("delete")).as("_change"): _*)
+  }
+
   /** [[readFilesWithPath]] carrying EVERY table column (for predicate
     * scans whose referenced columns aren't statically known). */
   private def readFilesAllWithPath(spark: SparkSession, table: String,
@@ -503,7 +942,7 @@ object Snapshot {
     val m = manifestAt(spark, table, version)
     if (m.files.isEmpty)
       throw new NoSuchElementException(s"snapshot v${m.version} is empty")
-    readFiles(spark, table, m.files)
+    readLive(spark, table, m, m.files)
   }
 
   /** A RANGE-SELECTIVE read (`lower ≤ column ≤ upper`, both bounds
@@ -530,7 +969,7 @@ object Snapshot {
       // every file provably out of range: an empty frame with the
       // table schema (Catalyst folds the scan away under filter-false)
       readFiles(spark, table, m.files).filter(lit(false))
-    else readFiles(spark, table, kept).filter(residual)
+    else readLive(spark, table, m, kept).filter(residual)
   }
 
   /** TIME TRAVEL BY TIMESTAMP: the table as of wall-clock `tsMicros`
@@ -662,16 +1101,33 @@ object Snapshot {
     * and crash orphans (staged-but-never-committed data, unclaimed
     * scratch manifests). Returns (manifests deleted, data files
     * deleted). Pinned reads of expired versions fail loudly at
-    * resolve time (the documented retention contract). */
+    * resolve time (the documented retention contract).
+    *
+    * `graceMicros`: an UNREFERENCED file younger than this horizon is
+    * left alone (Iceberg's orphan-file-removal shape). An in-flight
+    * commit writes its staged data and `g-*.json` group files BEFORE
+    * the manifest CAS binds them; a concurrent expire sweeping those
+    * just-written files would leave the winning manifest referencing
+    * deleted bytes — a corrupt table. The 10-minute default covers
+    * any realistic stage→claim window; pass 0 only when no writer can
+    * be concurrent (tests, single-writer maintenance windows). */
   def expire(spark: SparkSession, table: String,
-             keepLast: Int = 2): (Int, Int) = {
+             keepLast: Int = 2,
+             graceMicros: Long = 600_000_000L): (Int, Int) = {
     require(keepLast >= 1)
+    val sweepBeforeMillis =
+      System.currentTimeMillis() - graceMicros / 1000L
     val fs = hadoopFs(spark, table)
     val all = listVersions(spark, table).sorted
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
     drop.foreach(v => fs.delete(manifestPath(table, v), false))
-    val live: Set[String] = keep.flatMap(v =>
-      readManifest(spark, table, v)).flatMap(_.files.map(_.path)).toSet
+    val keptManifests = keep.flatMap(v => readManifest(spark, table, v))
+    val live: Set[String] =
+      keptManifests.flatMap(_.files.map(_.path)).toSet
+    // equality-delete key directories a retained manifest still
+    // applies at read time are metadata-live exactly like data files
+    val liveDeleteDirs: Seq[String] =
+      keptManifests.flatMap(_.eqDeletes.map(_.dir)).distinct
     // group files referenced by a RETAINED manifest survive the
     // _snapshots sweep (the manifest-list layer's metadata liveness)
     val liveGroups: Set[String] =
@@ -688,6 +1144,11 @@ object Snapshot {
         .stripPrefix("/")
       val isMeta = f.getPath.getName.startsWith("_") ||
         f.getPath.getName.startsWith(".")
+      // inside the grace horizon an unreferenced file may be an
+      // in-flight commit's staged data or pre-CAS group file — not
+      // yet bound, not yet orphaned; sweeping it would corrupt the
+      // commit the moment its manifest claims
+      val oldEnough = f.getModificationTime < sweepBeforeMillis
       if (rel.startsWith(SnapDir + "/")) {
         // under _snapshots, retained vN.json names and their group
         // files survive; dropped manifests' groups, orphan groups
@@ -696,8 +1157,10 @@ object Snapshot {
           keep.exists(v => rel == s"$SnapDir/${manifestName(v)}")
         val isLiveGroup =
           liveGroups.contains(rel.stripPrefix(SnapDir + "/"))
-        if (!isLiveManifest && !isLiveGroup) doomed += f.getPath
-      } else if (!isMeta && !live.contains(rel)) {
+        if (!isLiveManifest && !isLiveGroup && oldEnough)
+          doomed += f.getPath
+      } else if (!isMeta && !live.contains(rel) && oldEnough &&
+          !liveDeleteDirs.exists(d => rel.startsWith(d + "/"))) {
         // a DATA file no surviving manifest references: compacted-away
         // or a crash orphan (write markers like _SUCCESS are left
         // alone — they are not data and cost nothing)
@@ -721,12 +1184,27 @@ object Snapshot {
     * (stamp 0) count as older-than-everything. */
   def expireOlderThan(spark: SparkSession, table: String,
                       tsMicros: Long,
-                      minKeepLast: Int = 1): (Int, Int) = {
+                      minKeepLast: Int = 1,
+                      graceMicros: Long = 600_000_000L): (Int, Int) = {
     require(minKeepLast >= 1)
-    val recent = listVersions(spark, table).sorted
+    // Select the keep set by STAMP, not by counting recent manifests:
+    // under the clock skew readAsOf tolerates (stamps 100, 50, 200
+    // with cutoff 90), count-the-newest would expire a manifest
+    // stamped at/after the cutoff while a pre-cutoff one survives.
+    // Keep every version >= the OLDEST version whose stamp clears the
+    // cutoff (versions are the commit order; a skewed early stamp on
+    // a later version keeps that version too, which errs retentive —
+    // the safe direction).
+    val manifests = listVersions(spark, table).sorted
       .flatMap(v => readManifest(spark, table, v))
-      .count(_.atMicros >= tsMicros)
-    expire(spark, table, keepLast = math.max(minKeepLast, recent))
+    val firstRecent = manifests.find(_.atMicros >= tsMicros)
+      .map(_.version)
+    val keepLast = firstRecent match {
+      case Some(v) => manifests.count(_.version >= v)
+      case None => 0
+    }
+    expire(spark, table, keepLast = math.max(minKeepLast, keepLast),
+      graceMicros = graceMicros)
   }
 
   // ---- commit protocol internals ----------------------------------------
@@ -958,7 +1436,32 @@ object Snapshot {
                                  c: String): Option[String] =
     path.split('/').drop(2).dropRight(1)
       .find(_.startsWith(c + "="))
-      .map(_.substring(c.length + 1))
+      .map(seg => unescapePathName(seg.substring(c.length + 1)))
+
+  /** Invert Spark/Hive partition-path escaping (`%XX` hex for chars
+    * like `:` `=` `/` `%`). Without this a string partition value
+    * `a:b` lands in stats as `a%3Ab`, and readWhere comparing against
+    * the RAW bound can prune a file that contains matching rows —
+    * silent row loss; deleteRange misclassifies the same way. A `%`
+    * not followed by two hex digits passes through literally, which
+    * is also what Hive's unescape does. */
+  private def unescapePathName(v: String): String = {
+    if (v.indexOf('%') < 0) return v
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val ch = v.charAt(i)
+      if (ch == '%' && i + 2 < v.length) {
+        val hex = v.substring(i + 1, i + 3)
+        val code = try Integer.parseInt(hex, 16) catch {
+          case _: NumberFormatException => -1
+        }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(ch); i += 1 }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Constant stats for a partition column: min = max = the directory
     * value, zero nulls (a Hive null partition spells
@@ -1065,6 +1568,29 @@ object Snapshot {
   private def statsColsOf(files: Seq[FileEntry]): Seq[String] =
     files.flatMap(_.stats.keys).distinct.sorted
 
+  /** The tracked stats columns of a manifest under the CURRENT
+    * schema: each file's stat keys walked through the schema changes
+    * that apply to it (renames follow, dropped columns leave the
+    * tracked set) — what a rewrite under the current schema must
+    * re-gather. */
+  private def currentStatsColsOf(m: Manifest): Seq[String] = {
+    val changes = m.schemaChanges.sortBy(_.seq)
+    m.files.flatMap { f =>
+      f.stats.keys.flatMap { k0 =>
+        changes.foldLeft(Option(k0)) { (acc, c) =>
+          acc.flatMap { name =>
+            if (c.seq <= f.seq) Some(name)
+            else c.kind match {
+              case "rename" => Some(if (name == c.from) c.to else name)
+              case "drop" => if (name == c.from) None else Some(name)
+              case _ => Some(name)
+            }
+          }
+        }
+      }
+    }.distinct.sorted
+  }
+
   /** Serialized-stat type tag for a column, or None if unsupported. */
   private def statTyp(dt: DataType): Option[String] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some("long")
@@ -1105,7 +1631,14 @@ object Snapshot {
     * pruning bounds silently invert on astral-plane text. */
   private def cmp(typ: String, a: String, b: String): Int = typ match {
     case "long" | "timestamp" => java.lang.Long.compare(a.toLong, b.toLong)
-    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "double" =>
+      // `+ 0.0` canonicalizes -0.0 to 0.0 before the compare:
+      // Double.compare's total order puts -0.0 < 0.0, but the SQL
+      // residual filters these bounds stand in for equate them, so a
+      // footer max of -0.0 must NOT prune a [0.0, x] readWhere (the
+      // Iceberg zero-bound adjustment, done here at the comparator
+      // instead of per stored bound).
+      java.lang.Double.compare(a.toDouble + 0.0d, b.toDouble + 0.0d)
     case "date" => a.compareTo(b) // yyyy-MM-dd: lexicographic = time
     case _ =>
       java.util.Arrays.compareUnsigned(
@@ -1158,12 +1691,35 @@ object Snapshot {
         }
         b.result()
       }
+    val rds = Seq.newBuilder[RangeDelete]
+    if (root.has("rangeDeletes"))
+      root.get("rangeDeletes").elements().forEachRemaining { d =>
+        rds += RangeDelete(d.get("column").asText(), d.get("lo").asText(),
+          d.get("hi").asText(), d.get("typ").asText(),
+          d.get("seq").asLong())
+      }
+    val eds = Seq.newBuilder[EqDelete]
+    if (root.has("eqDeletes"))
+      root.get("eqDeletes").elements().forEachRemaining { d =>
+        val cols = Seq.newBuilder[String]
+        d.get("cols").elements().forEachRemaining(c => cols += c.asText())
+        eds += EqDelete(d.get("dir").asText(), d.get("bytes").asLong(),
+          d.get("rows").asLong(), cols.result(), d.get("seq").asLong())
+      }
+    val scs = Seq.newBuilder[SchemaChange]
+    if (root.has("schemaChanges"))
+      root.get("schemaChanges").elements().forEachRemaining { c =>
+        scs += SchemaChange(c.get("kind").asText(), c.get("from").asText(),
+          c.get("to").asText(), c.get("typ").asText(),
+          c.get("seq").asLong())
+      }
     Some(Manifest(root.get("version").asLong(),
       root.get("parent").asLong(),
       root.get("action").asText(), root.get("rows").asLong(),
       files,
       Option(root.get("tag")).map(_.asText()).getOrElse(""),
-      Option(root.get("atMicros")).map(_.asLong()).getOrElse(0L)))
+      Option(root.get("atMicros")).map(_.asLong()).getOrElse(0L),
+      rds.result(), eds.result(), scs.result()))
   }
 
   /** The group names a retained manifest references (the [[expire]]
@@ -1233,6 +1789,32 @@ object Snapshot {
     root.put("atMicros", m.atMicros)
     val arr = root.putArray("groups")
     groupNames.foreach(arr.add)
+    if (m.rangeDeletes.nonEmpty) {
+      val da = root.putArray("rangeDeletes")
+      m.rangeDeletes.foreach { d =>
+        val o = da.addObject()
+        o.put("column", d.column); o.put("lo", d.lo); o.put("hi", d.hi)
+        o.put("typ", d.typ); o.put("seq", d.seq)
+      }
+    }
+    if (m.eqDeletes.nonEmpty) {
+      val da = root.putArray("eqDeletes")
+      m.eqDeletes.foreach { d =>
+        val o = da.addObject()
+        o.put("dir", d.dir); o.put("bytes", d.bytes)
+        o.put("rows", d.rows); o.put("seq", d.seq)
+        val ca = o.putArray("cols")
+        d.cols.foreach(ca.add)
+      }
+    }
+    if (m.schemaChanges.nonEmpty) {
+      val sa = root.putArray("schemaChanges")
+      m.schemaChanges.foreach { c =>
+        val o = sa.addObject()
+        o.put("kind", c.kind); o.put("from", c.from); o.put("to", c.to)
+        o.put("typ", c.typ); o.put("seq", c.seq)
+      }
+    }
     om.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -1241,6 +1823,7 @@ object Snapshot {
       f: FileEntry): Unit = {
     o.put("path", f.path)
     o.put("bytes", f.bytes)
+    if (f.seq != 0L) o.put("seq", f.seq)
     if (f.stats.nonEmpty) {
       val st = o.putObject("stats")
       f.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
@@ -1272,7 +1855,7 @@ object Snapshot {
         b.result()
       }.getOrElse(Map.empty[String, ColStats])
       files += FileEntry(o.get("path").asText(), o.get("bytes").asLong(),
-        stats)
+        stats, Option(o.get("seq")).map(_.asLong()).getOrElse(0L))
     }
     files.toSeq
   }

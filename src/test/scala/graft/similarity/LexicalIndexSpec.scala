@@ -46,6 +46,25 @@ class LexicalIndexSpec extends AnyFunSuite {
     assert(canon(fromIndex) == canon(inMemory))
   }
 
+  test("searchHybrid over a built index is byte-identical to the " +
+    "in-memory hybridTopK (BM25 + stored-norm cosine, RRF-fused)") {
+    val path = Files.createTempDirectory("graft-lexidx-hy").toString
+    val docs = corpus(0, 60)
+    LexicalIndex.build(docs, path)
+    val fromIndex = LexicalIndex.searchHybrid(spark, path, queries,
+      k = 5, kEach = 7)
+    val inMemory = Lexical.hybridTopK(docs, queries, k = 5, kEach = 7)
+    assert(canon(fromIndex) == canon(inMemory))
+    // and parity holds across a multi-batch build too (stored n2
+    // composes per batch exactly like len)
+    val path2 = Files.createTempDirectory("graft-lexidx-hy2").toString
+    LexicalIndex.build(corpus(0, 30), path2)
+    LexicalIndex.append(corpus(30, 60), path2, "b1")
+    val fromIndex2 = LexicalIndex.searchHybrid(spark, path2, queries,
+      k = 5, kEach = 7)
+    assert(canon(fromIndex2) == canon(inMemory))
+  }
+
   test("null-text docs count toward N in both paths (the avgdl/idf " +
     "denominator parity edge)") {
     val path = Files.createTempDirectory("graft-lexidx3").toString

@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.TestSpark
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The manifest-based snapshot table: reader isolation under
@@ -100,7 +101,7 @@ class SnapshotSpec extends AnyFunSuite {
     // expire sweeps the orphan data files and the scratch manifest
     Snapshot.append(batch(20, 30), t)
     val (droppedManifests, droppedFiles) = Snapshot.expire(spark, t,
-      keepLast = 1)
+      keepLast = 1, graceMicros = 0L)
     assert(droppedManifests == 1)
     assert(droppedFiles > 0, "orphan sweep removed nothing")
     assert(!java.nio.file.Files.exists(
@@ -118,13 +119,13 @@ class SnapshotSpec extends AnyFunSuite {
     (0 until 4).foreach(k => Snapshot.append(batch(k * 5, k * 5 + 5), t))
     Snapshot.compact(spark, t)
     // both the compacted version and its parent survive keepLast=2
-    val (_, removed) = Snapshot.expire(spark, t, keepLast = 2)
+    val (_, removed) = Snapshot.expire(spark, t, keepLast = 2, graceMicros = 0L)
     assert(removed == 0,
       "files of a retained manifest were removed") // v4 files ⊂ kept set
     assert(Snapshot.read(spark, t, Some(4L)).count() == 20)
     assert(Snapshot.read(spark, t, Some(5L)).count() == 20)
     // dropping to keepLast=1 removes v4 and its now-unreferenced files
-    val (dropped2, removed2) = Snapshot.expire(spark, t, keepLast = 1)
+    val (dropped2, removed2) = Snapshot.expire(spark, t, keepLast = 1, graceMicros = 0L)
     assert(dropped2 == 1 && removed2 > 0)
     assert(Snapshot.read(spark, t).count() == 20)
   }
@@ -478,7 +479,7 @@ class SnapshotSpec extends AnyFunSuite {
     Snapshot.append(batch(10, 20), t) // v2
     val at2 = Snapshot.readManifest(spark, t, 2L).get.atMicros
     Snapshot.append(batch(20, 30), t) // v3
-    val (dropped, _) = Snapshot.expireOlderThan(spark, t, at2)
+    val (dropped, _) = Snapshot.expireOlderThan(spark, t, at2, graceMicros = 0L)
     assert(dropped == 1, s"expected v1 dropped, got $dropped")
     intercept[NoSuchElementException] { Snapshot.read(spark, t, Some(1L)) }
     assert(Snapshot.read(spark, t, Some(2L)).count() == 20)
@@ -509,7 +510,7 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, t).count() == 60)
     // expire sweeps the groups only dropped manifests referenced
     Snapshot.compact(spark, t) // v7: one fresh group
-    Snapshot.expire(spark, t, keepLast = 1)
+    Snapshot.expire(spark, t, keepLast = 1, graceMicros = 0L)
     val afterExpire = groupFiles()
     assert(afterExpire.size == 1,
       s"expire left ${afterExpire.size} groups for a 1-group manifest")
@@ -634,5 +635,335 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.versions(spark, t).last._2 == "compact")
     assert(Snapshot.read(spark, t, Some(v))
       .agg(sum("id")).head().getLong(0) == (0L until 80L).sum)
+  }
+
+  private def forgeStamp(t: String, v: Long, micros: Long): Unit = {
+    val p = java.nio.file.Paths.get(
+      f"$t/_snapshots/v$v%012d.json")
+    val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val forged = body.replaceAll(
+      "\"atMicros\"\\s*:\\s*\\d+", s""""atMicros" : $micros""")
+    assert(forged != body, s"stamp forge matched nothing in v$v")
+    java.nio.file.Files.write(p, forged.getBytes("UTF-8"))
+  }
+
+  test("expireOlderThan selects the keep set by stamp, surviving the " +
+    "clock skew readAsOf tolerates") {
+    val t = freshTable()
+    (0 until 3).foreach(k => Snapshot.append(batch(k * 10, k * 10 + 10), t))
+    // stamps 100, 50, 200: v2's clock ran behind v1's
+    forgeStamp(t, 1L, 100L); forgeStamp(t, 2L, 50L); forgeStamp(t, 3L, 200L)
+    // cutoff 90: v1 is stamped AT/AFTER the cutoff, so nothing may
+    // expire (keeping skewed-early v2 errs retentive, never lossy) —
+    // the old count-the-recent spelling dropped v1 here
+    val (d1, _) = Snapshot.expireOlderThan(spark, t, 90L, graceMicros = 0L)
+    assert(d1 == 0, s"skewed expire dropped $d1 manifests at cutoff 90")
+    assert(Snapshot.read(spark, t, Some(1L)).count() == 10)
+    // cutoff 150: only v3 clears the stamp; v1 and v2 both expire
+    val (d2, _) = Snapshot.expireOlderThan(spark, t, 150L, graceMicros = 0L)
+    assert(d2 == 2)
+    assert(Snapshot.read(spark, t).count() == 30)
+  }
+
+  test("string partition values with Hive-escaped chars prune " +
+    "correctly (no silent row loss)") {
+    val t = freshTable()
+    // ':' is %3A in the partition dir name; stats must record 'a:b'
+    Snapshot.appendPartitioned(
+      Seq((1L, "x", "a:b"), (2L, "y", "plain"))
+        .toDF("id", "text", "lang"), t, Seq("lang"),
+      statsCols = Seq("lang"))
+    val hit = Snapshot.readWhere(spark, t, "lang", "a:b", "a:b")
+    assert(hit.count() == 1, "escaped partition value was pruned away")
+    assert(hit.head().getAs[Long]("id") == 1L)
+    // and the stats themselves carry the unescaped value
+    val m = Snapshot.readManifest(spark, t,
+      Snapshot.latestVersion(spark, t).get).get
+    val langStats = m.files.flatMap(_.stats.get("lang")).map(_.min)
+    assert(langStats.contains("a:b"),
+      s"partition stats kept the escaped spelling: $langStats")
+  }
+
+  test("a -0.0 stats bound does not prune rows a [0.0, x] readWhere " +
+    "matches") {
+    val t = freshTable()
+    // one file whose double max is -0.0: footer stats say max=-0.0,
+    // but BETWEEN 0.0 AND 1.0 matches the -0.0 row (SQL equates them)
+    Snapshot.append(
+      Seq((1L, -5.0), (2L, -0.0)).toDF("id", "score").coalesce(1), t,
+      statsCols = Seq("score"))
+    val hit = Snapshot.readWhere(spark, t, "score", 0.0, 1.0)
+    assert(hit.count() == 1,
+      "-0.0 max pruned the file a zero-bound range matches")
+    assert(hit.head().getAs[Long]("id") == 2L)
+    // and the mirrored delete classification does not leave the row
+    Snapshot.deleteRange(spark, t, "score", 0.0, 1.0)
+    assert(Snapshot.read(spark, t).count() == 1)
+    assert(Snapshot.read(spark, t).head().getAs[Long]("id") == 1L)
+  }
+
+  test("deleteRangeMor commits ZERO data writes: overlapping files " +
+    "stay, the residual applies at read, time travel still sees " +
+    "the dead rows") {
+    val t = freshTable()
+    // two files straddling the range boundary: neither is wholesale
+    Snapshot.append(batch(0, 50).coalesce(1), t, statsCols = Seq("id"))
+    Snapshot.append(batch(50, 100).coalesce(1), t, statsCols = Seq("id"))
+    val pre = Snapshot.readManifest(spark, t, 2L).get
+    val v = Snapshot.deleteRangeMor(spark, t, "id", 30L, 70L)
+    val post = Snapshot.readManifest(spark, t, v).get
+    assert(post.action == "delete-mor")
+    assert(post.files.map(_.path).toSet == pre.files.map(_.path).toSet,
+      "merge-on-read delete touched the data file set")
+    assert(post.rangeDeletes.nonEmpty && post.rows == 100L - 41L)
+    val cur = Snapshot.read(spark, t)
+    assert(cur.count() == 59L)
+    assert(cur.filter(col("id") >= 30 && col("id") <= 70).count() == 0)
+    // a pinned pre-delete read still sees every row (snapshot isolation)
+    assert(Snapshot.read(spark, t, Some(2L)).count() == 100)
+    // stats-selective reads apply the residual too
+    assert(Snapshot.readWhere(spark, t, "id", 25L, 35L).count() == 5)
+  }
+
+  test("deleteRangeMor: a provably-contained file still drops " +
+    "WHOLESALE (manifest surgery), no residual recorded") {
+    val t = freshTable()
+    (0 until 4).foreach(k => Snapshot.append(
+      batch(k * 25, k * 25 + 25).coalesce(1), t, statsCols = Seq("id")))
+    val v = Snapshot.deleteRangeMor(spark, t, "id", 25L, 49L)
+    val m = Snapshot.readManifest(spark, t, v).get
+    assert(m.files.size == 3, "contained file was not dropped")
+    assert(m.rangeDeletes.isEmpty,
+      "wholesale-only delete recorded a needless residual")
+    assert(m.rows == 75L && Snapshot.read(spark, t).count() == 75)
+  }
+
+  test("rows appended AFTER a merge-on-read delete are never " +
+    "retro-deleted (the sequence rule)") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 50).coalesce(1), t, statsCols = Seq("id"))
+    Snapshot.deleteRangeMor(spark, t, "id", 10L, 60L)
+    assert(Snapshot.read(spark, t).count() == 10)
+    // re-insert ids inside the deleted range: they must survive
+    Snapshot.append(batch(20, 30).coalesce(1), t, statsCols = Seq("id"))
+    val cur = Snapshot.read(spark, t)
+    assert(cur.count() == 20,
+      s"re-inserted rows were retro-deleted: ${cur.count()}")
+    assert(cur.filter(col("id") >= 20 && col("id") < 30).count() == 10)
+  }
+
+  test("compaction folds pending merge-on-read deletes into clean " +
+    "data files; time travel across the fold still works") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 50).coalesce(1), t, statsCols = Seq("id"))
+    Snapshot.append(batch(50, 100).coalesce(1), t, statsCols = Seq("id"))
+    val vDel = Snapshot.deleteRangeMor(spark, t, "id", 30L, 70L)
+    val vC = Snapshot.compact(spark, t)
+    val m = Snapshot.readManifest(spark, t, vC).get
+    assert(!m.hasDeletes, "compaction carried pending deletes forward")
+    assert(m.rows == 59L && Snapshot.read(spark, t).count() == 59)
+    // pre-fold and pre-delete states both remain readable
+    assert(Snapshot.read(spark, t, Some(vDel)).count() == 59)
+    assert(Snapshot.read(spark, t, Some(vDel - 1)).count() == 100)
+  }
+
+  test("deleteKeysMor: equality-delete file, zero data writes; " +
+    "merge and CoW delete respect pending key deletes; expire keeps " +
+    "the key file while referenced") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 40).coalesce(1), t, statsCols = Seq("id"))
+    val pre = Snapshot.readManifest(spark, t, 1L).get
+    val dead = Seq(3L, 7L, 11L).toDF("id")
+    val v = Snapshot.deleteKeysMor(dead, t)
+    val post = Snapshot.readManifest(spark, t, v).get
+    assert(post.action == "delete-mor" && post.eqDeletes.size == 1)
+    assert(post.files.map(_.path) == pre.files.map(_.path))
+    assert(post.rows == 37L)
+    val cur = Snapshot.read(spark, t)
+    assert(cur.count() == 37)
+    assert(cur.filter(col("id").isin(3L, 7L, 11L)).count() == 0)
+    // an unmatched key frame is a no-op commit
+    assert(Snapshot.deleteKeysMor(Seq(999L).toDF("id"), t) == v)
+    // merge on top of a pending key delete: upsert id 5, insert 100
+    Snapshot.merge(Seq((5L, "edited"), (100L, "new"))
+      .toDF("id", "text"), t, "id")
+    val merged = Snapshot.read(spark, t)
+    assert(merged.count() == 38)
+    assert(merged.filter(col("id") === 3L).count() == 0,
+      "merge rewrite resurrected a key-deleted row")
+    assert(merged.filter(col("id") === 5L)
+      .head().getAs[String]("text") == "edited")
+    // expire with everything referenced: the key file must survive
+    Snapshot.expire(spark, t, keepLast = 3, graceMicros = 0L)
+    assert(Snapshot.read(spark, t).count() == 38)
+    // compact folds; after expire to the clean snapshot the key dir
+    // is unreferenced and sweeps
+    Snapshot.compact(spark, t)
+    Snapshot.expire(spark, t, keepLast = 1, graceMicros = 0L)
+    val leftoverKeys = {
+      val root = java.nio.file.Paths.get(s"$t/deletes")
+      if (!java.nio.file.Files.exists(root)) Nil
+      else {
+        val st = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .toList
+        } finally st.close()
+      }
+    }
+    assert(leftoverKeys.isEmpty,
+      s"expired equality-delete files were not swept: $leftoverKeys")
+    assert(Snapshot.read(spark, t).count() == 38)
+  }
+
+  test("readChangesSince rides through rewrites: append-only fast " +
+    "path, empty diff across compaction, inserts+deletes across a " +
+    "merge") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 20), t)                      // v1
+    Snapshot.append(batch(20, 30), t)                     // v2
+    // append-only interval: the manifest file-diff path, all inserts
+    val fast = Snapshot.readChangesSince(spark, t, 1L)
+    assert(fast.filter(col("_change") === "insert").count() == 10)
+    assert(fast.count() == 10)
+    // a value-preserving compaction nets to ZERO changes
+    Snapshot.compact(spark, t)                            // v3
+    assert(Snapshot.readChangesSince(spark, t, 2L).count() == 0,
+      "compaction churned the row-level CDC")
+    // and readAppendsSince still throws on the same interval (the
+    // strict file-identity contract is unchanged)
+    intercept[IllegalStateException] {
+      Snapshot.readAppendsSince(spark, t, 2L)
+    }
+    // merge: edit id 5, insert id 100 — the diff is exactly the
+    // replaced row (delete+insert) and the fresh row (insert)
+    Snapshot.merge(Seq((5L, "edited"), (100L, "new"))
+      .toDF("id", "text"), t, "id")                       // v4
+    val d = Snapshot.readChangesSince(spark, t, 2L)
+    assert(d.count() == 3)
+    assert(d.filter(col("_change") === "delete")
+      .head().getAs[Long]("id") == 5L)
+    assert(d.filter(col("_change") === "insert" && col("id") === 5L)
+      .head().getAs[String]("text") == "edited")
+    assert(d.filter(col("_change") === "insert" && col("id") === 100L)
+      .count() == 1)
+    // duplicate-row multisets diff by COUNT: appending a second copy
+    // of an existing row is one insert, not zero
+    Snapshot.append(batch(7, 8), t)                       // v5: dup id 7
+    Snapshot.compact(spark, t)                            // v6: rewrite
+    val dup = Snapshot.readChangesSince(spark, t, 4L)
+    assert(dup.count() == 1 &&
+      dup.head().getAs[String]("_change") == "insert" &&
+      dup.head().getAs[Long]("id") == 7L,
+      "multiset CDC lost a duplicate-row insert across compaction")
+  }
+
+  test("renameColumn is metadata-only; old files read under the new " +
+    "name; the rename survives compaction; reusing the old name is " +
+    "a fresh column") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 10), t)
+    val pre = Snapshot.readManifest(spark, t, 1L).get.files.map(_.path)
+    val v = Snapshot.renameColumn(spark, t, "text", "body")
+    val m = Snapshot.readManifest(spark, t, v).get
+    assert(m.action == "schema" && m.files.map(_.path) == pre,
+      "rename touched data files")
+    val cur = Snapshot.read(spark, t)
+    assert(cur.columns.toSeq == Seq("id", "body"))
+    assert(cur.filter(col("body") === "doc 3").count() == 1)
+    // validation is loud
+    intercept[IllegalArgumentException] {
+      Snapshot.renameColumn(spark, t, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.renameColumn(spark, t, "id", "body")
+    }
+    // an append carrying the CURRENT schema, then compaction folds
+    Snapshot.append(Seq((100L, "new doc")).toDF("id", "body"), t)
+    Snapshot.compact(spark, t)
+    val folded = Snapshot.readManifest(spark, t,
+      Snapshot.latestVersion(spark, t).get).get
+    assert(folded.schemaChanges.isEmpty,
+      "compaction carried schema changes forward")
+    assert(Snapshot.read(spark, t).columns.toSeq == Seq("id", "body"))
+    assert(Snapshot.read(spark, t).count() == 11)
+    // reusing the retired name afterwards is a genuinely new column
+    Snapshot.append(Seq((200L, "b", "resurrected"))
+      .toDF("id", "body", "text"), t)
+    val wide = Snapshot.read(spark, t)
+    assert(wide.columns.toSet == Set("id", "body", "text"))
+    assert(wide.filter(col("text").isNotNull).count() == 1)
+  }
+
+  test("widenColumn: old int/float files read as long/double; " +
+    "compaction folds the cast") {
+    val t = freshTable()
+    Snapshot.append((0 until 10).map(i => (i, i.toFloat / 2))
+      .toDF("n", "x"), t)
+    intercept[IllegalArgumentException] {
+      Snapshot.widenColumn(spark, t, "x", "long") // float -> long: lossy
+    }
+    Snapshot.widenColumn(spark, t, "n", "long")
+    Snapshot.widenColumn(spark, t, "x", "double")
+    val cur = Snapshot.read(spark, t)
+    assert(cur.schema("n").dataType == LongType)
+    assert(cur.schema("x").dataType == DoubleType)
+    assert(cur.agg(sum("n")).head().getLong(0) == 45L)
+    // post-widen appends write the wide type; the union holds
+    Snapshot.append(Seq((100L, 2.5d)).toDF("n", "x"), t)
+    assert(Snapshot.read(spark, t).agg(sum("n")).head().getLong(0) == 145L)
+    Snapshot.compact(spark, t)
+    val folded = Snapshot.readManifest(spark, t,
+      Snapshot.latestVersion(spark, t).get).get
+    assert(folded.schemaChanges.isEmpty)
+    assert(Snapshot.read(spark, t).schema("n").dataType == LongType)
+    assert(Snapshot.read(spark, t).count() == 11)
+  }
+
+  test("dropColumn hides the column at read and compaction makes the " +
+    "removal physical; rename rekeys pending MoR delete entries") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 20), t, statsCols = Seq("id"))
+    // a pending MoR range delete, then a rename of the SAME column:
+    // the delete entry must follow the name
+    Snapshot.deleteRangeMor(spark, t, "id", 5L, 8L)
+    Snapshot.renameColumn(spark, t, "id", "key")
+    val m = Snapshot.readManifest(spark, t,
+      Snapshot.latestVersion(spark, t).get).get
+    assert(m.rangeDeletes.forall(_.column == "key"),
+      "rename left a pending delete keyed on the old name")
+    val cur = Snapshot.read(spark, t)
+    assert(cur.columns.toSeq == Seq("key", "text"))
+    assert(cur.count() == 16)
+    assert(cur.filter(col("key") === 6L).count() == 0)
+    // drop the text column; reads lose it, compaction folds
+    Snapshot.dropColumn(spark, t, "text")
+    assert(Snapshot.read(spark, t).columns.toSeq == Seq("key"))
+    Snapshot.compact(spark, t)
+    assert(Snapshot.read(spark, t).columns.toSeq == Seq("key"))
+    assert(Snapshot.read(spark, t).count() == 16)
+    // the only-column guard is loud
+    intercept[IllegalArgumentException] {
+      Snapshot.dropColumn(spark, t, "key")
+    }
+  }
+
+  test("expire grace horizon shields just-written unreferenced files " +
+    "from a concurrent sweep") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 10), t)
+    // an in-flight commit's staged-but-unclaimed data file
+    batch(100, 110).write.parquet(s"$t/data/inflight-commit")
+    // default grace: the young orphan survives the sweep
+    Snapshot.expire(spark, t, keepLast = 1)
+    assert(java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$t/data/inflight-commit"))
+      .iterator().hasNext, "grace horizon failed to shield staged data")
+    // grace 0 (no concurrent writers): the orphan sweeps as before
+    val (_, removed) = Snapshot.expire(spark, t, keepLast = 1,
+      graceMicros = 0L)
+    assert(removed > 0)
+    assert(Snapshot.read(spark, t).count() == 10)
   }
 }
