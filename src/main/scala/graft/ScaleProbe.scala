@@ -182,7 +182,18 @@ object ScaleProbe {
                   "q_snapshot_delete", "q_snapshot_incremental",
                   "q_snapshot_asof",
                   "q_bm25_topk", "q_bm25_index",
-                  "q_hybrid_rrf", "q_wordpiece_tokens")
+                  "q_hybrid_rrf", "q_wordpiece_tokens",
+                  // round 16: the merge-on-read delete (four corpus
+                  // appends + one narrow accounting count + the
+                  // residual-filtered read — growth must track the
+                  // scan, the delete COMMIT itself is O(manifest)),
+                  // CDC across a rewrite (two snapshot scans + one
+                  // 16-byte-key shuffle), schema evolution (metadata
+                  // commits + mapped scan), and the index-fed hybrid
+                  // (postings build is the 10× part; the probe is
+                  // df-bounded)
+                  "q_snapshot_delete_mor", "q_snapshot_cdc",
+                  "q_snapshot_rename", "q_hybrid_rrf_index")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

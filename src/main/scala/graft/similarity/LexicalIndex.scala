@@ -40,10 +40,31 @@ import org.apache.spark.sql.functions._
   */
 object LexicalIndex {
 
-  /** Build the index at `path` from a corpus frame. */
+  /** Build the index at `path` from a corpus frame. `wordBuckets > 0`
+    * lays the postings out hash-partitioned by word
+    * (`bucket=<pmod(hash(word), n)>` dirs inside each batch): a probe
+    * then PARTITION-PRUNES to the query words' buckets before any
+    * file is listed — at 100 TB the probe cost drops from
+    * all-postings-files to queried-buckets/n of them. The bucket
+    * count is pinned in `layout.json`; appends read and follow it. */
   def build(docs: DataFrame, path: String,
-            textCol: String = "text", idCol: String = "doc_id"): Unit =
+            textCol: String = "text", idCol: String = "doc_id",
+            wordBuckets: Int = 0): Unit = {
+    require(wordBuckets >= 0, s"negative wordBuckets: $wordBuckets")
+    new java.io.File(path).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "layout.json"),
+      s"""{"wordBuckets":$wordBuckets}""")
     append(docs, path, "base", textCol, idCol)
+  }
+
+  private def wordBucketsOf(path: String): Int = {
+    val f = java.nio.file.Paths.get(path, "layout.json")
+    if (!java.nio.file.Files.exists(f)) return 0 // pre-layout index
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(f))
+    root.path("wordBuckets").asInt(0)
+  }
 
   /** Land one batch's postings under `batch=<tag>` (idempotent:
     * re-running a tag overwrites its own directories). */
@@ -55,8 +76,15 @@ object LexicalIndex {
       s"batchTag must be directory-safe, got '$batchTag'")
     val spark = batch.sparkSession
     import spark.implicits._
+    val nBuckets = wordBucketsOf(path)
     val tf = Lexical.tfPostings(batch, idCol, textCol)
-    tf.write.mode("overwrite").parquet(s"$path/postings/batch=$batchTag")
+    if (nBuckets > 0)
+      tf.withColumn("bucket", pmod(hash(col("word")), lit(nBuckets)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings/batch=$batchTag")
+    else
+      tf.write.mode("overwrite")
+        .parquet(s"$path/postings/batch=$batchTag")
     // len feeds the BM25 prior; n2 (Σtf², the full-document norm) is
     // stored so the cosine side of a HYBRID probe never has to
     // re-aggregate the whole postings table at query time
@@ -65,6 +93,30 @@ object LexicalIndex {
       .write.mode("overwrite").parquet(s"$path/doclen/batch=$batchTag")
     Seq(batch.count()).toDF("n_docs")
       .write.mode("overwrite").parquet(s"$path/meta/batch=$batchTag")
+  }
+
+  /** The df-bounded postings probe both searches share: the stored
+    * postings restricted to the query's words. On a word-bucketed
+    * layout ([[build]] `wordBuckets`) the probe first PARTITION-
+    * PRUNES to the query words' buckets — the bucket list is computed
+    * with the same `pmod(hash(word), n)` the writer used, collected
+    * driver-side (bounded by the query's word count), and applied as
+    * a literal partition filter, so pruning is static and visible in
+    * the plan (no reliance on runtime DPP). */
+  private def probePostings(spark: SparkSession, path: String,
+                            qwords: DataFrame): DataFrame = {
+    val raw = spark.read.parquet(s"$path/postings")
+    val n = wordBucketsOf(path)
+    val base =
+      if (n > 0 && raw.columns.contains("bucket")) {
+        val buckets = qwords
+          .withColumn("bucket", pmod(hash(col("word")), lit(n)))
+          .select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        raw.filter(col("bucket").isin(buckets: _*))
+      } else raw
+    base.select(col("word"), col("doc_id"), col("tf"))
+      .join(broadcast(qwords), Seq("word"))
   }
 
   /** BM25 top-k against the stored postings. The probe reads only the
@@ -79,9 +131,7 @@ object LexicalIndex {
     require(k > 0, s"k must be positive: $k")
     val qterms = Lexical.queryTerms(queries, queryIdCol, queryTextCol)
     val qwords = qterms.select(col("word")).distinct()
-    val rel = spark.read.parquet(s"$path/postings")
-      .select(col("word"), col("doc_id"), col("tf"))
-      .join(broadcast(qwords), Seq("word")) // the df-bounded probe
+    val rel = probePostings(spark, path, qwords)
     val df = rel.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val len = spark.read.parquet(s"$path/doclen")
       .select(col("doc_id"), col("len"))
@@ -110,9 +160,7 @@ object LexicalIndex {
     require(k > 0 && kEach > 0)
     val qterms = Lexical.queryTerms(queries, queryIdCol, queryTextCol)
     val qwords = qterms.select(col("word")).distinct()
-    val rel = spark.read.parquet(s"$path/postings")
-      .select(col("word"), col("doc_id"), col("tf"))
-      .join(broadcast(qwords), Seq("word")) // the df-bounded probe
+    val rel = probePostings(spark, path, qwords)
     val df = rel.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val doclen = spark.read.parquet(s"$path/doclen")
     require(doclen.columns.contains("n2"),

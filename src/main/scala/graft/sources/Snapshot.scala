@@ -627,6 +627,60 @@ object Snapshot {
     }.merge
   }
 
+  // ---- metadata tables ---------------------------------------------------
+
+  /** The manifest's FILE LIST as a DataFrame (the Iceberg
+    * `table$files` surface): one row per data file with its size,
+    * staging commit (`seq`), and per-column min/max/null stats
+    * flattened to `stats_<col>_min`/`_max`/`_nulls`. Driver-built
+    * from metadata already in memory — no data file is opened. The
+    * operational queries this answers ("which files would a range
+    * read keep", "how skewed are file sizes", "what does compaction
+    * owe") otherwise need ad-hoc manifest parsing. */
+  def filesTable(spark: SparkSession, table: String,
+                 version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.{Row, types => T}
+    val m = manifestAt(spark, table, version)
+    val statCols = statsColsOf(m.files)
+    val schema = T.StructType(
+      Seq(T.StructField("path", T.StringType, nullable = false),
+          T.StructField("bytes", T.LongType, nullable = false),
+          T.StructField("seq", T.LongType, nullable = false)) ++
+        statCols.flatMap(c => Seq(
+          T.StructField(s"stats_${c}_min", T.StringType),
+          T.StructField(s"stats_${c}_max", T.StringType),
+          T.StructField(s"stats_${c}_nulls", T.LongType))))
+    val rows = m.files.map { f =>
+      Row.fromSeq(Seq(f.path, f.bytes, f.seq) ++
+        statCols.flatMap(c => f.stats.get(c) match {
+          case Some(st) => Seq(st.min, st.max,
+            if (st.nulls < 0) null else st.nulls)
+          case None => Seq(null, null, null)
+        }))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** The COMMIT HISTORY as a DataFrame (the Iceberg `table$history`
+    * surface): one row per retained version — action, row count,
+    * file count/bytes, commit stamp, idempotence tag, and the counts
+    * of pending merge-on-read deletes and schema changes the version
+    * carries. Driver-built from the manifests. */
+  def historyTable(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    listVersions(spark, table).sorted
+      .flatMap(v => readManifest(spark, table, v))
+      .map(m => (m.version, m.parent, m.action, m.rows,
+        m.files.size.toLong, m.files.map(_.bytes).sum, m.tag,
+        m.atMicros,
+        (m.rangeDeletes.size + m.eqDeletes.size).toLong,
+        m.schemaChanges.size.toLong))
+      .toDF("version", "parent", "action", "rows", "n_files",
+        "total_bytes", "tag", "at_micros", "pending_deletes",
+        "pending_schema_changes")
+  }
+
   // ---- non-additive schema evolution ------------------------------------
 
   /** RENAME a column — a METADATA-ONLY commit (action `schema`): no
@@ -800,9 +854,16 @@ object Snapshot {
           }
         m.rangeDeletes.filter(d => applicable.contains(d.seq))
           .foreach { d =>
-            df = df.filter(!coalesce(
-              col(d.column) >= reprToLit(d.typ, d.lo) &&
-                col(d.column) <= reprToLit(d.typ, d.hi), lit(false)))
+            // keep = outside the range, null, or NaN. This OR-of-
+            // comparisons spelling (rather than NOT coalesce(BETWEEN))
+            // is parquet-PUSHDOWN-friendly: row groups inside
+            // surviving files still skip. NaN keeps through `> hi`
+            // (Spark orders NaN above every double), null through the
+            // explicit isNull — same rows as the null-safe NOT-BETWEEN.
+            df = df.filter(
+              col(d.column) < reprToLit(d.typ, d.lo) ||
+                col(d.column) > reprToLit(d.typ, d.hi) ||
+                col(d.column).isNull)
           }
         m.eqDeletes.filter(d => applicable.contains(d.seq))
           .groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
@@ -878,17 +939,42 @@ object Snapshot {
     * gained a null column does NOT churn. */
   def readChangesSince(spark: SparkSession, table: String,
                        sinceVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{abs, count => fCount,
-      explode, first, lit => fLit, sequence, struct, when}
     val cur = currentManifest(spark, table).getOrElse(
       throw new NoSuchElementException(s"no committed snapshot in $table"))
+    readChangesBetween(spark, table, sinceVersion, cur.version)
+  }
+
+  /** [[readChangesSince]] bounded on BOTH ends: the net row-level
+    * change from `sinceVersion` to `untilVersion` (both retained) —
+    * the replay/backfill spelling: a consumer that processed up to a
+    * pinned version can diff any historical window without racing
+    * live commits. Same two regimes as the open-ended form. */
+  def readChangesBetween(spark: SparkSession, table: String,
+                         sinceVersion: Long,
+                         untilVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{abs, count => fCount,
+      explode, first, lit => fLit, sequence, struct, when}
+    require(untilVersion >= sinceVersion,
+      s"inverted interval: ($sinceVersion, $untilVersion]")
+    val cur = manifestAt(spark, table, Some(untilVersion))
     val appendOnly = listVersions(spark, table).sorted
       .filter(v => v > sinceVersion && v <= cur.version)
       .flatMap(v => readManifest(spark, table, v))
       .forall(_.action == "append")
-    if (appendOnly)
-      return readAppendsSince(spark, table, sinceVersion)
+    if (appendOnly) {
+      // the file-diff fast path against the BOUNDED end: fresh files
+      // of `until` not in `since` (readAppendsSince spells the same
+      // diff against the current version only)
+      val from = readManifest(spark, table, sinceVersion).getOrElse(
+        throw new NoSuchElementException(
+          s"no snapshot v$sinceVersion in $table"))
+      val known = from.files.map(_.path).toSet
+      val fresh = cur.files.filterNot(f => known.contains(f.path))
+      return (if (fresh.isEmpty)
+                readFiles(spark, table, cur.files).filter(lit(false))
+              else readFiles(spark, table, fresh))
         .withColumn("_change", fLit("insert"))
+    }
     val after = read(spark, table, Some(cur.version))
     val cols = after.columns.toSeq
     val beforeRaw = read(spark, table, Some(sinceVersion))
@@ -916,6 +1002,58 @@ object Snapshot {
       .select(cols.map(c => col("__row." + c)) :+
         when(col("__delta") > 0L, fLit("insert"))
           .otherwise(fLit("delete")).as("_change"): _*)
+  }
+
+  /** A DURABLE incremental consumer — the polling loop every
+    * downstream pipeline writes by hand, done once: reads the
+    * consumer's last-processed version from `stateDir`, hands the net
+    * changes since then (via [[readChangesBetween]], so rewrites in
+    * the window degrade to the multiset diff instead of breaking the
+    * consumer) to `handler`, and advances the baseline ATOMICALLY
+    * (scratch + rename) only after the handler returns. The window's
+    * upper bound is pinned BEFORE the handler runs — a commit racing
+    * the poll lands in the next window, never half in this one.
+    *
+    * At-least-once: a crash after the handler but before the baseline
+    * write replays the SAME `(since, until]` window next poll — the
+    * window bounds are the handler's idempotence key (tag your side
+    * effects with them, the [[graft.streaming.CurationStream
+    * .landSnapshot]] batch-tag pattern). A first-time consumer
+    * (`stateDir` empty) receives the whole current snapshot as
+    * inserts. A consumer that fell behind retention (its baseline
+    * expired) fails LOUDLY at resolve — re-baseline deliberately,
+    * never silently skip.
+    *
+    * Returns the processed `(since, until]` window, or None when
+    * already up to date. */
+  def consumeChanges(spark: SparkSession, table: String,
+                     stateDir: String)
+                    (handler: DataFrame => Unit): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.{lit => fLit}
+    val statePath = java.nio.file.Paths.get(stateDir, "baseline.json")
+    val since: Long =
+      if (!java.nio.file.Files.exists(statePath)) 0L
+      else new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(statePath))
+        .path("version").asLong(0L)
+    val cur = currentManifest(spark, table).getOrElse(
+      throw new NoSuchElementException(s"no committed snapshot in $table"))
+    if (cur.version <= since) return None
+    val changes =
+      if (since == 0L) read(spark, table, Some(cur.version))
+        .withColumn("_change", fLit("insert"))
+      else readChangesBetween(spark, table, since, cur.version)
+    handler(changes)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stateDir))
+    val scratch = java.nio.file.Paths.get(stateDir,
+      s".tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(scratch,
+      s"""{"version":${cur.version}}""")
+    java.nio.file.Files.move(scratch, statePath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Some((since, cur.version))
   }
 
   /** [[readFilesWithPath]] carrying EVERY table column (for predicate

@@ -65,6 +65,47 @@ class LexicalIndexSpec extends AnyFunSuite {
     assert(canon(fromIndex2) == canon(inMemory))
   }
 
+  test("word-bucketed postings: probes PARTITION-PRUNE to the query " +
+    "words' buckets and stay byte-identical to the flat layout") {
+    val path = Files.createTempDirectory("graft-lexidx-bk").toString
+    val docs = corpus(0, 80)
+    LexicalIndex.build(docs, path, wordBuckets = 8)
+    LexicalIndex.append(corpus(80, 100), path, "b1")
+    val fromBucketed = LexicalIndex.searchBm25(spark, path, queries,
+      k = 7)
+    val inMemory = Lexical.bm25TopK(corpus(0, 100), queries, k = 7)
+    assert(canon(fromBucketed) == canon(inMemory))
+    val hyBucketed = LexicalIndex.searchHybrid(spark, path, queries,
+      k = 5, kEach = 7)
+    val hyMemory = Lexical.hybridTopK(corpus(0, 100), queries,
+      k = 5, kEach = 7)
+    assert(canon(hyBucketed) == canon(hyMemory))
+    // the probe's postings scans must carry a PARTITION filter — the
+    // scale contract, not just the values (the q_snapshot_skip
+    // pattern applied to the inverted index)
+    val probed = LexicalIndex.searchBm25(spark, path, queries, k = 7)
+    probed.collect() // bind the executed plan
+    // descend through AQE query stages — a plain collect on the
+    // adaptive plan stops at stage boundaries
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => scansOf(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Seq(f)
+        case other => other.children.flatMap(scansOf)
+      }
+    val scans = scansOf(probed.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "tf")) // the postings scans
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "bucket"))),
+      s"bucketed probe planned no bucket partition filter:\n" +
+        probed.queryExecution.executedPlan)
+  }
+
   test("null-text docs count toward N in both paths (the avgdl/idf " +
     "denominator parity edge)") {
     val path = Files.createTempDirectory("graft-lexidx3").toString

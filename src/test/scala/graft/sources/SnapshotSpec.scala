@@ -949,6 +949,126 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("readChangesBetween: a bounded historical window diffs " +
+    "without racing live commits") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 10), t)   // v1
+    Snapshot.append(batch(10, 20), t)  // v2
+    Snapshot.compact(spark, t)         // v3
+    Snapshot.append(batch(20, 30), t)  // v4
+    // append-only bounded window (1,2]: file-diff fast path
+    val w12 = Snapshot.readChangesBetween(spark, t, 1L, 2L)
+    assert(w12.count() == 10 &&
+      w12.filter(col("_change") =!= "insert").count() == 0)
+    // window (2,3] spans only the compaction: empty multiset diff
+    assert(Snapshot.readChangesBetween(spark, t, 2L, 3L).count() == 0)
+    // window (1,4] spans the rewrite: net = the 20 appended rows
+    val w14 = Snapshot.readChangesBetween(spark, t, 1L, 4L)
+    assert(w14.count() == 20)
+    intercept[IllegalArgumentException] {
+      Snapshot.readChangesBetween(spark, t, 3L, 1L)
+    }
+  }
+
+  test("metadata tables: filesTable exposes stats and seq, " +
+    "historyTable exposes the commit chain with pending-work counts") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 10).coalesce(1), t, statsCols = Seq("id"))
+    Snapshot.append(batch(10, 30).coalesce(1), t, statsCols = Seq("id"))
+    Snapshot.deleteRangeMor(spark, t, "id", 5L, 12L) // v3: residual
+    val files = Snapshot.filesTable(spark, t)
+    assert(files.count() == 2)
+    val r = files.orderBy(col("seq")).collect()
+    assert(r(0).getAs[Long]("seq") == 1L &&
+      r(0).getAs[String]("stats_id_min") == "0" &&
+      r(0).getAs[String]("stats_id_max") == "9" &&
+      r(0).getAs[Long]("stats_id_nulls") == 0L)
+    assert(r(1).getAs[Long]("seq") == 2L)
+    val hist = Snapshot.historyTable(spark, t).orderBy(col("version"))
+      .collect()
+    assert(hist.map(_.getAs[String]("action")).toSeq ==
+      Seq("append", "append", "delete-mor"))
+    assert(hist(2).getAs[Long]("rows") == 22L &&
+      hist(2).getAs[Long]("pending_deletes") == 1L)
+    Snapshot.compact(spark, t)
+    val folded = Snapshot.historyTable(spark, t)
+      .orderBy(col("version").desc).head()
+    assert(folded.getAs[String]("action") == "compact" &&
+      folded.getAs[Long]("pending_deletes") == 0L)
+  }
+
+  test("merge-on-read deletes compose with PARTITIONED snapshots: " +
+    "residual reads keep partition pruning") {
+    val t = freshTable()
+    def facet(from: Int, until: Int) =
+      (from until until).map(i =>
+        (i.toLong, s"doc $i", if (i % 2 == 0) "en" else "de"))
+        .toDF("id", "text", "lang")
+    Snapshot.appendPartitioned(facet(0, 40), t, Seq("lang"),
+      statsCols = Seq("id"))
+    Snapshot.appendPartitioned(facet(40, 60), t, Seq("lang"),
+      statsCols = Seq("id"))
+    val v = Snapshot.deleteRangeMor(spark, t, "id", 10L, 49L)
+    assert(Snapshot.readManifest(spark, t, v).get.action == "delete-mor")
+    val cur = Snapshot.read(spark, t)
+    assert(cur.count() == 20)
+    assert(cur.filter(col("id") >= 10 && col("id") <= 49).count() == 0)
+    // a facet filter on the MoR-filtered read still partition-prunes
+    val en = cur.filter(col("lang") === "en")
+    assert(en.count() == 10)
+    assert(Layout.isPartitionPruned(en),
+      "MoR residual broke partition pruning:\n" +
+        en.queryExecution.executedPlan)
+    // and the fold keeps both the rows and the layout
+    Snapshot.compact(spark, t)
+    val post = Snapshot.read(spark, t)
+    assert(post.count() == 20)
+    assert(Layout.isPartitionPruned(post.filter(col("lang") === "de")))
+  }
+
+  test("consumeChanges: durable baseline, at-least-once replay, " +
+    "rides through rewrites") {
+    val t = freshTable()
+    val state = Files.createTempDirectory("graft-consumer").toString
+    Snapshot.append(batch(0, 10), t) // v1
+    var seen = Seq.empty[(String, Long)]
+    def collectInto(df: org.apache.spark.sql.DataFrame): Unit =
+      seen = df.select(col("_change"), col("id")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // first poll: the whole snapshot as inserts
+    val w1 = Snapshot.consumeChanges(spark, t, state)(collectInto)
+    assert(w1.contains((0L, 1L)) && seen.size == 10 &&
+      seen.forall(_._1 == "insert"))
+    // up to date: handler not invoked
+    seen = Nil
+    assert(Snapshot.consumeChanges(spark, t, state)(collectInto).isEmpty
+      && seen.isEmpty)
+    // a crash AFTER the handler but BEFORE the baseline write
+    // replays the same window (at-least-once)
+    Snapshot.append(batch(10, 15), t) // v2
+    intercept[RuntimeException] {
+      Snapshot.consumeChanges(spark, t, state) { df =>
+        collectInto(df); throw new RuntimeException("crash mid-consume")
+      }
+    }
+    val wReplay = Snapshot.consumeChanges(spark, t, state)(collectInto)
+    assert(wReplay.contains((1L, 2L)) &&
+      seen.map(_._2).sorted == (10L until 15L).toSeq)
+    // a compaction + append window nets to just the appended rows
+    Snapshot.compact(spark, t)        // v3
+    Snapshot.append(batch(15, 18), t) // v4
+    val w3 = Snapshot.consumeChanges(spark, t, state)(collectInto)
+    assert(w3.contains((2L, 4L)) &&
+      seen.map(_._2).sorted == (15L until 18L).toSeq &&
+      seen.forall(_._1 == "insert"))
+    // fell behind retention: loud failure, no silent skip
+    Snapshot.append(batch(18, 20), t) // v5
+    Snapshot.expire(spark, t, keepLast = 1, graceMicros = 0L)
+    intercept[NoSuchElementException] {
+      Snapshot.consumeChanges(spark, t, state)(collectInto)
+    }
+  }
+
   test("expire grace horizon shields just-written unreferenced files " +
     "from a concurrent sweep") {
     val t = freshTable()
