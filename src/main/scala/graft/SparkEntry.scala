@@ -199,6 +199,7 @@ object SparkEntry {
     "q_snapshot_incremental"    -> Corpus.snapshotIncremental _,
     "q_snapshot_cdc"            -> Corpus.snapshotCdc _,
     "q_snapshot_rename"         -> Corpus.snapshotRename _,
+    "q_snapshot_consume"        -> Corpus.snapshotConsume _,
     "q_snapshot_asof"           -> Corpus.snapshotAsOf _,
     "q_pivot_events"            -> Stats.pivotEventCounts _,
     "q_char_deciles"            -> Stats.charDeciles _,
@@ -3593,6 +3594,26 @@ object SparkEntry {
                 CAST(sum(doc_id) AS BIGINT) AS sum_id
          FROM documents WHERE doc_id % 2 = 1
          GROUP BY 1 ORDER BY 1""",
+    // consumer twin: window 1 = the even slice as inserts; window 2
+    // nets the odds append + MoR range delete + compaction to odds
+    // outside the range (insert) and evens inside it (delete)
+    "q_snapshot_consume" ->
+      """WITH m AS (SELECT max(doc_id) // 4 AS lo,
+                           max(doc_id) // 2 AS hi FROM documents),
+         w AS (
+           SELECT 1 AS win, 'insert' AS _change, doc_id
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT 2, 'insert', doc_id FROM documents, m
+           WHERE doc_id % 2 = 1 AND doc_id NOT BETWEEN m.lo AND m.hi
+           UNION ALL
+           SELECT 2, 'delete', doc_id FROM documents, m
+           WHERE doc_id % 2 = 0 AND doc_id BETWEEN m.lo AND m.hi)
+         SELECT CAST(win AS BIGINT) AS win, _change,
+                CAST(doc_id % 8 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS sum_id
+         FROM w GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // schema evolution twin: the raw table aggregated under the
     // FINAL names/types, answered twice — 'mapped' (old files
     // name/type-mapped at scan) and 'folded' (post-compaction)

@@ -245,6 +245,51 @@ object Corpus {
       .orderBy(col("bucket"))
   }
 
+  /** The DURABLE incremental consumer as a declared query
+    * ([[graft.sources.Snapshot.consumeChanges]]): a consumer polls
+    * the table twice — first seeing the initial even-doc snapshot as
+    * inserts (window (0,1]), then a window spanning an odds append,
+    * a merge-on-read range delete AND a compaction, which must net
+    * to exactly the surviving odds (insert) and the range-deleted
+    * evens (delete). Both windows aggregate side by side; the oracle
+    * replays each slice off the raw table, so the hash gate proves
+    * the whole consumer lifecycle — baseline advance, rewrite-proof
+    * diffing — end to end. */
+  def snapshotConsume(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapcons").toString + "/t"
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-snapcons-state").toString
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+    val lo = mx / 4
+    val hi = mx / 2
+    val windows = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
+    def poll(): Unit =
+      Snapshot.consumeChanges(spark, table, state) { df =>
+        windows += df
+          .groupBy(col("_change"), (col("doc_id") % 8).as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("doc_id")).as("sum_id"))
+          .withColumn("win", lit(windows.size + 1L))
+      }: Unit
+    Snapshot.append(d.filter(col("doc_id") % 2 === 0), table,
+      statsCols = Seq("doc_id"))                           // v1
+    poll()                                                 // (0,1]
+    Snapshot.append(d.filter(col("doc_id") % 2 === 1), table,
+      statsCols = Seq("doc_id"))                           // v2
+    Snapshot.deleteRangeMor(spark, table, "doc_id", lo, hi) // v3
+    Snapshot.compact(spark, table)                         // v4
+    poll()                                                 // (1,4]
+    require(windows.size == 2, s"expected 2 windows, got ${windows.size}")
+    windows.reduce(_ unionByName _)
+      .orderBy(col("win"), col("_change"), col("bucket"))
+      .select(col("win"), col("_change"), col("bucket"),
+              col("n_docs"), col("sum_id"))
+  }
+
   /** NON-ADDITIVE schema evolution as a declared query
     * ([[graft.sources.Snapshot.renameColumn]] /
     * [[graft.sources.Snapshot.widenColumn]]): half the orders land

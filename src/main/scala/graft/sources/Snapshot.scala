@@ -601,9 +601,23 @@ object Snapshot {
     val cols = keys.columns.toSeq
     require(cols.nonEmpty, "empty key frame")
     val distinctKeys = keys.distinct()
-    val dead = readLive(spark, table, base, base.files)
-      .select(cols.map(col): _*)
-      .join(distinctKeys, cols, "left_semi").count()
+    // the exact-accounting scan stats-prunes like merge does: with a
+    // single tracked key column, files whose range cannot intersect
+    // the keys' [min, max] never join the count (all-null key frames
+    // match nothing by anti-join semantics — zero candidates)
+    val candidates: Seq[FileEntry] =
+      if (cols.size == 1 &&
+          base.files.exists(_.stats.contains(cols.head))) {
+        val b = distinctKeys.agg(min(col(cols.head)),
+          max(col(cols.head))).head()
+        if (b.isNullAt(0)) Nil
+        else keptByRange(base.files, cols.head, b.get(0), b.get(1))
+      } else base.files
+    val dead =
+      if (candidates.isEmpty) 0L
+      else readLive(spark, table, base, candidates)
+        .select(cols.map(col): _*)
+        .join(distinctKeys, cols, "left_semi").count()
     if (dead == 0L) return base.version
     val rel = s"deletes/${java.util.UUID.randomUUID()}"
     distinctKeys.write.mode("errorifexists").parquet(s"$table/$rel")
