@@ -332,17 +332,21 @@ object Snapshot {
     require(base.files.nonEmpty, s"empty table $table")
     val srcRows = source.count()
     if (srcRows == 0L) return base.version
+    requireUnrenamed(base, Seq(key), "merge key")
     require(source.select(col(key)).distinct().count() == srcRows,
       s"merge source carries duplicate '$key' values — upsert would be " +
         "order-dependent; dedup the source first")
     // stage 1: manifest stats drop files outside the source key range
-    val keyTyp = base.files.flatMap(_.stats.get(key)).headOption.map(_.typ)
+    val keyTyp = base.files
+      .flatMap(f => fileStats(f, key, base.schemaChanges))
+      .headOption.map(_.typ)
     val candidates = keyTyp match {
       case Some(typ) =>
         val b = source.agg(min(col(key)), max(col(key))).head()
         val lo = reprOf(typ, b.get(0))
         val hi = reprOf(typ, b.get(1))
-        base.files.filter(f => f.stats.get(key).forall(s =>
+        base.files.filter(f =>
+          fileStats(f, key, base.schemaChanges).forall(s =>
           cmp(s.typ, s.max, lo) >= 0 && cmp(s.typ, s.min, hi) <= 0))
       case None => base.files
     }
@@ -405,7 +409,7 @@ object Snapshot {
       throw new IllegalStateException(s"no committed snapshot in $table"))
     require(base.files.nonEmpty, s"empty table $table")
     val (inRange, disjoint) = base.files.partition { f =>
-      f.stats.get(column) match {
+      fileStats(f, column, base.schemaChanges) match {
         case None => true // unknown: must inspect
         case Some(s) =>
           val lo = reprOf(s.typ, lower)
@@ -414,7 +418,7 @@ object Snapshot {
       }
     }
     val (dropped, rewrite) = inRange.partition { f =>
-      f.stats.get(column) match {
+      fileStats(f, column, base.schemaChanges) match {
         // floating-point columns NEVER wholesale-drop: parquet float
         // stats may silently ignore NaN values, and a NaN row matches
         // no range predicate, so it must survive the delete — only
@@ -447,6 +451,17 @@ object Snapshot {
     val base = currentManifest(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     require(base.files.nonEmpty, s"empty table $table")
+    requireUnrenamed(base, {
+      // the predicate's referenced columns, read off the ANALYZED
+      // filter (a Spark-4 Column is an opaque node tree until it
+      // resolves against a frame; analysis costs no job)
+      val probe = readLive(spark, table, base, base.files)
+        .filter(coalesce(cond, lit(false)))
+      probe.queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.references.map(_.name).toSeq
+      }.flatten.distinct
+    }, "deleteWhere predicate")
     val hit: Set[String] =
       readFilesAllWithPath(spark, table, base.files)
         .filter(coalesce(cond, lit(false)))
@@ -520,7 +535,7 @@ object Snapshot {
       throw new IllegalStateException(s"no committed snapshot in $table"))
     require(base.files.nonEmpty, s"empty table $table")
     val (inRange, _) = base.files.partition { f =>
-      f.stats.get(column) match {
+      fileStats(f, column, base.schemaChanges) match {
         case None => true
         case Some(s) =>
           val lo = reprOf(s.typ, lower)
@@ -530,7 +545,7 @@ object Snapshot {
     }
     if (inRange.isEmpty) return base.version // provably nothing matches
     val (dropped, overlapping) = inRange.partition { f =>
-      f.stats.get(column) match {
+      fileStats(f, column, base.schemaChanges) match {
         case Some(s) if s.nulls == 0L && s.typ != "double" =>
           val lo = reprOf(s.typ, lower)
           val hi = reprOf(s.typ, upper)
@@ -539,7 +554,8 @@ object Snapshot {
       }
     }
     val typ = {
-      val fromStats = base.files.flatMap(_.stats.get(column))
+      val fromStats = base.files
+        .flatMap(f => fileStats(f, column, base.schemaChanges))
         .headOption.map(_.typ)
       fromStats.getOrElse {
         val field = readFiles(spark, table, base.files).schema
@@ -606,12 +622,13 @@ object Snapshot {
     // the keys' [min, max] never join the count (all-null key frames
     // match nothing by anti-join semantics — zero candidates)
     val candidates: Seq[FileEntry] =
-      if (cols.size == 1 &&
-          base.files.exists(_.stats.contains(cols.head))) {
+      if (cols.size == 1 && base.files.exists(f =>
+            fileStats(f, cols.head, base.schemaChanges).nonEmpty)) {
         val b = distinctKeys.agg(min(col(cols.head)),
           max(col(cols.head))).head()
         if (b.isNullAt(0)) Nil
-        else keptByRange(base.files, cols.head, b.get(0), b.get(1))
+        else keptByRange(base.files, cols.head, b.get(0), b.get(1),
+          base.schemaChanges)
       } else base.files
     val dead =
       if (candidates.isEmpty) 0L
@@ -1114,7 +1131,8 @@ object Snapshot {
     val m = manifestAt(spark, table, version)
     if (m.files.isEmpty)
       throw new NoSuchElementException(s"snapshot v${m.version} is empty")
-    val kept = keptByRange(m.files, column, lower, upper)
+    val kept = keptByRange(m.files, column, lower, upper,
+      m.schemaChanges)
     val residual: Column =
       col(column) >= lit(lower) && col(column) <= lit(upper)
     if (kept.isEmpty)
@@ -1151,7 +1169,8 @@ object Snapshot {
                  lower: Any, upper: Any,
                  version: Option[Long] = None): (Int, Int) = {
     val m = manifestAt(spark, table, version)
-    (m.files.size, keptByRange(m.files, column, lower, upper).size)
+    (m.files.size,
+      keptByRange(m.files, column, lower, upper, m.schemaChanges).size)
   }
 
   private def manifestAt(spark: SparkSession, table: String,
@@ -1163,12 +1182,53 @@ object Snapshot {
       throw new NoSuchElementException(s"no committed snapshot in $table"))
   }
 
+  /** The stats of `column` in file `f` — keyed by the name the file
+    * was WRITTEN under: a rename committed after the file (`seq`
+    * ordering) leaves the file's stats under the old name, so the
+    * current name walks the applicable renames BACKWARD to find the
+    * stored key. Keeps data skipping alive through a rename without
+    * waiting for compaction to rewrite the stats. */
+  private def fileStats(f: FileEntry, column: String,
+                        changes: Seq[SchemaChange]): Option[ColStats] =
+    f.stats.get(writtenName(f, column, changes))
+
+  /** The name file `f` was WRITTEN under for current-schema `column`:
+    * applicable renames (seq after the file) walked backward. */
+  private def writtenName(f: FileEntry, column: String,
+                          changes: Seq[SchemaChange]): String = {
+    var name = column
+    changes.filter(c => c.kind == "rename" && c.seq > f.seq)
+      .sortBy(-_.seq).foreach { c =>
+        if (c.to == name) name = c.from
+      }
+    name
+  }
+
+  /** Loud guard for the physical detection scans ([[merge]] stage 2,
+    * [[deleteWhere]]'s predicate scan) that read files by CURRENT
+    * column names: a pending rename would make an old file's column
+    * invisible to them — [[merge]] would fail late with an analysis
+    * error, [[deleteWhere]] would SILENTLY null-miss old files'
+    * rows. Fold the rename (compact) before these operations. */
+  private def requireUnrenamed(base: Manifest, cols: Iterable[String],
+                               op: String): Unit = {
+    val bad = cols.filter(c => base.files.exists(f =>
+      writtenName(f, c, base.schemaChanges) != c)).toSeq.distinct
+    require(bad.isEmpty,
+      s"$op references ${bad.mkString("[", ", ", "]")}, renamed by a " +
+        "pending schema change some files predate — compact to fold " +
+        "the rename first")
+  }
+
   /** Files whose stats ADMIT the inclusive range (plus every file
-    * without stats on the column — "can't prove absent" keeps). */
+    * without stats on the column — "can't prove absent" keeps).
+    * Rename-aware via [[fileStats]]. */
   private def keptByRange(files: Seq[FileEntry], column: String,
-                          lower: Any, upper: Any): Seq[FileEntry] =
+                          lower: Any, upper: Any,
+                          changes: Seq[SchemaChange] = Nil)
+      : Seq[FileEntry] =
     files.filter { f =>
-      f.stats.get(column) match {
+      fileStats(f, column, changes) match {
         case None => true
         case Some(s) =>
           val lo = reprOf(s.typ, lower)

@@ -1069,6 +1069,36 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("stats pruning survives a rename: old files' stats resolve " +
+    "under the written name; physical-scan ops guard loudly") {
+    val t = freshTable()
+    (0 until 4).foreach(k => Snapshot.append(
+      batch(k * 25, k * 25 + 25).coalesce(1), t, statsCols = Seq("id")))
+    Snapshot.renameColumn(spark, t, "id", "key")
+    // data skipping binds through the rename — no compaction needed
+    val (total, kept) = Snapshot.pruneCount(spark, t, "key", 30L, 40L)
+    assert(total == 4 && kept == 1,
+      s"rename broke data skipping: kept $kept of $total files")
+    assert(Snapshot.readWhere(spark, t, "key", 30L, 40L).count() == 11)
+    // a MoR delete on the renamed column still wholesale-drops the
+    // provably-contained file via the written-name stats
+    val v = Snapshot.deleteRangeMor(spark, t, "key", 25L, 49L)
+    val m = Snapshot.readManifest(spark, t, v).get
+    assert(m.files.size == 3 && m.rangeDeletes.isEmpty)
+    assert(Snapshot.read(spark, t).count() == 75)
+    // physical-name scans refuse until the rename folds
+    intercept[IllegalArgumentException] {
+      Snapshot.merge(Seq((1L, "x")).toDF("key", "text"), t, "key")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.deleteWhere(spark, t, col("key") === 1L)
+    }
+    Snapshot.compact(spark, t)
+    Snapshot.merge(Seq((1L, "edited")).toDF("key", "text"), t, "key")
+    assert(Snapshot.read(spark, t).filter(col("key") === 1L)
+      .head().getAs[String]("text") == "edited")
+  }
+
   test("expire grace horizon shields just-written unreferenced files " +
     "from a concurrent sweep") {
     val t = freshTable()
