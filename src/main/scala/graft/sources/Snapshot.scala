@@ -764,6 +764,9 @@ object Snapshot {
     val base = currentManifest(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     require(base.files.nonEmpty, s"empty table $table")
+    require(!partitionColsOf(base.files).contains(column),
+      s"'$column' is a partition column — its values live in the " +
+        "directory layout; rewrite via compact instead")
     val schema = readLive(spark, table, base, base.files).schema
     val field = schema.find(_.name == column).getOrElse(
       throw new IllegalArgumentException(s"no column '$column' in " +

@@ -108,4 +108,49 @@ class SnapshotStreamSpec extends AnyFunSuite {
       assert(Snapshot.read(spark, t).count() == 60)
     } finally q.stop()
   }
+
+  test("streaming landing composes with merge-on-read deletes and " +
+    "a polling consumer: deletes stay pending, new batches land " +
+    "untouched, the consumer sees exact windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("graft-snapstream-ck4").toString
+    val state = Files.createTempDirectory("graft-snapstream-st").toString
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = CurationStream.landSnapshot(stream, t, ckpt,
+      statsCols = Seq("doc_id"))
+    try {
+      mem.addData((0L until 40L).map(i => (i, s"doc $i")): _*)
+      q.processAllAvailable()
+      // consumer baseline at the first landed batch
+      var ids = Seq.empty[Long]
+      assert(Snapshot.consumeChanges(spark, t, state) { df =>
+        ids = df.select("doc_id").collect().map(_.getLong(0)).toSeq
+      }.nonEmpty && ids.size == 40)
+      // a retention pass deletes MoR mid-stream: zero data rewrites
+      val preFiles = Snapshot.readManifest(spark, t,
+        Snapshot.latestVersion(spark, t).get).get.files.map(_.path)
+      Snapshot.deleteRangeMor(spark, t, "doc_id", 10L, 19L)
+      val postM = Snapshot.readManifest(spark, t,
+        Snapshot.latestVersion(spark, t).get).get
+      assert(postM.files.map(_.path) == preFiles)
+      // the NEXT landed batch re-inserts ids inside the deleted
+      // range; the sequence rule keeps them live
+      mem.addData((10L until 15L).map(i => (i, s"again $i")): _*)
+      q.processAllAvailable()
+      val cur = Snapshot.read(spark, t)
+      assert(cur.count() == 35)
+      assert(cur.filter(col("text").startsWith("again")).count() == 5)
+      assert(cur.filter(col("doc_id") === 12L).count() == 1)
+      // the consumer's next window nets the delete AND the re-insert
+      var changes = Seq.empty[(String, Long)]
+      assert(Snapshot.consumeChanges(spark, t, state) { df =>
+        changes = df.select(col("_change"), col("doc_id")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+      }.nonEmpty)
+      assert(changes.count(_._1 == "delete") == 10)
+      assert(changes.count(_._1 == "insert") == 5)
+    } finally q.stop()
+  }
 }
