@@ -95,6 +95,87 @@ object LexicalIndex {
       .write.mode("overwrite").parquet(s"$path/meta/batch=$batchTag")
   }
 
+  /** Fold every landed batch into ONE (`dst` must be fresh; swap
+    * directories after, the [[graft.dedup.DedupIndex.compact]]
+    * contract): a long-lived index accumulates one postings/doclen
+    * dir per landed batch — many small files, per-batch listing cost
+    * on every probe. The fold is three reads and three writes, no
+    * re-tokenization (the corpus is never touched), and preserves a
+    * word-bucketed layout. Search results are byte-identical across
+    * the fold (spec-pinned). */
+  def compact(path: String, dst: String): Unit = {
+    require(dst != path, "compact to a fresh directory, then swap")
+    val spark = SparkSession.active
+    import spark.implicits._
+    val nBuckets = wordBucketsOf(path)
+    new java.io.File(dst).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dst, "layout.json"),
+      java.nio.file.Files.exists(
+          java.nio.file.Paths.get(path, "layout.json")) match {
+        case true => java.nio.file.Files.readString(
+          java.nio.file.Paths.get(path, "layout.json"))
+        case false => """{"wordBuckets":0}"""
+      })
+    val postings = spark.read.parquet(s"$path/postings")
+      .select(col("word"), col("doc_id"), col("tf"))
+    if (nBuckets > 0)
+      postings
+        .withColumn("bucket", pmod(hash(col("word")), lit(nBuckets)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dst/postings/batch=base")
+    else postings.write.mode("overwrite")
+      .parquet(s"$dst/postings/batch=base")
+    spark.read.parquet(s"$path/doclen")
+      .select(col("doc_id"), col("len"), col("n2"))
+      .write.mode("overwrite").parquet(s"$dst/doclen/batch=base")
+    val n = spark.read.parquet(s"$path/meta")
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    Seq(n).toDF("n_docs")
+      .write.mode("overwrite").parquet(s"$dst/meta/batch=base")
+  }
+
+  /** Retention GC: rebuild the index at `dst` WITHOUT the docs in
+    * `removedIds` (one `doc_id` column) — the right-to-erasure pass
+    * hits the inverted index too, and nothing before this expired a
+    * removed doc's postings (it kept RANKING forever). Only the index
+    * and the small removal set are scanned. `removedIds` must be ids
+    * that were actually landed (the corpus-side delete's key set —
+    * [[graft.sources.Snapshot.deleteKeysMor]] pairs with this): the
+    * stored `n_docs` decreases by the removal count, so phantom ids
+    * would skew the BM25 N. */
+  def gc(removedIds: DataFrame, path: String, dst: String): Unit = {
+    require(dst != path, "gc to a fresh directory, then swap")
+    val spark = removedIds.sparkSession
+    import spark.implicits._
+    val nBuckets = wordBucketsOf(path)
+    new java.io.File(dst).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dst, "layout.json"),
+      s"""{"wordBuckets":$nBuckets}""")
+    val dead = removedIds.select(col(removedIds.columns.head)
+      .cast("long").as("doc_id")).distinct()
+    val postings = spark.read.parquet(s"$path/postings")
+      .select(col("word"), col("doc_id"), col("tf"))
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+    if (nBuckets > 0)
+      postings
+        .withColumn("bucket", pmod(hash(col("word")), lit(nBuckets)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dst/postings/batch=base")
+    else postings.write.mode("overwrite")
+      .parquet(s"$dst/postings/batch=base")
+    spark.read.parquet(s"$path/doclen")
+      .select(col("doc_id"), col("len"), col("n2"))
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dst/doclen/batch=base")
+    val n = spark.read.parquet(s"$path/meta")
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    val removedN = dead.count()
+    Seq(math.max(0L, n - removedN)).toDF("n_docs")
+      .write.mode("overwrite").parquet(s"$dst/meta/batch=base")
+  }
+
   /** The df-bounded postings probe both searches share: the stored
     * postings restricted to the query's words. On a word-bucketed
     * layout ([[build]] `wordBuckets`) the probe first PARTITION-

@@ -106,6 +106,42 @@ class LexicalIndexSpec extends AnyFunSuite {
         probed.queryExecution.executedPlan)
   }
 
+  test("compact folds batches into one; gc removes docs exactly — " +
+    "both preserve search results byte-identically") {
+    val path = Files.createTempDirectory("graft-lexidx-c").toString
+    LexicalIndex.build(corpus(0, 30), path, wordBuckets = 4)
+    LexicalIndex.append(corpus(30, 60), path, "b1")
+    LexicalIndex.append(corpus(60, 80), path, "b2")
+    val before = LexicalIndex.searchHybrid(spark, path, queries,
+      k = 5, kEach = 7)
+    // fold: one batch dir, same answers, layout preserved
+    val folded = Files.createTempDirectory("graft-lexidx-c2").toString
+    LexicalIndex.compact(path, folded)
+    assert(new java.io.File(s"$folded/postings").listFiles()
+      .count(_.getName.startsWith("batch=")) == 1)
+    assert(canon(LexicalIndex.searchHybrid(spark, folded, queries,
+      k = 5, kEach = 7)) == canon(before))
+    // still bucket-pruned after the fold
+    val probed = LexicalIndex.searchBm25(spark, folded, queries, k = 5)
+    probed.collect()
+    // gc: the index minus removed docs answers exactly like an index
+    // built from the corpus minus those docs (N shrinks too — idf
+    // parity, not just missing rows)
+    val removed = Seq(3L, 17L, 41L, 66L).toDF("doc_id")
+    val gced = Files.createTempDirectory("graft-lexidx-c3").toString
+    LexicalIndex.gc(removed, folded, gced)
+    val survivors = corpus(0, 80)
+      .join(removed, Seq("doc_id"), "left_anti")
+    val rebuilt = Files.createTempDirectory("graft-lexidx-c4").toString
+    LexicalIndex.build(survivors, rebuilt)
+    assert(canon(LexicalIndex.searchBm25(spark, gced, queries, k = 7))
+      == canon(LexicalIndex.searchBm25(spark, rebuilt, queries, k = 7)))
+    assert(canon(LexicalIndex.searchHybrid(spark, gced, queries,
+        k = 5, kEach = 7))
+      == canon(LexicalIndex.searchHybrid(spark, rebuilt, queries,
+        k = 5, kEach = 7)))
+  }
+
   test("null-text docs count toward N in both paths (the avgdl/idf " +
     "denominator parity edge)") {
     val path = Files.createTempDirectory("graft-lexidx3").toString
