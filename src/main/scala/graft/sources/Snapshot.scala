@@ -825,6 +825,34 @@ object Snapshot {
     }.merge
   }
 
+  /** Row-level DELETE BY PREDICATE, MERGE-ON-READ — the arbitrary-
+    * condition face of [[deleteKeysMor]]: one schema-mapped scan
+    * names the matching rows' `keyCol` values, and those land as an
+    * equality delete (zero data files rewritten). `keyCol` must be
+    * unique per row for the predicate's matches to delete EXACTLY
+    * them (a shared key value would take innocent rows with it —
+    * the caller's contract, same as [[merge]]'s key); matches whose
+    * key is NULL are refused loudly (an equality delete can never
+    * reach them — silent survival otherwise). Rows inserted later
+    * with a matched key are NOT retro-deleted (the [[EqDelete]]
+    * sequence rule). Use [[deleteWhere]] when a copy-on-write
+    * rewrite is acceptable and predicate-exactness on duplicate
+    * keys is required. */
+  def deleteWhereMor(spark: SparkSession, table: String, cond: Column,
+                     keyCol: String): Long = {
+    val base = currentManifest(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    require(base.files.nonEmpty, s"empty table $table")
+    val matches = readLive(spark, table, base, base.files)
+      .filter(coalesce(cond, lit(false)))
+    val nullKeyMatches = matches.filter(col(keyCol).isNull).count()
+    require(nullKeyMatches == 0L,
+      s"$nullKeyMatches matching row(s) carry a NULL '$keyCol' — an " +
+        "equality delete cannot reach them; use deleteWhere " +
+        "(copy-on-write) or a non-null key column")
+    deleteKeysMor(matches.select(col(keyCol)).distinct(), table)
+  }
+
   /** The typed literal a stored stat/delete repr deserializes to —
     * the exact inverse of [[reprOf]]. */
   private def reprToLit(typ: String, repr: String): Column = typ match {

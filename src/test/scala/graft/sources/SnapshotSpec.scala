@@ -1099,6 +1099,33 @@ class SnapshotSpec extends AnyFunSuite {
       .head().getAs[String]("text") == "edited")
   }
 
+  test("deleteWhereMor: predicate delete lands as an equality key " +
+    "file, zero data writes; NULL-key matches refuse loudly") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 30).coalesce(1), t, statsCols = Seq("id"))
+    val pre = Snapshot.readManifest(spark, t, 1L).get.files.map(_.path)
+    val v = Snapshot.deleteWhereMor(spark, t,
+      col("text").endsWith("7"), "id")
+    val m = Snapshot.readManifest(spark, t, v).get
+    assert(m.action == "delete-mor" && m.files.map(_.path) == pre &&
+      m.eqDeletes.size == 1)
+    val cur = Snapshot.read(spark, t)
+    assert(cur.count() == 27)
+    assert(cur.filter(col("id").isin(7L, 17L, 27L)).count() == 0)
+    // a later re-insert of a deleted key survives (sequence rule)
+    Snapshot.append(Seq((7L, "resurrected")).toDF("id", "text"), t)
+    assert(Snapshot.read(spark, t).filter(col("id") === 7L)
+      .head().getAs[String]("text") == "resurrected")
+    // NULL keys among matches refuse (they would silently survive)
+    val t2 = freshTable()
+    Snapshot.append(Seq((java.lang.Long.valueOf(1L), "a"),
+        (null.asInstanceOf[java.lang.Long], "b"))
+      .toDF("id", "text"), t2)
+    intercept[IllegalArgumentException] {
+      Snapshot.deleteWhereMor(spark, t2, lit(true), "id")
+    }
+  }
+
   test("expire grace horizon shields just-written unreferenced files " +
     "from a concurrent sweep") {
     val t = freshTable()
