@@ -193,7 +193,21 @@ object ScaleProbe {
                   // (postings build is the 10× part; the probe is
                   // df-bounded)
                   "q_snapshot_delete_mor", "q_snapshot_cdc",
-                  "q_snapshot_rename", "q_hybrid_rrf_index")
+                  "q_snapshot_rename", "q_hybrid_rrf_index",
+                  // round 17: the MoR merge (corpus appends + one
+                  // pruned accounting scan + key-file write — the
+                  // commit itself is O(manifest)) and the bloom
+                  // point-delete (four appends + bloom build is the
+                  // 10× part; the accounting scan is bloom-pruned to
+                  // O(1) files). q_snapshot_cdc above now rides the
+                  // CHAIN-WALK differ: its diff stage reads only the
+                  // window's changed/affected files, so growth must
+                  // track the appends (the scan), never the diff
+                  "q_snapshot_merge_mor", "q_snapshot_bloom",
+                  // partition evolution: two corpus appends + the
+                  // mixed-layout read + the folding compaction — all
+                  // scans; the layout commit itself is O(manifest)
+                  "q_snapshot_partition")
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -194,11 +194,14 @@ object SparkEntry {
     "q_snapshot_read"           -> Corpus.snapshotRead _,
     "q_snapshot_skip"           -> Corpus.snapshotSkip _,
     "q_snapshot_merge"          -> Corpus.snapshotMerge _,
+    "q_snapshot_merge_mor"      -> Corpus.snapshotMergeMor _,
     "q_snapshot_delete"         -> Corpus.snapshotDelete _,
     "q_snapshot_delete_mor"     -> Corpus.snapshotDeleteMor _,
+    "q_snapshot_bloom"          -> Corpus.snapshotBloom _,
     "q_snapshot_incremental"    -> Corpus.snapshotIncremental _,
     "q_snapshot_cdc"            -> Corpus.snapshotCdc _,
     "q_snapshot_rename"         -> Corpus.snapshotRename _,
+    "q_snapshot_partition"      -> Corpus.snapshotPartition _,
     "q_snapshot_consume"        -> Corpus.snapshotConsume _,
     "q_snapshot_asof"           -> Corpus.snapshotAsOf _,
     "q_pivot_events"            -> Stats.pivotEventCounts _,
@@ -3543,6 +3546,32 @@ object SparkEntry {
                 CAST(sum(p) AS BIGINT) AS sum_price_cents,
                 CAST(sum(k) AS BIGINT) AS sum_key
          FROM merged GROUP BY s ORDER BY s""",
+    // merge-on-read merge twin: the SAME merged state as
+    // q_snapshot_merge, answered twice — through the read-side
+    // equality-delete anti-join ('mor') and after compaction folded
+    // it ('folded'); the Spark side additionally REQUIREs every
+    // pre-merge file carried byte-identical (zero rewrites)
+    "q_snapshot_merge_mor" ->
+      """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+         base AS (
+           SELECT o_orderkey AS k, o_orderstatus AS s,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS p
+           FROM orders),
+         merged AS (
+           SELECT k, s,
+                  CASE WHEN k % 10 = 3 THEN p + 1000000 ELSE p END AS p
+           FROM base
+           UNION ALL
+           SELECT k + 10 * m.mx, s, p FROM base, m WHERE k % 997 = 0),
+         agg AS (
+           SELECT s AS o_orderstatus,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(p) AS BIGINT) AS sum_price_cents,
+                  CAST(sum(k) AS BIGINT) AS sum_key
+           FROM merged GROUP BY s)
+         SELECT phase, o_orderstatus, n, sum_price_cents, sum_key
+         FROM agg CROSS JOIN (VALUES ('mor'), ('folded')) p(phase)
+         ORDER BY phase, o_orderstatus""",
     // the range delete must be exact: the oracle keeps NOT BETWEEN
     // (the Spark side additionally REQUIREs the second-quartile file
     // dropped wholesale — zero data movement)
@@ -3570,6 +3599,25 @@ object SparkEntry {
            GROUP BY o_orderstatus)
          SELECT phase, o_orderstatus, n, sum_key
          FROM base CROSS JOIN (VALUES ('mor'), ('folded')) p(phase)
+         ORDER BY phase, o_orderstatus""",
+    // bloom-pruned key delete twin: the surviving state is the
+    // modular NOT-filter off the raw slice, answered through the
+    // read-side anti-join ('mor') and after the fold ('folded'); the
+    // Spark side additionally REQUIREs the accounting scan opened
+    // FEWER files than the table holds on an everywhere-overlapping
+    // range layout (the bloom contract) and zero data writes
+    "q_snapshot_bloom" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_orderstatus FROM orders
+           WHERE o_orderkey <= 12000),
+         agg AS (
+           SELECT o_orderstatus,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+           FROM t WHERE NOT (o_orderkey % 100 = 1)
+           GROUP BY o_orderstatus)
+         SELECT phase, o_orderstatus, n, sum_key
+         FROM agg CROSS JOIN (VALUES ('mor'), ('folded')) p(phase)
          ORDER BY phase, o_orderstatus""",
     // time travel by TIMESTAMP must resolve the same states the
     // version axis does: the oracle replays the two slices (the
@@ -3627,6 +3675,21 @@ object SparkEntry {
          SELECT phase, status, n, sum_cust, sum_key
          FROM base CROSS JOIN (VALUES ('folded'), ('mapped')) p(phase)
          ORDER BY phase, status""",
+    // partition evolution twin: the raw table aggregated by status,
+    // answered twice — 'mixed' (flat first half + partitioned second
+    // half read as one table) and 'folded' (post-compaction, all
+    // files under the declared layout); the Spark side additionally
+    // REQUIREs the layout commit touched zero files and the facet
+    // filter partition-pruned the new-layout files
+    "q_snapshot_partition" ->
+      """WITH base AS (
+           SELECT o_orderstatus,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+           FROM orders GROUP BY 1)
+         SELECT phase, o_orderstatus, n, sum_key
+         FROM base CROSS JOIN (VALUES ('mixed'), ('folded')) p(phase)
+         ORDER BY phase, o_orderstatus""",
     // CDC across rewrites: baseline = evens; current = evens+odds
     // minus the MoR-deleted [mx/4, mx/2] range; the net diff is odds
     // outside the range (insert) + evens inside it (delete); the

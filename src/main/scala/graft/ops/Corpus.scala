@@ -127,6 +127,61 @@ object Corpus {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** MERGE-ON-READ MERGE (upsert) as a declared query
+    * ([[graft.sources.Snapshot.mergeMor]]): the same update+insert
+    * source as [[snapshotMerge]], landed as one equality-delete +
+    * append commit. The query itself asserts the at-scale contract —
+    * every pre-merge data file is carried BYTE-IDENTICAL into the
+    * new manifest (zero matched-file rewrites; the copy-on-write
+    * twin rewrites every matched file) and the commit records a
+    * pending equality delete — and the hash gate proves the
+    * read-side anti-join is exact: the merged state must answer the
+    * SAME CASE/UNION aggregate as the CoW merge, both before
+    * ('mor') and after ('folded') a compaction folds the delete. */
+  def snapshotMergeMor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapmergemor").toString + "/t"
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    val mx = base.agg(max(col("o_orderkey"))).head().getLong(0)
+    val half = mx / 2
+    Snapshot.append(base.filter(col("o_orderkey") <= half).coalesce(1),
+      table, statsCols = Seq("o_orderkey"))
+    Snapshot.append(base.filter(col("o_orderkey") > half).coalesce(1),
+      table, statsCols = Seq("o_orderkey"))
+    val updates = base.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("price_cents", col("price_cents") + 1000000L)
+    val inserts = base.filter(col("o_orderkey") % 997 === 0)
+      .select((col("o_orderkey") + 10L * mx).as("o_orderkey"),
+        col("o_orderstatus"), col("price_cents"))
+    val pre = Snapshot.readManifest(spark, table, 2L).get.files
+      .map(f => (f.path, f.bytes))
+    val v = Snapshot.mergeMor(updates.unionByName(inserts), table,
+      "o_orderkey")
+    val m = Snapshot.readManifest(spark, table, v).get
+    val post = m.files.map(f => (f.path, f.bytes))
+    require(m.action == "merge-mor" && post.take(pre.size) == pre &&
+      post.size > pre.size,
+      s"merge-on-read merge rewrote matched files: ${pre.size} -> " +
+        s"${post.size}")
+    require(m.eqDeletes.nonEmpty, "no pending equality delete recorded")
+    val agg = (df: DataFrame) => df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("price_cents")).as("sum_price_cents"),
+           sum(col("o_orderkey")).as("sum_key"))
+    val live = agg(Snapshot.read(spark, table))
+    Snapshot.compact(spark, table) // fold the pending delete
+    val folded = agg(Snapshot.read(spark, table))
+    live.withColumn("phase", lit("mor"))
+      .unionByName(folded.withColumn("phase", lit("folded")))
+      .orderBy(col("phase"), col("o_orderstatus"))
+      .select(col("phase"), col("o_orderstatus"), col("n"),
+              col("sum_price_cents"), col("sum_key"))
+  }
+
   /** Snapshot RANGE DELETE as a declared query
     * ([[graft.sources.Snapshot.deleteRange]]): orders land as four
     * key-sorted files; deleting the second quartile must drop that
@@ -214,6 +269,122 @@ object Corpus {
       .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
     val live = agg(Snapshot.read(spark, table))
     // folding the delete at compaction must preserve the answer
+    Snapshot.compact(spark, table)
+    val folded = agg(Snapshot.read(spark, table))
+    live.withColumn("phase", lit("mor"))
+      .unionByName(folded.withColumn("phase", lit("folded")))
+      .orderBy(col("phase"), col("o_orderstatus"))
+      .select(col("phase"), col("o_orderstatus"), col("n"),
+              col("sum_key"))
+  }
+
+  /** PARTITION EVOLUTION as a declared query
+    * ([[graft.sources.Snapshot.repartitionTable]]): half the orders
+    * land FLAT, the table re-declares itself status-partitioned — a
+    * metadata-only commit, asserted in-query to have touched zero
+    * data files — and the second half lands under the new layout.
+    * The mixed table must read as ONE (a status-filtered aggregate
+    * over both layouts), with the facet filter PARTITION-PRUNING the
+    * new-layout files (executed-plan assert); after compaction folds
+    * the old files into the declared layout the same aggregate must
+    * re-answer. The oracle replays both phases off the raw table. */
+  def snapshotPartition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snappart").toString + "/t"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    Snapshot.append(o.filter(col("o_orderkey") % 2 === 0), table,
+      statsCols = Seq("o_orderkey"))                          // v1
+    val files1 = Snapshot.readManifest(spark, table, 1L).get.files
+      .map(f => (f.path, f.bytes))
+    val v2 = Snapshot.repartitionTable(spark, table,
+      Seq("o_orderstatus"))                                   // v2
+    val m2 = Snapshot.readManifest(spark, table, v2).get
+    require(m2.action == "layout" &&
+      m2.files.map(f => (f.path, f.bytes)) == files1,
+      "partition evolution touched data files")
+    Snapshot.appendPartitioned(o.filter(col("o_orderkey") % 2 === 1),
+      table, Seq("o_orderstatus"),
+      statsCols = Seq("o_orderkey"))                          // v3
+    // the facet filter must PARTITION-PRUNE the new-layout files
+    val probe = Snapshot.read(spark, table)
+      .filter(col("o_orderstatus") === "F")
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    require(scans.exists(_.partitionFilters.exists(
+      _.references.exists(_.name == "o_orderstatus"))),
+      "no partition filter bound on the evolved layout")
+    val agg = (df: DataFrame) => df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+    val mixed = agg(Snapshot.read(spark, table))
+    Snapshot.compact(spark, table) // v4: fold into the declared layout
+    val m4 = Snapshot.readManifest(spark, table,
+      Snapshot.latestVersion(spark, table).get).get
+    require(m4.files.forall(_.path.split('/')
+      .exists(_.startsWith("o_orderstatus="))),
+      "compaction did not fold the old files into the new layout")
+    val folded = agg(Snapshot.read(spark, table))
+    mixed.withColumn("phase", lit("mixed"))
+      .unionByName(folded.withColumn("phase", lit("folded")))
+      .orderBy(col("phase"), col("o_orderstatus"))
+      .select(col("phase"), col("o_orderstatus"), col("n"),
+              col("sum_key"))
+  }
+
+  /** Manifest BLOOM-FILTER pruning as a declared query
+    * ([[graft.sources.Snapshot.readEquals]] /
+    * [[graft.sources.Snapshot.keyPruneCount]]): a fixed orders slice
+    * lands as four residue-class files whose key RANGES all overlap
+    * (min/max stats can prune nothing — asserted), with per-file
+    * Bloom filters on the key. A key-list delete whose keys all live
+    * in ONE residue class must open fewer files than the table holds
+    * (the accounting-scan contract the filters exist for — asserted
+    * in-query), commit zero data writes (delete-mor contract), and
+    * the hash gate proves the surviving state exact against the
+    * oracle's modular NOT-filter, both through the read-side
+    * anti-join ('mor') and after compaction folds it ('folded').
+    * The slice bound (12 000) is FIXED so per-file filters stay far
+    * from saturation at every tested scale factor. */
+  def snapshotBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapbloom").toString + "/t"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .filter(col("o_orderkey") <= 12000L)
+    (0 until 4).foreach { r =>
+      Snapshot.append(o.filter(col("o_orderkey") % 4 === r).coalesce(1),
+        table, statsCols = Seq("o_orderkey"),
+        bloomCols = Seq("o_orderkey"))
+    }
+    // ranges overlap everywhere: a mid-range POINT admits every file
+    // (the midpoint derives from the slice so the assert holds at
+    // every scale factor, incl. tables smaller than the slice bound)
+    val mid = o.agg(max(col("o_orderkey"))).head().getLong(0) / 2
+    val (total, rangeKept) = Snapshot.pruneCount(spark, table,
+      "o_orderkey", mid, mid)
+    require(rangeKept == total,
+      s"fixture broken: ranges should overlap everywhere " +
+        s"($rangeKept of $total)")
+    // keys ≡ 1 (mod 100) are all ≡ 1 (mod 4): one residue file
+    val keys = o.filter(col("o_orderkey") % 100 === 1)
+      .select(col("o_orderkey"))
+    val (_, kept) = Snapshot.keyPruneCount(spark, table, keys)
+    require(kept < total,
+      s"bloom pruned nothing: accounting scan opens $kept of $total")
+    val pre = Snapshot.readManifest(spark, table, 4L).get.files
+      .map(f => (f.path, f.bytes))
+    val v = Snapshot.deleteKeysMor(keys, table)
+    val m = Snapshot.readManifest(spark, table, v).get
+    require(m.files.map(f => (f.path, f.bytes)) == pre,
+      "key delete touched data files")
+    val agg = (df: DataFrame) => df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+    val live = agg(Snapshot.read(spark, table))
     Snapshot.compact(spark, table)
     val folded = agg(Snapshot.read(spark, table))
     live.withColumn("phase", lit("mor"))

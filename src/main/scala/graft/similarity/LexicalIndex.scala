@@ -51,20 +51,19 @@ object LexicalIndex {
             textCol: String = "text", idCol: String = "doc_id",
             wordBuckets: Int = 0): Unit = {
     require(wordBuckets >= 0, s"negative wordBuckets: $wordBuckets")
-    new java.io.File(path).mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "layout.json"),
-      s"""{"wordBuckets":$wordBuckets}""")
+    // layout.json goes through Hadoop FS ([[graft.sources.SidecarIo]]):
+    // the index path may be hdfs:// or s3a://, where a java.nio probe
+    // would silently report the pin absent and pruning would vanish
+    graft.sources.SidecarIo.writeStringAtomic(docs.sparkSession,
+      s"$path/layout.json", s"""{"wordBuckets":$wordBuckets}""")
     append(docs, path, "base", textCol, idCol)
   }
 
-  private def wordBucketsOf(path: String): Int = {
-    val f = java.nio.file.Paths.get(path, "layout.json")
-    if (!java.nio.file.Files.exists(f)) return 0 // pre-layout index
-    val root = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(java.nio.file.Files.readString(f))
-    root.path("wordBuckets").asInt(0)
-  }
+  private def wordBucketsOf(spark: SparkSession, path: String): Int =
+    graft.sources.SidecarIo.readString(spark, s"$path/layout.json")
+      .map(s => new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(s).path("wordBuckets").asInt(0))
+      .getOrElse(0) // pre-layout index
 
   /** Land one batch's postings under `batch=<tag>` (idempotent:
     * re-running a tag overwrites its own directories). */
@@ -76,7 +75,7 @@ object LexicalIndex {
       s"batchTag must be directory-safe, got '$batchTag'")
     val spark = batch.sparkSession
     import spark.implicits._
-    val nBuckets = wordBucketsOf(path)
+    val nBuckets = wordBucketsOf(spark, path)
     val tf = Lexical.tfPostings(batch, idCol, textCol)
     if (nBuckets > 0)
       tf.withColumn("bucket", pmod(hash(col("word")), lit(nBuckets)))
@@ -107,16 +106,11 @@ object LexicalIndex {
     require(dst != path, "compact to a fresh directory, then swap")
     val spark = SparkSession.active
     import spark.implicits._
-    val nBuckets = wordBucketsOf(path)
-    new java.io.File(dst).mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dst, "layout.json"),
-      java.nio.file.Files.exists(
-          java.nio.file.Paths.get(path, "layout.json")) match {
-        case true => java.nio.file.Files.readString(
-          java.nio.file.Paths.get(path, "layout.json"))
-        case false => """{"wordBuckets":0}"""
-      })
+    val nBuckets = wordBucketsOf(spark, path)
+    graft.sources.SidecarIo.writeStringAtomic(spark,
+      s"$dst/layout.json",
+      graft.sources.SidecarIo.readString(spark, s"$path/layout.json")
+        .getOrElse("""{"wordBuckets":0}"""))
     val postings = spark.read.parquet(s"$path/postings")
       .select(col("word"), col("doc_id"), col("tf"))
     if (nBuckets > 0)
@@ -148,16 +142,17 @@ object LexicalIndex {
     require(dst != path, "gc to a fresh directory, then swap")
     val spark = removedIds.sparkSession
     import spark.implicits._
-    val nBuckets = wordBucketsOf(path)
-    new java.io.File(dst).mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dst, "layout.json"),
-      s"""{"wordBuckets":$nBuckets}""")
+    val nBuckets = wordBucketsOf(spark, path)
+    graft.sources.SidecarIo.writeStringAtomic(spark,
+      s"$dst/layout.json", s"""{"wordBuckets":$nBuckets}""")
     val dead = removedIds.select(col(removedIds.columns.head)
       .cast("long").as("doc_id")).distinct()
+    // no forced broadcast: the removal set is usually small but its
+    // size is the CALLER's data — AQE picks broadcast when it fits
+    // and falls back to a shuffle join when a bulk erasure doesn't
     val postings = spark.read.parquet(s"$path/postings")
       .select(col("word"), col("doc_id"), col("tf"))
-      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      .join(dead, Seq("doc_id"), "left_anti")
     if (nBuckets > 0)
       postings
         .withColumn("bucket", pmod(hash(col("word")), lit(nBuckets)))
@@ -167,7 +162,7 @@ object LexicalIndex {
       .parquet(s"$dst/postings/batch=base")
     spark.read.parquet(s"$path/doclen")
       .select(col("doc_id"), col("len"), col("n2"))
-      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      .join(dead, Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$dst/doclen/batch=base")
     val n = spark.read.parquet(s"$path/meta")
       .agg(sum(col("n_docs"))).head().getLong(0)
@@ -187,7 +182,7 @@ object LexicalIndex {
   private def probePostings(spark: SparkSession, path: String,
                             qwords: DataFrame): DataFrame = {
     val raw = spark.read.parquet(s"$path/postings")
-    val n = wordBucketsOf(path)
+    val n = wordBucketsOf(spark, path)
     val base =
       if (n > 0 && raw.columns.contains("bucket")) {
         val buckets = qwords

@@ -62,9 +62,17 @@ object Snapshot {
     * nulls, so any WHOLESALE decision about a file — [[deleteRange]]
     * dropping a file its stats prove fully inside the range — must
     * also prove `nulls == 0`: a null row matches no range predicate
-    * and must survive the delete (the Iceberg null-count lesson). */
+    * and must survive the delete (the Iceberg null-count lesson).
+    *
+    * `bloom` is an optional per-file Bloom filter over the column's
+    * values ([[FileBloom]] encoding; empty = none): the POINT-lookup
+    * complement to min/max — [[readEquals]] and the key-delete
+    * accounting scans prune files the filter proves cannot contain a
+    * probed key, even when every file's range overlaps. Requested at
+    * write time ([[append]]'s `bloomCols`); rewrites preserve
+    * coverage. */
   final case class ColStats(min: String, max: String, typ: String,
-                            nulls: Long = -1L)
+                            nulls: Long = -1L, bloom: String = "")
 
   /** One data file of a snapshot; `path` is table-root-relative (the
     * table directory is relocatable as a unit). `stats` carries the
@@ -116,13 +124,22 @@ object Snapshot {
     * at-least-once contract ([[append]] with `tag = Some(batchId)`).
     * `atMicros` is the commit wall-clock (epoch micros, stamped at
     * claim time; 0 in manifests written before the field existed) —
-    * the [[readAsOf]] time-travel axis. */
+    * the [[readAsOf]] time-travel axis.
+    *
+    * `layout` is the table's DECLARED partition layout
+    * ([[repartitionTable]] sets it; commits carry it forward): the
+    * layout NEW appends must match and rewrites re-stage under.
+    * `None` (legacy manifests, never-evolved tables) derives the
+    * layout from the files themselves — old behavior exactly. Old
+    * files written under a previous layout stay readable through
+    * their own directory scheme (per-commit `basePath` groups). */
   final case class Manifest(version: Long, parent: Long, action: String,
                             rows: Long, files: Seq[FileEntry],
                             tag: String = "", atMicros: Long = 0L,
                             rangeDeletes: Seq[RangeDelete] = Nil,
                             eqDeletes: Seq[EqDelete] = Nil,
-                            schemaChanges: Seq[SchemaChange] = Nil) {
+                            schemaChanges: Seq[SchemaChange] = Nil,
+                            layout: Option[Seq[String]] = None) {
     def hasDeletes: Boolean = rangeDeletes.nonEmpty || eqDeletes.nonEmpty
     def needsMapping: Boolean = hasDeletes || schemaChanges.nonEmpty
   }
@@ -150,17 +167,26 @@ object Snapshot {
     * staged files — the only data this commit wrote): the
     * DATA-SKIPPING index that lets [[readWhere]] plan a selective read
     * over only the files whose range can match, and [[merge]] rewrite
-    * only the files whose key range overlaps its source. */
+    * only the files whose key range overlaps its source.
+    *
+    * `bloomCols` (each must also be in `statsCols` — the filter rides
+    * the stat entry) additionally records a per-file BLOOM FILTER
+    * ([[FileBloom]]): the point-lookup index that lets [[readEquals]]
+    * and the key-delete accounting scans prune files even when every
+    * file's min/max range overlaps the probe. */
   def append(df: DataFrame, table: String,
              tag: Option[String] = None,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
+    requireBloomTracked(statsCols, bloomCols)
     tag.flatMap(t => findTag(spark, table, t)) match {
       case Some(v) => return v // replayed batch: already committed
       case None => ()
     }
-    val (staged, stagedRows) = withStatsAndRows(spark, table,
+    val (staged0, stagedRows) = withStatsAndRows(spark, table,
       stage(spark, df, table), statsCols)
+    val staged = withBlooms(spark, table, staged0, bloomCols)
     commitRetrying(spark, table) { parent =>
       tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
         throw new DuplicateTag(v) } // raced replayer landed it first
@@ -190,15 +216,18 @@ object Snapshot {
   def appendPartitioned(df: DataFrame, table: String,
                         partitionCols: Seq[String],
                         tag: Option[String] = None,
-                        statsCols: Seq[String] = Nil): Long = {
+                        statsCols: Seq[String] = Nil,
+                        bloomCols: Seq[String] = Nil): Long = {
     require(partitionCols.nonEmpty, "use append for unpartitioned data")
     val spark = df.sparkSession
+    requireBloomTracked(statsCols, bloomCols)
     tag.flatMap(t => findTag(spark, table, t)) match {
       case Some(v) => return v
       case None => ()
     }
-    val (staged, stagedRows) = withStatsAndRows(spark, table,
+    val (staged0, stagedRows) = withStatsAndRows(spark, table,
       stage(spark, df, table, partitionCols), statsCols)
+    val staged = withBlooms(spark, table, staged0, bloomCols)
     commitRetrying(spark, table) { parent =>
       tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
         throw new DuplicateTag(v) }
@@ -225,6 +254,15 @@ object Snapshot {
 
   private final class DuplicateTag(val version: Long)
       extends RuntimeException
+
+  private def requireBloomTracked(statsCols: Seq[String],
+                                  bloomCols: Seq[String]): Unit = {
+    val untracked = bloomCols.filterNot(statsCols.contains)
+    require(untracked.isEmpty,
+      s"bloomCols ${untracked.mkString("[", ", ", "]")} not in " +
+        "statsCols — the filter rides the column's stats entry; " +
+        "track it there too")
+  }
 
   /** Replace the table contents with `df` (a new snapshot whose file
     * list is only the staged files — prior versions stay readable
@@ -279,7 +317,7 @@ object Snapshot {
     // columns are recovered from the manifest's own k=v path segments
     // (coalesce bounds files per WRITE, so each partition dir gets at
     // most nf files — the writePartitionedCompact shape)
-    val pCols = partitionColsOf(base.files)
+    val pCols = declaredLayout(base)
     // the rewrite reads LIVE rows: pending merge-on-read deletes fold
     // into the new files here and the committed manifest is clean
     val src = readLive(spark, table, base, base.files)
@@ -287,11 +325,13 @@ object Snapshot {
       if (clusterCols.isEmpty) src.coalesce(nf)
       else src.repartitionByRange(nf, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
-    // the rewrite keeps the table's stats coverage: whatever columns
-    // the parent tracked are re-gathered over the rewritten files
-    val (staged, rewrittenRows) = withStatsAndRows(spark, table,
+    // the rewrite keeps the table's stats AND bloom coverage:
+    // whatever the parent tracked is re-gathered over the new files
+    val (staged0, rewrittenRows) = withStatsAndRows(spark, table,
       stage(spark, rewrite, table, pCols),
       currentStatsColsOf(base))
+    val staged = withBlooms(spark, table, staged0,
+      currentBloomColsOf(base))
     require(rewrittenRows == base.rows,
       s"compact row mismatch: snapshot=${base.rows} " +
         s"rewritten=$rewrittenRows — nothing committed")
@@ -368,9 +408,11 @@ object Snapshot {
                    else readLive(spark, table, base, touched)
                      .join(source.select(col(key)), Seq(key), "left_anti")
                      .unionByName(source))
-    val pCols = partitionColsOf(base.files)
-    val (staged, stagedRows) = withStatsAndRows(spark, table,
+    val pCols = declaredLayout(base)
+    val (staged0, stagedRows) = withStatsAndRows(spark, table,
       stage(spark, newData, table, pCols), currentStatsColsOf(base))
+    val staged = withBlooms(spark, table, staged0,
+      currentBloomColsOf(base))
     val touchedRows =
       if (touched.isEmpty) 0L
       else readLive(spark, table, base, touched).count()
@@ -382,6 +424,87 @@ object Snapshot {
         base.rows - touchedRows + stagedRows,
         carried ++ staged.map(_.copy(seq = parent.version + 1)),
         rangeDeletes = base.rangeDeletes, eqDeletes = base.eqDeletes,
+        schemaChanges = base.schemaChanges)
+    }.merge
+  }
+
+  /** MERGE (upsert), MERGE-ON-READ — the at-scale spelling of
+    * [[merge]]: matched keys land as an EQUALITY DELETE and ALL
+    * source rows (replacements and inserts alike) append as new
+    * files, in ONE commit — ZERO matched-file rewrites. A point-wise
+    * upsert into a 100 TB table then costs one key-file write, one
+    * narrow accounting scan, and the source's own staging — never a
+    * data-file rewrite; [[compact]] folds the pending delete into
+    * clean files when maintenance runs, exactly as for
+    * [[deleteKeysMor]].
+    *
+    * Sequencing makes the one-commit composition sound: the
+    * [[EqDelete]] commits at seq v and applies only to files staged
+    * by EARLIER commits (`file.seq < v`), while the source's files
+    * stage at seq v — the delete kills the old versions of matched
+    * rows and can never touch their replacements.
+    *
+    * Same contracts as [[merge]]: `source` carries the table's
+    * schema with DISTINCT keys (rejected loudly otherwise), the
+    * commit aborts if the table advanced mid-flight, and CDC across
+    * the commit reads delete+insert per updated row. Prefer [[merge]]
+    * when read amplification matters more than write cost (every
+    * read until compaction pays the anti-join). */
+  def mergeMor(source: DataFrame, table: String, key: String): Long = {
+    val spark = source.sparkSession
+    val base = currentManifest(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    require(base.files.nonEmpty, s"empty table $table")
+    val srcRows = source.count()
+    if (srcRows == 0L) return base.version
+    require(source.select(col(key)).distinct().count() == srcRows,
+      s"merge source carries duplicate '$key' values — upsert would be " +
+        "order-dependent; dedup the source first")
+    val srcKeys = source.select(col(key))
+    // exact accounting + matched-key detection, stats- and
+    // bloom-pruned as in [[deleteKeysMor]]: files that provably hold
+    // none of the source keys never join the scan
+    val candidates = keyCandidates(base, srcKeys, Seq(key))
+    val liveKeys =
+      if (candidates.isEmpty) null
+      else readLive(spark, table, base, candidates).select(col(key))
+    val dead =
+      if (candidates.isEmpty) 0L
+      else liveKeys.join(srcKeys, Seq(key), "left_semi").count()
+    // only MATCHED keys land in the delete file: unmatched source
+    // keys would anti-join nothing but cost every read's accounting
+    val matchedKeys =
+      if (dead == 0L) null
+      else srcKeys.join(liveKeys, Seq(key), "left_semi").distinct()
+    val (rel, delBytes, nMatched) =
+      if (dead == 0L) ("", 0L, 0L)
+      else {
+        val r = s"deletes/${java.util.UUID.randomUUID()}"
+        matchedKeys.write.mode("errorifexists").parquet(s"$table/$r")
+        val fs = hadoopFs(spark, table)
+        var bytes = 0L
+        val it = fs.listFiles(
+          new org.apache.hadoop.fs.Path(s"$table/$r"), true)
+        while (it.hasNext) bytes += it.next().getLen
+        (r, bytes, matchedKeys.count())
+      }
+    val pCols = declaredLayout(base)
+    val (staged0, stagedRows) = withStatsAndRows(spark, table,
+      stage(spark, source, table, pCols), currentStatsColsOf(base))
+    val staged = withBlooms(spark, table, staged0,
+      currentBloomColsOf(base))
+    commitRetrying(spark, table) { parent =>
+      require(parent.version == base.version,
+        s"table advanced v${base.version} -> v${parent.version} during " +
+          "merge; rerun merge against the new snapshot")
+      val v = parent.version + 1
+      Manifest(v, parent.version, "merge-mor",
+        base.rows - dead + stagedRows,
+        base.files ++ staged.map(_.copy(seq = v)),
+        rangeDeletes = base.rangeDeletes,
+        eqDeletes = base.eqDeletes ++ (
+          if (dead == 0L) Nil
+          else Seq(EqDelete(rel, delBytes, nMatched, Seq(key), v))),
         schemaChanges = base.schemaChanges)
     }.merge
   }
@@ -484,7 +607,7 @@ object Snapshot {
                            rewrite: Seq[FileEntry], cond: Column): Long = {
     if (dropped.isEmpty && rewrite.isEmpty)
       return base.version // nothing can match: no-op, nothing committed
-    val pCols = partitionColsOf(base.files)
+    val pCols = declaredLayout(base)
     val keep = !coalesce(cond, lit(false)) // NULL never deletes
     val (staged, stagedRows, rewriteRows) =
       if (rewrite.isEmpty) (Nil: Seq[FileEntry], 0L, 0L)
@@ -494,8 +617,10 @@ object Snapshot {
         val keptCount = kept.count()
         val st =
           if (keptCount == 0L) Nil // every row deleted: stage nothing
-          else withStats(spark, table, stage(spark, kept, table, pCols),
-            currentStatsColsOf(base))
+          else withBlooms(spark, table,
+            withStats(spark, table, stage(spark, kept, table, pCols),
+              currentStatsColsOf(base)),
+            currentBloomColsOf(base))
         (st, keptCount, src.count())
       }
     val droppedRows =
@@ -620,16 +745,10 @@ object Snapshot {
     // the exact-accounting scan stats-prunes like merge does: with a
     // single tracked key column, files whose range cannot intersect
     // the keys' [min, max] never join the count (all-null key frames
-    // match nothing by anti-join semantics — zero candidates)
-    val candidates: Seq[FileEntry] =
-      if (cols.size == 1 && base.files.exists(f =>
-            fileStats(f, cols.head, base.schemaChanges).nonEmpty)) {
-        val b = distinctKeys.agg(min(col(cols.head)),
-          max(col(cols.head))).head()
-        if (b.isNullAt(0)) Nil
-        else keptByRange(base.files, cols.head, b.get(0), b.get(1),
-          base.schemaChanges)
-      } else base.files
+    // match nothing by anti-join semantics — zero candidates), and
+    // per-file Bloom filters drop range-overlapping files that
+    // provably hold none of the keys
+    val candidates = keyCandidates(base, distinctKeys, cols)
     val dead =
       if (candidates.isEmpty) 0L
       else readLive(spark, table, base, candidates)
@@ -672,7 +791,20 @@ object Snapshot {
                  version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.{Row, types => T}
     val m = manifestAt(spark, table, version)
-    val statCols = statsColsOf(m.files)
+    // stats surface under CURRENT-schema names: a file written before
+    // a rename stores its stats under the old name — exposing that
+    // raw key would split the column across stats_<old>_* (old files)
+    // and stats_<new>_* (new files), so an operational query keyed on
+    // the current name silently reads nulls for old files. Each
+    // file's keys walk forward through its applicable changes, the
+    // same mapping the read path's pruning uses in reverse.
+    val changes = m.schemaChanges.sortBy(_.seq)
+    val perFile: Seq[Map[String, ColStats]] = m.files.map { f =>
+      f.stats.flatMap { case (k0, st) =>
+        currentName(f, k0, changes).map(_ -> st)
+      }
+    }
+    val statCols = perFile.flatMap(_.keys).distinct.sorted
     val schema = T.StructType(
       Seq(T.StructField("path", T.StringType, nullable = false),
           T.StructField("bytes", T.LongType, nullable = false),
@@ -681,9 +813,9 @@ object Snapshot {
           T.StructField(s"stats_${c}_min", T.StringType),
           T.StructField(s"stats_${c}_max", T.StringType),
           T.StructField(s"stats_${c}_nulls", T.LongType))))
-    val rows = m.files.map { f =>
+    val rows = m.files.zip(perFile).map { case (f, stats) =>
       Row.fromSeq(Seq(f.path, f.bytes, f.seq) ++
-        statCols.flatMap(c => f.stats.get(c) match {
+        statCols.flatMap(c => stats.get(c) match {
           case Some(st) => Seq(st.min, st.max,
             if (st.nulls < 0) null else st.nulls)
           case None => Seq(null, null, null)
@@ -730,7 +862,7 @@ object Snapshot {
       throw new IllegalStateException(s"no committed snapshot in $table"))
     require(base.files.nonEmpty, s"empty table $table")
     require(from != to, "rename to the same name is a no-op")
-    require(!partitionColsOf(base.files).contains(from),
+    require(!isPartitionColumn(base, from),
       s"'$from' is a partition column — its name is the directory " +
         "layout; rewrite via compact instead")
     val cur = readLive(spark, table, base, base.files).columns.toSeq
@@ -764,7 +896,7 @@ object Snapshot {
     val base = currentManifest(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     require(base.files.nonEmpty, s"empty table $table")
-    require(!partitionColsOf(base.files).contains(column),
+    require(!isPartitionColumn(base, column),
       s"'$column' is a partition column — its values live in the " +
         "directory layout; rewrite via compact instead")
     val schema = readLive(spark, table, base, base.files).schema
@@ -802,7 +934,7 @@ object Snapshot {
     val base = currentManifest(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     require(base.files.nonEmpty, s"empty table $table")
-    require(!partitionColsOf(base.files).contains(column),
+    require(!isPartitionColumn(base, column),
       s"'$column' is a partition column — rewrite via compact instead")
     require(!base.eqDeletes.exists(_.cols.contains(column)) &&
       !base.rangeDeletes.exists(_.column == column),
@@ -822,6 +954,43 @@ object Snapshot {
         eqDeletes = base.eqDeletes,
         schemaChanges = base.schemaChanges :+
           SchemaChange("drop", column, "", "", v))
+    }.merge
+  }
+
+  /** PARTITION EVOLUTION — change the table's partition layout as a
+    * METADATA-ONLY commit (action `layout`, zero files touched,
+    * asserted by the oracle): subsequent appends must match the NEW
+    * layout ([[appendPartitioned]] validates against it), while files
+    * written under the OLD layout stay readable through their own
+    * directory scheme ([[readFiles]]'s per-commit `basePath` groups —
+    * partition columns parse per group and union as ordinary columns,
+    * the Iceberg spec-evolution semantic). Facet-filtered reads
+    * partition-prune the new-layout files immediately; old-layout
+    * files answer through their data columns (and manifest stats,
+    * when tracked) until [[compact]] folds the whole table into the
+    * new layout — compaction always re-stages under the DECLARED
+    * layout, so one maintenance pass completes the migration.
+    * Repartitioning to `Nil` declares the table flat. Partition
+    * columns must exist in the current schema; keep them at
+    * directory-count sanity (the [[appendPartitioned]] contract). */
+  def repartitionTable(spark: SparkSession, table: String,
+                       partitionCols: Seq[String]): Long = {
+    val base = currentManifest(spark, table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $table"))
+    require(base.files.nonEmpty, s"empty table $table")
+    if (declaredLayout(base) == partitionCols) return base.version
+    val cur = readLive(spark, table, base, base.files).columns.toSeq
+    partitionCols.foreach(c => require(cur.contains(c),
+      s"no column '$c' in $table " + cur.mkString("[", ", ", "]")))
+    commitRetrying(spark, table) { parent =>
+      require(parent.version == base.version,
+        s"table advanced v${base.version} -> v${parent.version} during " +
+          "repartition; rerun against the new snapshot")
+      Manifest(parent.version + 1, parent.version, "layout",
+        base.rows, base.files,
+        rangeDeletes = base.rangeDeletes, eqDeletes = base.eqDeletes,
+        schemaChanges = base.schemaChanges,
+        layout = Some(partitionCols))
     }.merge
   }
 
@@ -979,26 +1148,34 @@ object Snapshot {
     * `_change` column (`insert` / `delete`) describing the NET
     * change from `sinceVersion` to the current snapshot.
     *
-    * Two regimes, picked automatically:
+    * Three regimes, picked automatically:
     *  - APPEND-ONLY interval → the free path: the manifest file diff
     *    ([[readAppendsSince]]), every row an `insert`, no shuffle, no
     *    old-snapshot read.
-    *  - Any rewrite in the interval (compact / merge / delete /
-    *    overwrite) → a FINGERPRINT MULTISET DIFF: both snapshots
-    *    group by a full-row md5 ([[graft.ops.Diff.rowFingerprint]])
-    *    with counts, and the count delta per fingerprint emits that
-    *    many `insert` (current side) or `delete` (base side) copies.
-    *    Multiset semantics make a value-preserving compaction diff
-    *    EMPTY — downstream incremental consumers ride through
-    *    maintenance instead of re-baselining (the r15 gap where any
-    *    compaction poisoned every consumer).
+    *  - Rewrites in the interval, full chain retained → the
+    *    CHAIN-WALK DIFF: each commit contributes its own delta
+    *    derived from its action (appends read only fresh files,
+    *    merge-on-read deletes read only the stats/bloom-pruned files
+    *    they could affect, CoW commits read only the files they
+    *    swapped, COMPACTION CONTRIBUTES NOTHING — it is
+    *    row-count-verified value-preserving), and the weighted
+    *    fingerprint combine nets everything: work scales with
+    *    CHANGED rows, never table size (the Iceberg-v3 row-lineage
+    *    goal, achieved from the manifest chain alone with no lineage
+    *    columns stored in data files).
+    *  - Chain incomplete / unknown action → the FINGERPRINT MULTISET
+    *    DIFF of the two endpoint snapshots: both group by a full-row
+    *    md5 ([[graft.ops.Diff.rowFingerprint]]) with counts; two
+    *    snapshot scans plus one shuffle on 16-byte keys — the honest
+    *    lower bound with nothing else to trust.
     *
-    * Cost of the rewrite path is two snapshot scans plus one shuffle
-    * on 16-byte keys — the honest lower bound for row-level diff
-    * without persistent row ids; the append-only fast path keeps the
-    * common poll cheap. Columns added by the interval (additive
-    * evolution) read as null on the base side, so a row that merely
-    * gained a null column does NOT churn. */
+    * All regimes share multiset semantics: a value-preserving
+    * compaction diffs EMPTY and rows inserted-then-deleted inside
+    * the window cancel — downstream incremental consumers ride
+    * through maintenance instead of re-baselining. Columns added by
+    * the interval (additive evolution) read as null on the base
+    * side, so a row that merely gained a null column does NOT
+    * churn. */
   def readChangesSince(spark: SparkSession, table: String,
                        sinceVersion: Long): DataFrame = {
     val cur = currentManifest(spark, table).getOrElse(
@@ -1015,14 +1192,15 @@ object Snapshot {
                          sinceVersion: Long,
                          untilVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.{abs, count => fCount,
-      explode, first, lit => fLit, sequence, struct, when}
+      explode, first, least, lit => fLit, sequence, shiftright,
+      struct, sum => fSum, when}
     require(untilVersion >= sinceVersion,
       s"inverted interval: ($sinceVersion, $untilVersion]")
     val cur = manifestAt(spark, table, Some(untilVersion))
-    val appendOnly = listVersions(spark, table).sorted
+    val windowManifests = listVersions(spark, table).sorted
       .filter(v => v > sinceVersion && v <= cur.version)
       .flatMap(v => readManifest(spark, table, v))
-      .forall(_.action == "append")
+    val appendOnly = windowManifests.forall(_.action == "append")
     if (appendOnly) {
       // the file-diff fast path against the BOUNDED end: fresh files
       // of `until` not in `since` (readAppendsSince spells the same
@@ -1039,28 +1217,176 @@ object Snapshot {
     }
     val after = read(spark, table, Some(cur.version))
     val cols = after.columns.toSeq
-    val beforeRaw = read(spark, table, Some(sinceVersion))
-    val before = cols.foldLeft(beforeRaw) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, fLit(null))
-    }.select(cols.map(col): _*)
+    // IN-WINDOW schema changes must map every delta frame (and, on
+    // the fallback path, the base snapshot) before fingerprinting: a
+    // rename inside the window would otherwise null-fill the new name
+    // on the base side (every row churns as a null-keyed delete +
+    // insert), and a float->double widen changes the string rendering
+    // of numerically identical values — either way a metadata-only
+    // commit would emit a full-table spurious diff, breaking the
+    // net-change contract. Changes are collected from EVERY manifest
+    // in the window (not just `until`'s pending list — a compaction
+    // inside the window folds and clears it) and applied in commit
+    // order, exactly as the read path does.
+    val winChanges = windowManifests.flatMap(_.schemaChanges)
+      .filter(c => c.seq > sinceVersion && c.seq <= cur.version)
+      .distinct.sortBy(_.seq)
+    // conform a frame produced in the schema of `fromVersion` to the
+    // until-schema: later in-window changes applied, added columns
+    // null-filled, column order fixed
+    def conform(df: DataFrame, fromVersion: Long): DataFrame = {
+      val mapped = winChanges.filter(_.seq > fromVersion)
+        .foldLeft(df) { (d, c) =>
+          c.kind match {
+            case "rename" =>
+              if (d.columns.contains(c.from) &&
+                  !d.columns.contains(c.to))
+                d.withColumnRenamed(c.from, c.to) else d
+            case "widen" =>
+              if (d.columns.contains(c.from))
+                d.withColumn(c.from, col(c.from).cast(
+                  if (c.typ == "double") DoubleType else LongType))
+              else d
+            case "drop" =>
+              if (d.columns.contains(c.from)) d.drop(c.from) else d
+            case _ => d
+          }
+        }
+      cols.foldLeft(mapped) { (d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, fLit(null))
+      }.select(cols.map(col): _*)
+    }
     val fp = graft.ops.Diff.rowFingerprint(cols)
-    def counted(df: DataFrame, n: String) = df
+    // a delta frame weighted +1 (inserted rows) or -1 (deleted rows),
+    // pre-aggregated by fingerprint so the global combine sums counts
+    def weighted(df: DataFrame, w: Int) = df
       .groupBy(fp.as("__fp"))
-      .agg(fCount(fLit(1)).as(n), first(struct(cols.map(col): _*))
-        .as("__row_" + n))
-    val joined = counted(before, "cb").join(counted(after, "ca"),
-      Seq("__fp"), "full_outer")
-      .select(
-        coalesce(col("ca"), fLit(0L)).minus(
-          coalesce(col("cb"), fLit(0L))).as("__delta"),
-        col("__row_ca"), col("__row_cb"))
-      .filter(col("__delta") =!= 0L)
-    val side = when(col("__delta") > 0L, col("__row_ca"))
-      .otherwise(col("__row_cb"))
-    joined
-      .select(side.as("__row"), col("__delta"),
-        explode(sequence(fLit(1L), abs(col("__delta")))).as("__k"))
+      .agg((fCount(fLit(1)) * w).cast("long").as("__w"),
+        first(struct(cols.map(col): _*)).as("__row"))
+
+    // ==CHAIN-WALK DIFF (the at-scale path)==
+    // Instead of fingerprinting BOTH endpoint snapshots (O(table) no
+    // matter how small the change), walk the window's commits and
+    // derive each one's own delta from its action — the multiset
+    // identity `until - since = Σ per-commit deltas` makes the union
+    // of weighted deltas net to exactly the endpoint diff, and rows
+    // inserted then deleted inside the window cancel in the combine:
+    //  - append: +fresh files (a file read, no old-snapshot scan);
+    //  - compact: NOTHING — the rewrite is row-count-verified and
+    //    value-preserving by construction, the whole point: a
+    //    maintenance pass contributes zero diff work (the Iceberg v3
+    //    row-lineage goal achieved from the manifest chain alone,
+    //    with no lineage columns in the data);
+    //  - schema: nothing (metadata-only; conform handles rendering);
+    //  - delete-mor / merge-mor: ±only the files the new delete
+    //    entries can AFFECT (stats/bloom-pruned exactly like the
+    //    operation's own accounting scan) plus dropped/fresh files —
+    //    unaffected files have identical live sets on both sides and
+    //    are never read;
+    //  - CoW delete / merge / overwrite: ±only the files the commit
+    //    actually swapped (removed on the parent side, staged on the
+    //    child side); carried files are never read. overwrite
+    //    degenerates to the full table — honest, it replaced it.
+    // Work scales with CHANGED rows (+ the pruning-kept superset),
+    // not table size. Falls back to the endpoint diff when the chain
+    // is incomplete or carries an unrecognized action.
+    val byV = windowManifests.map(m => m.version -> m).toMap
+    val versions = (sinceVersion + 1) to untilVersion
+    val knownActions = Set("append", "compact", "schema", "layout",
+      "delete", "merge", "overwrite", "delete-mor", "merge-mor")
+    def parentOf(v: Long): Option[Manifest] =
+      if (v - 1 > sinceVersion) byV.get(v - 1)
+      else if (v - 1 == 0L) Some(Manifest(0L, -1L, "init", 0L, Nil))
+      else readManifest(spark, table, v - 1)
+    val chainComplete = versions.forall(v => byV.contains(v) &&
+      knownActions.contains(byV(v).action) && parentOf(v).nonEmpty)
+    val deltas: Option[Seq[DataFrame]] =
+      if (!chainComplete) None
+      else Some(versions.flatMap { v =>
+        val m = byV(v)
+        val parent = parentOf(v).get
+        val childPaths = m.files.map(_.path).toSet
+        val parentPaths = parent.files.map(_.path).toSet
+        m.action match {
+          case "compact" | "schema" | "layout" => Nil
+          case "append" =>
+            val fresh = m.files.filterNot(f =>
+              parentPaths.contains(f.path))
+            if (fresh.isEmpty) Nil
+            else Seq(weighted(
+              conform(readFiles(spark, table, fresh), v), 1))
+          case "delete-mor" | "merge-mor" =>
+            val dropped = parent.files.filterNot(f =>
+              childPaths.contains(f.path))
+            val affected = (dropped ++
+              m.rangeDeletes.filter(_.seq == v).flatMap(d =>
+                keptByRangeRepr(parent.files, d.column, d.lo, d.hi,
+                  parent.schemaChanges)) ++
+              m.eqDeletes.filter(_.seq == v).flatMap(d =>
+                keyCandidates(parent,
+                  spark.read.parquet(s"$table/${d.dir}").distinct(),
+                  d.cols))).distinctBy(_.path)
+            val survivors = affected.filter(f =>
+              childPaths.contains(f.path))
+            val fresh = m.files.filterNot(f =>
+              parentPaths.contains(f.path))
+            val plusSide = survivors ++ fresh
+            (if (affected.isEmpty) Nil
+             else Seq(weighted(conform(
+               readLive(spark, table, parent, affected),
+               parent.version), -1))) ++
+            (if (plusSide.isEmpty) Nil
+             else Seq(weighted(conform(
+               readLive(spark, table, m, plusSide), v), 1)))
+          case _ => // delete | merge | overwrite: the swapped files
+            val removed = parent.files.filterNot(f =>
+              childPaths.contains(f.path))
+            val staged = m.files.filterNot(f =>
+              parentPaths.contains(f.path))
+            (if (removed.isEmpty) Nil
+             else Seq(weighted(conform(
+               readLive(spark, table, parent, removed),
+               parent.version), -1))) ++
+            (if (staged.isEmpty) Nil
+             else Seq(weighted(conform(
+               readLive(spark, table, m, staged), v), 1)))
+        }
+      })
+    val net = deltas match {
+      case Some(ws) if ws.isEmpty =>
+        return after.filter(lit(false))
+          .withColumn("_change", fLit("insert"))
+      case Some(ws) =>
+        ws.reduce(_ unionByName _)
+          .groupBy(col("__fp"))
+          .agg(fSum(col("__w")).as("__delta"),
+            first(col("__row")).as("__row"))
+          .filter(col("__delta") =!= 0L)
+      case None => // endpoint multiset diff: two full snapshot scans
+        val before = conform(read(spark, table, Some(sinceVersion)),
+          sinceVersion)
+        weighted(before, -1).unionByName(weighted(after, 1))
+          .groupBy(col("__fp"))
+          .agg(fSum(col("__w")).as("__delta"),
+            first(col("__row")).as("__row"))
+          .filter(col("__delta") =!= 0L)
+    }
+    // per-row copies via a TWO-LEVEL expansion: a single explode of
+    // sequence(1, |delta|) materializes one |delta|-long array in one
+    // row — a mass-duplicate fingerprint (millions of identical rows
+    // deleted at once) would be an executor memory hazard. Chunking
+    // caps any materialized array at `Chunk` elements (the outer
+    // level emits |delta|/Chunk chunk indexes, itself array-bounded
+    // the same way only above Chunk² ≈ 4.3e9 copies of ONE row).
+    val Chunk = 65536L // 2^16: shiftright is the exact integer divide
+    net
+      .select(col("__row"), col("__delta"),
+        explode(sequence(fLit(0L),
+          shiftright(abs(col("__delta")) - 1L, 16))).as("__c"))
+      .select(col("__row"), col("__delta"),
+        explode(sequence(fLit(1L),
+          least(fLit(Chunk),
+            abs(col("__delta")) - col("__c") * Chunk))).as("__k"))
       .select(cols.map(c => col("__row." + c)) :+
         when(col("__delta") > 0L, fLit("insert"))
           .otherwise(fLit("delete")).as("_change"): _*)
@@ -1092,12 +1418,15 @@ object Snapshot {
                      stateDir: String)
                     (handler: DataFrame => Unit): Option[(Long, Long)] = {
     import org.apache.spark.sql.functions.{lit => fLit}
-    val statePath = java.nio.file.Paths.get(stateDir, "baseline.json")
-    val since: Long =
-      if (!java.nio.file.Files.exists(statePath)) 0L
-      else new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(statePath))
-        .path("version").asLong(0L)
+    // baseline state goes through Hadoop FS ([[SidecarIo]]): a
+    // consumer whose stateDir is hdfs:// or s3a:// must find its
+    // baseline there — the java.nio spelling reported it absent and
+    // silently re-sent the whole table as inserts every poll
+    val statePath = s"$stateDir/baseline.json"
+    val since: Long = SidecarIo.readString(spark, statePath)
+      .map(s => new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(s).path("version").asLong(0L))
+      .getOrElse(0L)
     val cur = currentManifest(spark, table).getOrElse(
       throw new NoSuchElementException(s"no committed snapshot in $table"))
     if (cur.version <= since) return None
@@ -1106,15 +1435,8 @@ object Snapshot {
         .withColumn("_change", fLit("insert"))
       else readChangesBetween(spark, table, since, cur.version)
     handler(changes)
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(stateDir))
-    val scratch = java.nio.file.Paths.get(stateDir,
-      s".tmp-${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.writeString(scratch,
+    SidecarIo.writeStringAtomic(spark, statePath,
       s"""{"version":${cur.version}}""")
-    java.nio.file.Files.move(scratch, statePath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     Some((since, cur.version))
   }
 
@@ -1204,6 +1526,63 @@ object Snapshot {
       keptByRange(m.files, column, lower, upper, m.schemaChanges).size)
   }
 
+  /** A POINT-lookup read (`column = value`) that prunes at the
+    * manifest with BOTH indexes: min/max range admission AND, when
+    * the writer recorded one ([[append]] `bloomCols`), the per-file
+    * Bloom filter — the index that matters on a table whose file key
+    * ranges all overlap (any unclustered append history), where range
+    * stats alone keep every file and a needle lookup would open all
+    * of them. Exact for any coverage: the residual `=` filter always
+    * applies, and a filterless or saturated Bloom only keeps more
+    * files, never drops a matching one. */
+  def readEquals(spark: SparkSession, table: String, column: String,
+                 value: Any, version: Option[Long] = None): DataFrame = {
+    val m = manifestAt(spark, table, version)
+    if (m.files.isEmpty)
+      throw new NoSuchElementException(s"snapshot v${m.version} is empty")
+    val kept = keptByEquals(m.files, column, value, m.schemaChanges)
+    if (kept.isEmpty)
+      readFiles(spark, table, m.files).filter(lit(false))
+    else readLive(spark, table, m, kept)
+      .filter(col(column) === lit(value))
+  }
+
+  /** (files in the snapshot, files a [[readEquals]] would open) —
+    * the observable point-lookup pruning contract. */
+  def equalsPruneCount(spark: SparkSession, table: String,
+                       column: String, value: Any,
+                       version: Option[Long] = None): (Int, Int) = {
+    val m = manifestAt(spark, table, version)
+    (m.files.size,
+      keptByEquals(m.files, column, value, m.schemaChanges).size)
+  }
+
+  /** (files in the snapshot, files a [[deleteKeysMor]] /
+    * [[mergeMor]] accounting scan over `keys` would open) — the
+    * observable key-list pruning contract (range envelope + Bloom). */
+  def keyPruneCount(spark: SparkSession, table: String,
+                    keys: DataFrame,
+                    version: Option[Long] = None): (Int, Int) = {
+    val m = manifestAt(spark, table, version)
+    (m.files.size,
+      keyCandidates(m, keys.distinct(), keys.columns.toSeq).size)
+  }
+
+  /** Files whose stats and Bloom filter both ADMIT equality with
+    * `value` (files without stats/filter on the column keep). */
+  private def keptByEquals(files: Seq[FileEntry], column: String,
+                           value: Any, changes: Seq[SchemaChange])
+      : Seq[FileEntry] =
+    files.filter { f =>
+      fileStats(f, column, changes) match {
+        case None => true
+        case Some(s) =>
+          val r = reprOf(s.typ, value)
+          cmp(s.typ, s.max, r) >= 0 && cmp(s.typ, s.min, r) <= 0 &&
+            FileBloom.mayContain(s.bloom, s.typ, r)
+      }
+    }
+
   private def manifestAt(spark: SparkSession, table: String,
                          version: Option[Long]): Manifest = version match {
     case Some(v) => readManifest(spark, table, v).getOrElse(
@@ -1268,6 +1647,71 @@ object Snapshot {
       }
     }
 
+  /** [[keptByRange]] with bounds ALREADY in typed-repr form (the
+    * serialization a stored [[RangeDelete]] carries) — the chain-walk
+    * differ replays a delete commit's own pruning from its manifest
+    * entry. */
+  private def keptByRangeRepr(files: Seq[FileEntry], column: String,
+                              loRepr: String, hiRepr: String,
+                              changes: Seq[SchemaChange])
+      : Seq[FileEntry] =
+    files.filter { f =>
+      fileStats(f, column, changes) match {
+        case None => true
+        case Some(s) =>
+          cmp(s.typ, s.max, loRepr) >= 0 && cmp(s.typ, s.min, hiRepr) <= 0
+      }
+    }
+
+  /** The files a single-column key-list operation must open: range
+    * stats drop files whose [min, max] cannot intersect the keys'
+    * envelope, then per-file Bloom filters ([[FileBloom]]) drop
+    * range-overlapping files that provably contain NONE of the keys.
+    * Multi-column keys (no single envelope) keep everything —
+    * conservative. Shared by [[deleteKeysMor]], [[mergeMor]], and
+    * [[keyPruneCount]] so the observable prune contract IS the
+    * accounting scan's plan. */
+  private def keyCandidates(base: Manifest, distinctKeys: DataFrame,
+                            cols: Seq[String]): Seq[FileEntry] =
+    if (cols.size == 1 && base.files.exists(f =>
+          fileStats(f, cols.head, base.schemaChanges).nonEmpty)) {
+      val b = distinctKeys.agg(min(col(cols.head)),
+        max(col(cols.head))).head()
+      if (b.isNullAt(0)) Nil
+      else keptByKeyBlooms(
+        keptByRange(base.files, cols.head, b.get(0), b.get(1),
+          base.schemaChanges),
+        cols.head, distinctKeys, base.schemaChanges)
+    } else base.files
+
+  /** Bloom-prune `files` against a key set: keep a file iff it might
+    * contain AT LEAST ONE key. Probing is driver-side (each key
+    * hashes against each candidate filter), so it applies only when
+    * the key set is collectable under a fixed cap — above it the
+    * range-kept set stands untouched (conservative; a bulk delete of
+    * millions of keys hits most files anyway). Files without a
+    * filter on the column always keep. */
+  private def keptByKeyBlooms(files: Seq[FileEntry], column: String,
+                              keys: DataFrame,
+                              changes: Seq[SchemaChange])
+      : Seq[FileEntry] = {
+    val MaxProbeKeys = 10000
+    if (!files.exists(f =>
+        fileStats(f, column, changes).exists(_.bloom.nonEmpty)))
+      return files
+    val sample = keys.limit(MaxProbeKeys + 1).collect()
+    if (sample.length > MaxProbeKeys) return files
+    val vals = sample.map(_.get(0)).filter(_ != null)
+    files.filter { f =>
+      fileStats(f, column, changes) match {
+        case Some(s) if s.bloom.nonEmpty =>
+          vals.exists(v =>
+            FileBloom.mayContain(s.bloom, s.typ, reprOf(s.typ, v)))
+        case _ => true
+      }
+    }
+  }
+
   /** Plan a frame over an explicit manifest file list. Partitioned
     * layouts ([[appendPartitioned]]) need one `basePath` per COMMIT
     * (Spark's partition discovery refuses multiple roots under a
@@ -1295,16 +1739,18 @@ object Snapshot {
   }
 
   /** The append-time loudness behind [[readFiles]]'s permissive
-    * union: a new commit's partition layout must match the table's. */
+    * union: a new commit's partition layout must match the table's
+    * DECLARED layout ([[repartitionTable]] evolves it; legacy tables
+    * derive it from their files). */
   private def requireSameLayout(parent: Manifest,
                                 partitionCols: Seq[String]): Unit = {
-    if (parent.files.isEmpty) return
-    val existing = partitionColsOf(parent.files)
+    if (parent.files.isEmpty && parent.layout.isEmpty) return
+    val existing = declaredLayout(parent)
     require(existing == partitionCols,
       s"partition layout mismatch: table is " +
         s"${if (existing.isEmpty) "unpartitioned" else existing.mkString("[", ",", "]")}, " +
         s"append is ${if (partitionCols.isEmpty) "unpartitioned" else partitionCols.mkString("[", ",", "]")} " +
-        "— one layout per table (compact to change it)")
+        "— repartitionTable to change the layout")
   }
 
   /** [[readFiles]] narrowed to `cols` plus the provenance column
@@ -1495,8 +1941,15 @@ object Snapshot {
         .getOrElse(Manifest(0L, -1L, "init", 0L, Nil))
       val now = java.time.Instant.now()
       val next =
-        try build(parent).copy(atMicros =
-          now.getEpochSecond * 1000000L + now.getNano / 1000L)
+        try {
+          val built = build(parent)
+          built.copy(atMicros =
+            now.getEpochSecond * 1000000L + now.getNano / 1000L,
+            // the declared layout is table CONFIG: every commit
+            // carries it unless the builder set a new one
+            // ([[repartitionTable]])
+            layout = built.layout.orElse(parent.layout))
+        }
         catch { case d: DuplicateTag => return Left(d.version) }
       if (claim(spark, table, next)) return Right(next.version)
       attempt += 1
@@ -1604,6 +2057,65 @@ object Snapshot {
                         entries: Seq[FileEntry],
                         statsCols: Seq[String]): Seq[FileEntry] =
     withStatsAndRows(spark, table, entries, statsCols)._1
+
+  /** Attach per-file Bloom filters over `bloomCols` to freshly staged
+    * entries — one narrow distributed aggregate per column over ONLY
+    * this commit's files (cost scales with the commit, never the
+    * table): each value hashes once (Spark's codegen'd `xxhash64`),
+    * expands to its K bit positions, and `collect_set` per file
+    * returns the bounded position sets the driver folds into
+    * size-fitted filters ([[FileBloom.fold]]). Must run AFTER
+    * [[withStatsAndRows]] — the filter hangs off the column's
+    * [[ColStats]] (its typed repr is the probe's hash input). Files
+    * with no stats on the column (all-null slices) get no filter and
+    * are never pruned. */
+  private def withBlooms(spark: SparkSession, table: String,
+                         entries: Seq[FileEntry],
+                         bloomCols: Seq[String]): Seq[FileEntry] = {
+    if (bloomCols.isEmpty || entries.isEmpty) return entries
+    import org.apache.spark.sql.functions.{array, collect_set, explode,
+      xxhash64}
+    var out = entries
+    bloomCols.distinct.foreach { c =>
+      val typ = out.flatMap(_.stats.get(c)).headOption.map(_.typ)
+      typ.foreach { t =>
+        val h = xxhash64(FileBloom.canonExpr(col(c), t))
+        val byFile: Seq[(String, Seq[Int])] =
+          readFilesWithPath(spark, table, out, Seq(c))
+            .filter(col(c).isNotNull)
+            .select(col("__file"),
+              explode(array(FileBloom.positionExprs(h): _*)).as("__pos"))
+            .groupBy(col("__file"))
+            .agg(collect_set(col("__pos")).as("ps"))
+            .collect().toSeq
+            .map(r => r.getString(0) -> r.getSeq[Int](1))
+        out = out.map { e =>
+          e.stats.get(c) match {
+            case Some(st) =>
+              byFile.find(_._1.endsWith("/" + e.path)) match {
+                case Some((_, ps)) => e.copy(stats = e.stats
+                  .updated(c, st.copy(bloom = FileBloom.fold(ps))))
+                case None => e
+              }
+            case None => e
+          }
+        }
+      }
+    }
+    out
+  }
+
+  /** The Bloom coverage of an existing snapshot under the current
+    * schema — the columns a rewrite ([[compact]], [[merge]]) must
+    * re-filter, exactly as [[currentStatsColsOf]] is the stats
+    * coverage. */
+  private def currentBloomColsOf(m: Manifest): Seq[String] = {
+    val changes = m.schemaChanges.sortBy(_.seq)
+    m.files.flatMap { f =>
+      f.stats.collect { case (k0, st) if st.bloom.nonEmpty => k0 }
+        .flatMap(k0 => currentName(f, k0, changes))
+    }.distinct.sorted
+  }
 
   /** Stats AND the staged row count, both read off the PARQUET
     * FOOTERS of the freshly staged files — no Spark job at all (the
@@ -1819,20 +2331,26 @@ object Snapshot {
   private def currentStatsColsOf(m: Manifest): Seq[String] = {
     val changes = m.schemaChanges.sortBy(_.seq)
     m.files.flatMap { f =>
-      f.stats.keys.flatMap { k0 =>
-        changes.foldLeft(Option(k0)) { (acc, c) =>
-          acc.flatMap { name =>
-            if (c.seq <= f.seq) Some(name)
-            else c.kind match {
-              case "rename" => Some(if (name == c.from) c.to else name)
-              case "drop" => if (name == c.from) None else Some(name)
-              case _ => Some(name)
-            }
-          }
-        }
-      }
+      f.stats.keys.flatMap(k0 => currentName(f, k0, changes))
     }.distinct.sorted
   }
+
+  /** The CURRENT-schema name of file `f`'s written column `k0`:
+    * schema changes staged after the file walked FORWARD (renames
+    * follow; a drop ends the column's life — None). The inverse
+    * direction of [[writtenName]]. `changes` must be seq-sorted. */
+  private def currentName(f: FileEntry, k0: String,
+                          changes: Seq[SchemaChange]): Option[String] =
+    changes.foldLeft(Option(k0)) { (acc, c) =>
+      acc.flatMap { name =>
+        if (c.seq <= f.seq) Some(name)
+        else c.kind match {
+          case "rename" => Some(if (name == c.from) c.to else name)
+          case "drop" => if (name == c.from) None else Some(name)
+          case _ => Some(name)
+        }
+      }
+    }
 
   /** Serialized-stat type tag for a column, or None if unsupported. */
   private def statTyp(dt: DataType): Option[String] = dt match {
@@ -1956,13 +2474,21 @@ object Snapshot {
           c.get("to").asText(), c.get("typ").asText(),
           c.get("seq").asLong())
       }
+    val layout: Option[Seq[String]] =
+      if (!root.has("layout")) None
+      else {
+        val b = Seq.newBuilder[String]
+        root.get("layout").elements()
+          .forEachRemaining(c => b += c.asText())
+        Some(b.result())
+      }
     Some(Manifest(root.get("version").asLong(),
       root.get("parent").asLong(),
       root.get("action").asText(), root.get("rows").asLong(),
       files,
       Option(root.get("tag")).map(_.asText()).getOrElse(""),
       Option(root.get("atMicros")).map(_.asLong()).getOrElse(0L),
-      rds.result(), eds.result(), scs.result()))
+      rds.result(), eds.result(), scs.result(), layout))
   }
 
   /** The group names a retained manifest references (the [[expire]]
@@ -2030,6 +2556,10 @@ object Snapshot {
     root.put("rows", m.rows)
     root.put("tag", m.tag)
     root.put("atMicros", m.atMicros)
+    m.layout.foreach { cols =>
+      val la = root.putArray("layout")
+      cols.foreach(la.add)
+    }
     val arr = root.putArray("groups")
     groupNames.foreach(arr.add)
     if (m.rangeDeletes.nonEmpty) {
@@ -2075,6 +2605,7 @@ object Snapshot {
         so.put("max", s.max)
         so.put("typ", s.typ)
         so.put("nulls", s.nulls)
+        if (s.bloom.nonEmpty) so.put("bloom", s.bloom)
       }
     }
   }
@@ -2093,7 +2624,8 @@ object Snapshot {
           val so = st.get(c)
           b += c -> ColStats(so.get("min").asText(),
             so.get("max").asText(), so.get("typ").asText(),
-            Option(so.get("nulls")).map(_.asLong()).getOrElse(-1L))
+            Option(so.get("nulls")).map(_.asLong()).getOrElse(-1L),
+            Option(so.get("bloom")).map(_.asText()).getOrElse(""))
         }
         b.result()
       }.getOrElse(Map.empty[String, ColStats])
@@ -2115,6 +2647,23 @@ object Snapshot {
       f.path.split('/').drop(2).dropRight(1)
         .filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
     }.getOrElse(Nil)
+
+  /** The table's EFFECTIVE partition layout: the declared one when a
+    * [[repartitionTable]] ever set it, else derived from the files
+    * (legacy/never-evolved tables — old behavior exactly). This is
+    * what appends validate against and rewrites re-stage under. */
+  private def declaredLayout(m: Manifest): Seq[String] =
+    m.layout.getOrElse(partitionColsOf(m.files))
+
+  /** Is `c` a directory-encoded column anywhere the manifest can see —
+    * the current declared layout OR any retained file's own `k=v`
+    * path segments (old-layout files keep their directory scheme
+    * until compaction folds them)? Schema changes must refuse such
+    * columns: their name/value is baked into paths. */
+  private def isPartitionColumn(m: Manifest, c: String): Boolean =
+    declaredLayout(m).contains(c) ||
+      m.files.exists(f => f.path.split('/').drop(2).dropRight(1)
+        .exists(_.startsWith(c + "=")))
 
   private def hadoopFs(spark: SparkSession,
                        path: String): org.apache.hadoop.fs.FileSystem =

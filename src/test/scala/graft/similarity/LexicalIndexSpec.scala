@@ -152,4 +152,32 @@ class LexicalIndexSpec extends AnyFunSuite {
     val inMemory = Lexical.bm25TopK(docs, queries, k = 5)
     assert(canon(fromIndex) == canon(inMemory))
   }
+
+  test("layout.json rides Hadoop FS: a file:-scheme index path keeps " +
+    "the bucket pin (and pruning) that java.nio would silently lose") {
+    val local = Files.createTempDirectory("graft-lexidx-fs").toString
+    val uri = "file://" + local
+    LexicalIndex.build(corpus(0, 60), uri, wordBuckets = 8)
+    LexicalIndex.append(corpus(60, 80), uri, "b1")
+    // the pin exists where the scheme says, and probes through BOTH
+    // spellings of the path agree with the in-memory ranking
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(local, "layout.json")))
+    val inMemory = Lexical.bm25TopK(corpus(0, 80), queries, k = 7)
+    assert(canon(LexicalIndex.searchBm25(spark, uri, queries, k = 7))
+      == canon(inMemory))
+    assert(canon(LexicalIndex.searchBm25(spark, local, queries, k = 7))
+      == canon(inMemory))
+    // the bucket layout was honored, not silently degraded to flat
+    assert(new java.io.File(s"$local/postings/batch=b1").listFiles()
+      .exists(_.getName.startsWith("bucket=")),
+      "file:-scheme build lost the word-bucket layout")
+    // compact through the scheme path preserves the pin
+    val folded = Files.createTempDirectory("graft-lexidx-fs2").toString
+    LexicalIndex.compact(uri, "file://" + folded)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(folded, "layout.json")))
+    assert(canon(LexicalIndex.searchBm25(spark, folded, queries, k = 7))
+      == canon(inMemory))
+  }
 }

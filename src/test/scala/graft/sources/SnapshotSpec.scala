@@ -1143,4 +1143,262 @@ class SnapshotSpec extends AnyFunSuite {
     assert(removed > 0)
     assert(Snapshot.read(spark, t).count() == 10)
   }
+
+  test("partition evolution: repartitionTable is metadata-only; old " +
+    "and new layouts read as one table; pruning binds on new files; " +
+    "compaction folds the whole table into the new layout") {
+    val t = freshTable()
+    def facet(from: Int, until: Int) =
+      (from until until).map(i =>
+        (i.toLong, s"doc $i", if (i % 2 == 0) "en" else "de"))
+        .toDF("id", "text", "lang")
+    // phase 1: FLAT layout
+    Snapshot.append(facet(0, 40), t, statsCols = Seq("id"))   // v1
+    val files1 = Snapshot.readManifest(spark, t, 1L).get.files
+      .map(f => (f.path, f.bytes))
+    // evolve: declare lang-partitioning — zero files touched
+    val v2 = Snapshot.repartitionTable(spark, t, Seq("lang"))
+    val m2 = Snapshot.readManifest(spark, t, v2).get
+    assert(m2.action == "layout" &&
+      m2.files.map(f => (f.path, f.bytes)) == files1)
+    // old-layout appends now refuse; new-layout appends land
+    intercept[IllegalArgumentException] {
+      Snapshot.append(facet(40, 50), t)
+    }
+    Snapshot.appendPartitioned(facet(40, 60), t, Seq("lang"),
+      statsCols = Seq("id"))                                  // v3
+    // one table across both layouts
+    val cur = Snapshot.read(spark, t)
+    assert(cur.count() == 60)
+    assert(cur.filter(col("lang") === "en").count() == 30)
+    // facet filters partition-prune the NEW-layout files (the old
+    // flat file still answers through its data column — correct,
+    // prunable only after the fold)
+    val en = Snapshot.read(spark, t).filter(col("lang") === "en")
+    val scans = en.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.partitionFilters.exists(
+      _.references.exists(_.name == "lang"))),
+      "no partition filter bound on the new-layout files:\n" +
+        en.queryExecution.executedPlan)
+    // compaction folds EVERYTHING into the declared layout
+    Snapshot.compact(spark, t)                                // v4
+    val folded = Snapshot.readManifest(spark, t,
+      Snapshot.latestVersion(spark, t).get).get
+    assert(folded.files.forall(_.path.split('/')
+      .exists(_.startsWith("lang="))),
+      "compaction did not fold the old files into the new layout")
+    val post = Snapshot.read(spark, t)
+    assert(post.count() == 60 &&
+      post.filter(col("lang") === "de").count() == 30)
+    assert(Layout.isPartitionPruned(post.filter(col("lang") === "de")))
+    // stats survive the evolution: the id range read stays exact
+    assert(Snapshot.readWhere(spark, t, "id", 10L, 19L).count() == 10)
+    // repartition back to FLAT is also just metadata
+    val v5 = Snapshot.repartitionTable(spark, t, Nil)
+    assert(Snapshot.readManifest(spark, t, v5).get.action == "layout")
+    Snapshot.append(facet(60, 65), t, statsCols = Seq("id"))  // v6
+    assert(Snapshot.read(spark, t).count() == 65)
+    // renaming a column that is a partition directory ANYWHERE in
+    // the retained files still refuses
+    intercept[IllegalArgumentException] {
+      Snapshot.renameColumn(spark, t, "lang", "language")
+    }
+  }
+
+  test("chain-walk CDC reads only CHANGED files: a compaction in the " +
+    "window contributes zero reads, a MoR delete reads only its " +
+    "stats-affected file") {
+    val t = freshTable()
+    (0 until 6).foreach(k => Snapshot.append(
+      batch(k * 100, k * 100 + 100).coalesce(1), t,
+      statsCols = Seq("id")))                              // v1..v6
+    val v7 = Snapshot.deleteRangeMor(spark, t, "id", 150L, 160L)
+    // window (6,7]: only file 2 (range 100-199) can be affected —
+    // the differ must read IT alone, not the table
+    val w1 = Snapshot.readChangesBetween(spark, t, 6L, v7)
+    assert(w1.filter(col("_change") === "delete").count() == 11L &&
+      w1.count() == 11L)
+    assert(w1.inputFiles.toSet.size == 1,
+      s"MoR-delete diff read ${w1.inputFiles.toSet.size} files, " +
+        "expected only the affected one")
+    Snapshot.compact(spark, t)                             // v8
+    Snapshot.append(batch(1000, 1005).coalesce(1), t,
+      statsCols = Seq("id"))                               // v9
+    // window (6,9]: the compaction REWROTE EVERY FILE but is
+    // value-preserving by contract — the chain-walk differ reads
+    // none of it; total plan inputs = the delete's affected file +
+    // the fresh append file
+    val w2 = Snapshot.readChangesBetween(spark, t, 6L, 9L)
+    val byChange = w2.groupBy(col("_change")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byChange("delete") == 11L && byChange("insert") == 5L)
+    val read = w2.inputFiles.toSet
+    assert(read.size == 2,
+      s"diff across a compaction read ${read.size} files " +
+        "(expected affected + fresh only):\n" + read.mkString("\n"))
+  }
+
+  test("mergeMor: upsert with ZERO matched-file rewrites; compact " +
+    "folds; time travel across the fold; CDC reads delete+insert " +
+    "per updated row") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 10).coalesce(1), t, statsCols = Seq("id"))
+    Snapshot.append(batch(10, 20).coalesce(1), t, statsCols = Seq("id"))
+    val pre = Snapshot.readManifest(spark, t, 2L).get.files
+      .map(f => (f.path, f.bytes))
+    // updates ids 3 and 12 (one per file), inserts ids 100..102
+    val source = Seq((3L, "UPDATED 3"), (12L, "UPDATED 12"),
+      (100L, "doc 100"), (101L, "doc 101"), (102L, "doc 102"))
+      .toDF("id", "text")
+    val v = Snapshot.mergeMor(source, t, "id")
+    val m = Snapshot.readManifest(spark, t, v).get
+    // every pre-merge file carried byte-identical; only staged added
+    assert(m.action == "merge-mor" &&
+      m.files.map(f => (f.path, f.bytes)).take(pre.size) == pre &&
+      m.files.size > pre.size)
+    assert(m.eqDeletes.size == 1 && m.eqDeletes.head.rows == 2L &&
+      m.eqDeletes.head.cols == Seq("id"))
+    assert(m.rows == 23L)
+    val cur = Snapshot.read(spark, t)
+    assert(cur.count() == 23)
+    assert(cur.filter(col("id") === 3L).select(col("text"))
+      .head().getString(0) == "UPDATED 3")
+    assert(cur.filter(col("id") === 12L).count() == 1)
+    // CDC across the MoR merge: delete+insert per updated row,
+    // plain insert per new row
+    val w = Snapshot.readChangesBetween(spark, t, 2L, v)
+    val byChange = w.groupBy(col("_change")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byChange("delete") == 2L && byChange("insert") == 5L)
+    // fold: compaction rewrites clean, answers unchanged, pending
+    // delete cleared; the pre-fold version still time-travels
+    val cv = Snapshot.compact(spark, t)
+    val folded = Snapshot.readManifest(spark, t, cv).get
+    assert(folded.eqDeletes.isEmpty)
+    assert(Snapshot.read(spark, t).count() == 23)
+    assert(Snapshot.read(spark, t).filter(col("id") === 3L)
+      .select(col("text")).head().getString(0) == "UPDATED 3")
+    val pinned = Snapshot.read(spark, t, Some(v))
+    assert(pinned.count() == 23 &&
+      pinned.filter(col("id") === 12L).select(col("text"))
+        .head().getString(0) == "UPDATED 12")
+    // and the pre-merge snapshot still reads the ORIGINAL rows
+    assert(Snapshot.read(spark, t, Some(2L)).filter(col("id") === 3L)
+      .select(col("text")).head().getString(0) == "doc 3")
+  }
+
+  test("mergeMor: a pure-insert source records NO delete entry; " +
+    "duplicate source keys refuse loudly; rows re-inserted after " +
+    "an earlier MoR merge are never retro-deleted") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 10), t)
+    // pure inserts: no matched key, so no eq-delete file lands
+    val v = Snapshot.mergeMor(batch(50, 55), t, "id")
+    assert(Snapshot.readManifest(spark, t, v).get.eqDeletes.isEmpty)
+    assert(Snapshot.read(spark, t).count() == 15)
+    intercept[IllegalArgumentException] {
+      Snapshot.mergeMor(
+        Seq((1L, "a"), (1L, "b")).toDF("id", "text"), t, "id")
+    }
+    // an upsert of id 3, then a LATER append re-inserting id 3: the
+    // earlier delete (seq rule) must not reach the newer row
+    Snapshot.mergeMor(Seq((3L, "v2")).toDF("id", "text"), t, "id")
+    Snapshot.append(Seq((3L, "v3")).toDF("id", "text"), t)
+    val texts = Snapshot.read(spark, t).filter(col("id") === 3L)
+      .select(col("text")).collect().map(_.getString(0)).sorted.toSeq
+    assert(texts == Seq("v2", "v3"))
+  }
+
+  test("schema changes inside a CDC window do not churn: a rename or " +
+    "widen commit alone diffs EMPTY; later appends net under the " +
+    "new names") {
+    val t = freshTable()
+    val base = (0 until 20).map(i =>
+      (i.toLong, i.toFloat / 2, s"doc $i")).toDF("id", "score", "text")
+    Snapshot.append(base, t)                             // v1
+    Snapshot.renameColumn(spark, t, "text", "body")      // v2
+    Snapshot.widenColumn(spark, t, "score", "double")    // v3
+    // metadata-only window: the net-change contract demands EMPTY —
+    // the base side must map through the rename (no null-keyed churn)
+    // and the widen (no '0.1' vs '0.10000000149011612' churn)
+    assert(Snapshot.readChangesBetween(spark, t, 1L, 3L).count() == 0,
+      "a metadata-only schema window emitted spurious changes")
+    // an append after the changes nets exactly its rows, new names
+    Snapshot.append((20 until 25).map(i =>
+      (i.toLong, i.toDouble / 2, s"doc $i")).toDF("id", "score", "body"),
+      t)                                                 // v4
+    val w = Snapshot.readChangesBetween(spark, t, 1L, 4L)
+    assert(w.columns.contains("body"))
+    assert(w.count() == 5 &&
+      w.filter(col("_change") === "insert").count() == 5)
+    // a compaction folding the changes inside the window still nets
+    // the same (the fold clears the pending list; changes are
+    // collected from every manifest in the window, not just the last)
+    Snapshot.compact(spark, t)                           // v5
+    assert(Snapshot.readChangesBetween(spark, t, 1L, 5L).count() == 5)
+    // drop inside the window: the dropped column leaves the diff key
+    Snapshot.dropColumn(spark, t, "score")               // v6
+    assert(Snapshot.readChangesBetween(spark, t, 5L, 6L).count() == 0)
+  }
+
+  test("a mass-duplicate fingerprint delta expands CHUNKED, not as " +
+    "one giant array") {
+    val t = freshTable()
+    // 70 001 copies of ONE row: the single-explode spelling would
+    // materialize a 70 001-element array in one generator row
+    val dup = spark.range(70001L).select(lit(1L).as("id"),
+      lit("same").as("text"))
+    Snapshot.append(dup, t)                              // v1
+    Snapshot.overwrite(batch(5, 6), t)                   // v2: rewrite
+    val w = Snapshot.readChangesBetween(spark, t, 1L, 2L)
+    val byChange = w.groupBy(col("_change")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byChange("delete") == 70001L && byChange("insert") == 1L)
+  }
+
+  test("filesTable surfaces stats under CURRENT-schema names after " +
+    "a rename (old and new files in one column)") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 10).coalesce(1), t, statsCols = Seq("id"))
+    Snapshot.renameColumn(spark, t, "id", "doc_id")      // v2
+    Snapshot.append(
+      (10 until 30).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+        .coalesce(1), t, statsCols = Seq("doc_id"))      // v3
+    val files = Snapshot.filesTable(spark, t)
+    // ONE stats column family, keyed on the current name — the
+    // pre-rename file's stats must not hide under stats_id_*
+    assert(files.columns.count(_.startsWith("stats_")) == 3,
+      files.columns.mkString(","))
+    assert(files.columns.contains("stats_doc_id_min"))
+    val r = files.orderBy(col("seq")).collect()
+    assert(r(0).getAs[String]("stats_doc_id_min") == "0" &&
+      r(0).getAs[String]("stats_doc_id_max") == "9")
+    assert(r(1).getAs[String]("stats_doc_id_min") == "10" &&
+      r(1).getAs[String]("stats_doc_id_max") == "29")
+  }
+
+  test("consumeChanges baseline rides Hadoop FS: an explicit " +
+    "file:-scheme stateDir reads and advances the same baseline") {
+    val t = freshTable()
+    val stateLocal = Files.createTempDirectory("graft-consumer-fs")
+      .toString
+    val stateUri = "file://" + stateLocal
+    Snapshot.append(batch(0, 10), t) // v1
+    var n = -1L
+    Snapshot.consumeChanges(spark, t, stateUri)(df => n = df.count())
+    assert(n == 10L)
+    // the baseline landed where the scheme says (and is complete)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(stateLocal, "baseline.json")))
+    // a second poll through the SCHEME-LESS spelling of the same dir
+    // sees the advanced baseline: one state, one FS, no silent re-send
+    assert(Snapshot.consumeChanges(spark, t, stateLocal)(df => ())
+      .isEmpty)
+    Snapshot.append(batch(10, 12), t) // v2
+    val w = Snapshot.consumeChanges(spark, t, stateUri)(df =>
+      n = df.count())
+    assert(w.contains((1L, 2L)) && n == 2L)
+  }
 }
