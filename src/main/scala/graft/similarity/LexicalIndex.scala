@@ -90,7 +90,14 @@ object LexicalIndex {
     tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"),
         sum(col("tf") * col("tf")).as("n2"))
       .write.mode("overwrite").parquet(s"$path/doclen/batch=$batchTag")
-    Seq(batch.count()).toDF("n_docs")
+    // tot_len (Σlen over the batch, exact integer math) makes the
+    // avgdl prior a META aggregate at query time — without it every
+    // search re-scans the WHOLE doclen table just to average it,
+    // an O(corpus) pass per query at 100 TB; with it the global
+    // prior costs O(landed batches)
+    val totLen = tf.agg(coalesce(sum(col("tf")), lit(0L))).head()
+      .getLong(0)
+    Seq((batch.count(), totLen)).toDF("n_docs", "tot_len")
       .write.mode("overwrite").parquet(s"$path/meta/batch=$batchTag")
   }
 
@@ -125,8 +132,24 @@ object LexicalIndex {
       .write.mode("overwrite").parquet(s"$dst/doclen/batch=base")
     val n = spark.read.parquet(s"$path/meta")
       .agg(sum(col("n_docs"))).head().getLong(0)
-    Seq(n).toDF("n_docs")
+    // the fold UPGRADES pre-tot_len indexes: sum the stored batch
+    // totals when present, else derive once from doclen (the last
+    // full scan that index will ever pay for its avgdl)
+    Seq((n, totLenOf(spark, path))).toDF("n_docs", "tot_len")
       .write.mode("overwrite").parquet(s"$dst/meta/batch=base")
+  }
+
+  /** Σ document length over the whole index: the stored per-batch
+    * `tot_len` totals when the layout carries them, else one doclen
+    * scan (legacy indexes — [[compact]] upgrades them). */
+  private def totLenOf(spark: SparkSession, path: String): Long = {
+    val meta = spark.read.parquet(s"$path/meta")
+    val agg =
+      if (meta.columns.contains("tot_len"))
+        meta.agg(coalesce(sum(col("tot_len")), lit(0L)))
+      else spark.read.parquet(s"$path/doclen")
+        .agg(coalesce(sum(col("len")), lit(0L)))
+    agg.head().getLong(0)
   }
 
   /** Retention GC: rebuild the index at `dst` WITHOUT the docs in
@@ -160,14 +183,20 @@ object LexicalIndex {
         .parquet(s"$dst/postings/batch=base")
     else postings.write.mode("overwrite")
       .parquet(s"$dst/postings/batch=base")
-    spark.read.parquet(s"$path/doclen")
+    val doclen = spark.read.parquet(s"$path/doclen")
       .select(col("doc_id"), col("len"), col("n2"))
-      .join(dead, Seq("doc_id"), "left_anti")
+    doclen.join(dead, Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$dst/doclen/batch=base")
     val n = spark.read.parquet(s"$path/meta")
       .agg(sum(col("n_docs"))).head().getLong(0)
     val removedN = dead.count()
-    Seq(math.max(0L, n - removedN)).toDF("n_docs")
+    // the removed docs' length mass leaves tot_len with them — the
+    // avgdl prior stays exact through erasure
+    val removedLen = doclen.join(dead, Seq("doc_id"), "left_semi")
+      .agg(coalesce(sum(col("len")), lit(0L))).head().getLong(0)
+    Seq((math.max(0L, n - removedN),
+        math.max(0L, totLenOf(spark, path) - removedLen)))
+      .toDF("n_docs", "tot_len")
       .write.mode("overwrite").parquet(s"$dst/meta/batch=base")
   }
 
@@ -211,12 +240,27 @@ object LexicalIndex {
     val df = rel.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val len = spark.read.parquet(s"$path/doclen")
       .select(col("doc_id"), col("len"))
-    val g = spark.read.parquet(s"$path/meta")
-      .agg(sum(col("n_docs")).as("n"))
-      .crossJoin(len.agg(sum(col("len")).as("tot")))
-      .withColumn("avgdl", col("tot") * lit(1.0) / col("n"))
+    val g = globalPrior(spark, path, len)
     val cand = broadcast(qterms).join(rel, Seq("word"))
     Lexical.bm25RankFromParts(cand, df, len, g, k, k1, b)
+  }
+
+  /** The (n, avgdl) global prior frame both searches feed to
+    * [[Lexical.bm25RankFromParts]]: a META-ONLY aggregate when the
+    * index stores per-batch `tot_len` (O(batches) rows — no doclen
+    * scan per query), falling back to the doclen sum for pre-tot_len
+    * indexes (compact upgrades them). Exact either way: batch totals
+    * are integer sums of the same lengths. */
+  private def globalPrior(spark: SparkSession, path: String,
+                          len: DataFrame): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta")
+    val tot =
+      if (meta.columns.contains("tot_len"))
+        meta.agg(coalesce(sum(col("tot_len")), lit(0L)).as("tot"))
+      else len.agg(coalesce(sum(col("len")), lit(0L)).as("tot"))
+    meta.agg(sum(col("n_docs")).as("n"))
+      .crossJoin(tot)
+      .withColumn("avgdl", col("tot") * lit(1.0) / col("n"))
   }
 
   /** HYBRID (BM25 + word-cosine, RRF-fused) top-k against the stored
@@ -243,10 +287,7 @@ object LexicalIndex {
       s"index at $path predates stored doc norms — rebuild it " +
         "(LexicalIndex.build) to enable hybrid search")
     val len = doclen.select(col("doc_id"), col("len"))
-    val g = spark.read.parquet(s"$path/meta")
-      .agg(sum(col("n_docs")).as("n"))
-      .crossJoin(len.agg(sum(col("len")).as("tot")))
-      .withColumn("avgdl", col("tot") * lit(1.0) / col("n"))
+    val g = globalPrior(spark, path, len)
     val bmCand = broadcast(qterms).join(rel, Seq("word"))
     val bm = Lexical.bm25RankFromParts(bmCand, df, len, g, kEach, k1, b)
     val qtf = Lexical.queryTf(queries, queryIdCol, queryTextCol)

@@ -107,19 +107,29 @@ object FileBloom {
   }
 
   /** Fold a file's distinct positions (mod [[MaxBits]]) into the
-    * smallest power-of-two filter at most a FIFTH full (or the cap),
-    * base64-encoded for the manifest. */
-  def fold(posModCap: Seq[Int]): String = {
+    * smallest power-of-two filter at most a FIFTH full, base64-encoded
+    * for the manifest — or None when even the cap would run past a
+    * THIRD full: a saturated filter prunes nothing, so storing it
+    * would spend manifest bytes (the resource the cap protects — at
+    * 800 K files even 32 KB each is 25 GB of metadata) on pure
+    * overhead. This bounds the useful regime to files of up to
+    * roughly 12 K distinct keys; beyond that, point-pruning belongs
+    * to parquet's own footer bloom pages inside the (already
+    * range-pruned) candidate files, not to the manifest — the same
+    * split Iceberg makes with puffin sidecars. */
+  def fold(posModCap: Seq[Int]): Option[String] = {
     var m = MinBits
     while (m < MaxBits &&
         posModCap.iterator.map(_ & (m - 1)).toSet.size > m / 5)
       m <<= 1
+    if (posModCap.iterator.map(_ & (m - 1)).toSet.size > m / 3)
+      return None // saturated even at the cap: store nothing
     val bytes = new Array[Byte](m / 8)
     posModCap.foreach { p0 =>
       val p = p0 & (m - 1)
       bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte
     }
-    java.util.Base64.getEncoder.encodeToString(bytes)
+    Some(java.util.Base64.getEncoder.encodeToString(bytes))
   }
 
   /** Probe: can a value with this typed repr be present? An empty /

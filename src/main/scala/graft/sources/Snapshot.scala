@@ -266,12 +266,16 @@ object Snapshot {
 
   /** Replace the table contents with `df` (a new snapshot whose file
     * list is only the staged files — prior versions stay readable
-    * until [[expire]]). */
+    * until [[expire]]). Stages under the table's DECLARED partition
+    * layout ([[repartitionTable]]) so a replace never silently
+    * de-partitions an evolved table; fresh tables stage flat. */
   def overwrite(df: DataFrame, table: String,
                 statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
+    val pCols = currentManifest(spark, table)
+      .map(declaredLayout).getOrElse(Nil)
     val (staged, stagedRows) = withStatsAndRows(spark, table,
-      stage(spark, df, table), statsCols)
+      stage(spark, df, table, pCols), statsCols)
     commitRetrying(spark, table) { parent =>
       Manifest(parent.version + 1, parent.version, "overwrite",
         stagedRows, staged.map(_.copy(seq = parent.version + 1)))
@@ -812,13 +816,19 @@ object Snapshot {
         statCols.flatMap(c => Seq(
           T.StructField(s"stats_${c}_min", T.StringType),
           T.StructField(s"stats_${c}_max", T.StringType),
-          T.StructField(s"stats_${c}_nulls", T.LongType))))
+          T.StructField(s"stats_${c}_nulls", T.LongType),
+          T.StructField(s"stats_${c}_bloom_bits", T.LongType))))
     val rows = m.files.zip(perFile).map { case (f, stats) =>
       Row.fromSeq(Seq(f.path, f.bytes, f.seq) ++
         statCols.flatMap(c => stats.get(c) match {
           case Some(st) => Seq(st.min, st.max,
-            if (st.nulls < 0) null else st.nulls)
-          case None => Seq(null, null, null)
+            if (st.nulls < 0) null else st.nulls,
+            // bloom coverage surfaced for the maintenance dashboard:
+            // which files would a point/key probe still have to open
+            if (st.bloom.isEmpty) null
+            else java.lang.Long.valueOf(
+              java.util.Base64.getDecoder.decode(st.bloom).length * 8L))
+          case None => Seq(null, null, null, null)
         }))
     }
     spark.createDataFrame(
@@ -1396,8 +1406,9 @@ object Snapshot {
     * downstream pipeline writes by hand, done once: reads the
     * consumer's last-processed version from `stateDir`, hands the net
     * changes since then (via [[readChangesBetween]], so rewrites in
-    * the window degrade to the multiset diff instead of breaking the
-    * consumer) to `handler`, and advances the baseline ATOMICALLY
+    * the window ride the chain-walk diff — a compaction costs the
+    * consumer NOTHING — instead of breaking it) to `handler`, and
+    * advances the baseline ATOMICALLY
     * (scratch + rename) only after the handler returns. The window's
     * upper bound is pinned BEFORE the handler runs — a commit racing
     * the poll lands in the next window, never half in this one.
@@ -1545,6 +1556,35 @@ object Snapshot {
       readFiles(spark, table, m.files).filter(lit(false))
     else readLive(spark, table, m, kept)
       .filter(col(column) === lit(value))
+  }
+
+  /** An IN-LIST read (`column IN (values)`) with the same two-index
+    * manifest pruning as [[readEquals]]: a file is planned iff at
+    * least ONE value is range-admitted AND bloom-possible — the
+    * multi-needle lookup (entity backfills, key audits) that would
+    * otherwise open every file of an overlapping-range table. Exact
+    * for any coverage: the residual `isin` always applies. */
+  def readIn(spark: SparkSession, table: String, column: String,
+             values: Seq[Any],
+             version: Option[Long] = None): DataFrame = {
+    require(values.nonEmpty, "empty IN list")
+    val m = manifestAt(spark, table, version)
+    if (m.files.isEmpty)
+      throw new NoSuchElementException(s"snapshot v${m.version} is empty")
+    val kept = m.files.filter { f =>
+      fileStats(f, column, m.schemaChanges) match {
+        case None => true
+        case Some(s) => values.exists { v =>
+          val r = reprOf(s.typ, v)
+          cmp(s.typ, s.max, r) >= 0 && cmp(s.typ, s.min, r) <= 0 &&
+            FileBloom.mayContain(s.bloom, s.typ, r)
+        }
+      }
+    }
+    if (kept.isEmpty)
+      readFiles(spark, table, m.files).filter(lit(false))
+    else readLive(spark, table, m, kept)
+      .filter(col(column).isin(values: _*))
   }
 
   /** (files in the snapshot, files a [[readEquals]] would open) —
@@ -2092,10 +2132,11 @@ object Snapshot {
         out = out.map { e =>
           e.stats.get(c) match {
             case Some(st) =>
-              byFile.find(_._1.endsWith("/" + e.path)) match {
-                case Some((_, ps)) => e.copy(stats = e.stats
-                  .updated(c, st.copy(bloom = FileBloom.fold(ps))))
-                case None => e
+              byFile.find(_._1.endsWith("/" + e.path))
+                .flatMap { case (_, ps) => FileBloom.fold(ps) } match {
+                case Some(b) => e.copy(stats = e.stats
+                  .updated(c, st.copy(bloom = b)))
+                case None => e // saturated: no filter beats a useless one
               }
             case None => e
           }

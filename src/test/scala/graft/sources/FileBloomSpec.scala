@@ -101,7 +101,10 @@ class FileBloomSpec extends AnyFunSuite {
     assert(Snapshot.read(spark, t)
       .filter(col("k").isin(9L, 413L, 1001L, 7777L)).count() == 0L)
     // compaction re-gathers the filters over the rewritten files
-    Snapshot.compactClustered(spark, t, Seq("k"), 200L << 10)
+    // (small target => per-file key counts stay inside the filter's
+    // useful regime; a single 16 K-key file would correctly DECLINE
+    // a saturated filter — the dedicated saturation case below)
+    Snapshot.compactClustered(spark, t, Seq("k"), 32L << 10)
     val m = Snapshot.readManifest(spark, t,
       Snapshot.latestVersion(spark, t).get).get
     assert(m.files.forall(_.stats.get("k").exists(_.bloom.nonEmpty)),
@@ -113,6 +116,45 @@ class FileBloomSpec extends AnyFunSuite {
       Snapshot.equalsPruneCount(spark, t, "key", 10L)
     assert(keptRenamed < m.files.size || m.files.size == 1)
     assert(Snapshot.readEquals(spark, t, "key", 10L).count() == 1L)
+  }
+
+  test("readIn: multi-needle lookups prune per value and stay exact; " +
+    "filesTable surfaces bloom coverage") {
+    val t = freshTable()
+    (0 until 4).foreach { r =>
+      Snapshot.append(
+        spark.range(0, 3000).select((col("id") * 8 + r).as("k"),
+          concat(lit("doc "), col("id")).as("text")).coalesce(1),
+        t, statsCols = Seq("k"), bloomCols = Seq("k"))
+    }
+    // three needles across two residue files: the other two files
+    // are provably needle-free and must not plan
+    val in = Snapshot.readIn(spark, t, "k", Seq(9L, 17L, 82L))
+    assert(in.count() == 3L)
+    assert(in.inputFiles.toSet.size == 2,
+      s"readIn planned ${in.inputFiles.toSet.size} files, expected 2")
+    // absent needles (residues 4-7) return empty
+    assert(Snapshot.readIn(spark, t, "k", Seq(12L, 20L)).count() == 0L)
+    // the metadata table reports per-file bloom coverage
+    val files = Snapshot.filesTable(spark, t)
+    assert(files.columns.contains("stats_k_bloom_bits"))
+    assert(files.filter(col("stats_k_bloom_bits").isNotNull)
+      .count() == 4L)
+  }
+
+  test("a SATURATED filter is not stored (manifest bytes are the " +
+    "guarded resource); probes stay exact without it") {
+    val t = freshTable()
+    // 100 K distinct keys blow past the cap's useful regime — the
+    // fold must decline rather than store a prune-nothing filter
+    Snapshot.append(spark.range(0, 100000)
+      .select(col("id").as("k"), lit("x").as("text")).coalesce(1),
+      t, statsCols = Seq("k"), bloomCols = Seq("k"))
+    val m = Snapshot.readManifest(spark, t, 1L).get
+    assert(m.files.forall(_.stats("k").bloom.isEmpty),
+      "a saturated bloom was stored")
+    assert(Snapshot.readEquals(spark, t, "k", 4242L).count() == 1L)
+    assert(Snapshot.readEquals(spark, t, "k", 999999L).count() == 0L)
   }
 
   test("bloomCols must ride statsCols — loud otherwise") {

@@ -1205,6 +1205,16 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Snapshot.renameColumn(spark, t, "lang", "language")
     }
+    // overwrite honors the declared layout (never silently
+    // de-partitions an evolved table)
+    Snapshot.repartitionTable(spark, t, Seq("lang"))
+    Snapshot.overwrite(facet(0, 20), t)
+    val ow = Snapshot.readManifest(spark, t,
+      Snapshot.latestVersion(spark, t).get).get
+    assert(ow.files.forall(_.path.split('/')
+      .exists(_.startsWith("lang="))),
+      "overwrite ignored the declared layout")
+    assert(Snapshot.read(spark, t).count() == 20)
   }
 
   test("chain-walk CDC reads only CHANGED files: a compaction in the " +
@@ -1369,7 +1379,7 @@ class SnapshotSpec extends AnyFunSuite {
     val files = Snapshot.filesTable(spark, t)
     // ONE stats column family, keyed on the current name — the
     // pre-rename file's stats must not hide under stats_id_*
-    assert(files.columns.count(_.startsWith("stats_")) == 3,
+    assert(files.columns.count(_.startsWith("stats_")) == 4,
       files.columns.mkString(","))
     assert(files.columns.contains("stats_doc_id_min"))
     val r = files.orderBy(col("seq")).collect()
