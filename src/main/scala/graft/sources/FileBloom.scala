@@ -136,9 +136,16 @@ object FileBloom {
     * absent filter answers "maybe" (no pruning, never wrong). */
   def mayContain(bloomB64: String, typ: String, repr: String): Boolean = {
     if (bloomB64.isEmpty) return true
-    val bytes = java.util.Base64.getDecoder.decode(bloomB64)
-    val m = bytes.length * 8
-    positions(hashRepr(typ, repr), m)
-      .forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0)
+    mayContainHash(java.util.Base64.getDecoder.decode(bloomB64),
+      hashRepr(typ, repr))
+  }
+
+  /** [[mayContain]] with the hash and decoded filter precomputed —
+    * the key-list probe's inner loop ([[Snapshot]] tests every key
+    * against every candidate file's filter; hashing per PAIR would
+    * md5 keys×files times, decoding per pair would base64 the same). */
+  def mayContainHash(bloom: Array[Byte], h: Long): Boolean = {
+    val m = bloom.length * 8
+    positions(h, m).forall(p => (bloom(p >> 3) & (1 << (p & 7))) != 0)
   }
 }

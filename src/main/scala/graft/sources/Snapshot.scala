@@ -1310,8 +1310,16 @@ object Snapshot {
       else readManifest(spark, table, v - 1)
     val chainComplete = versions.forall(v => byV.contains(v) &&
       knownActions.contains(byV(v).action) && parentOf(v).nonEmpty)
+    // plan-size guard: each delta-contributing commit adds a grouped
+    // subtree to the union; a consumer that fell months behind could
+    // otherwise hand Catalyst hundreds of them. Past the cap the
+    // two-scan endpoint diff is both cheaper to PLAN and competitive
+    // to RUN (the window has churned most of the table anyway).
+    val MaxChainDeltas = 24
+    val deltaCommits = versions.count(v => byV.get(v).exists(m =>
+      !Set("compact", "schema", "layout").contains(m.action)))
     val deltas: Option[Seq[DataFrame]] =
-      if (!chainComplete) None
+      if (!chainComplete || deltaCommits > MaxChainDeltas) None
       else Some(versions.flatMap { v =>
         val m = byV(v)
         val parent = parentOf(v).get
@@ -1742,11 +1750,17 @@ object Snapshot {
     val sample = keys.limit(MaxProbeKeys + 1).collect()
     if (sample.length > MaxProbeKeys) return files
     val vals = sample.map(_.get(0)).filter(_ != null)
+    // hash each key ONCE per stat type (files of one table share it;
+    // a rename never changes it) and decode each filter once — the
+    // inner loop is keys x files and must stay bit tests, not md5s
+    val hashCache = scala.collection.mutable.Map.empty[String, Array[Long]]
     files.filter { f =>
       fileStats(f, column, changes) match {
         case Some(s) if s.bloom.nonEmpty =>
-          vals.exists(v =>
-            FileBloom.mayContain(s.bloom, s.typ, reprOf(s.typ, v)))
+          val hs = hashCache.getOrElseUpdate(s.typ,
+            vals.map(v => FileBloom.hashRepr(s.typ, reprOf(s.typ, v))))
+          val bloom = java.util.Base64.getDecoder.decode(s.bloom)
+          hs.exists(h => FileBloom.mayContainHash(bloom, h))
         case _ => true
       }
     }
