@@ -130,26 +130,56 @@ object LexicalIndex {
     spark.read.parquet(s"$path/doclen")
       .select(col("doc_id"), col("len"), col("n2"))
       .write.mode("overwrite").parquet(s"$dst/doclen/batch=base")
-    val n = spark.read.parquet(s"$path/meta")
+    val n = metaOf(spark, path)
       .agg(sum(col("n_docs"))).head().getLong(0)
-    // the fold UPGRADES pre-tot_len indexes: sum the stored batch
-    // totals when present, else derive once from doclen (the last
-    // full scan that index will ever pay for its avgdl)
+    // the fold UPGRADES pre-tot_len and MIXED-coverage indexes: sum
+    // the stored batch totals when every batch carries one, else
+    // derive once from doclen (the last full scan that index will
+    // ever pay for its avgdl)
     Seq((n, totLenOf(spark, path))).toDF("n_docs", "tot_len")
       .write.mode("overwrite").parquet(s"$dst/meta/batch=base")
   }
 
+  /** The meta table read with SCHEMA MERGING: a pre-`tot_len` index
+    * that later receives tot_len-writing appends holds batches of
+    * BOTH schemas, and plain parquet inference would pick whichever
+    * file it samples — when it lands on a tot_len batch, legacy
+    * batches read the column as null and a naive
+    * `coalesce(sum(tot_len), 0)` silently UNDERCOUNTS the corpus
+    * length (skewing avgdl, and compact/gc would persist the wrong
+    * total). Merging makes the mixed schema deterministic; the
+    * coverage check below decides whether the totals are trustable. */
+  private def metaOf(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(s"$path/meta")
+
+  /** (Σ n_docs, Σ tot_len or -1): one aggregate over the tiny meta
+    * table. tot_len is reported only when EVERY batch row carries it
+    * (count(tot_len) == count(*)) — a mixed-schema index (legacy
+    * batches landed before the column existed) must not trust a
+    * partial sum. */
+  private def metaTotals(meta: DataFrame): (Long, Long) = {
+    val hasTot = meta.columns.contains("tot_len")
+    val r =
+      if (hasTot)
+        meta.agg(sum(col("n_docs")), count(lit(1)),
+          count(col("tot_len")),
+          coalesce(sum(col("tot_len")), lit(0L))).head()
+      else meta.agg(sum(col("n_docs")), count(lit(1)), lit(0L),
+        lit(0L)).head()
+    val n = r.getLong(0)
+    val covered = hasTot && r.getLong(1) == r.getLong(2)
+    (n, if (covered) r.getLong(3) else -1L)
+  }
+
   /** Σ document length over the whole index: the stored per-batch
-    * `tot_len` totals when the layout carries them, else one doclen
-    * scan (legacy indexes — [[compact]] upgrades them). */
+    * `tot_len` totals when EVERY batch carries one, else one doclen
+    * scan (legacy / mixed-schema indexes — [[compact]] upgrades
+    * them). */
   private def totLenOf(spark: SparkSession, path: String): Long = {
-    val meta = spark.read.parquet(s"$path/meta")
-    val agg =
-      if (meta.columns.contains("tot_len"))
-        meta.agg(coalesce(sum(col("tot_len")), lit(0L)))
-      else spark.read.parquet(s"$path/doclen")
-        .agg(coalesce(sum(col("len")), lit(0L)))
-    agg.head().getLong(0)
+    val (_, tot) = metaTotals(metaOf(spark, path))
+    if (tot >= 0L) tot
+    else spark.read.parquet(s"$path/doclen")
+      .agg(coalesce(sum(col("len")), lit(0L))).head().getLong(0)
   }
 
   /** Retention GC: rebuild the index at `dst` WITHOUT the docs in
@@ -160,7 +190,9 @@ object LexicalIndex {
     * that were actually landed (the corpus-side delete's key set —
     * [[graft.sources.Snapshot.deleteKeysMor]] pairs with this): the
     * stored `n_docs` decreases by the removal count, so phantom ids
-    * would skew the BM25 N. */
+    * would skew the BM25 N — ENFORCED by an accounting check
+    * (removals without a doclen row are bounded by the index's
+    * null-text population; one more proves a phantom and aborts). */
   def gc(removedIds: DataFrame, path: String, dst: String): Unit = {
     require(dst != path, "gc to a fresh directory, then swap")
     val spark = removedIds.sparkSession
@@ -187,13 +219,29 @@ object LexicalIndex {
       .select(col("doc_id"), col("len"), col("n2"))
     doclen.join(dead, Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$dst/doclen/batch=base")
-    val n = spark.read.parquet(s"$path/meta")
+    val n = metaOf(spark, path)
       .agg(sum(col("n_docs"))).head().getLong(0)
     val removedN = dead.count()
     // the removed docs' length mass leaves tot_len with them — the
     // avgdl prior stays exact through erasure
-    val removedLen = doclen.join(dead, Seq("doc_id"), "left_semi")
-      .agg(coalesce(sum(col("len")), lit(0L))).head().getLong(0)
+    val semi = doclen.join(dead, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)), coalesce(sum(col("len")), lit(0L))).head()
+    val matchedLen = semi.getLong(0)
+    val removedLen = semi.getLong(1)
+    // PHANTOM-ID accounting: `n` decreases by removedN, so an id that
+    // was never landed would silently skew every idf. Removed ids
+    // without a doclen row are either null-text docs (counted in
+    // n_docs but tokenless — legitimately absent from doclen) or
+    // phantoms; the null-text population is exactly
+    // n - |doclen|, so more no-doclen removals than that PROVES at
+    // least one phantom — refuse loudly rather than corrupt N.
+    val nullTextDocs = math.max(0L, n - doclen.count())
+    require(removedN - matchedLen <= nullTextDocs,
+      s"gc removal set carries ids never landed in this index: " +
+        s"$removedN removed, only $matchedLen have doclen rows and " +
+        s"the index holds $nullTextDocs null-text docs — a phantom " +
+        "id would skew every BM25 idf; gc only with landed ids " +
+        "(the corpus-side delete's key set)")
     Seq((math.max(0L, n - removedN),
         math.max(0L, totLenOf(spark, path) - removedLen)))
       .toDF("n_docs", "tot_len")
@@ -253,14 +301,15 @@ object LexicalIndex {
     * are integer sums of the same lengths. */
   private def globalPrior(spark: SparkSession, path: String,
                           len: DataFrame): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta")
-    val tot =
-      if (meta.columns.contains("tot_len"))
-        meta.agg(coalesce(sum(col("tot_len")), lit(0L)).as("tot"))
-      else len.agg(coalesce(sum(col("len")), lit(0L)).as("tot"))
-    meta.agg(sum(col("n_docs")).as("n"))
-      .crossJoin(tot)
-      .withColumn("avgdl", col("tot") * lit(1.0) / col("n"))
+    import spark.implicits._
+    val (n, storedTot) = metaTotals(metaOf(spark, path))
+    if (storedTot >= 0L)
+      Seq((n, storedTot)).toDF("n", "tot")
+        .withColumn("avgdl", col("tot") * lit(1.0) / col("n"))
+    else // mixed/legacy coverage: the honest doclen scan, once
+      Seq(n).toDF("n")
+        .crossJoin(len.agg(coalesce(sum(col("len")), lit(0L)).as("tot")))
+        .withColumn("avgdl", col("tot") * lit(1.0) / col("n"))
   }
 
   /** HYBRID (BM25 + word-cosine, RRF-fused) top-k against the stored

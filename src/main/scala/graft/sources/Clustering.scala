@@ -47,6 +47,54 @@ object Clustering {
   def zOrder2(a16: Column, b16: Column): Column =
     spread16(a16).bitwiseOR(shiftleft(spread16(b16), 1))
 
+  /** Per-column bit budget for an N-dim Morton code: 16 bits per
+    * column while the interleaved code fits 63 bits (the long's sign
+    * bit stays clear so range partitioning orders codes correctly),
+    * narrower past 3 columns (4 → 15 bits, 5 → 12, 6 → 10). Fewer
+    * bits = coarser cells = slightly weaker per-dimension pruning,
+    * the inherent N-dim trade. */
+  def bitsPerCol(n: Int): Int = {
+    require(n >= 1, s"need at least one cluster column: $n")
+    math.min(16, 63 / n)
+  }
+
+  /** Rank-scale a numeric column to [0, 2^bits - 1] given its domain
+    * bounds — [[scale16]] at an arbitrary width. */
+  def scaleBits(c: Column, min: Double, max: Double,
+                bits: Int): Column = {
+    val top = (1L << bits) - 1L
+    if (max <= min) lit(0L)
+    else least(lit(top), greatest(lit(0L),
+      floor((c.cast("double") - lit(min)) *
+        lit((top + 1).toDouble / (max - min))).cast("long")))
+  }
+
+  /** N-dimensional Morton code: ROUND-ROBIN bit interleave of N
+    * `bits`-wide scaled columns — column i's bit j lands at output
+    * position `j·N + i`, so every column contributes equally at every
+    * granularity and a predicate on ANY one dimension confines the
+    * code to ~2^(-selectivity·bits) of the range per file. Pure
+    * shift/and/or Column arithmetic (bits·N terms, all whole-stage
+    * codegen — for the common 3×16 that is 48 fused ops per row, no
+    * UDF, no shuffle of its own). Two 16-bit columns short-circuit to
+    * the magic-number [[zOrder2]] (identical bit layout, fewer ops). */
+  def zOrderN(scaled: Seq[Column], bits: Int): Column = {
+    val n = scaled.size
+    require(n >= 1, "zOrderN of zero columns")
+    require(bits >= 1 && bits * n <= 63,
+      s"$n x $bits-bit interleave overflows a signed long")
+    if (n == 1) scaled.head
+    else if (n == 2 && bits == 16) zOrder2(scaled(0), scaled(1))
+    else {
+      var acc: Column = lit(0L)
+      for (j <- 0 until bits; i <- 0 until n) {
+        val b = shiftright(scaled(i), j).bitwiseAND(lit(1L))
+        acc = acc.bitwiseOR(shiftleft(b, j * n + i))
+      }
+      acc
+    }
+  }
+
   /** Cluster-write `df` by the Z-order of `(colA, colB)` into
     * `numFiles` range-partitioned, internally sorted parquet files.
     * One bounded stats pass (4 scalars to the driver) fixes the
@@ -66,6 +114,42 @@ object Clustering {
       s"cannot cluster on all-null column(s) $colA/$colB")
     val z = zOrder2(scale16(col(colA), b.getDouble(0), b.getDouble(1)),
                     scale16(col(colB), b.getDouble(2), b.getDouble(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Cluster-write `df` by the N-dimensional Z-order of `cols` into
+    * `numFiles` range-partitioned, internally sorted parquet files —
+    * [[writeClustered]] generalized past two dimensions (tenant ×
+    * time × key is the routine three-column ask). One bounded stats
+    * pass (2 scalars per column) fixes the scaling bounds; the range
+    * shuffle on the interleaved key is the only wide stage. Rows,
+    * schema, and values are untouched; per-dimension pruning weakens
+    * gracefully with N ([[bitsPerCol]]) — past ~4 columns prefer
+    * partitioning one dimension away first. */
+  def writeClusteredN(df: DataFrame, path: String, cols: Seq[String],
+                      numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    require(cols.nonEmpty, "no cluster columns")
+    if (cols.size == 1) {
+      // degenerate: a plain sorted layout, no interleave needed
+      df.repartitionByRange(numFiles, col(cols.head))
+        .sortWithinPartitions(cols.head)
+        .write.mode("overwrite").parquet(path)
+      return
+    }
+    val bits = bitsPerCol(cols.size)
+    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("double"),
+      max(col(c)).cast("double")))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!(0 until 2 * cols.size).exists(b.isNullAt),
+      s"cannot cluster on all-null column(s) ${cols.mkString(", ")}")
+    val z = zOrderN(cols.indices.map(i =>
+      scaleBits(col(cols(i)), b.getDouble(2 * i),
+        b.getDouble(2 * i + 1), bits)), bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

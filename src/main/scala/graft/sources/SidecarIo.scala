@@ -11,12 +11,22 @@ import org.apache.spark.sql.SparkSession
   * which loses a word-bucketed index's partition pruning or
   * re-baselines a durable consumer with no signal.
   *
-  * Writes are ATOMIC REPLACEMENTS: the body lands under a scratch
-  * name in the destination directory, then `FileContext.rename` with
-  * `Options.Rename.OVERWRITE` binds the real name (the HDFS
-  * atomic-rename contract; local filesystems rename atomically per
-  * POSIX) — a concurrent reader observes the old complete body or
-  * the new complete body, never a torn one and never a missing file.
+  * Writes are ATOMIC REPLACEMENTS **on rename-capable filesystems**
+  * (local POSIX, HDFS): the body lands under a scratch name in the
+  * destination directory, then `FileContext.rename` with
+  * `Options.Rename.OVERWRITE` binds the real name — a concurrent
+  * reader observes the old complete body or the new complete body,
+  * never a torn one and never a missing file. On OBJECT STORES the
+  * same call degrades to the store's rename (s3a: copy+delete — a
+  * reader may briefly see the name absent between the delete and the
+  * copy's visibility; never a torn body, since the copy is only
+  * listed complete). Schemes whose `AbstractFileSystem` binding is
+  * absent (FileContext unresolvable) fall back to delete +
+  * `FileSystem.rename` — the weakest contract, same
+  * complete-body-or-absent guarantee. Sidecars here are REBUILDABLE
+  * pins and baselines, so a transient absence re-derives or replays;
+  * nothing here may be used as a commit CAS (that is
+  * [[Snapshot]]'s `atomicBind`, which never replaces).
   */
 object SidecarIo {
 
@@ -57,7 +67,22 @@ object SidecarIo {
       s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(scratch, false)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    val fc = FileContext.getFileContext(qDst.toUri, c)
-    fc.rename(fs.makeQualified(scratch), qDst, Options.Rename.OVERWRITE)
+    try {
+      val fc = FileContext.getFileContext(qDst.toUri, c)
+      fc.rename(fs.makeQualified(scratch), qDst,
+        Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no AbstractFileSystem binding for this scheme (some object
+        // stores ship only the FileSystem API): replace through
+        // delete + rename — not atomic, but the body was written
+        // COMPLETE under the scratch name, so a racing reader sees
+        // the old body, the new body, or (briefly) no file; sidecars
+        // are rebuildable, so absence re-derives, never corrupts
+        fs.delete(qDst, false)
+        if (!fs.rename(fs.makeQualified(scratch), qDst))
+          throw new java.io.IOException(
+            s"sidecar replace failed for $qDst")
+    }
   }
 }

@@ -185,7 +185,7 @@ object Snapshot {
       case None => ()
     }
     val (staged0, stagedRows) = withStatsAndRows(spark, table,
-      stage(spark, df, table), statsCols)
+      stage(spark, df, table, Nil, bloomCols), statsCols)
     val staged = withBlooms(spark, table, staged0, bloomCols)
     commitRetrying(spark, table) { parent =>
       tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
@@ -226,7 +226,7 @@ object Snapshot {
       case None => ()
     }
     val (staged0, stagedRows) = withStatsAndRows(spark, table,
-      stage(spark, df, table, partitionCols), statsCols)
+      stage(spark, df, table, partitionCols, bloomCols), statsCols)
     val staged = withBlooms(spark, table, staged0, bloomCols)
     commitRetrying(spark, table) { parent =>
       tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
@@ -268,14 +268,29 @@ object Snapshot {
     * list is only the staged files — prior versions stay readable
     * until [[expire]]). Stages under the table's DECLARED partition
     * layout ([[repartitionTable]]) so a replace never silently
-    * de-partitions an evolved table; fresh tables stage flat. */
+    * de-partitions an evolved table; fresh tables stage flat.
+    *
+    * Bloom coverage follows the same preservation rule as the other
+    * rewrite paths ([[compact]], [[merge]]): when `bloomCols` is
+    * empty, the replaced snapshot's bloom-covered columns that are
+    * still tracked in `statsCols` keep their filters on the new
+    * files — a replace never silently drops the table's point-lookup
+    * pruning. Pass `bloomCols` explicitly to set (or, with no
+    * overlap, effectively reset) coverage. */
   def overwrite(df: DataFrame, table: String,
-                statsCols: Seq[String] = Nil): Long = {
+                statsCols: Seq[String] = Nil,
+                bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
-    val pCols = currentManifest(spark, table)
-      .map(declaredLayout).getOrElse(Nil)
-    val (staged, stagedRows) = withStatsAndRows(spark, table,
-      stage(spark, df, table, pCols), statsCols)
+    requireBloomTracked(statsCols, bloomCols)
+    val base = currentManifest(spark, table)
+    val pCols = base.map(declaredLayout).getOrElse(Nil)
+    val effBloom =
+      if (bloomCols.nonEmpty) bloomCols
+      else base.map(currentBloomColsOf).getOrElse(Nil)
+        .filter(statsCols.contains)
+    val (staged0, stagedRows) = withStatsAndRows(spark, table,
+      stage(spark, df, table, pCols, effBloom), statsCols)
+    val staged = withBlooms(spark, table, staged0, effBloom)
     commitRetrying(spark, table) { parent =>
       Manifest(parent.version + 1, parent.version, "overwrite",
         stagedRows, staged.map(_.copy(seq = parent.version + 1)))
@@ -287,9 +302,12 @@ object Snapshot {
     * snapshot it rewrites; a reader pinned on any version ≤ current
     * is untouched (its files are not deleted). Returns the committed
     * version. If another writer commits between the rewrite and the
-    * claim, the compaction RETRIES ONLY ITS MANIFEST when the parent
-    * is unchanged in content; against a changed parent it aborts
-    * (the rewrite no longer represents the table) — rerun it. */
+    * claim, the compaction REVALIDATES against the advanced parent
+    * and retries: interleaved PURE APPENDS carry forward by reference
+    * (their files join the compacted manifest untouched — maintenance
+    * never starves under a steady append stream); any interleaved
+    * rewrite/delete/schema change is a genuine conflict and aborts
+    * loudly (the rewrite no longer represents the table) — rerun. */
   def compact(spark: SparkSession, table: String,
               targetFileBytes: Long = 128L << 20): Long =
     compactClustered(spark, table, Nil, targetFileBytes)
@@ -302,7 +320,7 @@ object Snapshot {
     * drop back to O(selectivity) files. This is the lakehouse
     * `OPTIMIZE ... ZORDER`/`sortBy` maintenance pass expressed as
     * just another snapshot commit (pinned readers unaffected, same
-    * row-count verification, same abort-if-advanced contract). Track
+    * row-count verification, same revalidate-and-retry contract). Track
     * the cluster column in `statsCols` at append time or the pruning
     * the clustering buys has no index to bind to. For range locality
     * on several columns at once, pre-compute [[Layout]]'s Z-order
@@ -332,7 +350,7 @@ object Snapshot {
     // the rewrite keeps the table's stats AND bloom coverage:
     // whatever the parent tracked is re-gathered over the new files
     val (staged0, rewrittenRows) = withStatsAndRows(spark, table,
-      stage(spark, rewrite, table, pCols),
+      stage(spark, rewrite, table, pCols, currentBloomColsOf(base)),
       currentStatsColsOf(base))
     val staged = withBlooms(spark, table, staged0,
       currentBloomColsOf(base))
@@ -340,11 +358,15 @@ object Snapshot {
       s"compact row mismatch: snapshot=${base.rows} " +
         s"rewritten=$rewrittenRows — nothing committed")
     commitRetrying(spark, table) { parent =>
-      require(parent.version == base.version,
-        s"table advanced v${base.version} -> v${parent.version} during " +
-          "compaction; rerun compact against the new snapshot")
+      // a value-preserving rewrite of base's LIVE rows overlaps
+      // nothing an append adds: interleaved appends carry forward by
+      // reference (their files stay newer than every folded delete /
+      // schema change, so the clean manifest is still exact for them)
+      val carriedAppends = carriedOrAbort(spark, table, base, parent,
+        "compact", _ => false)
       Manifest(parent.version + 1, parent.version, "compact",
-        base.rows, staged.map(_.copy(seq = parent.version + 1)))
+        base.rows + (parent.rows - base.rows),
+        staged.map(_.copy(seq = parent.version + 1)) ++ carriedAppends)
     }.merge
   }
 
@@ -365,10 +387,13 @@ object Snapshot {
     *
     * `source` must carry the table's schema and DISTINCT keys (two
     * source rows for one key would make the upsert order-dependent —
-    * rejected loudly). Like [[compact]], the commit aborts if another
-    * writer advanced the table mid-flight (the rewrite no longer
-    * represents its parent); rerun against the new snapshot. Returns
-    * the committed version (the current one when `source` is empty). */
+    * rejected loudly). Like [[compact]], the commit revalidates when
+    * the table advanced mid-flight: interleaved appends whose files
+    * provably contain NONE of the merge keys (manifest stats/Blooms)
+    * carry forward; an append that might hold a key — its rows would
+    * dodge the upsert — aborts loudly; rerun against the new
+    * snapshot. Returns the committed version (the current one when
+    * `source` is empty). */
   def merge(source: DataFrame, table: String, key: String): Long = {
     val spark = source.sparkSession
     val base = currentManifest(spark, table).getOrElse(
@@ -414,19 +439,26 @@ object Snapshot {
                      .unionByName(source))
     val pCols = declaredLayout(base)
     val (staged0, stagedRows) = withStatsAndRows(spark, table,
-      stage(spark, newData, table, pCols), currentStatsColsOf(base))
+      stage(spark, newData, table, pCols, currentBloomColsOf(base)),
+      currentStatsColsOf(base))
     val staged = withBlooms(spark, table, staged0,
       currentBloomColsOf(base))
     val touchedRows =
       if (touched.isEmpty) 0L
       else readLive(spark, table, base, touched).count()
     commitRetrying(spark, table) { parent =>
-      require(parent.version == base.version,
-        s"table advanced v${base.version} -> v${parent.version} during " +
-          "merge; rerun merge against the new snapshot")
+      // an interleaved append conflicts iff it might contain a merge
+      // key (its rows would dodge the upsert): stats/Bloom-proven
+      // disjoint appends carry forward, anything else aborts
+      val carriedAppends = carriedOrAbort(spark, table, base, parent,
+        "merge", appended => keyCandidatesIn(appended,
+          base.schemaChanges, source.select(col(key)),
+          Seq(key)).nonEmpty)
       Manifest(parent.version + 1, parent.version, "merge",
-        base.rows - touchedRows + stagedRows,
-        carried ++ staged.map(_.copy(seq = parent.version + 1)),
+        base.rows - touchedRows + stagedRows
+          + (parent.rows - base.rows),
+        carried ++ carriedAppends ++
+          staged.map(_.copy(seq = parent.version + 1)),
         rangeDeletes = base.rangeDeletes, eqDeletes = base.eqDeletes,
         schemaChanges = base.schemaChanges)
     }.merge
@@ -450,7 +482,8 @@ object Snapshot {
     *
     * Same contracts as [[merge]]: `source` carries the table's
     * schema with DISTINCT keys (rejected loudly otherwise), the
-    * commit aborts if the table advanced mid-flight, and CDC across
+    * commit revalidates-and-retries across interleaved appends
+    * (aborting only on genuine conflicts), and CDC across
     * the commit reads delete+insert per updated row. Prefer [[merge]]
     * when read amplification matters more than write cost (every
     * read until compaction pays the anti-join). */
@@ -494,17 +527,21 @@ object Snapshot {
       }
     val pCols = declaredLayout(base)
     val (staged0, stagedRows) = withStatsAndRows(spark, table,
-      stage(spark, source, table, pCols), currentStatsColsOf(base))
+      stage(spark, source, table, pCols, currentBloomColsOf(base)),
+      currentStatsColsOf(base))
     val staged = withBlooms(spark, table, staged0,
       currentBloomColsOf(base))
     commitRetrying(spark, table) { parent =>
-      require(parent.version == base.version,
-        s"table advanced v${base.version} -> v${parent.version} during " +
-          "merge; rerun merge against the new snapshot")
+      // same conflict rule as [[merge]]: a disjointness-proven append
+      // carries forward (the new EqDelete applies to it by seq, but
+      // provably touches none of its rows — accounting stays exact)
+      val carriedAppends = carriedOrAbort(spark, table, base, parent,
+        "merge", appended => keyCandidatesIn(appended,
+          base.schemaChanges, srcKeys, Seq(key)).nonEmpty)
       val v = parent.version + 1
       Manifest(v, parent.version, "merge-mor",
-        base.rows - dead + stagedRows,
-        base.files ++ staged.map(_.copy(seq = v)),
+        base.rows - dead + stagedRows + (parent.rows - base.rows),
+        base.files ++ carriedAppends ++ staged.map(_.copy(seq = v)),
         rangeDeletes = base.rangeDeletes,
         eqDeletes = base.eqDeletes ++ (
           if (dead == 0L) Nil
@@ -528,8 +565,9 @@ object Snapshot {
     *
     * The keep filter is null-safe (`NOT coalesce(between, false)`):
     * rows where the column IS NULL are kept, the SQL DELETE contract.
-    * Commits like [[compact]] (aborts if the table advanced). Returns
-    * the committed version. */
+    * Commits like [[compact]]: interleaved appends provably OUTSIDE
+    * the range carry forward; an append that might hold an in-range
+    * row aborts loudly. Returns the committed version. */
   def deleteRange(spark: SparkSession, table: String, column: String,
                   lower: Any, upper: Any): Long = {
     val base = currentManifest(spark, table).getOrElse(
@@ -562,7 +600,11 @@ object Snapshot {
       }
     }
     val cond = col(column) >= lit(lower) && col(column) <= lit(upper)
-    deleteCommit(spark, table, base, disjoint, dropped, rewrite, cond)
+    // an interleaved append conflicts iff any of its files might hold
+    // a row INSIDE the delete range (its rows would dodge the delete)
+    deleteCommit(spark, table, base, disjoint, dropped, rewrite, cond,
+      appended => keptByRange(appended, column, lower, upper,
+        base.schemaChanges).nonEmpty)
   }
 
   /** Row-level DELETE by an arbitrary predicate, copy-on-write: one
@@ -598,7 +640,10 @@ object Snapshot {
       hit.exists(p => p.endsWith("/" + e.path)))
     val rewriteSet = rewrite.map(_.path).toSet
     val carried = base.files.filterNot(f => rewriteSet.contains(f.path))
-    deleteCommit(spark, table, base, carried, Nil, rewrite, cond)
+    // an arbitrary predicate proves nothing about appended files:
+    // ANY interleaved append is a conflict (abort, rerun)
+    deleteCommit(spark, table, base, carried, Nil, rewrite, cond,
+      _.nonEmpty)
   }
 
   /** Shared delete tail: stage the null-safe-kept rows of the rewrite
@@ -608,7 +653,9 @@ object Snapshot {
   private def deleteCommit(spark: SparkSession, table: String,
                            base: Manifest, carried: Seq[FileEntry],
                            dropped: Seq[FileEntry],
-                           rewrite: Seq[FileEntry], cond: Column): Long = {
+                           rewrite: Seq[FileEntry], cond: Column,
+                           appendConflicts: Seq[FileEntry] => Boolean)
+      : Long = {
     if (dropped.isEmpty && rewrite.isEmpty)
       return base.version // nothing can match: no-op, nothing committed
     val pCols = declaredLayout(base)
@@ -622,7 +669,9 @@ object Snapshot {
         val st =
           if (keptCount == 0L) Nil // every row deleted: stage nothing
           else withBlooms(spark, table,
-            withStats(spark, table, stage(spark, kept, table, pCols),
+            withStats(spark, table,
+              stage(spark, kept, table, pCols,
+                currentBloomColsOf(base)),
               currentStatsColsOf(base)),
             currentBloomColsOf(base))
         (st, keptCount, src.count())
@@ -631,12 +680,13 @@ object Snapshot {
       if (dropped.isEmpty) 0L
       else readLive(spark, table, base, dropped).count()
     commitRetrying(spark, table) { parent =>
-      require(parent.version == base.version,
-        s"table advanced v${base.version} -> v${parent.version} during " +
-          "delete; rerun against the new snapshot")
+      val carriedAppends = carriedOrAbort(spark, table, base, parent,
+        "delete", appendConflicts)
       Manifest(parent.version + 1, parent.version, "delete",
-        base.rows - droppedRows - (rewriteRows - stagedRows),
-        carried ++ staged.map(_.copy(seq = parent.version + 1)),
+        base.rows - droppedRows - (rewriteRows - stagedRows)
+          + (parent.rows - base.rows),
+        carried ++ carriedAppends ++
+          staged.map(_.copy(seq = parent.version + 1)),
         rangeDeletes = base.rangeDeletes, eqDeletes = base.eqDeletes,
         schemaChanges = base.schemaChanges)
     }.merge
@@ -657,7 +707,7 @@ object Snapshot {
     *
     * Row accounting stays EXACT via one column-pruned COUNT over only
     * the affected files (a read, never a write). Same
-    * abort-if-advanced contract as [[deleteRange]]. */
+    * revalidate-and-retry contract as [[deleteRange]]. */
   def deleteRangeMor(spark: SparkSession, table: String, column: String,
                      lower: Any, upper: Any): Long = {
     val base = currentManifest(spark, table).getOrElse(
@@ -707,9 +757,9 @@ object Snapshot {
       return base.version // nothing matches: no-op, nothing committed
     val droppedSet = dropped.map(_.path).toSet
     commitRetrying(spark, table) { parent =>
-      require(parent.version == base.version,
-        s"table advanced v${base.version} -> v${parent.version} during " +
-          "delete; rerun against the new snapshot")
+      val carriedAppends = carriedOrAbort(spark, table, base, parent,
+        "delete", appended => keptByRange(appended, column, lower,
+          upper, base.schemaChanges).nonEmpty)
       val v = parent.version + 1
       val newRange =
         if (deadOverlap > 0L)
@@ -717,8 +767,10 @@ object Snapshot {
             typ, v))
         else Nil // overlap was a stats over-approximation: no residual
       Manifest(v, parent.version, "delete-mor",
-        base.rows - deadDropped - deadOverlap,
-        base.files.filterNot(f => droppedSet.contains(f.path)),
+        base.rows - deadDropped - deadOverlap
+          + (parent.rows - base.rows),
+        base.files.filterNot(f => droppedSet.contains(f.path))
+          ++ carriedAppends,
         rangeDeletes = base.rangeDeletes ++ newRange,
         eqDeletes = base.eqDeletes,
         schemaChanges = base.schemaChanges)
@@ -768,12 +820,13 @@ object Snapshot {
     while (it.hasNext) bytes += it.next().getLen
     val nKeys = distinctKeys.count()
     commitRetrying(spark, table) { parent =>
-      require(parent.version == base.version,
-        s"table advanced v${base.version} -> v${parent.version} during " +
-          "delete; rerun against the new snapshot")
+      val carriedAppends = carriedOrAbort(spark, table, base, parent,
+        "delete", appended => keyCandidatesIn(appended,
+          base.schemaChanges, distinctKeys, cols).nonEmpty)
       val v = parent.version + 1
-      Manifest(v, parent.version, "delete-mor", base.rows - dead,
-        base.files,
+      Manifest(v, parent.version, "delete-mor",
+        base.rows - dead + (parent.rows - base.rows),
+        base.files ++ carriedAppends,
         rangeDeletes = base.rangeDeletes,
         eqDeletes = base.eqDeletes :+
           EqDelete(rel, bytes, nKeys, cols, v),
@@ -1579,14 +1632,36 @@ object Snapshot {
     val m = manifestAt(spark, table, version)
     if (m.files.isEmpty)
       throw new NoSuchElementException(s"snapshot v${m.version} is empty")
+    // Per-value work is hoisted OUT of the per-file loop: reprs and
+    // Bloom hashes compute once per stat type (one table shares it),
+    // and each file's filter base64-decodes once — the values × files
+    // inner loop is comparisons and bit tests, never re-hashing (the
+    // keptByKeyBlooms discipline). Past the probe cap the Bloom layer
+    // is skipped (range pruning stands — a thousands-strong IN list
+    // hits most files anyway and the residual isin is always exact).
+    val MaxBloomProbeValues = 10000
+    val reprCache =
+      scala.collection.mutable.Map.empty[String, Array[String]]
+    val hashCache =
+      scala.collection.mutable.Map.empty[String, Array[Long]]
     val kept = m.files.filter { f =>
       fileStats(f, column, m.schemaChanges) match {
         case None => true
-        case Some(s) => values.exists { v =>
-          val r = reprOf(s.typ, v)
-          cmp(s.typ, s.max, r) >= 0 && cmp(s.typ, s.min, r) <= 0 &&
-            FileBloom.mayContain(s.bloom, s.typ, r)
-        }
+        case Some(s) =>
+          val reprs = reprCache.getOrElseUpdate(s.typ,
+            values.map(v => reprOf(s.typ, v)).toArray)
+          val admitted = reprs.indices.filter(i =>
+            cmp(s.typ, s.max, reprs(i)) >= 0 &&
+              cmp(s.typ, s.min, reprs(i)) <= 0)
+          if (admitted.isEmpty) false
+          else if (s.bloom.isEmpty ||
+              values.size > MaxBloomProbeValues) true
+          else {
+            val hs = hashCache.getOrElseUpdate(s.typ,
+              reprs.map(r => FileBloom.hashRepr(s.typ, r)))
+            val bloom = java.util.Base64.getDecoder.decode(s.bloom)
+            admitted.exists(i => FileBloom.mayContainHash(bloom, hs(i)))
+          }
       }
     }
     if (kept.isEmpty)
@@ -1617,19 +1692,27 @@ object Snapshot {
   }
 
   /** Files whose stats and Bloom filter both ADMIT equality with
-    * `value` (files without stats/filter on the column keep). */
+    * `value` (files without stats/filter on the column keep). The
+    * value's repr and Bloom hash compute once per stat type — the
+    * per-file loop is a comparison plus bit tests. */
   private def keptByEquals(files: Seq[FileEntry], column: String,
                            value: Any, changes: Seq[SchemaChange])
-      : Seq[FileEntry] =
+      : Seq[FileEntry] = {
+    val reprCache = scala.collection.mutable.Map.empty[String, String]
+    val hashCache = scala.collection.mutable.Map.empty[String, Long]
     files.filter { f =>
       fileStats(f, column, changes) match {
         case None => true
         case Some(s) =>
-          val r = reprOf(s.typ, value)
+          val r = reprCache.getOrElseUpdate(s.typ, reprOf(s.typ, value))
           cmp(s.typ, s.max, r) >= 0 && cmp(s.typ, s.min, r) <= 0 &&
-            FileBloom.mayContain(s.bloom, s.typ, r)
+            (s.bloom.isEmpty || FileBloom.mayContainHash(
+              java.util.Base64.getDecoder.decode(s.bloom),
+              hashCache.getOrElseUpdate(s.typ,
+                FileBloom.hashRepr(s.typ, r))))
       }
     }
+  }
 
   private def manifestAt(spark: SparkSession, table: String,
                          version: Option[Long]): Manifest = version match {
@@ -1721,16 +1804,27 @@ object Snapshot {
     * accounting scan's plan. */
   private def keyCandidates(base: Manifest, distinctKeys: DataFrame,
                             cols: Seq[String]): Seq[FileEntry] =
-    if (cols.size == 1 && base.files.exists(f =>
-          fileStats(f, cols.head, base.schemaChanges).nonEmpty)) {
+    keyCandidatesIn(base.files, base.schemaChanges, distinctKeys, cols)
+
+  /** [[keyCandidates]] over an explicit file list — also the
+    * CONFLICT test of the rewrite-commit retry ([[carriableAppends]]):
+    * an interleaved append's files are carriable iff none of them can
+    * contain a rewrite-affected key, which is exactly "this prune
+    * leaves nothing" (stat-less files keep, i.e. conflict —
+    * conservative in both uses). */
+  private def keyCandidatesIn(files: Seq[FileEntry],
+                              changes: Seq[SchemaChange],
+                              distinctKeys: DataFrame,
+                              cols: Seq[String]): Seq[FileEntry] =
+    if (cols.size == 1 && files.exists(f =>
+          fileStats(f, cols.head, changes).nonEmpty)) {
       val b = distinctKeys.agg(min(col(cols.head)),
         max(col(cols.head))).head()
       if (b.isNullAt(0)) Nil
       else keptByKeyBlooms(
-        keptByRange(base.files, cols.head, b.get(0), b.get(1),
-          base.schemaChanges),
-        cols.head, distinctKeys, base.schemaChanges)
-    } else base.files
+        keptByRange(files, cols.head, b.get(0), b.get(1), changes),
+        cols.head, distinctKeys, changes)
+    } else files
 
   /** Bloom-prune `files` against a key set: keep a file iff it might
     * contain AT LEAST ONE key. Probing is driver-side (each key
@@ -1955,13 +2049,28 @@ object Snapshot {
   /** Write `df` into a fresh `data/<uuid>/` staging dir (optionally
     * Hive-partitioned inside it); returns the table-relative entries.
     * Staged files are invisible until a manifest referencing them is
-    * claimed. */
+    * claimed.
+    *
+    * `bloomCols` additionally enables PARQUET FOOTER Bloom filters
+    * (`parquet.bloom.filter.enabled#<col>`) inside each staged file —
+    * the IN-FILE point-pruning layer below the manifest's
+    * [[FileBloom]]: the manifest filter refuses files past ~12 K
+    * distinct keys ([[FileBloom.fold]]'s saturation cutoff, defending
+    * the manifest byte budget), and for exactly those large files the
+    * footer filter lets the parquet reader skip ROW GROUPS a probed
+    * key provably misses — the same manifest/puffin split Iceberg
+    * makes. Footer filters ride the data file (no manifest bytes),
+    * are sized by parquet per row group, and parquet's reader applies
+    * them automatically under pushed-down equality/IN predicates. */
   private def stage(spark: SparkSession, df: DataFrame, table: String,
-                    partitionCols: Seq[String] = Nil): Seq[FileEntry] = {
+                    partitionCols: Seq[String] = Nil,
+                    bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"data/$commitId"
     val dst = s"$table/$rel"
-    val writer = df.write.mode("errorifexists")
+    val writer0 = df.write.mode("errorifexists")
+    val writer = bloomCols.distinct.foldLeft(writer0)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(dst)
     val fs = hadoopFs(spark, table)
@@ -1981,6 +2090,74 @@ object Snapshot {
     entries.sortBy(_.path).toSeq
   }
 
+  /** CONFLICT-SCOPED revalidation for rewrite commits ([[compact]],
+    * [[merge]], [[mergeMor]], the deletes): when the table advanced
+    * from the `base` a rewrite was computed against to `parent`, the
+    * rewrite is still COMMITTABLE iff every interleaved commit is a
+    * PURE APPEND that (a) left the rewrite's whole basis live and
+    * untouched (every base file still in the parent, byte-identical
+    * entry), (b) carried no new deletes, schema changes, or layout
+    * change, and (c) appended no file the rewrite's row set could
+    * OVERLAP — the caller's `conflicts` predicate, proven from
+    * manifest stats/Blooms (a compaction overlaps nothing; a merge
+    * conflicts with appends that might contain its keys; a range
+    * delete with appends inside its range). The Iceberg
+    * revalidate-and-retry shape: maintenance no longer starves under
+    * a steady append stream (one commit per streaming micro-batch is
+    * the normal state of a landed table, not a pathology).
+    *
+    * Returns the appended entries to CARRY FORWARD into the rewrite's
+    * manifest (their `seq` unchanged — they stay newer than every
+    * folded delete/schema change, so dropping those entries from a
+    * compacted manifest remains sound for them), or None on a genuine
+    * conflict (the caller aborts loudly, exactly as before). Walks
+    * parent POINTERS, not version arithmetic, so the check stays
+    * correct if lineages ever interleave version numbers. */
+  private def carriableAppends(spark: SparkSession, table: String,
+                               base: Manifest, parent: Manifest,
+                               conflicts: Seq[FileEntry] => Boolean)
+      : Option[Seq[FileEntry]] = {
+    if (parent.version == base.version) return Some(Nil)
+    var cur = parent
+    while (cur.version > base.version) {
+      if (cur.action != "append") return None
+      cur = readManifest(spark, table, cur.parent)
+        .getOrElse(return None) // chain gap: cannot prove, abort
+    }
+    if (cur.version != base.version) return None // diverged lineage
+    val baseByPath = base.files.map(f => f.path -> f).toMap
+    val parentByPath = parent.files.map(f => f.path -> f).toMap
+    val basisIntact = baseByPath.forall { case (p, f) =>
+      parentByPath.get(p).contains(f) }
+    if (!basisIntact) return None
+    if (parent.rangeDeletes != base.rangeDeletes ||
+        parent.eqDeletes != base.eqDeletes ||
+        parent.schemaChanges != base.schemaChanges ||
+        declaredLayout(parent) != declaredLayout(base)) return None
+    val appended =
+      parent.files.filterNot(f => baseByPath.contains(f.path))
+    if (conflicts(appended)) None else Some(appended)
+  }
+
+  /** [[carriableAppends]] or the loud abort — the shared tail every
+    * rewrite commit's build closure calls first. */
+  private def carriedOrAbort(spark: SparkSession, table: String,
+                             base: Manifest, parent: Manifest, op: String,
+                             conflicts: Seq[FileEntry] => Boolean)
+      : Seq[FileEntry] =
+    carriableAppends(spark, table, base, parent, conflicts).getOrElse(
+      throw new IllegalStateException(
+        s"table advanced v${base.version} -> v${parent.version} during " +
+          s"$op with a CONFLICTING commit (a rewrite/delete/schema " +
+          "change, or an append the rewrite's rows could overlap); " +
+          s"rerun $op against the new snapshot"))
+
+  /** Test seam: consumed (reset to no-op) and invoked once at the
+    * start of a commit's CAS loop — SnapshotSpec injects a mid-flight
+    * append here to exercise the conflict-scoped retry
+    * deterministically. Never set in production code. */
+  private[sources] var onCommitAttempt: () => Unit = () => ()
+
   /** Optimistic-concurrency commit: build the manifest against the
     * current parent, CAS-claim `v(parent+1)`; on a lost race re-read
     * the parent and retry (bounded). Right(v) = this writer committed
@@ -1989,6 +2166,9 @@ object Snapshot {
   private def commitRetrying(spark: SparkSession, table: String)
                             (build: Manifest => Manifest)
       : Either[Long, Long] = {
+    val hook = onCommitAttempt
+    onCommitAttempt = () => ()
+    hook()
     var attempt = 0
     while (attempt < MaxRetries) {
       val parent = currentManifest(spark, table)

@@ -180,4 +180,63 @@ class LexicalIndexSpec extends AnyFunSuite {
     assert(canon(LexicalIndex.searchBm25(spark, folded, queries, k = 7))
       == canon(inMemory))
   }
+
+  test("mixed-schema meta (a legacy batch without tot_len) never " +
+    "undercounts avgdl: ranking stays byte-identical, and compact " +
+    "persists the honest total") {
+    val path = Files.createTempDirectory("graft-lexidx-mx").toString
+    LexicalIndex.build(corpus(0, 40), path)
+    // simulate a batch landed by a pre-tot_len build: strip the
+    // column from its meta dir (read fully before the overwrite)
+    val legacy = spark.read.parquet(s"$path/meta/batch=base")
+      .select("n_docs").collect().map(_.getLong(0)).toSeq
+      .toDF("n_docs")
+    legacy.write.mode("overwrite")
+      .parquet(s"$path/meta/batch=base")
+    // a post-upgrade append writes tot_len: the meta table now holds
+    // BOTH schemas; trusting a partial sum would halve avgdl here
+    LexicalIndex.append(corpus(40, 80), path, "b1")
+    val inMemory = Lexical.bm25TopK(corpus(0, 80), queries, k = 7)
+    assert(canon(LexicalIndex.searchBm25(spark, path, queries, k = 7))
+      == canon(inMemory),
+      "mixed meta coverage skewed the avgdl prior")
+    // compact folds to full coverage (one batch, tot_len present and
+    // exact) — and the folded index still answers identically
+    val folded = Files.createTempDirectory("graft-lexidx-mx2").toString
+    LexicalIndex.compact(path, folded)
+    val meta = spark.read.parquet(s"$folded/meta")
+    val r = meta.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.col("tot_len"))).head()
+    val trueTot = spark.read.parquet(s"$folded/doclen")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("len"))).head().getLong(0)
+    assert(!r.isNullAt(0) && r.getLong(0) == trueTot,
+      "compact persisted a wrong corpus length")
+    assert(canon(LexicalIndex.searchBm25(spark, folded, queries, k = 7))
+      == canon(inMemory))
+  }
+
+  test("gc refuses phantom ids (an id never landed would skew every " +
+    "idf); null-text removals within the accounted population pass") {
+    val path = Files.createTempDirectory("graft-lexidx-ph").toString
+    val docs = corpus(0, 20).unionByName(
+      Seq((900L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    LexicalIndex.build(docs, path)
+    // removing a landed null-text doc is legitimate (it has no doclen
+    // row, but the index accounts exactly one null-text doc)
+    val ok = Files.createTempDirectory("graft-lexidx-ph2").toString
+    LexicalIndex.gc(Seq(900L, 3L).toDF("doc_id"), path, ok)
+    val survivors = corpus(0, 20).filter(!$"doc_id".isin(3L))
+    val rebuilt = Files.createTempDirectory("graft-lexidx-ph3").toString
+    LexicalIndex.build(survivors, rebuilt)
+    assert(canon(LexicalIndex.searchBm25(spark, ok, queries, k = 7))
+      == canon(LexicalIndex.searchBm25(spark, rebuilt, queries, k = 7)))
+    // one MORE no-doclen id than the null-text population proves a
+    // phantom — refused loudly instead of corrupting N
+    val bad = Files.createTempDirectory("graft-lexidx-ph4").toString
+    val e = intercept[IllegalArgumentException] {
+      LexicalIndex.gc(Seq(900L, 7777L).toDF("doc_id"), path, bad)
+    }
+    assert(e.getMessage.contains("phantom"))
+  }
 }

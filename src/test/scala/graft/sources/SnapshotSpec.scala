@@ -619,22 +619,120 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.readWhere(spark, t3, "at", lo, hi).count() == 60)
   }
 
-  test("compact aborts cleanly when the table advanced underneath it") {
-    // the documented non-goal: compact verifies its parent is still
-    // current at commit time; a mid-flight append makes it abort with
-    // nothing committed (rerun against the new snapshot)
+  test("compaction commits ACROSS a mid-flight append, carrying the " +
+    "appended file forward (maintenance never starves under a " +
+    "steady append stream)") {
     val t = freshTable()
-    Snapshot.append(batch(0, 40), t)
-    Snapshot.append(batch(40, 80), t)
-    // simulate the race by compacting a STALE base: append after the
-    // base manifest is read but before the claim — easiest determinate
-    // spelling is to append concurrently and accept either outcome,
-    // so instead pin the contract directly: compact against current
-    // succeeds, and the rows survive byte-exact
-    val v = Snapshot.compact(spark, t)
-    assert(Snapshot.versions(spark, t).last._2 == "compact")
-    assert(Snapshot.read(spark, t, Some(v))
-      .agg(sum("id")).head().getLong(0) == (0L until 80L).sum)
+    Snapshot.append(batch(0, 40), t)  // v1
+    Snapshot.append(batch(40, 80), t) // v2
+    // a streaming append lands BETWEEN the compaction's rewrite and
+    // its commit attempt (the test seam fires once at CAS entry)
+    Snapshot.onCommitAttempt =
+      () => Snapshot.append(batch(200, 220), t) // v3
+    val v = Snapshot.compact(spark, t)          // v4, NOT an abort
+    assert(v == 4L)
+    val m = Snapshot.readManifest(spark, t, v).get
+    assert(m.action == "compact" && m.rows == 100L)
+    // the interleaved append's file rides the compacted manifest BY
+    // REFERENCE (same path + seq as its own commit staged it)
+    val appended = Snapshot.readManifest(spark, t, 3L).get.files
+      .filterNot(Snapshot.readManifest(spark, t, 2L).get.files.toSet)
+    assert(appended.nonEmpty &&
+      appended.forall(m.files.contains),
+      "interleaved append's files were not carried forward")
+    // rows exact, values exact, time travel intact
+    assert(Snapshot.read(spark, t).agg(sum("id")).head().getLong(0) ==
+      (0L until 80L).sum + (200L until 220L).sum)
+    assert(Snapshot.read(spark, t, Some(2L)).count() == 80L)
+    assert(Snapshot.read(spark, t, Some(3L)).count() == 100L)
+  }
+
+  test("rewrite commits retry across DISJOINTNESS-PROVEN appends and " +
+    "abort loudly on genuine conflicts") {
+    // merge: an interleaved append outside the source key envelope
+    // carries forward; one that might contain a merge key aborts
+    val t = freshTable()
+    def keyed(from: Int, until: Int) =
+      (from until until).map(i => (i.toLong, s"v$i")).toDF("id", "text")
+    Snapshot.append(keyed(0, 100), t, statsCols = Seq("id"))
+    val source = (0 until 10).map(i => (i.toLong, "UPDATED"))
+      .toDF("id", "text")
+    Snapshot.onCommitAttempt = () =>
+      Snapshot.append(keyed(1000, 1020).coalesce(1), t,
+        statsCols = Seq("id"))
+    val v = Snapshot.merge(source, t, "id")
+    val m = Snapshot.readManifest(spark, t, v).get
+    assert(m.action == "merge" && m.rows == 120L)
+    val r = Snapshot.read(spark, t)
+    assert(r.count() == 120L)
+    assert(r.filter(col("text") === "UPDATED").count() == 10L)
+    assert(r.filter(col("id") >= 1000L).count() == 20L)
+    // conflicting append (overlapping keys) → loud abort
+    val t2 = freshTable()
+    Snapshot.append(keyed(0, 100), t2, statsCols = Seq("id"))
+    Snapshot.onCommitAttempt = () =>
+      Snapshot.append(keyed(5, 8).coalesce(1), t2,
+        statsCols = Seq("id"))
+    val e = intercept[IllegalStateException] {
+      Snapshot.merge(source, t2, "id")
+    }
+    assert(e.getMessage.contains("CONFLICTING"))
+
+    // mergeMor: same rule, zero-rewrite path
+    val t3 = freshTable()
+    Snapshot.append(keyed(0, 100), t3, statsCols = Seq("id"))
+    Snapshot.onCommitAttempt = () =>
+      Snapshot.append(keyed(1000, 1020).coalesce(1), t3,
+        statsCols = Seq("id"))
+    val v3 = Snapshot.mergeMor(source, t3, "id")
+    assert(Snapshot.readManifest(spark, t3, v3).get.rows == 120L)
+    assert(Snapshot.read(spark, t3).count() == 120L)
+
+    // deleteRange: append provably OUTSIDE the range carries forward
+    val t4 = freshTable()
+    Snapshot.append(keyed(0, 100), t4, statsCols = Seq("id"))
+    Snapshot.onCommitAttempt = () =>
+      Snapshot.append(keyed(1000, 1020).coalesce(1), t4,
+        statsCols = Seq("id"))
+    Snapshot.deleteRange(spark, t4, "id", 10L, 19L)
+    assert(Snapshot.read(spark, t4).count() == 110L)
+    assert(Snapshot.read(spark, t4)
+      .filter(col("id").between(10L, 19L)).count() == 0L)
+
+    // deleteKeysMor: disjoint append carries; accounting exact
+    val t5 = freshTable()
+    Snapshot.append(keyed(0, 100), t5, statsCols = Seq("id"),
+      bloomCols = Seq("id"))
+    Snapshot.onCommitAttempt = () =>
+      Snapshot.append(keyed(1000, 1020).coalesce(1), t5,
+        statsCols = Seq("id"), bloomCols = Seq("id"))
+    val v5 = Snapshot.deleteKeysMor(
+      Seq(3L, 7L).toDF("id"), t5)
+    assert(Snapshot.readManifest(spark, t5, v5).get.rows == 118L)
+    assert(Snapshot.read(spark, t5).count() == 118L)
+
+    // deleteWhere proves nothing about appended rows: ANY
+    // interleaved append aborts
+    val t6 = freshTable()
+    Snapshot.append(keyed(0, 100), t6, statsCols = Seq("id"))
+    Snapshot.onCommitAttempt = () =>
+      Snapshot.append(keyed(1000, 1020).coalesce(1), t6,
+        statsCols = Seq("id"))
+    val e6 = intercept[IllegalStateException] {
+      Snapshot.deleteWhere(spark, t6, col("text") === "v5")
+    }
+    assert(e6.getMessage.contains("CONFLICTING"))
+
+    // an interleaved REWRITE is always a genuine conflict
+    val t7 = freshTable()
+    Snapshot.append(keyed(0, 100), t7, statsCols = Seq("id"))
+    Snapshot.append(keyed(100, 140), t7, statsCols = Seq("id"))
+    Snapshot.onCommitAttempt = () =>
+      Snapshot.deleteKeysMor(Seq(5L).toDF("id"), t7)
+    val e7 = intercept[IllegalStateException] {
+      Snapshot.compact(spark, t7)
+    }
+    assert(e7.getMessage.contains("CONFLICTING"))
   }
 
   private def forgeStamp(t: String, v: Long, micros: Long): Unit = {
@@ -1410,5 +1508,100 @@ class SnapshotSpec extends AnyFunSuite {
     val w = Snapshot.consumeChanges(spark, t, stateUri)(df =>
       n = df.count())
     assert(w.contains((1L, 2L)) && n == 2L)
+  }
+
+  test("over-manifest-cap files carry PARQUET FOOTER Bloom filters: " +
+    "the manifest refuses the filter (saturation cutoff) but the " +
+    "footer prunes row groups for point probes") {
+    val t = freshTable()
+    // 40k distinct EVEN keys in one file: far past FileBloom.fold's
+    // ~12k-key cutoff, so the manifest stores no filter — the regime
+    // the footer filter exists for
+    val wide = spark.range(40000).select((col("id") * 2).as("k"),
+      (col("id") % 97).as("v"))
+    Snapshot.append(wide.coalesce(1), t, statsCols = Seq("k"),
+      bloomCols = Seq("k"))
+    val m = Snapshot.readManifest(spark, t, 1L).get
+    assert(m.files.size == 1)
+    val entry = m.files.head
+    assert(entry.stats("k").bloom.isEmpty,
+      "manifest should refuse a saturated filter at this key count")
+    // the staged file's FOOTER carries the filter parquet wrote
+    // (stage() enabled parquet.bloom.filter.enabled#k): prove the
+    // row-group prune decision directly off the footer metadata —
+    // an in-range ABSENT key (any odd value) rejects every row
+    // group; a present key accepts at least one
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$t/${entry.path}"), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      assert(!blocks.isEmpty)
+      var keptPresent = 0
+      var keptAbsent = 0
+      blocks.forEach { b =>
+        var chunk: org.apache.parquet.hadoop.metadata
+          .ColumnChunkMetaData = null
+        b.getColumns.forEach(c =>
+          if (c.getPath.toDotString == "k") chunk = c)
+        assert(chunk != null)
+        assert(chunk.getBloomFilterOffset >= 0,
+          "no footer bloom filter written for k")
+        val bf = reader.readBloomFilter(chunk)
+        assert(bf != null)
+        if (bf.findHash(bf.hash(39999L))) keptAbsent += 1 // odd: absent
+        if (bf.findHash(bf.hash(39998L))) keptPresent += 1 // present
+      }
+      assert(keptAbsent == 0,
+        s"footer bloom failed to prune any row group for an absent " +
+          s"key ($keptAbsent of ${blocks.size()} kept)")
+      assert(keptPresent >= 1,
+        "footer bloom wrongly rejected a present key")
+    } finally reader.close()
+    // end-to-end: the point reads stay exact either way
+    assert(Snapshot.readEquals(spark, t, "k", 39998L).count() == 1L)
+    assert(Snapshot.readEquals(spark, t, "k", 39999L).count() == 0L)
+  }
+
+  test("overwrite preserves the table's bloom coverage (like every " +
+    "other rewrite) unless explicitly re-declared") {
+    val t = freshTable()
+    val d = spark.range(2000).select(col("id").as("k"),
+      (col("id") % 7).as("v"))
+    Snapshot.append(d, t, statsCols = Seq("k"), bloomCols = Seq("k"))
+    // replace contents, declaring stats but SAYING NOTHING about
+    // blooms: coverage must carry over, not silently vanish
+    Snapshot.overwrite(d.filter(col("k") < 1000), t,
+      statsCols = Seq("k"))
+    val m = Snapshot.readManifest(spark, t,
+      Snapshot.latestVersion(spark, t).get).get
+    assert(m.action == "overwrite")
+    assert(m.files.exists(f =>
+      f.stats.get("k").exists(_.bloom.nonEmpty)),
+      "overwrite dropped the table's point-lookup pruning")
+    // and the preserved filters actually prune a point probe
+    val (total, kept) = Snapshot.equalsPruneCount(spark, t, "k", 3L)
+    assert(kept <= total)
+    assert(Snapshot.readEquals(spark, t, "k", 3L).count() == 1L)
+  }
+
+  test("readIn past the bloom probe cap degrades to range-only " +
+    "pruning and stays exact") {
+    val t = freshTable()
+    val d = spark.range(3000).select(col("id").as("k"))
+    (0 until 3).foreach { r =>
+      Snapshot.append(d.filter(col("k") % 3 === r).coalesce(1), t,
+        statsCols = Seq("k"), bloomCols = Seq("k"))
+    }
+    // 10 001 values: over MaxBloomProbeValues — the bloom layer is
+    // skipped (hash work bounded), the residual isin keeps it exact
+    val values: Seq[Any] = (0L until 10001L).map(v => v: Any)
+    val got = Snapshot.readIn(spark, t, "k", values).count()
+    assert(got == 3000L)
+    // under the cap, blooms prune: values all ≡ 0 (mod 3) live in
+    // one residue file
+    val small: Seq[Any] = (0L until 300L).map(v => v * 3: Any)
+    assert(Snapshot.readIn(spark, t, "k", small).count() == 300L)
   }
 }
