@@ -108,6 +108,7 @@ object SparkEntry {
     "q_semantic_dedup"          -> Corpus.semanticDedupMarked _,
     "q_ann_topk"                -> Corpus.annTopKQuery _,
     "q_ivf_topk"                -> Corpus.ivfTopKQuery _,
+    "q_nsw_topk"                -> Corpus.nswTopKQuery _,
     "q_pq_topk"                 -> Corpus.pqTopKQuery _,
     "q_ivfpq_residual"          -> Corpus.ivfPqResidualQuery _,
     "q_bpe_tokens"              -> Corpus.bpeTokens _,
@@ -198,6 +199,7 @@ object SparkEntry {
     "q_snapshot_delete"         -> Corpus.snapshotDelete _,
     "q_snapshot_delete_mor"     -> Corpus.snapshotDeleteMor _,
     "q_snapshot_bloom"          -> Corpus.snapshotBloom _,
+    "q_snapshot_branch"         -> Corpus.snapshotBranch _,
     "q_snapshot_incremental"    -> Corpus.snapshotIncremental _,
     "q_snapshot_cdc"            -> Corpus.snapshotCdc _,
     "q_snapshot_rename"         -> Corpus.snapshotRename _,
@@ -3681,6 +3683,24 @@ object SparkEntry {
     // files under the declared layout); the Spark side additionally
     // REQUIREs the layout commit touched zero files and the facet
     // filter partition-pruned the new-layout files
+    // write-audit-publish: pre = main before publish (evens only);
+    // audit = the branch read (all rows); published = main after the
+    // fast-forward (all rows) — each phase replayed off the raw table
+    "q_snapshot_branch" ->
+      """WITH evens AS (
+           SELECT o_orderstatus,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+           FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+         full_t AS (
+           SELECT o_orderstatus,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+           FROM orders GROUP BY 1)
+         SELECT 'pre' AS phase, * FROM evens
+         UNION ALL SELECT 'audit' AS phase, * FROM full_t
+         UNION ALL SELECT 'published' AS phase, * FROM full_t
+         ORDER BY phase, o_orderstatus""",
     "q_snapshot_partition" ->
       """WITH base AS (
            SELECT o_orderstatus,

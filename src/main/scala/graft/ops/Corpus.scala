@@ -394,6 +394,58 @@ object Corpus {
               col("sum_key"))
   }
 
+  /** WRITE-AUDIT-PUBLISH as a declared query
+    * ([[graft.sources.Snapshot.createBranch]] /
+    * [[graft.sources.Snapshot.publish]]): the even orders land on
+    * main, the odd orders land on an `audit` BRANCH — asserted
+    * in-query to be invisible to main readers (row count and version
+    * chain unchanged) while the audit-side read sees the full table —
+    * and a fast-forward publish promotes the branch metadata-only
+    * (zero data files move, asserted by path+bytes identity). The
+    * oracle replays all three phases off the raw table, so the hash
+    * gate proves main-before (evens), audit (all), and
+    * main-after-publish (all) exactly. */
+  def snapshotBranch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapbranch").toString + "/t"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    Snapshot.append(o.filter(col("o_orderkey") % 2 === 0), table) // v1
+    Snapshot.createBranch(spark, table, "audit")
+    val bv = Snapshot.append(o.filter(col("o_orderkey") % 2 === 1),
+      table, branch = "audit")                                    // v2
+    // branch files staged once, here — publish must move ZERO bytes
+    val branchFiles = Snapshot.readManifest(spark, table, bv).get
+      .files.map(f => (f.path, f.bytes))
+    // invisible to main: head, version chain, and rows all unchanged
+    require(Snapshot.branches(spark, table) ==
+      Map("main" -> 1L, "audit" -> bv),
+      "branch commit moved the wrong ref")
+    require(Snapshot.versions(spark, table).map(_._1) == Seq(1L),
+      "branch commit leaked into the main version chain")
+    val agg = (df: DataFrame) => df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+    val pre = agg(Snapshot.read(spark, table))
+    val audit = agg(Snapshot.readBranch(spark, table, "audit"))
+    val published = Snapshot.publish(spark, table, "audit")
+    require(published == bv, "publish did not fast-forward to the " +
+      "audited head")
+    // metadata-only promotion: main now reads the EXACT files the
+    // branch staged — no rewrite, no copy
+    val post = Snapshot.readManifest(spark, table, published).get
+      .files.map(f => (f.path, f.bytes))
+    require(post == branchFiles, "publish moved data files")
+    val after = agg(Snapshot.read(spark, table))
+    pre.withColumn("phase", lit("pre"))
+      .unionByName(audit.withColumn("phase", lit("audit")))
+      .unionByName(after.withColumn("phase", lit("published")))
+      .orderBy(col("phase"), col("o_orderstatus"))
+      .select(col("phase"), col("o_orderstatus"), col("n"),
+              col("sum_key"))
+  }
+
   /** Incremental snapshot consumption as a declared query
     * ([[graft.sources.Snapshot.readAppendsSince]]): documents land in
     * two appends (evens then odds); a consumer baselined at v1 reads
@@ -1976,6 +2028,25 @@ object Corpus {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)
     Similarity.ivfTopK(queries, emb, k = 5, nCells = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+              round(col("cos") + lit(1e-9), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Partitioned NSW-lite graph-ANN top-5 for the first 10 embedding
+    * vectors ([[graft.similarity.GraphAnn]]): per-cell M-NN graphs
+    * built once, beam search as a fixed ≤4-join chain over the probed
+    * cells. Seeded quantizer → rows-only + golden; GraphAnnSpec pins
+    * recall ≥ 0.9 vs the exact scan and the partition-pruned probe. */
+  def nswTopKQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.GraphAnn
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-nsw").toString + "/idx"
+    GraphAnn.writeNswIndex(emb, idx, nCells = 16, m = 8)
+    GraphAnn.searchNswIndex(spark, idx, queries, k = 5,
+      nProbe = 4, beam = 8, hops = 3)
       .select(col("query_id"), col("neighbor_id"),
               round(col("cos") + lit(1e-9), 6).as("cos"), col("rank"))
       .orderBy(col("query_id"), col("rank"))

@@ -177,7 +177,8 @@ object Snapshot {
   def append(df: DataFrame, table: String,
              tag: Option[String] = None,
              statsCols: Seq[String] = Nil,
-             bloomCols: Seq[String] = Nil): Long = {
+             bloomCols: Seq[String] = Nil,
+             branch: String = "main"): Long = {
     val spark = df.sparkSession
     requireBloomTracked(statsCols, bloomCols)
     tag.flatMap(t => findTag(spark, table, t)) match {
@@ -187,13 +188,13 @@ object Snapshot {
     val (staged0, stagedRows) = withStatsAndRows(spark, table,
       stage(spark, df, table, Nil, bloomCols), statsCols)
     val staged = withBlooms(spark, table, staged0, bloomCols)
-    commitRetrying(spark, table) { parent =>
+    commitRetryingOn(spark, table, branch) { (parent, v) =>
       tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
         throw new DuplicateTag(v) } // raced replayer landed it first
       requireSameLayout(parent, Nil)
-      Manifest(parent.version + 1, parent.version, "append",
+      Manifest(v, parent.version, "append",
         parent.rows + stagedRows,
-        parent.files ++ staged.map(_.copy(seq = parent.version + 1)),
+        parent.files ++ staged.map(_.copy(seq = v)),
         tag.getOrElse(""),
         rangeDeletes = parent.rangeDeletes, eqDeletes = parent.eqDeletes,
         schemaChanges = parent.schemaChanges)
@@ -217,7 +218,8 @@ object Snapshot {
                         partitionCols: Seq[String],
                         tag: Option[String] = None,
                         statsCols: Seq[String] = Nil,
-                        bloomCols: Seq[String] = Nil): Long = {
+                        bloomCols: Seq[String] = Nil,
+                        branch: String = "main"): Long = {
     require(partitionCols.nonEmpty, "use append for unpartitioned data")
     val spark = df.sparkSession
     requireBloomTracked(statsCols, bloomCols)
@@ -228,13 +230,13 @@ object Snapshot {
     val (staged0, stagedRows) = withStatsAndRows(spark, table,
       stage(spark, df, table, partitionCols, bloomCols), statsCols)
     val staged = withBlooms(spark, table, staged0, bloomCols)
-    commitRetrying(spark, table) { parent =>
+    commitRetryingOn(spark, table, branch) { (parent, v) =>
       tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
         throw new DuplicateTag(v) }
       requireSameLayout(parent, partitionCols)
-      Manifest(parent.version + 1, parent.version, "append",
+      Manifest(v, parent.version, "append",
         parent.rows + stagedRows,
-        parent.files ++ staged.map(_.copy(seq = parent.version + 1)),
+        parent.files ++ staged.map(_.copy(seq = v)),
         tag.getOrElse(""),
         rangeDeletes = parent.rangeDeletes, eqDeletes = parent.eqDeletes,
         schemaChanges = parent.schemaChanges)
@@ -248,8 +250,7 @@ object Snapshot {
     * manifest chain — O(versions), driver-side, tiny files). */
   private def findTag(spark: SparkSession, table: String,
                       t: String): Option[Long] =
-    listVersions(spark, table).sorted.reverseIterator
-      .flatMap(v => readManifest(spark, table, v))
+    reachableManifests(spark, table).iterator
       .collectFirst { case m if m.tag == t => m.version }
 
   private final class DuplicateTag(val version: Long)
@@ -291,9 +292,9 @@ object Snapshot {
     val (staged0, stagedRows) = withStatsAndRows(spark, table,
       stage(spark, df, table, pCols, effBloom), statsCols)
     val staged = withBlooms(spark, table, staged0, effBloom)
-    commitRetrying(spark, table) { parent =>
-      Manifest(parent.version + 1, parent.version, "overwrite",
-        stagedRows, staged.map(_.copy(seq = parent.version + 1)))
+    commitRetrying(spark, table) { (parent, v) =>
+      Manifest(v, parent.version, "overwrite",
+        stagedRows, staged.map(_.copy(seq = v)))
     }.merge
   }
 
@@ -309,8 +310,9 @@ object Snapshot {
     * rewrite/delete/schema change is a genuine conflict and aborts
     * loudly (the rewrite no longer represents the table) — rerun. */
   def compact(spark: SparkSession, table: String,
-              targetFileBytes: Long = 128L << 20): Long =
-    compactClustered(spark, table, Nil, targetFileBytes)
+              targetFileBytes: Long = 128L << 20,
+              branch: String = "main"): Long =
+    compactClustered(spark, table, Nil, targetFileBytes, branch)
 
   /** [[compact]] that additionally CLUSTERS the rewrite on
     * `clusterCols` (range-partition + sort within files): after many
@@ -327,10 +329,12 @@ object Snapshot {
     * key and cluster on that. */
   def compactClustered(spark: SparkSession, table: String,
                        clusterCols: Seq[String],
-                       targetFileBytes: Long = 128L << 20): Long = {
+                       targetFileBytes: Long = 128L << 20,
+                       branch: String = "main"): Long = {
     require(targetFileBytes > 0)
-    val base = currentManifest(spark, table).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot in $table"))
+    val base = headManifest(spark, table, branch).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot on '$branch' in $table"))
     require(base.files.nonEmpty, s"empty table $table")
     val totalBytes = base.files.map(_.bytes).sum
     val nf = math.max(1L, (totalBytes + targetFileBytes - 1)
@@ -357,16 +361,16 @@ object Snapshot {
     require(rewrittenRows == base.rows,
       s"compact row mismatch: snapshot=${base.rows} " +
         s"rewritten=$rewrittenRows — nothing committed")
-    commitRetrying(spark, table) { parent =>
+    commitRetryingOn(spark, table, branch) { (parent, v) =>
       // a value-preserving rewrite of base's LIVE rows overlaps
       // nothing an append adds: interleaved appends carry forward by
       // reference (their files stay newer than every folded delete /
       // schema change, so the clean manifest is still exact for them)
       val carriedAppends = carriedOrAbort(spark, table, base, parent,
         "compact", _ => false)
-      Manifest(parent.version + 1, parent.version, "compact",
+      Manifest(v, parent.version, "compact",
         base.rows + (parent.rows - base.rows),
-        staged.map(_.copy(seq = parent.version + 1)) ++ carriedAppends)
+        staged.map(_.copy(seq = v)) ++ carriedAppends)
     }.merge
   }
 
@@ -446,7 +450,7 @@ object Snapshot {
     val touchedRows =
       if (touched.isEmpty) 0L
       else readLive(spark, table, base, touched).count()
-    commitRetrying(spark, table) { parent =>
+    commitRetrying(spark, table) { (parent, v) =>
       // an interleaved append conflicts iff it might contain a merge
       // key (its rows would dodge the upsert): stats/Bloom-proven
       // disjoint appends carry forward, anything else aborts
@@ -454,11 +458,11 @@ object Snapshot {
         "merge", appended => keyCandidatesIn(appended,
           base.schemaChanges, source.select(col(key)),
           Seq(key)).nonEmpty)
-      Manifest(parent.version + 1, parent.version, "merge",
+      Manifest(v, parent.version, "merge",
         base.rows - touchedRows + stagedRows
           + (parent.rows - base.rows),
         carried ++ carriedAppends ++
-          staged.map(_.copy(seq = parent.version + 1)),
+          staged.map(_.copy(seq = v)),
         rangeDeletes = base.rangeDeletes, eqDeletes = base.eqDeletes,
         schemaChanges = base.schemaChanges)
     }.merge
@@ -531,14 +535,13 @@ object Snapshot {
       currentStatsColsOf(base))
     val staged = withBlooms(spark, table, staged0,
       currentBloomColsOf(base))
-    commitRetrying(spark, table) { parent =>
+    commitRetrying(spark, table) { (parent, v) =>
       // same conflict rule as [[merge]]: a disjointness-proven append
       // carries forward (the new EqDelete applies to it by seq, but
       // provably touches none of its rows — accounting stays exact)
       val carriedAppends = carriedOrAbort(spark, table, base, parent,
         "merge", appended => keyCandidatesIn(appended,
           base.schemaChanges, srcKeys, Seq(key)).nonEmpty)
-      val v = parent.version + 1
       Manifest(v, parent.version, "merge-mor",
         base.rows - dead + stagedRows + (parent.rows - base.rows),
         base.files ++ carriedAppends ++ staged.map(_.copy(seq = v)),
@@ -679,14 +682,14 @@ object Snapshot {
     val droppedRows =
       if (dropped.isEmpty) 0L
       else readLive(spark, table, base, dropped).count()
-    commitRetrying(spark, table) { parent =>
+    commitRetrying(spark, table) { (parent, v) =>
       val carriedAppends = carriedOrAbort(spark, table, base, parent,
         "delete", appendConflicts)
-      Manifest(parent.version + 1, parent.version, "delete",
+      Manifest(v, parent.version, "delete",
         base.rows - droppedRows - (rewriteRows - stagedRows)
           + (parent.rows - base.rows),
         carried ++ carriedAppends ++
-          staged.map(_.copy(seq = parent.version + 1)),
+          staged.map(_.copy(seq = v)),
         rangeDeletes = base.rangeDeletes, eqDeletes = base.eqDeletes,
         schemaChanges = base.schemaChanges)
     }.merge
@@ -756,11 +759,10 @@ object Snapshot {
     if (deadDropped + deadOverlap == 0L && dropped.isEmpty)
       return base.version // nothing matches: no-op, nothing committed
     val droppedSet = dropped.map(_.path).toSet
-    commitRetrying(spark, table) { parent =>
+    commitRetrying(spark, table) { (parent, v) =>
       val carriedAppends = carriedOrAbort(spark, table, base, parent,
         "delete", appended => keptByRange(appended, column, lower,
           upper, base.schemaChanges).nonEmpty)
-      val v = parent.version + 1
       val newRange =
         if (deadOverlap > 0L)
           Seq(RangeDelete(column, reprOf(typ, lower), reprOf(typ, upper),
@@ -819,11 +821,10 @@ object Snapshot {
       true)
     while (it.hasNext) bytes += it.next().getLen
     val nKeys = distinctKeys.count()
-    commitRetrying(spark, table) { parent =>
+    commitRetrying(spark, table) { (parent, v) =>
       val carriedAppends = carriedOrAbort(spark, table, base, parent,
         "delete", appended => keyCandidatesIn(appended,
           base.schemaChanges, distinctKeys, cols).nonEmpty)
-      val v = parent.version + 1
       Manifest(v, parent.version, "delete-mor",
         base.rows - dead + (parent.rows - base.rows),
         base.files ++ carriedAppends,
@@ -895,8 +896,7 @@ object Snapshot {
     * carries. Driver-built from the manifests. */
   def historyTable(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    listVersions(spark, table).sorted
-      .flatMap(v => readManifest(spark, table, v))
+    mainLineage(spark, table)
       .map(m => (m.version, m.parent, m.action, m.rows,
         m.files.size.toLong, m.files.map(_.bytes).sum, m.tag,
         m.atMicros,
@@ -932,11 +932,10 @@ object Snapshot {
     require(cur.contains(from), s"no column '$from' in $table " +
       cur.mkString("[", ", ", "]"))
     require(!cur.contains(to), s"column '$to' already exists in $table")
-    commitRetrying(spark, table) { parent =>
+    commitRetrying(spark, table) { (parent, v) =>
       require(parent.version == base.version,
         s"table advanced v${base.version} -> v${parent.version} during " +
           "rename; rerun against the new snapshot")
-      val v = parent.version + 1
       Manifest(v, parent.version, "schema", base.rows, base.files,
         rangeDeletes = base.rangeDeletes.map(d =>
           if (d.column == from) d.copy(column = to) else d),
@@ -973,11 +972,10 @@ object Snapshot {
     }
     require(ok, s"cannot widen ${field.dataType} to $toTyp — only " +
       "int-family to long and float-family to double are lossless")
-    commitRetrying(spark, table) { parent =>
+    commitRetrying(spark, table) { (parent, v) =>
       require(parent.version == base.version,
         s"table advanced v${base.version} -> v${parent.version} during " +
           "widen; rerun against the new snapshot")
-      val v = parent.version + 1
       Manifest(v, parent.version, "schema", base.rows, base.files,
         rangeDeletes = base.rangeDeletes,
         eqDeletes = base.eqDeletes,
@@ -1007,11 +1005,10 @@ object Snapshot {
     require(cur.contains(column), s"no column '$column' in $table " +
       cur.mkString("[", ", ", "]"))
     require(cur.size > 1, s"cannot drop the only column of $table")
-    commitRetrying(spark, table) { parent =>
+    commitRetrying(spark, table) { (parent, v) =>
       require(parent.version == base.version,
         s"table advanced v${base.version} -> v${parent.version} during " +
           "drop; rerun against the new snapshot")
-      val v = parent.version + 1
       Manifest(v, parent.version, "schema", base.rows, base.files,
         rangeDeletes = base.rangeDeletes,
         eqDeletes = base.eqDeletes,
@@ -1045,11 +1042,11 @@ object Snapshot {
     val cur = readLive(spark, table, base, base.files).columns.toSeq
     partitionCols.foreach(c => require(cur.contains(c),
       s"no column '$c' in $table " + cur.mkString("[", ", ", "]")))
-    commitRetrying(spark, table) { parent =>
+    commitRetrying(spark, table) { (parent, v) =>
       require(parent.version == base.version,
         s"table advanced v${base.version} -> v${parent.version} during " +
           "repartition; rerun against the new snapshot")
-      Manifest(parent.version + 1, parent.version, "layout",
+      Manifest(v, parent.version, "layout",
         base.rows, base.files,
         rangeDeletes = base.rangeDeletes, eqDeletes = base.eqDeletes,
         schemaChanges = base.schemaChanges,
@@ -1190,9 +1187,21 @@ object Snapshot {
           "committed)"))
     val cur = currentManifest(spark, table).getOrElse(
       throw new NoSuchElementException(s"no committed snapshot in $table"))
-    val chain = listVersions(spark, table).sorted
-      .filter(v => v > sinceVersion && v <= cur.version)
-      .flatMap(v => readManifest(spark, table, v))
+    // lineage walk (see readChangesBetween): version-range arithmetic
+    // would mix branch lineages once refs exist
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Manifest]
+    var walker: Option[Manifest] = Some(cur)
+    while (walker.exists(_.version > sinceVersion)) {
+      chain += walker.get
+      val pv = walker.get.parent
+      walker = if (pv == 0L) Some(Manifest(0L, -1L, "init", 0L, Nil))
+               else readManifest(spark, table, pv)
+    }
+    if (!walker.exists(_.version == sinceVersion))
+      throw new IllegalStateException(
+        s"v$sinceVersion is not an ancestor of the current head " +
+          s"v${cur.version} in $table (expired, or another lineage); " +
+          "re-baseline the consumer on the current snapshot")
     chain.find(_.action != "append").foreach { m =>
       throw new IllegalStateException(
         s"v${m.version} is a '${m.action}' — the interval " +
@@ -1260,17 +1269,33 @@ object Snapshot {
     require(untilVersion >= sinceVersion,
       s"inverted interval: ($sinceVersion, $untilVersion]")
     val cur = manifestAt(spark, table, Some(untilVersion))
-    val windowManifests = listVersions(spark, table).sorted
-      .filter(v => v > sinceVersion && v <= cur.version)
-      .flatMap(v => readManifest(spark, table, v))
-    val appendOnly = windowManifests.forall(_.action == "append")
+    // the window is a LINEAGE, not a version range: walk parent
+    // pointers from `until` down to `since` (identical to the version
+    // range on a linear chain; with branch refs, version numbers are
+    // shared across lineages and range arithmetic would mix them)
+    val lineageBuf =
+      scala.collection.mutable.ArrayBuffer.empty[Manifest]
+    var walker: Option[Manifest] = Some(cur)
+    while (walker.exists(_.version > sinceVersion)) {
+      lineageBuf += walker.get
+      val pv = walker.get.parent
+      walker = if (pv == 0L) Some(Manifest(0L, -1L, "init", 0L, Nil))
+               else readManifest(spark, table, pv)
+    }
+    // walked exactly onto `since` = the chain is trustable; an
+    // expired link or a `since` on another lineage falls back to the
+    // endpoint multiset diff (always correct between two states)
+    val sinceManifest: Option[Manifest] =
+      walker.filter(_.version == sinceVersion)
+    val windowManifests = lineageBuf.reverse.toSeq
+    val lineageComplete = sinceManifest.nonEmpty
+    val appendOnly = lineageComplete &&
+      windowManifests.forall(_.action == "append")
     if (appendOnly) {
       // the file-diff fast path against the BOUNDED end: fresh files
       // of `until` not in `since` (readAppendsSince spells the same
       // diff against the current version only)
-      val from = readManifest(spark, table, sinceVersion).getOrElse(
-        throw new NoSuchElementException(
-          s"no snapshot v$sinceVersion in $table"))
+      val from = sinceManifest.get
       val known = from.files.map(_.path).toSet
       val fresh = cur.files.filterNot(f => known.contains(f.path))
       return (if (fresh.isEmpty)
@@ -1354,26 +1379,27 @@ object Snapshot {
     // not table size. Falls back to the endpoint diff when the chain
     // is incomplete or carries an unrecognized action.
     val byV = windowManifests.map(m => m.version -> m).toMap
-    val versions = (sinceVersion + 1) to untilVersion
+    val versions: Seq[Long] = windowManifests.map(_.version)
     val knownActions = Set("append", "compact", "schema", "layout",
       "delete", "merge", "overwrite", "delete-mor", "merge-mor")
-    def parentOf(v: Long): Option[Manifest] =
-      if (v - 1 > sinceVersion) byV.get(v - 1)
-      else if (v - 1 == 0L) Some(Manifest(0L, -1L, "init", 0L, Nil))
-      else readManifest(spark, table, v - 1)
-    val chainComplete = versions.forall(v => byV.contains(v) &&
-      knownActions.contains(byV(v).action) && parentOf(v).nonEmpty)
+    // each window manifest's parent is its lineage predecessor (the
+    // since manifest for the first)
+    val parentByV: Map[Long, Manifest] =
+      windowManifests.zip(sinceManifest.toSeq ++ windowManifests)
+        .map { case (m, par) => m.version -> par }.toMap
+    def parentOf(v: Long): Option[Manifest] = parentByV.get(v)
+    val chainComplete = lineageComplete &&
+      windowManifests.forall(m => knownActions.contains(m.action))
     // plan-size guard: each delta-contributing commit adds a grouped
     // subtree to the union; a consumer that fell months behind could
     // otherwise hand Catalyst hundreds of them. Past the cap the
-    // two-scan endpoint diff is both cheaper to PLAN and competitive
-    // to RUN (the window has churned most of the table anyway).
+    // window walks in SEGMENTS of <= MaxChainDeltas delta commits,
+    // each segment's net materialized before the next plans — still
+    // O(changed rows), never the two-full-scan endpoint diff.
     val MaxChainDeltas = 24
     val deltaCommits = versions.count(v => byV.get(v).exists(m =>
       !Set("compact", "schema", "layout").contains(m.action)))
-    val deltas: Option[Seq[DataFrame]] =
-      if (!chainComplete || deltaCommits > MaxChainDeltas) None
-      else Some(versions.flatMap { v =>
+    def deltasOf(vs: Seq[Long]): Seq[DataFrame] = vs.flatMap { v =>
         val m = byV(v)
         val parent = parentOf(v).get
         val childPaths = m.files.map(_.path).toSet
@@ -1422,26 +1448,71 @@ object Snapshot {
              else Seq(weighted(conform(
                readLive(spark, table, m, staged), v), 1)))
         }
-      })
-    val net = deltas match {
-      case Some(ws) if ws.isEmpty =>
-        return after.filter(lit(false))
-          .withColumn("_change", fLit("insert"))
-      case Some(ws) =>
-        ws.reduce(_ unionByName _)
-          .groupBy(col("__fp"))
-          .agg(fSum(col("__w")).as("__delta"),
-            first(col("__row")).as("__row"))
-          .filter(col("__delta") =!= 0L)
-      case None => // endpoint multiset diff: two full snapshot scans
+      }
+    // the shared final combine: weighted deltas (or already-netted
+    // segment frames — same (__fp, __w, __row) shape) sum to the net
+    def combined(ws: Seq[DataFrame]): DataFrame =
+      ws.reduce(_ unionByName _)
+        .groupBy(col("__fp"))
+        .agg(fSum(col("__w")).as("__delta"),
+          first(col("__row")).as("__row"))
+        .filter(col("__delta") =!= 0L)
+    val emptyDiff = after.filter(lit(false))
+      .withColumn("_change", fLit("insert"))
+    val net =
+      if (!chainComplete) {
+        // endpoint multiset diff: two full snapshot scans — the
+        // honest lower bound when the chain cannot be trusted
         val before = conform(read(spark, table, Some(sinceVersion)),
           sinceVersion)
-        weighted(before, -1).unionByName(weighted(after, 1))
-          .groupBy(col("__fp"))
-          .agg(fSum(col("__w")).as("__delta"),
-            first(col("__row")).as("__row"))
-          .filter(col("__delta") =!= 0L)
-    }
+        combined(Seq(weighted(before, -1), weighted(after, 1)))
+      } else if (deltaCommits <= MaxChainDeltas) {
+        val ws = deltasOf(versions)
+        if (ws.isEmpty) return emptyDiff
+        combined(ws)
+      } else {
+        // ==SEGMENTED chain walk== (a consumer that fell MONTHS
+        // behind): past the plan-size cap the window splits into
+        // consecutive segments of <= MaxChainDeltas delta commits;
+        // each segment's deltas combine and MATERIALIZE
+        // (localCheckpoint — the segment net is bounded by the
+        // segment's CHANGED rows, and the checkpoint truncates its
+        // grouped-union subtree out of the outer plan), then the
+        // materialized nets sum exactly like per-commit deltas (the
+        // multiset identity telescopes across segments; rows
+        // inserted in one segment and deleted in another still
+        // cancel in the outer combine). Work stays O(changed rows)
+        // for arbitrarily long windows; Catalyst only ever sees
+        // MaxChainDeltas grouped subtrees at once. The checkpoint
+        // trades re-computability for bounded plans — a lost
+        // executor during the diff recomputes the READ (rerun the
+        // poll), it never corrupts it.
+        val segs = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer.empty[Long])
+        var cnt = 0
+        versions.foreach { v =>
+          val isDelta = !Set("compact", "schema", "layout")
+            .contains(byV(v).action)
+          if (isDelta && cnt == MaxChainDeltas) {
+            segs += scala.collection.mutable.ArrayBuffer.empty[Long]
+            cnt = 0
+          }
+          segs.last += v
+          if (isDelta) cnt += 1
+        }
+        val segNets = segs.toSeq.flatMap { seg =>
+          val ws = deltasOf(seg.toSeq)
+          if (ws.isEmpty) None
+          else Some(ws.reduce(_ unionByName _)
+            .groupBy(col("__fp"))
+            .agg(fSum(col("__w")).as("__w"),
+              first(col("__row")).as("__row"))
+            .filter(col("__w") =!= 0L)
+            .localCheckpoint())
+        }
+        if (segNets.isEmpty) return emptyDiff
+        combined(segNets)
+      }
     // per-row copies via a TWO-LEVEL expansion: a single explode of
     // sequence(1, |delta|) materializes one |delta|-long array in one
     // row — a mass-duplicate fingerprint (millions of identical rows
@@ -1577,8 +1648,7 @@ object Snapshot {
     * (including pre-timestamp manifests, whose stamp is 0). */
   def readAsOf(spark: SparkSession, table: String,
                tsMicros: Long): DataFrame = {
-    val qualifying = listVersions(spark, table).sorted
-      .flatMap(v => readManifest(spark, table, v))
+    val qualifying = mainLineage(spark, table)
       .filter(m => m.atMicros > 0L && m.atMicros <= tsMicros)
     if (qualifying.isEmpty)
       throw new NoSuchElementException(
@@ -1923,14 +1993,291 @@ object Snapshot {
     * rows, tag). */
   def versions(spark: SparkSession, table: String)
       : Seq[(Long, String, Int, Long, String)] =
-    listVersions(spark, table).sorted.flatMap(v =>
-      readManifest(spark, table, v))
+    mainLineage(spark, table)
       .map(m => (m.version, m.action, m.files.size, m.rows, m.tag))
 
   def latestVersion(spark: SparkSession, table: String): Option[Long] = {
     val vs = listVersions(spark, table)
     if (vs.isEmpty) None else Some(vs.max)
   }
+
+  // ---- branch refs (write-audit-publish) ---------------------------------
+  //
+  // NAMED REFS over the manifest chain (the Iceberg branch/tag model):
+  // a refs file under `_snapshots/` maps branch names to head VERSIONS.
+  // Refs are themselves versioned and CAS-claimed (`refs-vK.json`
+  // through the same scratch + atomic-bind as manifests), so branch
+  // head movement is serialized exactly like commits. A table with no
+  // refs file is in LEGACY mode: its main head IS its latest version
+  // and nothing below changes any behavior — refs appear only when
+  // [[createBranch]] first runs.
+  //
+  // The workflow this exists for is WRITE-AUDIT-PUBLISH: a pipeline
+  // lands risky data on an `audit` branch (invisible to every main
+  // reader), the oracle/quality queries run against [[readBranch]],
+  // and [[publish]] fast-forwards main to the audited head — a
+  // metadata-only promotion, no data moves. In refs mode, commits
+  // claim GLOBALLY unique version numbers (the claim CAS) but
+  // serialize per branch on the ref advance: a commit whose branch
+  // head moved underneath it deletes its claimed manifest (still
+  // invisible — readers resolve through refs) and retries. A crash
+  // between claim and ref-advance leaves an unreachable manifest
+  // that [[expire]] sweeps past the grace horizon.
+
+  private final case class Refs(v: Long, heads: Map[String, Long])
+
+  private def refsName(k: Long): String = f"refs-v$k%012d.json"
+
+  private def refsPath(table: String,
+                       k: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$table/$SnapDir/${refsName(k)}")
+
+  private def listRefVersions(spark: SparkSession,
+                              table: String): Seq[Long] = {
+    val fs = hadoopFs(spark, table)
+    val dir = new org.apache.hadoop.fs.Path(s"$table/$SnapDir")
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("refs-v") && n.endsWith(".json"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("refs-v").stripSuffix(".json").toLong).toOption)
+  }
+
+  /** The current refs state, or None for a legacy (never-branched)
+    * table. */
+  private def refsOf(spark: SparkSession,
+                     table: String): Option[Refs] = {
+    val ks = listRefVersions(spark, table)
+    if (ks.isEmpty) return None
+    val k = ks.max
+    val fs = hadoopFs(spark, table)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(readFully(fs, refsPath(table, k)), "UTF-8"))
+    val b = Map.newBuilder[String, Long]
+    root.get("heads").fields().forEachRemaining { e =>
+      b += e.getKey -> e.getValue.asLong() }
+    Some(Refs(k, b.result()))
+  }
+
+  /** CAS-write refs state `expect.v + 1`; false = lost the race
+    * (re-read and retry). */
+  private def writeRefsCas(spark: SparkSession, table: String,
+                           expectV: Long,
+                           heads: Map[String, Long]): Boolean = {
+    val fs = hadoopFs(spark, table)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$table/$SnapDir"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    val h = root.putObject("heads")
+    heads.toSeq.sortBy(_._1).foreach { case (n, v) => h.put(n, v) }
+    val body = om.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root).getBytes("UTF-8")
+    val scratch = new org.apache.hadoop.fs.Path(
+      s"$table/$SnapDir/.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(scratch, false)
+    try out.write(body) finally out.close()
+    val won = atomicBind(fs, scratch, refsPath(table, expectV + 1))
+    fs.delete(scratch, false)
+    won
+  }
+
+  /** Advance `branch` from head `from` to `to`. False = the branch
+    * head is no longer `from` (a same-branch commit won — the caller
+    * retries its whole commit); bind races against OTHER branches'
+    * updates retry internally. */
+  private def advanceRef(spark: SparkSession, table: String,
+                         branch: String, from: Long,
+                         to: Long): Boolean = {
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      refsOf(spark, table) match {
+        case None => throw new IllegalStateException(
+          s"refs vanished from $table mid-commit — refs files are " +
+            "never deleted wholesale; filesystem corruption?")
+        case Some(r) =>
+          if (!r.heads.get(branch).contains(from)) return false
+          if (writeRefsCas(spark, table, r.v,
+            r.heads.updated(branch, to))) return true
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"lost the refs race $MaxRetries times on $table — " +
+        "pathological contention, back off and retry")
+  }
+
+  /** Create branch `name` at `at` (default: the current main head).
+    * The table enters REFS MODE on first use: main's head is pinned
+    * to its current latest version and every subsequent commit
+    * advances its branch's ref.
+    *
+    * The one-time legacy->refs transition is an ADMIN operation: do
+    * not race it with concurrent writers (a commit that claims its
+    * manifest in the instant before the refs file first appears can
+    * be stranded invisible — its writer re-checks refs after the
+    * claim, which closes the window for any commit whose claim lands
+    * after the refs write, but not one strictly inside it). Once the
+    * table is in refs mode every operation is concurrency-safe; this
+    * caveat applies only to the very first createBranch on a table
+    * with live writers. */
+  def createBranch(spark: SparkSession, table: String, name: String,
+                   at: Option[Long] = None): Unit = {
+    require(name != "main", "'main' always exists")
+    require(name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"branch name must be ref-safe, got '$name'")
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cur = refsOf(spark, table)
+      val mainHead = cur.flatMap(_.heads.get("main"))
+        .orElse(latestVersion(spark, table))
+        .getOrElse(throw new IllegalStateException(
+          s"no committed snapshot in $table to branch from"))
+      val target = at.getOrElse(mainHead)
+      require(readManifest(spark, table, target).nonEmpty,
+        s"no snapshot v$target in $table to branch from")
+      cur match {
+        case None =>
+          if (writeRefsCas(spark, table, 0L,
+            Map("main" -> mainHead, name -> target))) return
+        case Some(r) =>
+          require(!r.heads.contains(name),
+            s"branch '$name' already exists in $table")
+          if (writeRefsCas(spark, table, r.v,
+            r.heads.updated(name, target))) return
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the refs race on $table")
+  }
+
+  /** Branch name -> head version (includes `main`); empty for a
+    * legacy table (main is implicitly the latest version). */
+  def branches(spark: SparkSession,
+               table: String): Map[String, Long] =
+    refsOf(spark, table).map(_.heads).getOrElse(Map.empty)
+
+  /** Remove branch `name` (its exclusive manifests become orphans
+    * that [[expire]] sweeps past the grace horizon). */
+  def dropBranch(spark: SparkSession, table: String,
+                 name: String): Unit = {
+    require(name != "main", "cannot drop 'main'")
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val r = refsOf(spark, table).getOrElse(
+        throw new NoSuchElementException(s"no branches in $table"))
+      require(r.heads.contains(name), s"no branch '$name' in $table")
+      if (writeRefsCas(spark, table, r.v, r.heads - name)) return
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the refs race on $table")
+  }
+
+  /** FAST-FORWARD PUBLISH: point main at `branch`'s head — the
+    * write-audit-publish promotion, metadata-only (no data file
+    * moves; main readers resolve the audited manifests on their next
+    * read). Requires main's head to be an ANCESTOR of the branch
+    * head (nothing landed on main since the fork); a diverged main
+    * aborts loudly — re-branch and re-audit rather than silently
+    * dropping main's commits. Drops the branch ref by default (its
+    * manifests are now main lineage). Returns the published head. */
+  def publish(spark: SparkSession, table: String, branch: String,
+              keepBranch: Boolean = false): Long = {
+    require(branch != "main", "publish promotes a non-main branch")
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val r = refsOf(spark, table).getOrElse(
+        throw new NoSuchElementException(s"no branches in $table"))
+      val bh = r.heads.getOrElse(branch,
+        throw new NoSuchElementException(s"no branch '$branch' in " +
+          table))
+      val mh = r.heads.getOrElse("main",
+        throw new IllegalStateException(s"refs without main in $table"))
+      // ancestry walk: from the branch head down to main's head
+      var c = readManifest(spark, table, bh)
+      while (c.exists(m => m.version > mh && m.parent > 0L))
+        c = readManifest(spark, table, c.get.parent)
+      val ff = bh == mh || c.exists(_.version == mh)
+      require(ff, s"main (v$mh) is not an ancestor of '$branch' " +
+        s"(v$bh) — main advanced since the fork; re-branch, " +
+        "re-audit, and publish again")
+      val heads2 = (if (keepBranch) r.heads else r.heads - branch)
+        .updated("main", bh)
+      if (writeRefsCas(spark, table, r.v, heads2)) return bh
+      attempt += 1
+    }
+    throw new IllegalStateException(s"lost the refs race on $table")
+  }
+
+  /** The branch's current table (the audit-side read of
+    * write-audit-publish). `read` (no branch) always reads main. */
+  def readBranch(spark: SparkSession, table: String,
+                 branch: String): DataFrame = {
+    val h = headVersionOf(spark, table, branch).getOrElse(
+      throw new NoSuchElementException(s"no branch '$branch' in $table"))
+    read(spark, table, Some(h))
+  }
+
+  /** `branch`'s head version: through refs when they exist; a legacy
+    * table's main head is its latest version. */
+  private def headVersionOf(spark: SparkSession, table: String,
+                            branch: String): Option[Long] =
+    refsOf(spark, table) match {
+      case Some(r) => r.heads.get(branch)
+      case None =>
+        if (branch == "main") latestVersion(spark, table) else None
+    }
+
+  /** The MAIN lineage's retained manifests, ascending by version —
+    * for a legacy table this is every retained manifest (identical
+    * to the pre-refs behavior by construction: a linear chain's
+    * lineage walk from its latest version visits every retained
+    * version). */
+  private def mainLineage(spark: SparkSession,
+                          table: String): Seq[Manifest] =
+    refsOf(spark, table) match {
+      case None => listVersions(spark, table).sorted
+        .flatMap(v => readManifest(spark, table, v))
+      case Some(r) =>
+        r.heads.get("main").toSeq.flatMap(h =>
+          lineageManifests(spark, table, h))
+    }
+
+  /** Walk parent pointers from `head` down to the oldest retained
+    * ancestor; ascending by version. */
+  private def lineageManifests(spark: SparkSession, table: String,
+                               head: Long): Seq[Manifest] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Manifest]
+    var cur = readManifest(spark, table, head)
+    while (cur.nonEmpty) {
+      buf += cur.get
+      cur = if (cur.get.parent <= 0L) None
+            else readManifest(spark, table, cur.get.parent)
+    }
+    buf.reverse.toSeq
+  }
+
+  /** Every retained manifest reachable from SOME ref head, newest
+    * first (legacy: every retained manifest) — the tag-idempotence
+    * search space: an unreachable orphan (crashed mid-commit) must
+    * never dedupe a replay. */
+  private def reachableManifests(spark: SparkSession,
+                                 table: String): Seq[Manifest] =
+    refsOf(spark, table) match {
+      case None => listVersions(spark, table).sorted.reverse
+        .flatMap(v => readManifest(spark, table, v))
+      case Some(r) =>
+        val seen = scala.collection.mutable.Map.empty[Long, Manifest]
+        r.heads.values.toSeq.distinct.foreach { h =>
+          var cur = readManifest(spark, table, h)
+          while (cur.nonEmpty && !seen.contains(cur.get.version)) {
+            seen(cur.get.version) = cur.get
+            cur = if (cur.get.parent <= 0L) None
+                  else readManifest(spark, table, cur.get.parent)
+          }
+        }
+        seen.values.toSeq.sortBy(-_.version)
+    }
 
   /** Retention: keep the last `keepLast` manifests, delete older ones,
     * then sweep every file under the table not referenced by a
@@ -1956,8 +2303,44 @@ object Snapshot {
       System.currentTimeMillis() - graceMicros / 1000L
     val fs = hadoopFs(spark, table)
     val all = listVersions(spark, table).sorted
-    val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
-    drop.foreach(v => fs.delete(manifestPath(table, v), false))
+    // refs mode: retention is PER LINEAGE — keep the newest
+    // `keepLast` manifests of MAIN's lineage plus everything
+    // reachable from a non-main ref (branches are short-lived audit
+    // lines; publish/dropBranch releases their retention). Reachable-
+    // but-old main ancestry drops immediately (as in legacy mode);
+    // UNREACHABLE manifests (a crashed commit's claim, a lost ref
+    // race not yet self-deleted) sweep only past the grace horizon —
+    // an in-flight commit's fresh claim is invisible but not yet
+    // orphaned. Legacy tables take the old count-based split exactly.
+    val (keep: Seq[Long], dropNow: Seq[Long], dropGated: Seq[Long]) =
+      refsOf(spark, table) match {
+        case None =>
+          val (d, k) = all.splitAt(math.max(0, all.size - keepLast))
+          (k, d, Nil)
+        case Some(r) =>
+          val mainLin = r.heads.get("main").toSeq
+            .flatMap(h => lineageManifests(spark, table, h))
+            .map(_.version)
+          val keepMain = mainLin.takeRight(keepLast)
+          val branchLin = (r.heads - "main").values.toSeq.distinct
+            .flatMap(h => lineageManifests(spark, table, h))
+            .map(_.version)
+          val keepSet = (keepMain ++ branchLin).toSet
+          val reachable = (mainLin ++ branchLin).toSet
+          (all.filter(keepSet),
+           all.filter(v => reachable(v) && !keepSet(v)),
+           all.filterNot(reachable))
+      }
+    val drop = dropNow // legacy naming for the returned count
+    dropNow.foreach(v => fs.delete(manifestPath(table, v), false))
+    var droppedGated = 0
+    dropGated.foreach { v =>
+      val p = manifestPath(table, v)
+      if (fs.exists(p) &&
+          fs.getFileStatus(p).getModificationTime < sweepBeforeMillis) {
+        if (fs.delete(p, false)) droppedGated += 1
+      }
+    }
     val keptManifests = keep.flatMap(v => readManifest(spark, table, v))
     val live: Set[String] =
       keptManifests.flatMap(_.files.map(_.path)).toSet
@@ -1969,6 +2352,10 @@ object Snapshot {
     // _snapshots sweep (the manifest-list layer's metadata liveness)
     val liveGroups: Set[String] =
       keep.flatMap(v => groupNamesOf(fs, table, v)).toSet
+    val liveRefs: Set[String] = listRefVersions(spark, table) match {
+      case Nil => Set.empty
+      case ks => Set(refsName(ks.max))
+    }
     val root = new org.apache.hadoop.fs.Path(table)
     val rootUri = root.toUri.getPath.stripSuffix("/")
     var removed = 0
@@ -1994,7 +2381,11 @@ object Snapshot {
           keep.exists(v => rel == s"$SnapDir/${manifestName(v)}")
         val isLiveGroup =
           liveGroups.contains(rel.stripPrefix(SnapDir + "/"))
-        if (!isLiveManifest && !isLiveGroup && oldEnough)
+        // the CURRENT refs file is the table's branch state — always
+        // live; superseded refs-v files sweep like lost-race scratch
+        val isLiveRefs = liveRefs.contains(
+          rel.stripPrefix(SnapDir + "/"))
+        if (!isLiveManifest && !isLiveGroup && !isLiveRefs && oldEnough)
           doomed += f.getPath
       } else if (!isMeta && !live.contains(rel) && oldEnough &&
           !liveDeleteDirs.exists(d => rel.startsWith(d + "/"))) {
@@ -2010,7 +2401,7 @@ object Snapshot {
         if (!rel.startsWith(SnapDir + "/")) removed += 1
       }
     }
-    (drop.size, removed)
+    (drop.size + droppedGated, removed)
   }
 
   /** Retention by TIME — the production spelling of [[expire]]:
@@ -2061,7 +2452,15 @@ object Snapshot {
     * key provably misses — the same manifest/puffin split Iceberg
     * makes. Footer filters ride the data file (no manifest bytes),
     * are sized by parquet per row group, and parquet's reader applies
-    * them automatically under pushed-down equality/IN predicates. */
+    * them automatically under pushed-down equality/IN predicates.
+    *
+    * FLOAT/DOUBLE columns never get a footer filter: parquet hashes
+    * raw IEEE bits with no -0.0/+0.0 normalization, so a file holding
+    * -0.0 would bloom-reject a `= 0.0` probe and the reader would
+    * silently SKIP matching rows — a false negative, the one failure
+    * a Bloom layer must never have. (The manifest's [[FileBloom]]
+    * normalizes before hashing, so doubles keep manifest-level
+    * pruning; they just don't get the in-file layer.) */
   private def stage(spark: SparkSession, df: DataFrame, table: String,
                     partitionCols: Seq[String] = Nil,
                     bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
@@ -2069,7 +2468,12 @@ object Snapshot {
     val rel = s"data/$commitId"
     val dst = s"$table/$rel"
     val writer0 = df.write.mode("errorifexists")
-    val writer = bloomCols.distinct.foldLeft(writer0)((w, c) =>
+    val footerSafe = bloomCols.distinct.filter(c =>
+      df.schema.find(_.name == c).forall(f => f.dataType match {
+        case FloatType | DoubleType => false
+        case _ => true
+      }))
+    val writer = footerSafe.foldLeft(writer0)((w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(dst)
@@ -2164,19 +2568,51 @@ object Snapshot {
     * v; Left(v) = the builder detected its work already landed as v
     * (the [[DuplicateTag]] idempotence path). */
   private def commitRetrying(spark: SparkSession, table: String)
-                            (build: Manifest => Manifest)
+                            (build: (Manifest, Long) => Manifest)
+      : Either[Long, Long] =
+    commitRetryingOn(spark, table, "main")(build)
+
+  /** [[commitRetrying]] targeted at a BRANCH: the parent is the
+    * branch head, the claimed version number is globally unique
+    * (max retained version + 1 — identical to `parent.version + 1`
+    * for a legacy table, where main's head IS the latest version),
+    * and in refs mode the commit serializes on the REF advance: once
+    * version numbers are shared across branches, winning the
+    * manifest-name CAS no longer proves this branch's head is
+    * unmoved, so a claimed manifest whose branch head advanced
+    * underneath it is deleted (unreachable — readers resolve through
+    * refs, so no reader ever saw it) and the commit retries against
+    * the new head. The builder receives `(parent, v)`: the manifest
+    * it returns must carry version `v` and stamp staged files'
+    * `seq = v`. */
+  private def commitRetryingOn(spark: SparkSession, table: String,
+                               branch: String)
+                              (build: (Manifest, Long) => Manifest)
       : Either[Long, Long] = {
     val hook = onCommitAttempt
     onCommitAttempt = () => ()
     hook()
     var attempt = 0
     while (attempt < MaxRetries) {
-      val parent = currentManifest(spark, table)
-        .getOrElse(Manifest(0L, -1L, "init", 0L, Nil))
+      val refs0 = refsOf(spark, table)
+      val parent: Manifest =
+        (refs0 match {
+          case Some(r) =>
+            val h = r.heads.getOrElse(branch,
+              throw new NoSuchElementException(
+                s"no branch '$branch' in $table (createBranch first)"))
+            readManifest(spark, table, h)
+          case None =>
+            if (branch != "main") throw new NoSuchElementException(
+              s"no branch '$branch' in $table (createBranch first)")
+            currentManifest(spark, table)
+        }).getOrElse(Manifest(0L, -1L, "init", 0L, Nil))
+      val nextV = math.max(
+        latestVersion(spark, table).getOrElse(0L), parent.version) + 1
       val now = java.time.Instant.now()
       val next =
         try {
-          val built = build(parent)
+          val built = build(parent, nextV)
           built.copy(atMicros =
             now.getEpochSecond * 1000000L + now.getNano / 1000L,
             // the declared layout is table CONFIG: every commit
@@ -2185,7 +2621,23 @@ object Snapshot {
             layout = built.layout.orElse(parent.layout))
         }
         catch { case d: DuplicateTag => return Left(d.version) }
-      if (claim(spark, table, next)) return Right(next.version)
+      if (claim(spark, table, next)) {
+        // re-check refs AFTER the claim: paired with createBranch's
+        // healing pass, this closes the refs-initialization race (a
+        // commit that claimed while refs appeared either sees them
+        // here and advances its ref, or is seen by the healer)
+        refsOf(spark, table) match {
+          case None => return Right(next.version) // legacy: done
+          case Some(_) =>
+            if (advanceRef(spark, table, branch, parent.version,
+                next.version))
+              return Right(next.version)
+            // branch head moved underneath the claim: remove the
+            // unreachable manifest and retry against the new head
+            hadoopFs(spark, table)
+              .delete(manifestPath(table, next.version), false)
+        }
+      }
       attempt += 1
     }
     throw new IllegalStateException(
@@ -2661,9 +3113,16 @@ object Snapshot {
         n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
   }
 
+  /** The MAIN head's manifest: through refs when the table has
+    * branches, else the latest version (legacy — identical). Branch
+    * commits are invisible here by construction. */
   private def currentManifest(spark: SparkSession,
                               table: String): Option[Manifest] =
-    latestVersion(spark, table).flatMap(v =>
+    headManifest(spark, table, "main")
+
+  private def headManifest(spark: SparkSession, table: String,
+                           branch: String): Option[Manifest] =
+    headVersionOf(spark, table, branch).flatMap(v =>
       readManifest(spark, table, v))
 
   /** The committed manifest at `v`, if retained — the user-facing

@@ -21,7 +21,8 @@ class GoldenSeededSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.01"
   private val Seeded = Seq("q_minhash_twins", "q_als_recommend",
     "q_dedup_minhash", "q_simhash_neardup", "q_embedding_neardup",
-    "q_semantic_dedup", "q_ann_topk", "q_ivf_topk", "q_phash_neardup",
+    "q_semantic_dedup", "q_ann_topk", "q_ivf_topk", "q_nsw_topk",
+    "q_phash_neardup",
     "q_pq_topk", "q_ivfpq_residual",
     "q_image_embed", "q_audio_embed",
     "q_audio_fingerprint", "q_video_framedup",

@@ -1510,6 +1510,108 @@ class SnapshotSpec extends AnyFunSuite {
     assert(w.contains((1L, 2L)) && n == 2L)
   }
 
+  test("branch refs: commits on a branch are invisible to main, " +
+    "audit reads see them, fast-forward publish promotes " +
+    "metadata-only, diverged main refuses, CDC stays lineage-scoped") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 50), t) // v1 (main)
+    Snapshot.createBranch(spark, t, "audit")
+    assert(Snapshot.branches(spark, t) ==
+      Map("main" -> 1L, "audit" -> 1L))
+    // risky data lands on the branch — v2 claims a GLOBAL version
+    // number but only the audit ref moves
+    val bv = Snapshot.append(batch(100, 120), t, branch = "audit")
+    assert(bv == 2L)
+    assert(Snapshot.read(spark, t).count() == 50L,
+      "branch commit leaked into main reads")
+    assert(Snapshot.versions(spark, t).map(_._1) == Seq(1L),
+      "branch commit leaked into the main version chain")
+    assert(Snapshot.readBranch(spark, t, "audit").count() == 70L)
+    // maintenance runs ON the branch too (a compaction commit)
+    val cv = Snapshot.compact(spark, t, branch = "audit")
+    assert(Snapshot.read(spark, t).count() == 50L)
+    assert(Snapshot.readBranch(spark, t, "audit").count() == 70L)
+    // publish: fast-forward main onto the audited head; branch ref
+    // released; the promoted files are EXACTLY the branch's (no move)
+    val branchFiles = Snapshot.readManifest(spark, t, cv).get.files
+    val published = Snapshot.publish(spark, t, "audit")
+    assert(published == cv)
+    assert(Snapshot.branches(spark, t) == Map("main" -> published))
+    assert(Snapshot.readManifest(spark, t, published).get.files ==
+      branchFiles)
+    assert(Snapshot.read(spark, t).count() == 70L)
+    assert(Snapshot.read(spark, t).agg(sum("id")).head().getLong(0) ==
+      (0L until 50L).sum + (100L until 120L).sum)
+    // divergence: main advances while a second branch is audited —
+    // publish must refuse rather than drop main's commit
+    Snapshot.createBranch(spark, t, "audit2")
+    Snapshot.append(batch(200, 210), t, branch = "audit2")
+    Snapshot.append(batch(300, 310), t) // main advances
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.publish(spark, t, "audit2")
+    }
+    assert(e.getMessage.contains("not an ancestor"))
+    // CDC on main sees ONLY main-lineage changes (the branch's
+    // version numbers interleave but its rows never appear)
+    val mainHead = Snapshot.branches(spark, t)("main")
+    val changes = Snapshot.readChangesBetween(spark, t, published,
+      mainHead)
+    val ids = changes.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == (300L until 310L).toSet,
+      s"main CDC window leaked branch rows: $ids")
+    // audit reads survive expire while the ref exists; dropping the
+    // branch releases its manifests to the orphan sweep
+    Snapshot.expire(spark, t, keepLast = 1, graceMicros = 0L)
+    assert(Snapshot.readBranch(spark, t, "audit2").count() == 80L)
+    Snapshot.dropBranch(spark, t, "audit2")
+    Snapshot.expire(spark, t, keepLast = 1, graceMicros = 0L)
+    assert(Snapshot.branches(spark, t) == Map("main" -> mainHead))
+    assert(Snapshot.read(spark, t).count() == 80L) // main intact
+  }
+
+  test("a months-behind CDC window (30 delta commits) diffs via the " +
+    "SEGMENTED chain walk: net equals the endpoint diff, the final " +
+    "frame plans only from materialized segment nets") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 50), t) // v1: the consumer's baseline
+    var next = 100
+    (0 until 28).foreach { _ =>
+      Snapshot.append(batch(next, next + 5).coalesce(1), t,
+        statsCols = Seq("id"))
+      next += 5
+    }
+    // two merge-on-read deletes complete the 30-delta-commit window:
+    // one kills an appended slice (insert+delete must CANCEL across
+    // segment boundaries), one kills baseline rows (a net delete)
+    Snapshot.deleteRangeMor(spark, t, "id", 100L, 104L)
+    Snapshot.deleteKeysMor(Seq(0L, 1L).toDF("id"), t)
+    val until = Snapshot.latestVersion(spark, t).get
+    assert(until == 31L)
+    val changes = Snapshot.readChangesBetween(spark, t, 1L, until)
+    val sinceIds = Snapshot.read(spark, t, Some(1L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val untilIds = Snapshot.read(spark, t)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = changes.select(col("id"), col("_change")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (untilIds -- sinceIds).map((_, "insert")) ++
+      (sinceIds -- untilIds).map((_, "delete"))
+    assert(got == want, "segmented chain walk diverged from the " +
+      "endpoint diff")
+    assert(changes.count() == want.size) // multiset: no double rows
+    // rows 100-104 were inserted AND deleted inside the window — the
+    // telescoped segment nets must cancel them
+    assert(!got.exists(_._1 == 100L))
+    // bounded plans: every segment net materialized, so the final
+    // frame reads NO table file — its leaves are the checkpointed
+    // nets, and Catalyst never saw more than one segment's subtree
+    val scans = changes.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      s"segmented CDC planned ${scans.size} file scans; expected 0")
+  }
+
   test("over-manifest-cap files carry PARQUET FOOTER Bloom filters: " +
     "the manifest refuses the filter (saturation cutoff) but the " +
     "footer prunes row groups for point probes") {
