@@ -206,6 +206,12 @@ object SparkEntry {
     "q_snapshot_partition"      -> Corpus.snapshotPartition _,
     "q_snapshot_consume"        -> Corpus.snapshotConsume _,
     "q_snapshot_asof"           -> Corpus.snapshotAsOf _,
+    // round 18: rollback/cherry-pick refs, bin-packing maintenance,
+    // incremental materialized aggregates
+    "q_snapshot_rollback"       -> Corpus.snapshotRollback _,
+    "q_snapshot_cherrypick"     -> Corpus.snapshotCherrypick _,
+    "q_snapshot_binpack"        -> Corpus.snapshotBinpack _,
+    "q_mv_refresh"              -> Corpus.mvRefresh _,
     "q_pivot_events"            -> Stats.pivotEventCounts _,
     "q_char_deciles"            -> Stats.charDeciles _,
     "q_bucketed_join"           -> Corpus.bucketedJoin _,
@@ -3701,6 +3707,68 @@ object SparkEntry {
          UNION ALL SELECT 'audit' AS phase, * FROM full_t
          UNION ALL SELECT 'published' AS phase, * FROM full_t
          ORDER BY phase, o_orderstatus""",
+    // rollback restores v2 (= the full table); the rolled-past v3
+    // (the bad range delete's survivors) stays time-travelable
+    "q_snapshot_rollback" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS lo,
+                           max(o_orderkey) // 2 AS hi FROM orders),
+         bad AS (
+           SELECT o_orderstatus,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+           FROM orders, m
+           WHERE o_orderkey NOT BETWEEN m.lo AND m.hi GROUP BY 1),
+         full_t AS (
+           SELECT o_orderstatus,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+           FROM orders GROUP BY 1)
+         SELECT 'bad' AS phase, * FROM bad
+         UNION ALL SELECT 'restored' AS phase, * FROM full_t
+         ORDER BY phase, o_orderstatus""",
+    // main-pre = thirds 0+2, audit = thirds 0+1, picked = everything
+    "q_snapshot_cherrypick" ->
+      """WITH sliced AS (
+           SELECT o_orderstatus, o_orderkey, o_orderkey % 3 AS r
+           FROM orders),
+         agg AS (
+           SELECT phase, o_orderstatus,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+           FROM (
+             SELECT 'main-pre' AS phase, * FROM sliced
+             WHERE r IN (0, 2)
+             UNION ALL SELECT 'audit' AS phase, * FROM sliced
+             WHERE r IN (0, 1)
+             UNION ALL SELECT 'picked' AS phase, * FROM sliced)
+           GROUP BY 1, 2)
+         SELECT phase, o_orderstatus, n, sum_key FROM agg
+         ORDER BY phase, o_orderstatus""",
+    // the bin-packed table = all events minus the pending MoR-deleted
+    // id range (folded for rewritten files, residual for the carried
+    // one — same survivors either way)
+    "q_snapshot_binpack" ->
+      """WITH m AS (SELECT max(event_id) // 4 AS lo,
+                           max(event_id) // 2 AS hi FROM events)
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+                CAST(sum(user_id) AS BIGINT) AS sum_user_id
+         FROM events, m
+         WHERE event_id NOT BETWEEN m.lo AND m.hi
+         GROUP BY 1 ORDER BY 1""",
+    // the incrementally-folded view state must equal a from-scratch
+    // aggregate of the final table (all events minus the deleted range)
+    "q_mv_refresh" ->
+      """WITH m AS (SELECT max(event_id) // 4 AS lo,
+                           max(event_id) // 2 AS hi FROM events)
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(user_id) AS DOUBLE) AS sum_user_id,
+                CAST(count(user_id) AS BIGINT) AS cnt_user_id
+         FROM events, m
+         WHERE event_id NOT BETWEEN m.lo AND m.hi
+         GROUP BY 1 ORDER BY 1""",
     "q_snapshot_partition" ->
       """WITH base AS (
            SELECT o_orderstatus,

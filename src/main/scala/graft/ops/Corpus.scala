@@ -623,6 +623,177 @@ object Corpus {
       .orderBy(col("snap"), col("bucket"))
   }
 
+  /** ROLLBACK as a declared query ([[graft.sources.Snapshot
+    * .rollback]]): orders land in two appends, a (deliberately
+    * "bad") copy-on-write range delete rewrites the table, and
+    * rollback restores v2 as a NEW commit. The query asserts the
+    * restore is METADATA-ONLY (the new head references v2's exact
+    * file entries — no data moved) and history-preserving (the
+    * rolled-past v3 still time-travels); the hash gate then proves
+    * both states: phase `bad` = the delete's survivors read at v3
+    * AFTER the rollback, phase `restored` = the current head, equal
+    * to the full table again. */
+  def snapshotRollback(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snaprb").toString + "/t"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 2)
+    Snapshot.append(o.filter(col("o_orderkey") % 2 === 0), table) // v1
+    Snapshot.append(o.filter(col("o_orderkey") % 2 === 1), table) // v2
+    Snapshot.deleteRange(spark, table, "o_orderkey", lo, hi)      // v3
+    val rb = Snapshot.rollback(spark, table, 2L)                  // v4
+    val entriesOf = (v: Long) => Snapshot
+      .readManifest(spark, table, v).get.files
+      .map(f => (f.path, f.bytes, f.seq)).sortBy(_._1)
+    require(entriesOf(rb) == entriesOf(2L),
+      "rollback did not restore v2's exact file entries")
+    val agg = (df: DataFrame) => df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+    agg(Snapshot.read(spark, table, Some(3L)))
+      .withColumn("phase", lit("bad"))
+      .unionByName(agg(Snapshot.read(spark, table))
+        .withColumn("phase", lit("restored")))
+      .select(col("phase"), col("o_orderstatus"), col("n"),
+        col("sum_key"))
+      .orderBy(col("phase"), col("o_orderstatus"))
+  }
+
+  /** CHERRY-PICK as a declared query ([[graft.sources.Snapshot
+    * .cherryPick]]): main lands one third of orders, an audit branch
+    * lands another third, and main then advances with the last third
+    * — so [[graft.sources.Snapshot.publish]] must REFUSE the
+    * fast-forward (asserted), and the audited append reaches main by
+    * replaying its files by reference. The query asserts the pick
+    * moved zero bytes (the branch commit's own files join main's
+    * head byte-identically) and is idempotent (a second pick returns
+    * the same version); the hash gate proves all three states. */
+  def snapshotCherrypick(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapcp").toString + "/t"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    Snapshot.append(o.filter(col("o_orderkey") % 3 === 0), table) // v1
+    Snapshot.createBranch(spark, table, "audit")
+    val bv = Snapshot.append(o.filter(col("o_orderkey") % 3 === 1),
+      table, branch = "audit")
+    Snapshot.append(o.filter(col("o_orderkey") % 3 === 2), table)
+    require(scala.util.Try(
+      Snapshot.publish(spark, table, "audit")).isFailure,
+      "publish accepted a diverged main — fast-forward check broken")
+    val mainPre = Snapshot.read(spark, table)
+    val audit = Snapshot.readBranch(spark, table, "audit")
+    val picked = Snapshot.cherryPick(spark, table, bv)
+    require(Snapshot.cherryPick(spark, table, bv) == picked,
+      "cherry-pick replayed twice — tag idempotence broken")
+    val branchOwn = Snapshot.readManifest(spark, table, bv).get.files
+      .map(f => (f.path, f.bytes)).toSet --
+      Snapshot.readManifest(spark, table, 1L).get.files
+        .map(f => (f.path, f.bytes)).toSet
+    val mainNow = Snapshot.readManifest(spark, table, picked).get.files
+      .map(f => (f.path, f.bytes)).toSet
+    require(branchOwn.subsetOf(mainNow),
+      "cherry-pick moved or rewrote the picked files")
+    val agg = (df: DataFrame) => df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+    agg(mainPre).withColumn("phase", lit("main-pre"))
+      .unionByName(agg(audit).withColumn("phase", lit("audit")))
+      .unionByName(agg(Snapshot.read(spark, table))
+        .withColumn("phase", lit("picked")))
+      .select(col("phase"), col("o_orderstatus"), col("n"),
+        col("sum_key"))
+      .orderBy(col("phase"), col("o_orderstatus"))
+  }
+
+  /** BIN-PACKING small-file compaction as a declared query
+    * ([[graft.sources.Snapshot.compactSmall]]): events land as one
+    * big file plus six micro-batch-sized files, a merge-on-read
+    * range delete goes pending, and compactSmall rewrites ONLY the
+    * six small files (folding the pending delete into them). The
+    * query asserts the big file carried BY REFERENCE (byte-identical
+    * entry, original `seq`), the small files packed into one, and
+    * the pending delete stayed in the manifest for the carried file;
+    * the hash gate proves the compacted table still answers exactly
+    * the delete's survivors. */
+  def snapshotBinpack(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-snapbp").toString + "/t"
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val mx = e.agg(max(col("event_id"))).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 2)
+    Snapshot.append(e.filter(col("event_id") % 2 === 0).coalesce(1),
+      table)                                                      // v1
+    Seq(1L, 3L, 5L, 7L, 9L, 11L).foreach { r =>
+      Snapshot.append(e.filter(col("event_id") % 12 === r)
+        .coalesce(1), table)
+    }                                                        // v2..v7
+    Snapshot.deleteRangeMor(spark, table, "event_id", lo, hi) // v8
+    val base = Snapshot.readManifest(spark, table, 8L).get
+    val bigBytes = base.files.map(_.bytes).max
+    val big = base.files.find(_.bytes == bigBytes).get
+    val cv = Snapshot.compactSmall(spark, table,
+      smallBytes = bigBytes, targetFileBytes = Long.MaxValue / 2)
+    val after = Snapshot.readManifest(spark, table, cv).get
+    require(after.files.contains(big),
+      "compactSmall rewrote (or dropped) the right-sized file")
+    require(after.files.size == 2,
+      s"expected 1 carried + 1 packed file, got ${after.files.size}")
+    require(after.rangeDeletes.nonEmpty,
+      "pending MoR delete vanished while a carried file still needs it")
+    Snapshot.read(spark, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_event_id"),
+        sum(col("user_id")).as("sum_user_id"))
+      .orderBy(col("event_type"))
+  }
+
+  /** INCREMENTAL MATERIALIZED AGGREGATES as a declared query
+    * ([[graft.sources.Materialized]]): a snapshot table of even
+    * events gets a per-event-type view (count + sum/cnt of
+    * `user_id`), the table then advances with an odd-events append
+    * AND a merge-on-read range delete, and ONE refresh folds the net
+    * change into the stored state — O(changed rows), never a base
+    * rescan. The query asserts the refresh consumed exactly the
+    * (create, head] window, that a second refresh is a no-op, and
+    * that the fold landed as a merge-on-read UPSERT on the state
+    * table (touched keys only — not a state rewrite); the hash gate
+    * proves the folded state equals a from-scratch aggregate of the
+    * final table, which the oracle recomputes relationally. */
+  def mvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Materialized, Snapshot}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mv").toString
+    val table = s"$root/t"
+    val mv = s"$root/mv"
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val mx = e.agg(max(col("event_id"))).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 2)
+    Snapshot.append(e.filter(col("event_id") % 2 === 0), table) // v1
+    Materialized.create(spark, table, mv,
+      keyCols = Seq("event_type"), sumCols = Seq("user_id"))
+    Snapshot.append(e.filter(col("event_id") % 2 === 1), table) // v2
+    Snapshot.deleteRangeMor(spark, table, "event_id", lo, hi)   // v3
+    require(Materialized.refresh(spark, table, mv) == Some((1L, 3L)),
+      "refresh did not consume the (create, head] window")
+    require(Materialized.refresh(spark, table, mv).isEmpty,
+      "second refresh re-consumed an already-folded window")
+    val stateActions = Snapshot.versions(spark, s"$mv/state")
+      .map(_._2)
+    require(stateActions == Seq("append", "merge-mor"),
+      s"state history $stateActions — the fold must be a " +
+        "merge-on-read upsert of touched keys, not a state rewrite")
+    Materialized.read(spark, mv).orderBy(col("event_type"))
+  }
+
   /** Exact dedup over a corpus with planted exact clones (every 10th doc
     * re-appears under id+100000): content-hash groups with canonical id
     * and copy count. */

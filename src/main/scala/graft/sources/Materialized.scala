@@ -1,0 +1,264 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTALLY-MAINTAINED AGGREGATES over a [[Snapshot]] table —
+  * the materialized-view maintenance loop every reporting pipeline
+  * writes by hand, done once and made crash-safe. A view is a
+  * `GROUP BY keyCols` with `count(*)` plus `sum`/`count` per value
+  * column (avg = sum/cnt at read); [[create]] computes it ONCE from
+  * the table's pinned current version, and every [[refresh]] after
+  * that consumes ONLY the table's net row changes since the last
+  * refresh ([[Snapshot.readChangesBetween]] — the chain-walk CDC, so
+  * appends cost their fresh files, MoR deletes cost their pruned
+  * candidates, and an interleaved compaction costs NOTHING) and folds
+  * the per-key delta into the stored state. At 100 TB this is the
+  * difference between re-aggregating the table per refresh and paying
+  * O(changed rows) + O(touched keys): a day's appends against a
+  * year's table refresh in append-sized time.
+  *
+  * The chosen aggregates are exactly the SELF-MAINTAINABLE ones:
+  * count and sum are invertible under the CDC's insert/delete row
+  * algebra (+row / -row), so deletes fold without ever rescanning the
+  * base table. min/max are deliberately absent — a deleted extremum
+  * needs a rescan of its group to re-derive, which breaks the
+  * O(delta) contract; compute those on demand instead.
+  *
+  * ==Layout under `mv`==
+  *  - `state/` — a [[Snapshot]] table of the aggregate rows keyed by
+  *    `__mv_key` (the null-safe concatenation of the key columns,
+  *    stats+Bloom tracked, so the refresh's fold reads the state
+  *    through point-pruned file scans);
+  *  - `config.json` — keys + value columns, pinned at create;
+  *  - `baseline.json` — the last table version folded into state.
+  *
+  * ==Crash safety (at-least-once, exactly-once effect)==
+  * A refresh is one WRITE-AHEAD-pinned window folded by ONE tagged
+  * state commit. The window `(since, until]` lands in `intent.json`
+  * BEFORE any compute; a replay whose baseline still equals the
+  * intent's `since` resumes that exact window even if the base table
+  * advanced meanwhile (recomputing against a newer head would
+  * double-apply the already-folded prefix). The fold commits as a
+  * single merge-on-read upsert tagged `mv-<since>-<until>`, checked
+  * FIRST on every refresh: if the tag already landed (crash after
+  * the commit, before the baseline write), the replay only advances
+  * the baseline — it must NOT recompute the fold, because the delta
+  * re-derived against already-folded state would be wrong (that is
+  * why vanished keys become `n_rows = 0` TOMBSTONE rows inside the
+  * same commit, filtered at [[read]], rather than a second delete
+  * commit: one commit ⇒ no partially-applied window exists).
+  * Tombstones are reclaimed by [[vacuum]] (safe at any point: a
+  * reclaimed key that later re-enters does so through the normal
+  * new-key path, and a replayed window never recomputes a fold, so
+  * it cannot miss a vacuumed-away old value).
+  */
+object Materialized {
+
+  private val Sep = "\u001f"
+
+  private final case class Config(keys: Seq[String], vals: Seq[String])
+
+  /** The synthetic merge key: null-safe, collision-free across
+    * null/empty ("v:" prefix vs the bare null sentinel). Key values
+    * containing the 0x1F unit separator are the caller's documented
+    * exclusion (as with any composite-key encoding). */
+  private def mvKey(keys: Seq[String]) =
+    concat_ws(Sep, keys.map(k =>
+      coalesce(concat(lit("v:"), col(k).cast("string")),
+        lit("null"))): _*)
+
+  private def stateAgg(df: DataFrame, c: Config): DataFrame =
+    df.groupBy(c.keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        c.vals.flatMap(v => Seq(
+          coalesce(sum(col(v)).cast("double"), lit(0.0))
+            .as(s"sum_$v"),
+          count(col(v)).as(s"cnt_$v"))): _*)
+
+  private def configOf(spark: SparkSession, mv: String): Config = {
+    val s = SidecarIo.readString(spark, s"$mv/config.json").getOrElse(
+      throw new NoSuchElementException(
+        s"no materialized view at $mv (create first)"))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(s)
+    def arr(n: String): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      root.path(n).elements()
+        .forEachRemaining(e => b += e.asText())
+      b.result()
+    }
+    Config(arr("keys"), arr("vals"))
+  }
+
+  private def baselineOf(spark: SparkSession, mv: String): Long =
+    SidecarIo.readString(spark, s"$mv/baseline.json")
+      .map(s => new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(s).path("version").asLong(0L))
+      .getOrElse(throw new NoSuchElementException(
+        s"no baseline at $mv — create first"))
+
+  /** Create the view at `mv`: one full aggregate of `table`'s
+    * CURRENT version (pinned before the scan — a commit racing the
+    * create lands in the first refresh window, never half in the
+    * initial state). `sumCols` must be numeric columns of the
+    * table.
+    *
+    * RE-RUNNABLE like refresh (the [[graft.streaming
+    * .MaterializedIngest]] lazy-create path replays it on a crashed
+    * micro-batch): the pinned version is write-ahead recorded
+    * (`createpin.json`) so a replay re-aggregates the SAME snapshot,
+    * the seed commit is tagged (`mv-create` — a replay's append
+    * dedupes instead of double-seeding), and config/baseline writes
+    * are idempotent rewrites of the same content. `config.json` is
+    * written LAST of the two markers refresh reads, so a half-created
+    * view is invisible to [[refresh]]/[[read]] until the seed state
+    * actually exists. */
+  def create(spark: SparkSession, table: String, mv: String,
+             keyCols: Seq[String], sumCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "at least one group-by key")
+    require(keyCols.intersect(sumCols).isEmpty,
+      "a column cannot be both key and value")
+    require(SidecarIo.readString(spark, s"$mv/config.json").isEmpty,
+      s"materialized view already exists at $mv")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cur = SidecarIo.readString(spark, s"$mv/createpin.json")
+      .map(om.readTree(_).path("version").asLong(-1L))
+      .filter(_ >= 0L)
+      .getOrElse {
+        val v = Snapshot.latestVersion(spark, table).getOrElse(
+          throw new IllegalStateException(
+            s"no committed snapshot in $table"))
+        SidecarIo.writeStringAtomic(spark, s"$mv/createpin.json",
+          s"""{"version":$v}""")
+        v
+      }
+    val c = Config(keyCols, sumCols)
+    val st = stateAgg(Snapshot.read(spark, table, Some(cur)), c)
+      .withColumn("__mv_key", mvKey(keyCols))
+    Snapshot.append(st, s"$mv/state", tag = Some("mv-create"),
+      statsCols = Seq("__mv_key"), bloomCols = Seq("__mv_key"))
+    val root = om.createObjectNode()
+    val ka = root.putArray("keys"); keyCols.foreach(ka.add)
+    val va = root.putArray("vals"); sumCols.foreach(va.add)
+    SidecarIo.writeStringAtomic(spark, s"$mv/baseline.json",
+      s"""{"version":$cur}""")
+    SidecarIo.writeStringAtomic(spark, s"$mv/config.json",
+      om.writeValueAsString(root))
+  }
+
+  /** Fold the table's net changes since the last refresh into the
+    * stored state. O(changed rows) to compute the per-key delta,
+    * O(touched keys) to fold: only state rows whose key actually
+    * changed are read (semi-join; the state table's `__mv_key`
+    * stats/Blooms prune at file level) and only those keys rewrite
+    * (merge-on-read upsert). Returns the folded `(since, until]`
+    * window, or None when already up to date. */
+  def refresh(spark: SparkSession, table: String,
+              mv: String): Option[(Long, Long)] = {
+    val c = configOf(spark, mv)
+    val since = baselineOf(spark, mv)
+    val state = s"$mv/state"
+    // the WRITE-AHEAD window pin: a crashed refresh resumes ITS
+    // window, not whatever the table head is by replay time — the
+    // crashed run's fold may already be committed for the old window
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pinned = SidecarIo.readString(spark, s"$mv/intent.json")
+      .map(om.readTree)
+      .filter(_.path("since").asLong(-1L) == since)
+      .map(_.path("until").asLong(-1L))
+    val until = pinned.getOrElse {
+      val u = Snapshot.latestVersion(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"no committed snapshot in $table"))
+      if (u > since)
+        SidecarIo.writeStringAtomic(spark, s"$mv/intent.json",
+          s"""{"since":$since,"until":$u}""")
+      u
+    }
+    if (until <= since) return None
+    val tag = s"mv-$since-$until"
+    if (Snapshot.tagVersion(spark, state, tag).nonEmpty) {
+      // the crashed run's fold is already committed — recomputing it
+      // against the folded state would be wrong; just finish the
+      // bookkeeping it never reached
+      SidecarIo.writeStringAtomic(spark, s"$mv/baseline.json",
+        s"""{"version":$until}""")
+      return Some((since, until))
+    }
+    val ch = Snapshot.readChangesBetween(spark, table, since, until)
+    val sign = when(col("_change") === "insert", lit(1L))
+      .otherwise(lit(-1L))
+    val delta = ch.groupBy(c.keys.map(col): _*)
+      .agg(sum(sign).as("__dn"),
+        c.vals.flatMap(v => Seq(
+          coalesce(sum(sign * col(v).cast("double")), lit(0.0))
+            .as(s"__dsum_$v"),
+          coalesce(sum(when(col(v).isNotNull, sign)
+            .otherwise(lit(0L))), lit(0L)).as(s"__dcnt_$v"))): _*)
+      .withColumn("__mv_key", mvKey(c.keys))
+    // old values of ONLY the touched keys: the broadcast semi-join
+    // side is delta-sized; at scale the state read itself is file-
+    // pruned by the __mv_key Blooms gathered at every state commit.
+    // (already distinct: one delta row per group key)
+    val touched = delta.select(col("__mv_key"))
+    val old = Snapshot.read(spark, state)
+      .join(touched, Seq("__mv_key"), "left_semi")
+    val oldK = old.columns.filterNot(_ == "__mv_key")
+      .foldLeft(old)((d, n) => d.withColumnRenamed(n, s"__old_$n"))
+    val folded0 = delta.join(oldK, Seq("__mv_key"), "left_outer")
+    val keyExprs = c.keys.map(k =>
+      coalesce(col(s"__old_$k"), col(k)).as(k))
+    // column order mirrors create's state schema (keys, n_rows,
+    // sums/cnts, __mv_key) so every state commit stages the same shape
+    val folded = folded0.select(
+      keyExprs ++
+        ((coalesce(col("__old_n_rows"), lit(0L)) + col("__dn"))
+          .as("n_rows") +:
+          c.vals.flatMap(v => Seq(
+            (coalesce(col(s"__old_sum_$v"), lit(0.0)) +
+              col(s"__dsum_$v")).as(s"sum_$v"),
+            (coalesce(col(s"__old_cnt_$v"), lit(0L)) +
+              col(s"__dcnt_$v")).as(s"cnt_$v")))) :+
+        col("__mv_key"): _*)
+      .localCheckpoint() // one materialization: the fold feeds a
+                         // delete AND an upsert, and both must see
+                         // the same rows
+    val bad = folded.filter(col("n_rows") < 0L).count()
+    require(bad == 0L,
+      s"$bad keys folded to negative counts — the state at $mv has " +
+        s"diverged from $table's change feed (skipped window or " +
+        "external edit); drop and re-create the view")
+    // ONE tagged commit: fully-deleted keys ride along as n_rows = 0
+    // tombstones (filtered at read) so there is no second commit a
+    // crash could separate from this one
+    Snapshot.mergeMor(folded, state, "__mv_key", tag = Some(tag))
+    SidecarIo.writeStringAtomic(spark, s"$mv/baseline.json",
+      s"""{"version":$until}""")
+    Some((since, until))
+  }
+
+  /** The view's current contents: key columns, `n_rows`, and
+    * `sum_<v>`/`cnt_<v>` per value column (avg = sum/cnt). Reads the
+    * state table only — never the base table. Tombstoned keys
+    * (every row deleted since the last fold) are filtered out. */
+  def read(spark: SparkSession, mv: String): DataFrame =
+    Snapshot.read(spark, s"$mv/state")
+      .filter(col("n_rows") > 0L).drop("__mv_key")
+
+  /** Reclaim tombstones (state rows a fold drove to `n_rows = 0`,
+    * invisible to [[read]] but still stored): one merge-on-read
+    * key delete against the state table. Tombstone mass is bounded
+    * by keys that ever fully vanished, so this is occasional
+    * maintenance, not part of the refresh path — and it is safe at
+    * ANY point relative to crashes: a replayed window short-circuits
+    * on its commit tag (never recomputing a fold that could miss the
+    * vacuumed row), and a reclaimed key that re-enters later takes
+    * the normal new-key path. Returns the state version. */
+  def vacuum(spark: SparkSession, mv: String): Long = {
+    val state = s"$mv/state"
+    Snapshot.deleteKeysMor(
+      Snapshot.read(spark, state).filter(col("n_rows") === 0L)
+        .select(col("__mv_key")), state)
+  }
+}

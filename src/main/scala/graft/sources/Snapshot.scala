@@ -253,6 +253,18 @@ object Snapshot {
     reachableManifests(spark, table).iterator
       .collectFirst { case m if m.tag == t => m.version }
 
+  /** The committed version carrying `tag`, if any — the PUBLIC probe
+    * for at-least-once callers that must know whether a tagged commit
+    * from a crashed run already landed BEFORE recomputing work that
+    * depends on the pre-commit state (the [[Materialized.refresh]]
+    * window-replay shape: a fold recomputed against already-folded
+    * state would be wrong, so the caller short-circuits on this). */
+  def tagVersion(spark: SparkSession, table: String,
+                 tag: String): Option[Long] = {
+    require(tag.nonEmpty, "empty tag")
+    findTag(spark, table, tag)
+  }
+
   private final class DuplicateTag(val version: Long)
       extends RuntimeException
 
@@ -374,6 +386,69 @@ object Snapshot {
     }.merge
   }
 
+  /** BIN-PACKING small-file compaction: rewrite ONLY the files under
+    * `smallBytes` into ~`targetFileBytes` files; every right-sized
+    * file carries into the new manifest BY REFERENCE, byte-untouched.
+    * This is the steady-state maintenance pass for a table landing
+    * streaming micro-batches (one small file per batch is the normal
+    * state of a landed table): cost scales with the SMALL-FILE MASS,
+    * never the table — a 100 TB table with 2 GB of micro-batch
+    * droppings reads and rewrites 2 GB, where [[compact]] would
+    * rewrite 100 TB to fix a listing problem.
+    *
+    * Pending merge-on-read deletes and schema changes FOLD into the
+    * rewritten files only (their re-stamped `seq` puts them past every
+    * pending entry); the manifest keeps the delete/schema entries
+    * because the carried files still need them at read — unless the
+    * rewrite covered EVERY old file, in which case the manifest
+    * commits clean (carried interleaved appends are newer than every
+    * pending entry, so the entries are inert for them too). Row-count
+    * verified: the staged rows must equal the small subset's live
+    * count, or nothing commits. Same revalidate-and-retry contract as
+    * [[compact]] (a value-preserving rewrite overlaps nothing an
+    * append adds). Returns the committed version — unchanged when
+    * fewer than `minInputFiles` files are under the threshold. */
+  def compactSmall(spark: SparkSession, table: String,
+                   smallBytes: Long = 32L << 20,
+                   targetFileBytes: Long = 128L << 20,
+                   minInputFiles: Int = 2,
+                   branch: String = "main"): Long = {
+    require(smallBytes > 0 && targetFileBytes > 0 && minInputFiles >= 2)
+    val base = headManifest(spark, table, branch).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot on '$branch' in $table"))
+    require(base.files.nonEmpty, s"empty table $table")
+    val (small, kept) = base.files.partition(_.bytes < smallBytes)
+    if (small.size < minInputFiles) return base.version
+    val pCols = declaredLayout(base)
+    val src = readLive(spark, table, base, small)
+    // the verification count reads only the small files — bounded by
+    // the same small-file mass as the rewrite itself
+    val expect = src.count()
+    val totalBytes = small.map(_.bytes).sum
+    val nf = math.max(1L, (totalBytes + targetFileBytes - 1)
+      / targetFileBytes).toInt
+    val (staged0, rewrittenRows) = withStatsAndRows(spark, table,
+      stage(spark, src.coalesce(nf), table, pCols,
+        currentBloomColsOf(base)),
+      currentStatsColsOf(base))
+    val staged = withBlooms(spark, table, staged0,
+      currentBloomColsOf(base))
+    require(rewrittenRows == expect,
+      s"compactSmall row mismatch: small-file live rows=$expect " +
+        s"rewritten=$rewrittenRows — nothing committed")
+    val clean = kept.isEmpty // full coverage: pending entries fold away
+    commitRetryingOn(spark, table, branch) { (parent, v) =>
+      val carriedAppends = carriedOrAbort(spark, table, base, parent,
+        "compactSmall", _ => false)
+      Manifest(v, parent.version, "compact", parent.rows,
+        kept ++ staged.map(_.copy(seq = v)) ++ carriedAppends,
+        rangeDeletes = if (clean) Nil else base.rangeDeletes,
+        eqDeletes = if (clean) Nil else base.eqDeletes,
+        schemaChanges = if (clean) Nil else base.schemaChanges)
+    }.merge
+  }
+
   /** MERGE (upsert) `source` into the table by `key`, COPY-ON-WRITE:
     * a target row whose key appears in `source` is replaced by the
     * source row; source rows with unseen keys are inserted. Only the
@@ -491,8 +566,17 @@ object Snapshot {
     * the commit reads delete+insert per updated row. Prefer [[merge]]
     * when read amplification matters more than write cost (every
     * read until compaction pays the anti-join). */
-  def mergeMor(source: DataFrame, table: String, key: String): Long = {
+  def mergeMor(source: DataFrame, table: String, key: String,
+               tag: Option[String] = None): Long = {
     val spark = source.sparkSession
+    // the at-least-once dedupe rides the same tag machinery as
+    // [[append]]: a replayed upsert (crash after the state commit but
+    // before its caller's baseline write — the [[Materialized]]
+    // refresh shape) must find its first run and not re-apply
+    tag.flatMap(t => findTag(spark, table, t)) match {
+      case Some(v) => return v
+      case None => ()
+    }
     val base = currentManifest(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     require(base.files.nonEmpty, s"empty table $table")
@@ -536,6 +620,8 @@ object Snapshot {
     val staged = withBlooms(spark, table, staged0,
       currentBloomColsOf(base))
     commitRetrying(spark, table) { (parent, v) =>
+      tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
+        throw new DuplicateTag(v) } // raced replayer landed it first
       // same conflict rule as [[merge]]: a disjointness-proven append
       // carries forward (the new EqDelete applies to it by seq, but
       // provably touches none of its rows — accounting stays exact)
@@ -545,6 +631,7 @@ object Snapshot {
       Manifest(v, parent.version, "merge-mor",
         base.rows - dead + stagedRows + (parent.rows - base.rows),
         base.files ++ carriedAppends ++ staged.map(_.copy(seq = v)),
+        tag.getOrElse(""),
         rangeDeletes = base.rangeDeletes,
         eqDeletes = base.eqDeletes ++ (
           if (dead == 0L) Nil
@@ -792,8 +879,15 @@ object Snapshot {
     * Rows whose key columns are NULL never match (anti-join equality
     * semantics — the SQL DELETE contract). Returns the current
     * version unchanged when no live row matches. */
-  def deleteKeysMor(keys: DataFrame, table: String): Long = {
+  def deleteKeysMor(keys: DataFrame, table: String,
+                    tag: Option[String] = None): Long = {
     val spark = keys.sparkSession
+    // replay dedupe, as in [[mergeMor]]: a crashed caller re-running
+    // the same logical delete must not re-stage a second delete file
+    tag.flatMap(t => findTag(spark, table, t)) match {
+      case Some(v) => return v
+      case None => ()
+    }
     val base = currentManifest(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     require(base.files.nonEmpty, s"empty table $table")
@@ -822,12 +916,15 @@ object Snapshot {
     while (it.hasNext) bytes += it.next().getLen
     val nKeys = distinctKeys.count()
     commitRetrying(spark, table) { (parent, v) =>
+      tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
+        throw new DuplicateTag(v) }
       val carriedAppends = carriedOrAbort(spark, table, base, parent,
         "delete", appended => keyCandidatesIn(appended,
           base.schemaChanges, distinctKeys, cols).nonEmpty)
       Manifest(v, parent.version, "delete-mor",
         base.rows - dead + (parent.rows - base.rows),
         base.files ++ carriedAppends,
+        tag.getOrElse(""),
         rangeDeletes = base.rangeDeletes,
         eqDeletes = base.eqDeletes :+
           EqDelete(rel, bytes, nKeys, cols, v),
@@ -2216,6 +2313,122 @@ object Snapshot {
     val h = headVersionOf(spark, table, branch).getOrElse(
       throw new NoSuchElementException(s"no branch '$branch' in $table"))
     read(spark, table, Some(h))
+  }
+
+  /** ROLLBACK: make `branch`'s state equal the snapshot at version
+    * `to` again, committed as a NEW version — metadata-only (the
+    * restored files are referenced, never copied), and history-
+    * preserving (the rolled-past commits stay time-travelable until
+    * [[expire]] reclaims them; an audit can still read what the bad
+    * commit contained). `to` must be a retained ANCESTOR of the
+    * branch head — restoring a version from another lineage would
+    * resurrect files with no provenance on this branch; ancestry is
+    * re-proven against the fresh head on every commit retry. The
+    * restored manifest carries the target's WHOLE state: files with
+    * their original `seq`, pending MoR deletes, schema changes, and
+    * declared layout (pinned explicitly, so a layout evolved after
+    * `to` rolls back with the data), making a read of the new head
+    * row-identical to `read(version = to)`. Returns the committed
+    * version. */
+  def rollback(spark: SparkSession, table: String, to: Long,
+               branch: String = "main"): Long = {
+    val target = readManifest(spark, table, to).getOrElse(
+      throw new NoSuchElementException(
+        s"no snapshot v$to in $table (expired or never committed)"))
+    commitRetryingOn(spark, table, branch) { (parent, v) =>
+      var c: Option[Manifest] = Some(parent)
+      while (c.exists(m => m.version > to && m.parent > 0L))
+        c = readManifest(spark, table, c.get.parent)
+      require(c.exists(_.version == to),
+        s"v$to is not an ancestor of '$branch' head " +
+          s"v${parent.version} in $table — rollback only walks this " +
+          "branch's own lineage")
+      Manifest(v, parent.version, "rollback", target.rows,
+        target.files,
+        rangeDeletes = target.rangeDeletes,
+        eqDeletes = target.eqDeletes,
+        schemaChanges = target.schemaChanges,
+        layout = Some(declaredLayout(target)))
+    }.merge
+  }
+
+  /** CHERRY-PICK: replay the PURE APPEND committed as `version`
+    * (typically sitting on an audit branch that can no longer
+    * fast-forward — main advanced since the fork, so [[publish]]
+    * refuses) onto branch `onto`. Metadata-only: the picked commit's
+    * OWN files (its file list minus its parent's) join the target
+    * manifest by reference with `seq` re-stamped to the new version —
+    * the rows land AS OF NOW, so MoR deletes and schema changes that
+    * committed on the target in the meantime do not retro-apply to
+    * them, exactly as if the original append ran today. Refused
+    * loudly when:
+    *  - `version` is not an append (a rewrite doesn't replay by
+    *    reference — rerun the operation against the target branch);
+    *  - `version` is already in the target lineage, or any picked
+    *    file is already in the target head (double-counting rows);
+    *  - the pick's parent-state schema changes or declared layout
+    *    differ from the target head's (the staged files' shape would
+    *    not match the target's read mapping).
+    * Idempotent under replay via the commit tag
+    * (`cherrypick-v<version>`). Returns the committed version. */
+  def cherryPick(spark: SparkSession, table: String, version: Long,
+                 onto: String = "main"): Long = {
+    val src = readManifest(spark, table, version).getOrElse(
+      throw new NoSuchElementException(
+        s"no snapshot v$version in $table (expired or never " +
+          "committed)"))
+    require(src.action == "append",
+      s"v$version is a '${src.action}' — only pure appends replay " +
+        "by reference; rerun the operation against the target branch")
+    val srcParent =
+      (if (src.parent == 0L) Some(Manifest(0L, -1L, "init", 0L, Nil))
+       else readManifest(spark, table, src.parent)).getOrElse(
+        throw new IllegalStateException(
+          s"v$version's parent v${src.parent} expired — the picked " +
+            "files can no longer be separated from the inherited " +
+            "ones"))
+    val inherited = srcParent.files.map(_.path).toSet
+    val added = src.files.filterNot(f => inherited.contains(f.path))
+    val addedRows = src.rows - srcParent.rows
+    val tag = s"cherrypick-v$version"
+    findTag(spark, table, tag) match {
+      case Some(v) => return v // already picked
+      case None => ()
+    }
+    commitRetryingOn(spark, table, onto) { (parent, v) =>
+      findTag(spark, table, tag).foreach { v =>
+        throw new DuplicateTag(v) }
+      var c: Option[Manifest] = Some(parent)
+      while (c.exists(m => m.version > version && m.parent > 0L))
+        c = readManifest(spark, table, c.get.parent)
+      require(!c.exists(_.version == version),
+        s"v$version is already in '$onto' lineage (head " +
+          s"v${parent.version}) — picking it again would double its " +
+          "rows")
+      val dup = added.map(_.path).toSet
+        .intersect(parent.files.map(_.path).toSet)
+      require(dup.isEmpty,
+        s"picked files already in '$onto' head: " +
+          dup.take(3).mkString(", ") + " — already published or " +
+          "picked")
+      require(srcParent.schemaChanges == parent.schemaChanges,
+        s"schema changes diverged between v$version's parent state " +
+          s"and '$onto' head — the picked files' shape would not " +
+          "match the target's read mapping; rerun the append against " +
+          s"'$onto' instead")
+      require(declaredLayout(srcParent) == declaredLayout(parent),
+        s"partition layout diverged between v$version's parent " +
+          s"state and '$onto' head; rerun the append against " +
+          s"'$onto' instead")
+      Manifest(v, parent.version, "append", parent.rows + addedRows,
+        parent.files ++ added.map(_.copy(seq = v)), tag,
+        rangeDeletes = parent.rangeDeletes,
+        eqDeletes = parent.eqDeletes,
+        schemaChanges = parent.schemaChanges)
+    } match {
+      case Right(v) => v
+      case Left(v) => v
+    }
   }
 
   /** `branch`'s head version: through refs when they exist; a legacy

@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incrementally-maintained aggregates: the folded state must always
+  * equal a from-scratch aggregate of the base table's current
+  * snapshot, no matter what mix of appends / upserts / deletes /
+  * maintenance the window held — and a crash-replayed window must
+  * fold exactly once. */
+class MaterializedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-mv").toString
+
+  private def rows(from: Int, until: Int) =
+    (from until until).map { i =>
+      (i.toLong, s"k${i % 5}", (i % 7).toLong)
+    }.toDF("id", "k", "v")
+
+  /** From-scratch recompute of what the view must hold. */
+  private def recompute(table: String) =
+    Snapshot.read(spark, table)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("v")).cast("double"), lit(0.0)).as("sum_v"),
+        count(col("v")).as("cnt_v"))
+
+  private def collected(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("k"), col("n_rows"), col("sum_v"), col("cnt_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).sortBy(_._1).toSeq
+
+  test("incremental refresh equals a from-scratch aggregate across " +
+    "appends, an upsert, and a MoR delete — and is O(delta)-shaped " +
+    "(state history is upserts, never rewrites)") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    val mv = s"$root/mv"
+    Snapshot.append(rows(0, 200), t)                      // v1
+    Materialized.create(spark, t, mv, Seq("k"), Seq("v"))
+    assert(collected(Materialized.read(spark, mv)) ==
+      collected(recompute(t)))
+    Snapshot.append(rows(200, 300), t)                    // v2
+    Snapshot.mergeMor(rows(50, 60)
+      .withColumn("v", col("v") + 100L), t, "id")         // v3 upsert
+    Snapshot.deleteRangeMor(spark, t, "id", 120L, 180L)   // v4
+    assert(Materialized.refresh(spark, t, mv) == Some((1L, 4L)))
+    assert(collected(Materialized.read(spark, mv)) ==
+      collected(recompute(t)))
+    // the folds are merge-on-read upserts of touched keys — the
+    // state table is never rewritten wholesale
+    val actions = Snapshot.versions(spark, s"$mv/state").map(_._2)
+    assert(actions == Seq("append", "merge-mor"), actions.toString)
+    // up to date: nothing to fold
+    assert(Materialized.refresh(spark, t, mv).isEmpty)
+  }
+
+  test("a key whose every row is deleted tombstones out of the view") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    val mv = s"$root/mv"
+    // k-partitioned ids: k0 = ids 0..9, k1 = 10..19
+    val d = (0 until 20).map(i =>
+      (i.toLong, s"g${i / 10}", 1L)).toDF("id", "k", "v")
+    Snapshot.append(d, t)
+    Materialized.create(spark, t, mv, Seq("k"), Seq("v"))
+    Snapshot.deleteRangeMor(spark, t, "id", 0L, 9L) // all of g0
+    assert(Materialized.refresh(spark, t, mv).nonEmpty)
+    val ks = Materialized.read(spark, mv).select(col("k"))
+      .collect().map(_.getString(0)).toSeq
+    assert(ks == Seq("g1"), s"tombstoned key still visible: $ks")
+    // the tombstone row exists in state (n_rows = 0), filtered at read
+    val raw = Snapshot.read(spark, s"$mv/state")
+      .filter(col("k") === "g0").select(col("n_rows"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(raw == Seq(0L))
+    // vacuum reclaims it from storage (read was already clean)
+    Materialized.vacuum(spark, mv)
+    assert(Snapshot.read(spark, s"$mv/state")
+      .filter(col("k") === "g0").count() == 0L)
+    // …and the key re-enters through the normal new-key fold
+    Snapshot.append(Seq((100L, "g0", 5L)).toDF("id", "k", "v"), t)
+    Materialized.refresh(spark, t, mv)
+    assert(collected(Materialized.read(spark, mv)) ==
+      collected(recompute(t)))
+  }
+
+  test("crash replay folds exactly once: a window whose fold already " +
+    "committed only advances the baseline, even if the table moved on") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    val mv = s"$root/mv"
+    Snapshot.append(rows(0, 100), t)                      // v1
+    Materialized.create(spark, t, mv, Seq("k"), Seq("v"))
+    Snapshot.append(rows(100, 150), t)                    // v2
+    assert(Materialized.refresh(spark, t, mv) == Some((1L, 2L)))
+    val snap = collected(Materialized.read(spark, mv))
+    // simulate the crash window: fold committed, baseline write lost
+    SidecarIo.writeStringAtomic(spark, s"$mv/baseline.json",
+      """{"version":1}""")
+    // …and the base table already advanced past the crashed window
+    Snapshot.append(rows(150, 170), t)                    // v3
+    // replay resumes the PINNED (1, 2] window: no recompute (the
+    // state is unchanged), baseline lands at 2
+    assert(Materialized.refresh(spark, t, mv) == Some((1L, 2L)))
+    assert(collected(Materialized.read(spark, mv)) == snap)
+    // the NEXT refresh folds (2, 3] and catches up exactly
+    assert(Materialized.refresh(spark, t, mv) == Some((2L, 3L)))
+    assert(collected(Materialized.read(spark, mv)) ==
+      collected(recompute(t)))
+  }
+
+  test("state that diverged from the change feed refuses loudly " +
+    "instead of folding garbage") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    val mv = s"$root/mv"
+    Snapshot.append(rows(0, 50), t)
+    Materialized.create(spark, t, mv, Seq("k"), Seq("v"))
+    Snapshot.deleteRangeMor(spark, t, "id", 0L, 49L) // delete ALL rows
+    // sabotage: an external edit understates every stored count, so
+    // the delete's fold must push keys below zero
+    val state = s"$mv/state"
+    Snapshot.overwrite(Snapshot.read(spark, state)
+      .withColumn("n_rows", lit(1L)), state)
+    val e = intercept[IllegalArgumentException] {
+      Materialized.refresh(spark, t, mv)
+    }
+    assert(e.getMessage.contains("negative"), e.getMessage)
+  }
+
+  test("the view is MATERIALIZED: base-table commits do not show " +
+    "until a refresh folds them") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    val mv = s"$root/mv"
+    Snapshot.append(rows(0, 100), t)
+    Materialized.create(spark, t, mv, Seq("k"), Seq("v"))
+    val before = collected(Materialized.read(spark, mv))
+    Snapshot.append(rows(100, 200), t)
+    assert(collected(Materialized.read(spark, mv)) == before,
+      "read rescanned the base table — that is a view, not a " +
+        "materialization")
+    Materialized.refresh(spark, t, mv)
+    assert(collected(Materialized.read(spark, mv)) ==
+      collected(recompute(t)))
+  }
+}

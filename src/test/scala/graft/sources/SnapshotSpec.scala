@@ -1706,4 +1706,156 @@ class SnapshotSpec extends AnyFunSuite {
     val small: Seq[Any] = (0L until 300L).map(v => v * 3: Any)
     assert(Snapshot.readIn(spark, t, "k", small).count() == 300L)
   }
+
+  test("rollback restores the target's WHOLE state (files, pending " +
+    "MoR deletes) metadata-only and preserves history") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 100), t)                    // v1
+    Snapshot.append(batch(100, 150), t)                  // v2
+    Snapshot.deleteRangeMor(spark, t, "id", 20L, 40L)    // v3: pending
+    Snapshot.append(batch(150, 200), t)                  // v4
+    val rb = Snapshot.rollback(spark, t, 3L)             // v5 = v3 again
+    assert(rb == 5L)
+    // row-identical to read(v3); the pending delete came back with it
+    assert(Snapshot.read(spark, t).count() == 150 - 21)
+    val m5 = Snapshot.readManifest(spark, t, 5L).get
+    val m3 = Snapshot.readManifest(spark, t, 3L).get
+    assert(m5.files == m3.files, "rollback moved or re-staged files")
+    assert(m5.rangeDeletes == m3.rangeDeletes,
+      "pending MoR delete not restored")
+    assert(m5.action == "rollback" && m5.parent == 4L)
+    // history preserved: the rolled-past v4 still time-travels
+    assert(Snapshot.read(spark, t, Some(4L)).count() == 200 - 21)
+    // a second rollback can walk further back through the first
+    Snapshot.rollback(spark, t, 2L)                      // v6 = v2 again
+    assert(Snapshot.read(spark, t).count() == 150)
+  }
+
+  test("rollback refuses a version outside the branch's lineage") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 50), t)                      // v1
+    Snapshot.createBranch(spark, t, "side")
+    val bv = Snapshot.append(batch(50, 80), t, branch = "side")
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.rollback(spark, t, bv) // a side-branch head, not main's
+    }
+    assert(e.getMessage.contains("not an ancestor"))
+  }
+
+  test("cherryPick replays an audit append onto a diverged main by " +
+    "reference; idempotent; refuses rewrites and double-picks") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 60), t)                      // v1 (main)
+    Snapshot.createBranch(spark, t, "audit")
+    val bv = Snapshot.append(batch(60, 90), t, branch = "audit")
+    Snapshot.append(batch(90, 120), t)                    // main moved
+    // diverged: the WAP fast-forward must refuse…
+    assertThrows[IllegalArgumentException] {
+      Snapshot.publish(spark, t, "audit")
+    }
+    // …and the pick lands the audited rows anyway
+    val pv = Snapshot.cherryPick(spark, t, bv)
+    assert(Snapshot.read(spark, t).count() == 120)
+    assert(Snapshot.read(spark, t).agg(sum(col("id"))).head()
+      .getLong(0) == (0L until 120L).sum)
+    // by reference: the branch commit's own files are in main's head
+    val own = Snapshot.readManifest(spark, t, bv).get.files
+      .map(_.path).toSet --
+      Snapshot.readManifest(spark, t, 1L).get.files.map(_.path).toSet
+    val head = Snapshot.readManifest(spark, t, pv).get
+    assert(own.subsetOf(head.files.map(_.path).toSet))
+    // re-stamped: picked entries carry the NEW commit's seq
+    assert(head.files.filter(f => own.contains(f.path))
+      .forall(_.seq == pv))
+    // idempotent replay
+    assert(Snapshot.cherryPick(spark, t, bv) == pv)
+    // a rewrite doesn't replay by reference
+    val cv = Snapshot.compact(spark, t, branch = "audit")
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshot.cherryPick(spark, t, cv)
+    }
+    assert(e1.getMessage.contains("only pure appends"))
+    // an append already in main's lineage would double its rows
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshot.cherryPick(spark, t, 1L)
+    }
+    assert(e2.getMessage.contains("already"))
+  }
+
+  test("cherryPick refuses when schema changes diverged between the " +
+    "pick's parent state and the target head") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 50), t)                      // v1
+    Snapshot.createBranch(spark, t, "audit")
+    val bv = Snapshot.append(batch(50, 80), t, branch = "audit")
+    Snapshot.renameColumn(spark, t, "id", "key")          // main only
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.cherryPick(spark, t, bv)
+    }
+    assert(e.getMessage.contains("schema changes diverged"))
+  }
+
+  test("compactSmall rewrites ONLY the small files (pending deletes " +
+    "fold into them), carries right-sized files by reference") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 1000).coalesce(1), t)        // the big file
+    (0 until 4).foreach { k =>
+      Snapshot.append(batch(1000 + k * 10, 1010 + k * 10)
+        .coalesce(1), t)
+    }                                                     // 4 small
+    Snapshot.deleteRangeMor(spark, t, "id", 1005L, 1014L) // pending
+    val base = Snapshot.readManifest(spark, t, 6L).get
+    val bigBytes = base.files.map(_.bytes).max
+    val big = base.files.find(_.bytes == bigBytes).get
+    val cv = Snapshot.compactSmall(spark, t, smallBytes = bigBytes,
+      targetFileBytes = Long.MaxValue / 2)
+    val after = Snapshot.readManifest(spark, t, cv).get
+    assert(after.files.contains(big), "right-sized file not carried " +
+      "byte-identically")
+    assert(after.files.size == 2,
+      s"1 carried + 1 packed expected, got ${after.files.size}")
+    // the carried big file still needs the delete entry at read
+    assert(after.rangeDeletes.nonEmpty)
+    // rewritten files are PAST the pending delete: their rows fold it
+    assert(after.files.filterNot(_ == big).forall(_.seq == cv))
+    assert(Snapshot.read(spark, t).count() == 1040 - 10)
+    assert(Snapshot.read(spark, t).agg(sum(col("id"))).head()
+      .getLong(0) ==
+      (0L until 1040L).map(_ + 0L).sum - (1005L to 1014L).sum)
+  }
+
+  test("compactSmall with FULL coverage commits a clean manifest; " +
+    "below minInputFiles it is a no-op") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 30).coalesce(1), t)
+    Snapshot.append(batch(30, 60).coalesce(1), t)
+    Snapshot.deleteRangeMor(spark, t, "id", 10L, 19L)
+    // every file under the threshold → everything rewrites, pending
+    // entries fold away, manifest goes clean
+    val cv = Snapshot.compactSmall(spark, t,
+      smallBytes = Long.MaxValue / 2,
+      targetFileBytes = Long.MaxValue / 2)
+    val m = Snapshot.readManifest(spark, t, cv).get
+    assert(m.rangeDeletes.isEmpty && m.eqDeletes.isEmpty)
+    assert(m.files.size == 1)
+    assert(Snapshot.read(spark, t).count() == 50)
+    // nothing small enough → same version back, no commit
+    assert(Snapshot.compactSmall(spark, t, smallBytes = 1L) == cv)
+  }
+
+  test("compactSmall carries a mid-flight append forward (conflict-" +
+    "scoped retry, like compact)") {
+    val t = freshTable()
+    Snapshot.append(batch(0, 20).coalesce(1), t)
+    Snapshot.append(batch(20, 40).coalesce(1), t)
+    Snapshot.onCommitAttempt =
+      () => { Snapshot.append(batch(40, 55), t); () }
+    val cv = Snapshot.compactSmall(spark, t,
+      smallBytes = Long.MaxValue / 2,
+      targetFileBytes = Long.MaxValue / 2)
+    assert(Snapshot.read(spark, t).count() == 55,
+      "interleaved append lost by the small-file compaction")
+    val m = Snapshot.readManifest(spark, t, cv).get
+    assert(m.rows == 55L)
+  }
 }
