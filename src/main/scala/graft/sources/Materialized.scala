@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   *    `__mv_key` (the null-safe concatenation of the key columns,
   *    stats+Bloom tracked, so the refresh's fold reads the state
   *    through point-pruned file scans);
-  *  - `config.json` — keys + value columns, pinned at create;
+  *  - `config.json` — keys + value columns + optional row filter,
+  *    pinned at create;
   *  - `baseline.json` — the last table version folded into state.
   *
   * ==Crash safety (at-least-once, exactly-once effect)==
@@ -57,7 +58,8 @@ object Materialized {
 
   private val Sep = "\u001f"
 
-  private final case class Config(keys: Seq[String], vals: Seq[String])
+  private final case class Config(keys: Seq[String], vals: Seq[String],
+                                  filterSql: String = "")
 
   /** The synthetic merge key: null-safe, collision-free across
     * null/empty ("v:" prefix vs the bare null sentinel). Key values
@@ -68,8 +70,16 @@ object Materialized {
       coalesce(concat(lit("v:"), col(k).cast("string")),
         lit("null"))): _*)
 
+  /** The view's row predicate (ANSI SQL over the TABLE's columns,
+    * pinned at create): applied to the base scan at create and to
+    * the CDC delta at refresh — the SAME rows either way, because
+    * the predicate is row-local (it must be: a predicate over other
+    * rows would not fold from a row delta). */
+  private def viewFilter(df: DataFrame, c: Config): DataFrame =
+    if (c.filterSql.isEmpty) df else df.filter(expr(c.filterSql))
+
   private def stateAgg(df: DataFrame, c: Config): DataFrame =
-    df.groupBy(c.keys.map(col): _*)
+    viewFilter(df, c).groupBy(c.keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         c.vals.flatMap(v => Seq(
           coalesce(sum(col(v)).cast("double"), lit(0.0))
@@ -88,7 +98,7 @@ object Materialized {
         .forEachRemaining(e => b += e.asText())
       b.result()
     }
-    Config(arr("keys"), arr("vals"))
+    Config(arr("keys"), arr("vals"), root.path("filter").asText(""))
   }
 
   private def baselineOf(spark: SparkSession, mv: String): Long =
@@ -102,7 +112,13 @@ object Materialized {
     * CURRENT version (pinned before the scan — a commit racing the
     * create lands in the first refresh window, never half in the
     * initial state). `sumCols` must be numeric columns of the
-    * table.
+    * table. `filterSql` (optional, ANSI SQL over the table's columns,
+    * pinned in the config) makes it a FILTERED view: the predicate
+    * restricts the seed aggregate and every refresh delta
+    * identically; it must be row-local (a predicate over other rows
+    * cannot fold from a row delta) and must not reference columns a
+    * later schema change renames (re-create the view after
+    * non-additive evolution, as with key/value columns).
     *
     * RE-RUNNABLE like refresh (the [[graft.streaming
     * .MaterializedIngest]] lazy-create path replays it on a crashed
@@ -115,7 +131,8 @@ object Materialized {
     * view is invisible to [[refresh]]/[[read]] until the seed state
     * actually exists. */
   def create(spark: SparkSession, table: String, mv: String,
-             keyCols: Seq[String], sumCols: Seq[String]): Unit = {
+             keyCols: Seq[String], sumCols: Seq[String],
+             filterSql: String = ""): Unit = {
     require(keyCols.nonEmpty, "at least one group-by key")
     require(keyCols.intersect(sumCols).isEmpty,
       "a column cannot be both key and value")
@@ -133,7 +150,7 @@ object Materialized {
           s"""{"version":$v}""")
         v
       }
-    val c = Config(keyCols, sumCols)
+    val c = Config(keyCols, sumCols, filterSql)
     val st = stateAgg(Snapshot.read(spark, table, Some(cur)), c)
       .withColumn("__mv_key", mvKey(keyCols))
     Snapshot.append(st, s"$mv/state", tag = Some("mv-create"),
@@ -141,6 +158,7 @@ object Materialized {
     val root = om.createObjectNode()
     val ka = root.putArray("keys"); keyCols.foreach(ka.add)
     val va = root.putArray("vals"); sumCols.foreach(va.add)
+    if (filterSql.nonEmpty) root.put("filter", filterSql)
     SidecarIo.writeStringAtomic(spark, s"$mv/baseline.json",
       s"""{"version":$cur}""")
     SidecarIo.writeStringAtomic(spark, s"$mv/config.json",
@@ -186,7 +204,10 @@ object Materialized {
         s"""{"version":$until}""")
       return Some((since, until))
     }
-    val ch = Snapshot.readChangesBetween(spark, table, since, until)
+    // the view predicate restricts the DELTA exactly as it restricted
+    // the seed: a changed row outside the view never touches a key
+    val ch = viewFilter(
+      Snapshot.readChangesBetween(spark, table, since, until), c)
     val sign = when(col("_change") === "insert", lit(1L))
       .otherwise(lit(-1L))
     val delta = ch.groupBy(c.keys.map(col): _*)
@@ -260,5 +281,43 @@ object Materialized {
     Snapshot.deleteKeysMor(
       Snapshot.read(spark, state).filter(col("n_rows") === 0L)
         .select(col("__mv_key")), state)
+  }
+
+  /** The state table's whole maintenance pass in one call, on the
+    * cadence a deployment schedules anyway: [[vacuum]] tombstones,
+    * fold the accumulated per-refresh micro-files ([[Snapshot
+    * .compactSmall]] — each fold lands one small upsert commit, so a
+    * long-lived view accretes exactly the small-file pattern
+    * compactSmall exists for, and the fold also folds the vacuum's
+    * MoR delete), then [[Snapshot.expire]] old state versions and
+    * orphans. Run it BETWEEN refreshes (the single-maintainer
+    * contract: maintenance and refresh race the same state head;
+    * interleaved REFRESH appends would carry forward, but the
+    * maintainer is one loop anyway). Read results are unchanged by
+    * construction (spec-pinned). */
+  def maintain(spark: SparkSession, mv: String,
+               smallBytes: Long = 32L << 20,
+               keepLast: Int = 2,
+               graceMicros: Long = 600_000_000L): Unit = {
+    val state = s"$mv/state"
+    // FIRST finish any crashed window's bookkeeping: the expire below
+    // may drop the manifest whose tag is the only proof that window's
+    // fold landed — a later replay that cannot find the tag would
+    // recompute the fold against folded state. Same short-circuit as
+    // refresh, doable here because intent.json carries the window.
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val since = baselineOf(spark, mv)
+    SidecarIo.readString(spark, s"$mv/intent.json")
+      .map(om.readTree)
+      .filter(_.path("since").asLong(-1L) == since)
+      .map(_.path("until").asLong(-1L))
+      .filter(u => u > since &&
+        Snapshot.tagVersion(spark, state, s"mv-$since-$u").nonEmpty)
+      .foreach(u => SidecarIo.writeStringAtomic(spark,
+        s"$mv/baseline.json", s"""{"version":$u}"""))
+    vacuum(spark, mv)
+    Snapshot.compactSmall(spark, state, smallBytes = smallBytes)
+    Snapshot.expire(spark, state, keepLast = keepLast,
+      graceMicros = graceMicros): Unit
   }
 }

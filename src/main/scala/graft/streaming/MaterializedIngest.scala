@@ -41,12 +41,14 @@ object MaterializedIngest {
     * (the existing version when the batch is a replay). */
   def processBatch(batch: DataFrame, batchId: Long, table: String,
                    mv: String, keyCols: Seq[String],
-                   sumCols: Seq[String]): Long = {
+                   sumCols: Seq[String],
+                   filterSql: String = ""): Long = {
     val spark = batch.sparkSession
     val v = Snapshot.append(batch, table,
       tag = Some(s"mvland-$batchId"))
     if (SidecarIo.readString(spark, s"$mv/config.json").isEmpty)
-      Materialized.create(spark, table, mv, keyCols, sumCols)
+      Materialized.create(spark, table, mv, keyCols, sumCols,
+        filterSql)
     else
       Materialized.refresh(spark, table, mv): Unit
     v
@@ -59,11 +61,12 @@ object MaterializedIngest {
     * object doc). */
   def start(stream: DataFrame, table: String, mv: String,
             keyCols: Seq[String], sumCols: Seq[String],
-            checkpoint: String): StreamingQuery =
+            checkpoint: String, filterSql: String = ""): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        processBatch(batch, id, table, mv, keyCols, sumCols): Unit
+        processBatch(batch, id, table, mv, keyCols, sumCols,
+          filterSql): Unit
       }
       .start()
 }

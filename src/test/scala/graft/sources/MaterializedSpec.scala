@@ -135,6 +135,65 @@ class MaterializedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("negative"), e.getMessage)
   }
 
+  test("a FILTERED view restricts seed and delta identically: rows " +
+    "outside the predicate never touch a key, in either direction") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    val mv = s"$root/mv"
+    Snapshot.append(rows(0, 200), t)
+    Materialized.create(spark, t, mv, Seq("k"), Seq("v"),
+      filterSql = "v >= 3")
+    val recomputeF = () => Snapshot.read(spark, t).filter(col("v") >= 3)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("v")).cast("double"), lit(0.0)).as("sum_v"),
+        count(col("v")).as("cnt_v"))
+    assert(collected(Materialized.read(spark, mv)) ==
+      collected(recomputeF()))
+    // the delta window holds in-view and out-of-view inserts AND
+    // deletes; only the in-view rows may fold
+    Snapshot.append(rows(200, 300), t)
+    Snapshot.deleteRangeMor(spark, t, "id", 50L, 120L)
+    assert(Materialized.refresh(spark, t, mv).nonEmpty)
+    assert(collected(Materialized.read(spark, mv)) ==
+      collected(recomputeF()))
+  }
+
+  test("maintain: vacuum + bin-pack + expire leave the view's " +
+    "contents unchanged and reclaim files; a crashed window's " +
+    "bookkeeping is finished before tags can expire") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    val mv = s"$root/mv"
+    // id-blocked keys so a range delete can kill exactly one key
+    val d = (0 until 200).map(i =>
+      (i.toLong, s"g${i / 50}", (i % 9).toLong))
+    Snapshot.append(d.take(150).toDF("id", "k", "v"), t)   // g0..g2
+    Materialized.create(spark, t, mv, Seq("k"), Seq("v"))
+    // refresh cycles accrete small state files + one tombstone
+    Snapshot.append(d.drop(150).toDF("id", "k", "v"), t)   // g3
+    Materialized.refresh(spark, t, mv)
+    Snapshot.deleteRangeMor(spark, t, "id", 0L, 49L)       // all of g0
+    Materialized.refresh(spark, t, mv)
+    val pre = collected(Materialized.read(spark, mv))
+    val preFiles = Snapshot.versions(spark, s"$mv/state").last._3
+    // simulate the crash window right before maintenance: baseline
+    // rewound while the fold's tag is the only proof it landed
+    SidecarIo.writeStringAtomic(spark, s"$mv/baseline.json",
+      """{"version":2}""")
+    SidecarIo.writeStringAtomic(spark, s"$mv/intent.json",
+      """{"since":2,"until":3}""")
+    Materialized.maintain(spark, mv, graceMicros = 0L)
+    // maintain finished the bookkeeping (no replay will refold)…
+    assert(Materialized.refresh(spark, t, mv).isEmpty)
+    // …contents are unchanged, files reclaimed, tombstones gone
+    assert(collected(Materialized.read(spark, mv)) == pre)
+    val post = Snapshot.versions(spark, s"$mv/state").last
+    assert(post._3 <= preFiles)
+    assert(Snapshot.read(spark, s"$mv/state")
+      .filter(col("n_rows") === 0L).count() == 0L)
+  }
+
   test("the view is MATERIALIZED: base-table commits do not show " +
     "until a refresh folds them") {
     val root = freshRoot()
