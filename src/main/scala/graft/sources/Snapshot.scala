@@ -2370,7 +2370,8 @@ object Snapshot {
     *    differ from the target head's (the staged files' shape would
     *    not match the target's read mapping).
     * Idempotent under replay via the commit tag
-    * (`cherrypick-v<version>`). Returns the committed version. */
+    * (`cherrypick-v<version>-<onto>`, scoped to the target branch).
+    * Returns the committed version. */
   def cherryPick(spark: SparkSession, table: String, version: Long,
                  onto: String = "main"): Long = {
     val src = readManifest(spark, table, version).getOrElse(
@@ -2390,7 +2391,11 @@ object Snapshot {
     val inherited = srcParent.files.map(_.path).toSet
     val added = src.files.filterNot(f => inherited.contains(f.path))
     val addedRows = src.rows - srcParent.rows
-    val tag = s"cherrypick-v$version"
+    // the tag is scoped to the TARGET branch: the same source commit
+    // may legitimately be picked onto two different branches, and a
+    // global tag would short-circuit the second pick with the first
+    // branch's version
+    val tag = s"cherrypick-v$version-$onto"
     findTag(spark, table, tag) match {
       case Some(v) => return v // already picked
       case None => ()

@@ -194,6 +194,22 @@ class MaterializedSpec extends AnyFunSuite {
       .filter(col("n_rows") === 0L).count() == 0L)
   }
 
+  test("the view rides a ROLLBACK: the rolled-away rows fold back " +
+    "out (the CDC endpoint diff covers actions the chain-walk " +
+    "doesn't model)") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    val mv = s"$root/mv"
+    Snapshot.append(rows(0, 100), t)                   // v1
+    Materialized.create(spark, t, mv, Seq("k"), Seq("v"))
+    Snapshot.append(rows(100, 160), t)                 // v2
+    assert(Materialized.refresh(spark, t, mv) == Some((1L, 2L)))
+    Snapshot.rollback(spark, t, 1L)                    // v3 = v1 again
+    assert(Materialized.refresh(spark, t, mv) == Some((2L, 3L)))
+    assert(collected(Materialized.read(spark, mv)) ==
+      collected(recompute(t)))
+  }
+
   test("the view is MATERIALIZED: base-table commits do not show " +
     "until a refresh folds them") {
     val root = freshRoot()
