@@ -3765,7 +3765,9 @@ object SparkEntry {
          SELECT event_type,
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(user_id) AS DOUBLE) AS sum_user_id,
-                CAST(count(user_id) AS BIGINT) AS cnt_user_id
+                CAST(count(user_id) AS BIGINT) AS cnt_user_id,
+                CAST(min(event_id) AS BIGINT) AS min_event_id,
+                CAST(max(event_id) AS BIGINT) AS max_event_id
          FROM events, m
          WHERE event_id NOT BETWEEN m.lo AND m.hi
          GROUP BY 1 ORDER BY 1""",

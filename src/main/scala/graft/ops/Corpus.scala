@@ -766,7 +766,10 @@ object Corpus {
     * that the fold landed as a merge-on-read UPSERT on the state
     * table (touched keys only — not a state rewrite); the hash gate
     * proves the folded state equals a from-scratch aggregate of the
-    * final table, which the oracle recomputes relationally. */
+    * final table, which the oracle recomputes relationally — count,
+    * sum/cnt, AND min/max, whose delete-window maintenance runs the
+    * TARGETED GROUP RESCAN path (the range delete touches every
+    * event_type, so each key re-derives from the pinned snapshot). */
   def mvRefresh(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{Materialized, Snapshot}
     val root = java.nio.file.Files
@@ -779,7 +782,8 @@ object Corpus {
     val (lo, hi) = (mx / 4, mx / 2)
     Snapshot.append(e.filter(col("event_id") % 2 === 0), table) // v1
     Materialized.create(spark, table, mv,
-      keyCols = Seq("event_type"), sumCols = Seq("user_id"))
+      keyCols = Seq("event_type"), sumCols = Seq("user_id"),
+      minMaxCols = Seq("event_id"))
     Snapshot.append(e.filter(col("event_id") % 2 === 1), table) // v2
     Snapshot.deleteRangeMor(spark, table, "event_id", lo, hi)   // v3
     require(Materialized.refresh(spark, table, mv) == Some((1L, 3L)),

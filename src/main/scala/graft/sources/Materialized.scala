@@ -18,12 +18,20 @@ import org.apache.spark.sql.functions._
   * O(changed rows) + O(touched keys): a day's appends against a
   * year's table refresh in append-sized time.
   *
-  * The chosen aggregates are exactly the SELF-MAINTAINABLE ones:
-  * count and sum are invertible under the CDC's insert/delete row
-  * algebra (+row / -row), so deletes fold without ever rescanning the
-  * base table. min/max are deliberately absent — a deleted extremum
-  * needs a rescan of its group to re-derive, which breaks the
-  * O(delta) contract; compute those on demand instead.
+  * count/sum are fully SELF-MAINTAINABLE: invertible under the CDC's
+  * insert/delete row algebra (+row / -row), so deletes fold without
+  * ever rescanning the base table. min/max (`minMaxCols`) and
+  * approx-distinct (`distinctCols`, a Datasketches HLL sketch per
+  * key) are HALF-maintainable — monotone under inserts (least/
+  * greatest folds; sketch union) but not invertible under deletes (a
+  * deleted extremum or distinct member needs its group re-derived) —
+  * so the refresh splits touched keys by the delta itself: keys whose
+  * window was INSERT-ONLY fold incrementally like count/sum, and keys
+  * any delete touched get a TARGETED GROUP RESCAN — the base table
+  * read at the window's pinned end, semi-joined to exactly those
+  * keys, re-aggregated. Cost stays bounded by the REscanned groups'
+  * rows, never the table; with nothing extended configured the rescan
+  * machinery never engages and every key folds incrementally.
   *
   * ==Layout under `mv`==
   *  - `state/` — a [[Snapshot]] table of the aggregate rows keyed by
@@ -59,7 +67,11 @@ object Materialized {
   private val Sep = "\u001f"
 
   private final case class Config(keys: Seq[String], vals: Seq[String],
-                                  filterSql: String = "")
+                                  filterSql: String = "",
+                                  minmax: Seq[String] = Nil,
+                                  distinct: Seq[String] = Nil) {
+    def extended: Seq[String] = (minmax ++ distinct).distinct
+  }
 
   /** The synthetic merge key: null-safe, collision-free across
     * null/empty ("v:" prefix vs the bare null sentinel). Key values
@@ -78,13 +90,24 @@ object Materialized {
   private def viewFilter(df: DataFrame, c: Config): DataFrame =
     if (c.filterSql.isEmpty) df else df.filter(expr(c.filterSql))
 
-  private def stateAgg(df: DataFrame, c: Config): DataFrame =
+  /** The state row's aggregate expressions over raw table rows —
+    * shared by the create seed and the targeted group rescan so both
+    * produce byte-identical shapes. */
+  private def aggExprs(c: Config) =
+    (count(lit(1)).as("n_rows") +:
+      c.vals.flatMap(v => Seq(
+        coalesce(sum(col(v)).cast("double"), lit(0.0))
+          .as(s"sum_$v"),
+        count(col(v)).as(s"cnt_$v")))) ++
+      c.minmax.flatMap(m => Seq(
+        min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m"))) ++
+      c.distinct.map(d => hll_sketch_agg(col(d)).as(s"hll_$d"))
+
+  private def stateAgg(df: DataFrame, c: Config): DataFrame = {
+    val exprs = aggExprs(c)
     viewFilter(df, c).groupBy(c.keys.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"),
-        c.vals.flatMap(v => Seq(
-          coalesce(sum(col(v)).cast("double"), lit(0.0))
-            .as(s"sum_$v"),
-          count(col(v)).as(s"cnt_$v"))): _*)
+      .agg(exprs.head, exprs.tail: _*)
+  }
 
   private def configOf(spark: SparkSession, mv: String): Config = {
     val s = SidecarIo.readString(spark, s"$mv/config.json").getOrElse(
@@ -98,7 +121,8 @@ object Materialized {
         .forEachRemaining(e => b += e.asText())
       b.result()
     }
-    Config(arr("keys"), arr("vals"), root.path("filter").asText(""))
+    Config(arr("keys"), arr("vals"), root.path("filter").asText(""),
+      arr("minmax"), arr("distinct"))
   }
 
   private def baselineOf(spark: SparkSession, mv: String): Long =
@@ -132,9 +156,12 @@ object Materialized {
     * actually exists. */
   def create(spark: SparkSession, table: String, mv: String,
              keyCols: Seq[String], sumCols: Seq[String],
-             filterSql: String = ""): Unit = {
+             filterSql: String = "",
+             minMaxCols: Seq[String] = Nil,
+             distinctCols: Seq[String] = Nil): Unit = {
     require(keyCols.nonEmpty, "at least one group-by key")
-    require(keyCols.intersect(sumCols).isEmpty,
+    require(keyCols.intersect(
+      sumCols ++ minMaxCols ++ distinctCols).isEmpty,
       "a column cannot be both key and value")
     require(SidecarIo.readString(spark, s"$mv/config.json").isEmpty,
       s"materialized view already exists at $mv")
@@ -150,7 +177,8 @@ object Materialized {
           s"""{"version":$v}""")
         v
       }
-    val c = Config(keyCols, sumCols, filterSql)
+    val c = Config(keyCols, sumCols, filterSql, minMaxCols,
+      distinctCols)
     val st = stateAgg(Snapshot.read(spark, table, Some(cur)), c)
       .withColumn("__mv_key", mvKey(keyCols))
     Snapshot.append(st, s"$mv/state", tag = Some("mv-create"),
@@ -159,6 +187,12 @@ object Materialized {
     val ka = root.putArray("keys"); keyCols.foreach(ka.add)
     val va = root.putArray("vals"); sumCols.foreach(va.add)
     if (filterSql.nonEmpty) root.put("filter", filterSql)
+    if (minMaxCols.nonEmpty) {
+      val ma = root.putArray("minmax"); minMaxCols.foreach(ma.add)
+    }
+    if (distinctCols.nonEmpty) {
+      val da = root.putArray("distinct"); distinctCols.foreach(da.add)
+    }
     SidecarIo.writeStringAtomic(spark, s"$mv/baseline.json",
       s"""{"version":$cur}""")
     SidecarIo.writeStringAtomic(spark, s"$mv/config.json",
@@ -210,13 +244,28 @@ object Materialized {
       Snapshot.readChangesBetween(spark, table, since, until), c)
     val sign = when(col("_change") === "insert", lit(1L))
       .otherwise(lit(-1L))
+    val ins = col("_change") === "insert"
+    val extendedDeltaCols =
+      if (c.extended.isEmpty) Nil
+      else
+        // which keys a DELETE touched (they need the group rescan for
+        // the half-maintainable aggregates), plus the insert-side
+        // folds for keys that stay incremental
+        coalesce(max(when(ins, lit(0)).otherwise(lit(1))), lit(0))
+          .as("__has_del") +:
+          (c.minmax.flatMap(m => Seq(
+            min(when(ins, col(m))).as(s"__imin_$m"),
+            max(when(ins, col(m))).as(s"__imax_$m"))) ++
+            c.distinct.map(d =>
+              hll_sketch_agg(when(ins, col(d))).as(s"__ihll_$d")))
     val delta = ch.groupBy(c.keys.map(col): _*)
       .agg(sum(sign).as("__dn"),
         c.vals.flatMap(v => Seq(
           coalesce(sum(sign * col(v).cast("double")), lit(0.0))
             .as(s"__dsum_$v"),
           coalesce(sum(when(col(v).isNotNull, sign)
-            .otherwise(lit(0L))), lit(0L)).as(s"__dcnt_$v"))): _*)
+            .otherwise(lit(0L))), lit(0L)).as(s"__dcnt_$v"))) ++
+          extendedDeltaCols: _*)
       .withColumn("__mv_key", mvKey(c.keys))
     // old values of ONLY the touched keys: the broadcast semi-join
     // side is delta-sized; at scale the state read itself is file-
@@ -230,18 +279,72 @@ object Materialized {
     val folded0 = delta.join(oldK, Seq("__mv_key"), "left_outer")
     val keyExprs = c.keys.map(k =>
       coalesce(col(s"__old_$k"), col(k)).as(k))
-    // column order mirrors create's state schema (keys, n_rows,
-    // sums/cnts, __mv_key) so every state commit stages the same shape
-    val folded = folded0.select(
+    // the incremental fold: count/sum always; min/max via least/
+    // greatest and sketches via union — sound for these rows because
+    // their window held only inserts (monotone folds)
+    def incSelect(df: DataFrame) = df.select(
       keyExprs ++
-        ((coalesce(col("__old_n_rows"), lit(0L)) + col("__dn"))
-          .as("n_rows") +:
+        (Seq((coalesce(col("__old_n_rows"), lit(0L)) + col("__dn"))
+          .as("n_rows")) ++
           c.vals.flatMap(v => Seq(
             (coalesce(col(s"__old_sum_$v"), lit(0.0)) +
               col(s"__dsum_$v")).as(s"sum_$v"),
             (coalesce(col(s"__old_cnt_$v"), lit(0L)) +
-              col(s"__dcnt_$v")).as(s"cnt_$v")))) :+
+              col(s"__dcnt_$v")).as(s"cnt_$v"))) ++
+          c.minmax.flatMap(m => Seq(
+            least(col(s"__old_min_$m"), col(s"__imin_$m"))
+              .as(s"min_$m"),
+            greatest(col(s"__old_max_$m"), col(s"__imax_$m"))
+              .as(s"max_$m"))) ++
+          c.distinct.map { d =>
+            val o = col(s"__old_hll_$d"); val i = col(s"__ihll_$d")
+            when(o.isNull, i).when(i.isNull, o)
+              .otherwise(hll_union(o, i)).as(s"hll_$d")
+          }) :+
         col("__mv_key"): _*)
+    val folded =
+      (if (c.extended.isEmpty) incSelect(folded0)
+       else {
+         val inc = incSelect(folded0.filter(col("__has_del") === 0))
+         // TARGETED GROUP RESCAN for delete-touched keys: the base
+         // table AT THE WINDOW'S PINNED END (deterministic under
+         // replay), restricted to exactly those keys — cost bounded
+         // by those groups' rows, never the table
+         val rescanKeys = folded0.filter(col("__has_del") === 1)
+           .select(col("__mv_key") +: keyExprs: _*)
+         val rescanned = stateAgg(
+           viewFilter(Snapshot.read(spark, table, Some(until)), c)
+             .withColumn("__mv_key", mvKey(c.keys))
+             .join(rescanKeys.select(col("__mv_key")), Seq("__mv_key"),
+               "left_semi"),
+           // the inner viewFilter already ran; avoid a second pass
+           c.copy(filterSql = ""))
+           .withColumn("__mv_key", mvKey(c.keys))
+         // keys the rescan found nothing for are fully deleted —
+         // they tombstone (n_rows = 0) exactly like the incremental
+         // path's vanished keys
+         val rescanCols = rescanned.columns.filterNot(_ == "__mv_key")
+         val resK = rescanCols.foldLeft(rescanned)((d, n) =>
+           d.withColumnRenamed(n, s"__re_$n"))
+         val resFolded = rescanKeys
+           .join(resK, Seq("__mv_key"), "left_outer")
+           .select(
+             c.keys.map(k => coalesce(col(s"__re_$k"), col(k)).as(k)) ++
+               (Seq(coalesce(col("__re_n_rows"), lit(0L))
+                 .as("n_rows")) ++
+                 c.vals.flatMap(v => Seq(
+                   coalesce(col(s"__re_sum_$v"), lit(0.0))
+                     .as(s"sum_$v"),
+                   coalesce(col(s"__re_cnt_$v"), lit(0L))
+                     .as(s"cnt_$v"))) ++
+                 c.minmax.flatMap(m => Seq(
+                   col(s"__re_min_$m").as(s"min_$m"),
+                   col(s"__re_max_$m").as(s"max_$m"))) ++
+                 c.distinct.map(d =>
+                   col(s"__re_hll_$d").as(s"hll_$d"))) :+
+               col("__mv_key"): _*)
+         inc.unionByName(resFolded)
+       })
       .localCheckpoint() // one materialization: the fold feeds a
                          // delete AND an upsert, and both must see
                          // the same rows
@@ -259,13 +362,23 @@ object Materialized {
     Some((since, until))
   }
 
-  /** The view's current contents: key columns, `n_rows`, and
-    * `sum_<v>`/`cnt_<v>` per value column (avg = sum/cnt). Reads the
-    * state table only — never the base table. Tombstoned keys
-    * (every row deleted since the last fold) are filtered out. */
-  def read(spark: SparkSession, mv: String): DataFrame =
-    Snapshot.read(spark, s"$mv/state")
-      .filter(col("n_rows") > 0L).drop("__mv_key")
+  /** The view's current contents: key columns, `n_rows`,
+    * `sum_<v>`/`cnt_<v>` per value column (avg = sum/cnt),
+    * `min_<m>`/`max_<m>` per min-max column, and `ndv_<d>` (the HLL
+    * estimate, 0 for all-null groups) per distinct column — the raw
+    * sketch bytes stay internal. Reads the state table only — never
+    * the base table. Tombstoned keys (every row deleted since the
+    * last fold) are filtered out. */
+  def read(spark: SparkSession, mv: String): DataFrame = {
+    val c = configOf(spark, mv)
+    val base = Snapshot.read(spark, s"$mv/state")
+      .filter(col("n_rows") > 0L)
+    c.distinct.foldLeft(base)((d, dc) =>
+      d.withColumn(s"ndv_$dc",
+        coalesce(hll_sketch_estimate(col(s"hll_$dc")), lit(0L))))
+      .drop(c.distinct.map(d => s"hll_$d"): _*)
+      .drop("__mv_key")
+  }
 
   /** Reclaim tombstones (state rows a fold drove to `n_rows = 0`,
     * invisible to [[read]] but still stored): one merge-on-read

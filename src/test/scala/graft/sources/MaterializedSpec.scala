@@ -194,6 +194,63 @@ class MaterializedSpec extends AnyFunSuite {
       .filter(col("n_rows") === 0L).count() == 0L)
   }
 
+  test("extended aggregates: min/max and approx-distinct fold " +
+    "incrementally on insert-only keys, rescan exactly the delete-" +
+    "touched groups, and revived keys never see stale extrema") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    val mv = s"$root/mv"
+    def mk(ids: Range, k: String) =
+      ids.map(i => (i.toLong, k, i.toLong)).toDF("id", "k", "v")
+    def recomputeExt() = Snapshot.read(spark, t)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("v")).cast("double"), lit(0.0)).as("sum_v"),
+        count(col("v")).as("cnt_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        count_distinct(col("v")).as("ndv_v"))
+    def canonExt(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("n_rows"), col("sum_v"), col("cnt_v"),
+        col("min_v"), col("max_v"), col("ndv_v"))
+        .collect().map(_.toString).sorted.toSeq
+    Snapshot.append(mk(0 until 50, "g0")
+      .unionByName(mk(50 until 100, "g1")), t)             // v1
+    Materialized.create(spark, t, mv, Seq("k"), Seq("v"),
+      minMaxCols = Seq("v"), distinctCols = Seq("v"))
+    assert(canonExt(Materialized.read(spark, mv))
+      == canonExt(recomputeExt()))
+    // INSERT-ONLY window: existing g0 grows, g2 is brand new — both
+    // fold incrementally (monotone least/greatest + sketch union)
+    Snapshot.append(mk(100 until 110, "g0")
+      .unionByName(mk(110 until 130, "g2")), t)            // v2
+    assert(Materialized.refresh(spark, t, mv).nonEmpty)
+    assert(canonExt(Materialized.read(spark, mv))
+      == canonExt(recomputeExt()))
+    // DELETE touches g0's minimum rows: g0 must re-derive via the
+    // targeted rescan (min jumps 0 -> 10); g1/g2 are untouched
+    Snapshot.deleteRangeMor(spark, t, "id", 0L, 9L)        // v3
+    assert(Materialized.refresh(spark, t, mv).nonEmpty)
+    assert(canonExt(Materialized.read(spark, mv))
+      == canonExt(recomputeExt()))
+    assert(Materialized.read(spark, mv).filter(col("k") === "g0")
+      .select(col("min_v")).head().getLong(0) == 10L)
+    // kill ALL of g2 (tombstone via rescan), then revive it with one
+    // far-away value: the revived extrema must be the fresh value,
+    // never the stale pre-delete ones
+    Snapshot.deleteRangeMor(spark, t, "id", 110L, 129L)    // v4
+    assert(Materialized.refresh(spark, t, mv).nonEmpty)
+    assert(Materialized.read(spark, mv).filter(col("k") === "g2")
+      .count() == 0L)
+    Snapshot.append(mk(500 until 501, "g2"), t)            // v5
+    assert(Materialized.refresh(spark, t, mv).nonEmpty)
+    val g2 = Materialized.read(spark, mv).filter(col("k") === "g2")
+      .select(col("min_v"), col("max_v"), col("ndv_v")).head()
+    assert((g2.getLong(0), g2.getLong(1), g2.getLong(2))
+      == (500L, 500L, 1L), g2.toString)
+    assert(canonExt(Materialized.read(spark, mv))
+      == canonExt(recomputeExt()))
+  }
+
   test("the view rides a ROLLBACK: the rolled-away rows fold back " +
     "out (the CDC endpoint diff covers actions the chain-walk " +
     "doesn't model)") {
