@@ -212,6 +212,7 @@ object SparkEntry {
     "q_snapshot_cherrypick"     -> Corpus.snapshotCherrypick _,
     "q_snapshot_binpack"        -> Corpus.snapshotBinpack _,
     "q_mv_refresh"              -> Corpus.mvRefresh _,
+    "q_mv_rollup"               -> Corpus.mvRollup _,
     "q_pivot_events"            -> Stats.pivotEventCounts _,
     "q_char_deciles"            -> Stats.charDeciles _,
     "q_bucketed_join"           -> Corpus.bucketedJoin _,
@@ -3771,6 +3772,20 @@ object SparkEntry {
          FROM events, m
          WHERE event_id NOT BETWEEN m.lo AND m.hi
          GROUP BY 1 ORDER BY 1""",
+    // the derived-key rollup: bucket is computed, never stored
+    "q_mv_rollup" ->
+      """WITH m AS (SELECT max(event_id) // 4 AS lo,
+                           max(event_id) // 2 AS hi FROM events)
+         SELECT event_type,
+                CAST(event_id % 7 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(user_id) AS DOUBLE) AS sum_user_id,
+                CAST(count(user_id) AS BIGINT) AS cnt_user_id,
+                CAST(min(event_id) AS BIGINT) AS min_event_id,
+                CAST(max(event_id) AS BIGINT) AS max_event_id
+         FROM events, m
+         WHERE event_id NOT BETWEEN m.lo AND m.hi
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_snapshot_partition" ->
       """WITH base AS (
            SELECT o_orderstatus,

@@ -798,6 +798,40 @@ object Corpus {
     Materialized.read(spark, mv).orderBy(col("event_type"))
   }
 
+  /** DERIVED-KEY ROLLUP VIEW as a declared query
+    * ([[graft.sources.Materialized]] `deriveCols` — the time-bucket
+    * rollup shape, spelled with a deterministic modular bucket so the
+    * oracle is integer-exact): the view groups by `event_type` and a
+    * DERIVED `bucket = event_id % 7` the table never stored, with
+    * min/max maintenance riding the delete window through the
+    * targeted rescan. The same create→append→MoR-delete→one-refresh
+    * lifecycle as q_mv_refresh; the hash gate proves the folded
+    * derived-key state equals DuckDB's from-scratch rollup of the
+    * final table. */
+  def mvRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Materialized, Snapshot}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mvr").toString
+    val table = s"$root/t"
+    val mv = s"$root/mv"
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val mx = e.agg(max(col("event_id"))).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 2)
+    Snapshot.append(e.filter(col("event_id") % 2 === 0), table) // v1
+    Materialized.create(spark, table, mv,
+      keyCols = Seq("event_type", "bucket"),
+      sumCols = Seq("user_id"),
+      minMaxCols = Seq("event_id"),
+      deriveCols = Seq("bucket" -> "event_id % 7"))
+    Snapshot.append(e.filter(col("event_id") % 2 === 1), table) // v2
+    Snapshot.deleteRangeMor(spark, table, "event_id", lo, hi)   // v3
+    require(Materialized.refresh(spark, table, mv) == Some((1L, 3L)),
+      "refresh did not consume the (create, head] window")
+    Materialized.read(spark, mv)
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** Exact dedup over a corpus with planted exact clones (every 10th doc
     * re-appears under id+100000): content-hash groups with canonical id
     * and copy count. */

@@ -69,7 +69,8 @@ object Materialized {
   private final case class Config(keys: Seq[String], vals: Seq[String],
                                   filterSql: String = "",
                                   minmax: Seq[String] = Nil,
-                                  distinct: Seq[String] = Nil) {
+                                  distinct: Seq[String] = Nil,
+                                  derives: Seq[(String, String)] = Nil) {
     def extended: Seq[String] = (minmax ++ distinct).distinct
   }
 
@@ -82,13 +83,20 @@ object Materialized {
       coalesce(concat(lit("v:"), col(k).cast("string")),
         lit("null"))): _*)
 
-  /** The view's row predicate (ANSI SQL over the TABLE's columns,
-    * pinned at create): applied to the base scan at create and to
-    * the CDC delta at refresh — the SAME rows either way, because
-    * the predicate is row-local (it must be: a predicate over other
-    * rows would not fold from a row delta). */
-  private def viewFilter(df: DataFrame, c: Config): DataFrame =
-    if (c.filterSql.isEmpty) df else df.filter(expr(c.filterSql))
+  /** The view's row preparation, applied identically wherever table
+    * rows enter the fold (create seed, CDC delta, targeted rescan):
+    * DERIVED COLUMNS first (row-local SQL expressions, in declared
+    * order so a derive may reference an earlier one — the time-bucket
+    * rollup shape: `day <- date_trunc('day', ts)` as a GROUP key the
+    * table never stored), then the row predicate (which may reference
+    * the derived columns). Both must be row-local: an expression over
+    * other rows cannot fold from a row delta. */
+  private def prep(df: DataFrame, c: Config): DataFrame = {
+    val derived = c.derives.foldLeft(df) { case (d, (n, sql)) =>
+      d.withColumn(n, expr(sql)) }
+    if (c.filterSql.isEmpty) derived
+    else derived.filter(expr(c.filterSql))
+  }
 
   /** The state row's aggregate expressions over raw table rows —
     * shared by the create seed and the targeted group rescan so both
@@ -105,7 +113,7 @@ object Materialized {
 
   private def stateAgg(df: DataFrame, c: Config): DataFrame = {
     val exprs = aggExprs(c)
-    viewFilter(df, c).groupBy(c.keys.map(col): _*)
+    prep(df, c).groupBy(c.keys.map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
   }
 
@@ -121,8 +129,11 @@ object Materialized {
         .forEachRemaining(e => b += e.asText())
       b.result()
     }
+    val db = Seq.newBuilder[(String, String)]
+    root.path("derives").elements().forEachRemaining(e =>
+      db += e.path("name").asText() -> e.path("sql").asText())
     Config(arr("keys"), arr("vals"), root.path("filter").asText(""),
-      arr("minmax"), arr("distinct"))
+      arr("minmax"), arr("distinct"), db.result())
   }
 
   private def baselineOf(spark: SparkSession, mv: String): Long =
@@ -142,7 +153,12 @@ object Materialized {
     * identically; it must be row-local (a predicate over other rows
     * cannot fold from a row delta) and must not reference columns a
     * later schema change renames (re-create the view after
-    * non-additive evolution, as with key/value columns).
+    * non-additive evolution, as with key/value columns). `deriveCols`
+    * are named row-local SQL expressions computed before the filter
+    * and usable as keys/values — the time-bucket rollup shape
+    * (`("day", "date_trunc('day', ts)")` as a GROUP key the table
+    * never stored); declared order matters (a derive may reference an
+    * earlier one).
     *
     * RE-RUNNABLE like refresh (the [[graft.streaming
     * .MaterializedIngest]] lazy-create path replays it on a crashed
@@ -158,7 +174,8 @@ object Materialized {
              keyCols: Seq[String], sumCols: Seq[String],
              filterSql: String = "",
              minMaxCols: Seq[String] = Nil,
-             distinctCols: Seq[String] = Nil): Unit = {
+             distinctCols: Seq[String] = Nil,
+             deriveCols: Seq[(String, String)] = Nil): Unit = {
     require(keyCols.nonEmpty, "at least one group-by key")
     require(keyCols.intersect(
       sumCols ++ minMaxCols ++ distinctCols).isEmpty,
@@ -177,8 +194,10 @@ object Materialized {
           s"""{"version":$v}""")
         v
       }
+    require(deriveCols.map(_._1).distinct.size == deriveCols.size,
+      "duplicate derived-column names")
     val c = Config(keyCols, sumCols, filterSql, minMaxCols,
-      distinctCols)
+      distinctCols, deriveCols)
     val st = stateAgg(Snapshot.read(spark, table, Some(cur)), c)
       .withColumn("__mv_key", mvKey(keyCols))
     Snapshot.append(st, s"$mv/state", tag = Some("mv-create"),
@@ -192,6 +211,11 @@ object Materialized {
     }
     if (distinctCols.nonEmpty) {
       val da = root.putArray("distinct"); distinctCols.foreach(da.add)
+    }
+    if (deriveCols.nonEmpty) {
+      val xa = root.putArray("derives")
+      deriveCols.foreach { case (n, sql) =>
+        val o = xa.addObject(); o.put("name", n); o.put("sql", sql) }
     }
     SidecarIo.writeStringAtomic(spark, s"$mv/baseline.json",
       s"""{"version":$cur}""")
@@ -238,9 +262,10 @@ object Materialized {
         s"""{"version":$until}""")
       return Some((since, until))
     }
-    // the view predicate restricts the DELTA exactly as it restricted
-    // the seed: a changed row outside the view never touches a key
-    val ch = viewFilter(
+    // derives + predicate prepare the DELTA exactly as they prepared
+    // the seed: a changed row outside the view never touches a key,
+    // and derived group keys exist on the delta rows too
+    val ch = prep(
       Snapshot.readChangesBetween(spark, table, since, until), c)
     val sign = when(col("_change") === "insert", lit(1L))
       .otherwise(lit(-1L))
@@ -313,12 +338,13 @@ object Materialized {
          val rescanKeys = folded0.filter(col("__has_del") === 1)
            .select(col("__mv_key") +: keyExprs: _*)
          val rescanned = stateAgg(
-           viewFilter(Snapshot.read(spark, table, Some(until)), c)
+           prep(Snapshot.read(spark, table, Some(until)), c)
              .withColumn("__mv_key", mvKey(c.keys))
              .join(rescanKeys.select(col("__mv_key")), Seq("__mv_key"),
                "left_semi"),
-           // the inner viewFilter already ran; avoid a second pass
-           c.copy(filterSql = ""))
+           // derives/filter already ran; the derived columns are real
+           // columns on this frame now
+           c.copy(filterSql = "", derives = Nil))
            .withColumn("__mv_key", mvKey(c.keys))
          // keys the rescan found nothing for are fully deleted —
          // they tombstone (n_rows = 0) exactly like the incremental
@@ -378,6 +404,33 @@ object Materialized {
         coalesce(hll_sketch_estimate(col(s"hll_$dc")), lit(0L))))
       .drop(c.distinct.map(d => s"hll_$d"): _*)
       .drop("__mv_key")
+  }
+
+  /** The view's definition and freshness as a small key/value frame
+    * (driver-built — the config, pin, and manifest are already tiny
+    * reads; no state data file is opened): keys/values/filter/
+    * derives/extended columns, the folded baseline version, and the
+    * state table's current version and stored row count (live keys +
+    * tombstones). The operational questions this answers ("what IS
+    * this view", "how far behind is it", "how much tombstone debt")
+    * otherwise need ad-hoc sidecar parsing. */
+  def describe(spark: SparkSession, mv: String): DataFrame = {
+    import spark.implicits._
+    val c = configOf(spark, mv)
+    val baseline = baselineOf(spark, mv)
+    val stateV = Snapshot.versions(spark, s"$mv/state").lastOption
+    Seq(
+      "keys" -> c.keys.mkString(", "),
+      "sum_cols" -> c.vals.mkString(", "),
+      "filter" -> c.filterSql,
+      "minmax_cols" -> c.minmax.mkString(", "),
+      "distinct_cols" -> c.distinct.mkString(", "),
+      "derives" -> c.derives.map { case (n, q) => s"$n <- $q" }
+        .mkString("; "),
+      "baseline_version" -> baseline.toString,
+      "state_version" -> stateV.map(_._1.toString).getOrElse(""),
+      "state_rows" -> stateV.map(_._4.toString).getOrElse("")
+    ).toDF("property", "value")
   }
 
   /** Reclaim tombstones (state rows a fold drove to `n_rows = 0`,

@@ -251,6 +251,40 @@ class MaterializedSpec extends AnyFunSuite {
       == canonExt(recomputeExt()))
   }
 
+  test("derived-key rollup: a computed bucket groups the view, the " +
+    "delta derives it identically, and describe surfaces the " +
+    "definition and freshness") {
+    val root = freshRoot()
+    val t = s"$root/t"
+    val mv = s"$root/mv"
+    def recomputeD() = Snapshot.read(spark, t)
+      .withColumn("bucket", col("id") % 3)
+      .filter(col("v") >= 1)
+      .groupBy(col("k"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("v")).cast("double"), lit(0.0)).as("sum_v"),
+        count(col("v")).as("cnt_v"))
+    def canonD(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("bucket"), col("n_rows"), col("sum_v"),
+        col("cnt_v")).collect().map(_.toString).sorted.toSeq
+    Snapshot.append(rows(0, 150), t)
+    // derive THEN filter: the predicate may reference the derive
+    Materialized.create(spark, t, mv, Seq("k", "bucket"), Seq("v"),
+      filterSql = "v >= 1",
+      deriveCols = Seq("bucket" -> "id % 3"))
+    assert(canonD(Materialized.read(spark, mv)) == canonD(recomputeD()))
+    Snapshot.append(rows(150, 220), t)
+    Snapshot.deleteRangeMor(spark, t, "id", 40L, 90L)
+    assert(Materialized.refresh(spark, t, mv).nonEmpty)
+    assert(canonD(Materialized.read(spark, mv)) == canonD(recomputeD()))
+    val props = Materialized.describe(spark, mv)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("keys") == "k, bucket")
+    assert(props("derives") == "bucket <- id % 3")
+    assert(props("filter") == "v >= 1")
+    assert(props("baseline_version") == "3")
+  }
+
   test("the view rides a ROLLBACK: the rolled-away rows fold back " +
     "out (the CDC endpoint diff covers actions the chain-walk " +
     "doesn't model)") {
