@@ -3765,7 +3765,7 @@ object SparkEntry {
                            max(event_id) // 2 AS hi FROM events)
          SELECT event_type,
                 CAST(count(*) AS BIGINT) AS n_rows,
-                CAST(sum(user_id) AS DOUBLE) AS sum_user_id,
+                CAST(sum(user_id) AS BIGINT) AS sum_user_id,
                 CAST(count(user_id) AS BIGINT) AS cnt_user_id,
                 CAST(min(event_id) AS BIGINT) AS min_event_id,
                 CAST(max(event_id) AS BIGINT) AS max_event_id
@@ -3779,7 +3779,7 @@ object SparkEntry {
          SELECT event_type,
                 CAST(event_id % 7 AS BIGINT) AS bucket,
                 CAST(count(*) AS BIGINT) AS n_rows,
-                CAST(sum(user_id) AS DOUBLE) AS sum_user_id,
+                CAST(sum(user_id) AS BIGINT) AS sum_user_id,
                 CAST(count(user_id) AS BIGINT) AS cnt_user_id,
                 CAST(min(event_id) AS BIGINT) AS min_event_id,
                 CAST(max(event_id) AS BIGINT) AS max_event_id

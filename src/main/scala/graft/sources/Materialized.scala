@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, ShortType}
 
 /** INCREMENTALLY-MAINTAINED AGGREGATES over a [[Snapshot]] table —
   * the materialized-view maintenance loop every reporting pipeline
@@ -98,22 +99,39 @@ object Materialized {
     else derived.filter(expr(c.filterSql))
   }
 
+  /** The stored type of `sum_<v>`: integral columns sum EXACTLY as
+    * long (a double mantissa silently drops low bits once a group's
+    * sum passes 2^53 — certain at 100 TB), everything else (float/
+    * double/decimal) as double. Derived consistently from the source
+    * column's type wherever rows enter the fold, so seed, delta, and
+    * rescan always agree on the state schema. */
+  private def sumTypeOf(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case _ => DoubleType
+  }
+
+  private def sumZero(t: DataType): Column = lit(0).cast(t)
+
   /** The state row's aggregate expressions over raw table rows —
     * shared by the create seed and the targeted group rescan so both
-    * produce byte-identical shapes. */
-  private def aggExprs(c: Config) =
+    * produce byte-identical shapes. `rowType` resolves a value
+    * column's type on the INPUT frame (post-derive). */
+  private def aggExprs(c: Config, rowType: String => DataType) =
     (count(lit(1)).as("n_rows") +:
-      c.vals.flatMap(v => Seq(
-        coalesce(sum(col(v)).cast("double"), lit(0.0))
-          .as(s"sum_$v"),
-        count(col(v)).as(s"cnt_$v")))) ++
+      c.vals.flatMap { v =>
+        val t = sumTypeOf(rowType(v))
+        Seq(
+          coalesce(sum(col(v).cast(t)), sumZero(t)).as(s"sum_$v"),
+          count(col(v)).as(s"cnt_$v"))
+      }) ++
       c.minmax.flatMap(m => Seq(
         min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m"))) ++
       c.distinct.map(d => hll_sketch_agg(col(d)).as(s"hll_$d"))
 
   private def stateAgg(df: DataFrame, c: Config): DataFrame = {
-    val exprs = aggExprs(c)
-    prep(df, c).groupBy(c.keys.map(col): _*)
+    val p = prep(df, c)
+    val exprs = aggExprs(c, v => p.schema(v).dataType)
+    p.groupBy(c.keys.map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
   }
 
@@ -283,13 +301,18 @@ object Materialized {
             max(when(ins, col(m))).as(s"__imax_$m"))) ++
             c.distinct.map(d =>
               hll_sketch_agg(when(ins, col(d))).as(s"__ihll_$d")))
+    val sumT: Map[String, DataType] =
+      c.vals.map(v => v -> sumTypeOf(ch.schema(v).dataType)).toMap
     val delta = ch.groupBy(c.keys.map(col): _*)
       .agg(sum(sign).as("__dn"),
-        c.vals.flatMap(v => Seq(
-          coalesce(sum(sign * col(v).cast("double")), lit(0.0))
-            .as(s"__dsum_$v"),
-          coalesce(sum(when(col(v).isNotNull, sign)
-            .otherwise(lit(0L))), lit(0L)).as(s"__dcnt_$v"))) ++
+        c.vals.flatMap { v =>
+          val t = sumT(v)
+          Seq(
+            coalesce(sum(sign * col(v).cast(t)).cast(t), sumZero(t))
+              .as(s"__dsum_$v"),
+            coalesce(sum(when(col(v).isNotNull, sign)
+              .otherwise(lit(0L))), lit(0L)).as(s"__dcnt_$v"))
+        } ++
           extendedDeltaCols: _*)
       .withColumn("__mv_key", mvKey(c.keys))
     // old values of ONLY the touched keys: the broadcast semi-join
@@ -312,8 +335,8 @@ object Materialized {
         (Seq((coalesce(col("__old_n_rows"), lit(0L)) + col("__dn"))
           .as("n_rows")) ++
           c.vals.flatMap(v => Seq(
-            (coalesce(col(s"__old_sum_$v"), lit(0.0)) +
-              col(s"__dsum_$v")).as(s"sum_$v"),
+            (coalesce(col(s"__old_sum_$v"), sumZero(sumT(v))) +
+              col(s"__dsum_$v")).cast(sumT(v)).as(s"sum_$v"),
             (coalesce(col(s"__old_cnt_$v"), lit(0L)) +
               col(s"__dcnt_$v")).as(s"cnt_$v"))) ++
           c.minmax.flatMap(m => Seq(
@@ -359,7 +382,7 @@ object Materialized {
                (Seq(coalesce(col("__re_n_rows"), lit(0L))
                  .as("n_rows")) ++
                  c.vals.flatMap(v => Seq(
-                   coalesce(col(s"__re_sum_$v"), lit(0.0))
+                   coalesce(col(s"__re_sum_$v"), sumZero(sumT(v)))
                      .as(s"sum_$v"),
                    coalesce(col(s"__re_cnt_$v"), lit(0L))
                      .as(s"cnt_$v"))) ++

@@ -28,13 +28,13 @@ class MaterializedSpec extends AnyFunSuite {
     Snapshot.read(spark, table)
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_rows"),
-        coalesce(sum(col("v")).cast("double"), lit(0.0)).as("sum_v"),
+        coalesce(sum(col("v")), lit(0L)).as("sum_v"),
         count(col("v")).as("cnt_v"))
 
   private def collected(df: org.apache.spark.sql.DataFrame) =
     df.select(col("k"), col("n_rows"), col("sum_v"), col("cnt_v"))
       .collect().map(r => (r.getString(0), r.getLong(1),
-        r.getDouble(2), r.getLong(3))).sortBy(_._1).toSeq
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
 
   test("incremental refresh equals a from-scratch aggregate across " +
     "appends, an upsert, and a MoR delete — and is O(delta)-shaped " +
@@ -146,7 +146,7 @@ class MaterializedSpec extends AnyFunSuite {
     val recomputeF = () => Snapshot.read(spark, t).filter(col("v") >= 3)
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_rows"),
-        coalesce(sum(col("v")).cast("double"), lit(0.0)).as("sum_v"),
+        coalesce(sum(col("v")), lit(0L)).as("sum_v"),
         count(col("v")).as("cnt_v"))
     assert(collected(Materialized.read(spark, mv)) ==
       collected(recomputeF()))
@@ -205,7 +205,7 @@ class MaterializedSpec extends AnyFunSuite {
     def recomputeExt() = Snapshot.read(spark, t)
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_rows"),
-        coalesce(sum(col("v")).cast("double"), lit(0.0)).as("sum_v"),
+        coalesce(sum(col("v")), lit(0L)).as("sum_v"),
         count(col("v")).as("cnt_v"),
         min(col("v")).as("min_v"), max(col("v")).as("max_v"),
         count_distinct(col("v")).as("ndv_v"))
@@ -262,7 +262,7 @@ class MaterializedSpec extends AnyFunSuite {
       .filter(col("v") >= 1)
       .groupBy(col("k"), col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
-        coalesce(sum(col("v")).cast("double"), lit(0.0)).as("sum_v"),
+        coalesce(sum(col("v")), lit(0L)).as("sum_v"),
         count(col("v")).as("cnt_v"))
     def canonD(df: org.apache.spark.sql.DataFrame) =
       df.select(col("k"), col("bucket"), col("n_rows"), col("sum_v"),

@@ -26,7 +26,7 @@ class MaterializedIngestSpec extends AnyFunSuite {
     Snapshot.read(spark, table)
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_rows"),
-        coalesce(sum(col("v")).cast("double"), lit(0.0)).as("sum_v"),
+        coalesce(sum(col("v")), lit(0L)).as("sum_v"),
         count(col("v")).as("cnt_v"))
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
