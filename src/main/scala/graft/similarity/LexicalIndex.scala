@@ -77,6 +77,12 @@ object LexicalIndex {
     import spark.implicits._
     val nBuckets = wordBucketsOf(spark, path)
     val tf = Lexical.tfPostings(batch, idCol, textCol)
+    // the batch is TOKENIZED ONCE — the postings write is the only
+    // action that evaluates `tf`; doclen re-aggregates the WRITTEN
+    // postings (a narrow columnar read of this batch's own files) and
+    // tot_len sums the written doclen, instead of each action
+    // re-running the explode+groupBy over the corpus text (guide
+    // §1.2: the tokenize pass was paid three times)
     if (nBuckets > 0)
       tf.withColumn("bucket", pmod(hash(col("word")), lit(nBuckets)))
         .write.mode("overwrite").partitionBy("bucket")
@@ -86,17 +92,22 @@ object LexicalIndex {
         .parquet(s"$path/postings/batch=$batchTag")
     // len feeds the BM25 prior; n2 (Σtf², the full-document norm) is
     // stored so the cosine side of a HYBRID probe never has to
-    // re-aggregate the whole postings table at query time
-    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"),
+    // re-aggregate the whole postings table at query time. The
+    // read-back carries tf's EXPLICIT schema: an empty bucketed batch
+    // writes no part files at all, and schema inference over the bare
+    // directory would throw where the empty frame is the right answer
+    spark.read.schema(tf.schema)
+      .parquet(s"$path/postings/batch=$batchTag")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("len"),
         sum(col("tf") * col("tf")).as("n2"))
       .write.mode("overwrite").parquet(s"$path/doclen/batch=$batchTag")
     // tot_len (Σlen over the batch, exact integer math) makes the
     // avgdl prior a META aggregate at query time — without it every
     // search re-scans the WHOLE doclen table just to average it,
     // an O(corpus) pass per query at 100 TB; with it the global
-    // prior costs O(landed batches)
-    val totLen = tf.agg(coalesce(sum(col("tf")), lit(0L))).head()
-      .getLong(0)
+    // prior costs O(landed batches). Σlen ≡ Σtf by construction.
+    val totLen = spark.read.parquet(s"$path/doclen/batch=$batchTag")
+      .agg(coalesce(sum(col("len")), lit(0L))).head().getLong(0)
     Seq((batch.count(), totLen)).toDF("n_docs", "tot_len")
       .write.mode("overwrite").parquet(s"$path/meta/batch=$batchTag")
   }

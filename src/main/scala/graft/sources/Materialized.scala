@@ -112,6 +112,17 @@ object Materialized {
 
   private def sumZero(t: DataType): Column = lit(0).cast(t)
 
+  /** Env-gated phase timer (`GRAFT_MV_TRACE=1`): diagnostic only. */
+  private def dbg[A](name: String)(f: => A): A =
+    if (!sys.env.contains("GRAFT_MV_TRACE")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[mv] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   /** The state row's aggregate expressions over raw table rows —
     * shared by the create seed and the targeted group rescan so both
     * produce byte-identical shapes. `rowType` resolves a value
@@ -283,8 +294,8 @@ object Materialized {
     // derives + predicate prepare the DELTA exactly as they prepared
     // the seed: a changed row outside the view never touches a key,
     // and derived group keys exist on the delta rows too
-    val ch = prep(
-      Snapshot.readChangesBetween(spark, table, since, until), c)
+    val ch = dbg("cdc-plan")(prep(
+      Snapshot.readChangesBetween(spark, table, since, until), c))
     val sign = when(col("_change") === "insert", lit(1L))
       .otherwise(lit(-1L))
     val ins = col("_change") === "insert"
@@ -303,7 +314,7 @@ object Materialized {
               hll_sketch_agg(when(ins, col(d))).as(s"__ihll_$d")))
     val sumT: Map[String, DataType] =
       c.vals.map(v => v -> sumTypeOf(ch.schema(v).dataType)).toMap
-    val delta = ch.groupBy(c.keys.map(col): _*)
+    val delta = dbg("delta-exec")(ch.groupBy(c.keys.map(col): _*)
       .agg(sum(sign).as("__dn"),
         c.vals.flatMap { v =>
           val t = sumT(v)
@@ -315,6 +326,14 @@ object Materialized {
         } ++
           extendedDeltaCols: _*)
       .withColumn("__mv_key", mvKey(c.keys))
+      // MATERIALIZED once (guide §3.3 — truncate enormous plans): the
+      // fold below references the delta several times (touched-key
+      // semi-join, the outer fold, and the rescan split), and without
+      // the cut each reference embeds its own copy of the whole
+      // chain-walk CDC subtree — Catalyst re-optimizes it per copy
+      // and the driver pays seconds of planning for an O(touched
+      // keys) frame. The checkpoint is delta-sized, never table-sized.
+      .localCheckpoint())
     // old values of ONLY the touched keys: the broadcast semi-join
     // side is delta-sized; at scale the state read itself is file-
     // pruned by the __mv_key Blooms gathered at every state commit.
@@ -397,7 +416,8 @@ object Materialized {
       .localCheckpoint() // one materialization: the fold feeds a
                          // delete AND an upsert, and both must see
                          // the same rows
-    val bad = folded.filter(col("n_rows") < 0L).count()
+    val bad = dbg("bad-count")(
+      folded.filter(col("n_rows") < 0L).count())
     require(bad == 0L,
       s"$bad keys folded to negative counts — the state at $mv has " +
         s"diverged from $table's change feed (skipped window or " +
@@ -405,7 +425,8 @@ object Materialized {
     // ONE tagged commit: fully-deleted keys ride along as n_rows = 0
     // tombstones (filtered at read) so there is no second commit a
     // crash could separate from this one
-    Snapshot.mergeMor(folded, state, "__mv_key", tag = Some(tag))
+    dbg("state-upsert")(
+      Snapshot.mergeMor(folded, state, "__mv_key", tag = Some(tag)))
     SidecarIo.writeStringAtomic(spark, s"$mv/baseline.json",
       s"""{"version":$until}""")
     Some((since, until))

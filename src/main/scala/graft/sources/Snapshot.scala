@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, max, min}
+import org.apache.spark.sql.functions.{coalesce, col, count,
+  count_distinct, lit, max, min, when}
 import org.apache.spark.sql.types._
 
 /** Snapshot-isolated table commits — the manifest-based layout
@@ -80,10 +81,18 @@ object Snapshot {
     * ([[append]]'s `statsCols`) — the manifest-level DATA-SKIPPING
     * index ([[readWhere]]) and the file pruner for [[merge]]. Empty
     * for untracked tables (all reads then plan every file, exactly
-    * the pre-stats behavior). */
+    * the pre-stats behavior). `rows` is the file's footer row count
+    * (the Iceberg `record_count` field), gathered free at stage time
+    * from the same footer read that collects stats: accounting counts
+    * over whole files ([[deleteRange]] wholesale drops,
+    * [[compactSmall]] verification, [[merge]] touched-row math)
+    * become pure driver arithmetic instead of a Spark scan — at
+    * 100 TB, expiring a month of data without counting it. -1 =
+    * unknown (legacy manifests); every consumer falls back to the
+    * scan. */
   final case class FileEntry(path: String, bytes: Long,
                              stats: Map[String, ColStats] = Map.empty,
-                             seq: Long = 0L)
+                             seq: Long = 0L, rows: Long = -1L)
 
   /** A MERGE-ON-READ range delete: rows of the tracked `column` in
     * `[lo, hi]` (typed-string reprs, [[ColStats]] serialization) are
@@ -422,9 +431,10 @@ object Snapshot {
     if (small.size < minInputFiles) return base.version
     val pCols = declaredLayout(base)
     val src = readLive(spark, table, base, small)
-    // the verification count reads only the small files — bounded by
-    // the same small-file mass as the rewrite itself
-    val expect = src.count()
+    // the verification count: manifest footer rows when no pending
+    // delete applies to the small set (driver math, no job); else one
+    // read bounded by the same small-file mass as the rewrite itself
+    val expect = liveRowsFromMeta(base, small).getOrElse(src.count())
     val totalBytes = small.map(_.bytes).sum
     val nf = math.max(1L, (totalBytes + targetFileBytes - 1)
       / targetFileBytes).toInt
@@ -478,10 +488,18 @@ object Snapshot {
     val base = currentManifest(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     require(base.files.nonEmpty, s"empty table $table")
-    val srcRows = source.count()
+    // ONE aggregate answers row count, duplicate-key check and the
+    // key bounds (formerly three jobs over the source): distinct-count
+    // spells count_distinct + a null adjustment, matching
+    // `select(key).distinct().count()` exactly (nulls collapse to one)
+    val sagg = source.agg(count(lit(1)), count(col(key)),
+      count_distinct(col(key)), min(col(key)), max(col(key))).head()
+    val srcRows = sagg.getLong(0)
     if (srcRows == 0L) return base.version
     requireUnrenamed(base, Seq(key), "merge key")
-    require(source.select(col(key)).distinct().count() == srcRows,
+    val distinctKeyCount = sagg.getLong(2) +
+      (if (sagg.getLong(0) > sagg.getLong(1)) 1L else 0L)
+    require(distinctKeyCount == srcRows,
       s"merge source carries duplicate '$key' values — upsert would be " +
         "order-dependent; dedup the source first")
     // stage 1: manifest stats drop files outside the source key range
@@ -490,9 +508,8 @@ object Snapshot {
       .headOption.map(_.typ)
     val candidates = keyTyp match {
       case Some(typ) =>
-        val b = source.agg(min(col(key)), max(col(key))).head()
-        val lo = reprOf(typ, b.get(0))
-        val hi = reprOf(typ, b.get(1))
+        val lo = reprOf(typ, sagg.get(3))
+        val hi = reprOf(typ, sagg.get(4))
         base.files.filter(f =>
           fileStats(f, key, base.schemaChanges).forall(s =>
           cmp(s.typ, s.max, lo) >= 0 && cmp(s.typ, s.min, hi) <= 0))
@@ -524,7 +541,8 @@ object Snapshot {
       currentBloomColsOf(base))
     val touchedRows =
       if (touched.isEmpty) 0L
-      else readLive(spark, table, base, touched).count()
+      else liveRowsFromMeta(base, touched).getOrElse(
+        readLive(spark, table, base, touched).count())
     commitRetrying(spark, table) { (parent, v) =>
       // an interleaved append conflicts iff it might contain a merge
       // key (its rows would dodge the upsert): stats/Bloom-proven
@@ -580,9 +598,15 @@ object Snapshot {
     val base = currentManifest(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     require(base.files.nonEmpty, s"empty table $table")
-    val srcRows = source.count()
+    // one aggregate for row count + duplicate-key check (the [[merge]]
+    // spelling): count_distinct + null adjustment ==
+    // `select(key).distinct().count()` exactly
+    val sagg = source.agg(count(lit(1)), count(col(key)),
+      count_distinct(col(key))).head()
+    val srcRows = sagg.getLong(0)
     if (srcRows == 0L) return base.version
-    require(source.select(col(key)).distinct().count() == srcRows,
+    require(sagg.getLong(2) +
+        (if (sagg.getLong(0) > sagg.getLong(1)) 1L else 0L) == srcRows,
       s"merge source carries duplicate '$key' values — upsert would be " +
         "order-dependent; dedup the source first")
     val srcKeys = source.select(col(key))
@@ -611,7 +635,9 @@ object Snapshot {
         val it = fs.listFiles(
           new org.apache.hadoop.fs.Path(s"$table/$r"), true)
         while (it.hasNext) bytes += it.next().getLen
-        (r, bytes, matchedKeys.count())
+        // key count off the just-written footers — a metadata read,
+        // not a fourth Spark job over the matched keys
+        (r, bytes, footerRowsUnder(spark, s"$table/$r"))
       }
     val pCols = declaredLayout(base)
     val (staged0, stagedRows) = withStatsAndRows(spark, table,
@@ -754,21 +780,30 @@ object Snapshot {
       if (rewrite.isEmpty) (Nil: Seq[FileEntry], 0L, 0L)
       else {
         val src = readLive(spark, table, base, rewrite)
-        val kept = src.filter(keep)
-        val keptCount = kept.count()
+        // ONE pass answers both accounting counts (kept and total —
+        // formerly two jobs over the same files); the keep filter is
+        // never null, so the conditional count is exact
+        val cnts = src.agg(count(lit(1)),
+          count(when(keep, lit(1)))).head()
+        val rewriteCount = cnts.getLong(0)
+        val keptCount = cnts.getLong(1)
         val st =
           if (keptCount == 0L) Nil // every row deleted: stage nothing
           else withBlooms(spark, table,
             withStats(spark, table,
-              stage(spark, kept, table, pCols,
+              stage(spark, src.filter(keep), table, pCols,
                 currentBloomColsOf(base)),
               currentStatsColsOf(base)),
             currentBloomColsOf(base))
-        (st, keptCount, src.count())
+        (st, keptCount, rewriteCount)
       }
+    // wholesale drops: counted off the manifest's stored footer rows
+    // when no pending delete applies (pure driver math); the scan is
+    // only the legacy-manifest fallback
     val droppedRows =
       if (dropped.isEmpty) 0L
-      else readLive(spark, table, base, dropped).count()
+      else liveRowsFromMeta(base, dropped).getOrElse(
+        readLive(spark, table, base, dropped).count())
     commitRetrying(spark, table) { (parent, v) =>
       val carriedAppends = carriedOrAbort(spark, table, base, parent,
         "delete", appendConflicts)
@@ -838,7 +873,8 @@ object Snapshot {
     val cond = col(column) >= lit(lower) && col(column) <= lit(upper)
     val deadDropped =
       if (dropped.isEmpty) 0L
-      else readLive(spark, table, base, dropped).count()
+      else liveRowsFromMeta(base, dropped).getOrElse(
+        readLive(spark, table, base, dropped).count())
     val deadOverlap =
       if (overlapping.isEmpty) 0L
       else readLive(spark, table, base, overlapping)
@@ -914,7 +950,9 @@ object Snapshot {
     val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$table/$rel"),
       true)
     while (it.hasNext) bytes += it.next().getLen
-    val nKeys = distinctKeys.count()
+    // key count off the just-written footers — a metadata read, not
+    // another Spark job re-running the distinct
+    val nKeys = footerRowsUnder(spark, s"$table/$rel")
     commitRetrying(spark, table) { (parent, v) =>
       tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
         throw new DuplicateTag(v) }
@@ -1257,7 +1295,8 @@ object Snapshot {
           .groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
           .foreach { case (cols, ds) =>
             val keys = ds.map(d =>
-                spark.read.parquet(s"$table/${d.dir}"))
+                readStaged(spark, s"$table/${d.dir}",
+                  Seq(s"$table/${d.dir}")))
               .reduce(_ unionByName _)
               .select(cols.map(col): _*).distinct()
             df = df.join(keys, cols, "left_anti")
@@ -1512,26 +1551,66 @@ object Snapshot {
           case "delete-mor" | "merge-mor" =>
             val dropped = parent.files.filterNot(f =>
               childPaths.contains(f.path))
+            val newRanges = m.rangeDeletes.filter(_.seq == v)
+            val newEqs = m.eqDeletes.filter(_.seq == v)
             val affected = (dropped ++
-              m.rangeDeletes.filter(_.seq == v).flatMap(d =>
+              newRanges.flatMap(d =>
                 keptByRangeRepr(parent.files, d.column, d.lo, d.hi,
                   parent.schemaChanges)) ++
-              m.eqDeletes.filter(_.seq == v).flatMap(d =>
+              newEqs.flatMap(d =>
                 keyCandidates(parent,
-                  spark.read.parquet(s"$table/${d.dir}").distinct(),
+                  readStaged(spark, s"$table/${d.dir}",
+                    Seq(s"$table/${d.dir}")).distinct(),
                   d.cols))).distinctBy(_.path)
-            val survivors = affected.filter(f =>
-              childPaths.contains(f.path))
             val fresh = m.files.filterNot(f =>
               parentPaths.contains(f.path))
-            val plusSide = survivors ++ fresh
-            (if (affected.isEmpty) Nil
-             else Seq(weighted(conform(
-               readLive(spark, table, parent, affected),
-               parent.version), -1))) ++
-            (if (plusSide.isEmpty) Nil
-             else Seq(weighted(conform(
-               readLive(spark, table, m, plusSide), v), 1)))
+            if (newRanges.size + newEqs.size == 1 && affected.forall(
+                  f => childPaths.contains(f.path) ||
+                    dropped.exists(_.path == f.path))) {
+              // ==KILLED-ROWS SHORTCUT== (the common shape: one MoR
+              // commit carries exactly ONE new delete entry): for a
+              // surviving affected file, child-live = parent-live −
+              // rows the new entry matches, so the ± sides cancel on
+              // everything EXCEPT the matched rows — emit ONLY those,
+              // weighted −1, off one pushdown-filtered read (a range
+              // predicate reaches the parquet scan; the old spelling
+              // read every affected row TWICE with no filter), plus
+              // the fresh files +1. Dropped files' rows all match by
+              // the wholesale-drop containment proof, so the filter
+              // spelling covers them too.
+              val live = readLive(spark, table, parent, affected)
+              val killed = newRanges.headOption match {
+                case Some(d) =>
+                  live.filter(col(d.column) >= reprToLit(d.typ, d.lo) &&
+                    col(d.column) <= reprToLit(d.typ, d.hi))
+                case None =>
+                  val d = newEqs.head
+                  live.join(
+                    readStaged(spark, s"$table/${d.dir}",
+                      Seq(s"$table/${d.dir}"))
+                      .select(d.cols.map(col): _*).distinct(),
+                    d.cols, "left_semi")
+              }
+              (if (affected.isEmpty) Nil
+               else Seq(weighted(
+                 conform(killed, parent.version), -1))) ++
+              (if (fresh.isEmpty) Nil
+               else Seq(weighted(conform(
+                 readLive(spark, table, m, fresh), v), 1)))
+            } else {
+              // several new entries in one commit (no current writer
+              // does this): the general two-sided spelling
+              val survivors = affected.filter(f =>
+                childPaths.contains(f.path))
+              val plusSide = survivors ++ fresh
+              (if (affected.isEmpty) Nil
+               else Seq(weighted(conform(
+                 readLive(spark, table, parent, affected),
+                 parent.version), -1))) ++
+              (if (plusSide.isEmpty) Nil
+               else Seq(weighted(conform(
+                 readLive(spark, table, m, plusSide), v), 1)))
+            }
           case _ => // delete | merge | overwrite: the swapped files
             val removed = parent.files.filterNot(f =>
               childPaths.contains(f.path))
@@ -1687,8 +1766,8 @@ object Snapshot {
     val byCommit = files.groupBy(f =>
       f.path.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
     byCommit.map { case (root, fs) =>
-      val df = spark.read.option("basePath", s"$table/$root")
-        .parquet(stageDirPath(table, fs): _*)
+      val df = readStaged(spark, s"$table/$root",
+        stageDirPath(table, fs))
       df.select(col("_metadata.file_path").as("__file") +:
         df.columns.toSeq.map(col): _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1985,35 +2064,64 @@ object Snapshot {
                               cols: Seq[String]): Seq[FileEntry] =
     if (cols.size == 1 && files.exists(f =>
           fileStats(f, cols.head, changes).nonEmpty)) {
-      val b = distinctKeys.agg(min(col(cols.head)),
-        max(col(cols.head))).head()
-      if (b.isNullAt(0)) Nil
-      else keptByKeyBlooms(
-        keptByRange(files, cols.head, b.get(0), b.get(1), changes),
-        cols.head, distinctKeys, changes)
+      val c = cols.head
+      val hasBloom = files.exists(f =>
+        fileStats(f, c, changes).exists(_.bloom.nonEmpty))
+      val MaxProbeKeys = 10000
+      // with Bloom coverage the probe needs the collected key set
+      // anyway, so collect FIRST and derive the range envelope from
+      // the same sample — one Spark job where the old spelling ran a
+      // min/max aggregate AND a collect over the same keys
+      val sample =
+        if (hasBloom) distinctKeys.limit(MaxProbeKeys + 1).collect()
+        else Array.empty[org.apache.spark.sql.Row]
+      if (hasBloom && sample.length <= MaxProbeKeys) {
+        val vals = sample.map(_.get(0)).filter(_ != null)
+        if (vals.isEmpty) Nil // all-null keys: anti-join matches nothing
+        else {
+          // envelope under the SAME total order the stats comparator
+          // uses (cmp over typed reprs): for any key v, lo <= repr(v)
+          // <= hi, so the range filter keeps a conservative superset
+          // exactly as the aggregate-derived bounds did
+          val envCache =
+            scala.collection.mutable.Map.empty[String, (String, String)]
+          def env(typ: String): (String, String) =
+            envCache.getOrElseUpdate(typ, {
+              val reprs = vals.map(v => reprOf(typ, v))
+              (reprs.reduce((a, b) => if (cmp(typ, a, b) <= 0) a else b),
+               reprs.reduce((a, b) => if (cmp(typ, a, b) >= 0) a else b))
+            })
+          val ranged = files.filter { f =>
+            fileStats(f, c, changes) match {
+              case None => true
+              case Some(s) =>
+                val (lo, hi) = env(s.typ)
+                cmp(s.typ, s.max, lo) >= 0 && cmp(s.typ, s.min, hi) <= 0
+            }
+          }
+          keptByKeyBloomVals(ranged, c, vals, changes)
+        }
+      } else {
+        // no Bloom coverage (or key set over the probe cap): the
+        // envelope prune from one aggregate, exactly as before
+        val b = distinctKeys.agg(min(col(c)), max(col(c))).head()
+        if (b.isNullAt(0)) Nil
+        else keptByRange(files, c, b.get(0), b.get(1), changes)
+      }
     } else files
 
-  /** Bloom-prune `files` against a key set: keep a file iff it might
-    * contain AT LEAST ONE key. Probing is driver-side (each key
-    * hashes against each candidate filter), so it applies only when
-    * the key set is collectable under a fixed cap — above it the
-    * range-kept set stands untouched (conservative; a bulk delete of
-    * millions of keys hits most files anyway). Files without a
-    * filter on the column always keep. */
-  private def keptByKeyBlooms(files: Seq[FileEntry], column: String,
-                              keys: DataFrame,
-                              changes: Seq[SchemaChange])
+  /** Bloom-prune `files` against an ALREADY-COLLECTED key set: keep a
+    * file iff it might contain AT LEAST ONE key. Probing is
+    * driver-side; the caller bounds the set
+    * ([[keyCandidatesIn]]'s probe cap). Files without a filter on the
+    * column always keep.
+    * Hash each key ONCE per stat type (files of one table share it;
+    * a rename never changes it) and decode each filter once — the
+    * inner loop is keys x files and must stay bit tests, not md5s. */
+  private def keptByKeyBloomVals(files: Seq[FileEntry], column: String,
+                                 vals: Array[Any],
+                                 changes: Seq[SchemaChange])
       : Seq[FileEntry] = {
-    val MaxProbeKeys = 10000
-    if (!files.exists(f =>
-        fileStats(f, column, changes).exists(_.bloom.nonEmpty)))
-      return files
-    val sample = keys.limit(MaxProbeKeys + 1).collect()
-    if (sample.length > MaxProbeKeys) return files
-    val vals = sample.map(_.get(0)).filter(_ != null)
-    // hash each key ONCE per stat type (files of one table share it;
-    // a rename never changes it) and decode each filter once — the
-    // inner loop is keys x files and must stay bit tests, not md5s
     val hashCache = scala.collection.mutable.Map.empty[String, Array[Long]]
     files.filter { f =>
       fileStats(f, column, changes) match {
@@ -2043,13 +2151,42 @@ object Snapshot {
     * enforced LOUDLY at append time, where the writer can fix it —
     * with permissive unions a read-side mismatch would otherwise
     * null-fill silently. */
+  /** Driver-side schema cache for IMMUTABLE parquet directories (a
+    * commit's `data/<uuid>` staging root and `deletes/<uuid>` key
+    * dirs are written ONCE, `errorifexists`, and never change): the
+    * first read of a dir infers its schema as usual; every later
+    * DataFrame over the same dir passes the cached schema explicitly,
+    * which skips Spark's per-`DataFrameReader.parquet` footer
+    * schema-inference pass — measurably one small job plus driver
+    * time PER READ on the commit-heavy operations (a merge plans the
+    * same staging roots four times). Never used for mutable dirs.
+    * Bounded: cleared wholesale past 4096 entries (UUID dirs are
+    * per-commit; a long session would otherwise grow it forever). */
+  private val stagedSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  /** Read immutable staged parquet `paths` under `basePath` with the
+    * dir's cached schema (inferred once). */
+  private def readStaged(spark: SparkSession, basePath: String,
+                         paths: Seq[String]): DataFrame = {
+    val cached = stagedSchemaCache.get(basePath)
+    val r0 = spark.read.option("basePath", basePath)
+    if (cached != null) r0.schema(cached).parquet(paths: _*)
+    else {
+      val df = r0.parquet(paths: _*)
+      if (stagedSchemaCache.size > 4096) stagedSchemaCache.clear()
+      stagedSchemaCache.put(basePath, df.schema)
+      df
+    }
+  }
+
   private def readFiles(spark: SparkSession, table: String,
                         files: Seq[FileEntry]): DataFrame = {
     val byCommit = files.groupBy(f =>
       f.path.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
     byCommit.map { case (root, fs) =>
-      spark.read.option("basePath", s"$table/$root")
-        .parquet(stageDirPath(table, fs): _*)
+      readStaged(spark, s"$table/$root", stageDirPath(table, fs))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -2079,8 +2216,7 @@ object Snapshot {
     val byCommit = files.groupBy(f =>
       f.path.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
     byCommit.map { case (root, fs) =>
-      spark.read.option("basePath", s"$table/$root")
-        .parquet(stageDirPath(table, fs): _*)
+      readStaged(spark, s"$table/$root", stageDirPath(table, fs))
         .select(col("_metadata.file_path").as("__file") +:
           cols.map(col): _*)
     }.reduce(_ unionByName _)
@@ -3073,7 +3209,7 @@ object Snapshot {
         val it = blocks.iterator()
         while (it.hasNext) rows += it.next().getRowCount
         totalRows += rows
-        if (typed.isEmpty || rows == 0L) e
+        if (typed.isEmpty || rows == 0L) e.copy(rows = rows)
         else {
           val stats = typed.flatMap { case (c, t) =>
             partitionPathValue(e.path, c) match {
@@ -3083,11 +3219,55 @@ object Snapshot {
                 footerColStats(blocks, c, t).map(s => c -> s)
             }
           }.toMap
-          e.copy(stats = stats)
+          e.copy(stats = stats, rows = rows)
         }
       } finally reader.close()
     }
     (out, totalRows)
+  }
+
+  /** Exact LIVE row count of `files` from manifest metadata alone,
+    * when provable: every file carries a footer row count
+    * ([[FileEntry.rows]]) and no pending range/equality delete
+    * APPLIES to it (`d.seq > f.seq` — the sequence rule; an
+    * applicable delete makes live ≠ raw). None → the caller pays the
+    * scan it always paid. Guide §1.2: don't run a job whose answer
+    * the commit already wrote down. */
+  private def liveRowsFromMeta(m: Manifest,
+                               files: Seq[FileEntry]): Option[Long] = {
+    val delSeqs = m.rangeDeletes.map(_.seq) ++ m.eqDeletes.map(_.seq)
+    var tot = 0L
+    files.foreach { f =>
+      if (f.rows < 0L || delSeqs.exists(_ > f.seq)) return None
+      tot += f.rows
+    }
+    Some(tot)
+  }
+
+  /** Total footer row count of every parquet data file under `dir` —
+    * a driver-side metadata read (the [[withStatsAndRows]] footer
+    * walk), replacing a whole Spark COUNT job over files this writer
+    * just wrote. */
+  private def footerRowsUnder(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    var rows = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f.getPath, conf))
+        try {
+          val bit = reader.getFooter.getBlocks.iterator()
+          while (bit.hasNext) rows += bit.next().getRowCount
+        } finally reader.close()
+      }
+    }
+    rows
   }
 
   /** The `k=v` value a staging path carries for a partition column
@@ -3509,6 +3689,7 @@ object Snapshot {
     o.put("path", f.path)
     o.put("bytes", f.bytes)
     if (f.seq != 0L) o.put("seq", f.seq)
+    if (f.rows >= 0L) o.put("rows", f.rows)
     if (f.stats.nonEmpty) {
       val st = o.putObject("stats")
       f.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
@@ -3542,7 +3723,8 @@ object Snapshot {
         b.result()
       }.getOrElse(Map.empty[String, ColStats])
       files += FileEntry(o.get("path").asText(), o.get("bytes").asLong(),
-        stats, Option(o.get("seq")).map(_.asLong()).getOrElse(0L))
+        stats, Option(o.get("seq")).map(_.asLong()).getOrElse(0L),
+        Option(o.get("rows")).map(_.asLong()).getOrElse(-1L))
     }
     files.toSeq
   }
