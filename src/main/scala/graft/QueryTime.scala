@@ -47,6 +47,16 @@ object QueryTime {
         println(s"=== $name executed plan ===")
         println(df.queryExecution.executedPlan.toString)
       }
+      // SPARK_GRAFT_EXPLAIN_FILE=<path-prefix>: write the FORMATTED
+      // plan (`explain("formatted")` text) to <prefix><query>.txt —
+      // the committed plan evidence the optimization rounds require
+      sys.env.get("SPARK_GRAFT_EXPLAIN_FILE").foreach { prefix =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        java.nio.file.Files.writeString(
+          java.nio.file.Path.of(s"$prefix$name.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
     }
     spark.stop()
   }

@@ -629,7 +629,10 @@ object Snapshot {
       if (dead == 0L) ("", 0L, 0L)
       else {
         val r = s"deletes/${java.util.UUID.randomUUID()}"
-        matchedKeys.write.mode("errorifexists").parquet(s"$table/$r")
+        matchedKeys.write.mode("errorifexists")
+          .option("mapreduce.fileoutputcommitter.algorithm.version",
+            "2") // published by the manifest CAS, as in [[stage]]
+          .parquet(s"$table/$r")
         val fs = hadoopFs(spark, table)
         var bytes = 0L
         val it = fs.listFiles(
@@ -944,7 +947,10 @@ object Snapshot {
         .join(distinctKeys, cols, "left_semi").count()
     if (dead == 0L) return base.version
     val rel = s"deletes/${java.util.UUID.randomUUID()}"
-    distinctKeys.write.mode("errorifexists").parquet(s"$table/$rel")
+    distinctKeys.write.mode("errorifexists")
+      .option("mapreduce.fileoutputcommitter.algorithm.version",
+        "2") // published by the manifest CAS, as in [[stage]]
+      .parquet(s"$table/$rel")
     val fs = hadoopFs(spark, table)
     var bytes = 0L
     val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$table/$rel"),
@@ -2821,7 +2827,15 @@ object Snapshot {
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"data/$commitId"
     val dst = s"$table/$rel"
+    // FileOutputCommitter v2: task outputs move to the destination at
+    // task commit (one rename per file) instead of v1's second
+    // job-commit rename pass. v2 trades away job-level atomicity —
+    // which THIS writer never relied on: a staging dir is garbage
+    // until the manifest CAS publishes it, and a partially-written
+    // dir is simply never referenced (the same reasoning Iceberg
+    // applies to its own staging writes).
     val writer0 = df.write.mode("errorifexists")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
     val footerSafe = bloomCols.distinct.filter(c =>
       df.schema.find(_.name == c).forall(f => f.dataType match {
         case FloatType | DoubleType => false
@@ -3109,6 +3123,17 @@ object Snapshot {
     * [[ColStats]] (its typed repr is the probe's hash input). Files
     * with no stats on the column (all-null slices) get no filter and
     * are never pruned. */
+  /** Per-file bytes ceiling for the DRIVER-SIDE bloom build: below
+    * it, every staged file's column is read through parquet-hadoop on
+    * the driver (the same process that just read the footers) and
+    * hashed with the SAME XXH64 kernel Spark's `xxhash64` runs —
+    * zero Spark jobs for the micro-batch/fixture-sized commits where
+    * the job-launch overhead dwarfs the hashing. Above it (real
+    * at-scale files) the distributed aggregate below runs unchanged.
+    * `private[sources]` so the parity spec can force the Spark path
+    * and compare filters byte-for-byte. */
+  private[sources] var bloomDriverMaxBytes: Long = 8L << 20
+
   private def withBlooms(spark: SparkSession, table: String,
                          entries: Seq[FileEntry],
                          bloomCols: Seq[String]): Seq[FileEntry] = {
@@ -3119,16 +3144,25 @@ object Snapshot {
     bloomCols.distinct.foreach { c =>
       val typ = out.flatMap(_.stats.get(c)).headOption.map(_.typ)
       typ.foreach { t =>
-        val h = xxhash64(FileBloom.canonExpr(col(c), t))
+        // driver path first: small files, non-partition column, and
+        // every value type decodable — falls back to the distributed
+        // aggregate on any surprise, never silently drops a filter
+        val driverBuilt: Option[Seq[(String, Seq[Int])]] =
+          if (out.forall(e => e.bytes < bloomDriverMaxBytes &&
+                partitionPathValue(e.path, c).isEmpty))
+            driverBloomPositions(spark, table, out, c, t)
+          else None
         val byFile: Seq[(String, Seq[Int])] =
+          driverBuilt.getOrElse(
           readFilesWithPath(spark, table, out, Seq(c))
             .filter(col(c).isNotNull)
             .select(col("__file"),
-              explode(array(FileBloom.positionExprs(h): _*)).as("__pos"))
+              explode(array(FileBloom.positionExprs(xxhash64(
+                FileBloom.canonExpr(col(c), t))): _*)).as("__pos"))
             .groupBy(col("__file"))
             .agg(collect_set(col("__pos")).as("ps"))
             .collect().toSeq
-            .map(r => r.getString(0) -> r.getSeq[Int](1))
+            .map(r => r.getString(0) -> r.getSeq[Int](1)))
         out = out.map { e =>
           e.stats.get(c) match {
             case Some(st) =>
@@ -3145,6 +3179,115 @@ object Snapshot {
     }
     out
   }
+
+  /** DRIVER-SIDE build of the per-file Bloom position sets: read the
+    * single column through parquet-hadoop (projection pushdown via
+    * the requested read schema) and hash each value with the same
+    * XXH64 kernel (`catalyst.expressions.XXH64`, seed 42) Spark's
+    * `xxhash64(canonExpr)` executes — bit-identical filters, zero
+    * Spark jobs (spec-pinned byte parity against the distributed
+    * path). Returns None when any value shape is out of contract
+    * (unexpected physical type, timestamp unit) so the caller falls
+    * back to the distributed aggregate rather than mis-hash. */
+  private def driverBloomPositions(spark: SparkSession, table: String,
+                                   entries: Seq[FileEntry], c: String,
+                                   typ: String)
+      : Option[Seq[(String, Seq[Int])]] = try {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val Seed = 42L
+    val conf = spark.sparkContext.hadoopConfiguration
+    Some(entries.flatMap { e =>
+      if (e.stats.get(c).isEmpty) Nil
+      else {
+        val abs = s"$table/${e.path}"
+        val p = new org.apache.hadoop.fs.Path(abs)
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(p, conf))
+        val schema =
+          try footer.getFooter.getFileMetaData.getSchema
+          finally footer.close()
+        if (!schema.containsField(c)) Nil
+        else {
+          val field = schema
+            .getType(schema.getFieldIndex(c)).asPrimitiveType()
+          val unit = field.getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation
+                .TimestampLogicalTypeAnnotation => Some(ts.getUnit)
+            case _ => None
+          }
+          val hashOf: org.apache.parquet.example.data.Group => Long =
+            (field.getPrimitiveTypeName, typ) match {
+              case (INT64, "long") =>
+                g => XXH64.hashLong(g.getLong(0, 0), Seed)
+              case (INT32, "long") =>
+                g => XXH64.hashLong(g.getInteger(0, 0).toLong, Seed)
+              case (BINARY, "string") =>
+                g => XXH64.hashUTF8String(
+                  org.apache.spark.unsafe.types.UTF8String.fromBytes(
+                    g.getBinary(0, 0).getBytes), Seed)
+              case (INT32, "date") =>
+                g => XXH64.hashInt(g.getInteger(0, 0), Seed)
+              case (INT64, "timestamp")
+                  if unit.contains(
+                    LogicalTypeAnnotation.TimeUnit.MICROS) =>
+                g => XXH64.hashLong(g.getLong(0, 0), Seed)
+              case (INT64, "timestamp")
+                  if unit.contains(
+                    LogicalTypeAnnotation.TimeUnit.MILLIS) =>
+                g => XXH64.hashLong(g.getLong(0, 0) * 1000L, Seed)
+              case (DOUBLE, "double") =>
+                g => {
+                  var d = g.getDouble(0, 0)
+                  if (d == -0.0d) d = 0.0d
+                  XXH64.hashLong(
+                    java.lang.Double.doubleToLongBits(d), Seed)
+                }
+              case (FLOAT, "double") =>
+                g => {
+                  var d = g.getFloat(0, 0).toDouble
+                  if (d == -0.0d) d = 0.0d
+                  XXH64.hashLong(
+                    java.lang.Double.doubleToLongBits(d), Seed)
+                }
+              case other =>
+                throw new IllegalStateException(
+                  s"bloom driver path: unhandled shape $other")
+            }
+          val readConf = new org.apache.hadoop.conf.Configuration(conf)
+          readConf.set(
+            org.apache.parquet.hadoop.api.ReadSupport
+              .PARQUET_READ_SCHEMA,
+            new org.apache.parquet.schema.MessageType(
+              "graftBloomProj", field).toString)
+          val reader = org.apache.parquet.hadoop.ParquetReader
+            .builder(
+              new org.apache.parquet.hadoop.example.GroupReadSupport(),
+              p)
+            .withConf(readConf).build()
+          val positions = new java.util.HashSet[Integer]()
+          try {
+            var g = reader.read()
+            while (g != null) {
+              if (g.getFieldRepetitionCount(0) > 0) {
+                val ps = FileBloom.positions(hashOf(g), FileBloom.MaxBits)
+                var i = 0
+                while (i < ps.length) { positions.add(ps(i)); i += 1 }
+              }
+              g = reader.read()
+            }
+          } finally reader.close()
+          if (positions.isEmpty) Nil
+          else {
+            import scala.jdk.CollectionConverters._
+            Seq(abs -> positions.asScala.toSeq.map(_.intValue))
+          }
+        }
+      }
+    })
+  } catch { case _: Throwable => None }
 
   /** The Bloom coverage of an existing snapshot under the current
     * schema — the columns a rewrite ([[compact]], [[merge]]) must

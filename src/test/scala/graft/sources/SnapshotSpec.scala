@@ -1858,4 +1858,44 @@ class SnapshotSpec extends AnyFunSuite {
     val m = Snapshot.readManifest(spark, t, cv).get
     assert(m.rows == 55L)
   }
+
+  test("driver-side bloom build is BYTE-IDENTICAL to the distributed " +
+    "aggregate across long/string/double/date/timestamp columns") {
+    // the same frame staged twice: once through the driver parquet
+    // read (small files qualify), once with the driver path disabled
+    // — every stored filter must match byte-for-byte, or point
+    // pruning would differ by build path
+    val df = (0 until 500).map { i =>
+      (i.toLong, s"key-$i%${i * 37}", i * 0.75 - 3.0,
+       java.sql.Date.valueOf(java.time.LocalDate
+         .ofEpochDay(18000L + i % 400)),
+       java.sql.Timestamp.from(
+         java.time.Instant.ofEpochSecond(1600000000L + i * 7L)))
+    }.toDF("id", "name", "score", "d", "ts")
+      .union(Seq((-1L, null.asInstanceOf[String], -0.0d,
+        null.asInstanceOf[java.sql.Date],
+        null.asInstanceOf[java.sql.Timestamp]))
+        .toDF("id", "name", "score", "d", "ts"))
+    val cols = Seq("id", "name", "score", "d", "ts")
+    val t1 = freshTable()
+    Snapshot.append(df.coalesce(2), t1, statsCols = cols,
+      bloomCols = cols)
+    val t2 = freshTable()
+    val saved = Snapshot.bloomDriverMaxBytes
+    try {
+      Snapshot.bloomDriverMaxBytes = 0L // force the Spark aggregate
+      Snapshot.append(df.coalesce(2), t2, statsCols = cols,
+        bloomCols = cols)
+    } finally Snapshot.bloomDriverMaxBytes = saved
+    def bloomsOf(t: String) = Snapshot.readManifest(spark, t, 1L).get
+      .files.sortBy(_.path)
+      .map(f => f.stats.toSeq.sortBy(_._1)
+        .map { case (c, s) => c -> s.bloom })
+    val a = bloomsOf(t1)
+    val b = bloomsOf(t2)
+    assert(a.flatten.exists(_._2.nonEmpty),
+      "fixture produced no filters at all")
+    assert(a == b, "driver-built filters differ from the " +
+      "distributed build")
+  }
 }
