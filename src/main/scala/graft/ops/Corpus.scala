@@ -67,7 +67,7 @@ object Corpus {
       .createTempDirectory("graft-snapskip").toString + "/t"
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"))
-    val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val mx = Tables.maxLongOf(spark, dir, "orders", "o_orderkey")
     val q = mx / 4
     Snapshot.append(o.filter(col("o_orderkey") <= q).coalesce(1),
       table, statsCols = Seq("o_orderkey"))
@@ -107,7 +107,7 @@ object Corpus {
     val base = Tables.orders(spark, dir).select(
       col("o_orderkey"), col("o_orderstatus"),
       round(col("o_totalprice") * 100).cast("long").as("price_cents"))
-    val mx = base.agg(max(col("o_orderkey"))).head().getLong(0)
+    val mx = Tables.maxLongOf(spark, dir, "orders", "o_orderkey")
     val half = mx / 2
     Snapshot.append(base.filter(col("o_orderkey") <= half).coalesce(1),
       table, statsCols = Seq("o_orderkey"))
@@ -145,7 +145,7 @@ object Corpus {
     val base = Tables.orders(spark, dir).select(
       col("o_orderkey"), col("o_orderstatus"),
       round(col("o_totalprice") * 100).cast("long").as("price_cents"))
-    val mx = base.agg(max(col("o_orderkey"))).head().getLong(0)
+    val mx = Tables.maxLongOf(spark, dir, "orders", "o_orderkey")
     val half = mx / 2
     Snapshot.append(base.filter(col("o_orderkey") <= half).coalesce(1),
       table, statsCols = Seq("o_orderkey"))
@@ -195,7 +195,7 @@ object Corpus {
       .createTempDirectory("graft-snapdel").toString + "/t"
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"))
-    val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val mx = Tables.maxLongOf(spark, dir, "orders", "o_orderkey")
     val q = mx / 4
     Snapshot.append(o.filter(col("o_orderkey") <= q).coalesce(1),
       table, statsCols = Seq("o_orderkey"))
@@ -239,7 +239,7 @@ object Corpus {
       .createTempDirectory("graft-snapdelmor").toString + "/t"
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"))
-    val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val mx = Tables.maxLongOf(spark, dir, "orders", "o_orderkey")
     val q = mx / 4
     (0 until 4).foreach { k =>
       val loK = k * q
@@ -485,7 +485,7 @@ object Corpus {
     val state = java.nio.file.Files
       .createTempDirectory("graft-snapcons-state").toString
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
-    val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+    val mx = Tables.maxLongOf(spark, dir, "documents", "doc_id")
     val lo = mx / 4
     val hi = mx / 2
     val windows = scala.collection.mutable.ArrayBuffer
@@ -573,7 +573,7 @@ object Corpus {
     val table = java.nio.file.Files
       .createTempDirectory("graft-snapcdc").toString + "/t"
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
-    val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+    val mx = Tables.maxLongOf(spark, dir, "documents", "doc_id")
     val lo = mx / 4
     val hi = mx / 2
     Snapshot.append(d.filter(col("doc_id") % 2 === 0), table,
@@ -639,7 +639,7 @@ object Corpus {
       .createTempDirectory("graft-snaprb").toString + "/t"
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"))
-    val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val mx = Tables.maxLongOf(spark, dir, "orders", "o_orderkey")
     val (lo, hi) = (mx / 4, mx / 2)
     Snapshot.append(o.filter(col("o_orderkey") % 2 === 0), table) // v1
     Snapshot.append(o.filter(col("o_orderkey") % 2 === 1), table) // v2
@@ -726,7 +726,7 @@ object Corpus {
       .createTempDirectory("graft-snapbp").toString + "/t"
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("user_id"))
-    val mx = e.agg(max(col("event_id"))).head().getLong(0)
+    val mx = Tables.maxLongOf(spark, dir, "events", "event_id")
     val (lo, hi) = (mx / 4, mx / 2)
     Snapshot.append(e.filter(col("event_id") % 2 === 0).coalesce(1),
       table)                                                      // v1
@@ -778,7 +778,7 @@ object Corpus {
     val mv = s"$root/mv"
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("user_id"))
-    val mx = e.agg(max(col("event_id"))).head().getLong(0)
+    val mx = Tables.maxLongOf(spark, dir, "events", "event_id")
     val (lo, hi) = (mx / 4, mx / 2)
     Snapshot.append(e.filter(col("event_id") % 2 === 0), table) // v1
     Materialized.create(spark, table, mv,
@@ -816,7 +816,7 @@ object Corpus {
     val mv = s"$root/mv"
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("user_id"))
-    val mx = e.agg(max(col("event_id"))).head().getLong(0)
+    val mx = Tables.maxLongOf(spark, dir, "events", "event_id")
     val (lo, hi) = (mx / 4, mx / 2)
     Snapshot.append(e.filter(col("event_id") % 2 === 0), table) // v1
     Materialized.create(spark, table, mv,
@@ -2103,7 +2103,7 @@ object Corpus {
         .when(m < 13, lit("mid-c.org"))
         .otherwise(concat(lit("site"), col("doc_id") % 89,
                           lit(".example"))))
-    val n = d.count()
+    val n = Tables.rowCountOf(spark, dir, "documents")
     graft.ops.Frequent.heavyHitters(d, "domain", minCount = n / 10,
         sketchSize = 256)
       .orderBy(col("domain"))
@@ -4073,7 +4073,7 @@ object Corpus {
     * computation, or floor-division order hash-mismatches. */
   def pageRankDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val n = d.count() // one bounded action: the planted graph's modulus
+    val n = Tables.rowCountOf(spark, dir, "documents") // footer rows
     graft.graph.PageRank.pageRankScaled(
         plantedEdges(d, n), d.select(col("doc_id").as("id")))
       .select(col("id").as("doc_id"), col("rank"))
@@ -4149,7 +4149,7 @@ object Corpus {
     * direction or the normalization hash-mismatches. */
   def hitsDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val n = d.count() // one bounded action: the planted graph's modulus
+    val n = Tables.rowCountOf(spark, dir, "documents") // footer rows
     graft.graph.Hits.hitsScaled(
         plantedEdges(d, n), d.select(col("doc_id").as("id")))
       .select(col("id").as("doc_id"), col("hub"), col("auth"))
@@ -4257,7 +4257,8 @@ object Corpus {
     * that pairs with [[pageRankDocs]]'s global authority. */
   def triangleDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    graft.graph.Triangles.vertexTriangles(plantedEdges(d, d.count()))
+    graft.graph.Triangles.vertexTriangles(
+        plantedEdges(d, Tables.rowCountOf(spark, dir, "documents")))
       .select(col("id").as("doc_id"), col("n_triangles"))
       .orderBy(col("doc_id"))
   }

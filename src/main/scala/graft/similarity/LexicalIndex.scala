@@ -141,8 +141,7 @@ object LexicalIndex {
     spark.read.parquet(s"$path/doclen")
       .select(col("doc_id"), col("len"), col("n2"))
       .write.mode("overwrite").parquet(s"$dst/doclen/batch=base")
-    val n = metaOf(spark, path)
-      .agg(sum(col("n_docs"))).head().getLong(0)
+    val n = metaTotals(spark, path)._1
     // the fold UPGRADES pre-tot_len and MIXED-coverage indexes: sum
     // the stored batch totals when every batch carries one, else
     // derive once from doclen (the last full scan that index will
@@ -151,35 +150,56 @@ object LexicalIndex {
       .write.mode("overwrite").parquet(s"$dst/meta/batch=base")
   }
 
-  /** The meta table read with SCHEMA MERGING: a pre-`tot_len` index
-    * that later receives tot_len-writing appends holds batches of
-    * BOTH schemas, and plain parquet inference would pick whichever
-    * file it samples — when it lands on a tot_len batch, legacy
-    * batches read the column as null and a naive
-    * `coalesce(sum(tot_len), 0)` silently UNDERCOUNTS the corpus
-    * length (skewing avgdl, and compact/gc would persist the wrong
-    * total). Merging makes the mixed schema deterministic; the
-    * coverage check below decides whether the totals are trustable. */
-  private def metaOf(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(s"$path/meta")
-
-  /** (Σ n_docs, Σ tot_len or -1): one aggregate over the tiny meta
-    * table. tot_len is reported only when EVERY batch row carries it
-    * (count(tot_len) == count(*)) — a mixed-schema index (legacy
-    * batches landed before the column existed) must not trust a
-    * partial sum. */
-  private def metaTotals(meta: DataFrame): (Long, Long) = {
-    val hasTot = meta.columns.contains("tot_len")
-    val r =
-      if (hasTot)
-        meta.agg(sum(col("n_docs")), count(lit(1)),
-          count(col("tot_len")),
-          coalesce(sum(col("tot_len")), lit(0L))).head()
-      else meta.agg(sum(col("n_docs")), count(lit(1)), lit(0L),
-        lit(0L)).head()
-    val n = r.getLong(0)
-    val covered = hasTot && r.getLong(1) == r.getLong(2)
-    (n, if (covered) r.getLong(3) else -1L)
+  /** (Σ n_docs, Σ tot_len or -1) read DRIVER-SIDE off the meta
+    * table's parquet files — one row per landed batch, so this is a
+    * metadata-scale loop, not a dataset: the old spelling was a
+    * `mergeSchema` read (a distributed footer-merge job) plus an
+    * aggregate job, paid by EVERY probe's global prior. Schema
+    * mixing is handled per file (the reason mergeSchema was there):
+    * a pre-`tot_len` batch file simply lacks the field, and any row
+    * without a trustable tot_len drops the stored-total claim —
+    * tot_len is reported only when EVERY batch row carries it,
+    * exactly the old coverage rule (a partial sum would silently
+    * undercount the corpus length and skew avgdl). */
+  private def metaTotals(spark: SparkSession, path: String)
+      : (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root))
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "PATH_NOT_FOUND",
+        messageParameters = Map("path" -> root.toString))
+    var n = 0L
+    var tot = 0L
+    var allTot = true
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(
+            new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            f.getPath)
+          .withConf(conf).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            val t = g.getType
+            if (t.containsField("n_docs") &&
+                g.getFieldRepetitionCount("n_docs") > 0)
+              n += g.getLong("n_docs", 0)
+            if (!t.containsField("tot_len") ||
+                g.getFieldRepetitionCount("tot_len") == 0)
+              allTot = false
+            else tot += g.getLong("tot_len", 0)
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    }
+    (n, if (allTot) tot else -1L)
   }
 
   /** Σ document length over the whole index: the stored per-batch
@@ -187,7 +207,7 @@ object LexicalIndex {
     * scan (legacy / mixed-schema indexes — [[compact]] upgrades
     * them). */
   private def totLenOf(spark: SparkSession, path: String): Long = {
-    val (_, tot) = metaTotals(metaOf(spark, path))
+    val (_, tot) = metaTotals(spark, path)
     if (tot >= 0L) tot
     else spark.read.parquet(s"$path/doclen")
       .agg(coalesce(sum(col("len")), lit(0L))).head().getLong(0)
@@ -230,8 +250,7 @@ object LexicalIndex {
       .select(col("doc_id"), col("len"), col("n2"))
     doclen.join(dead, Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$dst/doclen/batch=base")
-    val n = metaOf(spark, path)
-      .agg(sum(col("n_docs"))).head().getLong(0)
+    val n = metaTotals(spark, path)._1
     val removedN = dead.count()
     // the removed docs' length mass leaves tot_len with them — the
     // avgdl prior stays exact through erasure
@@ -313,7 +332,7 @@ object LexicalIndex {
   private def globalPrior(spark: SparkSession, path: String,
                           len: DataFrame): DataFrame = {
     import spark.implicits._
-    val (n, storedTot) = metaTotals(metaOf(spark, path))
+    val (n, storedTot) = metaTotals(spark, path)
     if (storedTot >= 0L)
       Seq((n, storedTot)).toDF("n", "tot")
         .withColumn("avgdl", col("tot") * lit(1.0) / col("n"))
