@@ -96,18 +96,21 @@ object LexicalIndex {
     // read-back carries tf's EXPLICIT schema: an empty bucketed batch
     // writes no part files at all, and schema inference over the bare
     // directory would throw where the empty frame is the right answer
-    spark.read.schema(tf.schema)
-      .parquet(s"$path/postings/batch=$batchTag")
-      .groupBy(col("doc_id")).agg(sum(col("tf")).as("len"),
-        sum(col("tf") * col("tf")).as("n2"))
-      .write.mode("overwrite").parquet(s"$path/doclen/batch=$batchTag")
     // tot_len (Σlen over the batch, exact integer math) makes the
     // avgdl prior a META aggregate at query time — without it every
     // search re-scans the WHOLE doclen table just to average it,
     // an O(corpus) pass per query at 100 TB; with it the global
-    // prior costs O(landed batches). Σlen ≡ Σtf by construction.
-    val totLen = spark.read.parquet(s"$path/doclen/batch=$batchTag")
-      .agg(coalesce(sum(col("len")), lit(0L))).head().getLong(0)
+    // prior costs O(landed batches). Σlen ≡ Σtf by construction,
+    // and the total OBSERVES the doclen write itself (a CollectMetrics
+    // side-channel on the same job) instead of re-reading the files
+    val obs = new org.apache.spark.sql.Observation()
+    spark.read.schema(tf.schema)
+      .parquet(s"$path/postings/batch=$batchTag")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("len"),
+        sum(col("tf") * col("tf")).as("n2"))
+      .observe(obs, coalesce(sum(col("len")), lit(0L)).as("tot"))
+      .write.mode("overwrite").parquet(s"$path/doclen/batch=$batchTag")
+    val totLen = obs.get("tot").asInstanceOf[Long]
     Seq((batch.count(), totLen)).toDF("n_docs", "tot_len")
       .write.mode("overwrite").parquet(s"$path/meta/batch=$batchTag")
   }

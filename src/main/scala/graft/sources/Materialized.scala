@@ -369,6 +369,7 @@ object Materialized {
               .otherwise(hll_union(o, i)).as(s"hll_$d")
           }) :+
         col("__mv_key"): _*)
+    val badObs = new org.apache.spark.sql.Observation()
     val folded =
       (if (c.extended.isEmpty) incSelect(folded0)
        else {
@@ -413,11 +414,14 @@ object Materialized {
                col("__mv_key"): _*)
          inc.unionByName(resFolded)
        })
+      // the divergence check OBSERVES the checkpoint job itself (a
+      // CollectMetrics side-channel) instead of running its own count
+      .observe(badObs,
+        count(when(col("n_rows") < 0L, lit(1))).as("bad"))
       .localCheckpoint() // one materialization: the fold feeds a
                          // delete AND an upsert, and both must see
                          // the same rows
-    val bad = dbg("bad-count")(
-      folded.filter(col("n_rows") < 0L).count())
+    val bad = badObs.get("bad").asInstanceOf[Long]
     require(bad == 0L,
       s"$bad keys folded to negative counts — the state at $mv has " +
         s"diverged from $table's change feed (skipped window or " +
