@@ -938,8 +938,9 @@ object Dedup {
       .localCheckpoint()
     val km = new KMeans().setK(nClusters).setSeed(seed)
       .setFeaturesCol("v").setPredictionCol("cell")
-    val model = km.fit(
-      if (fitSample < 1.0) base.sample(fitSample, seed) else base)
+    val model = org.apache.spark.ml.graft.SummaryBridge.dropSummary(
+      km.fit(
+        if (fitSample < 1.0) base.sample(fitSample, seed) else base))
     val spark = emb.sparkSession
     import spark.implicits._
     val centers = model.clusterCenters.zipWithIndex

@@ -121,8 +121,12 @@ object LangModel {
       .setProbabilityCol("__lm_prob")
       .setPredictionCol("__lm_pred")
       .setRawPredictionCol("__lm_raw")
-    FittedLang(fitted, labels, numFeatures, nMin, nMax, maxChars,
-      textCol)
+    // drop the training summary (frame + SparkSession) the scoring
+    // UDF's closure would otherwise serialize per task — and which
+    // throws outright once the session used Dataset.observe
+    FittedLang(
+      org.apache.spark.ml.graft.SummaryBridge.dropSummary(fitted),
+      labels, numFeatures, nMin, nMax, maxChars, textCol)
   }
 
   // ---- persistence ----------------------------------------------------

@@ -112,7 +112,12 @@ object QualityModel {
       .setProbabilityCol("__q_prob")
       .setPredictionCol("__q_pred")
       .setRawPredictionCol("__q_raw")
-    Fitted(fitted, textCol)
+    // the summary holds the training frame + SparkSession; score()'s
+    // transform closes over the model, so keeping it would serialize
+    // a session into every task closure (and throw outright once
+    // anything in the session used Dataset.observe) — see SummaryBridge
+    Fitted(org.apache.spark.ml.graft.SummaryBridge.dropSummary(fitted),
+      textCol)
   }
 
   // ---- hashed-n-gram (fastText-style) variant ------------------------
@@ -179,6 +184,8 @@ object QualityModel {
       .setProbabilityCol("__q_prob")
       .setPredictionCol("__q_pred")
       .setRawPredictionCol("__q_raw")
-    FittedHashed(fitted, textCol, numFeatures)
+    FittedHashed(
+      org.apache.spark.ml.graft.SummaryBridge.dropSummary(fitted),
+      textCol, numFeatures)
   }
 }

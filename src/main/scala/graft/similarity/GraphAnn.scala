@@ -75,7 +75,10 @@ object GraphAnn {
       .localCheckpoint()
     val km = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("v").setPredictionCol("cell")
-    val model = km.fit(c)
+    // drop the KMeans training summary (frame + session) the predict
+    // UDF's closure would otherwise carry — see SummaryBridge
+    val model =
+      org.apache.spark.ml.graft.SummaryBridge.dropSummary(km.fit(c))
     val nodes = model.transform(c)
       .select(col("node_id"), col("cv"), col("cell"))
       .localCheckpoint() // consumed by three writes below

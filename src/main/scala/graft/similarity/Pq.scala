@@ -297,7 +297,10 @@ object Pq {
       .localCheckpoint()
     val km = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("v").setPredictionCol("cell")
-    val kmModel = km.fit(c)
+    // drop the KMeans training summary (frame + session) the predict
+    // UDF's closure would otherwise carry — see SummaryBridge
+    val kmModel =
+      org.apache.spark.ml.graft.SummaryBridge.dropSummary(km.fit(c))
     val codes = encodePq(corpus, model, cVec, cId)
       .withColumnRenamed(cId, "neighbor_id")
       .join(kmModel.transform(c).select(col("neighbor_id"), col("cell")),
@@ -381,8 +384,9 @@ object Pq {
       .withColumn("nv", Similarity.normalize(col("cv")))
       .withColumn("v", array_to_vector(col("nv")))
       .localCheckpoint()
-    val kmModel = new KMeans().setK(nCells).setSeed(seed)
-      .setFeaturesCol("v").setPredictionCol("cell").fit(c)
+    val kmModel = org.apache.spark.ml.graft.SummaryBridge.dropSummary(
+      new KMeans().setK(nCells).setSeed(seed)
+        .setFeaturesCol("v").setPredictionCol("cell").fit(c))
     val centers = kmModel.clusterCenters.map(_.toArray)
     val residUdf = udf { (nv: Seq[Double], cell: Int) =>
       val cen = centers(cell)

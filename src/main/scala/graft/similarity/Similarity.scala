@@ -136,7 +136,10 @@ object Similarity {
       .localCheckpoint()
     val km = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("v").setPredictionCol("cell")
-    val model = km.fit(c)
+    // drop the KMeans training summary (frame + session) the predict
+    // UDF's closure would otherwise carry — see SummaryBridge
+    val model =
+      org.apache.spark.ml.graft.SummaryBridge.dropSummary(km.fit(c))
     val cells = model.transform(c).select(
       col("neighbor_id"), col("cv"), col("cell"))
     // centroids are nCells tiny vectors — ship them as a literal frame,
@@ -183,7 +186,8 @@ object Similarity {
       .withColumn("v", array_to_vector(normalize(col("cv"))))
     val km = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("v").setPredictionCol("cell")
-    val model = km.fit(c)
+    val model =
+      org.apache.spark.ml.graft.SummaryBridge.dropSummary(km.fit(c))
     model.transform(c)
       .select(col("neighbor_id"), col("cv"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, count,
-  count_distinct, lit, max, min, when}
+  count_distinct, lit, max, min, sum, when}
 import org.apache.spark.sql.types._
 
 /** Snapshot-isolated table commits — the manifest-based layout
@@ -155,6 +155,14 @@ object Snapshot {
 
   private val SnapDir = "_snapshots"
   private val MaxRetries = 20
+
+  /** Cap on DRIVER-COLLECTED key sets for point-lookup pruning and
+    * the merge paths' small-source fast path: at or under it, a key
+    * set collects once (a LIMIT — one early-out scan, not a full
+    * pass) and row count, duplicate check, range envelope and Bloom
+    * probes are driver arithmetic; above it the distributed aggregate
+    * spellings run unchanged. */
+  private val MaxProbeKeys = 10000
 
   // ---- commit paths ---------------------------------------------------
 
@@ -503,17 +511,24 @@ object Snapshot {
       s"merge source carries duplicate '$key' values — upsert would be " +
         "order-dependent; dedup the source first")
     // stage 1: manifest stats drop files outside the source key range
-    val keyTyp = base.files
-      .flatMap(f => fileStats(f, key, base.schemaChanges))
-      .headOption.map(_.typ)
-    val candidates = keyTyp match {
-      case Some(typ) =>
-        val lo = reprOf(typ, sagg.get(3))
-        val hi = reprOf(typ, sagg.get(4))
-        base.files.filter(f =>
-          fileStats(f, key, base.schemaChanges).forall(s =>
-          cmp(s.typ, s.max, lo) >= 0 && cmp(s.typ, s.min, hi) <= 0))
-      case None => base.files
+    val ranged =
+      if (sagg.isNullAt(3)) Nil // all-null source keys match no row
+      else keptByRange(base.files, key, sagg.get(3), sagg.get(4),
+        base.schemaChanges)
+    // a probe-cap source with Bloom coverage on any ranged survivor
+    // buys per-file Bloom probes for one bounded collect: files that
+    // provably hold none of the keys skip stage 2's scan entirely,
+    // and the commit's conflict test becomes driver arithmetic
+    val smallKeys: Option[Array[Any]] =
+      if (srcRows > MaxProbeKeys || !ranged.exists(f =>
+            fileStats(f, key, base.schemaChanges)
+              .exists(_.bloom.nonEmpty))) None
+      else smallKeySample(source.select(col(key)))
+        .map(_.filter(_ != null))
+    val candidates = smallKeys match {
+      case Some(vs) =>
+        keptByKeyBloomVals(ranged, key, vs, base.schemaChanges)
+      case None => ranged
     }
     // stage 2: which candidate files truly contain a matched key
     val srcKeys = source.select(col(key).as("__merge_key"))
@@ -548,9 +563,12 @@ object Snapshot {
       // key (its rows would dodge the upsert): stats/Bloom-proven
       // disjoint appends carry forward, anything else aborts
       val carriedAppends = carriedOrAbort(spark, table, base, parent,
-        "merge", appended => keyCandidatesIn(appended,
-          base.schemaChanges, source.select(col(key)),
-          Seq(key)).nonEmpty)
+        "merge", appended => (smallKeys match {
+          case Some(vs) => keyCandidatesVals(appended,
+            base.schemaChanges, key, vs)
+          case None => keyCandidatesIn(appended, base.schemaChanges,
+            source.select(col(key)), Seq(key))
+        }).nonEmpty)
       Manifest(v, parent.version, "merge",
         base.rows - touchedRows + stagedRows
           + (parent.rows - base.rows),
@@ -598,49 +616,85 @@ object Snapshot {
     val base = currentManifest(spark, table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot in $table"))
     require(base.files.nonEmpty, s"empty table $table")
-    // one aggregate for row count + duplicate-key check (the [[merge]]
-    // spelling): count_distinct + null adjustment ==
-    // `select(key).distinct().count()` exactly
-    val sagg = source.agg(count(lit(1)), count(col(key)),
-      count_distinct(col(key))).head()
-    val srcRows = sagg.getLong(0)
-    if (srcRows == 0L) return base.version
-    require(sagg.getLong(2) +
-        (if (sagg.getLong(0) > sagg.getLong(1)) 1L else 0L) == srcRows,
-      s"merge source carries duplicate '$key' values — upsert would be " +
-        "order-dependent; dedup the source first")
     val srcKeys = source.select(col(key))
-    // exact accounting + matched-key detection, stats- and
-    // bloom-pruned as in [[deleteKeysMor]]: files that provably hold
-    // none of the source keys never join the scan
-    val candidates = keyCandidates(base, srcKeys, Seq(key))
-    val liveKeys =
-      if (candidates.isEmpty) null
-      else readLive(spark, table, base, candidates).select(col(key))
-    val dead =
-      if (candidates.isEmpty) 0L
-      else liveKeys.join(srcKeys, Seq(key), "left_semi").count()
-    // only MATCHED keys land in the delete file: unmatched source
-    // keys would anti-join nothing but cost every read's accounting
-    val matchedKeys =
-      if (dead == 0L) null
-      else srcKeys.join(liveKeys, Seq(key), "left_semi").distinct()
-    val (rel, delBytes, nMatched) =
-      if (dead == 0L) ("", 0L, 0L)
+    val dupMsg =
+      s"merge source carries duplicate '$key' values — upsert would " +
+        "be order-dependent; dedup the source first"
+    // ONE bounded collect replaces the count/duplicate aggregate AND
+    // the candidate probe's own collect (guide §1.2): a source at or
+    // under the probe cap — the micro-batch/MV-state upsert shape
+    // this MoR spelling exists for — yields row count, duplicate
+    // check, range envelope and Bloom probes as driver arithmetic in
+    // one job; a bigger source pays the LIMIT's early-out scan and
+    // falls back to the aggregate spelling unchanged
+    val smallVals: Option[Array[Any]] = smallKeySample(srcKeys)
+    // candidate files (stats- and bloom-pruned as in [[deleteKeysMor]]:
+    // files that provably hold none of the source keys never join the
+    // accounting scan) + the emptiness/distinct-keys contract
+    val (candidates, smallKeys) = smallVals match {
+      case Some(vals) =>
+        if (vals.isEmpty) return base.version
+        val nonNull = vals.filter(_ != null)
+        require(vals.length - nonNull.length <= 1 &&
+          sqlDistinctCount(nonNull) == nonNull.length, dupMsg)
+        (keyCandidatesVals(base.files, base.schemaChanges, key,
+          nonNull), Some(nonNull))
+      case None =>
+        // count_distinct + null adjustment ==
+        // `select(key).distinct().count()` exactly
+        val sagg = source.agg(count(lit(1)), count(col(key)),
+          count_distinct(col(key)), min(col(key)), max(col(key)))
+          .head()
+        val srcRows = sagg.getLong(0)
+        if (srcRows == 0L) return base.version
+        require(sagg.getLong(2) +
+          (if (sagg.getLong(0) > sagg.getLong(1)) 1L else 0L)
+            == srcRows, dupMsg)
+        val cands =
+          if (sagg.isNullAt(3)) Nil // all-null keys match nothing
+          else keptByRange(base.files, key, sagg.get(3), sagg.get(4),
+            base.schemaChanges)
+        (cands, None)
+    }
+    // matched keys + exact dead-row accounting in ONE pass: the
+    // candidates' live rows semi-join the source keys and group to
+    // the distinct matched keys — which ARE the equality-delete
+    // file's rows — while the pre-group row count (the rows the
+    // delete kills) and the matched-key count ride the SAME job as
+    // CollectMetrics observations. The old spelling ran a count job
+    // AND a write job over the same join.
+    val (rel, delBytes, nMatched, dead) =
+      if (candidates.isEmpty) ("", 0L, 0L, 0L)
       else {
+        val obs = new org.apache.spark.sql.Observation()
+        val matched = readLive(spark, table, base, candidates)
+          .select(col(key))
+          .join(srcKeys, Seq(key), "left_semi")
+          .groupBy(col(key)).agg(count(lit(1)).as("__graft_live"))
+          .observe(obs,
+            coalesce(sum(col("__graft_live")), lit(0L)).as("dead"),
+            count(lit(1)).as("matched"))
+          .select(col(key))
         val r = s"deletes/${java.util.UUID.randomUUID()}"
-        matchedKeys.write.mode("errorifexists")
+        matched.write.mode("errorifexists")
           .option("mapreduce.fileoutputcommitter.algorithm.version",
             "2") // published by the manifest CAS, as in [[stage]]
           .parquet(s"$table/$r")
+        val killed = obs.get("dead").asInstanceOf[Long]
         val fs = hadoopFs(spark, table)
-        var bytes = 0L
-        val it = fs.listFiles(
-          new org.apache.hadoop.fs.Path(s"$table/$r"), true)
-        while (it.hasNext) bytes += it.next().getLen
-        // key count off the just-written footers — a metadata read,
-        // not a fourth Spark job over the matched keys
-        (r, bytes, footerRowsUnder(spark, s"$table/$r"))
+        if (killed == 0L) {
+          // pure inserts: no delete entry lands (unmatched keys would
+          // anti-join nothing but cost every read's accounting); the
+          // empty unpublished dir is garbage — remove it now
+          fs.delete(new org.apache.hadoop.fs.Path(s"$table/$r"), true)
+          ("", 0L, 0L, 0L)
+        } else {
+          var bytes = 0L
+          val it = fs.listFiles(
+            new org.apache.hadoop.fs.Path(s"$table/$r"), true)
+          while (it.hasNext) bytes += it.next().getLen
+          (r, bytes, obs.get("matched").asInstanceOf[Long], killed)
+        }
       }
     val pCols = declaredLayout(base)
     val (staged0, stagedRows) = withStatsAndRows(spark, table,
@@ -653,10 +707,15 @@ object Snapshot {
         throw new DuplicateTag(v) } // raced replayer landed it first
       // same conflict rule as [[merge]]: a disjointness-proven append
       // carries forward (the new EqDelete applies to it by seq, but
-      // provably touches none of its rows — accounting stays exact)
+      // provably touches none of its rows — accounting stays exact).
+      // With the collected sample the test is driver arithmetic.
       val carriedAppends = carriedOrAbort(spark, table, base, parent,
-        "merge", appended => keyCandidatesIn(appended,
-          base.schemaChanges, srcKeys, Seq(key)).nonEmpty)
+        "merge", appended => (smallKeys match {
+          case Some(vs) => keyCandidatesVals(appended,
+            base.schemaChanges, key, vs)
+          case None => keyCandidatesIn(appended, base.schemaChanges,
+            srcKeys, Seq(key))
+        }).nonEmpty)
       Manifest(v, parent.version, "merge-mor",
         base.rows - dead + stagedRows + (parent.rows - base.rows),
         base.files ++ carriedAppends ++ staged.map(_.copy(seq = v)),
@@ -932,14 +991,34 @@ object Snapshot {
     require(base.files.nonEmpty, s"empty table $table")
     val cols = keys.columns.toSeq
     require(cols.nonEmpty, "empty key frame")
-    val distinctKeys = keys.distinct()
+    val distinctKeys0 = keys.distinct()
+    // a single-column key set at or under the probe cap collects ONCE
+    // and replays as a LOCAL relation: candidate pruning and the
+    // commit's conflict test become driver arithmetic, and the
+    // accounting scan's semi-join side and the delete-file write stop
+    // re-evaluating (and re-shuffling) the caller's lineage — the old
+    // spelling ran the distinct three times (probe, count, write)
+    val smallKeys: Option[Array[Any]] =
+      if (cols.size == 1) smallKeySample(distinctKeys0) else None
+    val distinctKeys = smallKeys match {
+      case Some(vals) =>
+        spark.createDataFrame(
+          java.util.Arrays.asList(
+            vals.map(v => org.apache.spark.sql.Row(v)): _*),
+          StructType(Seq(distinctKeys0.schema.head)))
+      case None => distinctKeys0
+    }
     // the exact-accounting scan stats-prunes like merge does: with a
     // single tracked key column, files whose range cannot intersect
     // the keys' [min, max] never join the count (all-null key frames
     // match nothing by anti-join semantics — zero candidates), and
     // per-file Bloom filters drop range-overlapping files that
     // provably hold none of the keys
-    val candidates = keyCandidates(base, distinctKeys, cols)
+    val candidates = smallKeys match {
+      case Some(vals) => keyCandidatesVals(base.files,
+        base.schemaChanges, cols.head, vals.filter(_ != null))
+      case None => keyCandidates(base, distinctKeys, cols)
+    }
     val dead =
       if (candidates.isEmpty) 0L
       else readLive(spark, table, base, candidates)
@@ -963,8 +1042,12 @@ object Snapshot {
       tag.flatMap(t => findTag(spark, table, t)).foreach { v =>
         throw new DuplicateTag(v) }
       val carriedAppends = carriedOrAbort(spark, table, base, parent,
-        "delete", appended => keyCandidatesIn(appended,
-          base.schemaChanges, distinctKeys, cols).nonEmpty)
+        "delete", appended => (smallKeys match {
+          case Some(vs) => keyCandidatesVals(appended,
+            base.schemaChanges, cols.head, vs.filter(_ != null))
+          case None => keyCandidatesIn(appended, base.schemaChanges,
+            distinctKeys, cols)
+        }).nonEmpty)
       Manifest(v, parent.version, "delete-mor",
         base.rows - dead + (parent.rows - base.rows),
         base.files ++ carriedAppends,
@@ -2073,7 +2156,6 @@ object Snapshot {
       val c = cols.head
       val hasBloom = files.exists(f =>
         fileStats(f, c, changes).exists(_.bloom.nonEmpty))
-      val MaxProbeKeys = 10000
       // with Bloom coverage the probe needs the collected key set
       // anyway, so collect FIRST and derive the range envelope from
       // the same sample — one Spark job where the old spelling ran a
@@ -2082,31 +2164,8 @@ object Snapshot {
         if (hasBloom) distinctKeys.limit(MaxProbeKeys + 1).collect()
         else Array.empty[org.apache.spark.sql.Row]
       if (hasBloom && sample.length <= MaxProbeKeys) {
-        val vals = sample.map(_.get(0)).filter(_ != null)
-        if (vals.isEmpty) Nil // all-null keys: anti-join matches nothing
-        else {
-          // envelope under the SAME total order the stats comparator
-          // uses (cmp over typed reprs): for any key v, lo <= repr(v)
-          // <= hi, so the range filter keeps a conservative superset
-          // exactly as the aggregate-derived bounds did
-          val envCache =
-            scala.collection.mutable.Map.empty[String, (String, String)]
-          def env(typ: String): (String, String) =
-            envCache.getOrElseUpdate(typ, {
-              val reprs = vals.map(v => reprOf(typ, v))
-              (reprs.reduce((a, b) => if (cmp(typ, a, b) <= 0) a else b),
-               reprs.reduce((a, b) => if (cmp(typ, a, b) >= 0) a else b))
-            })
-          val ranged = files.filter { f =>
-            fileStats(f, c, changes) match {
-              case None => true
-              case Some(s) =>
-                val (lo, hi) = env(s.typ)
-                cmp(s.typ, s.max, lo) >= 0 && cmp(s.typ, s.min, hi) <= 0
-            }
-          }
-          keptByKeyBloomVals(ranged, c, vals, changes)
-        }
+        keyCandidatesVals(files, changes, c,
+          sample.map(_.get(0)).filter(_ != null))
       } else {
         // no Bloom coverage (or key set over the probe cap): the
         // envelope prune from one aggregate, exactly as before
@@ -2115,6 +2174,74 @@ object Snapshot {
         else keptByRange(files, c, b.get(0), b.get(1), changes)
       }
     } else files
+
+  /** The merge paths' SMALL-SOURCE probe: one bounded collect
+    * (`limit(MaxProbeKeys + 1)` — a LIMIT short-circuits, one
+    * early-out partition scan even over a huge source) classifies the
+    * source. Some(values, nulls included) = the WHOLE key set is in
+    * hand, so row count, duplicate check, candidate pruning and
+    * conflict tests become driver arithmetic; None = over the cap
+    * (fall back to the aggregate spellings) or a key type whose
+    * driver equality diverges from SQL's (binary compares by
+    * reference, nested types by element identity — the fast path
+    * would mis-judge distinctness). */
+  private def smallKeySample(srcKeys: DataFrame): Option[Array[Any]] =
+    srcKeys.schema.head.dataType match {
+      case BinaryType | _: ArrayType | _: MapType | _: StructType =>
+        None
+      case _ =>
+        val rows = srcKeys.limit(MaxProbeKeys + 1).collect()
+        if (rows.length <= MaxProbeKeys) Some(rows.map(_.get(0)))
+        else None
+    }
+
+  /** Driver-side distinct count matching SQL `count_distinct` for the
+    * plain scalar key types [[smallKeySample]] admits: float/double
+    * negative zeros collapse onto positive zero (SQL equality treats
+    * them equal; boxed `equals` does not), and NaN already equals
+    * itself under boxing exactly as under SQL aggregation. */
+  private def sqlDistinctCount(vals: Array[Any]): Int =
+    vals.iterator.map {
+      case d: java.lang.Double if d.doubleValue == 0.0 =>
+        java.lang.Double.valueOf(0.0): Any
+      case f: java.lang.Float if f.floatValue == 0.0f =>
+        java.lang.Float.valueOf(0.0f): Any
+      case v => v
+    }.toSet.size
+
+  /** [[keyCandidatesIn]] over an ALREADY-COLLECTED key set — zero
+    * Spark jobs: range-envelope prune under the SAME total order the
+    * stats comparator uses (`cmp` over typed reprs — for any key v,
+    * lo <= repr(v) <= hi, so the range filter keeps a conservative
+    * superset exactly as the aggregate-derived bounds did), then
+    * per-file Bloom probes (files without a filter always keep).
+    * `vals` must be the key set's NON-NULL values; an empty set
+    * candidates nothing (anti-join equality matches no null). */
+  private def keyCandidatesVals(files: Seq[FileEntry],
+                                changes: Seq[SchemaChange],
+                                c: String,
+                                vals: Array[Any]): Seq[FileEntry] =
+    if (vals.isEmpty) Nil // all-null keys: anti-join matches nothing
+    else if (!files.exists(f => fileStats(f, c, changes).nonEmpty)) files
+    else {
+      val envCache =
+        scala.collection.mutable.Map.empty[String, (String, String)]
+      def env(typ: String): (String, String) =
+        envCache.getOrElseUpdate(typ, {
+          val reprs = vals.map(v => reprOf(typ, v))
+          (reprs.reduce((a, b) => if (cmp(typ, a, b) <= 0) a else b),
+           reprs.reduce((a, b) => if (cmp(typ, a, b) >= 0) a else b))
+        })
+      val ranged = files.filter { f =>
+        fileStats(f, c, changes) match {
+          case None => true
+          case Some(s) =>
+            val (lo, hi) = env(s.typ)
+            cmp(s.typ, s.max, lo) >= 0 && cmp(s.typ, s.min, hi) <= 0
+        }
+      }
+      keptByKeyBloomVals(ranged, c, vals, changes)
+    }
 
   /** Bloom-prune `files` against an ALREADY-COLLECTED key set: keep a
     * file iff it might contain AT LEAST ONE key. Probing is

@@ -1898,4 +1898,40 @@ class SnapshotSpec extends AnyFunSuite {
     assert(a == b, "driver-built filters differ from the " +
       "distributed build")
   }
+
+  test("merge small-source fast path matches the aggregate " +
+    "spelling: SQL-equal duplicate keys (-0.0 vs 0.0) refuse " +
+    "driver-side, and an over-cap source (no driver sample) still " +
+    "upserts with exact accounting") {
+    // -0.0 and 0.0 are ONE key under SQL equality: the driver-side
+    // distinct check must refuse exactly as count_distinct did
+    val t = freshTable()
+    Snapshot.append(Seq((1.0d, "a")).toDF("k", "text"), t)
+    intercept[IllegalArgumentException] {
+      Snapshot.mergeMor(Seq((0.0d, "x"), (-0.0d, "y"))
+        .toDF("k", "text"), t, "k")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.merge(Seq((0.0d, "x"), (-0.0d, "y"))
+        .toDF("k", "text"), t, "k")
+    }
+    // over the probe cap (12000 distinct keys > 10000): the
+    // aggregate fallback must produce the same exact accounting the
+    // collected path does — matched keys, killed rows, final state
+    val big = freshTable()
+    Snapshot.append(batch(0, 12000).coalesce(1), big,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    val src = (6000 until 18000).map(i => (i.toLong, s"v2 $i"))
+      .toDF("id", "text")
+    val v = Snapshot.mergeMor(src, big, "id")
+    val m = Snapshot.readManifest(spark, big, v).get
+    assert(m.rows == 18000L)
+    assert(m.eqDeletes.size == 1 && m.eqDeletes.head.rows == 6000L)
+    val cur = Snapshot.read(spark, big)
+    assert(cur.count() == 18000L)
+    assert(cur.filter(col("id") === 7000L).select(col("text"))
+      .head().getString(0) == "v2 7000")
+    assert(cur.filter(col("id") === 3L).select(col("text"))
+      .head().getString(0) == "doc 3")
+  }
 }
