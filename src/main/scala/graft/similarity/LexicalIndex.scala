@@ -76,7 +76,17 @@ object LexicalIndex {
     val spark = batch.sparkSession
     import spark.implicits._
     val nBuckets = wordBucketsOf(spark, path)
-    val tf = Lexical.tfPostings(batch, idCol, textCol)
+    // n_docs OBSERVES the postings write (a CollectMetrics node on the
+    // batch frame, below the tokenizer) instead of running its own
+    // count job — the old spelling re-evaluated the whole batch
+    // lineage a second time just to count it (a second micro-batch
+    // pass per append at ingest scale). The node sits UNDER the
+    // tokenize/filter chain, so null-text docs (no tokens, no doclen
+    // row) still count, exactly as `docs.count()` did.
+    val nDocsObs = new org.apache.spark.sql.Observation()
+    val tf = Lexical.tfPostings(
+      batch.observe(nDocsObs, count(lit(1)).as("n_docs")),
+      idCol, textCol)
     // the batch is TOKENIZED ONCE — the postings write is the only
     // action that evaluates `tf`; doclen re-aggregates the WRITTEN
     // postings (a narrow columnar read of this batch's own files) and
@@ -111,7 +121,15 @@ object LexicalIndex {
       .observe(obs, coalesce(sum(col("len")), lit(0L)).as("tot"))
       .write.mode("overwrite").parquet(s"$path/doclen/batch=$batchTag")
     val totLen = obs.get("tot").asInstanceOf[Long]
-    Seq((batch.count(), totLen)).toDF("n_docs", "tot_len")
+    // a literal-empty batch (the cold-start layout pin) collapses to
+    // an empty LocalRelation and the optimizer eliminates the
+    // CollectMetrics node with it — the posted metrics row is EMPTY;
+    // fall back to the count (trivial on exactly that shape)
+    val nDocs =
+      try nDocsObs.get("n_docs").asInstanceOf[Long]
+      catch { case _: NoSuchElementException => batch.count() }
+    Seq((nDocs, totLen))
+      .toDF("n_docs", "tot_len")
       .write.mode("overwrite").parquet(s"$path/meta/batch=$batchTag")
   }
 
@@ -362,6 +380,13 @@ object LexicalIndex {
     require(k > 0 && kEach > 0)
     val qterms = Lexical.queryTerms(queries, queryIdCol, queryTextCol)
     val qwords = qterms.select(col("word")).distinct()
+    // the probe is referenced three times (df aggregate, BM25
+    // candidates, cosine dot); a localCheckpoint to read the
+    // bucket-pruned postings once was MEASURED (r18: medians 2.50 s
+    // without vs 2.37–2.71 s with, inside window noise) and bought
+    // nothing — the pruned probe scan is cheap enough that the
+    // checkpoint's materialization cancels the saved re-reads, the
+    // same result the in-memory hybrid recorded. Left re-planned.
     val rel = probePostings(spark, path, qwords)
     val df = rel.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val doclen = spark.read.parquet(s"$path/doclen")

@@ -119,7 +119,9 @@ object Layout {
     val fs = hadoopFs(spark, path)
     val ready = new org.apache.hadoop.fs.Path(path + ".compact-ready")
     if (fs.exists(ready)) { // crashed after the commit point: finish
-      val rows = spark.read.parquet(ready.toString).count()
+      // footer metadata, not a Spark count scan: ready/ is a fully
+      // built plain layout (no sink log, no orphans by construction)
+      val rows = footerRowsUnder(spark, ready.toString)
       val stats = CompactStats(leafDirs(fs, ready.toString).size,
         filesBefore = -1L, filesAfter = countDataFiles(fs, ready.toString),
         rows = rows)
@@ -147,7 +149,11 @@ object Layout {
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
     fs.delete(tmp, true) // stale partial build from a crashed run
     val src = spark.read.parquet(path)
-    val srcRows = src.count()
+    // exact source rows from footers of the files the read RESOLVED
+    // (inputFiles honors a streaming sink's _spark_metadata log, so
+    // orphans stay excluded exactly as the scan excludes them) —
+    // replaces a full COUNT scan of the table being compacted
+    val srcRows = footerRows(spark, src.inputFiles.toSeq)
     val leaves = leafDirs(fs, path)
     val partCols = leaves.headOption.map(_._1.map(_._1)).getOrElse(Nil)
     require(leaves.forall(_._1.map(_._1) == partCols),
@@ -172,7 +178,7 @@ object Layout {
         scala.concurrent.Await.result(f,
           scala.concurrent.duration.Duration.Inf))
     } finally pool.shutdown()
-    val dstRows = spark.read.parquet(tmp.toString).count()
+    val dstRows = footerRowsUnder(spark, tmp.toString)
     require(dstRows == srcRows,
       s"compact row mismatch: src=$srcRows rewritten=$dstRows — " +
         "scratch NOT published, source untouched")
@@ -236,6 +242,47 @@ object Layout {
       }
       (pairs, rel, bytes)
     }
+  }
+
+  /** Exact row count from parquet FOOTERS of an explicit file list —
+    * a driver metadata loop replacing a full Spark COUNT scan (guide
+    * §1.2: the writer/reader already knows these files; counting a
+    * 100-TB layout must not re-read it). Callers pass
+    * `DataFrame.inputFiles` when `_spark_metadata` sink-log semantics
+    * matter (the resolved list already honors the log) or a plain
+    * directory walk for freshly-built scratch dirs. */
+  private def footerRows(spark: SparkSession,
+                         files: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var rows = 0L
+    files.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf))
+      try {
+        val it = reader.getFooter.getBlocks.iterator()
+        while (it.hasNext) rows += it.next().getRowCount
+      } finally reader.close()
+    }
+    rows
+  }
+
+  /** [[footerRows]] over every data file under `dir`. */
+  private def footerRowsUnder(spark: SparkSession, dir: String): Long = {
+    val fs = hadoopFs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toUri.getPath.stripPrefix(rootUri)
+        .stripPrefix("/")
+      if (!rel.split('/').exists(s => s.startsWith("_") ||
+            s.startsWith(".")))
+        files += f.getPath.toString
+    }
+    footerRows(spark, files.toSeq)
   }
 
   private def countDataFiles(fs: org.apache.hadoop.fs.FileSystem,

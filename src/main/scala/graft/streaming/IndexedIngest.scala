@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.dedup.{Dedup, DedupIndex}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** The COMPLETE production ingest loop for a continuously-growing
@@ -51,11 +51,21 @@ object IndexedIngest {
                                   idCol, minJaccard,
                                   excludeBatchTag = Some(s"i$batchId"))
       .localCheckpoint(false)
-    survivors.write.mode("overwrite")
+    // the landed-doc count OBSERVES the land write (CollectMetrics on
+    // the checkpointed survivors) instead of running its own job —
+    // one fewer job per micro-batch, same number
+    val obs = new org.apache.spark.sql.Observation()
+    survivors.observe(obs, count(lit(1)).as("landed"))
+      .write.mode("overwrite")
       .parquet(s"$landPath/batch=b$batchId")
     DedupIndex.append(survivors, indexPath, batchTag = s"i$batchId",
                       textCol = textCol, idCol = idCol)
-    survivors.count()
+    // checkpointed survivors can't collapse to an empty LocalRelation
+    // (LogicalRDD), but keep the LexicalIndex.append fallback shape:
+    // an eliminated metrics node degrades to the old count, never
+    // a hang or a miscount
+    try obs.get("landed").asInstanceOf[Long]
+    catch { case _: NoSuchElementException => survivors.count() }
   }
 
   /** Start the loop over a streaming DataFrame of documents. The index
