@@ -681,6 +681,7 @@ object Snapshot {
             "2") // published by the manifest CAS, as in [[stage]]
           .parquet(s"$table/$r")
         val killed = obs.get("dead").asInstanceOf[Long]
+        stagedSchemaCache.put(s"$table/$r", matched.schema) // as in stage()
         val fs = hadoopFs(spark, table)
         if (killed == 0L) {
           // pure inserts: no delete entry lands (unmatched keys would
@@ -1030,6 +1031,7 @@ object Snapshot {
       .option("mapreduce.fileoutputcommitter.algorithm.version",
         "2") // published by the manifest CAS, as in [[stage]]
       .parquet(s"$table/$rel")
+    stagedSchemaCache.put(s"$table/$rel", distinctKeys.schema) // as in stage()
     val fs = hadoopFs(spark, table)
     var bytes = 0L
     val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$table/$rel"),
@@ -2986,6 +2988,20 @@ object Snapshot {
       if (isData) entries += FileEntry(s"$rel/$sub", f.getLen)
     }
     require(entries.nonEmpty, s"staging wrote no data files under $dst")
+    // seed the immutable-dir schema cache with the WRITER's schema:
+    // the first read-back of a new staging dir (the stats gather at
+    // append time, a rewrite's readLive, the CDC differ) otherwise
+    // pays parquet schema inference — one small RDD job PER NEW DIR,
+    // the per-append extra job the job census shows. Parquet
+    // round-trips Spark's types and required/optional nullability, so
+    // the seeded schema is what inference would return. Partitioned
+    // dirs are NOT seeded: read-back moves partition columns to the
+    // tail and re-infers their types from the k=v paths — only
+    // inference knows that shape.
+    if (partitionCols.isEmpty) {
+      if (stagedSchemaCache.size > 4096) stagedSchemaCache.clear()
+      stagedSchemaCache.put(dst, df.schema)
+    }
     entries.sortBy(_.path).toSeq
   }
 
